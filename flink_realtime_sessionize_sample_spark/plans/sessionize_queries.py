@@ -1,0 +1,212 @@
+"""Sessionize query family — the reference's own workload as driver queries.
+
+Covers SURVEY.md §2.6 (X1 stateful sessionize, batch formulation), §2.7
+(A1/A2/A3 downstream aggregations) and §2.2 (P1/P2 parse) over the driver's
+``events`` table (``user_id`` plays the reference's ``ip``, ``ts`` its event
+time — SURVEY §1.3).
+
+Oracle notes: outputs avoid raw TIMESTAMP columns (integer ``*_us`` epochs
+instead) so value hashing is engine-neutral. The full-semantics oracle uses
+a recursive CTE because the size/duration caps make exact sessionization
+sequential within a gap-session; DuckDB executes it breadth-first per row
+rank. The Spark side uses the one-shuffle window formulation with the rare
+capped-session refinement (operators/sessionize.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.operators.sessionize import (
+    sessionize,
+    sessionize_gap_only,
+    session_durations,
+    user_total_durations,
+)
+from flink_realtime_sessionize_sample_spark.plans.registry import query
+from flink_realtime_sessionize_sample_spark.sources.logs import parse_access_logs, synthesize_access_log_lines
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+# Shared recursive-CTE prelude implementing the §2.6 decision procedure in
+# ANSI SQL (DuckDB). State carried per (user_id, rn): session start instant
+# (start_us/start_sec) and event count; gap is measured against the previous
+# event (batch order is event-time-sorted, so prev == last == max).
+_SESSIONIZE_CTE = """
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS sec,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+sess AS (
+  SELECT user_id, rn, event_id, us, sec, us AS start_us, sec AS start_sec, 1 AS cnt
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.event_id, e.us, e.sec,
+         CASE WHEN c.cut THEN e.us ELSE s.start_us END,
+         CASE WHEN c.cut THEN e.sec ELSE s.start_sec END,
+         CASE WHEN c.cut THEN 1 ELSE s.cnt + 1 END
+  FROM sess s
+  JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+  CROSS JOIN LATERAL (SELECT (e.sec - s.sec > 1800)
+                          OR (s.cnt + 1 >= 1500)
+                          OR (e.sec - s.start_sec > 43200) AS cut) c
+),
+sessionized AS (
+  SELECT event_id, user_id, us AS ts_us,
+         user_id::VARCHAR || '-' || start_us::VARCHAR AS session_id,
+         (sec - start_sec)::INT AS duration
+  FROM sess
+)
+"""
+
+
+def _events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, key="user_id", ts="ts", tiebreakers=("event_id",))
+
+
+@query(
+    "sessionize_events",
+    oracle=_SESSIONIZE_CTE + """
+SELECT event_id, user_id, ts_us, session_id, duration FROM sessionized
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 batch formulation: per-event session_id + running duration."""
+    return _events_sessionized(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "session_id",
+        "duration",
+    )
+
+
+@query(
+    "sessionize_gap_only",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS sec,
+         lag(epoch_us(ts)//1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+g AS (
+  SELECT *,
+         max(CASE WHEN is_new = 1 THEN us END) OVER
+           (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS start_us,
+         max(CASE WHEN is_new = 1 THEN sec END) OVER
+           (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS start_sec
+  FROM f
+)
+SELECT event_id, user_id, us AS ts_us,
+       user_id::VARCHAR || '-' || start_us::VARCHAR AS session_id,
+       (sec - start_sec)::INT AS duration
+FROM g
+""",
+)
+def sessionize_gap_only_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure window-function gap sessionization (single shuffle, zero Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_gap_only(ev, key="user_id", ts="ts", tiebreakers=("event_id",)).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "session_id",
+        "duration",
+    )
+
+
+@query(
+    "session_durations",
+    oracle=_SESSIONIZE_CTE + """
+SELECT user_id, session_id, max(duration) AS session_duration
+FROM sessionized GROUP BY user_id, session_id
+""",
+)
+def session_durations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (README.md:42-50): final duration per session via MAX collapse."""
+    return session_durations(_events_sessionized(spark, sf_dir), key="user_id")
+
+
+@query(
+    "user_total_durations",
+    oracle=_SESSIONIZE_CTE + """
+SELECT user_id, sum(session_duration)::BIGINT AS total_duration
+FROM (
+  SELECT user_id, session_id, max(duration) AS session_duration
+  FROM sessionized GROUP BY user_id, session_id
+) GROUP BY user_id
+""",
+)
+def user_total_durations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2, the flagship: total time-on-site per user (README.md:42-50)."""
+    return user_total_durations(_events_sessionized(spark, sf_dir), key="user_id")
+
+
+@query(
+    "session_stats",
+    oracle=_SESSIONIZE_CTE + """
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       max(duration) AS session_duration,
+       min(ts_us) AS first_us,
+       max(ts_us) AS last_us
+FROM sessionized GROUP BY user_id, session_id
+""",
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-style ongoing-session analytics: per-session event count + bounds."""
+    return (
+        sessionize_events(spark, sf_dir)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("duration").alias("session_duration"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+        )
+    )
+
+
+# --- parse path (P1/P2): render events into the reference's 15-field wire
+# format, then parse back; malformed (14-field) lines must be dropped. ---
+
+_SYNTH_LINES_SQL = """
+lines AS (
+  SELECT CASE WHEN event_id % 50 = 0
+    THEN concat_ws(' ', tsstr, 'elb-1', client, 'f0','f1','f2','f3','f4','f5','f6','f7','f8','f9','f10')
+    ELSE concat_ws(' ', tsstr, 'elb-1', client, 'f0','f1','f2','f3','f4','f5','f6','f7','f8','f9','f10','f11')
+    END AS value
+  FROM (
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
+             lpad((epoch_us(ts) % 1000000)::VARCHAR, 6, '0') || 'Z' AS tsstr,
+           '10.0.' || (user_id % 250)::VARCHAR || '.' || (user_id % 97)::VARCHAR ||
+             ':' || (40000 + event_id % 20000)::VARCHAR AS client
+    FROM events
+  )
+)
+"""
+
+
+@query(
+    "parse_access_logs",
+    oracle="WITH " + _SYNTH_LINES_SQL + """
+, toks AS (SELECT string_split(value, ' ') AS t FROM lines)
+SELECT t[1] AS timestamp,
+       epoch_us(strptime(t[1], '%Y-%m-%dT%H:%M:%S.%fZ')) AS ts_us,
+       t[3] AS ip
+FROM toks WHERE len(t) = 15
+""",
+)
+def parse_access_logs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: tokenize, drop malformed lines, project + parse timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = synthesize_access_log_lines(ev, malformed_every=50)
+    parsed = parse_access_logs(lines)
+    return parsed.select("timestamp", F.unix_micros("ts").alias("ts_us"), "ip")

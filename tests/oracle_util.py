@@ -1,0 +1,68 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL on the same parquet dir,
+then compares row count + order-insensitive value content (columns sorted by
+name, rows sorted by their full value tuple, floats rounded)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        canon = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                canon.append(None)
+            elif isinstance(v, float):
+                canon.append(round(v, 6))
+            elif hasattr(v, "item"):  # numpy scalar
+                item = v.item()
+                canon.append(round(item, 6) if isinstance(item, float) else item)
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                canon.append(tuple(round(float(x), 5) for x in v))
+            else:
+                canon.append(v)
+        rows.append(tuple(canon))
+    rows.sort(key=repr)
+    return rows
+
+
+def compare_query(spark, name: str, sf_dir: str) -> None:
+    from flink_realtime_sessionize_sample_spark import plans
+
+    sdf = plans.QUERIES[name](spark, sf_dir).toPandas()
+    odf = run_oracle(plans.ORACLES[name], sf_dir)
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} != oracle {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} != oracle {sorted(odf.columns)}"
+    )
+    srows, orows = _canon(sdf), _canon(odf)
+    mismatches = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
