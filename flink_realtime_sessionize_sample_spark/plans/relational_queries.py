@@ -1,0 +1,625 @@
+"""Relational operator library — SURVEY.md §2.9 scope over the TPC-H-ish tables.
+
+The reference is a single-pipeline stream job with no joins/aggregations/
+window functions of its own (SURVEY §2.9); this module supplies the full
+relational surface a user would expect from the rebuilt engine, expressed
+DataFrame-first so Catalyst plans them (broadcast vs sort-merge joins,
+partial aggregation, pushdown/pruning all automatic).
+
+Engine-parity conventions for the DuckDB oracles:
+
+* Money sums use exact integer-cents arithmetic (``round(x*100)::BIGINT``)
+  — double summation order differs between engines, integer sums don't.
+* DuckDB ``SUM(integer)`` returns HUGEINT → always ``::BIGINT``.
+* No raw TIMESTAMP output columns; epoch micros / date parts instead.
+* Every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.plans.registry import query
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --- aggregation: TPC-H Q1-style pricing summary -------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       sum(round(l_extendedprice*100)::BIGINT)::BIGINT AS sum_base_cents,
+       sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS sum_disc_e4,
+       sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT)
+           * (100 + round(l_tax*100)::BIGINT))::BIGINT AS sum_charge_e6,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with map-side partial agg; filter pushed to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(_cents("l_extendedprice") * (100 - disc_pct)).alias("sum_disc_e4"),
+            F.sum(_cents("l_extendedprice") * (100 - disc_pct) * (100 + tax_pct)).alias("sum_charge_e6"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+@query(
+    "top_revenue_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderpriority,
+       sum(round(l.l_extendedprice*100)::BIGINT * (100 - round(l.l_discount*100)::BIGINT))::BIGINT AS revenue_e4
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style 3-way join + top-k. customer is a dim → broadcast side;
+    orders⨝lineitem shuffles on orderkey."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(_cents("l_extendedprice") * (100 - disc_pct)).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "nation_revenue",
+    oracle="""
+SELECT n.n_name, r.r_name,
+       sum(round(l.l_extendedprice*100)::BIGINT * (100 - round(l.l_discount*100)::BIGINT))::BIGINT AS revenue_e4,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style snowflake join: all three dims broadcast, zero extra shuffles
+    on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(_cents("l_extendedprice") * (100 - disc_pct)).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "order_priority_count",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style EXISTS → left-semi join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style left outer join + double aggregation (0-order customers kept)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "supplier_customer_same_nation",
+    oracle="""
+SELECT n.n_name,
+       count(DISTINCT c.c_custkey)::BIGINT AS n_customers,
+       count(DISTINCT s.s_suppkey)::BIGINT AS n_suppliers
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def supplier_customer_same_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-free equi-join fan-out + COUNT DISTINCT (expand-based in Spark)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+# --- grouping sets / rollup / cube ---------------------------------------
+
+@query(
+    "rollup_revenue",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       sum(round(o.o_totalprice*100)::BIGINT)::BIGINT AS total_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "cube_part_stats",
+    oracle="""
+SELECT p_brand, p_type,
+       count(*) AS n_parts,
+       round(avg(p_size), 4) AS avg_size,
+       sum(round(p_retailprice*100)::BIGINT)::BIGINT AS sum_price_cents
+FROM part
+GROUP BY CUBE (p_brand, p_type)
+""",
+)
+def cube_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.cube("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_size"), 4).alias("avg_size"),
+        F.sum(_cents("p_retailprice")).alias("sum_price_cents"),
+    )
+
+
+# --- window (analytic) functions ------------------------------------------
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (single shuffle on the group key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@query(
+    "customer_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       (sum(round(o_totalprice*100)::BIGINT)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS drnk
+FROM orders
+""",
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running frame + rank/dense_rank sharing one window spec."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents("o_totalprice")).over(run).alias("running_cents"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "event_lag_lead",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       lag(event_type)  OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       (epoch_us(ts)//1000000
+        - lag(epoch_us(ts)//1000000) OVER w)::BIGINT AS gap_sec
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over event time — the analytic view of the session stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = (F.unix_micros("ts") / F.lit(1000000)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (sec - F.lag(sec).over(w)).alias("gap_sec"),
+    )
+
+
+# --- sorts / limits / top-k ------------------------------------------------
+
+@query(
+    "global_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (no full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderpriority")
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+@query(
+    "setop_union",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return a.union(b).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "setop_except",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    return a.exceptAll(b).distinct()
+
+
+# --- scalar function library ------------------------------------------------
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       length(p_name)::INT AS name_len,
+       substring(p_name, 1, 5) AS name_pfx,
+       replace(p_name, ' ', '_') AS name_snake,
+       concat(p_brand, ':', p_type) AS brand_type,
+       trim(p_name) AS name_trim,
+       reverse(p_type) AS type_rev,
+       strpos(p_name, 'widget')::INT AS widget_pos,
+       (p_name LIKE '%widget%') AS is_widget,
+       lpad(p_partkey::VARCHAR, 8, '0') AS key_padded,
+       split_part(p_name, ' ', 1) AS first_word
+FROM part
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (all JVM built-ins, codegen'd)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.instr(F.col("p_name"), "widget").alias("widget_pos"),
+        F.col("p_name").like("%widget%").alias("is_widget"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000) AS abs_diff,
+       ceil(l_quantity)::BIGINT AS qty_ceil,
+       floor(l_discount * 10)::BIGINT AS disc_floor,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(pow(l_quantity, 2), 4) AS qty_sq,
+       (l_orderkey % 7)::BIGINT AS key_mod,
+       sign(l_extendedprice - 50000)::DOUBLE AS price_sign,
+       greatest(l_quantity, 25.0) AS qty_hi,
+       least(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("abs_diff"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_discount") * 10).alias("disc_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_extendedprice") - 50000).alias("price_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)::INT AS order_year,
+       quarter(o_orderdate)::INT AS order_quarter,
+       month(o_orderdate)::INT AS order_month,
+       day(o_orderdate)::INT AS order_day,
+       (dayofweek(o_orderdate) + 1)::INT AS order_dow,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)::INT AS days_since_95,
+       epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+       strftime(o_orderdate, '%Y-%m') AS order_ym
+FROM orders
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface. DuckDB dayofweek is 0=Sunday; Spark's is
+    1=Sunday — normalized to Spark's convention in the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since_95"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("month_start_us"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column access (the events.props payload) + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+@query(
+    "events_hourly_windows",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows, batch formulation (streaming variant in
+    streaming/ uses the same expressions under a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "conditional_agg",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)::BIGINT AS n_rich,
+       sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+       sum(round(c_acctbal*100)::BIGINT)::BIGINT AS sum_bal_cents,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       count(DISTINCT c_nationkey)::BIGINT AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("n_rich"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_negative"),
+        F.sum(_cents("c_acctbal")).alias("sum_bal_cents"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@query("approx_distinct_users")  # no oracle: approx sketches differ by engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — sketch values are engine-specific,
+    so this gets the driver's rows-only check (exact twin: conditional_agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -32,25 +32,26 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).fetchdf()
 
 
-def _canon(df: pd.DataFrame) -> list[tuple]:
+def _canon(df: pd.DataFrame) -> list[str]:
+    """Strict canonicalization: repr-level equality (so int64 vs float64 vs
+    Decimal mismatches are caught, mirroring a value-hash driver)."""
     df = df[sorted(df.columns)]
     rows = []
     for tup in df.itertuples(index=False, name=None):
         canon = []
         for v in tup:
+            if hasattr(v, "item"):  # numpy scalar → python scalar
+                v = v.item()
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 canon.append(None)
             elif isinstance(v, float):
                 canon.append(round(v, 6))
-            elif hasattr(v, "item"):  # numpy scalar
-                item = v.item()
-                canon.append(round(item, 6) if isinstance(item, float) else item)
             elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
                 canon.append(tuple(round(float(x), 5) for x in v))
             else:
                 canon.append(v)
-        rows.append(tuple(canon))
-    rows.sort(key=repr)
+        rows.append(repr(tuple(canon)))
+    rows.sort()
     return rows
 
 
