@@ -1,0 +1,19 @@
+"""Structured Streaming: per-event stateful sessionization, sources, sinks."""
+
+from flink_realtime_sessionize_sample_spark.streaming.sessionize_stream import sessionize_stream
+from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
+    build_events_file_stream,
+    build_kafka_line_source,
+    encode_json,
+    run_sessionize_pipeline,
+    write_kafka_sink,
+)
+
+__all__ = [
+    "sessionize_stream",
+    "build_events_file_stream",
+    "build_kafka_line_source",
+    "encode_json",
+    "run_sessionize_pipeline",
+    "write_kafka_sink",
+]

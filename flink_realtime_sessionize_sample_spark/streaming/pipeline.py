@@ -1,0 +1,135 @@
+"""End-to-end streaming pipeline assembly — the reference's main job, Spark-first.
+
+Reference assembly (``RealtimeSessionize.scala:82-178``):
+Kafka/file source → parse → (debug ts-shift) → watermark → keyBy →
+stateful sessionize → JSON encode → Kafka/file sink.
+
+Spark assembly: ``readStream`` → identical batch column expressions →
+``withWatermark`` → ``sessionize_stream`` → ``to_json(struct(*))`` →
+``writeStream``. Each piece is usable à la carte; ``run_sessionize_pipeline``
+wires the whole thing.
+
+Kafka parity notes (S1/K3): option passthrough mirrors
+``KafkaConfig.scala:29-40`` incl. SASL; the reference requests EXACTLY_ONCE
+from its Kafka producer (``RealtimeSessionize.scala:170``) — Spark's Kafka
+sink is at-least-once, so exactly-once parity requires an idempotent reader
+keyed on (session_id, ts) or a ``foreachBatch`` transactional writer; the
+reference's own sink is also broken-as-written (bootstrap servers hardcoded
+empty — quirk Q5). The Kafka paths require the spark-sql-kafka connector jar
+on the classpath; they construct lazily so file-based deployments never need
+it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.sources.logs import parse_access_logs
+from flink_realtime_sessionize_sample_spark.streaming.sessionize_stream import sessionize_stream
+
+WATERMARK_DELAY = "60 seconds"  # W1: RealtimeSessionize.scala:131
+
+
+def build_events_file_stream(spark: SparkSession, path: str, schema=None, max_files_per_trigger: int | None = None) -> DataFrame:
+    """S2 analog: file-replay source of the events table (parquet dir/glob).
+
+    Applies the same nanos-ts normalization as ``sources.registry.load_table``
+    (the driver's events.ts is parquet TIMESTAMP(NANOS); Spark surfaces it as
+    epoch-nanos LongType under ``nanosAsLong``, which we truncate to micros
+    and restore to TimestampType)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.select(
+            *[
+                F.timestamp_micros(F.expr(f"{c} div 1000")).alias(c) if c == "ts" else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df
+
+
+def build_text_line_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S2 analog for raw access-log lines (``env.readTextFile``,
+    ``RealtimeSessionize.scala:104-111``)."""
+    return spark.readStream.text(path).withColumnRenamed("value", "value")
+
+
+def build_kafka_line_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1: Kafka UTF-8 line source, latest offsets like the reference
+    (``FlinkKafkaConsumer...setStartFromLatest``, ``RealtimeSessionize.scala:94-102``)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (extra_options or {}).items():
+        # SASL/Kerberos passthrough ≙ KafkaConfig.scala:34-38
+        reader = reader.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
+    return reader.load().select(F.col("value").cast("string").alias("value"))
+
+
+def encode_json(df: DataFrame) -> DataFrame:
+    """K1: record → JSON string (json4s ``write`` ≙ ``to_json(struct(*))``,
+    ``RealtimeSessionize.scala:147,158,174``)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def write_kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoint_dir: str):
+    """K3: Kafka JSON sink (at-least-once; see module docstring)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def run_sessionize_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    checkpoint_dir: str,
+    out_path: str | None = None,
+    raw_lines: bool = False,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreakers=("event_id",),
+    trigger_available_now: bool = False,
+    queryName: str = "realtime-sessionize",
+):
+    """Assemble parse → watermark → sessionize → JSON → sink and start it.
+
+    ``raw_lines=True`` runs the reference's actual input shape (access-log
+    lines, key=ip); otherwise the events-table shape. Returns the started
+    ``StreamingQuery``.
+    """
+    if raw_lines:
+        parsed = parse_access_logs(source)
+        key, ts, tiebreakers = "ip", "ts", ()
+    else:
+        parsed = source
+    watermarked = parsed.withWatermark(ts, WATERMARK_DELAY)
+    sessionized = sessionize_stream(watermarked, key=key, ts=ts, tiebreakers=tiebreakers)
+    out = encode_json(sessionized)
+    writer = out.writeStream.queryName(queryName).option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    if out_path is None:
+        writer = writer.format("console")
+    else:
+        writer = writer.format("text").option("path", out_path)
+    return writer.outputMode("append").start()

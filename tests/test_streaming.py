@@ -1,0 +1,87 @@
+"""Streaming parity tests — the reference's own consistency goal
+(`README.md:31`): bounded stream output must equal batch output on the same
+input (SURVEY.md §5 item 3)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import shutil
+
+import pandas as pd
+
+from flink_realtime_sessionize_sample_spark.operators.sessionize import sessionize
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+from flink_realtime_sessionize_sample_spark.streaming import (
+    build_events_file_stream,
+    run_sessionize_pipeline,
+    sessionize_stream,
+)
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
+def _stage_events_dir(sf_dir: str, tmp_path) -> str:
+    """Spark's file-stream source wants a directory; the testdata ships single
+    parquet files. Stage a one-file directory."""
+    d = tmp_path / "events_stream_src"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_stream_matches_batch_per_event(spark, sf_small, tmp_path):
+    """applyInPandasWithState over a bounded file stream ≡ the batch window
+    formulation, event for event (input is in-order within micro-batches)."""
+    batch = load_table(spark, sf_small, "events")
+    expected = _norm(
+        sessionize(batch).select("event_id", "session_id", "duration").toPandas()
+    )
+
+    stream = build_events_file_stream(spark, _stage_events_dir(sf_small, tmp_path))
+    out = sessionize_stream(stream.withWatermark("ts", "60 seconds"))
+    q = (
+        out.selectExpr("event_id", "session_id", "duration")
+        .writeStream.format("memory")
+        .queryName("sess_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = _norm(spark.sql("select * from sess_stream_test").toPandas())
+
+    assert len(got) == len(expected)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_full_pipeline_json_file_sink(spark, sf_small, tmp_path):
+    """End-to-end assembly (source → watermark → sessionize → to_json → file
+    sink), the reference's RealtimeSessionize.scala:82-178 wiring."""
+    stream = build_events_file_stream(spark, _stage_events_dir(sf_small, tmp_path))
+    q = run_sessionize_pipeline(
+        spark,
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        out_path=str(tmp_path / "out"),
+        trigger_available_now=True,
+        queryName="sess_pipeline_test",
+    )
+    q.awaitTermination(180)
+
+    rows = []
+    for f in glob.glob(str(tmp_path / "out" / "part-*")):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    n_events = load_table(spark, sf_small, "events").count()
+    assert len(rows) == n_events
+    assert {"event_id", "ts", "user_id", "session_id", "duration"} <= set(rows[0])
+    # Every session-opening event has duration 0; ids embed the key.
+    by_sess: dict[str, list] = {}
+    for r in rows:
+        by_sess.setdefault(r["session_id"], []).append(r["duration"])
+    for sid, durs in by_sess.items():
+        assert min(durs) == 0
+        assert sid.startswith(str(sid.split("-")[0]))
