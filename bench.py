@@ -35,6 +35,10 @@ HEADLINE = [
     "top_orders_per_customer",
     "customer_order_distribution",
     "events_hourly_windows",
+    # LLM-data operators (dedup / similarity / text analysis)
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "doc_quality_score",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 

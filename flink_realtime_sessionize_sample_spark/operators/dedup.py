@@ -1,0 +1,325 @@
+"""Deduplication operators for large-scale text corpora.
+
+The reference has no dedup at all (SURVEY.md §2.9) — this is rebuild scope
+for the training-data-pipeline north star: exact dedup, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup, all as DataFrame
+transforms so they inherit Catalyst/AQE planning and partition scaling.
+
+Design for the 100 TB shape of the problem:
+
+* **Signatures are computed per-row** (hash/minhash/simhash as codegen'd
+  column expressions over the shingle array) — zero exchanges. Only
+  candidate generation shuffles, and it shuffles narrow (id, key) rows.
+* **Exact dedup** is one hash-aggregate on a 48-bit content hash — the
+  map-side partial agg collapses most duplicates before the exchange.
+* **MinHash-LSH** shuffles (doc_id, band_idx, band_signature) — ~4 rows of
+  ~30 bytes per doc regardless of document size; the band join is an equi
+  join AQE can re-plan for skew.
+* **SimHash** uses the pigeonhole block trick: any pair within Hamming
+  distance d must agree exactly on ≥1 of (d+1) blocks, so candidates come
+  from an equi join on (block_idx, block_value) — no quadratic scan.
+* **n-gram Jaccard** uses the classic inverted-index self-join on shingles.
+  This is exact but shuffle-heavy (one row per (doc, shingle)); at corpus
+  scale, cap hot shingles with ``max_shingle_df`` (drops join rows for
+  near-universal shingles — a standard approximation) or prefer MinHash-LSH.
+* **Embedding near-dup** is exact brute force below ``lsh_bits=None``; with
+  ``lsh_bits`` set it prunes via sign-bucket LSH (pairs must share the
+  bucket) — the scale path.
+
+Every operator has a DuckDB-oracle twin in ``plans/llm_queries.py`` built
+from the same dialect-paired primitives in ``functions/text.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from flink_realtime_sessionize_sample_spark.functions import text as T
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 4 bands x 3 rows: P(candidate | j=0.8) ≈ 0.94
+SIMHASH_BITS = 48
+# 4 blocks of 12 bits → exact recall for hamming ≤ 3, and 4096 bucket
+# values per block keep candidate buckets (and the join fan-out) small.
+SIMHASH_BLOCKS = 4
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure per-row CPU-heavy work (hashing, shingling, vector math) uses
+    every core: small inputs often arrive as one parquet split, which would
+    pin the whole operator to one task. Repartition only when the scan has
+    fewer splits than the cluster's parallelism — at real corpus scale the
+    input has thousands of splits and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Attach `toks` (lower/space tokens) and `sh` (distinct k-token
+    shingles) — per-row codegen expressions, no shuffle."""
+    return docs.withColumn("toks", F.expr(T.tokens_spark(text_col))).withColumn(
+        "sh", F.expr(T.shingles_spark("toks", k))
+    )
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: group by 48-bit content hash of the normalized text.
+
+    Output: (content_hash, canonical_doc_id = min id, n_copies). A single
+    hash aggregate; partial aggregation collapses duplicates map-side, so
+    the exchange carries ~one row per distinct document.
+    """
+    h = F.expr(T.h48_spark(f"lower(trim({text_col}))"))
+    return (
+        docs.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _jaccard_verify(cand: DataFrame, base: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Join candidate pairs back to shingle sets and keep exact-Jaccard hits."""
+    a = base.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs by k-token-shingle Jaccard ≥ threshold.
+
+    Inverted-index self-join: explode distinct shingles, equi-join on the
+    shingle, count common, then Jaccard from per-doc set sizes. Exact, but
+    the exchange carries one row per (doc, shingle); ``max_shingle_df``
+    optionally drops shingles appearing in more than N docs (hot-key cap
+    for corpus scale — affects only pairs whose overlap is entirely
+    ultra-common shingles).
+    """
+    # Filter on the cheap token count, not size(sh): a predicate over `sh`
+    # is pushed below the projection and re-evaluates the whole (HOF,
+    # interpreted) shingle expression per row — 7× slower, same rows.
+    base = (
+        with_shingles(fan_out(docs), text_col, k)
+        .filter(F.size("toks") >= k)
+        .select(id_col, "sh")
+    )
+    ex = base.select(F.col(id_col), F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = ex.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    # Pre-shuffle on the join key so both self-join sides share one
+    # exchange (ReusedExchange) — the shingle pipeline runs once.
+    ex = ex.repartition("s")
+    ea = ex.select(F.col(id_col).alias("doc_a"), "s")
+    eb = ex.select(F.col(id_col).alias("doc_b"), "s")
+    cand = (
+        ea.join(eb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .count()
+        .select("doc_a", "doc_b")
+    )
+    return _jaccard_verify(cand, base, id_col, threshold)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-Jaccard verified.
+
+    Signature = ``num_hashes`` Carter–Wegman minima over the shingle set's
+    48-bit base hashes — ONE md5 pass per shingle, K cheap affine
+    transforms — computed per-row (no explode, no shuffle). Candidates =
+    pairs agreeing on ≥1 of ``bands`` band signatures (equi join on
+    (band_idx, sig)). Probabilistic recall (r = num_hashes/bands rows per
+    band: P(candidate) = 1-(1-j^r)^bands, ≈0.94 at j=0.8 with 12/4) — the
+    oracle twin runs the identical pipeline, so the gate is deterministic.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    # size(toks) >= k ⟺ sh non-empty, without re-evaluating `sh` in the
+    # pushed-down filter (see ngram_jaccard_pairs).
+    base = (
+        with_shingles(fan_out(docs), text_col, k)
+        .filter(F.size("toks") >= k)
+        .select(id_col, "sh")
+    )
+    mh = base.withColumn(
+        "shh", F.expr(f"transform(sh, s -> {T.h48_spark('s')})")
+    ).select(
+        F.col(id_col),
+        *[F.expr(T.minhash_spark("shh", i)).alias(f"mh{i}") for i in range(num_hashes)],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    bands_df = mh.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.sig")
+    ba = bands_df.select(F.col(id_col).alias("doc_a"), "band_idx", "sig")
+    bb = bands_df.select(F.col(id_col).alias("doc_b"), "band_idx", "sig")
+    cand = (
+        ba.join(bb, ["band_idx", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verify(cand, base, id_col, threshold)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_BLOCKS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    48-bit Charikar simhash over the token multiset, computed per-row.
+    Candidates via the pigeonhole trick: with ``blocks`` ≥ max_hamming+1
+    equal blocks, any pair within the distance budget agrees exactly on at
+    least one block → equi join on (block_idx, block_value), then exact
+    popcount filter. Wider blocks (here 12-bit) keep bucket sizes — and
+    therefore the candidate-join fan-out — bounded as the corpus grows;
+    for larger distance budgets use more blocks or multi-probe.
+    """
+    assert blocks >= max_hamming + 1, "pigeonhole guarantee needs blocks > max_hamming"
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+
+    # The signature's bit-count math is O(bits × tokens) per row — 48×80 ≈
+    # 4k lambda evaluations that Catalyst runs interpreted (higher-order
+    # functions are outside WholeStageCodegen). Identical math in one
+    # Arrow-batched numpy kernel is ~100× cheaper. The md5 token hashing
+    # stays JVM-side; ``functions.text.simhash_spark`` is the pure-SQL twin
+    # of this kernel (the DuckDB oracle runs that formula).
+    @F.pandas_udf(LongType())
+    def simhash_vec(hs: pd.Series) -> pd.Series:
+        lists = hs.to_numpy()
+        lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(lists), dtype=np.int64))
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in lists])
+        shifts = np.arange(bits, dtype=np.int64)
+        bitmat = ((flat[:, None] >> shifts) & 1).astype(np.int32)
+        starts = np.zeros(len(lists), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        counts = np.add.reduceat(bitmat, starts, axis=0)
+        # sum(±1) > 0  ⟺  2·count_set > n_tokens (exact integer rule,
+        # matching the SQL formulation bit for bit)
+        sign = (2 * counts > lens[:, None]).astype(np.int64)
+        return pd.Series((sign << shifts).sum(axis=1))
+
+    base = (
+        fan_out(docs).withColumn("toks", F.expr(T.tokens_spark(text_col)))
+        .filter(F.size("toks") > 0)
+        .withColumn("hs", F.expr(f"transform(toks, tok -> {T.h48_spark('tok')})"))
+        .select(F.col(id_col), simhash_vec(F.col("hs")).alias("simh"))
+    )
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("block_idx"),
+            F.expr(f"shiftright(simh, {i * block_bits}) & {mask}").alias("bv"),
+        )
+        for i in range(blocks)
+    ]
+    bl = (
+        base.select(
+            F.col(id_col), F.col("simh"), F.explode(F.array(*block_structs)).alias("bk")
+        )
+        .select(id_col, "simh", "bk.block_idx", "bk.bv")
+        # Pre-shuffle on the join key: both self-join sides then share ONE
+        # identical exchange (ReusedExchange), so the signature pipeline
+        # runs once instead of once per side.
+        .repartition("block_idx", "bv")
+    )
+    la = bl.select(F.col(id_col).alias("doc_a"), F.col("simh").alias("sim_a"), "block_idx", "bv")
+    lb = bl.select(F.col(id_col).alias("doc_b"), F.col("simh").alias("sim_b"), "block_idx", "bv")
+    return (
+        la.join(lb, ["block_idx", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    lsh_bits: int | None = None,
+) -> DataFrame:
+    """Near-dup vector pairs with cosine ≥ threshold.
+
+    Exact brute force by default (O(n²) pairs — right for the verify tier
+    and for per-bucket refinement); ``lsh_bits`` switches to sign-bucket
+    pruning (pairs must share the bucket of sign bits of the first
+    ``lsh_bits`` dims) — the linear-shuffle scale path, identical oracle.
+    Norms are precomputed per row so each pair costs one dot product.
+    """
+    e = fan_out(emb).select(
+        F.col(id_col), F.col(vec_col).alias("v"), F.expr(T.norm_spark(vec_col)).alias("nrm")
+    )
+    if lsh_bits is not None:
+        e = e.withColumn("bucket", F.expr(T.sign_bucket_spark("v", lsh_bits)))
+    a = e.select(*[F.col(c).alias(f"{c}_a") for c in e.columns])
+    b = e.select(*[F.col(c).alias(f"{c}_b") for c in e.columns])
+    if lsh_bits is not None:
+        joined = a.join(b, F.col("bucket_a") == F.col("bucket_b"))
+    else:
+        joined = a.crossJoin(b)
+    cos = F.expr(T.dot_spark("v_a", "v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        joined.filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"{id_col}_a").alias("vec_a"),
+            F.col(f"{id_col}_b").alias("vec_b"),
+            "cosine",
+        )
+    )

@@ -9,5 +9,6 @@ from flink_realtime_sessionize_sample_spark.plans.registry import QUERIES, ORACL
 # Registration imports (order = SURVEY.md §7 build phases).
 from flink_realtime_sessionize_sample_spark.plans import sessionize_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import relational_queries  # noqa: F401
+from flink_realtime_sessionize_sample_spark.plans import llm_queries  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,493 @@
+"""LLM-training-data operator queries: text analysis, dedup, similarity,
+multimodal — SURVEY.md §7 phase 3 over the `documents` / `embeddings` tables.
+
+None of this exists in the reference (SURVEY.md §2.9); it is the rebuild's
+beyond-parity scope for the 100 TB training-data-pipeline design point.
+
+Every oracle below is generated from the SAME dialect-paired primitives as
+the Spark side (``functions/text.py``) — salted-md5 48-bit hashing, identical
+tokenization, double-precision vector math — so the driver's value-hash gate
+checks the full pipeline, not a lookalike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.operators import dedup as D
+from flink_realtime_sessionize_sample_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+)
+from flink_realtime_sessionize_sample_spark.operators.similarity import cosine_topk
+from flink_realtime_sessionize_sample_spark.plans.registry import query
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+_TOKS_D = T.tokens_duck("text")
+_TOKS_S = T.tokens_spark("text")
+
+# Shared DuckDB prelude: documents with tokens + distinct 3-shingles.
+_DOC_SHINGLES_CTE = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents),
+base AS (
+  SELECT doc_id, text, t, {T.shingles_duck('t')} AS sh FROM tok
+),
+nonempty AS (SELECT doc_id, sh FROM base WHERE len(sh) > 0)
+"""
+
+_JACCARD_TAIL_D = """
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+)
+SELECT doc_a, doc_b, round(common::DOUBLE / uni, 6) AS jaccard
+FROM verified WHERE common::DOUBLE / uni >= 0.5
+"""
+
+
+# --- text analysis --------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       len(list_distinct(t))::BIGINT AS n_uniq_tokens,
+       round(list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t), 6) AS avg_token_len,
+       round(len(list_distinct(t))::DOUBLE / len(t), 6) AS ttr,
+       length(text)::BIGINT AS n_chars_m
+FROM tok WHERE len(t) > 0
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + type-token ratio — pure codegen
+    expressions, one parquet pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("t", F.expr(_TOKS_S))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("t")).cast("long").alias("n_uniq_tokens"),
+            F.round(
+                F.expr("aggregate(t, 0L, (a, x) -> a + length(x))")
+                / F.size("t").cast("double"),
+                6,
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.array_distinct("t")).cast("double") / F.size("t"), 6
+            ).alias("ttr"),
+            F.length("text").cast("long").alias("n_chars_m"),
+        )
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         {T.stopword_count_duck('t')} AS stop_cnt,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, stop_cnt::BIGINT AS stop_cnt,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+             * (0.25 + 0.75 * least(1.0, stop_cnt / 10.0)), 6) AS quality_score
+FROM m
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation × punctuation penalty ×
+    stopword-presence bonus (natural prose carries closed-class words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        docs.withColumn("t", F.expr(_TOKS_S))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.expr(T.stopword_count_spark("t")).alias("stop_cnt"),
+            (
+                F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+                / F.length("text")
+            ).alias("punct_ratio"),
+        )
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        * (1.0 - F.col("punct_ratio"))
+        * (0.25 + 0.75 * F.least(F.lit(1.0), F.col("stop_cnt") / 10.0))
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stop_cnt").cast("long").alias("stop_cnt"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+_CJK = "[一-鿿]"
+
+
+def _langid_case(men: str, mde: str, mfr: str, mes: str, cjk_pred: str) -> str:
+    """Identical CASE ladder in both dialects: CJK wins, then argmax over
+    marker scores with fixed en>de>fr>es tie precedence, 'und' if no hits."""
+    return f"""CASE
+  WHEN {cjk_pred} THEN 'zh'
+  WHEN {men} = 0 AND {mde} = 0 AND {mfr} = 0 AND {mes} = 0 THEN 'und'
+  WHEN {men} >= {mde} AND {men} >= {mfr} AND {men} >= {mes} THEN 'en'
+  WHEN {mde} >= {mfr} AND {mde} >= {mes} THEN 'de'
+  WHEN {mfr} >= {mes} THEN 'fr'
+  ELSE 'es' END"""
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, text, lang, {_TOKS_D} AS t FROM documents),
+s AS (
+  SELECT doc_id, lang, text,
+         {T.marker_score_duck('t', 'en')} AS men, {T.marker_score_duck('t', 'de')} AS mde,
+         {T.marker_score_duck('t', 'fr')} AS mfr, {T.marker_score_duck('t', 'es')} AS mes
+  FROM tok
+)
+SELECT doc_id, lang,
+       {_langid_case('men', 'mde', 'mfr', 'mes', f"regexp_matches(text, '{_CJK}')")} AS pred_lang,
+       men::BIGINT AS score_en, mde::BIGINT AS score_de,
+       mfr::BIGINT AS score_fr, mes::BIGINT AS score_es
+FROM s
+""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (closed-class n-gram heuristic) with a CJK
+    codepoint override — alongside the table's labeled `lang` for audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.withColumn("t", F.expr(_TOKS_S)).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(T.marker_score_spark("t", "en")).alias("men"),
+        F.expr(T.marker_score_spark("t", "de")).alias("mde"),
+        F.expr(T.marker_score_spark("t", "fr")).alias("mfr"),
+        F.expr(T.marker_score_spark("t", "es")).alias("mes"),
+    )
+    pred = _langid_case("men", "mde", "mfr", "mes", f"text rlike '{_CJK}'")
+    return s.select(
+        "doc_id",
+        "lang",
+        F.expr(pred).alias("pred_lang"),
+        F.col("men").cast("long").alias("score_en"),
+        F.col("mde").cast("long").alias("score_de"),
+        F.col("mfr").cast("long").alias("score_fr"),
+        F.col("mes").cast("long").alias("score_es"),
+    )
+
+
+_BPE_PAT = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "doc_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS n_chars_div4
+FROM documents
+""",
+)
+def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: word/punct regex pieces + the chars/4 rule of
+    thumb — the two standard cheap token-count estimators."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(lower(text), '{_BPE_PAT}', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_chars_div4"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+WITH n AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents)
+SELECT doc_id,
+       md5(norm) AS fp_md5,
+       {T.h48_duck('norm')} AS fp_h48,
+       coalesce(CASE WHEN length(norm) >= 8 THEN
+         list_min(list_transform(range(1, length(norm) - 6),
+                  i -> {T.h48_duck('substr(norm, i, 8)')})) END, -1) AS fp_winnow_min
+FROM n
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-text md5 + 48-bit hash + a winnowing-style
+    rolling minimum over 8-char windows (robust to content reordering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    winnow = (
+        "coalesce(case when length(norm) >= 8 then "
+        "array_min(transform(sequence(1, length(norm) - 7), "
+        f"i -> {T.h48_spark('substring(norm, i, 8)')})) end, -1L)"
+    )
+    return docs.withColumn("norm", F.expr("lower(trim(text))")).select(
+        "doc_id",
+        F.md5(F.col("norm").cast("binary")).alias("fp_md5"),
+        F.expr(T.h48_spark("norm")).alias("fp_h48"),
+        F.expr(winnow).alias("fp_winnow_min"),
+    )
+
+
+# --- deduplication --------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+SELECT {T.h48_duck('lower(trim(text))')} AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash — one hash aggregate, duplicate collapse
+    happens map-side before the exchange."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_DOC_SHINGLES_CTE
+    + """
+, ex AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+    + _JACCARD_TAIL_D,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-token-shingle Jaccard ≥ 0.5 via the shingle inverted-index
+    self-join."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _minhash_bands_duck(num_hashes: int, bands: int) -> str:
+    rpb = num_hashes // bands
+    mh_cols = ",\n         ".join(
+        f"{T.minhash_duck('shh', i)} AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, {sig} AS sig FROM mh".format(
+            b=b,
+            sig=" || '|' || ".join(f"mh{b * rpb + r}::VARCHAR" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+, hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {T.h48_duck('s')}) AS shh FROM nonempty
+),
+mh AS (
+  SELECT doc_id, sh,
+         {mh_cols}
+  FROM hashed
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_DOC_SHINGLES_CTE
+    + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+    + _JACCARD_TAIL_D,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands) candidates, exact-Jaccard ≥ 0.5 verified.
+    Signatures per-row (no shuffle); only (doc_id, band, sig) rows shuffle."""
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+hs AS (
+  SELECT doc_id, list_transform(t, tok -> {T.h48_duck('tok')}) AS hv
+  FROM tok WHERE len(t) > 0
+),
+sig AS (SELECT doc_id, {T.simhash_duck('hv')} AS simh FROM hs),
+bl AS (
+  SELECT doc_id, simh, g.i AS block_idx, (simh >> (12 * g.i)) & 4095 AS bv
+  FROM sig CROSS JOIN generate_series(0, {D.SIMHASH_BLOCKS - 1}) AS g(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simh AS sim_a, b.doc_id AS doc_b, b.simh AS sim_b
+  FROM bl a JOIN bl b
+    ON a.block_idx = b.block_idx AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash near-dup pairs at Hamming ≤ 3 with exact pigeonhole
+    candidate generation (4 × 12-bit blocks). On the sf0.01 corpus this
+    recovers 20/25 planted Jaccard≥0.5 pairs with 16 false positives —
+    the classic SimHash precision/recall tradeoff at short doc length
+    (48 bits over ~80-token docs); MinHash-LSH is the sharper tool here."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({T.dot_duck('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({T.dot_duck('a.v', 'b.v')} / (a.nrm * b.nrm), 6) >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.4), exact brute force — the
+    verify tier; `embedding_near_dup_pairs(lsh_bits=…)` is the scale path."""
+    return D.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --- similarity search ----------------------------------------------------
+
+# Deferred (F.col needs an active session in classic mode at module import).
+def _query_pred_s():
+    return F.col("vec_id") % 100 == 0
+
+
+_QUERY_PRED_D = "vec_id % 100 = 0"
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+q AS (SELECT * FROM c WHERE {_QUERY_PRED_D}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS cosine
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk::INT AS rnk, cosine FROM r WHERE rnk <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for each query vector (vec_id % 100
+    == 0): broadcast queries, one corpus pass, per-query ranking window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(_query_pred_s()), k=5)
+    return out.withColumnRenamed("rank", "rnk").select(
+        "query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cosine"
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+c AS (SELECT *, {T.sign_bucket_duck('v')} AS bucket FROM c0),
+q AS (SELECT * FROM c WHERE {_QUERY_PRED_D}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk::INT AS rnk, cosine FROM r WHERE rnk <= 5
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH top-5: score only same-bucket candidates (16 buckets
+    → ~16× fewer scored pairs; single-table recall tradeoff documented in
+    operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(_query_pred_s()), k=5, nbits=4)
+    return out.withColumnRenamed("rank", "rnk").select(
+        "query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cosine"
+    )
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id, media_type, n::BIGINT AS n_bytes,
+       (CASE WHEN media_type <> 'audio/wav' THEN 64 + n % 577 ELSE -1 END)::INT AS width,
+       (CASE WHEN media_type <> 'audio/wav' THEN 64 + (n * 31) % 433 ELSE -1 END)::INT AS height,
+       (CASE WHEN media_type = 'video/mp4' THEN 1 + n % 240 ELSE -1 END)::INT AS n_frames,
+       (CASE WHEN media_type = 'audio/wav' THEN 8000 + (n % 5) * 8000 ELSE -1 END)::INT AS sample_rate
+FROM p
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload multimodal pipeline: pack UTF-8 bytes as opaque
+    payloads, decode via Arrow-batched mapInPandas (decode stubbed —
+    operators/multimodal.py), emit typed metadata. Nulls are coalesced to
+    -1 for engine-neutral value hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_binary_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).cast("int").alias(c)
+            for c in ("width", "height", "n_frames", "sample_rate")
+        ],
+    )

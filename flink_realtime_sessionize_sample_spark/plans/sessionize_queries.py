@@ -176,6 +176,48 @@ def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sessionize_stateful",
+    oracle=_SESSIONIZE_CTE + """
+SELECT event_id, user_id, session_id, duration FROM sessionized
+""",
+)
+def sessionize_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 STREAMING formulation, oracle-checked: the applyInPandasWithState
+    per-event sessionizer (streaming/sessionize_stream.py) run over a
+    bounded file stream with availableNow into a memory sink. Proves the
+    stateful streaming operator computes the same sessions as the batch
+    window formulation AND the recursive-CTE oracle — the reference's own
+    batch/realtime consistency goal (README.md:31)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_realtime_sessionize_sample_spark.streaming import (
+        build_events_file_stream,
+        sessionize_stream,
+    )
+
+    qn = f"sessionize_stateful_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix="sess_stateful_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = build_events_file_stream(spark, src)
+    out = sessionize_stream(stream.withWatermark("ts", "60 seconds")).select(
+        "event_id", "user_id", "session_id", "duration"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:  # pragma: no cover — defensive: never leak a query
+        q.stop()
+    return spark.table(qn)
+
+
 # --- parse path (P1/P2): render events into the reference's 15-field wire
 # format, then parse back; malformed (14-field) lines must be dropped. ---
 

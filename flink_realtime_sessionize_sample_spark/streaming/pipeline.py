@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.sources.logs import parse_access_logs
-from flink_realtime_sessionize_sample_spark.streaming.sessionize_stream import sessionize_stream
+from flink_realtime_sessionize_sample_spark.streaming.sessionize_stream import (
+    STATE_TTL_MS,
+    sessionize_stream,
+)
 
 WATERMARK_DELAY = "60 seconds"  # W1: RealtimeSessionize.scala:131
 
@@ -123,7 +126,15 @@ def run_sessionize_pipeline(
     else:
         parsed = source
     watermarked = parsed.withWatermark(ts, WATERMARK_DELAY)
-    sessionized = sessionize_stream(watermarked, key=key, ts=ts, tiebreakers=tiebreakers)
+    # 12 h idle-state TTL only for continuous runs: processing-time timers
+    # prevent an availableNow replay from ever terminating.
+    sessionized = sessionize_stream(
+        watermarked,
+        key=key,
+        ts=ts,
+        tiebreakers=tiebreakers,
+        state_ttl_ms=None if trigger_available_now else STATE_TTL_MS,
+    )
     out = encode_json(sessionized)
     writer = out.writeStream.queryName(queryName).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

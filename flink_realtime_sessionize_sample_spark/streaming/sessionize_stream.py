@@ -63,7 +63,7 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
-_STATE_TTL_MS = MAX_SESSION_DURATION_SECONDS * 1000  # 12 h, :93-104
+STATE_TTL_MS = MAX_SESSION_DURATION_SECONDS * 1000  # 12 h, :93-104
 
 
 def _output_schema(key_field, carry_fields: list) -> StructType:
@@ -82,6 +82,7 @@ def sessionize_stream(
     max_events: int = MAX_SESSION_EVENTS,
     max_duration_seconds: int = MAX_SESSION_DURATION_SECONDS,
     output_mode: str = "append",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame → per-event (all columns + session_id + duration).
 
@@ -90,6 +91,13 @@ def sessionize_stream(
     file sinks; update mode works identically for console/memory/Kafka.
     Works on bounded batch DataFrames too (Spark runs the same operator),
     which the equivalence tests exploit.
+
+    ``state_ttl_ms`` arms the reference's 12 h idle-state TTL
+    (``SessionizeGroupMapFunction.scala:93-104``) via a processing-time
+    timeout — pass ``STATE_TTL_MS`` for long-running deployments. Leave
+    ``None`` for bounded replays: with processing-time timers armed, an
+    ``availableNow`` run never terminates (Spark keeps scheduling
+    state-cleanup micro-batches until the timers fire, i.e. for 12 hours).
     """
     tiebreakers = list(tiebreakers)
     carry = [f for f in df.schema.fields]
@@ -154,7 +162,8 @@ def sessionize_stream(
             out["duration"] = pd.array(durations, dtype="int32")
             outs.append(out[out_cols])
         state.update((start_us, first_sec, last_sec, count))
-        state.setTimeoutDuration(_STATE_TTL_MS)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         for out in outs:
             yield out
 
@@ -163,7 +172,11 @@ def sessionize_stream(
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -1,0 +1,114 @@
+"""Unit fixtures for the LLM-data operators (dedup / similarity /
+multimodal) — boundary behavior the oracle-parity sweep can't see:
+short docs, exact duplicates, identical vectors, the stubbed decode
+contract. SURVEY.md §5 strategy, phase-3 scope."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.operators import dedup as D
+from flink_realtime_sessionize_sample_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    fake_decode,
+    real_decode,
+)
+from flink_realtime_sessionize_sample_spark.operators.similarity import cosine_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_identical_text(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b c d"), (2, "a b c d"), (3, "  A B C D "), (4, "different text here")],
+    )
+    # normalization: lower + trim → 1,2,3 share a hash
+    out = {r["canonical_doc_id"]: r["n_copies"] for r in D.exact_dedup_groups(docs).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    near_a = "the quick brown fox jumps over the lazy dog again and again"
+    near_b = "the quick brown fox jumps over the lazy cat again and again"
+    docs = _docs(spark, [(1, near_a), (2, near_b), (3, "completely unrelated words entirely")])
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    text = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [(1, text), (2, text), (3, "spam " * 10)])
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_short_docs_dropped_not_crashed(spark):
+    docs = _docs(spark, [(1, "only two"), (2, ""), (3, "a b c d e f")])
+    assert D.ngram_jaccard_pairs(docs).count() == 0
+    assert D.minhash_lsh_pairs(docs).count() == 0
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [(1, text), (2, text)])
+    rows = D.simhash_pairs(docs, max_hamming=3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_embedding_near_dup_identical_vectors(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [1.0, 0.0, 2.0]), (3, [-1.0, 5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = D.embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    assert [(r["vec_a"], r["vec_b"], r["cosine"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_embedding_near_dup_lsh_bucket_prunes(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 0.9]), (3, [-1.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # brute force sees the antipodal pair fail the threshold; LSH never scores it
+    exact = D.embedding_near_dup_pairs(emb, threshold=0.9)
+    pruned = D.embedding_near_dup_pairs(emb, threshold=0.9, lsh_bits=2)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, pruned.collect()))
+
+
+def test_cosine_topk_ranks_self_duplicates_first(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in out] == [(0, 1, 1), (0, 3, 2)]
+
+
+def test_multimodal_decode_stub_and_schema(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(9)
+    decoded = decode_media(attach_binary_payload(docs)).collect()
+    assert len(decoded) == 9
+    for r in decoded:
+        if r["media_type"] == "audio/wav":
+            assert r["width"] is None and r["sample_rate"] >= 8000
+        else:
+            assert r["width"] >= 64 and r["sample_rate"] is None
+        assert r["n_bytes"] > 0
+
+
+def test_real_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError, match="codec"):
+        real_decode(1, "image/png", b"xx")
+
+
+def test_fake_decode_deterministic():
+    assert fake_decode(7, "image/png", b"abcdef") == fake_decode(7, "image/png", b"abcdef")

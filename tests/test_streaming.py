@@ -50,7 +50,7 @@ def test_stream_matches_batch_per_event(spark, sf_small, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "availableNow replay must terminate"
     got = _norm(spark.sql("select * from sess_stream_test").toPandas())
 
     assert len(got) == len(expected)
@@ -69,7 +69,7 @@ def test_full_pipeline_json_file_sink(spark, sf_small, tmp_path):
         trigger_available_now=True,
         queryName="sess_pipeline_test",
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "availableNow replay must terminate"
 
     rows = []
     for f in glob.glob(str(tmp_path / "out" / "part-*")):
