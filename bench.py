@@ -67,6 +67,26 @@ def main() -> None:
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     total = round(sum(timings.values()), 3)
     events_per_sec = round(n_events / timings["sessionize_events"]) if timings.get("sessionize_events") else None
+
+    # Sustained sessionize throughput at volume: sf0.1 wall times are
+    # fixed-cost-dominated (~1s of scheduling/scan setup on 100k rows), so
+    # also measure a 10× in-memory replication (distinct users per copy) —
+    # the number comparable to BASELINE.md's 720k records/s design target.
+    from pyspark.sql import functions as F
+    from flink_realtime_sessionize_sample_spark.operators.sessionize import sessionize
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    big = ev.withColumn("_c", F.explode(F.array(*[F.lit(i) for i in range(10)]))).select(
+        (F.col("user_id") + F.col("_c") * 100000).alias("user_id"), "ts", "event_id"
+    )
+    n_big = n_events * 10
+    sustained = sessionize(big, key="user_id", ts="ts", tiebreakers=("event_id",))
+    force(sustained)  # warm
+    t0 = time.perf_counter()
+    force(sustained)
+    sustained_eps = round(n_big / (time.perf_counter() - t0))
+
     print(
         json.dumps(
             {
@@ -76,6 +96,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
                 "events_per_sec_sessionize": events_per_sec,
+                "events_per_sec_sessionize_sustained_10x": sustained_eps,
             }
         )
     )

@@ -1,0 +1,213 @@
+"""Coverage widening: source-format round-trips, the reference's debug
+time-shift, and the remaining relational surface (grouping sets, semi join,
+exact percentiles, range-frame windows).
+
+Source-format queries prove the schema-on-read paths (S1/S2 analogs carry
+UTF-8 lines; the engine must parse JSON/CSV payloads relationally —
+``from_json`` / ``from_csv`` are the Kafka-value decoders in practice).
+Their oracles are the *identity projection*: DuckDB computes the expected
+output directly from parquet, so a value-hash match proves the Spark
+encode→decode round trip is lossless — a stronger check than re-parsing on
+the oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.plans.registry import query
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+# --- source formats (S1/S2 payload decoding) ------------------------------
+
+_EVENTS_PROJ_ORACLE = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, round(value, 6) AS value_r
+FROM events
+"""
+
+_EVENT_WIRE_SCHEMA = "event_id long, user_id long, ts_us long, event_type string, value double"
+
+
+@query("scan_json_lines", oracle=_EVENTS_PROJ_ORACLE)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines wire path: encode each event as a JSON string (the Kafka
+    value shape), then schema-on-read decode with ``from_json`` and project.
+    Identity oracle ⇒ proves the round trip drops nothing. All JVM-side
+    (Jackson), one pass, no shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    wire = ev.select(F.to_json(F.struct(*ev.columns)).alias("line"))
+    parsed = wire.select(F.from_json("line", _EVENT_WIRE_SCHEMA).alias("r")).select("r.*")
+    return parsed.select(
+        "event_id", "user_id", "ts_us", "event_type", F.round("value", 6).alias("value_r")
+    )
+
+
+@query("scan_csv_lines", oracle=_EVENTS_PROJ_ORACLE)
+def scan_csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire path: ``to_csv`` → ``from_csv`` round trip with an explicit
+    schema, same identity oracle. The univocity parser runs inside the JVM
+    per partition — format decode is scan-parallel, never a shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    wire = ev.select(F.to_csv(F.struct(*ev.columns)).alias("line"))
+    parsed = wire.select(
+        F.from_csv("line", F.lit(_EVENT_WIRE_SCHEMA)).alias("r")
+    ).select("r.*")
+    return parsed.select(
+        "event_id", "user_id", "ts_us", "event_type", F.round("value", 6).alias("value_r")
+    )
+
+
+# --- P3: debug timestamp shift --------------------------------------------
+
+_DEBUG_SHIFT_US = 6 * 365 * 24 * 3600 * 1_000_000  # fixed 6-year replay offset
+
+
+@query(
+    "debug_ts_shift",
+    oracle=f"""
+SELECT event_id, user_id, epoch_us(ts) + {_DEBUG_SHIFT_US} AS shifted_us
+FROM events
+""",
+)
+def debug_ts_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (``Parse.fakeTs``, ``Parse.scala:19-21``): shift every event time
+    by a constant so historical logs replay as current. The reference
+    computes offset = now() − baseline; a fixed offset keeps the query
+    deterministic — the operator (a single column add) is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") + F.lit(_DEBUG_SHIFT_US)).alias("shifted_us"),
+    )
+
+
+# --- grouping sets --------------------------------------------------------
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT n.n_name, o.o_orderpriority,
+       sum(round(o.o_totalprice*100)::BIGINT)::BIGINT AS total_cents,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalization rollup/cube specialize. One
+    Expand + single hash aggregate (Catalyst plans the three sets in one
+    pass over the join output)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    joined.createOrReplaceTempView("_gs_joined")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) AS total_cents,
+               count(*) AS n_orders
+        FROM _gs_joined
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+# --- semi join ------------------------------------------------------------
+
+
+@query(
+    "orders_with_heavy_items_semi",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderpriority
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""",
+)
+def orders_with_heavy_items_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders containing any line with quantity >
+    45. Semi joins stop probing on first match and never duplicate the left
+    side — strictly cheaper than inner-join + distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+# --- exact percentiles ----------------------------------------------------
+
+
+@query(
+    "price_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation — Spark
+    ``percentile`` ≙ DuckDB ``quantile_cont``). Exact percentile is a
+    sort-based aggregate; at corpus scale prefer ``approx_percentile``
+    (t-digest sketch, one pass, mergeable) — see approx_distinct_users for
+    the sketch-aggregate pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- range-frame window ---------------------------------------------------
+
+
+@query(
+    "rolling_30d_customer_spend",
+    oracle="""
+SELECT o_orderkey, o_custkey, d,
+       sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)::BIGINT AS spend_30d_cents
+FROM (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS d,
+         round(o_totalprice*100)::BIGINT AS cents
+  FROM orders
+)
+""",
+)
+def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per-customer 30-day rolling spend.
+    Value-range frames (vs ROWS) are the time-series primitive; computed on
+    integer days-since-epoch via timezone-free date arithmetic (the table's
+    TIMESTAMP_NTZ must not pass through a session-timezone-dependent cast)
+    so both engines use identical frame bounds."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-30, Window.currentRow)
+    return o.select(
+        "o_orderkey", "o_custkey", "d", F.sum("cents").over(w).alias("spend_30d_cents")
+    )

@@ -5,7 +5,10 @@ from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
     build_events_file_stream,
     build_kafka_line_source,
     encode_json,
+    enrich_stream_static,
     run_sessionize_pipeline,
+    windowed_user_counts,
+    write_foreach_batch_dedup,
     write_kafka_sink,
 )
 
@@ -14,6 +17,9 @@ __all__ = [
     "build_events_file_stream",
     "build_kafka_line_source",
     "encode_json",
+    "enrich_stream_static",
     "run_sessionize_pipeline",
+    "windowed_user_counts",
+    "write_foreach_batch_dedup",
     "write_kafka_sink",
 ]

@@ -102,6 +102,68 @@ def write_kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str, checkpoi
     )
 
 
+def enrich_stream_static(
+    stream: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a (small) static
+    dimension. The dim side is broadcast so enrichment never re-shuffles
+    the stream — the standard pattern for user/geo lookup tables
+    (SURVEY.md §2.9 join scope, streaming variant)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def windowed_user_counts(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = WATERMARK_DELAY,
+) -> DataFrame:
+    """A3-style ongoing analytics on the raw stream: per-user event counts
+    in tumbling event-time windows, late data bounded by the watermark.
+    Emits in update mode (the reference's per-event-progress stance) or
+    append after window close."""
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def write_foreach_batch_dedup(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, dedup_keys: list[str]
+):
+    """Exactly-once-style sink via ``foreachBatch``: each micro-batch is
+    deduplicated on ``dedup_keys`` before an idempotent parquet append.
+
+    This is the documented Spark answer to the reference's EXACTLY_ONCE
+    Kafka producer (``RealtimeSessionize.scala:170``): Spark's Kafka sink
+    is at-least-once, so exactly-once delivery = deterministic dedup keys
+    (session_id, event identity) + an idempotent/transactional writer.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.dropDuplicates(dedup_keys)
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def run_sessionize_pipeline(
     spark: SparkSession,
     source: DataFrame,

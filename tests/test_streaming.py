@@ -10,12 +10,17 @@ import shutil
 
 import pandas as pd
 
+from pyspark.sql import functions as F
+
 from flink_realtime_sessionize_sample_spark.operators.sessionize import sessionize
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 from flink_realtime_sessionize_sample_spark.streaming import (
     build_events_file_stream,
+    enrich_stream_static,
     run_sessionize_pipeline,
     sessionize_stream,
+    windowed_user_counts,
+    write_foreach_batch_dedup,
 )
 
 
@@ -85,3 +90,69 @@ def test_full_pipeline_json_file_sink(spark, sf_small, tmp_path):
     for sid, durs in by_sess.items():
         assert min(durs) == 0
         assert sid.startswith(str(sid.split("-")[0]))
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_small, tmp_path):
+    """Stream-static broadcast join: stream output ≡ the batch join."""
+    dim = (
+        load_table(spark, sf_small, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    batch = load_table(spark, sf_small, "events").join(dim, "user_id")
+    expected = batch.groupBy("segment").count().orderBy("segment").collect()
+
+    stream = build_events_file_stream(spark, _stage_events_dir(sf_small, tmp_path))
+    q = (
+        enrich_stream_static(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = (
+        spark.sql("select * from enrich_test")
+        .groupBy("segment").count().orderBy("segment").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_windowed_user_counts_update_mode(spark, sf_small, tmp_path):
+    """A3 analog: event-time windowed aggregation with watermark in update
+    mode matches the batch windowed aggregation on bounded input."""
+    stream = build_events_file_stream(spark, _stage_events_dir(sf_small, tmp_path))
+    q = (
+        windowed_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName("winagg_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql(
+        "select user_id, sum(n_events) as n from winagg_test group by user_id"
+    )
+    batch = load_table(spark, sf_small, "events").groupBy("user_id").count()
+    g = {r["user_id"]: r["n"] for r in got.collect()}
+    b = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert g == b
+
+
+def test_foreach_batch_dedup_sink(spark, sf_small, tmp_path):
+    """foreachBatch idempotent-append sink: batch-level dedup keys hold, and
+    replaying duplicated input rows collapses to unique (event_id) rows."""
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "ts")
+    ev.unionAll(ev).write.mode("overwrite").parquet(str(src / "events.parquet"))
+    stream = build_events_file_stream(spark, str(src / "events.parquet"))
+    out = str(tmp_path / "dedup_out")
+    q = write_foreach_batch_dedup(
+        stream, out, str(tmp_path / "ckpt_dedup"), dedup_keys=["event_id"]
+    ).trigger(availableNow=True).start()
+    assert q.awaitTermination(120)
+    n_unique = ev.count()
+    assert spark.read.parquet(out).count() == n_unique
