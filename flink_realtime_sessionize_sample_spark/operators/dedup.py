@@ -18,10 +18,10 @@ Design for the 100 TB shape of the problem:
 * **SimHash** uses the pigeonhole block trick: any pair within Hamming
   distance d must agree exactly on ≥1 of (d+1) blocks, so candidates come
   from an equi join on (block_idx, block_value) — no quadratic scan.
-* **n-gram Jaccard** uses the classic inverted-index self-join on shingles.
-  This is exact but shuffle-heavy (one row per (doc, shingle)); at corpus
-  scale, cap hot shingles with ``max_shingle_df`` (drops join rows for
-  near-universal shingles — a standard approximation) or prefer MinHash-LSH.
+* **n-gram Jaccard** is the exact inverted-index self-join, made
+  scale-viable by AllPairs/PPJoin prefix filtering: candidates join only on
+  each doc's rarest-prefix shingles under a global df order (provably
+  lossless for J ≥ t), so hot shingles never fan out quadratically.
 * **Embedding near-dup** is exact brute force below ``lsh_bits=None``; with
   ``lsh_bits`` set it prunes via sign-bucket LSH (pairs must share the
   bucket) — the scale path.
@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -116,12 +116,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs by k-token-shingle Jaccard ≥ threshold.
 
-    Inverted-index self-join: explode distinct shingles, equi-join on the
-    shingle, count common, then Jaccard from per-doc set sizes. Exact, but
-    the exchange carries one row per (doc, shingle); ``max_shingle_df``
-    optionally drops shingles appearing in more than N docs (hot-key cap
-    for corpus scale — affects only pairs whose overlap is entirely
-    ultra-common shingles).
+    Inverted-index self-join with **prefix filtering** (AllPairs/PPJoin):
+    candidates only need to join on each document's *prefix* shingles under
+    a global rarity order. For J(a,b) ≥ t the overlap is ≥ ⌈t·|a|⌉, so by
+    the pigeonhole prefix theorem the first ``|x| − ⌈t·|x|⌉ + 1`` shingles
+    of each side (ordered by ascending document frequency, then value)
+    must intersect — 100 % recall, exactness preserved by the verify step.
+    This is what makes the exact join survive corpus scale: near-universal
+    shingles have the highest df, sort to the END of the canonical order,
+    and drop out of every prefix — the Σdf² candidate blowup never happens.
+    ``max_shingle_df`` additionally drops ultra-hot shingles outright (an
+    approximation; default off).
     """
     # Filter on the cheap token count, not size(sh): a predicate over `sh`
     # is pushed below the projection and re-evaluates the whole (HOF,
@@ -131,21 +136,31 @@ def ngram_jaccard_pairs(
         .filter(F.size("toks") >= k)
         .select(id_col, "sh")
     )
-    ex = base.select(F.col(id_col), F.explode("sh").alias("s"))
+    ex = base.select(F.col(id_col), F.size("sh").alias("_n"), F.explode("sh").alias("s"))
     if max_shingle_df is not None:
         hot = ex.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
-    # Pre-shuffle on the join key so both self-join sides share one
-    # exchange (ReusedExchange) — the shingle pipeline runs once.
-    ex = ex.repartition("s")
-    ea = ex.select(F.col(id_col).alias("doc_a"), "s")
-    eb = ex.select(F.col(id_col).alias("doc_b"), "s")
+    # Global canonical order: ascending document frequency (via a window —
+    # one shuffle, no groupBy+join round trip), value as tie break; set
+    # size is carried from size(sh), not recounted. Rank within each doc,
+    # keep only the prefix.
+    w_doc = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("s").asc())
+    prefix = (
+        ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .filter(F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select(id_col, "s")
+        # Pre-shuffle on the join key so both self-join sides share one
+        # exchange (ReusedExchange) — the prefix pipeline runs once.
+        .repartition("s")
+    )
+    ea = prefix.select(F.col(id_col).alias("doc_a"), "s")
+    eb = prefix.select(F.col(id_col).alias("doc_b"), "s")
     cand = (
         ea.join(eb, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .count()
         .select("doc_a", "doc_b")
+        .distinct()
     )
     return _jaccard_verify(cand, base, id_col, threshold)
 

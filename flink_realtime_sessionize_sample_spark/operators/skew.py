@@ -1,0 +1,87 @@
+"""Skew-resilient aggregation: the salted two-stage rewrite.
+
+At 100 TB a single hot key (one power user, one bot IP, one empty-string
+default) can hold an entire ``groupBy`` stage hostage: every row for that
+key lands on one reducer. AQE's skew handling splits *join* partitions but
+a skewed hash **aggregate** still funnels each key through one task. The
+standard fix is salting — aggregate in two stages:
+
+1. **partial**: group by (keys…, salt) where salt spreads each key over
+   ``buckets`` reducers; each partial task sees ≤ 1/buckets of the hot key.
+2. **final**: re-aggregate the partials by (keys…) — input is at most
+   ``buckets`` rows per key, so the second shuffle is trivially balanced.
+
+Supported aggregates are the decomposable ones (sum/count/min/max and avg
+as sum÷count) — exactly the algebraic class Spark itself uses for map-side
+partial aggregation. The rewrite is semantics-preserving; the oracle query
+(`salted_user_event_totals`) hash-checks it against a plain GROUP BY.
+
+Note Spark's own partial aggregation already handles *moderate* skew (the
+map side combines before the shuffle); salting matters when per-key state
+is too big to combine map-side (many distinct groups per mapper) or the
+aggregation buffer is heavy. The operator exists so pipelines can opt in
+per aggregation without restructuring.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)),
+    "min": F.min,
+    "max": F.max,
+}
+_FINAL = {
+    "sum": F.sum,
+    "count": F.sum,  # counts add up
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Iterable[str],
+    aggs: Iterable[tuple[str, str, str]],
+    buckets: int = 32,
+    salt_col: Column | None = None,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs``: (fn, column, out_name) triples with fn ∈ {sum, count, min,
+    max, avg}. ``salt_col`` defaults to a uniform hash of the full row id
+    space (``monotonically_increasing_id % buckets``) — any per-row value
+    works; it only routes rows, never appears in the result.
+    """
+    keys = list(keys)
+    aggs = list(aggs)
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+    )
+
+    partial_specs: list[Column] = []
+    final_specs: list[Column] = []
+    for fn, col, out in aggs:
+        if fn == "avg":
+            partial_specs += [
+                F.sum(col).alias(f"_{out}_sum"),
+                F.count(F.lit(1)).alias(f"_{out}_cnt"),
+            ]
+            final_specs += [
+                (F.sum(f"_{out}_sum") / F.sum(f"_{out}_cnt")).alias(out)
+            ]
+        elif fn in _PARTIAL:
+            partial_specs.append(_PARTIAL[fn](col).alias(f"_{out}_p"))
+            final_specs.append(_FINAL[fn](f"_{out}_p").alias(out))
+        else:
+            raise ValueError(f"unsupported (non-decomposable) aggregate {fn!r}")
+
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_specs)
+    return partial.groupBy(*keys).agg(*final_specs)

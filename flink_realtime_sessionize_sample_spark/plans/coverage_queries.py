@@ -176,6 +176,48 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew-resilient aggregation -------------------------------------------
+
+
+@query(
+    "salted_user_event_totals",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (operators/skew.py) hash-checked against
+    a plain GROUP BY — proves the skew rewrite is semantics-preserving.
+    (float sums are order-sensitive at full precision; 4dp rounding leaves
+    ~10 guard digits over any re-association drift)."""
+    from flink_realtime_sessionize_sample_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["user_id"],
+        aggs=[
+            ("count", "event_id", "n_events"),
+            ("sum", "value", "sum_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 # --- range-frame window ---------------------------------------------------
 
 

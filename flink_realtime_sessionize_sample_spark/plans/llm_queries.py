@@ -275,18 +275,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=_DOC_SHINGLES_CTE
     + """
-, ex AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+, ex AS (SELECT doc_id, len(sh) AS _n, unnest(sh) AS s FROM nonempty),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, _n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY _df ASC, s ASC) AS _pos
+    FROM (SELECT doc_id, s, _n, count(*) OVER (PARTITION BY s) AS _df FROM ex)
+  ) WHERE _pos <= _n - ceil(0.5 * _n) + 1
+),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
 )
 """
     + _JACCARD_TAIL_D,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-token-shingle Jaccard ≥ 0.5 via the shingle inverted-index
-    self-join."""
+    """Exact 3-token-shingle Jaccard ≥ 0.5 via the inverted-index self-join
+    with AllPairs/PPJoin prefix filtering (lossless candidate pruning under
+    a global rarity order — operators/dedup.py)."""
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
