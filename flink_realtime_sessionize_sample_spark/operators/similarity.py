@@ -77,3 +77,64 @@ def cosine_topk(
             "cosine",
         )
     )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the coarse-quantizer scale path.
+
+    Index build: partition the corpus into ``n_centroids`` cells by nearest
+    centroid (here the deterministic quantizer = the first ``n_centroids``
+    corpus vectors, so the whole pipeline is oracle-reproducible; a trained
+    k-means codebook drops in without changing the dataflow). Search: each
+    query probes its ``nprobe`` nearest cells and ranks only those
+    candidates — corpus scored per query shrinks ~n_centroids/nprobe-fold.
+
+    Scale shape: assignment is one broadcast-centroids pass over the corpus
+    (embarrassingly parallel, done once and persistable as a partitioned
+    table); per-query work is a broadcast equi join on cell id. This is the
+    standard billion-vector layout (IVF-Flat); LSH (`nbits`) and IVF
+    compose — bucket within cell — when cells are still too big.
+    """
+    cents = (
+        _with_norm(emb.filter(F.col(id_col) < n_centroids), vec_col, id_col, "ct")
+        .withColumnRenamed("ct_id", "cent_id")
+    )
+    c = _with_norm(fan_out(emb), vec_col, id_col, "c")
+    q = _with_norm(queries, vec_col, id_col, "q")
+
+    def assign(side: DataFrame, vcol: str, ncol: str, idcol: str, keep: int) -> DataFrame:
+        cos = F.expr(T.dot_spark(vcol, "ct_v")) / (F.col(ncol) * F.col("ct_nrm"))
+        w = Window.partitionBy(idcol).orderBy(F.col("_ccos").desc(), F.col("cent_id").asc())
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .withColumn("_ccos", F.round(cos, 6))
+            .withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= keep)
+            .drop("ct_v", "ct_nrm", "_ccos", "_crank")
+        )
+
+    c_cells = assign(c, "c_v", "c_nrm", "c_id", 1)
+    q_cells = assign(q, "q_v", "q_nrm", "q_id", nprobe)
+    cos = F.expr(T.dot_spark("c_v", "q_v")) / (F.col("c_nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        c_cells.join(F.broadcast(q_cells), "cent_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )

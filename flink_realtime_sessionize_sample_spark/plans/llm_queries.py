@@ -460,6 +460,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, v AS ct_v, nrm AS ct_nrm FROM c0 WHERE vec_id < 8),
+cassign AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT c.vec_id, c.v, c.nrm, ct.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round({T.dot_duck('c.v', 'ct.ct_v')} / (c.nrm * ct.ct_nrm), 6) DESC,
+                      ct.cent_id ASC) AS r
+    FROM c0 c CROSS JOIN cents ct
+  ) WHERE r = 1
+),
+q0 AS (SELECT * FROM c0 WHERE {_QUERY_PRED_D}),
+qassign AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, cent_id FROM (
+    SELECT qq.vec_id, qq.v, qq.nrm, ct.cent_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY round({T.dot_duck('qq.v', 'ct.ct_v')} / (qq.nrm * ct.ct_nrm), 6) DESC,
+                      ct.cent_id ASC) AS r
+    FROM q0 qq CROSS JOIN cents ct
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.q_v')} / (c.nrm * q.q_nrm), 6) AS cosine
+  FROM cassign c JOIN qassign q ON c.cent_id = q.cent_id AND c.vec_id <> q.q_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk::INT AS rnk, cosine FROM r WHERE rnk <= 5
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5: corpus partitioned into 8 cells by a
+    deterministic coarse quantizer, queries probe their 2 nearest cells
+    (operators/similarity.py::cosine_topk_ivf) — the billion-vector layout,
+    oracle-reproducible end to end."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivf(emb, emb.filter(_query_pred_s()), k=5, n_centroids=8, nprobe=2)
+    return out.withColumnRenamed("rank", "rnk").select(
+        "query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cosine"
+    )
+
+
 # --- multimodal -----------------------------------------------------------
 
 

@@ -240,6 +240,41 @@ lines AS (
 
 
 @query(
+    "session_window_durations",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM o),
+g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+SELECT user_id, min(us) AS window_start_us, max(us) + 1800000000 AS window_end_us,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sess
+""",
+)
+def session_window_durations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` (the north-star API): per-session
+    aggregation with the 30-min gap rule, one hash aggregate — no window
+    functions, no Python. Semantics differences vs the reference's X1,
+    both deliberate (SURVEY §2.6): emission is per *closed window* not per
+    event (which the reference rejects — the per-event operators above are
+    the parity path), gaps compare raw event time with a ``>=`` boundary
+    (the reference floors to seconds and cuts strictly ``>``), and
+    ``window.end`` = last event + gap. The oracle mirrors session_window's
+    own rules, proving the built-in's semantics are exactly characterized."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("window_start_us"),
+            F.unix_micros("session_window.end").alias("window_end_us"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "sessionize_access_logs",
     oracle="WITH RECURSIVE " + _SYNTH_LINES_SQL + """
 , toks AS (SELECT string_split(value, ' ') AS t FROM lines),

@@ -9,6 +9,7 @@ import json
 import shutil
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -156,3 +157,44 @@ def test_foreach_batch_dedup_sink(spark, sf_small, tmp_path):
     assert q.awaitTermination(120)
     n_unique = ev.count()
     assert spark.read.parquet(out).count() == n_unique
+
+
+def test_tws_stream_matches_batch_per_event(spark, sf_small, tmp_path):
+    """transformWithStateInPandas sessionizer (Spark 4 stateful API) ≡ the
+    batch window formulation, event for event. Requires protobuf (the TWS
+    state-server protocol) — skipped where unavailable."""
+    pytest.importorskip("google.protobuf")
+    from flink_realtime_sessionize_sample_spark.streaming import sessionize_stream_tws
+
+    batch = load_table(spark, sf_small, "events")
+    expected = _norm(
+        sessionize(batch).select("event_id", "session_id", "duration").toPandas()
+    )
+    stream = build_events_file_stream(spark, _stage_events_dir(sf_small, tmp_path))
+    out = sessionize_stream_tws(stream.withWatermark("ts", "60 seconds"))
+    q = (
+        out.selectExpr("event_id", "session_id", "duration")
+        .writeStream.format("memory")
+        .queryName("sess_tws_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow replay must terminate"
+    got = _norm(spark.sql("select * from sess_tws_test").toPandas())
+    assert len(got) == len(expected)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_tws_gate_without_protobuf(spark):
+    """Without protobuf the TWS builder must fail fast with guidance (the
+    raw in-worker failure is an opaque crash)."""
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf installed — gate not reachable")
+    except ImportError:
+        pass
+    from flink_realtime_sessionize_sample_spark.streaming import sessionize_stream_tws
+
+    with pytest.raises(ImportError, match="protobuf"):
+        sessionize_stream_tws(spark.range(1))
