@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -100,6 +101,74 @@ def real_decode(doc_id: int, media_type: str, payload: bytes) -> tuple:
         "real decode needs codec libraries: PIL.Image.open(io.BytesIO(payload)) "
         "for images, soundfile.read for audio, av.open for video frame sampling; "
         "install them and pass decode_fn=real_decode"
+    )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("nibble_hist", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def extract_byte_features(df: DataFrame) -> DataFrame:
+    """REAL feature extraction over the raw payload (no codec needed): a
+    16-bin histogram of the high nibble of every byte — the shape of a
+    codec-side feature extractor (numpy over Arrow-delivered bytes, zero
+    copies, per-partition). Output: (doc_id, n_bytes, nibble_hist[16])."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # ships by value with the closure
+
+        for pdf in batches:
+            hists, sizes = [], []
+            for p in pdf["payload"]:
+                b = np.frombuffer(p, dtype=np.uint8)
+                sizes.append(len(b))
+                hists.append(np.bincount(b >> 4, minlength=16).astype("int32").tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": sizes, "nibble_hist": hists}
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_media(df: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Resize stub with real byte plumbing: truncate each payload to
+    ``max_bytes`` (a real resizer would decode → scale → re-encode; the
+    byte-level dataflow — slice, re-emit, content-id — is identical).
+    ``content_md5`` is md5 over the lowercase hex rendering so the oracle
+    can reproduce it without blob functions."""
+    truncated = F.expr(f"substring(payload, 1, {max_bytes})")
+    return df.select(
+        "doc_id",
+        "media_type",
+        F.least(F.length("payload"), F.lit(max_bytes)).cast("long").alias("n_bytes_out"),
+        F.md5(F.lower(F.hex(truncated)).cast("binary")).alias("content_md5"),
+    )
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256, every_n: int = 2) -> DataFrame:
+    """Frame sampling over video payloads: split the byte stream into
+    fixed-size frames, keep every ``every_n``-th, one output row per
+    sampled frame — the explode shape of real video frame extraction
+    (frame decode itself would replace the md5 content id)."""
+    n_frames = F.ceil(F.length("payload") / F.lit(frame_bytes)).cast("int")
+    idxs = F.expr(
+        f"case when length(payload) = 0 then array() "
+        f"else sequence(0, cast(ceil(length(payload) / {frame_bytes}) as int) - 1, {every_n}) end"
+    )
+    chunk = F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+    return (
+        df.filter(F.col("media_type") == "video/mp4")
+        .select("doc_id", "payload", F.explode(idxs).alias("frame_idx"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.md5(F.lower(F.hex(chunk)).cast("binary")).alias("frame_md5"),
+        )
     )
 
 

@@ -20,6 +20,9 @@ from flink_realtime_sessionize_sample_spark.operators import dedup as D
 from flink_realtime_sessionize_sample_spark.operators.multimodal import (
     attach_binary_payload,
     decode_media,
+    extract_byte_features,
+    resize_media,
+    sample_frames,
 )
 from flink_realtime_sessionize_sample_spark.operators.similarity import cosine_topk
 from flink_realtime_sessionize_sample_spark.plans.registry import query
@@ -550,3 +553,78 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("width", "height", "n_frames", "sample_rate")
         ],
     )
+
+
+@query(
+    "multimodal_byte_features",
+    oracle="""
+WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n
+           FROM documents)
+SELECT doc_id, n::BIGINT AS n_bytes,
+       array_to_string(list_transform(range(0, 16), b ->
+         len(list_filter(range(1, n + 1),
+             i -> substr(h, 2*i - 1, 1) = substr('0123456789abcdef', b + 1, 1)))::INT
+       ), ',') AS nibble_hist_csv
+FROM p
+""",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real payload feature extraction: 16-bin high-nibble byte histogram
+    via numpy over Arrow binary batches (operators/multimodal.py). The
+    oracle reproduces it byte-for-byte from the hex rendering; the array is
+    emitted CSV-encoded because the driver's value-hash comparator is only
+    specified for scalar columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_byte_features(attach_binary_payload(docs))
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.concat_ws(",", F.col("nibble_hist").cast("array<string>")).alias("nibble_hist_csv"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id, media_type,
+       least(n, 256)::BIGINT AS n_bytes_out,
+       md5(substr(h, 1, 2 * least(n, 256))) AS content_md5
+FROM p
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stub pipeline: payload truncation + portable content id
+    (md5 over lowercase hex — a hex substring of 2N chars IS the first N
+    bytes, which lets the oracle slice blobs DuckDB can't)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(attach_binary_payload(docs), max_bytes=256)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, h, unnest(range(0, ceil(n / 256.0)::INT, 2)) AS frame_idx FROM p
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       md5(substr(h, frame_idx * 512 + 1, 512)) AS frame_md5
+FROM f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline over video payloads: fixed 256-byte frames,
+    every 2nd kept, one row per sampled frame with a portable content id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs), frame_bytes=256, every_n=2)

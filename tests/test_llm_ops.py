@@ -112,3 +112,37 @@ def test_real_decode_is_explicitly_stubbed():
 
 def test_fake_decode_deterministic():
     assert fake_decode(7, "image/png", b"abcdef") == fake_decode(7, "image/png", b"abcdef")
+
+
+def test_byte_features_histogram_sums_to_length(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from flink_realtime_sessionize_sample_spark.operators.multimodal import (
+        extract_byte_features,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(5)
+    rows = extract_byte_features(attach_binary_payload(docs)).collect()
+    for r in rows:
+        assert sum(r["nibble_hist"]) == r["n_bytes"]
+        assert len(r["nibble_hist"]) == 16
+
+
+def test_resize_truncates_and_is_stable(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from flink_realtime_sessionize_sample_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_small, "documents").limit(5)
+    a = resize_media(attach_binary_payload(docs), max_bytes=64).collect()
+    b = resize_media(attach_binary_payload(docs), max_bytes=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["n_bytes_out"] <= 64 for r in a)
+
+
+def test_frame_sample_covers_every_other_frame(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from flink_realtime_sessionize_sample_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_small, "documents")
+    rows = sample_frames(attach_binary_payload(docs), frame_bytes=100, every_n=2).collect()
+    assert rows, "video payloads must yield frames"
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)

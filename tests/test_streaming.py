@@ -198,3 +198,54 @@ def test_tws_gate_without_protobuf(spark):
 
     with pytest.raises(ImportError, match="protobuf"):
         sessionize_stream_tws(spark.range(1))
+
+
+def test_late_event_duration_dip_and_max_collapse(spark, tmp_path):
+    """The reference's late-data contract (SURVEY §2.4): arrival-order
+    processing emits a duration DIP for a late in-session event (monotonic
+    lastTimestamp guard, SessionizeGroupMapFunction.scala:72-77), and the
+    downstream MAX(duration) collapse equals the batch result."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+    src = tmp_path / "late_src"
+    src.mkdir()
+    on_time = spark.createDataFrame(
+        [(1, t0, 10), (1, t0 + dt.timedelta(seconds=100), 11)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    late = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=50), 12)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    on_time.coalesce(1).write.parquet(str(src / "f0"))
+    _time.sleep(1.1)  # distinct mtime → file source replays f0 before f1
+    late.coalesce(1).write.parquet(str(src / "f1"))
+
+    schema = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        sessionize_stream(stream.withWatermark("ts", "60 seconds"))
+        .selectExpr("event_id", "session_id", "duration")
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r["event_id"]: r for r in spark.sql("select * from late_test").collect()}
+    assert len(rows) == 3
+    # all three share one session (late event's gap measured vs monotonic last)
+    assert len({r["session_id"] for r in rows.values()}) == 1
+    # per-event: dip on the late event
+    assert rows[10]["duration"] == 0
+    assert rows[11]["duration"] == 100
+    assert rows[12]["duration"] == 50  # < previous emission: the documented dip
+    # MAX-collapse equals the batch (sorted) result
+    assert max(r["duration"] for r in rows.values()) == 100
