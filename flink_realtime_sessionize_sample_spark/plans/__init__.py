@@ -11,5 +11,6 @@ from flink_realtime_sessionize_sample_spark.plans import sessionize_queries  # n
 from flink_realtime_sessionize_sample_spark.plans import relational_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import llm_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import coverage_queries  # noqa: F401
+from flink_realtime_sessionize_sample_spark.plans import temporal_queries  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
