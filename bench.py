@@ -39,6 +39,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "doc_quality_score",
+    # temporal joins + argmax dedup + rollup
+    "asof_clicks_views",
+    "latest_event_per_user",
+    "time_bucket_rollup",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 

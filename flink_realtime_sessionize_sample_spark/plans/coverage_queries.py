@@ -253,3 +253,179 @@ def rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", "o_custkey", "d", F.sum("cents").over(w).alias("spend_30d_cents")
     )
+
+
+# --- reshaping: pivot / unpivot ------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_type_counts",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread to one column per event type.
+    Explicit pivot values keep the plan a single hash aggregate (no extra
+    distinct-values job) and make the output schema static — required for
+    both the driver contract and any serious production pipeline. Oracle is
+    the conditional-aggregation rewrite, i.e. an independent formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+    return out.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "unpivot_user_value_stats",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(value) AS v_min, max(value) AS v_max, sum(value) AS v_sum
+  FROM events GROUP BY user_id
+)
+SELECT user_id, stat, round(v, 6) AS v_r FROM (
+  SELECT user_id, 'min' AS stat, v_min AS v FROM s
+  UNION ALL SELECT user_id, 'max', v_max FROM s
+  UNION ALL SELECT user_id, 'sum', v_sum FROM s
+)
+""",
+)
+def unpivot_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-user stats back to long (user_id, stat, v)
+    form via ``stack`` — a generator expression, so the reshape is a narrow
+    map over the aggregate output, not a join or union of N scans (the
+    oracle's UNION ALL over a CTE is the independent formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.sum("value").alias("v_sum"),
+    )
+    return s.select(
+        "user_id",
+        F.expr("stack(3, 'min', v_min, 'max', v_max, 'sum', v_sum) AS (stat, v)"),
+    ).select("user_id", "stat", F.round("v", 6).alias("v_r"))
+
+
+# --- correlated scalar subquery (TPC-H Q17 flavor) ------------------------
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+SELECT p.p_brand,
+       count(*)::BIGINT AS n_lines,
+       sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+)
+GROUP BY p.p_brand
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lines whose quantity is
+    below half the part's average, by brand. Written as actual correlated
+    SQL so Catalyst's subquery decorrelation does the rewrite — the planned
+    physical form is (per-part avg aggregate) ⋈ lineitem ⋈ part, all
+    shuffle-partitioned on partkey, no per-row subquery execution anywhere.
+    l_quantity is integer-valued, so the 0.5*avg threshold is exact in both
+    engines (integer-sum/count in binary floating point)."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               count(*) AS n_lines,
+               sum(cast(round(l.l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+        )
+        GROUP BY p.p_brand
+        """
+    )
+
+
+# --- latest-row-per-key (argmax dedup) ------------------------------------
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, round(value, 6) AS value_r
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key — the universal CDC/dedup primitive. Implemented
+    as a single ``max_by(struct(payload), struct(ts, event_id))`` hash
+    aggregate: map-side partial aggregation reduces each partition to one
+    candidate row per key BEFORE the shuffle, so the exchange carries |keys|
+    rows, not |events| — strictly better at 100 TB than the row_number()
+    window (full shuffle + sort) the oracle uses as its independent
+    formulation. event_id breaks ts ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("r")
+    )
+    return latest.select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.unix_micros("r.ts").alias("ts_us"),
+        F.col("r.event_type").alias("event_type"),
+        F.round("r.value", 6).alias("value_r"),
+    )
+
+
+# --- hypertable-style multi-granularity rollup ----------------------------
+
+
+@query(
+    "time_bucket_rollup",
+    oracle="""
+SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+            THEN epoch_us(date_trunc('hour', ts)) END AS hour_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value_r
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('day', ts)), (date_trunc('day', ts), date_trunc('hour', ts)))
+""",
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same measure at
+    hour and day granularity in one pass via GROUPING SETS on truncated
+    time buckets (hour_us is NULL on day rows). Spark expands the sets in a
+    single Expand+HashAggregate — one scan, one shuffle, both granularities;
+    at 100 TB this replaces two separate aggregation jobs and the buckets
+    keep the shuffle key cardinality bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    )
+    out = (
+        b.groupingSets([["d"], ["d", "h"]], "d", "h")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value_r"))
+    )
+    return out.select(
+        F.unix_micros("d").alias("day_us"),
+        F.unix_micros("h").alias("hour_us"),
+        "n_events",
+        "sum_value_r",
+    )

@@ -112,6 +112,36 @@ def enrich_stream_static(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = WATERMARK_DELAY,
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with the right events
+    of the same key within ``[left_ts - max_delay, left_ts]``.
+
+    Both sides get watermarks and the join condition carries the explicit
+    time bound — the two things Structured Streaming needs to know when
+    buffered join state can be evicted (without them the state store grows
+    unboundedly). ``left_ts``/``right_ts`` must be distinct column names.
+    SURVEY.md §2.9: the reference has no joins; this is the streaming
+    member of the beyond-parity join family (batch as-of/interval joins
+    live in ``operators/temporal_join.py``).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "inner").drop(r[on])
+
+
 def windowed_user_counts(
     stream: DataFrame,
     key: str = "user_id",

@@ -249,3 +249,51 @@ def test_late_event_duration_dip_and_max_collapse(spark, tmp_path):
     assert rows[12]["duration"] == 50  # < previous emission: the documented dip
     # MAX-collapse equals the batch (sorted) result
     assert max(r["duration"] for r in rows.values()) == 100
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join with time bounds must produce exactly the
+    pairs the equivalent batch join produces on the same bounded input."""
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
+        join_streams_interval,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    views = ev.filter("event_type = 'view'").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    cdir, vdir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    clicks.coalesce(1).write.parquet(cdir)
+    views.coalesce(1).write.parquet(vdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    q = (
+        join_streams_interval(cs, vs, on="user_id", left_ts="c_ts", right_ts="v_ts")
+        .select("click_id", "view_id")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = sorted(
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select * from ssj_test").collect()
+    )
+    expected = sorted(
+        (r["click_id"], r["view_id"])
+        for r in clicks.join(
+            views,
+            (clicks.user_id == views.user_id)
+            & (views.v_ts >= clicks.c_ts - F.expr("INTERVAL 10 MINUTES"))
+            & (views.v_ts <= clicks.c_ts),
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
