@@ -12,5 +12,6 @@ from flink_realtime_sessionize_sample_spark.plans import relational_queries  # n
 from flink_realtime_sessionize_sample_spark.plans import llm_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import coverage_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import temporal_queries  # noqa: F401
+from flink_realtime_sessionize_sample_spark.plans import pipeline_queries  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -429,3 +429,183 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value_r",
     )
+
+
+# --- analytic ranking family ----------------------------------------------
+
+
+@query(
+    "ranking_family",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM (SELECT o_orderkey, o_orderpriority,
+             cast(floor(o_totalprice / 25000) AS INT) AS price_band
+      FROM orders)
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_band DESC, o_orderkey)
+""",
+)
+def ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window: row_number / rank /
+    dense_rank / ntile / percent_rank / cume_dist over a COARSE price band
+    (floor to 25k) so rank vs dense_rank genuinely diverge on ties.
+    One window spec → Spark plans a single sort per partition and computes
+    all six functions in one pass; at scale the only cost is the shuffle on
+    the partition key, shared by all six."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 25000).cast("int").alias("price_band"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("price_band"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --- Q19-style disjunctive predicate join ---------------------------------
+
+_Q19_PRED_SQL = """
+(  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40) )
+"""
+
+
+@query(
+    "disjunctive_brand_revenue",
+    oracle=f"""
+SELECT p_brand,
+       count(*)::BIGINT AS n_lines,
+       sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS revenue_e4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_PRED_SQL}
+GROUP BY p_brand
+""",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    branches across a join. Catalyst extracts the common single-side
+    conjuncts from the OR (l_quantity bounds push to the lineitem scan,
+    brand/size bounds to the part scan) so the parquet readers skip row
+    groups BEFORE the join; the part side is dim-sized → broadcast, making
+    the whole query one scan + one broadcast hash join at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(F.expr(_Q19_PRED_SQL))
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents * (100 - disc_pct)).alias("revenue_e4"),
+    )
+
+
+# --- Q7-style bilateral shipping volume (6-table join) --------------------
+
+
+@query(
+    "bilateral_shipping_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       count(*)::BIGINT AS n_lines,
+       sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS volume_e4
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_nationkey < n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+)
+def bilateral_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the biggest join tree in the suite — fact ⋈ fact
+    (lineitem ⋈ orders, the one unavoidable shuffle pair) with supplier /
+    customer / nation×2 all broadcast. Join order matters at 100 TB: dims
+    attach via broadcast (no shuffle), so the plan has exactly ONE shuffle
+    exchange pair (orderkey) regardless of how many dimensions enrich the
+    row — the snowflake pattern every warehouse query compiles to."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("k1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("k2"))
+        .filter(F.col("k1") < F.col("k2"))
+    )
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents * (100 - disc_pct)).alias("volume_e4"),
+    )
+
+
+# --- higher-order array functions over embeddings -------------------------
+
+
+@query(
+    "embedding_array_stats",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))), 4) AS l2_norm_r,
+       len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+       round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6) AS max_abs_r,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6) AS mean_r
+FROM embeddings
+""",
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — aggregate / filter / transform /
+    array_max — as first-class citizens over the embedding column: L2 norm,
+    positive-dim count, max |x|, mean. All lambda expressions evaluate
+    JVM-side per row with zero explode (no row blowup, no shuffle); both
+    engines fold left-to-right over the same array order, so double
+    accumulation is bit-identical and the oracle can hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.expr(
+                "aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double) * x)"
+            )),
+            4,
+        ).alias("l2_norm_r"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("n_pos"),
+        F.round(
+            F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))"), 6
+        ).alias("max_abs_r"),
+        F.round(
+            F.expr("aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double))")
+            / F.size("embedding"),
+            6,
+        ).alias("mean_r"),
+    )
