@@ -4,6 +4,7 @@ from flink_realtime_sessionize_sample_spark.streaming.sessionize_stream import s
 from flink_realtime_sessionize_sample_spark.streaming.sessionize_tws import sessionize_stream_tws
 from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
     build_events_file_stream,
+    dedup_stream,
     build_kafka_line_source,
     encode_json,
     enrich_stream_static,
@@ -18,6 +19,7 @@ __all__ = [
     "sessionize_stream_tws",
     "build_events_file_stream",
     "build_kafka_line_source",
+    "dedup_stream",
     "encode_json",
     "enrich_stream_static",
     "run_sessionize_pipeline",

@@ -167,6 +167,19 @@ def windowed_user_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame, keys: list[str], ts_col: str, watermark: str = WATERMARK_DELAY
+) -> DataFrame:
+    """Streaming exact dedup bounded by a watermark:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts the
+    key's dedup state once the watermark passes it — state stays O(keys in
+    the watermark horizon), not O(all keys ever), which is what makes
+    at-least-once upstream (e.g. the Kafka source replaying a micro-batch)
+    safe to run unattended at 100 TB/day. The batch analog is
+    ``dropDuplicates`` (queries(): ``dedup_exact``)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def write_foreach_batch_dedup(
     df: DataFrame, out_dir: str, checkpoint_dir: str, dedup_keys: list[str]
 ):

@@ -1,0 +1,104 @@
+"""Physical-layout tests: plan-shape assertions that the declared storage
+layout actually removes work — the 100 TB design points made checkable at
+test scale (shuffle-free bucketed join, directory-pruned partitioned scan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.operators.storage import (
+    join_bucketed,
+    read_pruned,
+    write_bucketed,
+    write_partitioned,
+)
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+
+def _executed_plan(df) -> str:
+    # Materialize first so AQE finalizes the plan, then read the live plan.
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer")
+    write_bucketed(o.withColumnRenamed("o_custkey", "custkey"), "b_orders", ["custkey"], 8)
+    write_bucketed(c.withColumnRenamed("c_custkey", "custkey"), "b_customer", ["custkey"], 8)
+    # At sf0.001 AQE would broadcast the tiny side, hiding the property under
+    # test; disable broadcast so the plan is the bucket-local SortMergeJoin a
+    # 100 TB fact-fact join would use.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = join_bucketed(spark, "b_orders", "b_customer", ["custkey"])
+        plan = _executed_plan(j)
+        # Both sides are pre-partitioned by the bucket spec: the join plans
+        # with zero shuffle exchanges (bucket-local sort-merge join).
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        # Cross-check the result against the plain (shuffling) join.
+        expected = (
+            load_table(spark, sf_small, "orders")
+            .withColumnRenamed("o_custkey", "custkey")
+            .join(
+                load_table(spark, sf_small, "customer").withColumnRenamed(
+                    "c_custkey", "custkey"
+                ),
+                "custkey",
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_scan_prunes(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+
+    pruned = read_pruned(spark, out, "lang = 'en'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # The lang predicate must land in PartitionFilters (directory pruning),
+    # NOT in the row-level PushedFilters.
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+    expected = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == expected
+    # Only the en=... directory is read. DataFrame.inputFiles() reports the
+    # relation's full file list pre-pruning, so check the files actually
+    # touched at runtime via input_file_name().
+    all_files = set(spark.read.parquet(out).inputFiles())
+    pruned_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(pruned_files) < len(all_files)
+    assert all("lang=en" in f for f in pruned_files)
+
+
+def test_bucketed_agg_has_no_shuffle(spark, sf_small, tmp_path):
+    """Aggregation on the bucket key also skips its shuffle: the hash
+    aggregate's distribution requirement is satisfied by the bucketing."""
+    ev = load_table(spark, sf_small, "events")
+    write_bucketed(ev, "b_events", ["user_id"], 8)
+    try:
+        agg = (
+            spark.table("b_events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        )
+        plan = _executed_plan(agg)
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == ev.select("user_id").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_events")

@@ -17,6 +17,7 @@ from flink_realtime_sessionize_sample_spark.operators.sessionize import sessioni
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 from flink_realtime_sessionize_sample_spark.streaming import (
     build_events_file_stream,
+    dedup_stream,
     enrich_stream_static,
     run_sessionize_pipeline,
     sessionize_stream,
@@ -297,3 +298,29 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_dedup_stream_drops_replayed_batch(spark, sf_small, tmp_path):
+    """dropDuplicatesWithinWatermark collapses an at-least-once replay: the
+    same events file staged twice yields exactly one row per event_id."""
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_small}/events.parquet", d / "b.parquet")
+
+    stream = build_events_file_stream(spark, str(d))
+    q = (
+        dedup_stream(stream, ["event_id"], "ts")
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow replay must terminate"
+
+    n_unique = load_table(spark, sf_small, "events").count()
+    got = spark.sql("select event_id from dedup_stream_test").toPandas()
+    assert len(got) == n_unique
+    assert got["event_id"].is_unique
