@@ -338,3 +338,66 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → per-node minimum
+    component label: (node, label). The corpus-level step AFTER pairwise
+    near-dup detection — duplicate PAIRS don't dedup a corpus, duplicate
+    CLUSTERS do (keep one canonical doc per component).
+
+    Iterative min-label propagation as pure DataFrame joins: each round every
+    node takes the min of its own label and its neighbors' labels; converged
+    when the (monotonically decreasing, integer) global label sum stops
+    changing — a cheap scalar aggregate instead of a per-round diff join.
+
+    Scale shape: each round is one equi join on the edge key + one hash
+    aggregate, both AQE-planned; ``localCheckpoint`` truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1. Near-dup components are
+    near-cliques (every copy matches every copy), so the diameter — and the
+    round count — is tiny regardless of corpus size; for adversarial
+    long-chain graphs swap in the large-star/small-star round body
+    (Kiveris+ 2014), which needs O(log²) rounds on the same join machinery.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        labels = (
+            labels.unionAll(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Canonical-doc assignment for every document in a near-dup cluster:
+    (doc_id, canonical_doc_id) where canonical = min doc id reachable through
+    verified MinHash-LSH Jaccard ≥ threshold pairs. Docs with no near-dup are
+    absent (they are their own canonical). Keeping ``WHERE doc_id ==
+    canonical_doc_id`` (plus all absent docs) is the corpus dedup rule."""
+    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_doc_id")
+    )

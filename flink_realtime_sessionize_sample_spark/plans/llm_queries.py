@@ -628,3 +628,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 2nd kept, one row per sampled frame with a portable content id."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary_payload(docs), frame_bytes=256, every_n=2)
+
+
+# --- corpus-level dedup: near-dup clusters --------------------------------
+
+# Verified-pairs tail as CTEs (same math as _JACCARD_TAIL_D) + min-label
+# connected components via a recursive transitive-closure CTE: reach(node,
+# lab) enumerates every label reachable from node; MIN(lab) per node is the
+# component's canonical id — the oracle twin of the iterative Spark rounds.
+_CLUSTER_TAIL_D = """
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE common::DOUBLE / uni >= 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(lab) AS canonical_doc_id
+FROM reach GROUP BY node
+"""
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=(
+        _DOC_SHINGLES_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+        + _CLUSTER_TAIL_D
+    ),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dup clustering: MinHash-LSH verified pairs →
+    connected components (iterative min-label propagation as DataFrame
+    joins) → (doc_id, canonical_doc_id = min id in component). Pairwise
+    detection alone can't dedup a corpus — A~B and B~C must collapse to ONE
+    keeper even when A~C was never a candidate pair. Each round is an equi
+    join + hash agg with lineage checkpointing; dup components are
+    near-cliques so rounds stay O(1) at any corpus size."""
+    return D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)

@@ -184,3 +184,135 @@ def doc_top_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_tok_n"),
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_ratio"),
     )
+
+
+# --- vocabulary building: corpus token frequency top-k --------------------
+
+_VOCAB_K = 100
+
+
+@query(
+    "token_frequency_topk",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOKS_D}) AS token FROM documents)
+SELECT token, COUNT(*)::BIGINT AS n
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {_VOCAB_K}
+""",
+)
+def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-{k} tokens by frequency (tokenizer-training /
+    vocab-coverage prep). The classic wordcount shape done right at scale:
+    explode is a narrow per-row flatMap, the count is ONE hash aggregate
+    whose map-side partial collapses each split's Zipf head before the
+    exchange (the shuffle carries ~|vocab| rows, not |corpus·tokens|), and
+    the deterministic (n DESC, token ASC) top-k plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_VOCAB_K)
+    )
+
+
+# --- benchmark-contamination check ----------------------------------------
+
+# Deterministic stand-in benchmark: every 97th doc. The mechanism under
+# test is the shingle-overlap join, not the benchmark choice.
+_BENCH_PRED = "doc_id % 97 = 0"
+_SH_K = 3
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+sh AS (SELECT doc_id, {T.shingles_duck('t', _SH_K)} AS sh FROM tok WHERE len(t) >= {_SH_K}),
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE {_BENCH_PRED}),
+train AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS s FROM sh
+          WHERE NOT ({_BENCH_PRED})),
+hits AS (
+  SELECT t.doc_id, t.n_shingles, COUNT(*)::BIGINT AS n_shared
+  FROM train t JOIN bench b ON t.s = b.s
+  GROUP BY t.doc_id, t.n_shingles
+)
+SELECT doc_id, n_shared, n_shingles::BIGINT AS n_shingles,
+       round(n_shared / n_shingles::DOUBLE, 6) AS contamination
+FROM hits
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every training doc, the share of
+    its {k}-gram shingles that appear in ANY benchmark doc. The benchmark
+    shingle index is tiny relative to the corpus, so it BROADCASTS — the
+    100 TB training side streams through a map-side hash join with zero
+    shuffle of the corpus; the only exchange is the per-doc count, which
+    carries one row per (doc, matched-shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("t", F.expr(_TOKS_S))
+        .filter(F.size("t") >= _SH_K)
+        .select("doc_id", F.expr(T.shingles_spark("t", _SH_K)).alias("sh"))
+    )
+    bench = (
+        sh.filter(F.expr(_BENCH_PRED))
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = (
+        sh.filter(~F.expr(_BENCH_PRED))
+        .select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    )
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )
+
+
+# --- deterministic train/val/test split -----------------------------------
+
+_SPLIT_CASE = "CASE WHEN _b < 80 THEN 'train' WHEN _b < 90 THEN 'val' ELSE 'test' END"
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT {T.h48_duck("cast(doc_id AS VARCHAR)")} % 100 AS _b,
+         len({_TOKS_D}) AS n_toks
+  FROM documents
+)
+SELECT {_SPLIT_CASE} AS split,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_toks)::BIGINT AS n_tokens
+FROM assigned GROUP BY 1
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split on a portable content-stable hash
+    (md5-48 of doc_id, NOT rand()): re-runs, task retries, and speculative
+    duplicates all land every doc in the same split — leakage-free by
+    construction. Assignment is a narrow per-row expression (no shuffle);
+    the audit aggregate here shuffles three rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        F.expr(f"{T.h48_spark('cast(doc_id AS STRING)')} % 100").alias("_b"),
+        F.size(F.expr(_TOKS_S)).alias("n_toks"),
+    )
+    return assigned.groupBy(F.expr(_SPLIT_CASE).alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )

@@ -146,3 +146,36 @@ def test_frame_sample_covers_every_other_frame(spark, sf_small):
     rows = sample_frames(attach_binary_payload(docs), frame_bytes=100, every_n=2).collect()
     assert rows, "video payloads must yield frames"
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst-case diameter for min-label propagation) plus a
+    separate 2-node island: every node must converge to its component min."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    """A~B and B~C near-dups collapse to one canonical even if A~C is not
+    itself a candidate pair; exact copies always cluster."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base + " extra0 extra1"),
+            (4, "completely different words " + " ".join(f"z{i}" for i in range(37))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["canonical_doc_id"])
+        for r in D.near_dup_clusters(docs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
