@@ -623,3 +623,122 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "top_supplier_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.revenue_e4
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.revenue_e4 = (SELECT max(revenue_e4) FROM rev)
+""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: per-supplier quarterly revenue, keep the max-revenue
+    supplier(s) — the scalar-subquery-over-an-aggregate pattern. The max is
+    taken with a window over the ALREADY-AGGREGATED per-supplier rows
+    (dim-sized, one narrow exchange) so the lineitem scan+shuffle runs
+    exactly once; re-deriving the scalar from the fact table would scan it
+    twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents("l_extendedprice") * (100 - disc_pct)).alias("revenue_e4"))
+    )
+    mx = Window.partitionBy()  # post-agg rows are |suppliers| — safe global window
+    return (
+        rev.withColumn("_mx", F.max("revenue_e4").over(mx))
+        .filter(F.col("revenue_e4") == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "revenue_e4")
+    )
+
+
+@query(
+    "important_parts",
+    oracle="""
+WITH val AS (
+  SELECT l_partkey,
+         sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT))::BIGINT AS value_e4
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT v.l_partkey AS partkey, p.p_brand, v.value_e4
+FROM val v JOIN part p ON v.l_partkey = p.p_partkey
+WHERE v.value_e4 > (SELECT sum(value_e4) FROM val) / 1500
+""",
+)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose traded value exceeds a fraction of the GLOBAL
+    total — an aggregate compared against a scalar subquery over the same
+    aggregate. The per-part aggregate is built once; the global total is an
+    agg-of-agg whose plan shares the same hash-partitioned exchange, so
+    Spark's ReuseExchange collapses the two branches to ONE fact scan and
+    the scalar arrives via a 1-row broadcast (no single-partition window
+    over the potentially huge |parts| set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    # Explicit not-null filter so BOTH consumers of `val` (threshold branch
+    # and main branch) have byte-identical subplans: the downstream equi
+    # join infers isnotnull on its side only, which would otherwise break
+    # exchange reuse and scan the fact table twice.
+    val = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice") * (100 - disc_pct)).alias("value_e4"))
+    )
+    total = val.agg((F.sum("value_e4") / 1500).cast("long").alias("_thr"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e4") > F.col("_thr"))
+        .join(F.broadcast(p), val.l_partkey == p.p_partkey)
+        .select(F.col("l_partkey").alias("partkey"), "p_brand", "value_e4")
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, o.o_orderkey,
+       round(o.o_totalprice*100)::BIGINT AS total_cents, b.total_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN big b ON o.o_orderkey = b.l_orderkey
+""",
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose lineitem quantity total clears a threshold
+    (the IN-subquery-with-HAVING pattern, planned as agg → join). The
+    HAVING filter collapses the fact table to qualifying orderkeys BEFORE
+    the join with orders; customer is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", _cents("o_totalprice").alias("total_cents"), "total_qty")
+    )
