@@ -8,9 +8,12 @@ from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
     build_kafka_line_source,
     encode_json,
     enrich_stream_static,
+    join_streams_interval,
+    join_streams_interval_outer,
     run_sessionize_pipeline,
     windowed_user_counts,
     write_foreach_batch_dedup,
+    write_foreach_batch_partition_overwrite,
     write_kafka_sink,
 )
 
@@ -24,6 +27,9 @@ __all__ = [
     "enrich_stream_static",
     "run_sessionize_pipeline",
     "windowed_user_counts",
+    "join_streams_interval",
+    "join_streams_interval_outer",
     "write_foreach_batch_dedup",
+    "write_foreach_batch_partition_overwrite",
     "write_kafka_sink",
 ]

@@ -142,6 +142,33 @@ def join_streams_interval(
     return l.join(r, cond, "inner").drop(r[on])
 
 
+def join_streams_interval_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = WATERMARK_DELAY,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like ``join_streams_interval``
+    but left rows with no matching right row are still emitted (right columns
+    null) — once the watermark guarantees no match can arrive. That guarantee
+    is exactly why outer stream joins REQUIRE the watermark + time-bound
+    condition: an unmatched row is only provably unmatched when event time
+    has moved past its join window, so null-padded results trail the inner
+    results by up to (max_delay + watermark). State stays bounded by the same
+    eviction rule as the inner join."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "leftOuter").drop(r[on])
+
+
 def windowed_user_counts(
     stream: DataFrame,
     key: str = "user_id",
@@ -197,6 +224,34 @@ def write_foreach_batch_dedup(
             batch_df.dropDuplicates(dedup_keys)
             .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def write_foreach_batch_partition_overwrite(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, partition_col: str
+):
+    """Idempotent ``foreachBatch`` sink via DYNAMIC partition overwrite:
+    each micro-batch rewrites exactly the hive partitions it touches
+    (``partitionOverwriteMode=dynamic``), so a replayed batch (failure
+    between sink write and checkpoint commit — the at-least-once window)
+    lands byte-identical instead of appending duplicates. This is the
+    scalable exactly-once recipe when rows carry no natural dedup key:
+    correctness comes from write-path idempotence, not read-path dedup, and
+    a 1000-executor job only ever rewrites the micro-batch's own partitions,
+    never the table."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
             .parquet(out_dir)
         )
 

@@ -324,3 +324,99 @@ def test_dedup_stream_drops_replayed_batch(spark, sf_small, tmp_path):
     got = spark.sql("select event_id from dedup_stream_test").toPandas()
     assert len(got) == n_unique
     assert got["event_id"].is_unique
+
+
+def test_stream_stream_interval_outer_join_equals_batch(spark, tmp_path):
+    """Left-outer stream-stream join: matched pairs ≡ the batch join AND
+    every unmatched click is emitted null-padded once the watermark closes
+    its window (availableNow drains the stream, so all windows close)."""
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
+        join_streams_interval_outer,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    views = ev.filter("event_type = 'view'").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    cdir, vdir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    clicks.coalesce(1).write.parquet(cdir)
+    views.coalesce(1).write.parquet(vdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    q = (
+        join_streams_interval_outer(cs, vs, on="user_id", left_ts="c_ts", right_ts="v_ts")
+        .select("click_id", "view_id")
+        .writeStream.format("memory")
+        .queryName("ssj_outer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow replay must terminate"
+
+    got = sorted(
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("select * from ssj_outer_test").collect()
+    )
+    batch_rows = clicks.join(
+        views,
+        (clicks.user_id == views.user_id)
+        & (views.v_ts >= clicks.c_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (views.v_ts <= clicks.c_ts),
+        "leftOuter",
+    ).select("click_id", "view_id", "c_ts").collect()
+
+    # Matched pairs are emitted with inner-join semantics — exact equality.
+    got_matched = sorted(p for p in got if p[1] is not None)
+    exp_matched = sorted(
+        (r["click_id"], r["view_id"]) for r in batch_rows if r["view_id"] is not None
+    )
+    assert got_matched == exp_matched
+
+    # Null-padded rows only emit once the watermark (max event time − 60 s)
+    # passes the row's join window: clicks newer than that are legitimately
+    # withheld at end-of-stream. Everything older MUST be emitted.
+    max_ts = max(r["c_ts"] for r in batch_rows)
+    wm = max_ts - pd.Timedelta(seconds=60)
+    exp_null_all = {r["click_id"] for r in batch_rows if r["view_id"] is None}
+    exp_null_closed = {
+        r["click_id"]
+        for r in batch_rows
+        if r["view_id"] is None and r["c_ts"] < wm - pd.Timedelta(minutes=10)
+    }
+    got_null = {c for c, v in got if v is None}
+    assert exp_null_closed <= got_null <= exp_null_all
+    assert got_null, "outer join must emit null-padded rows"
+
+
+def test_foreach_batch_partition_overwrite_idempotent(spark, sf_small, tmp_path):
+    """Replaying the same input through the dynamic-partition-overwrite sink
+    (fresh checkpoint = worst-case full replay) leaves the output identical —
+    the write path itself is idempotent, no dedup keys needed."""
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
+        write_foreach_batch_partition_overwrite,
+    )
+
+    src = _stage_events_dir(sf_small, tmp_path)
+    out = str(tmp_path / "po_out")
+
+    def run(ckpt):
+        stream = build_events_file_stream(spark, src).withColumn(
+            "event_date", F.to_date("ts")
+        )
+        q = write_foreach_batch_partition_overwrite(
+            stream, out, str(tmp_path / ckpt), "event_date"
+        ).trigger(availableNow=True).start()
+        assert q.awaitTermination(120)
+
+    run("ckpt1")
+    first = spark.read.parquet(out).count()
+    run("ckpt2")  # full replay into the same output
+    assert spark.read.parquet(out).count() == first
+    n_events = load_table(spark, sf_small, "events").count()
+    assert first == n_events
