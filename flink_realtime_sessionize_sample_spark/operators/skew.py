@@ -85,3 +85,36 @@ def salted_aggregate(
 
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_specs)
     return partial.groupBy(*keys).agg(*final_specs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Iterable[str],
+    how: str = "inner",
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-resilient equi join: salt the (skewed) left side, replicate the
+    right side across all salt values, join on (keys…, salt).
+
+    A hot join key sends every matching left row to one reducer; salting
+    spreads it over ``buckets`` reducers at the cost of duplicating the
+    right side ``buckets``× — the right tool when the right side is too big
+    to broadcast outright but small relative to the skewed fact (the classic
+    fact⨝mid-size-dim shape). AQE's skew-join splitting handles sort-merge
+    skew adaptively; explicit salting is for when you want the guarantee
+    (streaming micro-batches, deterministic stage sizing) or a non-AQE sink.
+
+    The salt routes rows only and never appears in the output, so task
+    retries re-routing a row are harmless: every (keys, salt) bucket joins
+    against a full copy of the right rows for those keys. ``how`` supports
+    the left-preserving joins (inner/left/left_semi/left_anti).
+    """
+    keys = list(on)
+    if how not in {"inner", "left", "leftouter", "left_outer", "left_semi", "left_anti"}:
+        raise ValueError(f"salted_join preserves the left side; {how!r} unsupported")
+    l = left.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return l.join(r, keys + ["_salt"], how).drop("_salt")

@@ -609,3 +609,33 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_r"),
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT user_id, user_id % 5 AS segment FROM events
+)
+SELECT e.event_type, d.segment, count(*) AS n
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.event_type, d.segment
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py) hash-checked against the plain
+    equi join: the left (fact) side is salted over 16 buckets and the dim
+    replicated per bucket, so a hot user_id spreads over 16 reducers
+    instead of pinning one. The salt never reaches the output — proven by
+    the value-hash match with the unsalted oracle."""
+    from flink_realtime_sessionize_sample_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().withColumn(
+        "segment", F.col("user_id") % 5
+    )
+    return (
+        salted_join(ev, dim, on=["user_id"], buckets=16)
+        .groupBy("event_type", "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -179,3 +179,19 @@ def test_near_dup_clusters_transitive_closure(spark):
         for r in D.near_dup_clusters(docs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join ≡ plain join on a deliberately skewed input (90% one key),
+    and the join shuffle key includes the salt."""
+    from flink_realtime_sessionize_sample_spark.operators.skew import salted_join
+
+    left = spark.range(1000).selectExpr(
+        "CASE WHEN id < 900 THEN 7 ELSE id END AS k", "id AS payload"
+    )
+    right = spark.range(20).selectExpr("id AS k", "id * 10 AS attr")
+    got = salted_join(left, right, on=["k"]).groupBy("k").count()
+    exp = left.join(right, "k").groupBy("k").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    plan = salted_join(left, right, on=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
