@@ -678,3 +678,91 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + hash agg with lineage checkpointing; dup components are
     near-cliques so rounds stay O(1) at any corpus size."""
     return D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --- composed corpus-cleaning pipeline ------------------------------------
+
+_QF_MIN_TOKENS = 30
+_QF_MAX_TOP_RATIO = 0.15
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tk FROM tok WHERE len(t) > 0),
+cnt AS (SELECT doc_id, tk, count(*) AS c FROM ex GROUP BY doc_id, tk),
+rep AS (SELECT doc_id, sum(c) AS n_tokens, max(c)::DOUBLE / sum(c) AS top_ratio
+        FROM cnt GROUP BY doc_id),
+s AS (
+  SELECT doc_id, text,
+         {T.marker_score_duck('t', 'en')} AS men, {T.marker_score_duck('t', 'de')} AS mde,
+         {T.marker_score_duck('t', 'fr')} AS mfr, {T.marker_score_duck('t', 'es')} AS mes
+  FROM tok
+),
+lid AS (
+  SELECT doc_id,
+         {_langid_case('men', 'mde', 'mfr', 'mes', f"regexp_matches(text, '{_CJK}')")} AS pred_lang
+  FROM s
+)
+SELECT r.doc_id,
+       CASE
+         WHEN r.n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+         WHEN r.top_ratio > {_QF_MAX_TOP_RATIO} THEN 'repetitive'
+         WHEN l.pred_lang = 'und' THEN 'lang_unknown'
+         ELSE 'keep'
+       END AS verdict,
+       r.n_tokens::BIGINT AS n_tokens,
+       round(r.top_ratio, 6) AS top_ratio,
+       l.pred_lang
+FROM rep r JOIN lid l ON r.doc_id = l.doc_id
+""",
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style corpus-cleaning pass: length gate → repetition
+    gate → language gate, with a per-doc verdict and audit columns (a real
+    pipeline keeps the reject reason for corpus iteration, not just the
+    survivors). Gate ORDER is part of the contract — each doc reports the
+    FIRST failing gate. Plan shape at scale: one explode→two-level agg for
+    repetition (the only shuffle), narrow per-row expressions for language
+    ID, joined on doc_id; everything inherits AQE sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.withColumn("t", F.expr(_TOKS_S))
+    rep = (
+        tok.filter(F.size("t") > 0)
+        .select("doc_id", F.explode("t").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top_ratio"),
+        )
+    )
+    s = tok.select(
+        "doc_id",
+        "text",
+        F.expr(T.marker_score_spark("t", "en")).alias("men"),
+        F.expr(T.marker_score_spark("t", "de")).alias("mde"),
+        F.expr(T.marker_score_spark("t", "fr")).alias("mfr"),
+        F.expr(T.marker_score_spark("t", "es")).alias("mes"),
+    )
+    lid = s.select(
+        "doc_id",
+        F.expr(_langid_case("men", "mde", "mfr", "mes", f"text rlike '{_CJK}'")).alias(
+            "pred_lang"
+        ),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < _QF_MIN_TOKENS, "too_short")
+        .when(F.col("top_ratio") > _QF_MAX_TOP_RATIO, "repetitive")
+        .when(F.col("pred_lang") == "und", "lang_unknown")
+        .otherwise("keep")
+    )
+    return rep.join(lid, "doc_id").select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("top_ratio", 6).alias("top_ratio"),
+        "pred_lang",
+    )

@@ -102,3 +102,31 @@ def test_bucketed_agg_has_no_shuffle(spark, sf_small, tmp_path):
         assert agg.count() == ev.select("user_id").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events")
+
+
+def test_scan_pushdown_projection_and_filter(spark, sf_small):
+    """Scale discipline check: a 2-column projection with a predicate must
+    reach the parquet reader as PushedFilters + a pruned ReadSchema — the
+    difference between scanning 2 columns and scanning the whole table."""
+    docs = load_table(spark, sf_small, "documents")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters" in scan and "EqualTo(lang,en)" in scan
+    rs = scan[scan.index("ReadSchema") : scan.index("ReadSchema") + 200]
+    assert "doc_id" in rs and "lang" in rs and "text" not in rs
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_small, tmp_path):
+    """ORC sink/source parity: write→read preserves rows, and ORC scans get
+    the same predicate pushdown treatment as parquet."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang", "text")
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == docs.count()
+    assert back.schema == docs.schema
+    q = back.filter(F.col("lang") == "en").select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+    assert q.count() == docs.filter("lang = 'en'").count()
