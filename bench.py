@@ -91,6 +91,40 @@ def main() -> None:
     force(sustained)
     sustained_eps = round(n_big / (time.perf_counter() - t0))
 
+    # Streaming path: availableNow replay of sf events through the
+    # applyInPandasWithState per-event sessionizer (the reference's actual
+    # runtime shape) — throughput of the stateful operator incl. state
+    # store, micro-batch planning, and the Arrow state channel.
+    import shutil
+    import tempfile
+
+    from flink_realtime_sessionize_sample_spark.streaming import (
+        build_events_file_stream,
+        sessionize_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = f"{tmp}/src"
+        import os as _os
+
+        _os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+        stream = build_events_file_stream(spark, src)
+        t0 = time.perf_counter()
+        q = (
+            sessionize_stream(stream.withWatermark("ts", "60 seconds"))
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming replay must terminate"
+        streaming_eps = round(n_events / (time.perf_counter() - t0))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -101,6 +135,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "events_per_sec_sessionize": events_per_sec,
                 "events_per_sec_sessionize_sustained_10x": sustained_eps,
+                "events_per_sec_sessionize_streaming": streaming_eps,
             }
         )
     )

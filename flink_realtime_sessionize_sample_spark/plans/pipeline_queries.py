@@ -254,7 +254,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB training side streams through a map-side hash join with zero
     shuffle of the corpus; the only exchange is the per-doc count, which
     carries one row per (doc, matched-shingle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from flink_realtime_sessionize_sample_spark.operators.dedup import fan_out
+
+    # fan_out: the sf test files arrive as ONE parquet split, which would pin
+    # the whole shingle explosion to a single task (measured 9.4 s → 1.5 s
+    # at sf0.1); at real corpus scale the scan has thousands of splits and
+    # this is a no-op.
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = (
         docs.withColumn("t", F.expr(_TOKS_S))
         .filter(F.size("t") >= _SH_K)
@@ -262,12 +268,21 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = (
         sh.filter(F.expr(_BENCH_PRED))
-        .select(F.explode("sh").alias("s"))
+        .select(F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
         .distinct()
     )
     train = (
         sh.filter(~F.expr(_BENCH_PRED))
-        .select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+        # explode_outer + null filter: plain explode's inferred
+        # size(sh)>0 filter would re-run the shingle HOF in the scan task
+        # (see operators/dedup.py ngram_jaccard_pairs).
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            F.explode_outer("sh").alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
     )
     return (
         train.join(F.broadcast(bench), "s")
