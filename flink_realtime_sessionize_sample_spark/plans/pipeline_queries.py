@@ -12,7 +12,7 @@ reproduce it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.functions import text as T
@@ -330,4 +330,39 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(F.expr(_SPLIT_CASE).alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+
+
+# --- balanced per-group sampling ------------------------------------------
+
+_PER_GROUP_K = 50
+
+
+@query(
+    "sample_k_per_group",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {T.h48_duck("cast(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= {_PER_GROUP_K}
+""",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced subset: exactly min(k, |group|) docs per language, chosen by
+    deterministic hash order (md5-48 of doc_id, doc_id tiebreak) — a
+    reproducible 'uniform' k-per-group sample with no rand() and no
+    collect. One shuffle on the group key; the per-group sort is bounded by
+    group size, and a skewed group can be pre-aggregated with the salted
+    two-stage pattern if it ever dominates a partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(T.h48_spark("cast(doc_id AS STRING)")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PER_GROUP_K)
+        .select("doc_id", "lang")
     )
