@@ -366,3 +366,45 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PER_GROUP_K)
         .select("doc_id", "lang")
     )
+
+
+# --- context-window sequence packing --------------------------------------
+
+_PACK_CAP = 128
+_PACK_BUCKETS = 16
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         len({_TOKS_D})::BIGINT AS n_tokens,
+         {T.h48_duck("cast(doc_id AS VARCHAR)")} % {_PACK_BUCKETS} AS bucket,
+         row_number() OVER (
+           PARTITION BY {T.h48_duck("cast(doc_id AS VARCHAR)")} % {_PACK_BUCKETS}
+           ORDER BY {T.h48_duck("cast(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS bin_idx, n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.bucket, b.rn, b.doc_id, b.n_tokens,
+         CASE WHEN w.fill + b.n_tokens > {_PACK_CAP} THEN w.bin_idx + 1 ELSE w.bin_idx END,
+         CASE WHEN w.fill + b.n_tokens > {_PACK_CAP} THEN b.n_tokens ELSE w.fill + b.n_tokens END
+  FROM base b JOIN walk w ON b.bucket = w.bucket AND b.rn = w.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, bin_idx FROM walk
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (operators/packing.py): greedy next-fit into
+    128-token bins within 16 deterministic hash buckets. The sequential walk
+    is replayed exactly by the oracle's recursive CTE — the value-hash match
+    proves bin assignments (not just counts) are reproducible, the property
+    a resumable 100 TB pipeline needs."""
+    from flink_realtime_sessionize_sample_spark.operators.packing import pack_next_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_next_fit(docs, capacity=_PACK_CAP, buckets=_PACK_BUCKETS)

@@ -195,3 +195,27 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
     plan = salted_join(left, right, on=["k"])._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_pack_next_fit_capacity_and_determinism(spark):
+    """Next-fit packing: no bin exceeds capacity (except a single oversized
+    doc alone in its bin), and the assignment is identical regardless of the
+    input's physical partitioning (logical hash buckets, not partitions)."""
+    from flink_realtime_sessionize_sample_spark.operators.packing import pack_next_fit
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        # ~1-40 tokens; doc 7 is oversized (80 tokens > capacity 50)
+        "array_join(transform(sequence(1, CASE WHEN id = 7 THEN 80 ELSE 1 + cast(id % 40 AS INT) END), x -> 'w'), ' ') AS text",
+    )
+    a = pack_next_fit(docs, capacity=50, buckets=8).toPandas()
+    b = pack_next_fit(docs.repartition(13), capacity=50, buckets=8).toPandas()
+    key = ["doc_id", "n_tokens", "bucket", "bin_idx"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+    fills = a.groupby(["bucket", "bin_idx"]).agg(
+        fill=("n_tokens", "sum"), n=("doc_id", "count")
+    )
+    over = fills[fills["fill"] > 50]
+    assert (over["n"] == 1).all(), "only a lone oversized doc may exceed capacity"
