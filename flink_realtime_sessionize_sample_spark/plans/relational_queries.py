@@ -742,3 +742,17 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_name", "o_orderkey", _cents("o_totalprice").alias("total_cents"), "total_qty")
     )
+
+
+@query("approx_price_quantiles")  # no oracle: t-digest sketches differ by engine
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest): one mergeable-sketch pass instead of the
+    sort-based exact percentile — the 100 TB quantile tool. Rows-only driver
+    check; accuracy is asserted against the exact percentile in
+    tests/test_llm_ops.py (≤1% rank error at accuracy=10000)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("ap99"),
+        F.count(F.lit(1)).alias("n"),
+    )

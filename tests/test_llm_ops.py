@@ -219,3 +219,17 @@ def test_pack_next_fit_capacity_and_determinism(spark):
     )
     over = fills[fills["fill"] > 50]
     assert (over["n"] == 1).all(), "only a lone oversized doc may exceed capacity"
+
+
+def test_approx_percentile_close_to_exact(spark, sf_small):
+    """t-digest approx_percentile stays within 1% relative error of the
+    exact sort-based percentile on real data."""
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ex"),
+    )
+    for r in both.collect():
+        assert abs(r["ap"] - r["ex"]) / r["ex"] < 0.01
