@@ -110,62 +110,106 @@ def sessionize_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.hasTimedOut:
             # 12 h idle → drop state (TTL cleanup, NeverReturnExpired ≙ we
             # simply never see expired state again).
             state.remove()
             return
-        if state.exists:
-            start_us, first_sec, last_sec, count = state.get
-        else:
-            start_us = first_sec = last_sec = None
-            count = 0
+        st = state.get if state.exists else None  # (start_us, first, last, count)
         keyv = key_tuple[0]
-        outs = []
+        key_str = str(keyv)
+
+        def pack_fresh(sec, us):
+            """Vectorized cut chain assuming row 0 OPENS a session
+            (SessionizeGroupMapFunction.scala:19-29): gap segmentation by
+            shifted compare (:31-45), cap-clean segments assigned with
+            np.repeat, only cap-tripping segments loop (:47-68). Returns
+            per-row (session start us, duration) + closing state."""
+            n = len(sec)
+            is_new = np.empty(n, dtype=bool)
+            is_new[0] = True
+            is_new[1:] = (sec[1:] - sec[:-1]) > gap_seconds
+            bounds = np.append(np.flatnonzero(is_new), n)
+            seg_i0, seg_i1 = bounds[:-1], bounds[1:]
+            seg_len = seg_i1 - seg_i0
+            seg_fs = sec[seg_i0].copy()
+            seg_fu = us[seg_i0].copy()
+            ok = (seg_len <= max_events) & (
+                sec[seg_i1 - 1] - seg_fs <= max_duration_seconds
+            )
+            row_fs = np.repeat(seg_fs, seg_len)
+            row_fu = np.repeat(seg_fu, seg_len)
+            fin = (int(seg_fu[-1]), int(seg_fs[-1]), int(sec[-1]), int(seg_len[-1]))
+            for si in np.flatnonzero(~ok):
+                fs, fu, cnt = int(seg_fs[si]), int(seg_fu[si]), 0
+                for i in range(seg_i0[si], seg_i1[si]):
+                    cnt += 1
+                    if cnt > max_events or sec[i] - fs > max_duration_seconds:
+                        fs, fu, cnt = int(sec[i]), int(us[i]), 1
+                    row_fs[i] = fs
+                    row_fu[i] = fu
+                if si == len(seg_len) - 1:
+                    fin = (fu, fs, int(sec[-1]), cnt)
+            return row_fu, sec - row_fs, fin
+
         for pdf in pdfs:
             # Deterministic intra-batch order; across batches arrival order
             # stands, like the reference's per-record processing.
             pdf = pdf.sort_values([ts_col, *tiebreakers], kind="mergesort")
-            ts_vals = pdf[ts_col]
-            us_vals = ts_vals.astype("int64")  # pandas datetime64[us/ns] → int
-            if str(ts_vals.dtype).endswith("[ns]"):
-                us_vals = us_vals // 1000
-            sec_list = (us_vals // 1_000_000).tolist()
-            us_list = us_vals.tolist()
-            session_ids = []
-            durations = []
-            for sec, us in zip(sec_list, us_list):
-                if first_sec is None:
-                    # SessionizeGroupMapFunction.scala:19-29 — first event
-                    start_us, first_sec, last_sec, count = us, sec, sec, 1
-                    durations.append(0)
-                elif sec - last_sec > gap_seconds:
-                    # :31-45 timeout cut (intended-unit semantics, quirk Q1)
-                    start_us, first_sec, last_sec, count = us, sec, sec, 1
-                    durations.append(0)
-                elif count + 1 >= max_events + 1:
-                    # :47-57 max-size cut (1499-event cap, quirk Q3)
-                    start_us, first_sec, last_sec, count = us, sec, sec, 1
-                    durations.append(0)
-                elif sec - first_sec > max_duration_seconds:
-                    # :59-68 max-duration cut (strict >)
-                    start_us, first_sec, last_sec, count = us, sec, sec, 1
-                    durations.append(0)
-                else:
-                    # :69-84 continuation; monotonic-max guard :72-77
-                    last_sec = max(last_sec, sec)
-                    count += 1
-                    durations.append(int(sec - first_sec))
-                session_ids.append(f"{keyv}-{start_us}")
+            n = len(pdf)
+            if n == 0:
+                continue
+            us = pdf[ts_col].astype("int64").to_numpy()
+            if str(pdf[ts_col].dtype).endswith("[ns]"):
+                us = us // 1000
+            sec = us // 1_000_000
+
+            row_fu = np.empty(n, dtype=np.int64)
+            row_dur = np.empty(n, dtype=np.int64)
+            j0 = 0
+            if st is not None:
+                # Carried-session prefix: until the FIRST cut, every row
+                # continues the stored session, so the three cut predicates
+                # are closed-form in i — gap vs the monotonic-max guarded
+                # last (:72-77; prev_eff = max(carry_last, sec[i-1]), which
+                # a fresh-start formulation must NOT use past the cut),
+                # size vs carried count (:47), duration vs carried first
+                # (:59). First hit = j0; the rest of the batch is fresh.
+                start_us_c, first_c, last_c, cnt_c = st
+                prev_eff = np.maximum(last_c, np.concatenate(([last_c], sec[:-1])))
+                cut = (
+                    (sec - prev_eff > gap_seconds)
+                    | (cnt_c + np.arange(n) >= max_events)
+                    | (sec - first_c > max_duration_seconds)
+                )
+                j0 = int(np.argmax(cut)) if cut.any() else n
+                row_fu[:j0] = start_us_c
+                row_dur[:j0] = sec[:j0] - first_c
+                if j0 == n:
+                    st = (
+                        start_us_c,
+                        first_c,
+                        max(int(last_c), int(sec[-1])),
+                        cnt_c + n,
+                    )
+            if j0 < n:
+                fu_t, dur_t, st = pack_fresh(sec[j0:], us[j0:])
+                row_fu[j0:] = fu_t
+                row_dur[j0:] = dur_t
+
             out = pdf.copy()
-            out["session_id"] = session_ids
-            out["duration"] = pd.array(durations, dtype="int32")
-            outs.append(out[out_cols])
-        state.update((start_us, first_sec, last_sec, count))
+            out["session_id"] = key_str + "-" + pd.Series(
+                row_fu, index=pdf.index
+            ).astype(str)
+            out["duration"] = pd.array(row_dur, dtype="int32")
+            yield out[out_cols]
+
+        if st is not None:
+            state.update(tuple(st))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
-        for out in outs:
-            yield out
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn,
