@@ -349,6 +349,36 @@ def embedding_near_dup_pairs(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris+ 2014 "Connected Components in MapReduce
+    and Beyond"): every node connects its LARGER neighbors to its minimum
+    neighborhood label. One symmetrize + one hash agg + one equi join."""
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: direct each edge large→small, then connect every
+    smaller neighbor (and the center) to the minimum of the neighborhood."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -356,42 +386,63 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → per-node minimum
-    component label: (node, label). The corpus-level step AFTER pairwise
-    near-dup detection — duplicate PAIRS don't dedup a corpus, duplicate
-    CLUSTERS do (keep one canonical doc per component).
+    component label: (node, label), every input node present (roots labeled
+    with themselves). The corpus-level step AFTER pairwise near-dup
+    detection — duplicate PAIRS don't dedup a corpus, duplicate CLUSTERS do
+    (keep one canonical doc per component).
 
-    Iterative min-label propagation as pure DataFrame joins: each round every
-    node takes the min of its own label and its neighbors' labels; converged
-    when the (monotonically decreasing, integer) global label sum stops
-    changing — a cheap scalar aggregate instead of a per-round diff join.
+    Alternating **large-star / small-star** rounds (Kiveris+ 2014): each
+    round is two hash aggregates + two equi joins over the current edge
+    set, and the edge set contracts toward a star forest in O(log² n)
+    rounds even on adversarial long-chain graphs — unlike naive min-label
+    propagation, whose round count is the graph diameter. Works for any
+    orderable node type (string or numeric ids).
 
-    Scale shape: each round is one equi join on the edge key + one hash
-    aggregate, both AQE-planned; ``localCheckpoint`` truncates the growing
-    lineage so round N doesn't replay rounds 1..N-1. Near-dup components are
-    near-cliques (every copy matches every copy), so the diameter — and the
-    round count — is tiny regardless of corpus size; for adversarial
-    long-chain graphs swap in the large-star/small-star round body
-    (Kiveris+ 2014), which needs O(log²) rounds on the same join machinery.
+    Convergence is detected via a **type-agnostic fingerprint** of the edge
+    set — (row count, bit_xor of xxhash64(u, v)) — NOT ``sum(label)``: a label
+    sum is NULL for string ids, and NULL == NULL would silently stop the
+    loop after one round with wrong components. Small-star output is a
+    fixed point iff it is a star forest, so an unchanged fingerprint is a
+    sound stop signal (the 2⁻⁶⁴-ish hash-collision case is caught by the
+    count component and by the fixed-point property — one extra round
+    re-produces the same set). Each round ``localCheckpoint``s to truncate
+    lineage; the only driver transfer is the 2-scalar fingerprint.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    def fingerprint(df: DataFrame) -> tuple:
+        # bit_xor, not sum: xxhash64 spans the full int64 range, so a sum
+        # overflows under ANSI mode; xor is overflow-free and, over a
+        # DISTINCT edge set, an order-insensitive set fingerprint.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = fingerprint(e)
     for _ in range(max_iter):
-        nbr = sym.join(
-            labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("node"), "label")
-        labels = (
-            labels.unionAll(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = fingerprint(e)
+        if cur == prev:
             break
-        prev_sum = cur_sum
-    return labels
+        prev = cur
+
+    # At convergence e is (node → component-min) for every non-root node;
+    # add self-labeled roots and any node that contracted away early.
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    star = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return all_nodes.join(star, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
 
 
 def near_dup_clusters(

@@ -51,9 +51,15 @@ def pack_next_fit(
     bucket); the per-bucket Python loop touches only (id, n_tokens) pairs —
     the text never reaches Python.
     """
+    # NULL text must not poison the walk: size(NULL) is NULL (or -1 under
+    # legacy sizeOfNull), which would violate the non-null schema or make
+    # `fill` DECREASE mid-walk, diverging from the oracle CTE. Coalesce to
+    # '' and clamp — the DuckDB oracle applies the identical guard.
+    safe_text = f"coalesce({text_col}, '')"
+    n_tokens = f"greatest(0L, size({T.tokens_spark(safe_text)}))"
     base = docs.select(
         F.col(id_col),
-        F.expr(f"size({T.tokens_spark(text_col)})").cast("long").alias("n_tokens"),
+        F.expr(n_tokens).cast("long").alias("n_tokens"),
         F.expr(f"{T.h48_spark(f'cast({id_col} AS STRING)')} % {buckets}").alias("bucket"),
         F.expr(T.h48_spark(f"cast({id_col} AS STRING)")).alias("_h"),
     )

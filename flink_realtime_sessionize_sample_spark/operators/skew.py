@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 
 _PARTIAL = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    # count(col) = non-null count (SQL COUNT(col) semantics); use
+    # ("count", "*", out) for COUNT(*) row counts.
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
     "min": F.min,
     "max": F.max,
 }
@@ -54,16 +56,22 @@ def salted_aggregate(
     """Two-stage salted aggregation.
 
     ``aggs``: (fn, column, out_name) triples with fn ∈ {sum, count, min,
-    max, avg}. ``salt_col`` defaults to a uniform hash of the full row id
-    space (``monotonically_increasing_id % buckets``) — any per-row value
-    works; it only routes rows, never appears in the result.
+    max, avg}; ``count`` follows SQL COUNT(col) (non-null) semantics, with
+    ``"*"`` for row counts. ``salt_col`` defaults to a **content-derived**
+    hash of the whole row (``pmod(xxhash64(*cols), buckets)``): it must be
+    deterministic per row, not per task attempt — a nondeterministic salt
+    (e.g. ``monotonically_increasing_id``) used as a grouping key can
+    re-route rows between salt buckets when a lost shuffle partition forces
+    a partial stage recompute (indeterminate-stage hazard), double-counting
+    or dropping them. The salt only routes rows; it never appears in the
+    result.
     """
     keys = list(keys)
     aggs = list(aggs)
     salt = (
         salt_col
         if salt_col is not None
-        else F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+        else F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
     )
 
     partial_specs: list[Column] = []
@@ -105,15 +113,17 @@ def salted_join(
     skew adaptively; explicit salting is for when you want the guarantee
     (streaming micro-batches, deterministic stage sizing) or a non-AQE sink.
 
-    The salt routes rows only and never appears in the output, so task
-    retries re-routing a row are harmless: every (keys, salt) bucket joins
-    against a full copy of the right rows for those keys. ``how`` supports
-    the left-preserving joins (inner/left/left_semi/left_anti).
+    The salt routes rows only and never appears in the output. It is
+    derived from row content (``pmod(xxhash64(*cols), buckets)``) so a task
+    retry routes each row to the same bucket — and even if it didn't, every
+    (keys, salt) bucket joins against a full copy of the right rows for
+    those keys, so the join is retry-safe either way. ``how`` supports the
+    left-preserving joins (inner/left/left_semi/left_anti).
     """
     keys = list(on)
     if how not in {"inner", "left", "leftouter", "left_outer", "left_semi", "left_anti"}:
         raise ValueError(f"salted_join preserves the left side; {how!r} unsupported")
-    l = left.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets)))
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(*left.columns), F.lit(buckets)))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

@@ -123,9 +123,14 @@ def bucketed_interval_join(
     long as no single bucket is pathologically hot (salt ``extra_on`` or
     shrink the bucket if one is).
     """
+    # Guard malformed intervals BEFORE exploding: with end <= start,
+    # F.sequence(hi, lo) silently generates a DESCENDING range (default
+    # step -1) — one bad row could explode into a huge spurious bucket
+    # list that the final range filter only discards after the join has
+    # paid for it. Empty/inverted intervals match no point anyway.
     # micro precision: second-truncated bucketing would mis-bucket
     # fractional-second interval bounds
-    ivals = intervals.withColumn(
+    ivals = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -19,8 +19,10 @@ from flink_realtime_sessionize_sample_spark.functions import text as T
 from flink_realtime_sessionize_sample_spark.operators import dedup as D
 from flink_realtime_sessionize_sample_spark.operators.multimodal import (
     attach_binary_payload,
+    attach_real_media,
     decode_media,
     extract_byte_features,
+    real_decode,
     resize_media,
     sample_frames,
 )
@@ -548,6 +550,41 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "media_type",
         "n_bytes",
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).cast("int").alias(c)
+            for c in ("width", "height", "n_frames", "sample_rate")
+        ],
+    )
+
+
+@query(
+    "multimodal_decode_real",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       (CASE WHEN doc_id % 3 <> 1 THEN 16 + doc_id % 32 ELSE -1 END)::INT AS width,
+       (CASE WHEN doc_id % 3 <> 1 THEN 16 + (doc_id * 7) % 32 ELSE -1 END)::INT AS height,
+       (CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 60 ELSE -1 END)::INT AS n_frames,
+       (CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 4000 ELSE -1 END)::INT AS sample_rate
+FROM documents
+""",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip, stdlib only: synthesize valid PNG / RIFF-WAVE
+    / ISO-BMFF MP4 bytes per doc (geometry from doc_id formulas), ship them
+    through Arrow as binary columns, and parse them back with genuine
+    format parsers — PNG IHDR + CRC check, WAV fmt-chunk walk, MP4 box walk
+    to mvhd/tkhd (operators/multimodal.py). The oracle predicts the parsed
+    metadata from the same formulas, so a hash match proves the encoders
+    emit spec-valid headers AND the parsers read them correctly. n_bytes is
+    excluded (zlib-compressed IDAT length isn't SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(attach_real_media(docs), decode_fn=real_decode)
+    return decoded.select(
+        "doc_id",
+        "media_type",
         *[
             F.coalesce(F.col(c), F.lit(-1)).cast("int").alias(c)
             for c in ("width", "height", "n_frames", "sample_rate")

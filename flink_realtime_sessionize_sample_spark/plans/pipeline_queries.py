@@ -379,7 +379,7 @@ _PACK_BUCKETS = 16
     oracle=f"""
 WITH RECURSIVE base AS (
   SELECT doc_id,
-         len({_TOKS_D})::BIGINT AS n_tokens,
+         greatest(0, len({T.tokens_duck("coalesce(text, '')")}))::BIGINT AS n_tokens,
          {T.h48_duck("cast(doc_id AS VARCHAR)")} % {_PACK_BUCKETS} AS bucket,
          row_number() OVER (
            PARTITION BY {T.h48_duck("cast(doc_id AS VARCHAR)")} % {_PACK_BUCKETS}

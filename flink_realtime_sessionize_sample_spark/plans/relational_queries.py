@@ -619,14 +619,30 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # no oracle: approx sketches differ by engine
+@query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS approx_within_2pct
+FROM events GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — sketch values are engine-specific,
-    so this gets the driver's rows-only check (exact twin: conditional_agg)."""
+    """HyperLogLog++ approximate distinct. Sketch VALUES are engine-specific,
+    so the oracle can't compare them — instead this emits a **bounds check**:
+    exact anchors (row count, exact distinct) plus a boolean asserting the
+    HLL estimate is within 2% of exact (rsd=0.01 ⇒ 2% ≈ 2σ; at sf-scale
+    cardinalities HLL++'s sparse mode is exact anyway). The DuckDB twin
+    emits literal TRUE — the value-hash match IS the accuracy assertion."""
     ev = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= exact * F.lit(0.02)).alias("approx_within_2pct"),
     )
 
 
@@ -749,15 +765,35 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_price_quantiles")  # no oracle: t-digest sketches differ by engine
+@query(
+    "approx_price_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       TRUE AS ap50_in_bounds,
+       TRUE AS ap99_in_bounds
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest): one mergeable-sketch pass instead of the
-    sort-based exact percentile — the 100 TB quantile tool. Rows-only driver
-    check; accuracy is asserted against the exact percentile in
-    tests/test_llm_ops.py (≤1% rank error at accuracy=10000)."""
+    sort-based exact percentile — the 100 TB quantile tool. Sketch values
+    are engine-specific, so the oracle checks **rank-error bounds**: the
+    estimate must land between the exact q∓0.01 percentiles (the sketch's
+    guarantee at accuracy=10000 is 1e-4 rank error — 100× headroom). The
+    DuckDB twin emits literal TRUE; the value-hash match is the accuracy
+    assertion. A tighter sweep lives in tests/test_llm_ops.py."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def in_bounds(q: float):
+        return F.expr(
+            f"approx_percentile(l_extendedprice, {q}, 10000) "
+            f"between percentile(l_extendedprice, {q - 0.01}) "
+            f"and percentile(l_extendedprice, {min(q + 0.01, 1.0)})"
+        )
+
     return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap50"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("ap99"),
         F.count(F.lit(1)).alias("n"),
+        in_bounds(0.5).alias("ap50_in_bounds"),
+        in_bounds(0.99).alias("ap99_in_bounds"),
     )

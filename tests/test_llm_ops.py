@@ -105,9 +105,9 @@ def test_multimodal_decode_stub_and_schema(spark, sf_small):
         assert r["n_bytes"] > 0
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError, match="codec"):
-        real_decode(1, "image/png", b"xx")
+def test_real_decode_rejects_unknown_media_type():
+    with pytest.raises(NotImplementedError, match="no parser"):
+        real_decode(1, "application/pdf", b"xx")
 
 
 def test_fake_decode_deterministic():
@@ -148,6 +148,64 @@ def test_frame_sample_covers_every_other_frame(spark, sf_small):
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
 
 
+def test_real_media_builders_and_parsers_round_trip():
+    """Pure-Python: the stdlib encoders emit bytes the stdlib parsers read
+    back exactly — PNG IHDR+CRC, WAV fmt chunk, MP4 mvhd/tkhd boxes."""
+    from flink_realtime_sessionize_sample_spark.operators.multimodal import (
+        build_mp4, build_png, build_wav, real_decode,
+    )
+
+    assert real_decode(1, "image/png", build_png(37, 22))[3:5] == (37, 22)
+    assert real_decode(2, "audio/wav", build_wav(16000, 64))[6] == 16000
+    assert real_decode(3, "video/mp4", build_mp4(20, 18, 42))[3:6] == (20, 18, 42)
+
+
+def test_real_png_parser_reads_external_file():
+    """The PNG parser must read files WE did not write: a canonical 1x1 PNG
+    produced by an external encoder (libpng), plus IDAT decompression via
+    zlib to prove the container really is a PNG."""
+    import base64
+    import struct
+    import zlib
+
+    from flink_realtime_sessionize_sample_spark.operators.multimodal import real_decode
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    out = real_decode(0, "image/png", png_1x1)
+    assert out[3:5] == (1, 1)
+    # find and inflate the IDAT chunk — a fake container would fail here
+    off = 8
+    while off < len(png_1x1):
+        (n,) = struct.unpack(">I", png_1x1[off:off + 4])
+        tag = png_1x1[off + 4:off + 8]
+        if tag == b"IDAT":
+            assert len(zlib.decompress(png_1x1[off + 8:off + 8 + n])) > 0
+            break
+        off += 12 + n
+    else:
+        raise AssertionError("no IDAT found")
+
+
+def test_real_decode_rejects_corrupt_payloads():
+    import pytest as _pytest
+
+    from flink_realtime_sessionize_sample_spark.operators.multimodal import (
+        build_png, real_decode,
+    )
+
+    with _pytest.raises(ValueError):
+        real_decode(0, "image/png", b"not a png at all")
+    corrupted = bytearray(build_png(8, 8))
+    corrupted[20] ^= 0xFF  # flip a bit inside IHDR → CRC must catch it
+    with _pytest.raises(ValueError):
+        real_decode(0, "image/png", bytes(corrupted))
+    with _pytest.raises(ValueError):
+        real_decode(0, "audio/wav", b"RIFFxxxxNOPE")
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain (worst-case diameter for min-label propagation) plus a
     separate 2-node island: every node must converge to its component min."""
@@ -159,6 +217,44 @@ def test_connected_components_chain_and_islands(spark):
         for r in D.connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_string_ids(spark):
+    """String doc ids (the ADVICE r1 bug: sum(label) was NULL for strings
+    and NULL == NULL stopped the loop after one round): components must
+    still fully converge, labeled with the lexicographic min."""
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("x", "x"), ("y", "x"),
+    }
+
+
+def test_connected_components_adversarial_long_chain(spark):
+    """A 64-node chain: diameter 63 ≫ max_iter, so naive min-label
+    propagation (1 hop/round) could NOT converge — only the
+    large-star/small-star contraction (O(log² n) rounds) can. Also checks
+    a reversed-orientation chain so edge direction doesn't matter."""
+    n = 64
+    fwd = [(i, i + 1) for i in range(0, n - 1)]
+    edges = spark.createDataFrame(fwd, ["doc_a", "doc_b"])
+    got = {
+        (r["node"], r["label"])
+        for r in D.connected_components(edges, max_iter=12).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+    rev = spark.createDataFrame([(b, a) for a, b in fwd], ["doc_a", "doc_b"])
+    got_rev = {
+        (r["node"], r["label"])
+        for r in D.connected_components(rev, max_iter=12).collect()
+    }
+    assert got_rev == got
 
 
 def test_near_dup_clusters_transitive_closure(spark):
