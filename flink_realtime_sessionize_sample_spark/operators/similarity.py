@@ -79,6 +79,41 @@ def cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a real IVF codebook: pyspark.ml KMeans (k-means|| init,
+    deterministic seed) over the corpus vectors. Returns the broadcastable
+    centroid table (cent_id, ct_v array<double>, ct_nrm) that
+    ``cosine_topk_ivf`` consumes.
+
+    Unlike the first-n-vectors quantizer stub, trained centroids track the
+    real data distribution, so cells are balanced and nprobe cells actually
+    contain the near neighbors — the difference between "IVF-shaped" and
+    IVF recall (measured in tests/test_llm_ops.py against brute force).
+    Scale shape: KMeans is a handful of broadcast-centers passes over the
+    corpus (Spark ML's distributed Lloyd's); the resulting codebook is tiny
+    (n_centroids × dim doubles) and ships as one broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(ds)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = emb.sparkSession.createDataFrame(centers, "cent_id INT, ct_v ARRAY<DOUBLE>")
+    return cents.select(
+        "cent_id", "ct_v", F.expr(T.norm_spark("ct_v")).alias("ct_nrm")
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -87,15 +122,17 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the coarse-quantizer scale path.
 
     Index build: partition the corpus into ``n_centroids`` cells by nearest
-    centroid (here the deterministic quantizer = the first ``n_centroids``
-    corpus vectors, so the whole pipeline is oracle-reproducible; a trained
-    k-means codebook drops in without changing the dataflow). Search: each
-    query probes its ``nprobe`` nearest cells and ranks only those
-    candidates — corpus scored per query shrinks ~n_centroids/nprobe-fold.
+    centroid. ``centroids=None`` uses the deterministic quantizer (= the
+    first ``n_centroids`` corpus vectors) so the whole pipeline is
+    oracle-reproducible; pass ``train_ivf_centroids(emb)`` for a real
+    k-means codebook — same dataflow, real recall. Search: each query
+    probes its ``nprobe`` nearest cells and ranks only those candidates —
+    corpus scored per query shrinks ~n_centroids/nprobe-fold.
 
     Scale shape: assignment is one broadcast-centroids pass over the corpus
     (embarrassingly parallel, done once and persistable as a partitioned
@@ -103,10 +140,13 @@ def cosine_topk_ivf(
     standard billion-vector layout (IVF-Flat); LSH (`nbits`) and IVF
     compose — bucket within cell — when cells are still too big.
     """
-    cents = (
-        _with_norm(emb.filter(F.col(id_col) < n_centroids), vec_col, id_col, "ct")
-        .withColumnRenamed("ct_id", "cent_id")
-    )
+    if centroids is None:
+        cents = (
+            _with_norm(emb.filter(F.col(id_col) < n_centroids), vec_col, id_col, "ct")
+            .withColumnRenamed("ct_id", "cent_id")
+        )
+    else:
+        cents = centroids
     c = _with_norm(fan_out(emb), vec_col, id_col, "c")
     q = _with_norm(queries, vec_col, id_col, "q")
 

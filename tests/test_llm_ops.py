@@ -148,6 +148,49 @@ def test_frame_sample_covers_every_other_frame(spark, sf_small):
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
 
 
+def test_ivf_trained_centroids_recall(spark):
+    """Trained KMeans codebook recall@5 vs exact brute force over 25
+    queries: must clear a 0.45 floor (measured ~0.55 at nprobe=2) and not
+    lose more than noise to the first-n quantizer stub (measured: trained
+    0.55 vs stub 0.42 — training WINS; the 0.05 tolerance absorbs
+    k-means|| init variance across partitionings)."""
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)  # 25 queries
+    exact = set(
+        map(tuple, cosine_topk(emb, q, k=5).select("query_id", "neighbor_id").collect())
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    trained = set(
+        map(
+            tuple,
+            cosine_topk_ivf(emb, q, k=5, nprobe=2, centroids=cents)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    stub = set(
+        map(
+            tuple,
+            cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=2)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    recall_trained = len(exact & trained) / len(exact)
+    recall_stub = len(exact & stub) / len(exact)
+    assert recall_trained >= 0.45, f"trained recall {recall_trained:.3f} below floor"
+    assert recall_trained >= recall_stub - 0.05, (
+        f"trained {recall_trained:.3f} worse than stub {recall_stub:.3f}"
+    )
+
+
 def test_real_media_builders_and_parsers_round_trip():
     """Pure-Python: the stdlib encoders emit bytes the stdlib parsers read
     back exactly — PNG IHDR+CRC, WAV fmt chunk, MP4 mvhd/tkhd boxes."""
