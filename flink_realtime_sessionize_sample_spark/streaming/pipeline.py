@@ -262,6 +262,30 @@ def write_foreach_batch_partition_overwrite(
     )
 
 
+def write_foreach_batch_batchdir_overwrite(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Idempotent ``foreachBatch`` sink #3: micro-batch N writes to its OWN
+    directory ``out_dir/batch_id=N`` with overwrite. The offset log pins
+    batch N to a fixed input slice, so a replayed batch (crash in the
+    at-least-once window: sink wrote, commit log entry missing) re-lands
+    byte-identical instead of appending duplicates — the classic
+    per-batch-directory exactly-once file-sink recipe, ≙ the reference's
+    EXACTLY_ONCE checkpoint contract (``FlinkConfig.scala:46-59``,
+    ``RealtimeSessionize.scala:170``). Readers see ``out_dir`` as a
+    hive-partitioned table (partition column ``batch_id``). Exercised by
+    the kill-and-resume drill in ``tests/test_streaming.py``."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def run_sessionize_pipeline(
     spark: SparkSession,
     source: DataFrame,

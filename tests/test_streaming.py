@@ -252,6 +252,127 @@ def test_late_event_duration_dip_and_max_collapse(spark, tmp_path):
     assert max(r["duration"] for r in rows.values()) == 100
 
 
+def test_checkpoint_kill_and_resume_exactly_once(spark, sf_small, tmp_path):
+    """The recovery drill behind the reference's EXACTLY_ONCE claim
+    (FlinkConfig.scala:46-59, RealtimeSessionize.scala:170): kill the
+    streaming sessionize query mid-stream, crash it again in the
+    at-least-once window (sink wrote, commit log entry missing — simulated
+    by deleting the newest commit file), restart from checkpointLocation
+    both times, and require the final output to equal the batch oracle
+    event-for-event with ZERO duplicates.
+
+    Phase 1  stage 2 of 3 ts-ordered input files, run availableNow to
+             termination — the query dies with data still upstream and
+             open sessions in the state store.
+    Phase 2  stage file 3, restart from the same checkpoint → carried
+             sessionizer state must seamlessly continue sessions that
+             span the kill point.
+    Phase 3  delete the newest commits/<N> entry (crash between sink write
+             and commit — the at-least-once window), restart → Spark
+             replays batch N from the offset log against state version N;
+             the per-batch-directory overwrite sink re-lands it
+             byte-identical.
+    """
+    import glob as _glob
+    import os
+    import time as _time
+
+    from pyspark.sql import Window
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
+        write_foreach_batch_batchdir_overwrite,
+    )
+
+    # 3 ts-ordered chunks with distinct mtimes so the file source replays
+    # them in order → arrival order == ts order, making the per-event batch
+    # comparison exact. Chunk boundaries cut straight through sessions.
+    ev = load_table(spark, sf_small, "events")
+    n = ev.count()
+    per = (n + 2) // 3
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("_rn", F.row_number().over(w))
+
+    def stage(i: int, src) -> None:
+        (
+            chunked.filter(
+                (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+            )
+            .drop("_rn")
+            .coalesce(1)
+            .write.parquet(str(src / f"f{i}"))
+        )
+        _time.sleep(1.1)
+
+    src = tmp_path / "kr_src"
+    src.mkdir()
+    stage(0, src)
+    stage(1, src)
+
+    out_dir, ckpt = str(tmp_path / "kr_out"), str(tmp_path / "kr_ckpt")
+    schema = spark.read.parquet(str(src / "f0")).schema
+
+    def run_to_termination():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        sess = sessionize_stream(stream.withWatermark("ts", "60 seconds"))
+        q = (
+            write_foreach_batch_batchdir_overwrite(sess, out_dir, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240), "availableNow run must terminate"
+        dl = _time.time() + 60
+        while spark.streams.active:  # checkpoint deregistration is async
+            assert _time.time() < dl, "query did not deregister"
+            _time.sleep(0.3)
+
+    # Phase 1: process files 0-1, terminate with sessions still open.
+    run_to_termination()
+    n_committed = len(_glob.glob(f"{ckpt}/commits/[0-9]*"))
+    assert n_committed >= 2
+
+    # Phase 2: more data arrives after the kill; resume from checkpoint.
+    stage(2, src)
+    run_to_termination()
+    commits = sorted(
+        _glob.glob(f"{ckpt}/commits/[0-9]*"), key=lambda p: int(os.path.basename(p))
+    )
+    assert len(commits) >= 3  # one per staged file
+
+    # Phase 3: crash in the at-least-once window — newest commit vanishes.
+    # (Also drop Hadoop ChecksumFileSystem's .crc sibling: a stale checksum
+    # makes the replayed commit's atomic rename fail as a bogus
+    # "multiple streaming queries" conflict.)
+    last_batch = int(os.path.basename(commits[-1]))
+    os.remove(commits[-1])
+    crc = f"{os.path.dirname(commits[-1])}/.{last_batch}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    replay_dir = f"{out_dir}/batch_id={last_batch}"
+    mtime_before = max(
+        os.path.getmtime(p) for p in _glob.glob(f"{replay_dir}/*.parquet")
+    )
+    run_to_termination()
+    mtime_after = max(
+        os.path.getmtime(p) for p in _glob.glob(f"{replay_dir}/*.parquet")
+    )
+    assert mtime_after > mtime_before, "batch was not actually replayed"
+
+    # Zero dupes, nothing lost: output ≡ batch sessionize, event for event.
+    got = _norm(
+        spark.read.parquet(out_dir)
+        .select("event_id", "session_id", "duration")
+        .toPandas()
+    )
+    expected = _norm(
+        sessionize(ev).select("event_id", "session_id", "duration").toPandas()
+    )
+    assert len(got) == n == len(expected)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
 def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     """Stream-stream inner join with time bounds must produce exactly the
     pairs the equivalent batch join produces on the same bounded input."""
