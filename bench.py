@@ -43,6 +43,11 @@ HEADLINE = [
     "asof_clicks_views",
     "latest_event_per_user",
     "time_bucket_rollup",
+    # skew + range-join + pipeline families (regression visibility)
+    "salted_skew_join",
+    "range_join_error_windows",
+    "pack_sequences",
+    "contamination_ngram_overlap",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -91,26 +96,36 @@ def main() -> None:
     force(sustained)
     sustained_eps = round(n_big / (time.perf_counter() - t0))
 
-    # Streaming path: availableNow replay of sf events through the
-    # applyInPandasWithState per-event sessionizer (the reference's actual
-    # runtime shape) — throughput of the stateful operator incl. state
-    # store, micro-batch planning, and the Arrow state channel.
+    # Streaming path: SUSTAINED throughput of the applyInPandasWithState
+    # per-event sessionizer (the reference's actual runtime shape) — the
+    # same 10× replication (1 M events, 1500 keys) split into 4 files →
+    # 4 micro-batches, so per-batch fixed costs amortize and steady state
+    # is measurable. Two numbers: wall-clock (incl. startup + planning) and
+    # steady-state (rows ÷ Σ triggerExecution over data batches — what an
+    # always-on deployment sustains). Single-batch sf0.1 (~17 k ev/s in r1)
+    # was fixed-cost-dominated and is superseded by these.
+    #
+    # Measured context (local[32], documented in SURVEY §8): the bottleneck
+    # is the per-group Arrow state channel (~2-3 ms/group/batch: 150-key
+    # input runs 1.6× faster than 1500-key at identical rows); per-core
+    # throughput peaks at ~3 k ev/s on local[4] vs the reference's 6 k/s
+    # per subtask design assumption (SessionizeGroupMapFunction.scala:99).
+    import json as _json
     import shutil
     import tempfile
 
-    from flink_realtime_sessionize_sample_spark.streaming import (
-        build_events_file_stream,
-        sessionize_stream,
-    )
+    from flink_realtime_sessionize_sample_spark.streaming import sessionize_stream
 
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         src = f"{tmp}/src"
-        import os as _os
-
-        _os.makedirs(src)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
-        stream = build_events_file_stream(spark, src)
+        stream_input = big.select("user_id", "ts", "event_id")
+        stream_input.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
         t0 = time.perf_counter()
         q = (
             sessionize_stream(stream.withWatermark("ts", "60 seconds"))
@@ -120,10 +135,37 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(300), "streaming replay must terminate"
-        streaming_eps = round(n_events / (time.perf_counter() - t0))
+        assert q.awaitTermination(600), "streaming replay must terminate"
+        streaming_wall = time.perf_counter() - t0
+        progress = [_json.loads(p.json) for p in q.recentProgress]
+        data_batches = [p for p in progress if p["numInputRows"] > 0]
+        rows_done = sum(p["numInputRows"] for p in data_batches)
+        proc_sec = sum(p["durationMs"]["triggerExecution"] for p in data_batches) / 1000
+        streaming_eps = round(n_big / streaming_wall)
+        streaming_steady_eps = round(rows_done / proc_sec) if proc_sec else None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # Scale smoke: the heaviest LLM operator (MinHash-LSH dedup: signatures
+    # + banded self-join + verify) at 10× the sf0.1 corpus with distinct
+    # ids per copy. Near-linear wall-time growth (ratio ≲ 2× of linear)
+    # certifies the candidate-join plan holds under AQE as data grows —
+    # the 100 TB question asked at the scale this box can host.
+    from flink_realtime_sessionize_sample_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    docs_10x = docs.withColumn(
+        "_c", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select((F.col("doc_id") + F.col("_c") * 10_000_000).alias("doc_id"), "text")
+    force(minhash_lsh_pairs(docs, threshold=0.5))  # warm 1x
+    t0 = time.perf_counter()
+    force(minhash_lsh_pairs(docs, threshold=0.5))
+    t_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(minhash_lsh_pairs(docs_10x, threshold=0.5))
+    t_10x = time.perf_counter() - t0
+    scale_ratio_vs_linear = round(t_10x / (10 * t_1x), 3)
 
     print(
         json.dumps(
@@ -135,7 +177,13 @@ def main() -> None:
                 "sf": sf_dir,
                 "events_per_sec_sessionize": events_per_sec,
                 "events_per_sec_sessionize_sustained_10x": sustained_eps,
-                "events_per_sec_sessionize_streaming": streaming_eps,
+                "events_per_sec_sessionize_streaming_1m_wall": streaming_eps,
+                "events_per_sec_sessionize_streaming_steady": streaming_steady_eps,
+                "streaming_data_batches": len(data_batches),
+                "scale_smoke_minhash_docs": n_docs,
+                "scale_smoke_minhash_1x_sec": round(t_1x, 3),
+                "scale_smoke_minhash_10x_sec": round(t_10x, 3),
+                "scale_smoke_10x_ratio_vs_linear": scale_ratio_vs_linear,
             }
         )
     )

@@ -42,7 +42,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -66,10 +65,16 @@ _STATE_SCHEMA = StructType(
 STATE_TTL_MS = MAX_SESSION_DURATION_SECONDS * 1000  # 12 h, :93-104
 
 
-def _output_schema(key_field, carry_fields: list) -> StructType:
+def _inner_schema(carry_fields: list) -> StructType:
+    # The Python kernel emits the NUMERIC session start (micros); the
+    # session_id string is concatenated JVM-side (codegen) — per-row string
+    # formatting in pandas measured ~10% of kernel time in the batch twin.
     return StructType(
         list(carry_fields)
-        + [StructField("session_id", StringType()), StructField("duration", IntegerType())]
+        + [
+            StructField("session_start_us", LongType()),
+            StructField("duration", IntegerType()),
+        ]
     )
 
 
@@ -101,8 +106,8 @@ def sessionize_stream(
     """
     tiebreakers = list(tiebreakers)
     carry = [f for f in df.schema.fields]
-    out_schema = _output_schema(key, carry)
-    out_cols = [f.name for f in carry] + ["session_id", "duration"]
+    inner_schema = _inner_schema(carry)
+    out_cols = [f.name for f in carry] + ["session_start_us", "duration"]
     key_col, ts_col = key, ts
 
     def fn(
@@ -118,8 +123,6 @@ def sessionize_stream(
             state.remove()
             return
         st = state.get if state.exists else None  # (start_us, first, last, count)
-        keyv = key_tuple[0]
-        key_str = str(keyv)
 
         def pack_fresh(sec, us):
             """Vectorized cut chain assuming row 0 OPENS a session
@@ -199,21 +202,20 @@ def sessionize_stream(
                 row_fu[j0:] = fu_t
                 row_dur[j0:] = dur_t
 
-            out = pdf.copy()
-            out["session_id"] = key_str + "-" + pd.Series(
-                row_fu, index=pdf.index
-            ).astype(str)
-            out["duration"] = pd.array(row_dur, dtype="int32")
-            yield out[out_cols]
+            # sort_values already returned a private copy — assign in place
+            # (a further pdf.copy() here measured as pure waste).
+            pdf["session_start_us"] = row_fu
+            pdf["duration"] = pd.array(row_dur, dtype="int32")
+            yield pdf[out_cols]
 
         if st is not None:
             state.update(tuple(st))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
 
-    return df.groupBy(key_col).applyInPandasWithState(
+    inner = df.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=out_schema,
+        outputStructType=inner_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode=output_mode,
         timeoutConf=(
@@ -221,6 +223,16 @@ def sessionize_stream(
             if state_ttl_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+    # "{key}-{session_start_us}" ≙ SessionizeGroupMapFunction.scala:107's
+    # "{ip}-{first timestamp}" id format — built in codegen, not pandas.
+    from pyspark.sql import functions as F
+
+    return inner.select(
+        *[f.name for f in carry],
+        F.concat_ws("-", F.col(key_col).cast("string"),
+                    F.col("session_start_us").cast("string")).alias("session_id"),
+        "duration",
     )
 
 
