@@ -575,6 +575,181 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_repetition_signals",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i + 1]) AS bi,
+         list_transform(range(1, greatest(len(t) - 1, 1)), i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tri
+  FROM tok WHERE len(t) >= 3
+),
+bg AS (
+  SELECT doc_id, g FROM base, unnest(bi) AS u(g)
+),
+bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+),
+top AS (
+  SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+  FROM bgc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n_tokens::BIGINT AS n_tokens,
+       round(1.0 - len(list_distinct(b.tri))::DOUBLE / len(b.tri), 6) AS dup_trigram_frac,
+       t.top_bigram_count::BIGINT AS top_bigram_count,
+       round(t.top_bigram_count::DOUBLE / t.n_bigrams, 6) AS top_bigram_frac
+FROM base b JOIN top t ON b.doc_id = t.doc_id
+""",
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae+ 2021 §A1.1, adapted to
+    unstructured text): duplicate-trigram fraction and most-frequent-bigram
+    fraction — the standard filters for boilerplate / degenerate repetition
+    in LLM training corpora.
+
+    Scale shape: the trigram-dup fraction is a pure per-row expression
+    (array_distinct over the trigram list, no shuffle). The top-bigram
+    fraction needs a per-(doc, gram) count, computed the distributed way —
+    explode → two-level hash aggregate keyed (doc_id, gram) then (doc_id)
+    — NOT a per-row O(n²) higher-order-function scan (interpreted HOFs
+    measured ~100× slower than codegen; see operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.withColumn("t", F.expr(_TOKS_S))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+            ).alias("bi"),
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', "
+                "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+            ).alias("tri"),
+        )
+    )
+    per_row = base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0 - F.size(F.array_distinct("tri")).cast("double") / F.size("tri"), 6
+        ).alias("dup_trigram_frac"),
+    )
+    top = (
+        base.select("doc_id", F.explode_outer("bi").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    return per_row.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_trigram_frac",
+        F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+        F.round(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+ex AS (SELECT doc_id, w FROM tok, unnest(t) AS u(w)),
+vocab AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM vocab),
+scored AS (
+  SELECT e.doc_id, ln(v.c::DOUBLE / t.n) AS lp
+  FROM ex e JOIN vocab v ON e.w = v.w CROSS JOIN tot t
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model scoring (the CCNet/CC-100-style
+    perplexity filter, with the corpus itself as the LM): per-document mean
+    token log-probability under the corpus unigram distribution — low
+    scores flag gibberish / rare-token soup.
+
+    Scale shape: one explode + hash-agg builds the vocab (a side table
+    ~|vocab| rows, broadcast when it fits — here it always does); scoring
+    is a broadcast equi join on the token and one per-doc average. The
+    corpus shuffles once (the explode), never per-query-term."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+    vocab = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        ex.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+@query(
+    "embedding_mean_pool",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id // 10 AS group_id, i AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings, range(1, 65) r(i)
+),
+pooled AS (
+  SELECT group_id, pos, avg(v) AS mv FROM ex GROUP BY group_id, pos
+),
+counts AS (
+  SELECT vec_id // 10 AS group_id, count(*) AS n_vectors FROM embeddings GROUP BY 1
+)
+SELECT p.group_id,
+       c.n_vectors::BIGINT AS n_vectors,
+       string_agg(cast(round(mv * 1000000) AS BIGINT)::VARCHAR, ',' ORDER BY pos) AS pooled_micro_csv
+FROM pooled p JOIN counts c ON p.group_id = c.group_id
+GROUP BY p.group_id, c.n_vectors
+""",
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding mean-pooling: average groups of 10 chunk
+    vectors into one pooled vector (the standard long-document embedding
+    recipe). posexplode → (group, dim) hash aggregate → ordered re-assembly
+    — all codegen, one narrow shuffle of (group, dim, value) rows; works
+    for any dim count without per-dim column surgery. Values are emitted as
+    integer micro-units CSV (engine-neutral stringification)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") / 10).cast("long").alias("group_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    )
+    pooled = ex.groupBy("group_id", "pos0").agg(F.avg("v").alias("mv"))
+    counts = emb.groupBy((F.col("vec_id") / 10).cast("long").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    assembled = pooled.groupBy("group_id").agg(
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos0, mv))), "
+                "s -> cast(round(s.mv * 1000000) as bigint))"
+            ),
+        ).alias("pooled_micro_csv")
+    )
+    return counts.join(assembled, "group_id").select(
+        "group_id", "n_vectors", "pooled_micro_csv"
+    )
+
+
 # --- multimodal -----------------------------------------------------------
 
 
@@ -860,4 +1035,93 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("top_ratio", 6).alias("top_ratio"),
         "pred_lang",
+    )
+
+
+# The connected-components tail re-expressed as a CTE (everything up to the
+# final SELECT) so the corpus-selection oracle can join clusters against the
+# quality gates.
+_CLUSTERS_CTE_PREFIX_D = _CLUSTER_TAIL_D.rsplit("SELECT node AS doc_id", 1)[0]
+_CLUSTERS_CTE_D = (
+    _CLUSTERS_CTE_PREFIX_D
+    + ", clusters AS (SELECT node AS doc_id, MIN(lab) AS canonical_doc_id "
+    "FROM reach GROUP BY node)"
+)
+
+
+@query(
+    "corpus_selection_pipeline",
+    oracle=(
+        _DOC_SHINGLES_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+        + _CLUSTERS_CTE_D
+        + f"""
+, ex2 AS (SELECT doc_id, unnest(t) AS tk FROM tok WHERE len(t) > 0),
+cnt2 AS (SELECT doc_id, tk, count(*) AS c FROM ex2 GROUP BY doc_id, tk),
+rep2 AS (SELECT doc_id, sum(c) AS n_tokens, max(c)::DOUBLE / sum(c) AS top_ratio
+         FROM cnt2 GROUP BY doc_id),
+lid2 AS (
+  SELECT doc_id,
+         {_langid_case('men', 'mde', 'mfr', 'mes', f"regexp_matches(text, '{_CJK}')")} AS pred_lang
+  FROM (
+    SELECT doc_id, text,
+           {T.marker_score_duck('t', 'en')} AS men, {T.marker_score_duck('t', 'de')} AS mde,
+           {T.marker_score_duck('t', 'fr')} AS mfr, {T.marker_score_duck('t', 'es')} AS mes
+    FROM tok
+  )
+),
+qual AS (
+  SELECT r.doc_id,
+         CASE
+           WHEN r.n_tokens < {_QF_MIN_TOKENS} THEN 'too_short'
+           WHEN r.top_ratio > {_QF_MAX_TOP_RATIO} THEN 'repetitive'
+           WHEN l.pred_lang = 'und' THEN 'lang_unknown'
+           ELSE 'keep'
+         END AS verdict
+  FROM rep2 r JOIN lid2 l ON r.doc_id = l.doc_id
+)
+SELECT q.doc_id,
+       CASE WHEN q.verdict <> 'keep' THEN q.verdict
+            WHEN c.canonical_doc_id IS NOT NULL AND c.canonical_doc_id <> q.doc_id
+              THEN 'near_dup'
+            ELSE 'keep' END AS verdict,
+       coalesce(c.canonical_doc_id, q.doc_id)::BIGINT AS canonical_doc_id,
+       (q.verdict = 'keep' AND (c.canonical_doc_id IS NULL OR c.canonical_doc_id = q.doc_id)) AS kept
+FROM qual q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+"""
+    ),
+)
+def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus selection pass — what a data team
+    actually ships: C4-style quality gates (length → repetition → language)
+    composed with corpus-level near-dup dedup (MinHash-LSH pairs →
+    connected components → keep only cluster canonicals). Per-doc verdict
+    with the FIRST failing gate (quality gates outrank the dedup gate) and
+    a final ``kept`` boolean.
+
+    Plan shape at scale: the quality side is one explode→two-level agg +
+    narrow per-row language scoring; the dedup side is the banded LSH
+    equi-join + star-contraction rounds — the two pipelines share the scan
+    and join once on doc_id at the end. No all-pairs work anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = quality_filter_pipeline(spark, sf_dir).select("doc_id", "verdict")
+    clusters = D.near_dup_clusters(docs, threshold=0.5)
+    verdict = (
+        F.when(F.col("verdict") != "keep", F.col("verdict"))
+        .when(
+            F.col("canonical_doc_id").isNotNull()
+            & (F.col("canonical_doc_id") != F.col("doc_id")),
+            "near_dup",
+        )
+        .otherwise("keep")
+    )
+    kept = (F.col("verdict") == "keep") & (
+        F.col("canonical_doc_id").isNull()
+        | (F.col("canonical_doc_id") == F.col("doc_id"))
+    )
+    return quality.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.coalesce("canonical_doc_id", "doc_id").cast("long").alias("canonical_doc_id"),
+        kept.alias("kept"),
     )
