@@ -13,7 +13,7 @@ the oracle side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.plans.registry import query
@@ -428,6 +428,74 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("h").alias("hour_us"),
         "n_events",
         "sum_value_r",
+    )
+
+
+@query(
+    "gap_fill_hourly",
+    oracle="""
+WITH b AS (
+  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS h_us,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value_r
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+spanq AS (
+  SELECT user_id, min(h_us) AS lo, max(h_us) AS hi FROM b GROUP BY user_id
+),
+dense AS (
+  SELECT s.user_id, g.h_us
+  FROM spanq s, unnest(range(s.lo, s.hi + 1, 3600000000)) AS g(h_us)
+)
+SELECT d.user_id,
+       d.h_us AS hour_us,
+       coalesce(b.n_events, 0)::BIGINT AS n_events,
+       (b.n_events IS NULL) AS was_gap,
+       round(last_value(b.sum_value_r IGNORE NULLS) OVER (
+         PARTITION BY d.user_id ORDER BY d.h_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS sum_value_locf
+FROM dense d LEFT JOIN b ON d.user_id = b.user_id AND d.h_us = b.h_us
+""",
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the timescale/hypertable `time_bucket_gapfill`
+    capability): densify each user's hourly timeline between their first and
+    last event, zero-fill counts, and carry the last observed value forward
+    (LOCF) across the gaps.
+
+    Scale shape: the dense timeline is generated per key with
+    ``sequence()`` + explode — expansion bounded by span/bucket, never a
+    cross join against a global calendar; the LOCF is one running window
+    over the already-aggregated (key, bucket) rows, so the raw events
+    shuffle exactly once (the hourly aggregate). Keyed to user_id < 20 to
+    keep the demo span bounded at any sf."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    b = ev.groupBy(
+        "user_id", F.unix_micros(F.date_trunc("hour", "ts")).alias("h_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value_r"),
+    )
+    span = b.groupBy("user_id").agg(F.min("h_us").alias("lo"), F.max("h_us").alias("hi"))
+    dense = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, 3600000000)")).alias("h_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(b, ["user_id", "h_us"], "left")
+        .select(
+            "user_id",
+            F.col("h_us").alias("hour_us"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_events").isNull().alias("was_gap"),
+            F.round(F.last("sum_value_r", ignorenulls=True).over(w), 6).alias(
+                "sum_value_locf"
+            ),
+        )
     )
 
 

@@ -766,6 +766,44 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "balance_band_reconciliation",
+    oracle="""
+WITH c AS (SELECT floor(c_acctbal / 1000)::BIGINT AS band, count(*) AS n_cust
+           FROM customer GROUP BY 1),
+s AS (SELECT floor(s_acctbal / 1000)::BIGINT AS band, count(*) AS n_supp
+      FROM supplier GROUP BY 1)
+SELECT coalesce(c.band, s.band)::BIGINT AS band,
+       coalesce(c.n_cust, 0)::BIGINT AS n_cust,
+       coalesce(s.n_supp, 0)::BIGINT AS n_supp,
+       (c.band IS NULL OR s.band IS NULL) AS one_sided
+FROM c FULL OUTER JOIN s ON c.band = s.band
+""",
+)
+def balance_band_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation — the audit-join shape (which bands
+    exist on one side only?). Joins two already-aggregated dim-sized
+    inputs, so the outer join is cheap regardless of fact-table scale; the
+    null-padding from both directions is genuinely exercised (supplier
+    bands are sparser than customer bands at every sf)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.floor(F.col("c_acctbal") / 1000).alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.floor(F.col("s_acctbal") / 1000).alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "band", "full_outer").select(
+        F.col("band").cast("long").alias("band"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_supp"),
+        (F.col("n_cust").isNull() | F.col("n_supp").isNull()).alias("one_sided"),
+    )
+
+
+@query(
     "approx_price_quantiles",
     oracle="""
 SELECT l_returnflag,
