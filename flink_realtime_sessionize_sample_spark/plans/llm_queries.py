@@ -658,6 +658,93 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BP_W = 10  # boilerplate window width in tokens
+
+
+def _win_concat_spark(t: str, w: int) -> str:
+    parts = ", ".join(f"element_at({t}, i + {j})" for j in range(w))
+    return f"concat_ws(' ', {parts})"
+
+
+def _win_concat_duck(t: str, w: int) -> str:
+    return " || ' ' || ".join(f"{t}[i + {j}]" for j in range(w))
+
+
+@query(
+    "doc_boilerplate_overlap",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+base AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - {_BP_W - 2}, 1)),
+                        i -> {T.h48_duck(f"({_win_concat_duck('t', _BP_W)})")}) AS whs
+  FROM tok WHERE len(t) >= {_BP_W}
+),
+ex AS (SELECT DISTINCT doc_id, wh FROM base, unnest(whs) AS u(wh)),
+cnt AS (SELECT wh, count(*) AS nd FROM ex GROUP BY wh),
+per AS (
+  SELECT e.doc_id,
+         count(*) AS n_windows,
+         count(*) FILTER (c.nd >= 2) AS n_shared
+  FROM ex e JOIN cnt c ON e.wh = c.wh GROUP BY e.doc_id
+)
+SELECT doc_id, n_windows::BIGINT AS n_windows, n_shared::BIGINT AS n_shared,
+       round(n_shared::DOUBLE / n_windows, 6) AS shared_frac
+FROM per
+""",
+)
+def doc_boilerplate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the exact-substring-dedup
+    signal of Lee+ 2022 "Deduplicating Training Data Makes Language Models
+    Better", at fixed {W}-token granularity): for each document, the
+    fraction of its distinct 10-token windows that appear verbatim in at
+    least one OTHER document — high fractions flag templated/boilerplate
+    text that per-document near-dup metrics miss.
+
+    Scale shape: windows are hashed per-row to 48-bit ints (no strings
+    shuffle), exploded once; sharing counts are one hash aggregate on the
+    window hash; the join back is an equi join on the same key — shuffle
+    volume is O(total windows), never pairwise. A window appearing in N
+    docs costs N rows, not N² pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.withColumn("t", F.expr(_TOKS_S))
+        .filter(F.size("t") >= _BP_W)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(t) - "
+                + str(_BP_W - 1)
+                + "), i -> "
+                + T.h48_spark("(" + _win_concat_spark("t", _BP_W) + ")")
+                + ")"
+            ).alias("whs"),
+        )
+    )
+    ex = (
+        base.select("doc_id", F.explode_outer("whs").alias("wh"))
+        .filter(F.col("wh").isNotNull())
+        .distinct()
+    )
+    cnt = ex.groupBy("wh").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        ex.join(cnt, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(F.col("n_shared").cast("double") / F.col("n_windows"), 6).alias(
+            "shared_frac"
+        ),
+    )
+
+
 @query(
     "doc_unigram_logprob",
     oracle=f"""
