@@ -79,6 +79,53 @@ def cosine_topk(
     )
 
 
+def knn_join_cosine(
+    emb: DataFrame,
+    k: int = 3,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-NN JOIN: top-k cosine neighbors for EVERY corpus vector.
+
+    This is the shape ``cosine_topk`` cannot take at scale: when the query
+    set IS the corpus, the query side is no longer broadcastable, so the
+    plan must be a **shuffle-shuffle equi join on the LSH bucket** — both
+    sides hash-partition by the sign-bit bucket of the first ``nbits``
+    dims, and only same-bucket pairs are scored. Scored pairs drop from
+    N² to Σ|bucket|², and every stage (bucketing, join, per-query top-k)
+    is embarrassingly parallel: no broadcast, no driver state, no
+    all-pairs. At 100 TB you'd raise ``nbits`` (and/or add multi-table
+    OR-amplification) to keep buckets bounded; the single-table variant
+    keeps the DuckDB oracle deterministic.
+
+    Output: (query_id, neighbor_id, rank, cosine) — neighbors limited to
+    same-bucket candidates, cosine rounded to 6dp before ranking with
+    neighbor id as tiebreaker (engine-reproducible ordering).
+    """
+    c = _with_norm(fan_out(emb), vec_col, id_col, "c").withColumn(
+        "bucket", F.expr(T.sign_bucket_spark("c_v", nbits))
+    )
+    q = _with_norm(emb, vec_col, id_col, "q").withColumn(
+        "bucket", F.expr(T.sign_bucket_spark("q_v", nbits))
+    )
+    cos = F.expr(T.dot_spark("c_v", "q_v")) / (F.col("c_nrm") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        c.join(q, "bucket")  # deliberate non-broadcast self equi-join
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -1212,3 +1212,136 @@ def corpus_selection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("canonical_doc_id", "doc_id").cast("long").alias("canonical_doc_id"),
         kept.alias("kept"),
     )
+
+
+# --- round-3 additions ------------------------------------------------------
+
+
+@query(
+    "doc_unigram_entropy",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_D}) AS w FROM documents),
+wc AS (SELECT doc_id, w, count(*)::DOUBLE AS c FROM tok GROUP BY doc_id, w),
+tot AS (SELECT doc_id, sum(c) AS n, count(*) AS vocab FROM wc GROUP BY doc_id)
+SELECT t.doc_id,
+       t.n::BIGINT AS n_tokens,
+       t.vocab::BIGINT AS n_distinct,
+       round(-sum((wc.c / t.n) * ln(wc.c / t.n)), 6) AS entropy
+FROM wc JOIN tot t ON wc.doc_id = t.doc_id
+GROUP BY t.doc_id, t.n, t.vocab
+""",
+)
+def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (word-frequency) Shannon entropy — the classic
+    repetitiveness/quality signal (low entropy = templated or repeated
+    text; used as a Gopher-style filter alongside doc_repetition_signals).
+
+    Plan shape at scale: one explode → (doc_id, word) hash agg →
+    (doc_id) hash agg. Both aggregations are map-side combinable and the
+    second shuffle key is strictly coarser than the first, so AQE
+    coalesces it; no window functions, no Python, no broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("_n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("_clogc"),
+        )
+        # -Σ (c/n)·ln(c/n) = ln(n) − (Σ c·ln c)/n — one pass, no second join
+        .select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            F.round(F.log(F.col("_n")) - F.col("_clogc") / F.col("_n"), 6).alias("entropy"),
+        )
+    )
+
+
+@query(
+    "embedding_knn_join",
+    oracle=f"""
+WITH c0 AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+c AS (SELECT *, {T.sign_bucket_duck('v')} AS bucket FROM c0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS cosine
+  FROM c JOIN c q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk::INT AS rnk, cosine FROM r WHERE rnk <= 3
+""",
+)
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-3 cosine neighbors for EVERY corpus vector via a
+    non-broadcast LSH-bucketed self equi-join — the query-set-IS-the-corpus
+    shape where `ann_cosine_topk`'s broadcast plan stops applying
+    (operators/similarity.py:knn_join_cosine has the full scale analysis)."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import knn_join_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_join_cosine(emb, k=3, nbits=4)
+    return out.withColumnRenamed("rank", "rnk").select(
+        "query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"), "cosine"
+    )
+
+
+@query(
+    "doc_tfidf_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_D}) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, w),
+docfreq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         round(tf.c * ln(n.n_docs / docfreq.df), 6) AS tfidf
+  FROM tf JOIN docfreq ON tf.w = docfreq.w CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, w AS term, rnk::INT AS rnk, tfidf FROM r WHERE rnk <= 3
+""",
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (tf = raw count, idf =
+    ln(N/df)) — the keyword-extraction / relevance-scoring primitive.
+
+    Plan shape at scale: explode → (doc, term) hash agg (tf) → (term)
+    hash agg (df) → tf⋈df equi-join on term → per-doc top-k window. The
+    df table is |vocab| rows, which at web scale is billions — so the
+    join carries NO broadcast hint; AQE broadcasts when the measured size
+    is small and falls back to a shuffle join when it isn't (the same
+    scale contract as doc_unigram_logprob). The corpus-size scalar N is
+    the only crossJoin, one row, broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w").asc())
+    return (
+        tf.join(docfreq, "w")  # no hint: AQE picks broadcast iff vocab is small
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("c") * F.log(F.col("n_docs") / F.col("df")), 6))
+        .withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), F.col("rnk").cast("int").alias("rnk"), "tfidf")
+    )

@@ -218,6 +218,51 @@ def sessionize_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qn)
 
 
+@query(
+    "sessionize_bucketed",
+    oracle=_SESSIONIZE_CTE + """
+SELECT event_id, user_id, session_id, duration FROM sessionized
+""",
+)
+def sessionize_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 STREAMING formulation with the reference's COARSE-KEY state
+    layout, oracle-checked: ``sessionize_stream_bucketed`` groups by
+    ``pmod(xxhash64(user_id), N)`` (≙ ``Sessionize.scala:5``'s
+    ``hashCode % 1200``) and keeps a per-user map within each bucket
+    (≙ ``SessionizeGroupMapFunction.scala:13``'s
+    ``MapState[ip, SessionState]``), amortizing the per-group Arrow
+    exchange over all of a bucket's users. Must produce exactly the same
+    sessions as the per-user path, the batch kernel, and the
+    recursive-CTE oracle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_realtime_sessionize_sample_spark.streaming import (
+        build_events_file_stream,
+        sessionize_stream_bucketed,
+    )
+
+    qn = f"sessionize_bucketed_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix="sess_bucketed_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = build_events_file_stream(spark, src)
+    out = sessionize_stream_bucketed(stream.withWatermark("ts", "60 seconds")).select(
+        "event_id", "user_id", "session_id", "duration"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:  # pragma: no cover — defensive: never leak a query
+        q.stop()
+    return spark.table(qn)
+
+
 # --- parse path (P1/P2): render events into the reference's 15-field wire
 # format, then parse back; malformed (14-field) lines must be dropped. ---
 

@@ -37,6 +37,11 @@ _DEFAULTS = {
     # micros-truncated TimestampType in the table registry (DuckDB's own
     # TIMESTAMP type truncates ns→us the same way).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet TIMESTAMP(MICROS) (current testdata) reads as
+    # TimestampType, not TIMESTAMP_NTZ — with the UTC session tz this is
+    # value-identical to DuckDB's naive interpretation, and keeps
+    # unix_micros()/withWatermark() working on the ts column.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Shuffle compression etc. are already-sane defaults; we leave them.
     "spark.ui.enabled": "false",
 }

@@ -29,13 +29,26 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type and
-        # refuses the file unless nanos are surfaced as LongType. Runtime-set
-        # so the conf holds even under a caller-provided SparkSession (the
-        # driver builds its own).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp normalization, applied uniformly so column types never
+    # depend on table-load order within a session: events.ts arrived as
+    # parquet TIMESTAMP(NANOS) in earlier testdata generations (Spark has no
+    # nanos type and refuses the file unless nanos surface as LongType) and
+    # as naive TIMESTAMP(MICROS) in the current one (which Spark would
+    # otherwise infer as TIMESTAMP_NTZ — a type ``unix_micros``/watermarks
+    # reject). Both confs are runtime-set so they hold even under a
+    # caller-provided SparkSession (the driver builds its own). Session tz
+    # is pinned UTC, so reading naive micros as TimestampType(LTZ) is
+    # exactly DuckDB's interpretation of the same values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Pin UTC even under a caller-provided session: naive parquet micros
+    # read as LTZ are then value-identical to DuckDB's naive interpretation
+    # in every tz-dependent expression (date_trunc, casts, formatting).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Defensive: schema captured before the conf took effect.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos LongType.
     # Truncate to micros (exactly DuckDB's ns→us behavior) and restore a real

@@ -1,6 +1,9 @@
 """Structured Streaming: per-event stateful sessionization, sources, sinks."""
 
-from flink_realtime_sessionize_sample_spark.streaming.sessionize_stream import sessionize_stream
+from flink_realtime_sessionize_sample_spark.streaming.sessionize_stream import (
+    sessionize_stream,
+    sessionize_stream_bucketed,
+)
 from flink_realtime_sessionize_sample_spark.streaming.sessionize_tws import sessionize_stream_tws
 from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
     build_events_file_stream,
@@ -19,6 +22,7 @@ from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
 
 __all__ = [
     "sessionize_stream",
+    "sessionize_stream_bucketed",
     "sessionize_stream_tws",
     "build_events_file_stream",
     "build_kafka_line_source",

@@ -37,11 +37,14 @@ WATERMARK_DELAY = "60 seconds"  # W1: RealtimeSessionize.scala:131
 def build_events_file_stream(spark: SparkSession, path: str, schema=None, max_files_per_trigger: int | None = None) -> DataFrame:
     """S2 analog: file-replay source of the events table (parquet dir/glob).
 
-    Applies the same nanos-ts normalization as ``sources.registry.load_table``
-    (the driver's events.ts is parquet TIMESTAMP(NANOS); Spark surfaces it as
-    epoch-nanos LongType under ``nanosAsLong``, which we truncate to micros
-    and restore to TimestampType)."""
+    Applies the same ts normalization as ``sources.registry.load_table``:
+    TIMESTAMP(NANOS) parquet (earlier testdata generations) surfaces as
+    epoch-nanos LongType under ``nanosAsLong`` and is truncated to micros;
+    naive TIMESTAMP(MICROS) (current generation) is read as TimestampType
+    via ``inferTimestampNTZ=false`` (session tz is pinned UTC)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
         schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
@@ -55,6 +58,8 @@ def build_events_file_stream(spark: SparkSession, path: str, schema=None, max_fi
                 for c in df.columns
             ]
         )
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

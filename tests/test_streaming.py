@@ -64,6 +64,84 @@ def test_stream_matches_batch_per_event(spark, sf_small, tmp_path):
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
 
 
+def test_bucketed_stream_matches_batch_per_event(spark, sf_small, tmp_path):
+    """sessionize_stream_bucketed (coarse-key MapState layout ≙
+    Sessionize.scala:5 + SessionizeGroupMapFunction.scala:13) ≡ the batch
+    window formulation, event for event."""
+    from flink_realtime_sessionize_sample_spark.streaming import sessionize_stream_bucketed
+
+    batch = load_table(spark, sf_small, "events")
+    expected = _norm(
+        sessionize(batch).select("event_id", "session_id", "duration").toPandas()
+    )
+
+    stream = build_events_file_stream(spark, _stage_events_dir(sf_small, tmp_path))
+    out = sessionize_stream_bucketed(stream.withWatermark("ts", "60 seconds"))
+    q = (
+        out.selectExpr("event_id", "session_id", "duration")
+        .writeStream.format("memory")
+        .queryName("sess_bucketed_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow replay must terminate"
+    got = _norm(spark.sql("select * from sess_bucketed_test").toPandas())
+
+    assert len(got) == len(expected)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_bucketed_stream_multibatch_state_carry(spark, sf_small, tmp_path):
+    """The bucketed per-user state map must carry open sessions across
+    micro-batch boundaries: 3 ts-ordered chunks replayed one file per
+    trigger (chunk cuts land mid-session) still equal the batch result
+    event for event."""
+    import time as _time
+
+    from pyspark.sql import Window
+    from flink_realtime_sessionize_sample_spark.streaming import sessionize_stream_bucketed
+
+    ev = load_table(spark, sf_small, "events")
+    n = ev.count()
+    per = (n + 2) // 3
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("_rn", F.row_number().over(w))
+    src = tmp_path / "bkt_mb_src"
+    src.mkdir()
+    for i in range(3):
+        (
+            chunked.filter((F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per))
+            .drop("_rn")
+            .coalesce(1)
+            .write.parquet(str(src / f"f{i}"))
+        )
+        _time.sleep(1.1)  # distinct mtimes → replay in ts order
+
+    schema = spark.read.parquet(str(src / "f0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        sessionize_stream_bucketed(stream.withWatermark("ts", "60 seconds"))
+        .selectExpr("event_id", "session_id", "duration")
+        .writeStream.format("memory")
+        .queryName("sess_bucketed_mb_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "availableNow replay must terminate"
+    got = _norm(spark.sql("select * from sess_bucketed_mb_test").toPandas())
+    expected = _norm(
+        sessionize(ev).select("event_id", "session_id", "duration").toPandas()
+    )
+    assert len(got) == n == len(expected)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
 def test_full_pipeline_json_file_sink(spark, sf_small, tmp_path):
     """End-to-end assembly (source → watermark → sessionize → to_json → file
     sink), the reference's RealtimeSessionize.scala:82-178 wiring."""
