@@ -34,7 +34,18 @@ from pyspark.sql.types import LongType, StructField, StructType
 from flink_realtime_sessionize_sample_spark.functions import text as T
 
 DEFAULT_CAPACITY = 128
-DEFAULT_BUCKETS = 16
+# The bucket count is PART OF THE RESULT CONTRACT, not a tuning knob:
+# bin_idx is defined by the deterministic greedy walk WITHIN a bucket, so
+# changing `buckets` changes every (bucket, bin_idx) assignment. It is
+# therefore a fixed constant — never derived from cluster size
+# (defaultParallelism would make the packing non-reproducible across
+# deployments). 256 sizes the default for real clusters: 256 independent
+# walks keep hundreds of executors busy while each walk still packs
+# thousands of docs per bucket at corpus scale (at 100 TB ≈ billions of
+# docs, ~millions per bucket — the Python walk touches only (id, n_tokens)
+# pairs, ~16 bytes/doc). Deployments that need a different granularity pass
+# `buckets` explicitly and record it alongside the output.
+DEFAULT_BUCKETS = 256
 
 
 def pack_next_fit(

@@ -768,16 +768,20 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token log-probability under the corpus unigram distribution — low
     scores flag gibberish / rare-token soup.
 
-    Scale shape: one explode + hash-agg builds the vocab (a side table
-    ~|vocab| rows, broadcast when it fits — here it always does); scoring
-    is a broadcast equi join on the token and one per-doc average. The
-    corpus shuffles once (the explode), never per-query-term."""
+    Scale shape: one explode + hash-agg builds the vocab; scoring is an
+    equi join on the token and one per-doc average. The corpus shuffles
+    once (the explode), never per-query-term. The vocab join deliberately
+    carries NO broadcast hint: at web scale the distinct-token table
+    (typos, numbers, code) is billions of rows, so an unconditional
+    broadcast is a guaranteed OOM — AQE broadcasts when the measured build
+    side is small (it is here) and falls back to a shuffle join when it
+    isn't. Only the 1-row total is explicitly broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
     vocab = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
     scored = (
-        ex.join(F.broadcast(vocab), "w")
+        ex.join(vocab, "w")  # no hint: AQE decides (vocab is unbounded at scale)
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("lp"))
     )

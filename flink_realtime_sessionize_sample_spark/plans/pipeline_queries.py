@@ -371,7 +371,10 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- context-window sequence packing --------------------------------------
 
 _PACK_CAP = 128
-_PACK_BUCKETS = 16
+# The query runs the operator's default bucket count so the driver verifies
+# the contract users actually get; the oracle CTE below interpolates the
+# same constant, keeping both sides in lockstep if the default ever moves.
+from flink_realtime_sessionize_sample_spark.operators.packing import DEFAULT_BUCKETS as _PACK_BUCKETS
 
 
 @query(
@@ -400,10 +403,11 @@ SELECT doc_id, n_tokens, bucket, bin_idx FROM walk
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (operators/packing.py): greedy next-fit into
-    128-token bins within 16 deterministic hash buckets. The sequential walk
-    is replayed exactly by the oracle's recursive CTE — the value-hash match
-    proves bin assignments (not just counts) are reproducible, the property
-    a resumable 100 TB pipeline needs."""
+    128-token bins within DEFAULT_BUCKETS deterministic hash buckets (the
+    bucket count is part of the result contract — see packing.py). The
+    sequential walk is replayed exactly by the oracle's recursive CTE — the
+    value-hash match proves bin assignments (not just counts) are
+    reproducible, the property a resumable 100 TB pipeline needs."""
     from flink_realtime_sessionize_sample_spark.operators.packing import pack_next_fit
 
     docs = load_table(spark, sf_dir, "documents")

@@ -360,6 +360,30 @@ def test_pack_next_fit_capacity_and_determinism(spark):
     assert (over["n"] == 1).all(), "only a lone oversized doc may exceed capacity"
 
 
+def test_pack_bucket_count_invariant_within_bucket(spark):
+    """The bucket count is part of the result contract, but each bucket's
+    walk is SELF-CONTAINED: the docs that land in a bucket under buckets=B
+    get exactly the bin sequence a standalone single-bucket pack of those
+    same docs produces. This is what makes per-bucket walks safe to
+    schedule independently (and re-run idempotently) at any parallelism."""
+    from flink_realtime_sessionize_sample_spark.operators.packing import pack_next_fit
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(1, 1 + cast(id % 37 AS INT)), x -> 'w'), ' ') AS text",
+    )
+    packed = pack_next_fit(docs, capacity=60, buckets=5).toPandas()
+    for bucket in sorted(packed["bucket"].unique()):
+        ids = sorted(packed.loc[packed["bucket"] == bucket, "doc_id"].tolist())
+        sub = docs.filter(F.col("doc_id").isin(ids))
+        solo = pack_next_fit(sub, capacity=60, buckets=1).toPandas()
+        merged = packed[packed["bucket"] == bucket].merge(
+            solo, on="doc_id", suffixes=("_b", "_solo")
+        )
+        assert len(merged) == len(ids)
+        assert (merged["bin_idx_b"] == merged["bin_idx_solo"]).all()
+
+
 def test_approx_percentile_close_to_exact(spark, sf_small):
     """t-digest approx_percentile stays within 1% relative error of the
     exact sort-based percentile on real data."""
