@@ -1349,3 +1349,167 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", F.col("w").alias("term"), F.col("rnk").cast("int").alias("rnk"), "tfidf")
     )
+
+
+@query(
+    "tokenizer_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest({_TOKS_D}) AS w FROM documents)
+  GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, wc
+  FROM words WHERE len(w) >= 2
+),
+agg AS (SELECT pair, sum(wc)::BIGINT AS cnt FROM pairs GROUP BY pair),
+r AS (
+  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rnk FROM agg
+)
+SELECT pair, cnt, rnk::INT AS rnk FROM r WHERE rnk <= 20
+""",
+)
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge round of BPE tokenizer training: corpus-weighted adjacent
+    character-pair frequencies, top-20. The standard loop is (count pairs →
+    merge best → repeat); this is the distributed count step, the part that
+    touches the corpus.
+
+    Plan shape at scale: explode words → (word) hash agg (the corpus
+    collapses to its vocabulary ONCE — all later work is per-word, weighted
+    by wc) → per-word pair explode → (pair) hash agg. The final top-20
+    window is a single-partition sort over the pair vocabulary, which is
+    bounded by |alphabet|² — thousands of rows even at 100 TB, the one
+    place a global window is safe by construction."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+    wnd = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "cnt", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# Winnowing (Schleimer+ 2003, the MOSS fingerprint): hash every positional
+# k-gram, slide a w-window over the hash sequence, keep each window's min —
+# guarantees any match of length ≥ w+k-1 shares a fingerprint, with ~2/(w+1)
+# of hashes kept. Both dialects below compute POSITIONAL (non-distinct)
+# 3-gram hashes, window w=4 minima, then the distinct fingerprint set.
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+@query(
+    "doc_winnowing_fingerprint",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < {_WINNOW_K} THEN []::BIGINT[]
+              ELSE list_transform(range(1, len(t) - {_WINNOW_K - 2}),
+                     i -> {T.h48_duck(f"(t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])")})
+         END AS h
+  FROM tok
+),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []::BIGINT[]
+              WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
+              ELSE list_transform(range(1, len(h) - {_WINNOW_W - 2}),
+                     j -> list_min(h[j:j + {_WINNOW_W - 1}]))
+         END AS m
+  FROM hs
+),
+fp AS (SELECT doc_id, list_distinct(m) AS f FROM mins)
+SELECT doc_id,
+       len(f)::BIGINT AS n_fp,
+       coalesce(list_sum(f), 0)::BIGINT AS fp_sum
+FROM fp
+""",
+)
+def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): positional
+    3-gram hashes → 4-window minima → distinct fingerprint set, emitted as
+    (count, sum) for engine-neutral hashing. The local-minimum selection
+    guarantees overlap detection for any shared run of ≥ w+k-1 tokens while
+    storing ~2/(w+1) of the hashes — the plagiarism/boilerplate primitive
+    that positions BETWEEN exact dedup and MinHash.
+
+    Plan shape at scale: pure per-row codegen column expressions — zero
+    shuffles, zero Python, one parquet pass; the fingerprint column can
+    feed a band-join exactly like MinHash-LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = _WINNOW_K, _WINNOW_W
+    gram = "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))"
+    h_expr = (
+        f"case when size(t) < {k} then array()"
+        f" else transform(sequence(1, size(t) - {k - 1}),"
+        f" i -> {T.h48_spark(gram)}) end"
+    )
+    m_expr = (
+        f"case when size(h) = 0 then array()"
+        f" when size(h) < {w} then array(array_min(h))"
+        f" else transform(sequence(1, size(h) - {w - 1}),"
+        f" j -> array_min(slice(h, j, {w}))) end"
+    )
+    return (
+        docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t"))
+        .withColumn("h", F.expr(h_expr))
+        .withColumn("f", F.array_distinct(F.expr(m_expr)))
+        .select(
+            "doc_id",
+            F.size("f").cast("long").alias("n_fp"),
+            F.expr("aggregate(f, 0L, (a, x) -> a + x)").alias("fp_sum"),
+        )
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       round(q.scale * 1000000)::BIGINT AS scale_micro,
+       CASE WHEN q.scale = 0 THEN ''
+            ELSE array_to_string(
+              list_transform(e.embedding, x -> round(x::DOUBLE / q.scale)::BIGINT::VARCHAR), ',')
+       END AS q_csv
+FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127) — the
+    4× memory cut that makes billion-vector ANN indexes fit; emitted as a
+    csv string + micro-scaled scale for engine-neutral hashing.
+
+    Plan shape at scale: per-row codegen expressions, zero shuffles —
+    embarrassingly parallel over parquet splits, exactly the pass a real
+    index build pipelines into the IVF cell assignment."""
+    docs = load_table(spark, sf_dir, "embeddings")
+    scale = "aggregate(embedding, cast(0 as double), (a, x) -> greatest(a, abs(cast(x as double)))) / 127"
+    return docs.select(
+        "vec_id",
+        F.round(F.expr(scale) * 1000000).cast("long").alias("scale_micro"),
+        F.expr(
+            f"case when ({scale}) = 0 then '' else concat_ws(',', "
+            f"transform(embedding, x -> cast(cast(round(cast(x as double) / ({scale})) as bigint) as string))) end"
+        ).alias("q_csv"),
+    )

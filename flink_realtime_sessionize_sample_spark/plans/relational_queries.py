@@ -835,3 +835,48 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_bounds(0.5).alias("ap50_in_bounds"),
         in_bounds(0.99).alias("ap99_in_bounds"),
     )
+
+
+@query(
+    "profit_by_nation_year",
+    oracle="""
+SELECT n.n_name AS nation,
+       year(o.o_orderdate)::INT AS o_year,
+       sum(round(l.l_extendedprice*100)::BIGINT * (100 - round(l.l_discount*100)::BIGINT))::BIGINT AS revenue_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%g%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY nation, o_year
+""",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — the testdata has no partsupp, so profit =
+    discounted revenue): five-way join lineitem⋈part⋈supplier⋈nation⋈orders
+    with a LIKE filter on the part side, grouped by supplier nation ×
+    order year. The multi-join exercise Catalyst actually optimizes: the
+    p_name filter prunes part BEFORE the join (pushdown), part/supplier/
+    nation are broadcast (small dims), lineitem — the only big table —
+    shuffles zero times before its joins and once for the final (nation,
+    year) aggregate, which partial-aggregates map-side. Exact
+    integer-cents×e2 revenue arithmetic for engine-neutral hashing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%g%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_e4"))
+    )
