@@ -13,6 +13,7 @@ from flink_realtime_sessionize_sample_spark.plans import llm_queries  # noqa: F4
 from flink_realtime_sessionize_sample_spark.plans import coverage_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import temporal_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import pipeline_queries  # noqa: F401
+from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # noqa: F401
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was

@@ -1,0 +1,407 @@
+"""Event-analytics / retrieval / warehouse-maintenance operators.
+
+The reference's README frames its output as the input to downstream OLAP
+analysis (``README.md:42-50`` — per-user time-on-site). This module supplies
+the rest of the product-analytics surface a user of such a pipeline runs next
+— funnel conversion, cohort retention, histograms — plus two
+warehouse/retrieval staples (SCD2 dimension build, BM25 document search) and
+a training-data corpus-mixing operator (temperature-weighted domain
+sampling). All are pure DataFrame/window-function plans: Catalyst handles
+pushdown/pruning, every per-user computation rides ONE hash exchange on the
+user key, and every dimension-side join is an explicit broadcast.
+
+Scale notes (100 TB design point):
+
+* ``funnel_stage_conversion`` computes the 3-stage funnel with chained
+  window aggregates over ONE ``user_id`` exchange (the naive formulation is
+  a 3-way self-join = 3 shuffles of the event log).
+* ``bm25_doc_search`` never materializes the full postings list: tokens are
+  filtered to the query's terms *before* the (doc, term) aggregation, so the
+  shuffle carries O(matching tokens), not O(corpus tokens); document-
+  frequency and corpus stats are tiny aggregates broadcast back.
+* ``domain_mixture_sample`` is the standard LLM-corpus mixing step
+  (temperature-scaled domain weights, Brown et al. 2020-style): rates are
+  computed on an aggregate of ~#domains rows, broadcast, and applied as a
+  deterministic per-row hash threshold — no ``rand()``, no global sort, no
+  per-domain passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.functions.text import (
+    h48_duck,
+    h48_spark,
+    tokens_duck,
+    tokens_spark,
+)
+from flink_realtime_sessionize_sample_spark.plans.registry import query
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# --- funnel analysis ------------------------------------------------------
+
+@query(
+    "funnel_stage_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+), per_user AS (
+  SELECT user_id, max(t_view) AS tv, max(t_click) AS tc, max(t_purchase) AS tp
+  FROM s3 GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS users_total,
+       count(tv)::BIGINT AS users_view,
+       count(tc)::BIGINT AS users_view_click,
+       count(tp)::BIGINT AS users_view_click_purchase
+FROM per_user
+""",
+)
+def funnel_stage_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view → click → purchase) over the event log.
+
+    A user advances a stage only with an event strictly AFTER reaching the
+    previous stage — the sequential-pattern semantics sessionization
+    consumers ask next (the reference stops at time-on-site,
+    ``README.md:42-50``). Three chained min-over-partition window aggregates
+    share one ``user_id`` exchange and one sort; the per-user collapse and
+    final 1-row count are strictly finer aggregations on the same key, so
+    the whole funnel is ONE shuffle of the log regardless of corpus size
+    (the textbook self-join formulation shuffles it three times).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("tv"),
+        F.max("t_click").alias("tc"),
+        F.max("t_purchase").alias("tp"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.count("tv").alias("users_view"),
+        F.count("tc").alias("users_view_click"),
+        F.count("tp").alias("users_view_click_purchase"),
+    )
+
+
+# --- cohort retention -----------------------------------------------------
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH activity AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_d
+  FROM events
+), weekly AS (
+  SELECT DISTINCT user_id,
+         date_trunc('week', first_d) AS cohort_w,
+         date_diff('day', date_trunc('week', first_d), date_trunc('week', d)) / 7 AS week_offset
+  FROM activity
+), counts AS (
+  SELECT cohort_w, week_offset::BIGINT AS week_offset, count(*)::BIGINT AS active_users
+  FROM weekly GROUP BY cohort_w, week_offset
+)
+SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+       week_offset, active_users,
+       round(active_users * 1.0
+             / max(CASE WHEN week_offset = 0 THEN active_users END)
+                   OVER (PARTITION BY cohort_w), 6) AS retention
+FROM counts
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-activity week,
+    counted per week-offset, normalized by the cohort's week-0 size.
+
+    One window pass (first activity per user) + one distinct + one
+    aggregation, all partitioned by compatible keys; the normalizing window
+    runs over the already-tiny (cohort, offset) matrix. At 100 TB the only
+    full-data exchange is the ``user_id`` window — everything after operates
+    on ≤ |users| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    w = Window.partitionBy("user_id")
+    act = ev.withColumn("first_d", F.min("d").over(w))
+    weekly = act.select(
+        "user_id",
+        F.date_trunc("week", "first_d").cast("date").alias("cohort_w"),
+        (
+            F.datediff(F.date_trunc("week", "d").cast("date"), F.date_trunc("week", "first_d").cast("date"))
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    ).distinct()
+    counts = weekly.groupBy("cohort_w", "week_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    wc = Window.partitionBy("cohort_w")
+    return counts.select(
+        F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+        F.round(
+            F.col("active_users")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("active_users"))).over(wc),
+            6,
+        ).alias("retention"),
+    )
+
+
+# --- histogram ------------------------------------------------------------
+
+@query(
+    "order_value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT bucket, bucket * 25000 AS lo_dollars, n_orders,
+       round(n_orders * 1.0 / sum(n_orders) OVER (), 6) AS pct,
+       round(sum(n_orders) OVER (ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1.0 / sum(n_orders) OVER (), 6) AS cum_pct
+FROM b
+""",
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value with share and cumulative share.
+
+    The data-size-dependent work is one hash aggregate with map-side
+    combine; both window functions then run over the ~20-row bucket table
+    (single partition by construction — fine at any corpus scale because the
+    windowed input is bounded by bucket count, not data size).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+    )
+    b = o.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_orders"))
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "bucket",
+        (F.col("bucket") * 25000).alias("lo_dollars"),
+        "n_orders",
+        F.round(F.col("n_orders") / F.sum("n_orders").over(w_all), 6).alias("pct"),
+        F.round(
+            F.sum("n_orders").over(w_cum) / F.sum("n_orders").over(w_all), 6
+        ).alias("cum_pct"),
+    )
+
+
+# --- SCD2 dimension build (CDC apply) -------------------------------------
+
+@query(
+    "scd2_customer_orders",
+    oracle="""
+SELECT o_custkey,
+       row_number() OVER w AS version,
+       (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS eff_from_day,
+       lead(CAST(o_orderdate AS DATE) - DATE '1970-01-01') OVER w AS eff_to_day,
+       sum(round(o_totalprice * 100)::BIGINT)
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_spend_cents,
+       (lead(o_orderkey) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log: each order
+    opens a new customer version with [eff_from, eff_to) validity and the
+    running attribute (cumulative spend, exact integer cents).
+
+    This is the batch CDC-apply shape (MERGE-into-SCD2): versioning,
+    interval assignment, and the tracked measure all come from ONE window
+    specification = one shuffle + one sort on the dimension key. Determinism
+    at scale: ties broken by ``o_orderkey``, money summed in integer cents
+    (double summation order differs across engines/partitionings, integer
+    sums don't).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    eff_from = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return o.select(
+        "o_custkey",
+        F.row_number().over(w).alias("version"),
+        eff_from.alias("eff_from_day"),
+        F.lead(eff_from).over(w).alias("eff_to_day"),
+        F.sum(_cents("o_totalprice")).over(w_cum).alias("cum_spend_cents"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"),
+    )
+
+
+# --- BM25 document search -------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_doc_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_duck('text')} AS t FROM documents
+), lens AS (
+  SELECT doc_id, len(t)::BIGINT AS dl FROM toks
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM lens
+), hits AS (
+  SELECT doc_id, unnest(t) AS term, len(t)::BIGINT AS dl FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+  FROM hits WHERE term IN ('spark', 'join', 'stream', 'window')
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * ({_BM25_K1} + 1)
+             / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl))) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 retrieval for a fixed term query over
+    the corpus, Robertson/Sparck-Jones idf with the +1 floor.
+
+    Scale shape: the token stream is filtered to the query's terms BEFORE
+    any exchange, so the (doc, term) aggregation shuffles O(hits), not
+    O(corpus tokens); document frequency and the (N, avgdl) corpus stats are
+    tiny aggregates joined back by broadcast; the final per-doc sum groups
+    ≤ |query| rows per doc. Ordering is on the ROUNDED score (+ doc_id
+    tiebreak) so cross-engine float noise below 1e-4 cannot reorder the
+    top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.expr(tokens_spark("text")).alias("t")
+    ).withColumn("dl", F.size("t").cast("long"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = toks.select("doc_id", "dl", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --- corpus mixing: temperature-weighted domain sampling ------------------
+
+_MIX_TARGET = 200
+_MIX_ALPHA = 0.5
+
+
+@query(
+    "domain_mixture_sample",
+    oracle=f"""
+WITH dom AS (
+  SELECT source, count(*)::BIGINT AS n_d FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(sqrt(n_d)) AS sum_w FROM dom
+), rates AS (
+  SELECT d.source,
+         least(1.0, {_MIX_TARGET} * sqrt(d.n_d) / t.sum_w / d.n_d) AS keep_rate
+  FROM dom d CROSS JOIN tot t
+)
+SELECT doc.doc_id, doc.source, round(r.keep_rate, 6) AS keep_rate
+FROM documents doc JOIN rates r USING (source)
+WHERE {h48_duck("cast(doc.doc_id as varchar)")} / 281474976710656.0 < r.keep_rate
+""",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (target ~200 docs, α = 0.5):
+    per-domain sample rates ∝ n_d^α / n_d, the GPT-3-style flattening of the
+    natural domain distribution, applied as a deterministic hash-threshold
+    Bernoulli per document.
+
+    Scale shape: domain weights come from one tiny aggregate (≤ #domains
+    rows), the rate table is broadcast back onto the corpus, and the keep
+    decision is a pure per-row expression on the portable 48-bit md5 hash —
+    no ``rand()`` (reproducible across retries/partitionings), no global
+    sort, one corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    dom = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = dom.agg(F.sum(F.sqrt("n_d")).alias("sum_w"))
+    rates = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), F.lit(_MIX_TARGET) * F.sqrt("n_d") / F.col("sum_w") / F.col("n_d")
+        ).alias("keep_rate"),
+    )
+    u = F.expr(h48_spark("cast(doc_id as string)")) / F.lit(float(2**48))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("keep_rate"))
+        .select("doc_id", "source", F.round("keep_rate", 6).alias("keep_rate"))
+    )
