@@ -333,11 +333,15 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = hits.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency as a window count over the tf table (one row per
+    # (doc, term)) rather than groupBy+join-back: the join formulation makes
+    # Catalyst recompute the whole tokenize→explode→aggregate subtree for
+    # the df side — a third corpus scan; the window repartitions only the
+    # already-tiny hits aggregate.
+    tf_df = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        tf_df.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -404,4 +408,116 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .filter(u < F.col("keep_rate"))
         .select("doc_id", "source", F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
+# --- weighted sampling without replacement --------------------------------
+
+_WSAMPLE_K = 50
+
+
+@query(
+    "sample_weighted_docs",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(({h48_duck("cast(doc_id as varchar)")} + 1) / 281474976710657.0)
+           / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, n_chars, round(k, 9) AS sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT {_WSAMPLE_K}
+""",
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each doc gets key u^(1/w) for uniform u and weight w = n_chars; the
+    global top-k by key IS an exact weighted sample. Computed in log space
+    (ln(u)/w — the same ordering under the monotone exp) to stay in
+    well-conditioned double range.
+
+    Scale shape: the classic algorithm is a sequential reservoir; the
+    key-based formulation is a stateless per-row expression + one
+    TakeOrderedAndProject top-k (partial per partition, merged on the
+    driver) — no global sort, no reservoir state, deterministic u from the
+    portable md5 hash so retries/speculative tasks agree. Ordering uses the
+    ROUNDED key + doc_id tiebreak so cross-engine float noise can't reorder
+    the cut.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (F.expr(h48_spark("cast(doc_id as string)")) + 1) / F.lit(float(2**48 + 1))
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars"), 9).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(_WSAMPLE_K)
+    )
+
+
+# --- CDC snapshot diff ----------------------------------------------------
+
+_CDC_SPLIT = "2024-01-16"
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle=f"""
+WITH a AS (
+  SELECT user_id, event_type AS a_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_CDC_SPLIT}'
+  ) WHERE rn = 1
+), b AS (
+  SELECT user_id, event_type AS b_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '{_CDC_SPLIT}'
+  ) WHERE rn = 1
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id, a_type, b_type,
+       CASE WHEN a.user_id IS NULL THEN 'insert'
+            WHEN b.user_id IS NULL THEN 'delete'
+            WHEN a_type <> b_type THEN 'update'
+            ELSE 'unchanged' END AS change_type
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+""",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify every key as insert / delete / update /
+    unchanged between two point-in-time states (latest event per user in
+    each half of the log), the core of incremental MERGE / table-sync
+    pipelines.
+
+    Scale shape: each snapshot is a deterministic argmax (row_number over
+    the user key with a full (ts, event_id) tiebreak — speculative retries
+    agree); both sides leave their window pre-partitioned on ``user_id``, so
+    the full-outer join aligns without a third exchange. Never collects or
+    broadcasts the fact side.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    split = F.lit(_CDC_SPLIT).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def snap(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias(alias))
+        )
+
+    a = snap(ev.filter(F.col("ts") < split), "a_type")
+    b = snap(ev.filter(F.col("ts") >= split), "b_type")
+    return a.join(b, "user_id", "full_outer").select(
+        "user_id",
+        "a_type",
+        "b_type",
+        F.when(F.col("a_type").isNull(), "insert")
+        .when(F.col("b_type").isNull(), "delete")
+        .when(F.col("a_type") != F.col("b_type"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
     )

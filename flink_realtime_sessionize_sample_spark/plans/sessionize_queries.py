@@ -15,7 +15,7 @@ capped-session refinement (operators/sessionize.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.operators.sessionize import (
@@ -389,3 +389,46 @@ def parse_access_logs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = synthesize_access_log_lines(ev, malformed_every=50)
     parsed = parse_access_logs(lines)
     return parsed.select("timestamp", F.unix_micros("ts").alias("ts_us"), "ip")
+
+
+@query(
+    "session_event_features",
+    oracle=_SESSIONIZE_CTE + """
+SELECT event_id, user_id, ts_us, session_id, duration,
+       row_number() OVER w AS event_idx,
+       ts_us // 1000000 - lag(ts_us // 1000000) OVER w AS gap_sec,
+       count(*) OVER (PARTITION BY user_id, session_id)::BIGINT AS session_n_events,
+       max(duration) OVER (PARTITION BY user_id, session_id) AS session_total_sec
+FROM sessionized
+WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
+""",
+)
+def session_event_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event training features over sessionized output: index within
+    session, gap to the previous event, and session-level size/duration
+    broadcast onto every event — the feature-extraction step a
+    behavioral-model pipeline runs on exactly this session stream.
+
+    Scale shape: TWO exchanges total — the sessionizer's own user_id
+    shuffle, plus one (user_id, session_id) exchange for the feature
+    windows. The second is unavoidable here because the sessionizer's Arrow
+    kernel (applyInPandas) erases output-partitioning lineage, so Catalyst
+    cannot prove the rows are still clustered by user_id; it moves only the
+    narrow already-sessionized projection, and both feature windows (ordered
+    + unordered frames) share it.
+    """
+    s = _events_sessionized(spark, sf_dir)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id", "session_id")
+    sec = (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "session_id",
+        "duration",
+        F.row_number().over(w).alias("event_idx"),
+        (sec - F.lag(sec).over(w)).alias("gap_sec"),
+        F.count(F.lit(1)).over(wp).alias("session_n_events"),
+        F.max("duration").over(wp).alias("session_total_sec"),
+    )
