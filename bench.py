@@ -52,6 +52,10 @@ HEADLINE = [
     # gates) and the densify/gap-fill time-series path
     "corpus_selection_pipeline",
     "gap_fill_hourly",
+    # event analytics + retrieval (funnel windows, BM25 scoring)
+    "funnel_stage_conversion",
+    "bm25_doc_search",
+    "scd2_customer_orders",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
