@@ -619,3 +619,97 @@ def test_foreach_batch_partition_overwrite_idempotent(spark, sf_small, tmp_path)
     assert spark.read.parquet(out).count() == first
     n_events = load_table(spark, sf_small, "events").count()
     assert first == n_events
+
+
+def test_session_window_merges_across_batches(spark, sf_small, tmp_path):
+    """Built-in session_window in a STREAM whose micro-batches split sessions
+    down the middle: events are range-partitioned by ts into 4 files replayed
+    one per trigger, so open sessions must be carried in the state store and
+    MERGED with later batches' events; two far-future sentinel files then
+    advance the watermark so append mode flushes every real window. Result
+    must equal the batch session_window aggregation exactly."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_small, "events")
+    expected = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+
+    src = tmp_path / "swin_merge_src"
+    src.mkdir()
+
+    def _write_one(df, name: str, mtime: float) -> None:
+        aside = str(tmp_path / f"aside_{name}")
+        df.coalesce(1).write.parquet(aside)
+        part = _glob.glob(f"{aside}/part-*.parquet")[0]
+        dest = str(src / f"{name}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # Range-split by ts quartile: sessions crossing a quartile boundary span
+    # micro-batches. File mtimes force the source's oldest-first ordering.
+    qs = [r[0] for r in ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) as q"
+    ).collect()][0]
+    base = 1_700_000_000
+    splits = [
+        ev.filter(F.unix_micros("ts") <= qs[0]),
+        ev.filter((F.unix_micros("ts") > qs[0]) & (F.unix_micros("ts") <= qs[1])),
+        ev.filter((F.unix_micros("ts") > qs[1]) & (F.unix_micros("ts") <= qs[2])),
+        ev.filter(F.unix_micros("ts") > qs[2]),
+    ]
+    for i, part_df in enumerate(splits):
+        _write_one(part_df, f"{i}_events", base + i)
+    for j, days in ((0, 370), (1, 740)):
+        sent = ev.limit(1).select(
+            F.lit(10_000_000_000 + j).alias("event_id"),
+            (F.lit("2025-01-01").cast("timestamp") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        _write_one(sent, f"{4 + j}_sentinel", base + 4 + j)
+
+    stream = build_events_file_stream(spark, str(src), max_files_per_trigger=1)
+    out = (
+        stream.withWatermark("ts", "60 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swin_merge_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow replay must terminate"
+    got = (
+        spark.table("swin_merge_test")
+        .filter(F.col("user_id") >= 0)
+        .toPandas()
+        .sort_values(["user_id", "start_us"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected), f"{len(got)} != {len(expected)}"
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
