@@ -521,3 +521,77 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+# --- heavy hitters via Misra-Gries sketch ---------------------------------
+
+@query(
+    "heavy_hitters_bigrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT {tokens_duck('text')} AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS item
+  FROM toks
+), cnt AS (
+  SELECT item, count(*)::BIGINT AS true_cnt FROM bg GROUP BY item
+)
+SELECT item, true_cnt, TRUE AS sketch_consistent
+FROM cnt ORDER BY true_cnt DESC, item LIMIT 10
+""",
+)
+def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter bigrams via the bounded-memory Misra-Gries sketch
+    (operators/sketch.py), certified against exact counts on the top-10
+    anchor set.
+
+    The sketch runs with 32 counters against ~1000 distinct bigrams, so
+    eviction genuinely fires; ``sketch_consistent`` asserts the MG invariant
+    — ``est <= true`` and an under-count (or evicted item's total count)
+    bounded by the partitions' emitted decrement total — which holds for ANY
+    partitioning, so the boolean is deterministic and the oracle can demand
+    TRUE without reproducing the sketch. At 100 TB the exact-count side of
+    this query disappears and the sketch output (O(partitions × capacity)
+    rows, one scan, one narrow shuffle) is the product; the anchor join
+    exists to let the driver falsify the implementation.
+    """
+    from flink_realtime_sessionize_sample_spark.operators.sketch import (
+        misra_gries_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.expr(tokens_spark("text")).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(F.size("t") < 2, F.array()).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                )
+            )
+        ).alias("item")
+    )
+    sketch = misra_gries_summary(bigrams, "item", capacity=32, num_partitions=16)
+    max_d = sketch.agg(F.max("d_p").alias("max_d"))
+    anchors = (
+        bigrams.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("item").asc())
+        .limit(10)
+    )
+    return (
+        anchors.join(F.broadcast(sketch.select("item", "est")), "item", "left")
+        .crossJoin(F.broadcast(max_d))
+        .select(
+            "item",
+            "true_cnt",
+            F.when(
+                F.col("est").isNull(), F.col("true_cnt") <= F.col("max_d")
+            )
+            .otherwise(
+                (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") - F.col("est") <= F.col("max_d"))
+            )
+            .alias("sketch_consistent"),
+        )
+    )

@@ -880,3 +880,81 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(rev).alias("revenue_e4"))
     )
+
+
+# --- Q21-style multi-correlated EXISTS / NOT EXISTS -----------------------
+
+@query(
+    "waiting_suppliers_q21",
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+), members AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM members m
+              WHERE m.l_orderkey = l1.l_orderkey AND m.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest classic subquery pattern: suppliers who
+    were the SOLE late shipper in multi-supplier finished orders, via one
+    correlated EXISTS and one correlated NOT EXISTS over the same fact.
+    "Late" is adapted to this schema (no l_receiptdate): shipped more than
+    60 days after the order date.
+
+    Spark formulation: both correlated subqueries become join operators the
+    optimizer can schedule — EXISTS → left-semi, NOT EXISTS → left-anti,
+    each on ``l_orderkey`` with the ``suppkey <>`` residual — and the
+    ``late``/``members`` sets are deduped BEFORE the joins, so join inputs
+    are minimal and all three legs share hash partitioning on
+    ``l_orderkey``. The supplier name lookup broadcasts the dim at the end,
+    after the heavy semi/anti reduction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    members = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late
+    m = members.select(
+        F.col("l_orderkey").alias("m_orderkey"), F.col("l_suppkey").alias("m_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    sole_late = (
+        l1.join(
+            m,
+            (l1.l_orderkey == m.m_orderkey) & (l1.l_suppkey != m.m_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == l3.x_orderkey) & (l1.l_suppkey != l3.x_suppkey),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

@@ -396,3 +396,37 @@ def test_approx_percentile_close_to_exact(spark, sf_small):
     )
     for r in both.collect():
         assert abs(r["ap"] - r["ex"]) / r["ex"] < 0.01
+
+
+def test_misra_gries_invariants_under_eviction(spark):
+    """MG summary on a skewed stream with capacity far below distinct count:
+    eviction must fire (d_p > 0 somewhere), estimates never exceed truth,
+    under-counts stay within the emitted decrement bound, and every item
+    whose true count exceeds the global decrement bound survives."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_sessionize_sample_spark.operators.sketch import (
+        misra_gries_summary,
+    )
+
+    # 5 heavy items (1000 each) + 500 singletons-ish tail (ids 100..599, 4 each)
+    heavy = spark.range(5).selectExpr(
+        "explode(array_repeat(concat('h', id), 1000)) AS item"
+    )
+    tail = spark.range(100, 600).selectExpr(
+        "explode(array_repeat(concat('t', id), 4)) AS item"
+    )
+    df = heavy.union(tail)
+    sketch = misra_gries_summary(df, "item", capacity=8, num_partitions=4).toPandas()
+    truth = {r["item"]: r["cnt"] for r in
+             df.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    assert (sketch["d_p"] > 0).any(), "capacity 8 vs ~505 distinct must evict"
+    max_d = int(sketch["d_p"].max())
+    by_item = dict(zip(sketch["item"], sketch["est"]))
+    for item, est in by_item.items():
+        assert est <= truth[item], (item, est, truth[item])
+        assert truth[item] - est <= max_d, (item, est, truth[item], max_d)
+    for item, cnt in truth.items():
+        if cnt > max_d:
+            assert item in by_item, f"{item} (cnt {cnt} > bound {max_d}) evicted"
