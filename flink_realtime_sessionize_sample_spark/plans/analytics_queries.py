@@ -595,3 +595,104 @@ def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sketch_consistent"),
         )
     )
+
+
+# --- rolling z-score anomaly detection ------------------------------------
+
+@query(
+    "anomaly_rolling_zscore",
+    oracle="""
+WITH s AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         count(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us, round(value, 6) AS value_r,
+       CASE WHEN n_prior >= 10 AND sigma > 0
+            THEN round((value - mu) / sigma, 4) END AS zscore,
+       coalesce(n_prior >= 10 AND sigma > 0
+                AND abs((value - mu) / sigma) > 3.0, FALSE) AS is_anomaly
+FROM s
+""",
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flags computed batch: each event's value
+    scored against its user's TRAILING 20-event window (strictly prior rows,
+    so the point never contaminates its own baseline), flagged at |z| > 3
+    with a 10-event warm-up.
+
+    Scale shape: one window specification = one ``user_id`` exchange + one
+    sort; mean, stddev and warm-up count all share the frame. The z-score is
+    rounded to 4dp and the flag derived from the same expression on both
+    engines, so cross-engine float noise in the variance accumulation order
+    cannot flip output values.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    z = (F.col("value") - mu) / sigma
+    ok = (n_prior >= 10) & (sigma > 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value_r"),
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.coalesce(ok & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+# --- group-wise winsorization ---------------------------------------------
+
+@query(
+    "value_winsorized",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value_r,
+       round(least(greatest(e.value, q.p05), q.p95), 6) AS value_winsorized,
+       (e.value < q.p05 OR e.value > q.p95) AS clipped
+FROM events e JOIN q USING (event_type)
+""",
+)
+def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization: clip each event's value to its event-type's
+    exact [p05, p95] band — the outlier-robust normalization step feature
+    pipelines run before training.
+
+    Scale shape: exact percentiles come from ONE hash aggregate over the
+    grouping key (Spark's ``percentile`` is an exact single-pass aggregate,
+    not a global sort), producing a #groups-row table that is broadcast back
+    onto the facts; the fact side never shuffles. Both engines use the same
+    linear-interpolation quantile definition (Spark ``percentile`` ≙ DuckDB
+    ``quantile_cont``), and outputs are rounded so accumulation-order noise
+    cannot leak into the hash compare.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    return ev.join(F.broadcast(q), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value_r"),
+        F.round(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6).alias(
+            "value_winsorized"
+        ),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("clipped"),
+    )

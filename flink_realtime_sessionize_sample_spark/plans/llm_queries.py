@@ -1513,3 +1513,60 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> cast(cast(round(cast(x as double) / ({scale})) as bigint) as string))) end"
         ).alias("q_csv"),
     )
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM tok
+),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+bc2 AS (SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1)::BIGINT AS c1 FROM bc),
+scored AS (
+  SELECT b.doc_id, ln(m.c2::DOUBLE / m.c1) AS lp
+  FROM bg b JOIN bc2 m ON b.w1 = m.w1 AND b.w2 = m.w2
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with the corpus as its own LM: per-doc
+    mean ln p(w2|w1) where p = c(w1,w2)/c(w1,·) over corpus bigrams — the
+    next step up from ``doc_unigram_logprob`` for gibberish detection
+    (catches plausible-token word-salad that unigram scoring passes).
+
+    Scale shape: ONE explode of the corpus into (w1, w2) pairs feeds both
+    the count table and the scoring join; the conditional's denominator is a
+    window sum over the already-aggregated bigram table (no second corpus
+    pass, no separate unigram aggregation), and the model join carries no
+    broadcast hint — at web scale the bigram table is strictly larger than
+    the vocab, so AQE must pick (same contract as the unigram scorer).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_S).alias("t")).filter(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bc2 = bc.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    scored = bg.join(bc2, ["w1", "w2"]).select(
+        "doc_id", F.log(F.col("c2").cast("double") / F.col("c1")).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
