@@ -461,3 +461,59 @@ def near_dup_clusters(
     return comp.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_doc_id")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directional containment near-dup pairs: C(a→b) = |sh_a ∩ sh_b| / |sh_a|
+    ≥ threshold — the asymmetric measure that catches a short document quoted
+    inside a much longer one, which symmetric Jaccard structurally misses
+    (J ≤ |A|/|B| no matter how complete the overlap).
+
+    Prefix filtering is one-sided, as containment requires: overlap must be
+    ≥ ⌈t·|a|⌉ shingles of A, so A's candidates need only its
+    ``|a| − ⌈t·|a|⌉ + 1`` rarest shingles (canonical df order), but the
+    B side must stay FULLY indexed — containment places no lower bound on
+    B's share of the overlap. The probe side's rarity order keeps hot
+    shingles out of every prefix, so the probe⨝index join's fan-out is
+    bounded by rare-shingle df, not Σdf². Exactness restored by the
+    array_intersect verify.
+    """
+    base = (
+        with_shingles(fan_out(docs), text_col, k)
+        .filter(F.size("toks") >= k)
+        .select(id_col, "sh")
+    )
+    ex = base.select(
+        F.col(id_col), F.size("sh").alias("_n"), F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
+    w_doc = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("s").asc())
+    prefix = (
+        ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .filter(F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .select(F.col(id_col).alias("doc_a"), "s")
+        .repartition("s")
+    )
+    full = ex.select(F.col(id_col).alias("doc_b"), "s").repartition("s")
+    cand = (
+        prefix.join(full, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = base.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("containment", F.col("common") / F.size("sh_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )

@@ -696,3 +696,48 @@ def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias("clipped"),
     )
+
+
+# --- behavioral sequence mining -------------------------------------------
+
+@query(
+    "event_sequence_trigrams",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS trigram, count(*)::BIGINT AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram LIMIT 15
+""",
+)
+def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 15 most common within-user event-type
+    trigrams (consecutive by event time) — the pattern-frequency pass behind
+    next-action models and funnel discovery.
+
+    Scale shape: both leads share one window spec (one user_id exchange +
+    one sort); the trigram aggregation is a two-level hash agg over ≤
+    |event_types|³ distinct keys, and the top-k is a
+    TakeOrderedAndProject — no global sort of the data.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.select(F.concat_ws(">", "event_type", "t2", "t3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram").asc())
+        .limit(15)
+    )

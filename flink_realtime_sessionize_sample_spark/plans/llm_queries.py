@@ -1570,3 +1570,38 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=_DOC_SHINGLES_CTE
+    + """
+, ex AS (SELECT doc_id, len(sh) AS _n, unnest(sh) AS s FROM nonempty),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, _n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY _df ASC, s ASC) AS _pos
+    FROM (SELECT doc_id, s, _n, count(*) OVER (PARTITION BY s) AS _df FROM ex)
+  ) WHERE _pos <= _n - ceil(0.8 * _n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common, len(ba.sh) AS la
+  FROM cand c
+  JOIN nonempty ba ON ba.doc_id = c.doc_a
+  JOIN nonempty bb ON bb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(common * 1.0 / la, 6) AS containment
+FROM ver WHERE common * 1.0 / la >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment ≥ 0.8 (quote/subset detection) via
+    one-sided prefix filtering against a full inverted index — the
+    asymmetric complement to ``dedup_ngram_jaccard`` (operators/dedup.py
+    ``containment_pairs``)."""
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
