@@ -1,0 +1,64 @@
+"""Physical-plan regression tests for the scale contracts.
+
+Correctness is the oracle sweep's job; these assert the plan SHAPES the
+100 TB design depends on — filters reaching the parquet scan, dims being
+broadcast, single-exchange window pipelines — so a future edit that silently
+trades one away fails fast. String-matching the executed plan is crude but
+stable across AQE (`isFinalPlan=false` trees still show the static shape).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_realtime_sessionize_sample_spark import plans
+
+
+def _plan(spark, sf_oracle, name: str) -> str:
+    df = plans.QUERIES[name](spark, sf_oracle)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # Column pruning: untouched wide columns must not be read.
+    assert "l_partkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_top_revenue_orders_broadcasts_customer_dim(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "top_revenue_orders")
+    assert "BroadcastHashJoin" in p
+    assert "c_mkt" in p  # the filtered dim feeds the broadcast side
+
+
+def test_scd2_single_exchange(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "scd2_customer_orders")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_single_data_exchange(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "funnel_stage_conversion")
+    # One user_id exchange for all three windows + per-user agg; the only
+    # other exchange is the final 1-row SinglePartition collapse.
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window ") == 3
+
+
+def test_value_winsorized_broadcasts_quantiles(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "value_winsorized")
+    assert "BroadcastHashJoin" in p
+
+
+def test_anomaly_zscore_single_window_spec(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "anomaly_rolling_zscore")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window ") == 1
+
+
+@pytest.mark.parametrize("name", ["bm25_doc_search", "heavy_hitters_bigrams"])
+def test_retrieval_plans_never_sort_globally(spark, sf_oracle, name):
+    # Top-k must be TakeOrderedAndProject (partial per partition), never a
+    # global Sort of the data.
+    p = _plan(spark, sf_oracle, name)
+    assert "TakeOrderedAndProject" in p
