@@ -104,6 +104,24 @@ def main() -> None:
     force(sustained)
     sustained_eps = round(n_big / (time.perf_counter() - t0))
 
+    # Adversarial skew: ONE key holding 500k events with the 12h-duration
+    # cap firing every ~720 events — the cap-refine (sequential) kernel path
+    # on the worst possible key distribution. At 100 TB a bot/proxy IP is
+    # exactly this row; the per-key floor bounds its straggler task.
+    hot = spark.range(500_000).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + (F.col("id") * F.expr("INTERVAL 60 SECONDS"))
+        ).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+    )
+    hot_out = sessionize(hot, key="user_id", ts="ts", tiebreakers=("event_id",))
+    force(hot_out)  # warm
+    t0 = time.perf_counter()
+    force(hot_out)
+    hotkey_eps = round(500_000 / (time.perf_counter() - t0))
+
     # Streaming path: SUSTAINED throughput of the stateful per-event
     # sessionizer (the reference's actual runtime shape) — the same 10×
     # replication (1 M events, 15 k keys) split into 4 files → 4
@@ -218,6 +236,20 @@ def main() -> None:
     force(near_dup_clusters(docs_10x, threshold=0.5))
     t_cc_10x = time.perf_counter() - t0
 
+    # Containment scale smoke: the one-sided prefix ⨝ FULL-inverted-index
+    # join is the only candidate generator without symmetric pruning — the
+    # plan most worth certifying under growth. 10× corpus multiplies both
+    # probe prefixes and index postings.
+    from flink_realtime_sessionize_sample_spark.operators.dedup import containment_pairs
+
+    force(containment_pairs(docs, threshold=0.8))  # warm
+    t0 = time.perf_counter()
+    force(containment_pairs(docs, threshold=0.8))
+    t_ct_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(containment_pairs(docs_10x, threshold=0.8))
+    t_ct_10x = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -228,6 +260,7 @@ def main() -> None:
                 "sf": sf_dir,
                 "events_per_sec_sessionize": events_per_sec,
                 "events_per_sec_sessionize_sustained_10x": sustained_eps,
+                "events_per_sec_sessionize_hotkey_500k_1key": hotkey_eps,
                 "events_per_sec_sessionize_streaming_1m_wall": streaming_eps,
                 "events_per_sec_sessionize_streaming_steady": streaming_steady_eps,
                 "events_per_sec_streaming_peruser_wall": peruser_eps,
@@ -240,6 +273,9 @@ def main() -> None:
                 "scale_smoke_cc_1x_sec": round(t_cc_1x, 3),
                 "scale_smoke_cc_10x_sec": round(t_cc_10x, 3),
                 "scale_smoke_cc_10x_ratio_vs_linear": round(t_cc_10x / (10 * t_cc_1x), 3),
+                "scale_smoke_containment_1x_sec": round(t_ct_1x, 3),
+                "scale_smoke_containment_10x_sec": round(t_ct_10x, 3),
+                "scale_smoke_containment_10x_ratio_vs_linear": round(t_ct_10x / (10 * t_ct_1x), 3),
             }
         )
     )

@@ -1605,3 +1605,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric complement to ``dedup_ngram_jaccard`` (operators/dedup.py
     ``containment_pairs``)."""
     return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS v
+  FROM embeddings, range(1, 65) r(i)
+)
+SELECT a.i - 1 AS i, b.i - 1 AS j, round(covar_samp(a.v, b.v), 6) AS cov
+FROM ex a JOIN ex b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY a.i, b.i
+""",
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance matrix (upper triangle) of the embedding column —
+    the one-pass sufficient-statistics reduction behind whitening/PCA.
+    Spark side reduces each Arrow batch with BLAS (X^T X) and merges only
+    ~#partitions partial rows (operators/vector_stats.py); the oracle's
+    relational d^2-explode formulation is the semantics, not the plan."""
+    from flink_realtime_sessionize_sample_spark.operators.vector_stats import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
