@@ -469,6 +469,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Directional containment near-dup pairs: C(a→b) = |sh_a ∩ sh_b| / |sh_a|
     ≥ threshold — the asymmetric measure that catches a short document quoted
@@ -483,6 +484,15 @@ def containment_pairs(
     shingles out of every prefix, so the probe⨝index join's fan-out is
     bounded by rare-shingle df, not Σdf². Exactness restored by the
     array_intersect verify.
+
+    SCALE CAVEAT (unlike the symmetric Jaccard prefix join, which prunes
+    both sides): the one-sided prefix bound degenerates when the corpus has
+    NO rare shingles — e.g. a vocabulary-collapsed or template corpus where
+    even the rarest shingle of every doc is shared by thousands. There the
+    probe⨝full-index fan-out approaches Σ prefix·df and the exact algorithm
+    is the wrong tool: set ``max_shingle_df`` to drop ultra-hot shingles
+    from BOTH sides (documented approximation — pairs whose overlap is
+    exclusively ultra-hot boilerplate are missed), or use MinHash-LSH.
     """
     base = (
         with_shingles(fan_out(docs), text_col, k)
@@ -492,6 +502,9 @@ def containment_pairs(
     ex = base.select(
         F.col(id_col), F.size("sh").alias("_n"), F.explode_outer("sh").alias("s")
     ).filter(F.col("s").isNotNull())
+    if max_shingle_df is not None:
+        hot = ex.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     w_doc = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("s").asc())
     prefix = (
         ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
