@@ -430,3 +430,35 @@ def test_misra_gries_invariants_under_eviction(spark):
     for item, cnt in truth.items():
         if cnt > max_d:
             assert item in by_item, f"{item} (cnt {cnt} > bound {max_d}) evicted"
+
+
+def test_containment_hot_shingle_guard(spark):
+    """max_shingle_df drops ultra-hot shingles from candidate generation
+    (documented approximation) while surviving pairs stay exact-verified:
+    a doc fully contained in another is still found when their shared
+    shingles are rare, and the capped run never reports a pair whose true
+    containment is below threshold."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_sessionize_sample_spark.operators.dedup import containment_pairs
+
+    rows = [
+        # rare-shingle containment pair: short doc quoted inside long doc
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+        # boilerplate family sharing one ultra-hot shingle chain
+        *[(10 + i, f"common one two three tail{i} x{i} y{i}") for i in range(20)],
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = containment_pairs(docs, threshold=0.8).toPandas()
+    assert ((exact.doc_a == 1) & (exact.doc_b == 2)).any(), "quoted doc must be found"
+
+    capped = containment_pairs(docs, threshold=0.8, max_shingle_df=5).toPandas()
+    assert ((capped.doc_a == 1) & (capped.doc_b == 2)).any(), (
+        "rare-shingle pair survives the cap"
+    )
+    # capped results are a subset of exact results (verify step unchanged)
+    e = set(zip(exact.doc_a, exact.doc_b))
+    c = set(zip(capped.doc_a, capped.doc_b))
+    assert c <= e
