@@ -713,3 +713,83 @@ def test_session_window_merges_across_batches(spark, sf_small, tmp_path):
     )
     assert len(got) == len(expected), f"{len(got)} != {len(expected)}"
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_streaming_heavy_hitters_invariants(spark, sf_small, tmp_path):
+    """Misra-Gries as stateful streaming (per-bucket counters carried across
+    micro-batches, update-mode emission): after a 4-batch replay, the final
+    per-bucket summary must satisfy the MG invariant against exact counts —
+    est <= true, under-count <= the bucket's emitted decrement total, and
+    every item with true count above its bucket's bound must have survived."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_sessionize_sample_spark.streaming.sketch_stream import (
+        heavy_hitters_stream,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    # Hot head (5 event types, ~66 instances each) + singleton tail: both
+    # the survivor path and the evict-to-empty path fire in every bucket.
+    make_item = F.when(
+        F.col("event_id") % 3 == 0, F.concat_ws("|", F.lit("hot"), F.col("event_type"))
+    ).otherwise(F.concat_ws("|", F.lit("tail"), F.col("event_id").cast("string")))
+    num_buckets = 8
+
+    truth = {
+        (r["bucket"], r["item"]): r["cnt"]
+        for r in ev.select(make_item.alias("item"))
+        .withColumn("bucket", F.pmod(F.xxhash64("item"), F.lit(num_buckets)).cast("long"))
+        .groupBy("bucket", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+
+    src = tmp_path / "hh_stream_src"
+    src.mkdir()
+    ev.select(make_item.alias("item")).repartition(4).write.parquet(str(src / "p"))
+    files = sorted((src / "p").glob("part-*.parquet"))
+    assert len(files) == 4
+    stream_dir = tmp_path / "hh_files"
+    stream_dir.mkdir()
+    for i, f in enumerate(files):
+        shutil.copy(f, stream_dir / f"{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    captured: dict[int, pd.DataFrame] = {}
+
+    def sink(batch_df, batch_id):
+        pdf = batch_df.toPandas()
+        for b in pdf["bucket"].unique():
+            captured[int(b)] = pdf[pdf["bucket"] == b].reset_index(drop=True)
+
+    q = (
+        heavy_hitters_stream(stream, "item", capacity=16, num_buckets=num_buckets)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "replay must terminate"
+
+    # singleton tail vs 8×16 counters → eviction must fire somewhere.
+    assert any((pdf["d_p"] > 0).any() for pdf in captured.values())
+
+    seen_buckets = set()
+    for b, pdf in captured.items():
+        seen_buckets.add(b)
+        d_p = int(pdf["d_p"].max()) if len(pdf) else 0
+        survivors = pdf[pdf["item"].notna()]
+        ests = dict(zip(survivors["item"], survivors["est"]))
+        for item, est in ests.items():
+            true = truth[(b, item)]
+            assert est <= true, (b, item, est, true)
+            assert true - est <= d_p, (b, item, est, true, d_p)
+        for (tb, item), cnt in truth.items():
+            if tb == b and cnt > d_p:
+                assert item in ests, (b, item, cnt, d_p)
+    assert seen_buckets == {b for b, _ in truth}
