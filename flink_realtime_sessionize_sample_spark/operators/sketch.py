@@ -63,12 +63,20 @@ def misra_gries_summary(
                 cut = vals[capacity]  # (capacity+1)-th largest
                 decrements += cut
                 counters = {k: v - cut for k, v in counters.items() if v > cut}
-        yield pd.DataFrame(
-            {
-                "item": list(counters.keys()),
-                "est": list(counters.values()),
-                "d_p": [decrements] * len(counters),
-            }
-        )
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "item": list(counters.keys()),
+                    "est": list(counters.values()),
+                    "d_p": [decrements] * len(counters),
+                }
+            )
+        else:
+            # A near-uniform partition can evict every counter (valid MG —
+            # nothing exceeds the bound). The decrement total is still the
+            # load-bearing output: without it, a downstream max(d_p) would
+            # under-state the global bound and wrongly certify absent items
+            # as low-frequency. Emit it as a null-item summary row.
+            yield pd.DataFrame({"item": [None], "est": [None], "d_p": [decrements]})
 
     return items.mapInPandas(gen, schema="item string, est long, d_p long")

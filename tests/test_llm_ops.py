@@ -423,7 +423,8 @@ def test_misra_gries_invariants_under_eviction(spark):
 
     assert (sketch["d_p"] > 0).any(), "capacity 8 vs ~505 distinct must evict"
     max_d = int(sketch["d_p"].max())
-    by_item = dict(zip(sketch["item"], sketch["est"]))
+    survivors = sketch[sketch["item"].notna()]
+    by_item = dict(zip(survivors["item"], survivors["est"]))
     for item, est in by_item.items():
         assert est <= truth[item], (item, est, truth[item])
         assert truth[item] - est <= max_d, (item, est, truth[item], max_d)
