@@ -958,3 +958,49 @@ def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+# --- array set / ordering functions ---------------------------------------
+
+@query(
+    "array_set_funcs",
+    oracle="""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding[1:6], x -> CAST(floor(x * 1000) AS INT)) AS a,
+         list_transform(embedding[4:9], x -> CAST(floor(x * 1000) AS INT)) AS b
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT vec_id,
+       list_sort(a) AS a_sorted,
+       list_sort(list_distinct(list_concat(a, b))) AS union_ab,
+       list_sort(list_distinct(list_intersect(a, b))) AS intersect_ab,
+       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS except_ab,
+       list_contains(a, a[1]) AS contains_first,
+       len(a) AS n_a
+FROM base
+""",
+)
+def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra + ordering coverage (§2.9 scalar library): sort,
+    distinct-union, intersect, except, membership — all JVM codegen
+    expressions, no explode, no shuffle (pure per-row projection over the
+    scan). Arrays are floored to ints BEFORE set ops so cross-engine float
+    repr can't perturb the value hash.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    to_int = lambda col: F.expr(f"transform({col}, x -> cast(floor(x * 1000) as int))")  # noqa: E731
+    base = emb.select(
+        "vec_id",
+        to_int("slice(embedding, 1, 6)").alias("a"),
+        to_int("slice(embedding, 4, 6)").alias("b"),
+    )
+    return base.select(
+        "vec_id",
+        F.array_sort("a").alias("a_sorted"),
+        F.array_sort(F.array_distinct(F.array_union("a", "b"))).alias("union_ab"),
+        F.array_sort(F.array_distinct(F.array_intersect("a", "b"))).alias("intersect_ab"),
+        F.array_sort(F.array_distinct(F.array_except("a", "b"))).alias("except_ab"),
+        F.expr("array_contains(a, element_at(a, 1))").alias("contains_first"),
+        F.size("a").alias("n_a"),
+    )
