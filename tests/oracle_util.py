@@ -40,6 +40,9 @@ def _canon(df: pd.DataFrame) -> list[str]:
     for tup in df.itertuples(index=False, name=None):
         canon = []
         for v in tup:
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                canon.append(tuple(round(float(x), 5) for x in v))
+                continue
             if hasattr(v, "item"):  # numpy scalar → python scalar
                 v = v.item()
             if v is None or (isinstance(v, float) and math.isnan(v)):
