@@ -370,3 +370,89 @@ def pq_adc_topk(
             "cosine",
         )
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-vector serving layout
+    (FAISS IVFPQ): the coarse quantizer prunes to ``nprobe`` of
+    ``n_centroids`` cells, and only the surviving cells' PQ codes are
+    scored through the per-query LUT. Corpus state at query time:
+    (cell id + 8 codes + norm) per vector ≈ 20 bytes; full-precision
+    vectors are touched only at index-build.
+
+    Scale shape: build = two broadcast passes over the corpus (cell
+    assignment, PQ encoding), both persistable as THE index table
+    partitioned by cell. Query = broadcast the (query-cell, LUT) tables
+    onto the code table, one partial-agg sum per (query, vector), top-k
+    per query. Raising n_centroids shrinks per-query work linearly;
+    raising nprobe buys recall back — the knobs compose independently of
+    cluster size.
+    """
+    cents = train_ivf_centroids(emb, n_centroids=n_centroids, vec_col=vec_col)
+    codebooks = train_pq_codebooks(
+        emb, n_subspaces=n_subspaces, n_codes=n_codes, vec_col=vec_col, dim=dim
+    )
+    codes = pq_encode(
+        emb, codebooks, vec_col=vec_col, id_col=id_col, n_subspaces=n_subspaces, dim=dim
+    )
+
+    c = _with_norm(fan_out(emb), vec_col, id_col, "c")
+    q = _with_norm(queries, vec_col, id_col, "q")
+
+    def assign(side: DataFrame, vcol: str, ncol: str, idcol: str, keep: int) -> DataFrame:
+        cos = F.expr(T.dot_spark(vcol, "ct_v")) / (F.col(ncol) * F.col("ct_nrm"))
+        w = Window.partitionBy(idcol).orderBy(F.col("_ccos").desc(), F.col("cent_id").asc())
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .withColumn("_ccos", F.round(cos, 6))
+            .withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= keep)
+            .select(idcol, "cent_id")
+        )
+
+    c_cells = assign(c, "c_v", "c_nrm", "c_id", 1).withColumnRenamed("c_id", "id")
+    q_cells = assign(q, "q_v", "q_nrm", "q_id", nprobe)
+
+    sub_dim = dim // n_subspaces
+    q_sub = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(T.norm_spark(vec_col)).alias("q_nrm"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_subspaces - 1}),"
+                f" m -> slice(cast({vec_col} as array<double>), m * {sub_dim} + 1, {sub_dim}))"
+            )
+        ).alias("sub", "qv"),
+    )
+    lut = q_sub.join(F.broadcast(codebooks), "sub").select(
+        "q_id", "q_nrm", "sub", "code", F.expr(T.dot_spark("qv", "cw_v")).alias("part")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (
+        codes.join(F.broadcast(c_cells), "id")
+        .join(F.broadcast(q_cells), "cent_id")
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "id", "q_nrm", "nrm")
+        .agg(F.sum("part").alias("adot"))
+        .filter(F.col("id") != F.col("q_id"))
+        .withColumn("cosine", F.round(F.col("adot") / (F.col("q_nrm") * F.col("nrm")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )

@@ -741,3 +741,75 @@ def event_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("trigram").asc())
         .limit(15)
     )
+
+
+# --- data-quality audit ---------------------------------------------------
+
+@query(
+    "data_quality_report",
+    oracle="""
+SELECT 'orders_totalprice_positive' AS rule, count(*) FILTER (WHERE o_totalprice <= 0)::BIGINT AS n_violations FROM orders
+UNION ALL
+SELECT 'orders_orderkey_unique', (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+UNION ALL
+SELECT 'orders_custkey_referential', count(*)::BIGINT
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_qty_range', count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range', count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'events_ts_not_null', count(*) FILTER (WHERE ts IS NULL)::BIGINT FROM events
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality audit: one row per rule with its violation
+    count — positivity, range, uniqueness, referential integrity, and
+    null-rate checks in a single report (the dbt-tests / Deequ shape).
+
+    Scale shape: every intra-table rule is a conditional aggregate folded
+    into ONE scan of its table (count FILTER-style, map-side combined);
+    uniqueness is count − approx-free distinct on the key; the referential
+    check is a left-anti join against the (broadcastable) parent key set.
+    No rule materializes violating rows — counts only; a drill-down query
+    would filter the same predicates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("rule"), F.col("n").cast("long").alias("n_violations"))
+
+    orders_scan = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("pos"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uniq"),
+    )
+    rules = [
+        one("orders_totalprice_positive", orders_scan.select(F.col("pos").alias("n"))),
+        one("orders_orderkey_unique", orders_scan.select(F.col("uniq").alias("n"))),
+        one(
+            "orders_custkey_referential",
+            o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        one(
+            "lineitem_qty_range",
+            li.agg(
+                F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")).alias("n")
+            ),
+        ),
+        one(
+            "lineitem_discount_range",
+            li.agg(
+                F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")).alias("n")
+            ),
+        ),
+        one("events_ts_not_null", ev.agg(F.sum(F.col("ts").isNull().cast("long")).alias("n"))),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.select("rule", F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
