@@ -252,3 +252,42 @@ def user_total_durations(sessionized: DataFrame, key: str = "user_id") -> DataFr
         .groupBy(key)
         .agg(F.sum("session_duration").alias("total_duration"))
     )
+
+
+def sessionize_dynamic_gap(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreakers: Iterable[str] = ("event_id",),
+    gap_col: str = "gap_seconds",
+) -> DataFrame:
+    """Gap sessionization with a PER-ROW gap policy: the inactivity
+    threshold comes from a column (e.g. joined from a per-tenant/segment
+    policy dimension) instead of a global constant — multi-tenant session
+    semantics in the same single-shuffle window formulation as
+    ``sessionize_gap_only`` (the gap predicate is per-row codegen; nothing
+    about the plan changes, which is the point of keeping policy as data).
+    """
+    tiebreakers = list(tiebreakers)
+    order_asc = [F.col(ts).asc()] + [F.col(c).asc() for c in tiebreakers]
+    w = Window.partitionBy(key).orderBy(*order_asc)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = (
+        df.withColumn("_sec", _sec(ts))
+        .withColumn("_us", F.unix_micros(F.col(ts)))
+        .withColumn("_prev_sec", F.lag("_sec").over(w))
+        .withColumn(
+            "_is_new",
+            F.col("_prev_sec").isNull()
+            | (F.col("_sec") - F.col("_prev_sec") > F.col(gap_col)),
+        )
+    )
+    start = F.max(F.when(F.col("_is_new"), F.struct("_sec", "_us"))).over(run)
+    return (
+        base.withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(key).cast("string"), start["_us"].cast("string")),
+        )
+        .withColumn("duration", (F.col("_sec") - start["_sec"]).cast("int"))
+        .select(*df.columns, "session_id", "duration")
+    )

@@ -25,12 +25,13 @@ from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # no
 # already verified in earlier rounds. Registration itself is unchanged —
 # this only reorders the dict, so names/oracles/semantics are untouched.
 # ROUND-4 ROTATION NOTE: after round 3's external check, cumulative
-# driver-green should be 97/121 (rounds 1-2's 50 + this window's 47 new).
-# The 24 queries registered later in round 3 (sessionize family's
+# driver-green should be 97/124 (rounds 1-2's 50 + this window's 47 new).
+# The 27 queries registered later in round 3 (sessionize family's
 # session_event_features / session_window_stream_durations, the
 # analytics_queries module, waiting_suppliers_q21, heavy_hitters_bigrams,
 # doc_bigram_logprob, dedup_containment, embedding_covariance,
-# ann_pq_adc_topk, array_set_funcs, ...) have sf0.01 AND sf0.1 local parity
+# ann_pq_adc_topk, ann_ivf_pq_topk, array_set_funcs, data_quality_report,
+# sessionize_dynamic_gap, ...) have sf0.01 AND sf0.1 local parity
 # but no external row yet — rotate them into this window at the start of
 # round 4, keeping the same 3 anchors.
 _DRIVER_WINDOW: list[str] = [

@@ -517,3 +517,63 @@ def session_window_stream_durations_q(spark: SparkSession, sf_dir: str) -> DataF
     if not finished:  # pragma: no cover — defensive: never leak a query
         q.stop()
     return spark.table(qn).filter(F.col("user_id") != sentinel_user)
+
+
+@query(
+    "sessionize_dynamic_gap",
+    oracle="""
+WITH pol AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, epoch_us(ts)//1000000 AS sec,
+         CASE user_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1800 ELSE 3600 END AS gap_seconds
+  FROM events
+),
+o AS (
+  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_sec
+  FROM pol
+),
+f AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > gap_seconds THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+g AS (
+  SELECT *,
+         max(CASE WHEN is_new = 1 THEN us END) OVER
+           (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS start_us,
+         max(CASE WHEN is_new = 1 THEN sec END) OVER
+           (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS start_sec
+  FROM f
+)
+SELECT event_id, user_id, us AS ts_us, gap_seconds,
+       user_id::VARCHAR || '-' || start_us::VARCHAR AS session_id,
+       (sec - start_sec)::INT AS duration
+FROM g
+""",
+)
+def sessionize_dynamic_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tenant sessionization: the inactivity gap is POLICY DATA —
+    each user's segment maps to its own threshold (600/1800/3600 s here, a
+    stand-in for a broadcast policy dimension) — applied per-row inside the
+    same single-shuffle window formulation
+    (operators/sessionize.py::sessionize_dynamic_gap). What the reference
+    hard-codes as SESSION_TIMEOUT (SessionizeGroupMapFunction.scala:113)
+    becomes a joinable column with zero plan change."""
+    from flink_realtime_sessionize_sample_spark.operators.sessionize import (
+        sessionize_dynamic_gap,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pol = ev.withColumn(
+        "gap_seconds",
+        F.when(F.col("user_id") % 3 == 0, 600)
+        .when(F.col("user_id") % 3 == 1, 1800)
+        .otherwise(3600),
+    )
+    out = sessionize_dynamic_gap(pol, key="user_id", ts="ts", tiebreakers=("event_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "gap_seconds",
+        "session_id",
+        "duration",
+    )
