@@ -56,6 +56,15 @@ HEADLINE = [
     "funnel_stage_conversion",
     "bm25_doc_search",
     "scd2_customer_orders",
+    # round-3 continuation families: cohorts, CDC diff, anomaly flags,
+    # sequence mining, weighted sampling, quality audit, covariance
+    "retention_cohorts",
+    "snapshot_diff_cdc",
+    "anomaly_rolling_zscore",
+    "event_sequence_trigrams",
+    "sample_weighted_docs",
+    "data_quality_report",
+    "embedding_covariance",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 

@@ -474,10 +474,17 @@ def session_window_stream_durations_q(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     import glob as _glob
+    import os as _os
+    import time as _time
 
     qn = f"swin_stream_{uuid.uuid4().hex[:8]}"
     src = tempfile.mkdtemp(prefix="swin_stream_src_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/0_events.parquet")
+    # The file source orders by modification time at MILLISECOND granularity;
+    # pin explicit strictly-increasing mtimes so the events→sentinel-1→
+    # sentinel-2 batch order can never collapse on a fast filesystem.
+    base_mtime = _time.time() - 60
+    _os.utime(f"{src}/0_events.parquet", (base_mtime, base_mtime))
     ev_schema = spark.read.parquet(f"{src}/0_events.parquet")
     sentinel_user = -1
     for i, days in ((1, 370), (2, 740)):
@@ -492,7 +499,9 @@ def session_window_stream_durations_q(spark: SparkSession, sf_dir: str) -> DataF
             F.lit(0.0).alias("value"),
             F.lit("{}").alias("props"),
         ).coalesce(1).write.parquet(aside)
-        shutil.move(_glob.glob(f"{aside}/part-*.parquet")[0], f"{src}/{i}_sentinel.parquet")
+        dest = f"{src}/{i}_sentinel.parquet"
+        shutil.move(_glob.glob(f"{aside}/part-*.parquet")[0], dest)
+        _os.utime(dest, (base_mtime + 10 * i, base_mtime + 10 * i))
         shutil.rmtree(aside, ignore_errors=True)
     stream = build_events_file_stream(spark, src, max_files_per_trigger=1)
     out = (
