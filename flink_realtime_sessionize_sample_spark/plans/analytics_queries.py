@@ -813,3 +813,191 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out.select("rule", F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
+
+
+# --- time-series decomposition --------------------------------------------
+
+@query(
+    "orders_trend_decomposition",
+    oracle="""
+WITH wk AS (
+  SELECT date_trunc('week', o_orderdate) AS w,
+         count(*)::BIGINT AS n_orders,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders GROUP BY 1
+), ma AS (
+  SELECT w, n_orders, rev_cents,
+         avg(n_orders) OVER (ORDER BY w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS trend,
+         count(*) OVER (ORDER BY w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS win_n
+  FROM wk
+)
+SELECT strftime(w, '%Y-%m-%d') AS week, n_orders, rev_cents,
+       CASE WHEN win_n = 5 THEN round(trend, 6) END AS trend_ma5,
+       CASE WHEN win_n = 5 THEN round(n_orders - trend, 6) END AS residual
+FROM ma
+""",
+)
+def orders_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly order-volume decomposition: centered 5-week moving-average
+    trend + residual, null at the edges where the window is partial (the
+    honest convention — a shrunken edge window is a different estimator).
+
+    Scale shape: one hash aggregate collapses the fact table to ≤ |weeks|
+    rows; the centered windows then run over that tiny series in a single
+    partition BY CONSTRUCTION (bounded by calendar weeks, not data size).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wk = (
+        o.groupBy(F.date_trunc("week", "o_orderdate").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("rev_cents"),
+        )
+    )
+    win = Window.orderBy("w").rowsBetween(-2, 2)
+    ma = wk.select(
+        "w",
+        "n_orders",
+        "rev_cents",
+        F.avg("n_orders").over(win).alias("trend"),
+        F.count(F.lit(1)).over(win).alias("win_n"),
+    )
+    full = F.col("win_n") == 5
+    return ma.select(
+        F.date_format("w", "yyyy-MM-dd").alias("week"),
+        "n_orders",
+        "rev_cents",
+        F.when(full, F.round("trend", 6)).alias("trend_ma5"),
+        F.when(full, F.round(F.col("n_orders") - F.col("trend"), 6)).alias("residual"),
+    )
+
+
+# --- PMI token co-occurrence ----------------------------------------------
+
+@query(
+    "token_pmi_cooccurrence",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct({tokens_duck('text')}) AS t FROM documents
+), n_docs AS (
+  SELECT count(*)::BIGINT AS n FROM tok
+), ex AS (
+  SELECT doc_id, unnest(t) AS w FROM tok
+), marg AS (
+  SELECT w, count(*)::BIGINT AS df FROM ex GROUP BY w
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS co
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+)
+SELECT p.w1, p.w2, p.co,
+       round(ln(p.co * n.n * 1.0 / (m1.df * m2.df)), 6) AS pmi
+FROM pairs p
+JOIN marg m1 ON m1.w = p.w1
+JOIN marg m2 ON m2.w = p.w2
+CROSS JOIN n_docs n
+WHERE p.co >= 50
+ORDER BY pmi DESC, w1, w2 LIMIT 25
+""",
+)
+def token_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of within-document token pairs (top 25
+    by PMI among pairs co-occurring in ≥ 50 docs) — the collocation /
+    phrase-discovery statistic of corpus analysis.
+
+    Scale shape: tokens are DISTINCT per doc before pairing, so the self
+    join is bounded by per-doc vocabulary (not token count), and the pair
+    aggregation is a two-level hash agg over ≤ vocab² keys; marginals are a
+    tiny aggregate broadcast back; the support filter (co ≥ 50) keeps the
+    ranked set small. At web scale you'd pre-filter the vocabulary to the
+    top-k terms (marginal df is already computed here) to bound vocab².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.expr(tokens_spark("text"))).alias("t")
+    )
+    n_docs = tok.agg(F.count(F.lit(1)).alias("n"))
+    ex = tok.select("doc_id", F.explode("t").alias("w"))
+    marg = ex.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    a = ex.select("doc_id", F.col("w").alias("w1"))
+    b = ex.select("doc_id", F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 50)
+    )
+    m1 = marg.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    m2 = marg.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "co",
+            F.round(
+                F.log(F.col("co") * F.col("n") / (F.col("df1") * F.col("df2"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(25)
+    )
+
+
+# --- RFM customer segmentation --------------------------------------------
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS last_day,
+         count(*)::BIGINT AS frequency,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, last_day, frequency, monetary_cents,
+         ntile(5) OVER (ORDER BY last_day, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       count(*)::BIGINT AS n_customers,
+       sum(monetary_cents)::BIGINT AS segment_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary quintiles
+    (deterministic ntile with full tiebreaks) rolled up to the 5×5×5
+    segment grid — the standard CRM cohorting pass.
+
+    Scale shape: one hash aggregate collapses orders to |customers| rows;
+    the three ntiles are global-sort windows over that collapsed table —
+    the documented single-partition pinch of exact global quantile ranks.
+    At 100 TB you'd swap ntile for percent_rank over range-partitioned
+    sorts or approx quantile cut points; the per-customer collapse (the
+    data-sized stage) is unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents("o_totalprice")).alias("monetary_cents"),
+    )
+    scored = per_cust.select(
+        "monetary_cents",
+        F.ntile(5).over(Window.orderBy("last_day", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+    )
