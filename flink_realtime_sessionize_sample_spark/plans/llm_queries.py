@@ -1738,3 +1738,46 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_hits") / F.col("_n_exact") >= 0.08).alias("mean_recall_ge_8pct"),
         )
     )
+
+
+@query(
+    "near_dup_triangles",
+    oracle=_DOC_SHINGLES_CTE
+    + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+    + """
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE common::DOUBLE / uni >= 0.5
+)
+SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+FROM edges e1
+JOIN edges e2 ON e1.doc_b = e2.doc_a
+JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+""",
+)
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the near-dup graph (MinHash-LSH edges ≥ 0.5)
+    — the graph-analytics primitive behind clustering-coefficient /
+    community-density diagnostics of a dedup graph (a triangle-rich cluster
+    is a true duplicate family; a star is one template touching many).
+
+    Edges are canonical (doc_a < doc_b), so the 3-way self-join counts each
+    triangle once as a < b < c. With id-ordered edges the join fan-out is
+    bounded by per-node out-degree; the production refinement (degree
+    ordering, so every edge points low→high degree and fan-out is bounded
+    by sqrt(|E|)) drops in by replacing the ordering key — same plan shape.
+    """
+    edges = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
