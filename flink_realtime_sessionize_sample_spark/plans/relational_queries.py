@@ -1004,3 +1004,38 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("array_contains(a, element_at(a, 1))").alias("contains_first"),
         F.size("a").alias("n_a"),
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides) —
+    the multiset complement of the set-semantics family above; Catalyst
+    plans it as a count-aggregated join, no distinct collapse."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right, floored
+    at zero) — preserves duplicate counts the set-semantics EXCEPT erases."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)

@@ -586,3 +586,77 @@ def sessionize_dynamic_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         "duration",
     )
+
+
+@query(
+    "session_funnel_conversion",
+    oracle=_SESSIONIZE_CTE + """
+, enriched AS (
+  SELECT s.user_id, s.session_id, s.ts_us, e.event_type
+  FROM sessionized s JOIN events e USING (event_id)
+), s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+               OVER (PARTITION BY user_id, session_id) AS t_view
+  FROM enriched
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t_view THEN ts_us END)
+               OVER (PARTITION BY user_id, session_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t_click THEN ts_us END)
+               OVER (PARTITION BY user_id, session_id) AS t_purchase
+  FROM s2
+), per_session AS (
+  SELECT user_id, session_id, max(t_view) AS tv, max(t_click) AS tc, max(t_purchase) AS tp
+  FROM s3 GROUP BY user_id, session_id
+)
+SELECT count(*)::BIGINT AS sessions_total,
+       count(tv)::BIGINT AS sessions_view,
+       count(tc)::BIGINT AS sessions_view_click,
+       count(tp)::BIGINT AS sessions_view_click_purchase
+FROM per_session
+""",
+)
+def session_funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel WITHIN sessions: view → click → purchase must complete inside
+    one session (the reference's full gap/size/duration semantics), the
+    composition a product team actually runs on sessionized output — a
+    cross-session funnel overstates conversion whenever intent resets.
+
+    Scale shape: the sessionizer's shuffle + one (user, session) exchange
+    for the three chained window aggregates (the Arrow kernel erases
+    partitioning lineage — same contract as session_event_features); the
+    per-session collapse and 1-row count reuse that partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    s = sessionize(ev, key="user_id", ts="ts", tiebreakers=("event_id",))
+    wp = Window.partitionBy("user_id", "session_id")
+    us = F.unix_micros("ts")
+    s1 = s.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", us)).over(wp)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when((F.col("event_type") == "click") & (us > F.col("t_view")), us)
+        ).over(wp),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (us > F.col("t_click")), us)
+        ).over(wp),
+    )
+    per_session = s3.groupBy("user_id", "session_id").agg(
+        F.max("t_view").alias("tv"),
+        F.max("t_click").alias("tc"),
+        F.max("t_purchase").alias("tp"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("sessions_total"),
+        F.count("tv").alias("sessions_view"),
+        F.count("tc").alias("sessions_view_click"),
+        F.count("tp").alias("sessions_view_click_purchase"),
+    )
