@@ -1,6 +1,8 @@
-"""Streaming heavy hitters — the Misra-Gries sketch as stateful streaming.
+"""Stateful streaming analytics — the MG sketch and the funnel state machine.
 
-Composes the bounded-memory frequency sketch (``operators/sketch.py``) with
+Two update-mode ``applyInPandasWithState`` operators with constant-size
+per-group state: ``heavy_hitters_stream`` (bounded-memory top talkers) and
+``funnel_stream`` (live ordered-funnel progression). The sketch composes the bounded-memory frequency sketch (``operators/sketch.py``) with
 the coarse-bucket state layout proven out by the bucketed sessionizer: items
 hash into a fixed number of buckets, each bucket group carries its MG
 counters (parallel-array GroupState row) across micro-batches, and every
@@ -117,6 +119,90 @@ def heavy_hitters_stream(
         fn,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_SKETCH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+    ]
+)
+
+_FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", StringType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+
+def funnel_stream(
+    stream,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    stages: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Real-time ordered-funnel tracking: per-key GroupState holds the first
+    instant each stage was reached (a stage only advances on an event
+    strictly AFTER the previous stage, same semantics as the batch
+    ``funnel_stage_conversion``); emits one row per stage ADVANCE, so the
+    sink receives the live conversion log rather than per-event noise.
+
+    State is three longs per user — constant-size, same scale contract as
+    the sessionizer's state tuple. Arrival order across micro-batches,
+    (ts, arrival) order within a batch: on in-order input this equals the
+    batch funnel's per-user stage instants exactly.
+    """
+    items = stream.select(
+        F.col(key).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts)).alias("ts_us"),
+        F.col(type_col).alias("etype"),
+    )
+
+    s1, s2, s3 = stages
+
+    def fn(
+        key_t: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tv, tc, tp = (None if v is None else int(v) for v in state.get)
+        else:
+            tv = tc = tp = None
+        advances = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_us")
+            for ts_us, etype in zip(pdf["ts_us"], pdf["etype"]):
+                t = int(ts_us)
+                if etype == s1 and tv is None:
+                    tv = t
+                    advances.append((s1, t))
+                elif etype == s2 and tc is None and tv is not None and t > tv:
+                    tc = t
+                    advances.append((s2, t))
+                elif etype == s3 and tp is None and tc is not None and t > tc:
+                    tp = t
+                    advances.append((s3, t))
+        state.update((tv, tc, tp))
+        yield pd.DataFrame(
+            {
+                "user_id": [key_t[0]] * len(advances),
+                "stage": [a[0] for a in advances],
+                "ts_us": [a[1] for a in advances],
+            }
+        )
+
+    return items.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -793,3 +793,81 @@ def test_streaming_heavy_hitters_invariants(spark, sf_small, tmp_path):
             if tb == b and cnt > d_p:
                 assert item in ests, (b, item, cnt, d_p)
     assert seen_buckets == {b for b, _ in truth}
+
+
+def test_streaming_funnel_matches_batch(spark, sf_small, tmp_path):
+    """Real-time funnel state machine across 3 micro-batches ≡ the batch
+    funnel: per-user first-view / first-click-after / first-purchase-after
+    instants must match the windowed batch formulation exactly, and each
+    user emits each stage at most once across the whole replay."""
+    import time as _time
+
+    from pyspark.sql import Window, functions as F
+
+    from flink_realtime_sessionize_sample_spark.streaming.sketch_stream import (
+        funnel_stream,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros("ts")
+    s1 = ev.withColumn("tv", F.min(F.when(F.col("event_type") == "view", us)).over(w))
+    s2 = s1.withColumn(
+        "tc", F.min(F.when((F.col("event_type") == "click") & (us > F.col("tv")), us)).over(w)
+    )
+    s3 = s2.withColumn(
+        "tp", F.min(F.when((F.col("event_type") == "purchase") & (us > F.col("tc")), us)).over(w)
+    )
+    expected = {
+        r["user_id"]: (r["tv"], r["tc"], r["tp"])
+        for r in s3.groupBy("user_id")
+        .agg(F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp"))
+        .collect()
+    }
+
+    # 3 ts-ordered chunks, one per trigger (stage advances span batches)
+    n = ev.count()
+    per = (n + 2) // 3
+    wo = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("_rn", F.row_number().over(wo))
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    for i in range(3):
+        (
+            chunked.filter((F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per))
+            .drop("_rn")
+            .coalesce(1)
+            .write.parquet(str(tmp_path / f"fchunk{i}"))
+        )
+        part = glob.glob(str(tmp_path / f"fchunk{i}" / "part-*.parquet"))[0]
+        shutil.move(part, src / f"{i}.parquet")
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(str(src / "0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "replay must terminate"
+    got = spark.table("funnel_stream_test").toPandas()
+
+    # each (user, stage) emitted at most once across ALL batches
+    assert not got.duplicated(["user_id", "stage"]).any()
+    got_map: dict[int, dict[str, int]] = {}
+    for r in got.itertuples(index=False):
+        got_map.setdefault(r.user_id, {})[r.stage] = r.ts_us
+    for user, (tv, tc, tp) in expected.items():
+        g = got_map.get(user, {})
+        assert g.get("view") == tv, (user, "view", g.get("view"), tv)
+        assert g.get("click") == tc, (user, "click", g.get("click"), tc)
+        assert g.get("purchase") == tp, (user, "purchase", g.get("purchase"), tp)
