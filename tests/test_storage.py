@@ -130,3 +130,31 @@ def test_orc_round_trip_with_pushdown(spark, sf_small, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
     assert q.count() == docs.filter("lang = 'en'").count()
+
+
+def test_schema_evolution_merge_scan(spark, sf_small, tmp_path):
+    """Schema-on-read across generations: a table directory whose older
+    files lack a column added later must scan under mergeSchema=true with
+    the unioned schema, null-backfilled for old files — the operational
+    reality of any long-lived 100 TB table (the engine's own testdata went
+    through exactly such a generation change, TESTDATA ts encoding)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0)
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "quality_score", F.round(F.col("value") / 100, 6)
+    )
+    tbl = str(tmp_path / "evolving")
+    gen1.write.parquet(tbl)
+    gen2.write.mode("append").parquet(tbl)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(tbl)
+    assert "quality_score" in merged.columns
+    assert merged.count() == ev.count()
+    n_old = gen1.count()
+    assert merged.filter(F.col("quality_score").isNull()).count() == n_old
+    # new-generation rows keep their values
+    assert merged.filter(F.col("quality_score").isNotNull()).count() == ev.count() - n_old
