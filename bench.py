@@ -76,7 +76,15 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # JVM unified logging defaults to stdout; under memory pressure its
+        # [gc,alloc] warnings would interleave with the one-line JSON
+        # contract below. Keep the warnings, move them to stderr.
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr:uptime,level,tags"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in plans.QUERIES]
