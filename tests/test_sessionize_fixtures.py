@@ -167,3 +167,38 @@ def test_mixed_gap_and_caps_across_users(spark):
     assert session_indexes(by_user[1]) == [0, 0, 1, 1]
     idx2 = session_indexes(by_user[2])
     assert idx2[1498] == 0 and idx2[1499] == 1 and idx2[-1] == 1
+
+
+def test_dynamic_gap_strict_boundary_per_segment(spark):
+    """Dynamic-gap sessionize: the gap is strict `>` against each row's own
+    policy column — an event exactly AT its segment's threshold continues
+    the session; one second past it opens a new one; and the same delta can
+    cut one user while not cutting another whose policy is looser."""
+    from flink_realtime_sessionize_sample_spark.operators.sessionize import (
+        sessionize_dynamic_gap,
+    )
+
+    rows = [
+        # user 1: gap policy 600 s → +600 continues, +1201 (delta 601) cuts
+        (1, 1, "2024-01-01 00:00:00", 600),
+        (2, 1, "2024-01-01 00:10:00", 600),
+        (3, 1, "2024-01-01 00:20:01", 600),
+        # user 2: same deltas, policy 3600 s → never cuts
+        (4, 2, "2024-01-01 00:00:00", 3600),
+        (5, 2, "2024-01-01 00:10:00", 3600),
+        (6, 2, "2024-01-01 00:20:01", 3600),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, gap_seconds int"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "gap_seconds")
+    out = {
+        r["event_id"]: (r["session_id"], r["duration"])
+        for r in sessionize_dynamic_gap(df).collect()
+    }
+    # user 1: events 1-2 share a session (delta == gap, strict >), 3 is new
+    assert out[1][0] == out[2][0]
+    assert out[3][0] != out[1][0]
+    assert out[2][1] == 600 and out[3][1] == 0
+    # user 2: all three in one session
+    assert out[4][0] == out[5][0] == out[6][0]
+    assert out[6][1] == 1201
