@@ -1001,3 +1001,61 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),
     )
+
+
+# --- Pareto / ABC analysis ------------------------------------------------
+
+@query(
+    "customer_pareto_abc",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_cents,
+         sum(rev_cents) OVER ()::BIGINT AS total_cents
+  FROM per_cust
+)
+SELECT o_custkey, rev_cents,
+       round(cum_cents * 1.0 / total_cents, 6) AS cum_share,
+       CASE WHEN cum_cents * 1.0 / total_cents <= 0.5 THEN 'A'
+            WHEN cum_cents * 1.0 / total_cents <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: customers ranked by revenue with exact
+    cumulative share and A/B/C tiers at the 50%/80% cut — the concentration
+    analysis behind account prioritization and the '80/20' check.
+
+    Scale shape: the fact table collapses to |customers| rows in one hash
+    aggregate; the cumulative window is a global sort over that collapsed
+    table (the documented exact-Pareto pinch — at 100 TB substitute
+    approx-quantile revenue cut points computed distributed, same
+    downstream classification). Integer-cents cumulative sums keep the
+    running totals engine-exact at every prefix.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("rev_cents"))
+    w_cum = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    share = F.col("cum_cents") / F.col("total_cents")
+    return (
+        per_cust.select(
+            "o_custkey",
+            "rev_cents",
+            F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+            F.sum("rev_cents").over(w_all).alias("total_cents"),
+        )
+        .select(
+            "o_custkey",
+            "rev_cents",
+            F.round(share, 6).alias("cum_share"),
+            F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc_class"),
+        )
+    )
