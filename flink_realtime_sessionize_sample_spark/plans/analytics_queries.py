@@ -1059,3 +1059,97 @@ def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc_class"),
         )
     )
+
+
+# --- inter-arrival gap distribution ---------------------------------------
+
+@query(
+    "event_gap_percentiles",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts)//1000000
+           - lag(epoch_us(ts)//1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       count(gap_s)::BIGINT AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+       round(quantile_cont(gap_s, 0.99), 6) AS p99_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+""",
+)
+def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (exact p50/p90/p99 of
+    within-user gaps) — the empirical basis for CHOOSING a session gap
+    threshold: the reference hard-codes 30 minutes
+    (SessionizeGroupMapFunction.scala:113); this query is how you'd justify
+    or revise it from the data (the threshold should sit in the sparse
+    region above p99 of within-session gaps).
+
+    Scale shape: one user_id window (shared exchange + sort) computes the
+    gaps; the exact percentiles are a single hash aggregate over
+    |event_types| groups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = (F.unix_micros("ts") / F.lit(1_000_000)).cast("long")
+    gaps = ev.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(gap_s, 0.99)"), 6).alias("p99_s"),
+    )
+
+
+# --- Zipf rank-frequency fit ----------------------------------------------
+
+@query(
+    "doc_zipf_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({tokens_duck('text')}) AS w FROM documents
+), freq AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq
+)
+SELECT count(*)::BIGINT AS vocab,
+       round(regr_slope(ln(c), ln(r)), 6) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(r)), 6) AS zipf_intercept,
+       round(regr_r2(ln(c), ln(r)), 6) AS fit_r2
+FROM ranked
+""",
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope /
+    intercept / R² of log-frequency against log-rank via the built-in
+    regression aggregates — a one-number diagnostic of whether a corpus has
+    natural-language rank decay (slope ≈ −1) or synthetic/templated
+    flatness (slope ≈ 0, as here — this corpus measures ≈ −0.04).
+
+    Scale shape: token counts are a two-level hash aggregate; the rank
+    window runs over |vocab| rows; the regression aggregates reduce to six
+    running sums (one pass, map-side combinable). regr_* is the aggregate
+    family's coverage entry (alongside sum/avg/percentile/corr elsewhere).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.expr(tokens_spark("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc())).alias("r")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(F.expr("regr_slope(ln(c), ln(r))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(c), ln(r))"), 6).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(ln(c), ln(r))"), 6).alias("fit_r2"),
+    )
