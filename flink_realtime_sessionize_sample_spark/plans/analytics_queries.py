@@ -1153,3 +1153,78 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_intercept(ln(c), ln(r))"), 6).alias("zipf_intercept"),
         F.round(F.expr("regr_r2(ln(c), ln(r))"), 6).alias("fit_r2"),
     )
+
+
+# --- market-basket association rules --------------------------------------
+
+@query(
+    "basket_part_associations",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n_orders AS (
+  SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM baskets
+), item_counts AS (
+  SELECT l_partkey, count(*)::BIGINT AS c FROM baskets GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS co
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.p1, p.p2, p.co,
+       round(p.co * 1.0 / n.n, 6) AS support,
+       round(p.co * 1.0 / c1.c, 6) AS confidence,
+       round(p.co * n.n * 1.0 / (c1.c * c2.c), 6) AS lift
+FROM pairs p
+JOIN item_counts c1 ON c1.l_partkey = p.p1
+JOIN item_counts c2 ON c2.l_partkey = p.p2
+CROSS JOIN n_orders n
+WHERE p.co >= 3
+ORDER BY lift DESC, p1, p2 LIMIT 20
+""",
+)
+def basket_part_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: part pairs co-ordered within the
+    same order ranked by lift (with exact support and confidence, minimum
+    co-count 3) — the Apriori-style affinity pass of retail analytics.
+
+    Scale shape: baskets are DISTINCT (order, part) rows, so the within-
+    order self-join is bounded by basket width (lineitems per order), never
+    corpus size; pair and marginal counts are two-level hash aggregates;
+    marginals broadcast back onto the (small, support-filtered) pair table;
+    top-k is a TakeOrderedAndProject. At larger basket widths the standard
+    refinement — frequent-item pre-filter before pairing (the Apriori
+    property; item_counts is already computed here) — bounds the pair
+    space.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_counts = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    c1 = item_counts.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    c2 = item_counts.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "co",
+            F.round(F.col("co") / F.col("n"), 6).alias("support"),
+            F.round(F.col("co") / F.col("c1"), 6).alias("confidence"),
+            F.round(F.col("co") * F.col("n") / (F.col("c1") * F.col("c2")), 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(20)
+    )
