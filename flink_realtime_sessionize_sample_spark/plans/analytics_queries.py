@@ -1228,3 +1228,44 @@ def basket_part_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+# --- table fingerprint (replication check) --------------------------------
+
+@query(
+    "table_fingerprint",
+    oracle=f"""
+WITH rows_h AS (
+  SELECT {h48_duck("concat(o_orderkey::VARCHAR, '|', o_custkey::VARCHAR, '|', o_orderstatus, '|', round(o_totalprice * 100)::BIGINT::VARCHAR)")} AS h
+  FROM orders
+)
+SELECT count(*)::BIGINT AS n_rows,
+       bit_xor(h)::BIGINT AS xor_fp,
+       sum(h)::BIGINT AS sum_fp
+FROM rows_h
+""",
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: per-row portable hash folded
+    with XOR and SUM — the cheap replication/migration check two systems
+    run independently to certify a table copy without moving data (equal
+    fingerprints + row count ≈ equal content; XOR catches value drift, SUM
+    catches the paired-flip XOR blind spot).
+
+    Scale shape: a pure per-row projection folded by a commutative
+    aggregate — map-side combine does almost all the work, the exchange
+    carries one partial per partition, and the result is independent of row
+    order and partitioning by construction (which is the point: the two
+    sides of the comparison never shuffle the same way).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_repr = (
+        "concat(cast(o_orderkey as string), '|', cast(o_custkey as string), '|', "
+        "o_orderstatus, '|', cast(cast(round(o_totalprice * 100) as bigint) as string))"
+    )
+    h = F.expr(h48_spark(row_repr))
+    return o.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_fp"),
+        F.sum("h").alias("sum_fp"),
+    )
