@@ -1236,21 +1236,27 @@ def basket_part_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_fingerprint",
     oracle=f"""
 WITH rows_h AS (
-  SELECT {h48_duck("concat(o_orderkey::VARCHAR, '|', o_custkey::VARCHAR, '|', o_orderstatus, '|', round(o_totalprice * 100)::BIGINT::VARCHAR)")} AS h
+  SELECT {h48_duck("concat(o_orderkey::VARCHAR, '|', o_custkey::VARCHAR, '|', o_orderstatus, '|', round(o_totalprice * 100)::BIGINT::VARCHAR)")} AS h,
+         {h48_duck("concat('s2|', o_orderkey::VARCHAR, '|', o_custkey::VARCHAR, '|', o_orderstatus, '|', round(o_totalprice * 100)::BIGINT::VARCHAR)")} AS h2
   FROM orders
 )
 SELECT count(*)::BIGINT AS n_rows,
        bit_xor(h)::BIGINT AS xor_fp,
-       sum(h)::BIGINT AS sum_fp
+       bit_xor(h2)::BIGINT AS xor_fp_salted
 FROM rows_h
 """,
 )
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive table fingerprint: per-row portable hash folded
-    with XOR and SUM — the cheap replication/migration check two systems
-    run independently to certify a table copy without moving data (equal
-    fingerprints + row count ≈ equal content; XOR catches value drift, SUM
-    catches the paired-flip XOR blind spot).
+    """Order-insensitive table fingerprint: per-row portable hash folded by
+    XOR on two independently-salted channels — the cheap replication/
+    migration check two systems run independently to certify a table copy
+    without moving data (equal fingerprints + row count ≈ equal content;
+    the second salted channel covers XOR's paired-flip blind spot). A SUM
+    channel would be the textbook companion, but an int64 sum of 48-bit
+    hashes overflows past ~200 k rows — Spark raises under ANSI (or wraps
+    with ANSI off) while DuckDB promotes to HUGEINT, a divergence the
+    sf0.1 sweep caught — so both channels are XOR, overflow-free at any
+    cardinality.
 
     Scale shape: a pure per-row projection folded by a commutative
     aggregate — map-side combine does almost all the work, the exchange
@@ -1264,8 +1270,9 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus, '|', cast(cast(round(o_totalprice * 100) as bigint) as string))"
     )
     h = F.expr(h48_spark(row_repr))
-    return o.select(h.alias("h")).agg(
+    h2 = F.expr(h48_spark(f"concat('s2|', {row_repr})"))
+    return o.select(h.alias("h"), h2.alias("h2")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(h)").cast("long").alias("xor_fp"),
-        F.sum("h").alias("sum_fp"),
+        F.expr("bit_xor(h2)").cast("long").alias("xor_fp_salted"),
     )

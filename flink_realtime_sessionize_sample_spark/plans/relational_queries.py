@@ -967,8 +967,8 @@ def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT vec_id,
-         list_transform(embedding[1:6], x -> CAST(floor(x * 1000) AS INT)) AS a,
-         list_transform(embedding[4:9], x -> CAST(floor(x * 1000) AS INT)) AS b
+         list_transform(embedding[1:6], x -> CAST(floor(x::DOUBLE * 1000) AS INT)) AS a,
+         list_transform(embedding[4:9], x -> CAST(floor(x::DOUBLE * 1000) AS INT)) AS b
   FROM embeddings WHERE vec_id % 20 = 0
 )
 SELECT vec_id,
@@ -986,10 +986,12 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-union, intersect, except, membership — all JVM codegen
     expressions, no explode, no shuffle (pure per-row projection over the
     scan). Arrays are floored to ints BEFORE set ops so cross-engine float
-    repr can't perturb the value hash.
+    repr can't perturb the value hash; the multiply is forced to DOUBLE on
+    both engines (float32-vs-double products floor differently at boundary
+    values — caught by the sf0.1 sweep).
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
-    to_int = lambda col: F.expr(f"transform({col}, x -> cast(floor(x * 1000) as int))")  # noqa: E731
+    to_int = lambda col: F.expr(f"transform({col}, x -> cast(floor(cast(x as double) * 1000) as int))")  # noqa: E731
     base = emb.select(
         "vec_id",
         to_int("slice(embedding, 1, 6)").alias("a"),
