@@ -25,8 +25,8 @@ from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # no
 # already verified in earlier rounds. Registration itself is unchanged —
 # this only reorders the dict, so names/oracles/semantics are untouched.
 # ROUND-4 ROTATION NOTE: after round 3's external check, cumulative
-# driver-green should be 97/136 (rounds 1-2's 50 + this window's 47 new).
-# The 39 queries registered later in round 3 (sessionize family's
+# driver-green should be 97/137 (rounds 1-2's 50 + this window's 47 new).
+# The 40 queries registered later in round 3 (sessionize family's
 # session_event_features / session_window_stream_durations, the
 # analytics_queries module, waiting_suppliers_q21, heavy_hitters_bigrams,
 # doc_bigram_logprob, dedup_containment, embedding_covariance,

@@ -1276,3 +1276,91 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").cast("long").alias("xor_fp"),
         F.expr("bit_xor(h2)").cast("long").alias("xor_fp_salted"),
     )
+
+
+# --- streaming heavy hitters (driver-checkable replay) --------------------
+
+@query(
+    "heavy_hitters_stream_events",
+    oracle="""
+WITH items AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot|' || event_type
+              ELSE 'tail|' || event_id::VARCHAR END AS item
+  FROM events
+), cnt AS (
+  SELECT item, count(*)::BIGINT AS true_cnt FROM items GROUP BY item
+)
+SELECT item, true_cnt, TRUE AS sketch_consistent
+FROM cnt ORDER BY true_cnt DESC, item LIMIT 10
+""",
+)
+def heavy_hitters_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Misra-Gries sketch (streaming/sketch_stream.py), run
+    through a real stateful replay and certified against exact anchor
+    counts — same partitioning/batching-independent invariant booleans as
+    the batch ``heavy_hitters_bigrams``: a surviving anchor must satisfy
+    est ≤ true with under-count ≤ the emitted decrement bound; an evicted
+    anchor's true count must be within that bound. The hot+tail item mix
+    (5 hot event-type items vs per-event singletons) guarantees both the
+    survivor and the evict paths execute.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from flink_realtime_sessionize_sample_spark.streaming import (
+        build_events_file_stream,
+    )
+    from flink_realtime_sessionize_sample_spark.streaming.sketch_stream import (
+        heavy_hitters_stream,
+    )
+
+    qn = f"hh_stream_{_uuid.uuid4().hex[:8]}"
+    src = _tempfile.mkdtemp(prefix="hh_stream_src_")
+    _shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = build_events_file_stream(spark, src)
+    make_item = F.when(
+        F.col("event_id") % 3 == 0, F.concat(F.lit("hot|"), F.col("event_type"))
+    ).otherwise(F.concat(F.lit("tail|"), F.col("event_id").cast("string")))
+    out = heavy_hitters_stream(
+        stream.select(make_item.alias("item")), "item", capacity=16, num_buckets=8
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:  # pragma: no cover — defensive: never leak a query
+        q.stop()
+    sketch = spark.table(qn)
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = (
+        ev.select(make_item.alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("item").asc())
+        .limit(10)
+    )
+    max_d = sketch.agg(F.max("d_p").alias("max_d"))
+    return (
+        anchors.join(
+            F.broadcast(sketch.filter(F.col("item").isNotNull()).select("item", "est")),
+            "item",
+            "left",
+        )
+        .crossJoin(F.broadcast(max_d))
+        .select(
+            "item",
+            "true_cnt",
+            F.when(F.col("est").isNull(), F.col("true_cnt") <= F.col("max_d"))
+            .otherwise(
+                (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") - F.col("est") <= F.col("max_d"))
+            )
+            .alias("sketch_consistent"),
+        )
+    )
