@@ -18,77 +18,66 @@ from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # no
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
 # in build-phase order, which pinned the same 50 queries into that window
-# every round and left the 43 registered after them without an external
-# correctness row. ``_DRIVER_WINDOW`` re-prioritizes the iteration order:
-# a few long-green anchor queries for cross-round continuity, then every
-# query that has not yet had an external row, then (implicitly) everything
+# every round and left later registrations without an external correctness
+# row. ``_DRIVER_WINDOW`` re-prioritizes the iteration order: a few
+# long-green anchor queries for cross-round continuity, then every query
+# that has not yet had an external row, then (implicitly) everything
 # already verified in earlier rounds. Registration itself is unchanged —
 # this only reorders the dict, so names/oracles/semantics are untouched.
-# ROUND-4 ROTATION NOTE: after round 3's external check, cumulative
-# driver-green should be 97/137 (rounds 1-2's 50 + this window's 47 new).
-# The 40 queries registered later in round 3 (sessionize family's
-# session_event_features / session_window_stream_durations, the
-# analytics_queries module, waiting_suppliers_q21, heavy_hitters_bigrams,
-# doc_bigram_logprob, dedup_containment, embedding_covariance,
-# ann_pq_adc_topk, ann_ivf_pq_topk, array_set_funcs, data_quality_report,
-# sessionize_dynamic_gap, ...) have sf0.01 AND sf0.1 local parity
-# but no external row yet — rotate them into this window at the start of
-# round 4, keeping the same 3 anchors.
+# ROUND-4 ROTATION (this edit): rounds 1-3 accumulated 97/137 external
+# green rows (r1+r2: 50, r3's window: 47 more). The 40 queries below are
+# the final never-externally-checked set (all registered late in round 3;
+# all have sf0.01 AND sf0.1 local oracle parity). 3 anchors + 40 backlog
+# = 43 ≤ 50, so this single rotation completes external coverage:
+# cumulative driver-green 137/137 after the round-4 check. No new queries
+# are registered ahead of this rotation (per the round-3 review).
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Round-3 additions (new operators, verified on first registration).
-    "sessionize_bucketed",
-    "doc_unigram_entropy",
-    "embedding_knn_join",
-    "doc_tfidf_topk",
-    # Backlog: registered in rounds 1-2 but never externally checked
-    # (positions 51-93 of the old ordering).
-    "ann_ivf_trained_topk",
-    "doc_repetition_signals",
-    "doc_boilerplate_overlap",
-    "doc_unigram_logprob",
-    "embedding_mean_pool",
-    "multimodal_decode",
-    "multimodal_decode_real",
-    "multimodal_byte_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "dedup_cluster_canonical",
-    "quality_filter_pipeline",
-    "corpus_selection_pipeline",
-    "scan_json_lines",
-    "scan_csv_lines",
-    "debug_ts_shift",
-    "grouping_sets_revenue",
-    "orders_with_heavy_items_semi",
-    "price_percentiles",
-    "salted_user_event_totals",
-    "rolling_30d_customer_spend",
-    "pivot_event_type_counts",
-    "unpivot_user_value_stats",
-    "small_quantity_revenue",
-    "latest_event_per_user",
-    "time_bucket_rollup",
-    "gap_fill_hourly",
-    "ranking_family",
-    "disjunctive_brand_revenue",
-    "bilateral_shipping_volume",
-    "embedding_array_stats",
-    "salted_skew_join",
-    "asof_clicks_views",
-    "range_join_error_windows",
-    "sample_stratified_docs",
-    "doc_chunk_tokens",
-    "pii_redact",
-    "doc_top_token_ratio",
-    "token_frequency_topk",
-    "contamination_ngram_overlap",
-    "train_val_test_split",
-    "sample_k_per_group",
-    "pack_sequences",
+    # Backlog: the 40 queries registered in round 3 behind the 50-slot
+    # window (old positions 98-137), never externally checked before.
+    "session_event_features",
+    "session_window_stream_durations",
+    "sessionize_dynamic_gap",
+    "session_funnel_conversion",
+    "profit_by_nation_year",
+    "waiting_suppliers_q21",
+    "array_set_funcs",
+    "setop_intersect_all",
+    "setop_except_all",
+    "tokenizer_bpe_pair_counts",
+    "doc_winnowing_fingerprint",
+    "embedding_quantize_int8",
+    "doc_bigram_logprob",
+    "dedup_containment",
+    "embedding_covariance",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "near_dup_triangles",
+    "funnel_stage_conversion",
+    "retention_cohorts",
+    "order_value_histogram",
+    "scd2_customer_orders",
+    "bm25_doc_search",
+    "domain_mixture_sample",
+    "sample_weighted_docs",
+    "snapshot_diff_cdc",
+    "heavy_hitters_bigrams",
+    "anomaly_rolling_zscore",
+    "value_winsorized",
+    "event_sequence_trigrams",
+    "data_quality_report",
+    "orders_trend_decomposition",
+    "token_pmi_cooccurrence",
+    "customer_rfm_segments",
+    "customer_pareto_abc",
+    "event_gap_percentiles",
+    "doc_zipf_fit",
+    "basket_part_associations",
+    "table_fingerprint",
+    "heavy_hitters_stream_events",
 ]
 
 
