@@ -1,0 +1,164 @@
+"""Distributed global ordering: rank / ntile / running sum without the
+single-partition sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` is correct but collapses the
+input to ONE task (Spark warns: "No Partition Defined for Window
+operation"). For a table proportional to the data — |customers|, |vocab| —
+that is the classic scale pinch: one executor sorts (and for running sums,
+scans) everything while the rest of the cluster idles.
+
+The standard two-pass rewrite used here:
+
+1. **Range-partition + local sort** — ``repartitionByRange(sort_keys)``
+   gives non-overlapping, ordered key ranges; ``sortWithinPartitions``
+   orders each range locally. This is exactly how Spark executes a global
+   ``orderBy``, minus the final single-partition collapse.
+2. **Local position** — ``monotonically_increasing_id()`` computed after
+   the local sort encodes (partition id << 33) | record-index (documented
+   bit layout of the function), so the local row number and the physical
+   partition index come from a pure projection: no extra shuffle, no
+   window, no Python.
+3. **Partition offsets** — per-partition row counts (and value sums, for
+   running totals) are aggregated into ONE row holding an array of at most
+   ``num_partitions`` structs (bounded by config, not data) and broadcast;
+   a higher-order ``aggregate(filter(...))`` prefix-sum turns each row's
+   (partition, local position) into its exact global rank — and, when a
+   value column is given, its exact global running sum.
+
+The per-partition aggregate is taken on a second consumer of the SAME
+range exchange (``spark_partition_id()`` + count/sum, no sort), so AQE's
+ReusedExchange shuffles the data once and the offsets branch never pays
+the sort. The only single-partition hops left are O(num_partitions)-row
+scalar-aggregate collapses — the same shape as any global ``count()``.
+
+The running-sum variant additionally needs each row's *local* prefix sum,
+which no projection can produce; that one window rides the partition-index
+key (``Window.partitionBy(_pid)``) — a uniformly-balanced hash exchange
+(range partitions are near-equal by construction), never a single task.
+
+Exactness: identical results to the global-window formulation whenever the
+sort key is total (callers append a unique tiebreaker — the oracles already
+do, for deterministic ntile/rank). Range boundaries come from sampling, but
+rank correctness needs only disjoint ordered ranges, which the range
+partitioner guarantees regardless of where the sampled cut points land.
+
+Used by ``customer_rfm_segments`` / ``customer_pareto_abc`` /
+``doc_zipf_fit`` (plans/analytics_queries.py), replacing their documented
+global-sort pinches. Parity with the reference: the reference's Flink job
+never needs a global order (per-key MapState only,
+SessionizeGroupMapFunction.scala:90-130); this operator exists for the
+beyond-parity analytics surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID_BITS = 33  # monotonically_increasing_id: upper 31 bits = partition id
+
+
+def _sort_exprs(sort_cols: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+
+
+def with_global_rank(
+    df: DataFrame,
+    sort_cols: Sequence[Column | str],
+    *,
+    rank_col: str = "rank",
+    total_col: str | None = None,
+    sum_col: str | None = None,
+    cum_col: str | None = None,
+    sum_total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the exact global row number under ``sort_cols`` — distributed.
+
+    Optionally also attaches:
+      * ``total_col``      — total row count (same value every row),
+      * ``cum_col``        — exact running sum of ``sum_col`` in rank order,
+      * ``sum_total_col``  — grand total of ``sum_col``.
+
+    ``sort_cols`` must form a total order (append a unique tiebreaker) for
+    the rank to be deterministic.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = _sort_exprs(sort_cols)
+
+    ranged = df.repartitionByRange(n_part, *keys)
+
+    # Branch 1: local sort + pure-projection (pid, local row number).
+    local = (
+        ranged.sortWithinPartitions(*keys)
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mono", _PID_BITS))
+        .withColumn("_lrn", F.col("_mono").bitwiseAND(F.lit((1 << _PID_BITS) - 1)))
+        .drop("_mono")
+    )
+    if sum_col is not None and cum_col is not None:
+        # Local prefix sum: the one pass a projection cannot do. Keyed on
+        # the partition index — a balanced hash exchange, never one task.
+        w_loc = Window.partitionBy("_pid").orderBy("_lrn").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        local = local.withColumn("_lcs", F.sum(sum_col).over(w_loc))
+
+    # Branch 2: per-partition totals straight off the reused range
+    # exchange — count/sum need no sort, so this branch never re-sorts.
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).cast("long").alias("_psum"))
+    per_pid = (
+        ranged.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").agg(*aggs)
+    )
+    if sum_col is None:
+        per_pid = per_pid.withColumn("_psum", F.lit(0).cast("long"))
+    parts = per_pid.agg(
+        F.array_sort(F.collect_list(F.struct("_pid", "_cnt", "_psum"))).alias("_parts")
+    )
+
+    out = local.crossJoin(F.broadcast(parts))  # 1-row broadcast cross join
+
+    def _prefix(field: str) -> Column:
+        before = F.filter("_parts", lambda e: e["_pid"] < F.col("_pid"))
+        return F.aggregate(
+            before, F.lit(0).cast("long"), lambda acc, e: acc + e[field]
+        )
+
+    def _grand(field: str) -> Column:
+        return F.aggregate(
+            "_parts", F.lit(0).cast("long"), lambda acc, e: acc + e[field]
+        )
+
+    out = out.withColumn(rank_col, (_prefix("_cnt") + F.col("_lrn") + F.lit(1)))
+    if total_col is not None:
+        out = out.withColumn(total_col, _grand("_cnt"))
+    if sum_col is not None and cum_col is not None:
+        out = out.withColumn(cum_col, _prefix("_psum") + F.col("_lcs"))
+    if sum_col is not None and sum_total_col is not None:
+        out = out.withColumn(sum_total_col, _grand("_psum"))
+    drop = ["_pid", "_lrn", "_parts"] + (["_lcs"] if "_lcs" in out.columns else [])
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, total: Column, buckets: int) -> Column:
+    """SQL-standard ``ntile(buckets)`` from an exact global (rank, total).
+
+    First ``total % buckets`` tiles get ``total // buckets + 1`` rows, the
+    rest ``total // buckets`` — identical to the window function, so the
+    oracle's ``ntile`` needs no redefinition.
+    """
+    base = F.floor(total / buckets)
+    rem = total % buckets
+    big = base + 1  # size of the first `rem` tiles
+    in_big = (rank - 1) < rem * big
+    return (
+        F.when(in_big, F.floor((rank - 1) / big))
+        .otherwise(rem + F.floor((rank - 1 - rem * big) / F.greatest(base, F.lit(1))))
+        .cast("int")
+        + F.lit(1)
+    ).alias("ntile")

@@ -37,6 +37,10 @@ from flink_realtime_sessionize_sample_spark.functions.text import (
     tokens_duck,
     tokens_spark,
 )
+from flink_realtime_sessionize_sample_spark.operators.global_order import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from flink_realtime_sessionize_sample_spark.plans.registry import query
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 
@@ -977,11 +981,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment grid — the standard CRM cohorting pass.
 
     Scale shape: one hash aggregate collapses orders to |customers| rows;
-    the three ntiles are global-sort windows over that collapsed table —
-    the documented single-partition pinch of exact global quantile ranks.
-    At 100 TB you'd swap ntile for percent_rank over range-partitioned
-    sorts or approx quantile cut points; the per-customer collapse (the
-    data-sized stage) is unchanged.
+    each quintile is an EXACT distributed ntile — range-partitioned local
+    sort + broadcast partition-count offsets (operators/global_order.py) —
+    so no single task ever sorts the full customer table (the global-sort
+    window this replaced was the documented 100 TB pinch). The three
+    metrics are scored on three SIBLING branches of the shared per-
+    customer aggregate (whose shuffle AQE stage-reuses) and equi-joined
+    back on the customer key; chaining the passes instead would nest each
+    rank's two-consumer subtree inside the next and double the plan per
+    metric. Identical output to the ntile window, so the oracle keeps the
+    standard SQL formulation.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -991,13 +1000,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_cents("o_totalprice")).alias("monetary_cents"),
     )
-    scored = per_cust.select(
-        "monetary_cents",
-        F.ntile(5).over(Window.orderBy("last_day", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m_score"),
+
+    def scored(metric: str, out: str, keep: list[str]) -> DataFrame:
+        return with_global_rank(
+            per_cust, [metric, "o_custkey"], rank_col="_rk", total_col="_n"
+        ).select(
+            "o_custkey",
+            ntile_from_rank(F.col("_rk"), F.col("_n"), 5).alias(out),
+            *keep,
+        )
+
+    d = (
+        scored("last_day", "r_score", [])
+        .join(scored("frequency", "f_score", []), "o_custkey")
+        .join(scored("monetary_cents", "m_score", ["monetary_cents"]), "o_custkey")
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    return d.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").alias("segment_cents"),
     )
@@ -1032,25 +1050,25 @@ def customer_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis behind account prioritization and the '80/20' check.
 
     Scale shape: the fact table collapses to |customers| rows in one hash
-    aggregate; the cumulative window is a global sort over that collapsed
-    table (the documented exact-Pareto pinch — at 100 TB substitute
-    approx-quantile revenue cut points computed distributed, same
-    downstream classification). Integer-cents cumulative sums keep the
-    running totals engine-exact at every prefix.
+    aggregate; the exact cumulative share is the two-pass distributed
+    running sum (operators/global_order.py) — range-partitioned local
+    prefix sums plus broadcast per-partition offsets — replacing the
+    global-sort window that was the documented exact-Pareto pinch. The
+    grand total rides the same broadcast offsets row (no separate
+    whole-table window). Integer-cents cumulative sums keep the running
+    totals engine-exact at every prefix.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("rev_cents"))
-    w_cum = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
     share = F.col("cum_cents") / F.col("total_cents")
     return (
-        per_cust.select(
-            "o_custkey",
-            "rev_cents",
-            F.sum("rev_cents").over(w_cum).alias("cum_cents"),
-            F.sum("rev_cents").over(w_all).alias("total_cents"),
+        with_global_rank(
+            per_cust,
+            [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+            rank_col="_rk",
+            sum_col="rev_cents",
+            cum_col="cum_cents",
+            sum_total_col="total_cents",
         )
         .select(
             "o_custkey",
@@ -1133,10 +1151,14 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural-language rank decay (slope ≈ −1) or synthetic/templated
     flatness (slope ≈ 0, as here — this corpus measures ≈ −0.04).
 
-    Scale shape: token counts are a two-level hash aggregate; the rank
-    window runs over |vocab| rows; the regression aggregates reduce to six
-    running sums (one pass, map-side combinable). regr_* is the aggregate
-    family's coverage entry (alongside sum/avg/percentile/corr elsewhere).
+    Scale shape: token counts are a two-level hash aggregate; the rank is
+    the exact distributed row number (operators/global_order.py — range
+    partition + broadcast offsets), so |vocab| rows (billions of distinct
+    tokens on web-scale text) never funnel through one sorting task (the
+    global rank window this replaced was the documented pinch); the
+    regression aggregates reduce to six running sums (one pass, map-side
+    combinable). regr_* is the aggregate family's coverage entry
+    (alongside sum/avg/percentile/corr elsewhere).
     """
     docs = load_table(spark, sf_dir, "documents")
     freq = (
@@ -1144,9 +1166,9 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = freq.select(
-        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc())).alias("r")
-    )
+    ranked = with_global_rank(
+        freq, [F.col("c").desc(), F.col("w").asc()], rank_col="r"
+    ).select("c", "r")
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab"),
         F.round(F.expr("regr_slope(ln(c), ln(r))"), 6).alias("zipf_slope"),

@@ -1,0 +1,82 @@
+"""Unit tests for operators/global_order.py: the distributed rank /
+running-sum rewrite must be value-identical to the single-partition
+global-window formulation it replaces."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.operators.global_order import (
+    ntile_from_rank,
+    with_global_rank,
+)
+
+
+def _sample(spark, n=997, seed=7):
+    # Deterministic pseudo-random values with duplicates in v (ties broken
+    # by unique id, as every caller does).
+    return spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id") + seed) % 53).alias("v"),
+        (F.abs(F.xxhash64(F.col("id") * 31 + seed)) % 1000).alias("amt"),
+    )
+
+
+def test_rank_matches_global_window(spark):
+    df = _sample(spark)
+    got = with_global_rank(df, [F.col("v").asc(), F.col("id").asc()], rank_col="r")
+    want = df.select(
+        "id", F.row_number().over(Window.orderBy(F.col("v").asc(), F.col("id").asc())).alias("r")
+    )
+    diff = got.select("id", "r").exceptAll(want)
+    assert diff.count() == 0
+
+
+def test_rank_desc_with_cumsum_and_totals(spark):
+    df = _sample(spark, n=500)
+    got = with_global_rank(
+        df,
+        [F.col("amt").desc(), F.col("id").asc()],
+        rank_col="r",
+        total_col="n",
+        sum_col="amt",
+        cum_col="cum",
+        sum_total_col="tot",
+    )
+    w = Window.orderBy(F.col("amt").desc(), F.col("id").asc())
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("r"),
+        F.sum("amt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    assert got.select("id", "r", "cum").exceptAll(want).count() == 0
+    row = got.select("n", "tot").distinct().collect()
+    assert len(row) == 1 and row[0]["n"] == 500
+    total = df.agg(F.sum("amt")).collect()[0][0]
+    assert row[0]["tot"] == total
+
+
+@pytest.mark.parametrize("n,buckets", [(997, 5), (1000, 5), (3, 5), (5, 5), (101, 7)])
+def test_ntile_from_rank_matches_window_ntile(spark, n, buckets):
+    df = _sample(spark, n=n)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = with_global_rank(df, order, rank_col="r", total_col="nn").select(
+        "id", ntile_from_rank(F.col("r"), F.col("nn"), buckets).alias("t")
+    )
+    want = df.select("id", F.ntile(buckets).over(Window.orderBy(*order)).alias("t"))
+    assert got.exceptAll(want).count() == 0
+
+
+def test_no_single_partition_sort_in_plan(spark):
+    df = _sample(spark)
+    got = with_global_rank(df, ["v", "id"], rank_col="r")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert "HashAggregate" in child or "ObjectHashAggregate" in child, (
+                f"SinglePartition exchange feeds a non-aggregate:\n{child}"
+            )

@@ -62,3 +62,40 @@ def test_retrieval_plans_never_sort_globally(spark, sf_oracle, name):
     # global Sort of the data.
     p = _plan(spark, sf_oracle, name)
     assert "TakeOrderedAndProject" in p
+
+
+# --- distributed global order (the de-pinched round-3 global sorts) -------
+
+def _single_partition_feeds_only_aggregates(p: str) -> None:
+    """Every SinglePartition exchange must be an O(num_partitions)-row
+    scalar-aggregate collapse (the same shape as any global count()), never
+    a sort/window over a data-proportional input."""
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert "HashAggregate" in child or "ObjectHashAggregate" in child, (
+                f"SinglePartition exchange feeds a non-aggregate:\n{child}"
+            )
+
+
+@pytest.mark.parametrize(
+    "name", ["customer_rfm_segments", "customer_pareto_abc", "doc_zipf_fit"]
+)
+def test_global_order_queries_have_no_single_partition_sort(spark, sf_oracle, name):
+    p = _plan(spark, sf_oracle, name)
+    _single_partition_feeds_only_aggregates(p)
+    assert "Exchange rangepartitioning" in p  # the distributed sort path
+
+
+def test_pareto_only_window_rides_partition_index(spark, sf_oracle):
+    # The one window left (local prefix sum) must be keyed on the range
+    # partition index, never an empty partition spec.
+    p = _plan(spark, sf_oracle, "customer_pareto_abc")
+    assert p.count("Window ") == 1
+    assert "windowspecdefinition(_pid" in p
+
+
+def test_rfm_and_zipf_have_no_windows_at_all(spark, sf_oracle):
+    for name in ("customer_rfm_segments", "doc_zipf_fit"):
+        assert _plan(spark, sf_oracle, name).count("Window ") == 0
