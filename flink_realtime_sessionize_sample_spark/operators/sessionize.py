@@ -267,11 +267,25 @@ def sessionize_dynamic_gap(
     semantics in the same single-shuffle window formulation as
     ``sessionize_gap_only`` (the gap predicate is per-row codegen; nothing
     about the plan changes, which is the point of keeping policy as data).
+
+    A NULL gap (a tenant missing from the policy dimension after a left
+    join) fails fast: without the guard, ``sec - prev_sec > NULL`` is NULL,
+    the boundary predicate silently holds the session open, and a missing
+    policy row becomes silently-wrong sessions instead of an error.
     """
     tiebreakers = list(tiebreakers)
     order_asc = [F.col(ts).asc()] + [F.col(c).asc() for c in tiebreakers]
     w = Window.partitionBy(key).orderBy(*order_asc)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    checked_gap = F.when(F.col(gap_col).isNotNull(), F.col(gap_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sessionize_dynamic_gap: NULL {gap_col} for key="),
+                F.col(key).cast("string"),
+                F.lit(" — missing policy row; supply a default before sessionizing"),
+            )
+        )
+    )
     base = (
         df.withColumn("_sec", _sec(ts))
         .withColumn("_us", F.unix_micros(F.col(ts)))
@@ -279,7 +293,7 @@ def sessionize_dynamic_gap(
         .withColumn(
             "_is_new",
             F.col("_prev_sec").isNull()
-            | (F.col("_sec") - F.col("_prev_sec") > F.col(gap_col)),
+            | (F.col("_sec") - F.col("_prev_sec") > checked_gap),
         )
     )
     start = F.max(F.when(F.col("_is_new"), F.struct("_sec", "_us"))).over(run)

@@ -439,8 +439,13 @@ def ivf_pq_topk(
         "q_id", "q_nrm", "sub", "code", F.expr(T.dot_spark("qv", "cw_v")).alias("part")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    # codes ⨝ c_cells is corpus-sized on BOTH sides (one row per vector) —
+    # never broadcast it; unhinted, AQE picks broadcast only when the cell
+    # table is genuinely small. In a persisted index this join is the
+    # one-time build step (the stored table carries cent_id already).
+    # Only the genuinely tiny per-query tables (cells, LUT) broadcast.
     return (
-        codes.join(F.broadcast(c_cells), "id")
+        codes.join(c_cells, "id")
         .join(F.broadcast(q_cells), "cent_id")
         .join(F.broadcast(lut), ["q_id", "sub", "code"])
         .groupBy("q_id", "id", "q_nrm", "nrm")

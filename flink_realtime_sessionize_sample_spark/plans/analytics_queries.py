@@ -1325,10 +1325,20 @@ def heavy_hitters_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor's true count must be within that bound. The hot+tail item mix
     (5 hot event-type items vs per-event singletons) guarantees both the
     survivor and the evict paths execute.
+
+    Sink discipline: a bucket that updates in a micro-batch re-emits its
+    FULL sketch snapshot, so consumers must keep only each bucket's LAST
+    emission (sketch_stream.py's contract) — an update-mode memory sink
+    read raw would retain stale rows for since-evicted items under any
+    multi-batch replay. The foreachBatch capture below replaces whole
+    bucket snapshots per batch (the same pattern the streaming test uses);
+    the captured state is O(num_buckets × capacity) rows — bounded sketch
+    state, not data-proportional.
     """
     import shutil as _shutil
     import tempfile as _tempfile
-    import uuid as _uuid
+
+    import pandas as _pd
 
     from flink_realtime_sessionize_sample_spark.streaming import (
         build_events_file_stream,
@@ -1337,8 +1347,8 @@ def heavy_hitters_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters_stream,
     )
 
-    qn = f"hh_stream_{_uuid.uuid4().hex[:8]}"
     src = _tempfile.mkdtemp(prefix="hh_stream_src_")
+    ckpt = _tempfile.mkdtemp(prefix="hh_stream_ckpt_")
     _shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     stream = build_events_file_stream(spark, src)
     make_item = F.when(
@@ -1347,17 +1357,43 @@ def heavy_hitters_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = heavy_hitters_stream(
         stream.select(make_item.alias("item")), "item", capacity=16, num_buckets=8
     )
+
+    captured: dict[int, _pd.DataFrame] = {}
+
+    def _sink(batch_df, _batch_id) -> None:
+        pdf = batch_df.toPandas()
+        for b in pdf["bucket"].unique():
+            captured[int(b)] = pdf[pdf["bucket"] == b].reset_index(drop=True)
+
     q = (
-        out.writeStream.format("memory")
-        .queryName(qn)
+        out.writeStream.foreachBatch(_sink)
         .outputMode("update")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     finished = q.awaitTermination(600)
-    if not finished:  # pragma: no cover — defensive: never leak a query
+    if not finished:  # pragma: no cover — a hang must not pass as success
         q.stop()
-    sketch = spark.table(qn)
+        raise RuntimeError("heavy_hitters_stream_events: replay did not terminate")
+    snap = (
+        _pd.concat(captured.values(), ignore_index=True)
+        if captured
+        else _pd.DataFrame({"bucket": [], "item": [], "est": [], "d_p": []})
+    )
+    # pandas floats nullable int columns; rebuild typed rows explicitly.
+    sketch = spark.createDataFrame(
+        [
+            (
+                int(r.bucket),
+                None if _pd.isna(r.item) else str(r.item),
+                None if _pd.isna(r.est) else int(r.est),
+                int(r.d_p),
+            )
+            for r in snap.itertuples(index=False)
+        ],
+        schema="bucket long, item string, est long, d_p long",
+    )
 
     ev = load_table(spark, sf_dir, "events")
     anchors = (

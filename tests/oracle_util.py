@@ -32,6 +32,19 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).fetchdf()
 
 
+def _canon_element(x):
+    """Canonicalize one array element: round numerics (float-precision
+    engines differ past ~5dp), pass strings/None/other through — an
+    array<string> column must not crash the sweep."""
+    if hasattr(x, "item"):
+        x = x.item()
+    if x is None or isinstance(x, str) or isinstance(x, bool):
+        return x
+    if isinstance(x, (int, float)):
+        return None if isinstance(x, float) and math.isnan(x) else round(float(x), 5)
+    return repr(x)
+
+
 def _canon(df: pd.DataFrame) -> list[str]:
     """Strict canonicalization: repr-level equality (so int64 vs float64 vs
     Decimal mismatches are caught, mirroring a value-hash driver)."""
@@ -41,7 +54,7 @@ def _canon(df: pd.DataFrame) -> list[str]:
         canon = []
         for v in tup:
             if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                canon.append(tuple(round(float(x), 5) for x in v))
+                canon.append(tuple(_canon_element(x) for x in v))
                 continue
             if hasattr(v, "item"):  # numpy scalar → python scalar
                 v = v.item()
@@ -49,8 +62,6 @@ def _canon(df: pd.DataFrame) -> list[str]:
                 canon.append(None)
             elif isinstance(v, float):
                 canon.append(round(v, 6))
-            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                canon.append(tuple(round(float(x), 5) for x in v))
             else:
                 canon.append(v)
         rows.append(repr(tuple(canon)))

@@ -202,3 +202,28 @@ def test_dynamic_gap_strict_boundary_per_segment(spark):
     # user 2: all three in one session
     assert out[4][0] == out[5][0] == out[6][0]
     assert out[6][1] == 1201
+
+
+def test_dynamic_gap_null_policy_fails_fast(spark):
+    """A NULL gap column (tenant missing from the policy dimension) must
+    raise when it would decide a session boundary — never silently hold
+    the session open. A single-event key never consults the gap and is
+    allowed through."""
+    import pytest
+
+    from flink_realtime_sessionize_sample_spark.operators.sessionize import (
+        sessionize_dynamic_gap,
+    )
+
+    two = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", None), (2, 1, "2024-01-01 00:10:00", None)],
+        "event_id long, user_id long, ts_s string, gap_seconds int",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "gap_seconds")
+    with pytest.raises(Exception, match="missing policy row"):
+        sessionize_dynamic_gap(two).select("session_id").collect()
+
+    one = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", None)],
+        "event_id long, user_id long, ts_s string, gap_seconds int",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "gap_seconds")
+    assert len(sessionize_dynamic_gap(one).select("session_id").collect()) == 1
