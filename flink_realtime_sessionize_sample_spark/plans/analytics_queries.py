@@ -1300,6 +1300,62 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming exact dedup (driver-checkable replay) ----------------------
+
+@query(
+    "dedup_stream_events",
+    oracle=f"""
+SELECT count(*)::BIGINT AS n_unique,
+       bit_xor({h48_duck("cast(event_id AS VARCHAR)")})::BIGINT AS xor_fp
+FROM (SELECT DISTINCT event_id FROM events)
+""",
+)
+def dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) under an
+    at-least-once source: the events file is replayed TWICE in two
+    micro-batches (maxFilesPerTrigger=1), so the second batch is 100%
+    duplicate — the Kafka-redelivery case the operator exists for
+    (streaming/pipeline.py::dedup_stream). State stays O(keys inside the
+    watermark horizon); batch-2 rows are either deduped against live state
+    or dropped as late — both paths land on exactly one row per event_id.
+
+    The result is the order-insensitive fingerprint of the surviving set
+    (count + XOR of the cross-engine 48-bit id hash), which the oracle
+    reproduces from plain DISTINCT — a value-level exactly-once check, not
+    just a row count.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from flink_realtime_sessionize_sample_spark.streaming import (
+        build_events_file_stream,
+    )
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import dedup_stream
+
+    src = _tempfile.mkdtemp(prefix="dedup_stream_src_")
+    _shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay_a.parquet")
+    _shutil.copy(f"{sf_dir}/events.parquet", f"{src}/replay_b.parquet")
+    stream = build_events_file_stream(spark, src, max_files_per_trigger=1)
+    dd = dedup_stream(stream.select("event_id", "ts"), ["event_id"], "ts")
+    qn = f"dedup_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:  # pragma: no cover — a hang must not pass as success
+        q.stop()
+        raise RuntimeError("dedup_stream_events: replay did not terminate")
+    return spark.table(qn).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.expr(f"bit_xor({h48_spark('cast(event_id as string)')})").cast("long").alias("xor_fp"),
+    )
+
+
 # --- streaming heavy hitters (driver-checkable replay) --------------------
 
 @query(
