@@ -84,6 +84,8 @@ _DRIVER_WINDOW: list[str] = [
     # they fill 2 of the window's 7 spare slots, BEHIND the whole backlog.
     "dedup_stream_events",
     "hll_mergeable_distinct",
+    "theta_set_algebra_distinct",
+    "kll_mergeable_quantiles",
 ]
 
 

@@ -703,6 +703,153 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "theta_set_algebra_distinct",
+    oracle="""
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT (SELECT count(*) FROM v)::BIGINT AS exact_view,
+       (SELECT count(*) FROM c)::BIGINT AS exact_click,
+       (SELECT count(*) FROM (SELECT * FROM v UNION SELECT * FROM c))::BIGINT AS exact_union,
+       (SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM c))::BIGINT AS exact_intersect,
+       (SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM c))::BIGINT AS exact_diff,
+       TRUE AS union_within_5pct,
+       TRUE AS intersect_within_5pct,
+       TRUE AS diff_within_5pct
+""",
+)
+def theta_set_algebra_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches): distinct-count SET ALGEBRA —
+    union, INTERSECTION, and difference of the viewer and clicker user
+    sets estimated from two per-segment sketches. Intersection/difference
+    are what HLL cannot do: at 100 TB this answers "distinct users who did
+    A and B" from two pre-aggregated ~KB sketches instead of a distinct
+    self-join of the fact table. Sketches build in one scan (two filtered
+    aggregates); all set ops run on the two sketch scalars.
+
+    Same approx-oracle discipline as the HLL queries: exact anchors +
+    accuracy booleans (default lgNomEntries=12 ⇒ rsd ≈ 1.6%, 5% ≈ 3σ; at
+    sub-4096 cardinalities theta keeps every hash and is exact), with the
+    DuckDB twin emitting literal TRUE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.theta_sketch_agg(F.when(F.col("event_type") == "view", F.col("user_id"))).alias(
+            "sk_v"
+        ),
+        F.theta_sketch_agg(F.when(F.col("event_type") == "click", F.col("user_id"))).alias(
+            "sk_c"
+        ),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_view"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_click"),
+        F.countDistinct(
+            F.when(F.col("event_type").isin("view", "click"), F.col("user_id"))
+        ).alias("exact_union"),
+    )
+    exacts = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("ets"))
+        .agg(
+            F.sum(
+                (F.array_contains("ets", "view") & F.array_contains("ets", "click")).cast(
+                    "long"
+                )
+            ).alias("exact_intersect"),
+            F.sum(
+                (F.array_contains("ets", "view") & ~F.array_contains("ets", "click")).cast(
+                    "long"
+                )
+            ).alias("exact_diff"),
+        )
+    )
+    est_u = F.theta_sketch_estimate(F.theta_union("sk_v", "sk_c"))
+    est_i = F.theta_sketch_estimate(F.theta_intersection("sk_v", "sk_c"))
+    est_d = F.theta_sketch_estimate(F.theta_difference("sk_v", "sk_c"))
+
+    def within(est, exact):
+        return F.abs(est - F.col(exact)) <= F.greatest(
+            F.col(exact) * F.lit(0.05), F.lit(1.0)
+        )
+
+    return sk.crossJoin(F.broadcast(exacts)).select(
+        "exact_view",
+        "exact_click",
+        "exact_union",
+        "exact_intersect",
+        "exact_diff",
+        within(est_u, "exact_union").alias("union_within_5pct"),
+        within(est_i, "exact_intersect").alias("intersect_within_5pct"),
+        within(est_d, "exact_diff").alias("diff_within_5pct"),
+    )
+
+
+@query(
+    "kll_mergeable_quantiles",
+    oracle="""
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       TRUE AS p50_rank_within_3pct,
+       TRUE AS p90_rank_within_3pct,
+       TRUE AS p99_rank_within_3pct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Apache DataSketches): per-group sketches of
+    ``l_extendedprice`` whose GLOBAL quantiles come from merging the group
+    sketches — the mergeable-quantile pattern that lets 100 TB pipelines
+    keep one small sketch per (segment, file, day) and answer any rollup's
+    p50/p90/p99 without rescanning (``approx_price_quantiles`` covers the
+    one-shot t-digest; this covers merge/reuse).
+
+    Accuracy is checked in RANK space, the metric KLL actually bounds
+    (k=200 ⇒ ±1.65% normalized rank error at 99% confidence): the exact
+    rank of each merged-sketch quantile estimate, computed with one plain
+    aggregate pass, must sit within 3% of its target. Exact anchors +
+    booleans; the DuckDB twin emits literal TRUE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # kll_sketch_merge_double is a binary scalar: fold the |groups| group
+    # sketches (one tiny collected array) with a higher-order reduce.
+    merged = per_group.agg(F.collect_list("sk").alias("sks")).select(
+        F.aggregate(
+            F.slice("sks", 2, 1_000_000),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk_all")
+    ).select(
+        *[
+            F.kll_sketch_get_quantile_double("sk_all", F.lit(q)).alias(f"est_p{int(q*100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+    ranks = li.crossJoin(F.broadcast(merged)).agg(
+        *[
+            F.avg((F.col("l_extendedprice") <= F.col(f"est_p{p}")).cast("double")).alias(
+                f"rank_p{p}"
+            )
+            for p in (50, 90, 99)
+        ]
+    )
+    checks = [
+        (F.abs(F.col(f"rank_p{p}") - F.lit(p / 100.0)) <= F.lit(0.03)).alias(
+            f"p{p}_rank_within_3pct"
+        )
+        for p in (50, 90, 99)
+    ]
+    return per_group.select("l_returnflag", "n_rows").crossJoin(
+        F.broadcast(ranks.select(*checks))
+    )
+
+
+@query(
     "top_supplier_revenue",
     oracle="""
 WITH rev AS (
