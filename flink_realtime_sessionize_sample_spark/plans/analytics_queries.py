@@ -617,7 +617,7 @@ WITH s AS (
 )
 SELECT event_id, user_id, ts_us, round(value, 6) AS value_r,
        CASE WHEN n_prior >= 10 AND sigma > 0
-            THEN round((value - mu) / sigma, 4) END AS zscore,
+            THEN round((value - mu) / sigma, 4) + 0.0 END AS zscore,
        coalesce(n_prior >= 10 AND sigma > 0
                 AND abs((value - mu) / sigma) > 3.0, FALSE) AS is_anomaly
 FROM s
@@ -631,7 +631,9 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one window specification = one ``user_id`` exchange + one
     sort; mean, stddev and warm-up count all share the frame. The z-score is
-    rounded to 4dp and the flag derived from the same expression on both
+    rounded to 4dp (plus 0.0 — IEEE addition collapses the -0.0 a
+    noise-sign numerator can produce when value == mu, which repr-differs
+    across engines) and the flag derived from the same expression on both
     engines, so cross-engine float noise in the variance accumulation order
     cannot flip output values.
     """
@@ -651,7 +653,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.round("value", 6).alias("value_r"),
-        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.when(ok, F.round(z, 4) + F.lit(0.0)).alias("zscore"),
         F.coalesce(ok & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
     )
 
