@@ -30,9 +30,9 @@ from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # no
 # all have sf0.01 AND sf0.1 local oracle parity). 3 anchors + 40 backlog
 # = 43 ≤ 50, so this single rotation completes external coverage:
 # cumulative driver-green 137/137 after the round-4 check. No new queries
-# are registered ahead of this rotation (per the round-3 review); the two
-# round-4 additions at the END of the window fill spare slots 44-45
-# without displacing any backlog entry (registry total: 139).
+# are registered ahead of this rotation (per the round-3 review); the four
+# round-4 additions at the END of the window fill spare slots 44-47
+# without displacing any backlog entry (registry total: 141).
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
@@ -81,7 +81,7 @@ _DRIVER_WINDOW: list[str] = [
     "table_fingerprint",
     "heavy_hitters_stream_events",
     # Round-4 additions (new operators, verified on first registration) —
-    # they fill 2 of the window's 7 spare slots, BEHIND the whole backlog.
+    # they fill 4 of the window's 7 spare slots, BEHIND the whole backlog.
     "dedup_stream_events",
     "hll_mergeable_distinct",
     "theta_set_algebra_distinct",
