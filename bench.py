@@ -65,6 +65,15 @@ HEADLINE = [
     "sample_weighted_docs",
     "data_quality_report",
     "embedding_covariance",
+    # round-4: the de-pinched distributed-global-order plans (previously
+    # single-partition sorts — cheap at sf0.1, benched for regression
+    # visibility of the new plan shape) and the mergeable-sketch family
+    "customer_rfm_segments",
+    "customer_pareto_abc",
+    "doc_zipf_fit",
+    "hll_mergeable_distinct",
+    "theta_set_algebra_distinct",
+    "kll_mergeable_quantiles",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -312,6 +321,45 @@ def main() -> None:
     force(containment_pairs(docs_small_10x, threshold=0.8))
     t_ct_10x = time.perf_counter() - t0
 
+    # Global-order scale smoke (round 4): the distributed rank/running-sum
+    # operator that replaced the three single-partition global sorts. The
+    # workload (rank + exact cumulative sum over per-customer revenue) is
+    # linear in rows by construction, so ratio-vs-linear directly measures
+    # the plan: range exchange + local sort + broadcast offsets must hold
+    # as the table grows 10×.
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    )
+    pc_10x = per_cust.withColumn(
+        "_c", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select(
+        (F.col("o_custkey") + F.col("_c") * 100_000_000).alias("o_custkey"), "rev_cents"
+    )
+
+    def _ranked(d):
+        return with_global_rank(
+            d,
+            [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+            rank_col="r",
+            sum_col="rev_cents",
+            cum_col="cum_cents",
+            sum_total_col="total_cents",
+        )
+
+    force(_ranked(per_cust))  # warm
+    t0 = time.perf_counter()
+    force(_ranked(per_cust))
+    t_go_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(_ranked(pc_10x))
+    t_go_10x = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -346,6 +394,11 @@ def main() -> None:
                 "scale_smoke_containment_1x_sec": round(t_ct_1x, 3),
                 "scale_smoke_containment_10x_sec": round(t_ct_10x, 3),
                 "scale_smoke_containment_10x_ratio_vs_linear": round(t_ct_10x / (10 * t_ct_1x), 3),
+                "scale_smoke_global_rank_1x_sec": round(t_go_1x, 3),
+                "scale_smoke_global_rank_10x_sec": round(t_go_10x, 3),
+                "scale_smoke_global_rank_10x_ratio_vs_linear": round(
+                    t_go_10x / (10 * t_go_1x), 3
+                ),
             }
         )
     )

@@ -72,10 +72,13 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", dim: int = 6
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("msum") - F.col("si") * F.col("sj") / F.col("n"))
-                / (F.col("n") - 1),
-                6,
+            (
+                F.round(
+                    (F.col("msum") - F.col("si") * F.col("sj") / F.col("n"))
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)  # collapse IEEE -0.0 (near-zero covariances)
             ).alias("cov"),
         )
     )

@@ -615,7 +615,7 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 )
-SELECT event_id, user_id, ts_us, round(value, 6) AS value_r,
+SELECT event_id, user_id, ts_us, round(value, 6) + 0.0 AS value_r,
        CASE WHEN n_prior >= 10 AND sigma > 0
             THEN round((value - mu) / sigma, 4) + 0.0 END AS zscore,
        coalesce(n_prior >= 10 AND sigma > 0
@@ -652,7 +652,7 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.round("value", 6).alias("value_r"),
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
         F.when(ok, F.round(z, 4) + F.lit(0.0)).alias("zscore"),
         F.coalesce(ok & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
     )
@@ -696,7 +696,7 @@ def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(F.broadcast(q), "event_type").select(
         "event_id",
         "event_type",
-        F.round("value", 6).alias("value_r"),
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
         F.round(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6).alias(
             "value_winsorized"
         ),

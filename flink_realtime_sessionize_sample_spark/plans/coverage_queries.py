@@ -647,7 +647,7 @@ SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))), 4) AS l2_norm_r,
        len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
        round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6) AS max_abs_r,
-       round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6) AS mean_r
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)) / len(embedding), 6) + 0.0 AS mean_r
 FROM embeddings
 """,
 )
@@ -671,10 +671,15 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))"), 6
         ).alias("max_abs_r"),
-        F.round(
-            F.expr("aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double))")
-            / F.size("embedding"),
-            6,
+        (
+            F.round(
+                F.expr(
+                    "aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double))"
+                )
+                / F.size("embedding"),
+                6,
+            )
+            + F.lit(0.0)  # collapse IEEE -0.0 (near-zero means)
         ).alias("mean_r"),
     )
 

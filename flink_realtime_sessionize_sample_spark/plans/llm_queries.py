@@ -1614,7 +1614,7 @@ WITH ex AS (
   SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS v
   FROM embeddings, range(1, 65) r(i)
 )
-SELECT a.i - 1 AS i, b.i - 1 AS j, round(covar_samp(a.v, b.v), 6) AS cov
+SELECT a.i - 1 AS i, b.i - 1 AS j, round(covar_samp(a.v, b.v), 6) + 0.0 AS cov
 FROM ex a JOIN ex b USING (vec_id)
 WHERE a.i <= b.i
 GROUP BY a.i, b.i
