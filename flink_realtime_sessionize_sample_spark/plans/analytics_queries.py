@@ -1480,3 +1480,224 @@ def heavy_hitters_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sketch_consistent"),
         )
     )
+
+
+# --- Bloom-filter join pruning --------------------------------------------
+
+@query(
+    "bloom_pruned_join",
+    oracle="""
+SELECT l.l_returnflag,
+       sum(round(l.l_extendedprice*100)::BIGINT
+           * (100 - round(l.l_discount*100)::BIGINT))::BIGINT AS revenue_e4,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+""",
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-filter join with an explicit broadcast Bloom pre-filter
+    (operators/bloom.py): urgent-order revenue by return flag.
+
+    The urgent ~20% of orders is aggregated into a fixed 4 KiB bitset
+    (m=2^15 bits, k=3 → ~1.4% false positives at this key count); the
+    lineitem scan tests membership as a pure codegen predicate BEFORE the
+    join exchange, so at 100 TB ~80% of the fact table never shuffles. The
+    filter has no false negatives and the exact join removes false
+    positives, so the result is bit-identical to the unpruned join — which
+    is precisely what this oracle verifies. Spark's AQE can inject the same
+    filter (`runtime.bloomFilter.enabled`); this makes the pattern explicit
+    and plan-assertable. The reference has no joins at all (SURVEY §2.9);
+    this is rebuild scope.
+    """
+    from flink_realtime_sessionize_sample_spark.operators.bloom import (
+        bloom_bitset,
+        bloom_might_contain,
+    )
+
+    m, k = 1 << 15, 3
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bits = bloom_bitset(urgent, "o_orderkey", num_bits=m, num_hashes=k)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        bloom_might_contain(F.col("l_orderkey"), bits, num_bits=m, num_hashes=k)
+    )
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(_cents("l_extendedprice") * (100 - disc_pct)).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --- Count-Min point-frequency sketch -------------------------------------
+
+@query(
+    "cms_point_frequency",
+    oracle=f"""
+WITH toks AS (
+  SELECT {tokens_duck('text')} AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS item
+  FROM toks
+), cnt AS (
+  SELECT item, count(*)::BIGINT AS true_cnt FROM bg GROUP BY item
+)
+SELECT item, true_cnt, TRUE AS est_ge_true, TRUE AS est_le_total
+FROM cnt ORDER BY true_cnt DESC, item LIMIT 10
+""",
+)
+def cms_point_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimation over document bigrams,
+    certified on the top-10 anchor set.
+
+    Completes the mergeable-sketch family (HLL distinct / KLL quantiles /
+    theta set algebra / Misra-Gries heavy hitters): CMS answers *point
+    frequency* queries in O(d×w) memory. The sketch IS a d×w count table
+    built by one hash aggregation — per-partition partial counts merge by
+    addition exactly like any SUM, so the same plan is the distributed AND
+    the mergeable (cross-day rollup) form. Estimation joins the ~d×w-row
+    sketch back broadcast; anchors' exact counts exist only to let the
+    driver falsify the guarantee: ``est >= true`` holds for EVERY input and
+    hash choice (cells only over-count), and ``est <= total`` likewise, so
+    the booleans are partitioning- and seed-independent and the oracle can
+    demand TRUE without reproducing xxhash64. At 100 TB the exact-count
+    anchor side disappears and the O(d×w)-row sketch is the product.
+    """
+    d, w = 3, 1024
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.expr(tokens_spark("text")).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(F.size("t") < 2, F.array()).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                )
+            )
+        ).alias("item")
+    )
+    cells = bigrams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(row).alias("d"),
+                        F.pmod(F.xxhash64("item", F.lit(row)), F.lit(w)).alias("c"),
+                    )
+                    for row in range(d)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.c")
+    sketch = cells.groupBy("d", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    total = bigrams.agg(F.count(F.lit(1)).alias("total"))
+    anchors = (
+        bigrams.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("item").asc())
+        .limit(10)
+    )
+    probe = anchors.select(
+        "item",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(row).alias("d"),
+                        F.pmod(F.xxhash64("item", F.lit(row)), F.lit(w)).alias("c"),
+                    )
+                    for row in range(d)
+                ]
+            )
+        ).alias("s"),
+    ).select("item", "true_cnt", "s.d", "s.c")
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "c"], "inner")
+        .groupBy("item", "true_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "item",
+        "true_cnt",
+        (F.col("est") >= F.col("true_cnt")).alias("est_ge_true"),
+        (F.col("est") <= F.col("total")).alias("est_le_total"),
+    )
+
+
+# --- edit-distance similarity join (Ed-Join prefix filter) ----------------
+
+@query(
+    "fuzzy_edit_distance_join",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def fuzzy_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String similarity join under edit distance ≤ 2 via the Ed-Join
+    q-gram prefix filter (Xiao et al., VLDB 2008) — the fuzzy-matching
+    member of the dedup family (exact / Jaccard / MinHash / SimHash /
+    containment handle token sets; this handles typo-level variants).
+
+    Lossless candidate generation, never all-pairs: one edit operation
+    destroys at most q=2 distinct q-grams, so ed(a,b) ≤ k ⇒
+    |G(a) ∩ G(b)| ≥ |G(a)| − k·q; by the prefix-filter principle two such
+    sets must then share a gram within the first k·q+1 = 5 grams of any
+    agreed global order (lexicographic here). So: per distinct name, emit
+    its 5-gram prefix → inverted-index self-join on the gram (an equi-join
+    — shuffle is O(Σ prefix postings²) per gram, bounded by gram
+    selectivity, not O(n²)) → length filter |len diff| ≤ k → verify with
+    built-in ``levenshtein`` only on survivors. The oracle is the brute
+    O(n²) join, so any false negative in the filter chain is a hash
+    mismatch. At 100 TB the same plan holds: prefixes are 5 fixed-width
+    rows per distinct string and verification cost tracks the true match
+    density. (DuckDB and Spark implement the same plain Levenshtein
+    metric.)
+    """
+    k, q = 2, 2
+    prefix_len = k * q + 1
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    grams = names.select(
+        "p_name",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, length(p_name) - 1),"
+                            " i -> substring(p_name, i, 2))"
+                        )
+                    )
+                ),
+                1,
+                prefix_len,
+            )
+        ).alias("g"),
+    )
+    b = grams.select(F.col("p_name").alias("name_b"), F.col("g").alias("g_b"))
+    cand = (
+        grams.join(b, (F.col("g") == F.col("g_b")) & (F.col("p_name") < F.col("name_b")))
+        .select(F.col("p_name").alias("name_a"), "name_b")
+        .distinct()
+    )
+    return (
+        cand.filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(k)
+        )
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= F.lit(k))
+        .select("name_a", "name_b", "dist")
+    )
