@@ -73,6 +73,7 @@ def with_global_rank(
     sum_col: str | None = None,
     cum_col: str | None = None,
     sum_total_col: str | None = None,
+    extra_cums: Sequence[tuple[str, str]] = (),
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach the exact global row number under ``sort_cols`` — distributed.
@@ -80,14 +81,22 @@ def with_global_rank(
     Optionally also attaches:
       * ``total_col``      — total row count (same value every row),
       * ``cum_col``        — exact running sum of ``sum_col`` in rank order,
-      * ``sum_total_col``  — grand total of ``sum_col``.
+      * ``sum_total_col``  — grand total of ``sum_col``,
+      * ``extra_cums``     — further ``(sum_col, cum_col)`` pairs; every
+        running sum rides the SAME range exchange, local window, and
+        broadcast offsets row (the two-sample CDF shape — e.g. a KS
+        statistic needs both groups' cumulative counts in one pass).
 
     ``sort_cols`` must form a total order (append a unique tiebreaker) for
-    the rank to be deterministic.
+    the rank to be deterministic. Sum columns must be integral (offsets
+    accumulate exactly as longs).
     """
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = _sort_exprs(sort_cols)
+    pairs: list[tuple[str, str]] = (
+        [(sum_col, cum_col)] if sum_col is not None and cum_col is not None else []
+    ) + list(extra_cums)
 
     ranged = df.repartitionByRange(n_part, *keys)
 
@@ -99,26 +108,29 @@ def with_global_rank(
         .withColumn("_lrn", F.col("_mono").bitwiseAND(F.lit((1 << _PID_BITS) - 1)))
         .drop("_mono")
     )
-    if sum_col is not None and cum_col is not None:
-        # Local prefix sum: the one pass a projection cannot do. Keyed on
+    if pairs:
+        # Local prefix sums: the one pass a projection cannot do. Keyed on
         # the partition index — a balanced hash exchange, never one task.
+        # All pairs share one window spec → one sort, however many sums.
         w_loc = Window.partitionBy("_pid").orderBy("_lrn").rowsBetween(
             Window.unboundedPreceding, 0
         )
-        local = local.withColumn("_lcs", F.sum(sum_col).over(w_loc))
+        for i, (sc, _) in enumerate(pairs):
+            local = local.withColumn(f"_lcs{i}", F.sum(sc).over(w_loc))
 
     # Branch 2: per-partition totals straight off the reused range
     # exchange — count/sum need no sort, so this branch never re-sorts.
     aggs = [F.count(F.lit(1)).alias("_cnt")]
-    if sum_col is not None:
-        aggs.append(F.sum(sum_col).cast("long").alias("_psum"))
+    for i, (sc, _) in enumerate(pairs):
+        aggs.append(F.sum(sc).cast("long").alias(f"_psum{i}"))
+    sum_fields = [f"_psum{i}" for i in range(len(pairs))]
     per_pid = (
         ranged.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").agg(*aggs)
     )
-    if sum_col is None:
-        per_pid = per_pid.withColumn("_psum", F.lit(0).cast("long"))
     parts = per_pid.agg(
-        F.array_sort(F.collect_list(F.struct("_pid", "_cnt", "_psum"))).alias("_parts")
+        F.array_sort(
+            F.collect_list(F.struct("_pid", "_cnt", *sum_fields))
+        ).alias("_parts")
     )
 
     out = local.crossJoin(F.broadcast(parts))  # 1-row broadcast cross join
@@ -137,11 +149,11 @@ def with_global_rank(
     out = out.withColumn(rank_col, (_prefix("_cnt") + F.col("_lrn") + F.lit(1)))
     if total_col is not None:
         out = out.withColumn(total_col, _grand("_cnt"))
-    if sum_col is not None and cum_col is not None:
-        out = out.withColumn(cum_col, _prefix("_psum") + F.col("_lcs"))
+    for i, (_, cc) in enumerate(pairs):
+        out = out.withColumn(cc, _prefix(f"_psum{i}") + F.col(f"_lcs{i}"))
     if sum_col is not None and sum_total_col is not None:
-        out = out.withColumn(sum_total_col, _grand("_psum"))
-    drop = ["_pid", "_lrn", "_parts"] + (["_lcs"] if "_lcs" in out.columns else [])
+        out = out.withColumn(sum_total_col, _grand("_psum0"))
+    drop = ["_pid", "_lrn", "_parts"] + [f"_lcs{i}" for i in range(len(pairs))]
     return out.drop(*drop)
 
 

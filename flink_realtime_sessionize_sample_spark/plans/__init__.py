@@ -87,13 +87,19 @@ _DRIVER_WINDOW: list[str] = [
     "theta_set_algebra_distinct",
     "kll_mergeable_quantiles",
     # Round-4 continuation: the last 3 spare slots (48-50). Window now full
-    # at exactly 50; registry total 144. Nothing registered beyond the
-    # window this round — external coverage stays complete at 144/144
-    # after the round-4 check.
+    # at exactly 50.
     "bloom_pruned_join",
     "cms_point_frequency",
     "fuzzy_edit_distance_join",
 ]
+
+# ROUND-5 ROTATION NOTE: queries registered after the window filled —
+# each verified green on the driver-replica sweep at sf0.01 AND sf0.1 on
+# registration, awaiting an external row. Next round: keep the 3 anchors,
+# put these at positions 4+, fill remaining slots with new work.
+#   line_dedup_c4, bootstrap_mean_ci, last_touch_attribution,
+#   zorder_cluster_stats, ks_drift_detection, benford_digit_audit,
+#   user_value_ewma
 
 
 def _apply_driver_window() -> None:

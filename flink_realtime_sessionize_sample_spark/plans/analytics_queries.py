@@ -1701,3 +1701,412 @@ def fuzzy_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= F.lit(k))
         .select("name_a", "name_b", "dist")
     )
+
+
+# --- Poisson-bootstrap confidence interval --------------------------------
+
+# Cumulative Poisson(1) probabilities (exact double literals shared by both
+# dialects) for the inverse-CDF draw from a uniform 48-bit hash.
+_POIS_CUM = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.919698602928606",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+]
+
+
+def _pois_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+WITH reps AS (
+  SELECT o.o_orderkey, round(o.o_totalprice * 100)::BIGINT AS cents, r.i AS rep,
+         {h48_duck("concat(o.o_orderkey::VARCHAR, ':', r.i::VARCHAR)")}
+           / 281474976710656.0 AS u
+  FROM orders o, range(0, 100) r(i)
+), weighted AS (
+  SELECT rep, cents, {_pois_case('u')} AS w FROM reps
+), means AS (
+  SELECT rep,
+         round(sum(w * cents)::BIGINT / sum(w)::BIGINT / 100.0, 4) + 0.0
+           AS mean_rep
+  FROM weighted GROUP BY rep
+), ranked AS (
+  SELECT mean_rep, row_number() OVER (ORDER BY mean_rep, rep) AS rk FROM means
+), point AS (
+  SELECT round(sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+               / count(*) / 100.0, 4) + 0.0 AS point_mean
+  FROM orders
+)
+SELECT (SELECT count(*) FROM means)::BIGINT AS n_replicas,
+       point.point_mean,
+       (SELECT mean_rep FROM ranked WHERE rk = 3) AS ci_lo,
+       (SELECT mean_rep FROM ranked WHERE rk = 98) AS ci_hi
+FROM point
+""",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean order value —
+    the single-pass distributed bootstrap (Chamandy et al., Google 2012:
+    "Estimating Uncertainty for Massive Data Streams").
+
+    Classic resampling draws n rows with replacement per replicate — a
+    global operation requiring n known up front and O(R) passes. The
+    Poisson trick replaces it with an independent Poisson(1) weight per
+    (row, replicate), drawn here by inverse-CDF over the portable 48-bit
+    md5 hash (functions/text.py) so the "randomness" is deterministic,
+    seedable, and bit-identical in DuckDB — the oracle replays the entire
+    resampling computation, not just bounds. All 100 replicate sums ride
+    ONE map-side-combinable hash aggregate over the exploded (row ×
+    replicate) stream: no data-proportional state, no second pass, no
+    driver loop. The final order-statistics step (rank 3 / rank 98 of 100
+    replicate means = the 95% percentile-bootstrap interval) sorts exactly
+    R=100 rows — bounded by construction, the same defended shape as
+    ``tokenizer_bpe_pair_counts``' alphabet² window. Integer-cents sums
+    keep every pre-division value exact in both engines.
+    """
+    R = 100
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = orders.select(
+        F.col("o_orderkey"),
+        _cents("o_totalprice").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("rep"),
+    ).withColumn(
+        "u",
+        F.expr(
+            h48_spark("concat(cast(o_orderkey as string), ':', cast(rep as string))")
+        )
+        / F.lit(281474976710656.0),
+    )
+    weighted = reps.withColumn("w", F.expr(_pois_case("u")))
+    means = (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "rep",
+            (F.round(F.col("swc") / F.col("sw") / F.lit(100.0), 4) + F.lit(0.0)).alias(
+                "mean_rep"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.withColumn(
+        "rk", F.row_number().over(W.orderBy("mean_rep", "rep"))
+    )
+    point = orders.agg(
+        (
+            F.round(
+                F.sum(_cents("o_totalprice")) / F.count(F.lit(1)) / F.lit(100.0), 4
+            )
+            + F.lit(0.0)
+        ).alias("point_mean"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select("point_mean")
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.max(F.when(F.col("rk") == 3, F.col("mean_rep"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 98, F.col("mean_rep"))).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(stats)).select(
+        "n_replicas", "point_mean", "ci_lo", "ci_hi"
+    )
+
+
+# --- last-touch marketing attribution -------------------------------------
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), tagged AS (
+  SELECT user_id, event_id, event_type, us,
+         max(CASE WHEN event_type <> 'purchase'
+                  THEN lpad(us::VARCHAR, 20, '0') || lpad(event_id::VARCHAR, 12, '0')
+                       || event_type END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM ev
+)
+SELECT CASE WHEN touch IS NULL THEN 'organic'
+            WHEN us - substr(touch, 1, 20)::BIGINT > 604800000000 THEN 'organic'
+            ELSE substr(touch, 33) END AS channel,
+       count(*)::BIGINT AS n_purchases
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent non-purchase event within a 7-day lookback, else 'organic'.
+
+    The prior touch is found with ONE window over the per-user event
+    stream — no self-join of the event log against itself (the naive
+    formulation shuffles the log twice and explodes on active users). The
+    (ts, event_id, type) triple is packed into a fixed-width
+    lexicographically-ordered string so a plain MAX over the
+    unbounded-preceding frame is an argmax — portable across engines
+    where struct-valued window MAX is not. One exchange on user_id, one
+    sort, counts roll up map-side. The 7-day lookback is a pure
+    projection on the packed epoch-micros prefix.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = F.concat(
+        F.lpad(F.col("us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.col("event_type"),
+    )
+    tagged = ev.withColumn(
+        "touch",
+        F.max(F.when(F.col("event_type") != "purchase", packed)).over(w),
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("touch").isNull(), F.lit("organic"))
+            .when(
+                F.col("us") - F.substring("touch", 1, 20).cast("long")
+                > F.lit(week_us),
+                F.lit("organic"),
+            )
+            .otherwise(F.expr("substring(touch, 33)"))
+            .alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+# --- two-sample Kolmogorov-Smirnov drift detection ------------------------
+
+@query(
+    "ks_drift_detection",
+    oracle="""
+WITH ev AS (
+  SELECT value, epoch_us(ts) AS us FROM events
+), bounds AS (
+  SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+), tagged AS (
+  SELECT value, CASE WHEN us < (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS early
+  FROM ev
+), grouped AS (
+  SELECT value, sum(early)::BIGINT AS c1, count(*)::BIGINT AS c_all
+  FROM tagged GROUP BY value
+), tot AS (
+  SELECT sum(c1)::BIGINT AS n1, sum(c_all)::BIGINT AS n_all FROM grouped
+), cdf AS (
+  SELECT value,
+         sum(c1) OVER (ORDER BY value)::BIGINT AS cum1,
+         sum(c_all) OVER (ORDER BY value)::BIGINT AS cum_all
+  FROM grouped
+)
+SELECT t.n1 AS n_early, (t.n_all - t.n1)::BIGINT AS n_late,
+       round(max(abs(c.cum1 / t.n1 - (c.cum_all - c.cum1) / (t.n_all - t.n1))), 6)
+         + 0.0 AS ks_stat,
+       max(abs(c.cum1 / t.n1 - (c.cum_all - c.cum1) / (t.n_all - t.n1)))
+         > 1.36 * sqrt(t.n_all / (t.n1 * (t.n_all - t.n1))) AS drift_at_95
+FROM cdf c, tot t
+GROUP BY t.n1, t.n_all
+""",
+)
+def ks_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the first and
+    second half of the event stream's time range — the standard
+    train/serving-skew monitor in ML data pipelines.
+
+    KS needs both samples' empirical CDFs evaluated over the merged sorted
+    value domain — a global-order problem. The naive formulation is a
+    no-partition window over |distinct values| rows (the same pinch class
+    the round-3 review flagged); here BOTH cumulative counts ride ONE
+    ``with_global_rank`` pass (operators/global_order.py, ``extra_cums``):
+    range-partition by value, one local sort, one broadcast offsets row —
+    the distinct-value table never collapses to a single task. Upstream is
+    one hash aggregate (value → per-group counts); downstream is a scalar
+    max. D = sup|F1−F2| is evaluated per distinct value with tie groups
+    fully collapsed, so the statistic is exact, and the 95% rejection
+    bound is the classic 1.36·√((n1+n2)/(n1·n2)) — every quantity integer
+    or deterministic double, so DuckDB reproduces it exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value", F.when(F.col("us") < F.col("mid"), 1).otherwise(0).alias("early")
+    )
+    grouped = tagged.groupBy("value").agg(
+        F.sum("early").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    tot = grouped.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c_all").cast("long").alias("n_all"),
+    )
+    cdf = with_global_rank(
+        grouped,
+        ["value"],
+        rank_col="_rk",
+        sum_col="c1",
+        cum_col="cum1",
+        extra_cums=[("c_all", "cum_all")],
+    )
+    d = (
+        cdf.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n_all",
+            F.abs(
+                F.col("cum1") / F.col("n1")
+                - (F.col("cum_all") - F.col("cum1")) / (F.col("n_all") - F.col("n1"))
+            ).alias("gap"),
+        )
+        .groupBy("n1", "n_all")
+        .agg(F.max("gap").alias("d_stat"))
+    )
+    return d.select(
+        F.col("n1").alias("n_early"),
+        (F.col("n_all") - F.col("n1")).alias("n_late"),
+        (F.round(F.col("d_stat"), 6) + F.lit(0.0)).alias("ks_stat"),
+        (
+            F.col("d_stat")
+            > F.lit(1.36)
+            * F.sqrt(F.col("n_all") / (F.col("n1") * (F.col("n_all") - F.col("n1"))))
+        ).alias("drift_at_95"),
+    )
+
+
+# --- Benford first-digit audit --------------------------------------------
+
+@query(
+    "benford_digit_audit",
+    oracle="""
+WITH cents AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS c FROM orders
+  WHERE o_totalprice > 0
+), digits AS (
+  SELECT substr(c::VARCHAR, 1, 1)::BIGINT AS digit FROM cents
+), obs AS (
+  SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit
+), tot AS (SELECT sum(n)::BIGINT AS total FROM obs)
+SELECT o.digit, o.n,
+       round(o.n / t.total, 6) + 0.0 AS observed_p,
+       round(log10(1.0 + 1.0 / o.digit), 6) + 0.0 AS benford_p,
+       round(abs(o.n / t.total - log10(1.0 + 1.0 / o.digit)), 6) + 0.0 AS abs_dev
+FROM obs o, tot t
+""",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality screen (fabricated or truncated numeric columns
+    diverge from the log10(1+1/d) digit distribution).
+
+    First digits are taken from the INTEGER cents rendering (exact in both
+    engines — float formatting is not portable, int-to-string is), so the
+    whole query is one conditional scan + a 9-row aggregate: pure codegen,
+    map-side combinable, one scalar-total broadcast. Complements the
+    rule-based ``data_quality_report`` with a distributional audit.
+    """
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(_cents("o_totalprice").alias("c"))
+    )
+    obs = (
+        cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    benford_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.round(F.col("n") / F.col("total"), 6) + F.lit(0.0)).alias("observed_p"),
+        (F.round(benford_p, 6) + F.lit(0.0)).alias("benford_p"),
+        (F.round(F.abs(F.col("n") / F.col("total") - benford_p), 6) + F.lit(0.0)).alias(
+            "abs_dev"
+        ),
+    )
+
+
+# --- per-user exponentially weighted moving average -----------------------
+
+@query(
+    "user_value_ewma",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value::DOUBLE AS v FROM events
+), seqs AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         list(v ORDER BY us, event_id) AS vals
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3)::DOUBLE, 6)
+         + 0.0 AS ewma
+FROM seqs
+""",
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (α = 0.3) of event
+    values — the recency-weighted engagement feature standard in user
+    modeling, and a recurrence (`s_t = 0.7·s_{t−1} + 0.3·x_t`) that NO SQL
+    window frame can express (each step depends on the previous result,
+    not on a frame aggregate).
+
+    Formulation: one hash aggregate collects each user's value sequence in
+    event order (bounded by the per-user event count — the same per-key
+    bound the sessionizer's state carries, reference
+    SessionizeGroupMapFunction.scala:115 caps sessions at 1499 events), and
+    a higher-order ``aggregate`` fold evaluates the recurrence per row —
+    pure codegen, no UDF, no second shuffle, identical left-fold order in
+    DuckDB's ``list_reduce``, so the doubles match bit-for-bit and the
+    driver hash-checks the full recurrence.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(us, event_id, v))), x -> x.v)"
+        ).alias("vals"),
+    )
+    fold = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+        " (acc, x) -> acc * 0.7d + x * 0.3d)"
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        (F.round(fold, 6) + F.lit(0.0)).alias("ewma"),
+    )

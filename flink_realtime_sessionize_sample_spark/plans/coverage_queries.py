@@ -712,3 +712,78 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "segment")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- Z-order (Morton) multi-dimensional clustering key --------------------
+
+@query(
+    "zorder_cluster_stats",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         (o_custkey % 65536)::BIGINT AS x,
+         datediff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS y
+  FROM orders
+), keyed AS (
+  SELECT b.o_orderkey, b.x, b.y,
+         sum((((b.x >> r.i) & 1) << (2 * r.i))
+             + (((b.y >> r.i) & 1) << (2 * r.i + 1)))::BIGINT AS zkey
+  FROM base b, range(0, 16) r(i)
+  GROUP BY b.o_orderkey, b.x, b.y
+)
+SELECT (zkey >> 16)::BIGINT AS zbucket,
+       count(*)::BIGINT AS n_orders,
+       min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+       min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+FROM keyed
+GROUP BY 1
+""",
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for multi-dimensional data layout —
+    what Delta/Iceberg `OPTIMIZE ZORDER BY` computes so min/max file stats
+    prune on BOTH dimensions (Morton 1966; interleaved-bit space-filling
+    curve).
+
+    A single-column range partition clusters one dimension and scatters
+    the other; interleaving the bits of (customer, order-day) into one
+    key makes every contiguous key range a bounded rectangle in (x, y)
+    space. The query materializes that property as the product: per
+    65536-key z-bucket (top 16 of 32 bits), the count plus the min/max of
+    each raw dimension — the exact file-skipping statistics a layout
+    optimizer would write. At 100 TB the full recipe is
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` + parquet
+    min/max stats; the key itself is a pure per-row codegen expression
+    (``aggregate`` over 16 bit positions — no UDF, no shuffle), so the
+    only exchange is whatever the writer's range partitioning needs.
+    Dimensions are quantized to 16 bits (custkey mod 2^16; day offset from
+    the epoch of the dataset) — the standard truncate-to-prefix step.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(65536)).cast("long").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    keyed = base.withColumn(
+        "zkey",
+        F.expr(
+            "aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) ->"
+            " acc + shiftleft(shiftright(x, i) & 1, 2 * i)"
+            "     + shiftleft(shiftright(y, i) & 1, 2 * i + 1))"
+        ),
+    )
+    return (
+        keyed.select(F.shiftright("zkey", 16).alias("zbucket"), "x", "y")
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

@@ -1781,3 +1781,92 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+# --- C4-style corpus-level duplicate-span removal -------------------------
+
+@query(
+    "line_dedup_c4",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {T.tokens_duck('text')} AS t FROM documents
+), seg AS (
+  SELECT doc_id, s.i AS seg_i,
+         array_to_string(t[(s.i*10+1):(s.i*10+10)], ' ') AS line
+  FROM toks, range(0, 64) s(i)
+  WHERE s.i * 10 < len(t)
+), keyed AS (
+  SELECT doc_id, seg_i, line,
+         {T.h48_duck('line')} AS lh
+  FROM seg
+), firsts AS (
+  SELECT lh, min(doc_id * 1000 + seg_i) AS first_slot
+  FROM keyed GROUP BY lh
+)
+SELECT k.doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN k.doc_id * 1000 + k.seg_i = f.first_slot
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(array_to_string(
+         list(CASE WHEN k.doc_id * 1000 + k.seg_i = f.first_slot
+                   THEN k.line END ORDER BY k.seg_i),
+         ' '), '') AS clean_text
+FROM keyed k JOIN firsts f USING (lh)
+GROUP BY k.doc_id
+""",
+)
+def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level duplicate-span removal (Raffel et al. 2020
+    §2.2: "we removed all but one of any three-sentence span occurring more
+    than once in the data set").
+
+    The testdata documents are flat token streams (no sentence boundaries),
+    so the span unit is a fixed 10-token segment; semantics are otherwise
+    C4's: every repeated span keeps exactly ONE occurrence corpus-wide —
+    the first in deterministic (doc_id, position) order — and all other
+    occurrences are dropped, then each document is reassembled from its
+    surviving segments in order.
+
+    Scale shape (the real C4 step at 100 TB runs exactly like this):
+    segment → hash-aggregate the 48-bit span fingerprint to its arg-min
+    (doc, slot) (map-side combinable MIN, O(distinct spans) state) → join
+    the fingerprint table back on the span hash → regroup by doc. Only
+    fixed-width (hash, slot) rows cross the first shuffle — span TEXT never
+    shuffles twice: the rejoin is on the already-co-partitioned hash. No
+    broadcast of anything corpus-proportional; both exchanges are on keys
+    with corpus-bounded cardinality. The 48-bit fingerprint is the same
+    md5-derived portable hash the whole dedup family uses (functions/
+    text.py), so DuckDB reproduces it bit-for-bit — the oracle checks the
+    real pipeline, not a lookalike.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t"))
+    seg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast((size(t) - 1) / 10 as int)),"
+                " i -> struct(i as seg_i,"
+                " concat_ws(' ', slice(t, i * 10 + 1, 10)) as line))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.seg_i", "s.line")
+    keyed = seg.withColumn("lh", F.expr(T.h48_spark("line"))).withColumn(
+        "slot", F.col("doc_id") * 1000 + F.col("seg_i")
+    )
+    firsts = keyed.groupBy("lh").agg(F.min("slot").alias("first_slot"))
+    kept = keyed.join(firsts, "lh").withColumn(
+        "keep", F.col("slot") == F.col("first_slot")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(filter(sort_array(collect_list(struct(seg_i, "
+                "case when keep then line end as line))), x -> x.line is not null),"
+                " x -> x.line)"
+            ),
+        ).alias("clean_text"),
+    )

@@ -80,3 +80,25 @@ def test_no_single_partition_sort_in_plan(spark):
             assert "HashAggregate" in child or "ObjectHashAggregate" in child, (
                 f"SinglePartition exchange feeds a non-aggregate:\n{child}"
             )
+
+
+def test_extra_cums_match_window_running_sums(spark):
+    df = _sample(spark, n=400).withColumn(
+        "flag", (F.col("id") % 3 == 0).cast("long")
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = with_global_rank(
+        df,
+        order,
+        rank_col="r",
+        sum_col="amt",
+        cum_col="cum_amt",
+        extra_cums=[("flag", "cum_flag")],
+    ).select("id", "cum_amt", "cum_flag")
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "id",
+        F.sum("amt").over(w).alias("cum_amt"),
+        F.sum("flag").over(w).alias("cum_flag"),
+    )
+    assert got.exceptAll(want).count() == 0
