@@ -99,7 +99,8 @@ _DRIVER_WINDOW: list[str] = [
 # put these at positions 4+, fill remaining slots with new work.
 #   line_dedup_c4, bootstrap_mean_ci, last_touch_attribution,
 #   zorder_cluster_stats, ks_drift_detection, benford_digit_audit,
-#   user_value_ewma
+#   user_value_ewma, pagerank_neardup_3iter, source_unigram_kl,
+#   item_cooccurrence_topk
 
 
 def _apply_driver_window() -> None:

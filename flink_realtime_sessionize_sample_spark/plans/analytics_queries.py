@@ -2110,3 +2110,89 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.round(fold, 6) + F.lit(0.0)).alias("ewma"),
     )
+
+
+# --- item-item co-occurrence similarity (collaborative filtering) ---------
+
+@query(
+    "item_cooccurrence_topk",
+    oracle="""
+WITH bp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), cnt AS (
+  SELECT l_partkey, count(*)::BIGINT AS c FROM bp GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS i, b.l_partkey AS j, count(*)::BIGINT AS cooc
+  FROM bp a JOIN bp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), scored AS (
+  SELECT p.i, p.j, p.cooc,
+         round(p.cooc / sqrt(ci.c * cj.c), 6) + 0.0 AS cosine
+  FROM pairs p
+  JOIN cnt ci ON p.i = ci.l_partkey
+  JOIN cnt cj ON p.j = cj.l_partkey
+), ranked AS (
+  SELECT i, j, cooc, cosine,
+         row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rk
+  FROM scored
+)
+SELECT i AS part_i, j AS part_j, cooc, cosine
+FROM ranked WHERE rk <= 3
+""",
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence similarity, top-3 neighbors per part — the
+    memory-based collaborative-filtering staple ("customers who bought X
+    also bought Y"), scored by co-occurrence cosine
+    cooc(i,j)/√(c(i)·c(j)).
+
+    The pair generation is the within-basket self-join — DISTINCT per
+    basket first, so fan-out is bounded by basket WIDTH (squared), never
+    by catalog or order count, the same bound defended in
+    ``basket_part_associations``; a production long-tail guard (cap or
+    downsample baskets wider than ~100 items) drops in as one filter.
+    Counts aggregate map-side on fixed-width (i, j) keys; the marginals
+    join is on the part key (AQE decides the strategy — the catalog is
+    dimension-sized here but web-scale in general). Ranking partitions by
+    item — a balanced window, no global sort. Cosine is rounded BEFORE
+    ranking in both engines so the top-3 cut is deterministic under ties
+    (tiebreak: neighbor id).
+    """
+    bp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = bp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    b2 = bp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("j")
+    )
+    pairs = (
+        bp.join(b2, (bp.l_orderkey == b2.ok) & (bp.l_partkey != b2.j))
+        .groupBy(F.col("l_partkey").alias("i"), "j")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    scored = (
+        pairs.join(cnt.select(F.col("l_partkey").alias("i"), F.col("c").alias("ci")), "i")
+        .join(cnt.select(F.col("l_partkey").alias("j"), F.col("c").alias("cj")), "j")
+        .select(
+            "i",
+            "j",
+            "cooc",
+            (F.round(F.col("cooc") / F.sqrt(F.col("ci") * F.col("cj")), 6) + F.lit(0.0)).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("i").alias("part_i"),
+            F.col("j").alias("part_j"),
+            "cooc",
+            "cosine",
+        )
+    )

@@ -1870,3 +1870,158 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+# --- PageRank over the near-dup graph (3 unrolled iterations) -------------
+
+def _pagerank_iter_duck(k: int) -> str:
+    return f"""
+pr{k} AS (
+  SELECT s.dst AS doc_id,
+         0.15 / (SELECT nn FROM n) + 0.85 * sum(p.pr / d.d) AS pr
+  FROM sym s
+  JOIN pr{k - 1} p ON s.src = p.doc_id
+  JOIN deg d ON s.src = d.src
+  GROUP BY s.dst
+)"""
+
+
+@query(
+    "pagerank_neardup_3iter",
+    oracle=_DOC_SHINGLES_CTE
+    + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+    + """
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE common::DOUBLE / uni >= 0.5
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM sym GROUP BY src),
+n AS (SELECT count(*)::BIGINT AS nn FROM deg),
+pr0 AS (SELECT src AS doc_id, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
+"""
+    + ",".join(_pagerank_iter_duck(k) for k in (1, 2, 3))
+    + """
+SELECT doc_id, round(pr, 6) + 0.0 AS pagerank FROM pr3
+""",
+)
+def pagerank_neardup_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the symmetrized MinHash
+    near-dup graph — centrality on the duplicate graph separates template
+    hubs (one boilerplate page touching hundreds) from mutual-duplicate
+    families, the standard triage signal after LSH candidate generation.
+
+    Iterative-algorithm shape on Spark: the iteration count is FIXED and
+    small, so the loop unrolls into one declarative plan (a Python loop
+    appends 3 join+aggregate layers — no driver collect, no RDD, and
+    Catalyst sees the whole DAG; contrast ``dedup.py``'s connected
+    components, which needs data-dependent rounds and therefore a
+    convergence fingerprint). Each iteration is one shuffle on the edge
+    key; the rank vector is O(|V|) rows, never driver-side. The graph is
+    restricted to nodes with ≥1 edge (symmetric ⇒ no dangling mass, so
+    ranks sum to 1 and the oracle can unroll the same 3 layers as chained
+    CTEs). The 48-bit md5 MinHash pipeline is shared with the dedup family,
+    so DuckDB rebuilds the identical edge set.
+    """
+    edges = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.agg(F.count(F.lit(1)).alias("nn"))
+    pr = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("doc_id"), (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    contrib_base = sym.join(deg, "src")
+    for _ in range(3):
+        pr = (
+            contrib_base.join(pr, contrib_base.src == pr.doc_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("_mass"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(0.15) / F.col("nn") + F.lit(0.85) * F.col("_mass")).alias("pr"),
+            )
+        )
+    return pr.select(
+        "doc_id", (F.round("pr", 6) + F.lit(0.0)).alias("pagerank")
+    )
+
+
+# --- per-source unigram KL divergence -------------------------------------
+
+@query(
+    "source_unigram_kl",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({T.tokens_duck('text')}) AS w FROM documents
+), sc AS (
+  SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY source, w
+), stot AS (
+  SELECT source, sum(c)::BIGINT AS ns FROM sc GROUP BY source
+), ctot AS (
+  SELECT w, sum(c)::BIGINT AS cw FROM sc GROUP BY w
+), nt AS (SELECT sum(c)::BIGINT AS nn FROM sc)
+SELECT sc.source, stot.ns AS n_tokens,
+       round(sum((sc.c / stot.ns) * ln((sc.c / stot.ns) / (ctot.cw / nt.nn))), 6)
+         + 0.0 AS kl_divergence
+FROM sc
+JOIN stot USING (source)
+JOIN ctot USING (w)
+CROSS JOIN nt
+GROUP BY sc.source, stot.ns
+""",
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the whole-corpus distribution —
+    the corpus-mixing diagnostic that ranks sources by how far their token
+    distribution drifts from the blend (the quantitative input behind
+    temperature-weighted mixing à la ``domain_mixture_sample``).
+
+    One explode → one (source, token) hash aggregate; the token-marginal
+    side is a second aggregate of THAT table (counts only — the corpus
+    text is scanned once), joined back on the token key with no broadcast
+    hint (vocabulary-sized at web scale: AQE decides, same contract as
+    ``doc_tfidf_topk``). Per-source totals are a ~|sources|-row aggregate.
+    KL terms are exact integer ratios fed through double log; every
+    source's partial sums ride the final map-side-combinable aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sc = (
+        docs.select("source", F.explode(F.expr(T.tokens_spark("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    ctot = sc.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    nt = sc.agg(F.sum("c").cast("long").alias("nn"))
+    term = (
+        sc.join(F.broadcast(stot), "source")
+        .join(ctot, "w")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "ns",
+            (
+                (F.col("c") / F.col("ns"))
+                * F.log((F.col("c") / F.col("ns")) / (F.col("cw") / F.col("nn")))
+            ).alias("t"),
+        )
+    )
+    return term.groupBy("source", F.col("ns").alias("n_tokens")).agg(
+        (F.round(F.sum("t"), 6) + F.lit(0.0)).alias("kl_divergence")
+    )
