@@ -174,3 +174,63 @@ def ntile_from_rank(rank: Column, total: Column, buckets: int) -> Column:
         .cast("int")
         + F.lit(1)
     ).alias("ntile")
+
+
+def with_global_prefix_max(
+    df: DataFrame,
+    sort_cols: Sequence[Column | str],
+    value_col: str,
+    *,
+    out_col: str = "prefix_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the exact running MAX of ``value_col`` over all *strictly
+    previous* rows in ``sort_cols`` order (NULL for the global first row) —
+    distributed, same two-pass shape as :func:`with_global_rank`.
+
+    The strictly-previous frame is what dominance sweeps need (2-D skyline:
+    a point survives iff its value exceeds every earlier point's): range
+    partition + local sort, a local ``ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING`` window keyed on the partition index, and ONE broadcast row
+    of per-partition maxima folded into each row's cross-partition prefix.
+    No single-partition sort anywhere; the only 1-task hop is the
+    O(num_partitions)-row offsets collapse.
+
+    ``value_col`` must be orderable; sort keys must form a total order for
+    a deterministic result (append a tiebreaker).
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = _sort_exprs(sort_cols)
+
+    ranged = df.repartitionByRange(n_part, *keys)
+    local = (
+        ranged.sortWithinPartitions(*keys)
+        .withColumn("_mono", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mono", _PID_BITS))
+        .withColumn("_lrn", F.col("_mono").bitwiseAND(F.lit((1 << _PID_BITS) - 1)))
+        .drop("_mono")
+    )
+    w_prev = Window.partitionBy("_pid").orderBy("_lrn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = local.withColumn("_lpm", F.max(value_col).over(w_prev))
+
+    per_pid = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.max(value_col).alias("_pmax"))
+    )
+    parts = per_pid.agg(
+        F.array_sort(F.collect_list(F.struct("_pid", "_pmax"))).alias("_parts")
+    )
+
+    out = local.crossJoin(F.broadcast(parts))
+    before = F.filter("_parts", lambda e: e["_pid"] < F.col("_pid"))
+    cross_pm = F.array_max(F.transform(before, lambda e: e["_pmax"]))
+    return out.withColumn(
+        out_col,
+        F.when(F.col("_lpm").isNull(), cross_pm)
+        .when(cross_pm.isNull(), F.col("_lpm"))
+        .otherwise(F.greatest(F.col("_lpm"), cross_pm)),
+    ).drop("_pid", "_lrn", "_parts", "_lpm")

@@ -100,7 +100,7 @@ _DRIVER_WINDOW: list[str] = [
 #   line_dedup_c4, bootstrap_mean_ci, last_touch_attribution,
 #   zorder_cluster_stats, ks_drift_detection, benford_digit_audit,
 #   user_value_ewma, pagerank_neardup_3iter, source_unigram_kl,
-#   item_cooccurrence_topk
+#   item_cooccurrence_topk, pareto_skyline_parts, psi_value_drift
 
 
 def _apply_driver_window() -> None:

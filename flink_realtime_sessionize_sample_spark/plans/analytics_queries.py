@@ -39,6 +39,7 @@ from flink_realtime_sessionize_sample_spark.functions.text import (
 )
 from flink_realtime_sessionize_sample_spark.operators.global_order import (
     ntile_from_rank,
+    with_global_prefix_max,
     with_global_rank,
 )
 from flink_realtime_sessionize_sample_spark.plans.registry import query
@@ -2194,5 +2195,176 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("part_j"),
             "cooc",
             "cosine",
+        )
+    )
+
+
+# --- Pareto skyline (multi-objective dominance) ---------------------------
+
+@query(
+    "pareto_skyline_parts",
+    oracle="""
+WITH pts AS (
+  SELECT round(p_retailprice * 100)::BIGINT AS price_c, p_size::BIGINT AS size,
+         count(*)::BIGINT AS n_parts
+  FROM part GROUP BY 1, 2
+), sw AS (
+  SELECT price_c, size, n_parts,
+         max(size) OVER (ORDER BY price_c ASC, size DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM pts
+)
+SELECT price_c, size, n_parts FROM sw WHERE pm IS NULL OR size > pm
+""",
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of parts: minimize price, maximize size
+    — the multi-objective dominance operator (Börzsönyi et al., ICDE 2001)
+    behind "best tradeoff" product queries; no aggregate or join family
+    expresses it directly.
+
+    Sweep formulation: sorted by (price asc, size desc), a point is on the
+    front iff its size strictly exceeds every earlier point's (the
+    strictly-previous prefix max). Equal (price, size) points are
+    collapsed BEFORE the sweep (neither dominates the other — one strict
+    inequality is required — so the whole group survives together,
+    carrying its part count). The prefix max is
+    ``with_global_prefix_max`` (operators/global_order.py): range
+    partition + local window + one broadcast offsets row — the
+    data-proportional (price, size) table never hits a single-partition
+    sort, unlike the textbook window formulation the oracle runs.
+    """
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            _cents("p_retailprice").alias("price_c"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    swept = with_global_prefix_max(
+        pts,
+        [F.col("price_c").asc(), F.col("size").desc()],
+        "size",
+        out_col="pm",
+    )
+    return swept.filter(
+        F.col("pm").isNull() | (F.col("size") > F.col("pm"))
+    ).select("price_c", "size", "n_parts")
+
+
+# --- Population Stability Index drift -------------------------------------
+
+@query(
+    "psi_value_drift",
+    oracle="""
+WITH ev AS (
+  SELECT value, event_id, epoch_us(ts) AS us FROM events
+), bounds AS (
+  SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+), early AS (
+  SELECT value, event_id FROM ev WHERE us < (SELECT mid FROM bounds)
+), late AS (
+  SELECT value FROM ev WHERE us >= (SELECT mid FROM bounds)
+), tiled AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS tile FROM early
+), cuts AS (
+  SELECT list(mx ORDER BY tile) AS cs FROM (
+    SELECT tile, max(value) AS mx FROM tiled WHERE tile <= 9 GROUP BY tile)
+), eb AS (
+  SELECT 1 + len(list_filter((SELECT cs FROM cuts), c -> c < value)) AS bin,
+         count(*)::BIGINT AS n
+  FROM early GROUP BY 1
+), lb AS (
+  SELECT 1 + len(list_filter((SELECT cs FROM cuts), c -> c < value)) AS bin,
+         count(*)::BIGINT AS n
+  FROM late GROUP BY 1
+), tots AS (
+  SELECT (SELECT sum(n)::BIGINT FROM eb) AS ne, (SELECT sum(n)::BIGINT FROM lb) AS nl
+), bins AS (SELECT unnest(range(1, 11)) AS bin)
+SELECT b.bin::BIGINT AS bin,
+       coalesce(e.n, 0)::BIGINT AS n_early,
+       coalesce(l.n, 0)::BIGINT AS n_late,
+       round(((coalesce(e.n, 0) + 0.5) / (t.ne + 5.0)
+              - (coalesce(l.n, 0) + 0.5) / (t.nl + 5.0))
+             * ln(((coalesce(e.n, 0) + 0.5) / (t.ne + 5.0))
+                  / ((coalesce(l.n, 0) + 0.5) / (t.nl + 5.0))), 6) + 0.0
+         AS psi_term
+FROM bins b
+LEFT JOIN eb e ON b.bin = e.bin
+LEFT JOIN lb l ON b.bin = l.bin
+CROSS JOIN tots t
+""",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream, per decile bin — THE industry drift score for deployed
+    model inputs (PSI < 0.1 stable, > 0.25 action), complementing
+    ``ks_drift_detection``'s sup-norm test with a binned divergence.
+
+    Reference-period decile cut points come from the EXACT distributed
+    ntile (``with_global_rank`` + ``ntile_from_rank`` — no
+    single-partition window, no approx-percentile nondeterminism); the 9
+    cuts collapse to one bounded array, broadcast, and both periods bin
+    with a pure higher-order filter expression. Counts are two hash
+    aggregates over ≤10 keys. Laplace smoothing (+0.5 per bin) keeps every
+    term finite when a bin lands empty — deterministic in both engines, so
+    the oracle replays the whole statistic including the smoothing.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", "event_id", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(((F.min("us") + F.max("us")) / 2).cast("long").alias("mid"))
+    ev = ev.crossJoin(F.broadcast(bounds))
+    early = ev.filter(F.col("us") < F.col("mid")).select("value", "event_id")
+    late = ev.filter(F.col("us") >= F.col("mid")).select("value")
+
+    tiled = with_global_rank(
+        early,
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="_rk",
+        total_col="_n",
+    ).select("value", ntile_from_rank(F.col("_rk"), F.col("_n"), 10).alias("tile"))
+    cuts = (
+        tiled.filter(F.col("tile") <= 9)
+        .groupBy("tile")
+        .agg(F.max("value").alias("mx"))
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(tile, mx))), x -> x.mx)")
+            .alias("cs")
+        )
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(
+                (
+                    F.lit(1)
+                    + F.size(F.expr("filter(cs, c -> c < value)"))
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    eb = binned(early)
+    lb = binned(late.select("value", F.lit(0).alias("event_id")))
+    tots = (
+        eb.agg(F.sum("n").cast("long").alias("ne"))
+        .crossJoin(lb.agg(F.sum("n").cast("long").alias("nl")))
+    )
+    bins = spark.range(1, 11).select(F.col("id").cast("long").alias("bin"))
+    pe = (F.coalesce(F.col("ne_n"), F.lit(0)) + F.lit(0.5)) / (F.col("ne") + F.lit(5.0))
+    pl = (F.coalesce(F.col("nl_n"), F.lit(0)) + F.lit(0.5)) / (F.col("nl") + F.lit(5.0))
+    return (
+        bins.join(F.broadcast(eb.withColumnRenamed("n", "ne_n")), "bin", "left")
+        .join(F.broadcast(lb.withColumnRenamed("n", "nl_n")), "bin", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            F.coalesce(F.col("ne_n"), F.lit(0)).cast("long").alias("n_early"),
+            F.coalesce(F.col("nl_n"), F.lit(0)).cast("long").alias("n_late"),
+            (F.round((pe - pl) * F.log(pe / pl), 6) + F.lit(0.0)).alias("psi_term"),
         )
     )

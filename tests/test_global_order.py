@@ -102,3 +102,38 @@ def test_extra_cums_match_window_running_sums(spark):
         F.sum("flag").over(w).alias("cum_flag"),
     )
     assert got.exceptAll(want).count() == 0
+
+
+def test_prefix_max_matches_window(spark):
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_prefix_max,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 97).alias("x"), ((F.col("id") * 37) % 53).alias("y"), "id"
+    )
+    order = [F.col("x").asc(), F.col("y").desc(), F.col("id").asc()]
+    got = with_global_prefix_max(df, order, "y", out_col="pm")
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("pm", F.max("y").over(w))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_prefix_max_no_single_partition_sort(spark):
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_prefix_max,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 91).alias("x"), (F.col("id") % 7).alias("y"), "id"
+    )
+    got = with_global_prefix_max(df, ["x", "y", "id"], "y", out_col="pm")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1]
+            assert "HashAggregate" in child or "ObjectHashAggregate" in child, (
+                f"SinglePartition exchange feeds a non-aggregate:\n{child}"
+            )
