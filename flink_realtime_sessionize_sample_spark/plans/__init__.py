@@ -100,7 +100,10 @@ _DRIVER_WINDOW: list[str] = [
 #   line_dedup_c4, bootstrap_mean_ci, last_touch_attribution,
 #   zorder_cluster_stats, ks_drift_detection, benford_digit_audit,
 #   user_value_ewma, pagerank_neardup_3iter, source_unigram_kl,
-#   item_cooccurrence_topk, pareto_skyline_parts, psi_value_drift
+#   item_cooccurrence_topk, pareto_skyline_parts, psi_value_drift,
+#   pipeline_json_sink_roundtrip (drives K1 JSON-encode + K2 file-sink +
+#   W1 watermark through the driver contract — the full reference
+#   pipeline round-tripped through serialized bytes)
 
 
 def _apply_driver_window() -> None:

@@ -660,3 +660,67 @@ def session_funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tc").alias("sessions_view_click"),
         F.count("tp").alias("sessions_view_click_purchase"),
     )
+
+
+@query(
+    "pipeline_json_sink_roundtrip",
+    oracle=_SESSIONIZE_CTE + """
+SELECT user_id, sum(session_duration)::BIGINT AS total_duration
+FROM (
+  SELECT user_id, session_id, max(duration) AS session_duration
+  FROM sessionized GROUP BY user_id, session_id
+) GROUP BY user_id
+""",
+)
+def pipeline_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE production pipeline as one driver-checkable
+    round trip: file source → 60 s watermark (W1,
+    ``RealtimeSessionize.scala:130-136``) → bucketed stateful sessionize
+    (X1) → JSON encode (K1, ``:158,174``) → checkpointed file sink (K2/K3
+    discipline, ``:150-159``) — then the sink's JSON lines are read BACK,
+    schema-inferred, and collapsed with the README's own OLAP query
+    (``README.md:42-50``), so the driver's value hash certifies the
+    serialized bytes round-trip losslessly, not just the in-memory rows.
+
+    The sink side is the K3 exactly-once story in miniature: Spark's file
+    sink commits files through the checkpoint's manifest, so a re-run
+    against the same checkpoint cannot double-write (the Kafka variant
+    substitutes the dedup-key/foreachBatch sinks of
+    streaming/pipeline.py:215,270 — broker-gated here). The oracle is the
+    batch recursive-CTE sessionizer: stream bytes ≡ batch semantics, the
+    reference's batch/realtime consistency goal (``README.md:31``).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_realtime_sessionize_sample_spark.streaming import (
+        build_events_file_stream,
+    )
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
+        run_sessionize_pipeline,
+    )
+
+    src = tempfile.mkdtemp(prefix="pipe_rt_src_")
+    base = tempfile.mkdtemp(prefix="pipe_rt_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = build_events_file_stream(spark, src)
+    q = run_sessionize_pipeline(
+        spark,
+        stream,
+        checkpoint_dir=f"{base}/ckpt",
+        out_path=f"{base}/out",
+        trigger_available_now=True,
+        queryName=f"pipe_rt_{uuid.uuid4().hex[:8]}",
+    )
+    finished = q.awaitTermination(600)
+    if not finished:  # pragma: no cover — a hang must not pass as success
+        q.stop()
+        raise RuntimeError("pipeline_json_sink_roundtrip: replay did not terminate")
+    decoded = spark.read.json(f"{base}/out")
+    return (
+        decoded.groupBy("user_id", "session_id")
+        .agg(F.max("duration").alias("session_duration"))
+        .groupBy("user_id")
+        .agg(F.sum("session_duration").cast("long").alias("total_duration"))
+    )
