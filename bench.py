@@ -79,6 +79,12 @@ HEADLINE = [
     "bloom_pruned_join",
     "cms_point_frequency",
     "fuzzy_edit_distance_join",
+    # round-4 second session: corpus line dedup (two token-keyed
+    # exchanges), exact distributed two-sample KS (multi-running-sum
+    # global order), basket co-occurrence ranking
+    "line_dedup_c4",
+    "ks_drift_detection",
+    "item_cooccurrence_topk",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
