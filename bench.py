@@ -378,6 +378,23 @@ def main() -> None:
     force(_ranked(pc_10x))
     t_go_10x = time.perf_counter() - t0
 
+    # Line-dedup (C4 duplicate-span removal) scale smoke: permuted clones
+    # (same bijective-translate trick as the MinHash linear variant) keep
+    # the duplicate-span workload ~linear in corpus size, so the ratio
+    # measures the plan — two token-keyed exchanges + doc regroup — not
+    # clone-clique growth.
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        line_dedup_frame,
+    )
+
+    force(line_dedup_frame(docs))  # warm
+    t0 = time.perf_counter()
+    force(line_dedup_frame(docs))
+    t_ld_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(line_dedup_frame(docs_10x_lin))
+    t_ld_10x = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -416,6 +433,11 @@ def main() -> None:
                 "scale_smoke_global_rank_10x_sec": round(t_go_10x, 3),
                 "scale_smoke_global_rank_10x_ratio_vs_linear": round(
                     t_go_10x / (10 * t_go_1x), 3
+                ),
+                "scale_smoke_line_dedup_1x_sec": round(t_ld_1x, 3),
+                "scale_smoke_line_dedup_10x_sec": round(t_ld_10x, 3),
+                "scale_smoke_line_dedup_10x_ratio_vs_linear": round(
+                    t_ld_10x / (10 * t_ld_1x), 3
                 ),
             }
         )

@@ -1839,7 +1839,14 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.py), so DuckDB reproduces it bit-for-bit — the oracle checks the
     real pipeline, not a lookalike.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_dedup_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def line_dedup_frame(docs: DataFrame) -> DataFrame:
+    """The ``line_dedup_c4`` pipeline over an arbitrary (doc_id, text)
+    frame — shared by the registered query and bench.py's scale smoke."""
     toks = docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t"))
     seg = toks.select(
         "doc_id",
