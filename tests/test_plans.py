@@ -99,3 +99,61 @@ def test_pareto_only_window_rides_partition_index(spark, sf_oracle):
 def test_rfm_and_zipf_have_no_windows_at_all(spark, sf_oracle):
     for name in ("customer_rfm_segments", "doc_zipf_fit"):
         assert _plan(spark, sf_oracle, name).count("Window ") == 0
+
+
+_R4_SECOND_SESSION = [
+    "line_dedup_c4",
+    "bootstrap_mean_ci",
+    "last_touch_attribution",
+    "zorder_cluster_stats",
+    "ks_drift_detection",
+    "benford_digit_audit",
+    "user_value_ewma",
+    "pagerank_neardup_3iter",
+    "source_unigram_kl",
+    "item_cooccurrence_topk",
+    "pareto_skyline_parts",
+    "psi_value_drift",
+]
+
+
+@pytest.mark.parametrize("name", _R4_SECOND_SESSION)
+def test_r4_plans_no_cartesian_no_python_no_data_global_sort(spark, sf_oracle, name):
+    """Scale contracts for the round-4 second-session operators: no
+    Cartesian product, no Python eval in the hot path, and every
+    SinglePartition exchange feeds an aggregate collapse (bounded rows),
+    never a data-proportional sort/window."""
+    p = _plan(spark, sf_oracle, name)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = lines[i + 1]
+            assert (
+                "HashAggregate" in nxt
+                or "ObjectHashAggregate" in nxt
+                or "SortAggregate" in nxt
+            ), f"{name}: SinglePartition feeds non-aggregate:\n{nxt}"
+
+
+def test_attribution_single_user_exchange(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "last_touch_attribution")
+    # One user_id exchange for the argmax window; counts roll up on top.
+    assert p.count("Window ") == 1
+
+
+def test_bloom_probe_precedes_join_exchange(spark, sf_oracle):
+    """The Bloom membership test must appear as a Filter on the lineitem
+    scan side BEFORE the join — the whole point of the operator."""
+    p = _plan(spark, sf_oracle, "bloom_pruned_join")
+    # A Filter node (not the join condition) evaluates the k hash probes
+    # on the fact side, so pruned rows never reach the exchange.
+    filter_lines = [
+        ln for ln in p.splitlines()
+        if "Filter" in ln and "xxhash64(l_orderkey" in ln
+    ]
+    assert filter_lines, "no Filter with the Bloom probe on l_orderkey"
+    # And the probe is not smuggled into the join condition instead.
+    join_lines = [ln for ln in p.splitlines() if "Join" in ln]
+    assert all("xxhash64" not in ln for ln in join_lines)
