@@ -2169,10 +2169,17 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = bp.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("j")
     )
-    pairs = (
-        bp.join(b2, (bp.l_orderkey == b2.ok) & (bp.l_partkey != b2.j))
+    # Generate each unordered pair ONCE (i < j) and mirror after the count
+    # aggregate: halves the join output and the (i, j) shuffle vs emitting
+    # both directions (measured ~2x at sf0.1); cooc is symmetric so the
+    # mirrored rows are exact.
+    half = (
+        bp.join(b2, (bp.l_orderkey == b2.ok) & (bp.l_partkey < b2.j))
         .groupBy(F.col("l_partkey").alias("i"), "j")
         .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    pairs = half.unionAll(
+        half.select(F.col("j").alias("i"), F.col("i").alias("j"), "cooc")
     )
     scored = (
         pairs.join(cnt.select(F.col("l_partkey").alias("i"), F.col("c").alias("ci")), "i")
