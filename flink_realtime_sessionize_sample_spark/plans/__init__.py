@@ -103,7 +103,9 @@ _DRIVER_WINDOW: list[str] = [
 #   item_cooccurrence_topk, pareto_skyline_parts, psi_value_drift,
 #   pipeline_json_sink_roundtrip (drives K1 JSON-encode + K2 file-sink +
 #   W1 watermark through the driver contract — the full reference
-#   pipeline round-tripped through serialized bytes)
+#   pipeline round-tripped through serialized bytes),
+#   stream_stream_interval_join (real watermarked stream-stream join vs
+#   the batch interval join oracle)
 
 
 def _apply_driver_window() -> None:

@@ -101,3 +101,70 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
     )
+
+
+@query(
+    "stream_stream_interval_join",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, v.view_id
+FROM c JOIN v ON c.user_id = v.user_id
+ AND v.v_us >= c.c_us - 600000000
+ AND v.v_us <= c.c_us
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner interval join run as a real Structured Streaming
+    query (streaming/pipeline.py::join_streams_interval): clicks paired
+    with same-user views in the preceding 10 minutes, both sides
+    watermarked so buffered join state evicts — the two requirements
+    without which Spark's stream-stream join state grows unboundedly.
+
+    The driver's value hash compares the STREAMED pair set against the
+    plain batch interval join in DuckDB — stream ≡ batch on bounded input,
+    the same consistency bar the stateful sessionizer meets
+    (``README.md:31``). The reference has no joins at all (SURVEY §2.9);
+    this is the streaming member of the beyond-parity join family
+    (batch as-of / range joins in ``operators/temporal_join.py``).
+    """
+    import tempfile
+    import uuid
+
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import (
+        join_streams_interval,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    base = tempfile.mkdtemp(prefix="ssj_")
+    cdir, vdir = f"{base}/clicks", f"{base}/views"
+    clicks.coalesce(1).write.parquet(cdir)
+    views.coalesce(1).write.parquet(vdir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    vs = spark.readStream.schema(views.schema).parquet(vdir)
+    qn = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        join_streams_interval(cs, vs, on="user_id", left_ts="c_ts", right_ts="v_ts")
+        .select("click_id", "view_id")
+        .writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:  # pragma: no cover — a hang must not pass as success
+        q.stop()
+        raise RuntimeError("stream_stream_interval_join: replay did not terminate")
+    return spark.table(qn)
