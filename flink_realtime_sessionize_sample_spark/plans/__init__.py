@@ -32,7 +32,8 @@ from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # no
 # cumulative driver-green 137/137 after the round-4 check. No new queries
 # are registered ahead of this rotation (per the round-3 review); the four
 # round-4 additions fill the window's spare slots 44-50 without
-# displacing any backlog entry (registry total: 144).
+# displacing any backlog entry (registry total at rotation time: 144;
+# 159 by round close — see the round-5 note below).
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
@@ -105,7 +106,8 @@ _DRIVER_WINDOW: list[str] = [
 #   W1 watermark through the driver contract — the full reference
 #   pipeline round-tripped through serialized bytes),
 #   stream_stream_interval_join (real watermarked stream-stream join vs
-#   the batch interval join oracle)
+#   the batch interval join oracle), label_centroid_similarity (per-label
+#   embedding centroids + pairwise cosine, UDF-free vector aggregation)
 
 
 def _apply_driver_window() -> None:

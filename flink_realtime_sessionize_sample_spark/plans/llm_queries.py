@@ -2032,3 +2032,78 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term.groupBy("source", F.col("ns").alias("n_tokens")).agg(
         (F.round(F.sum("t"), 6) + F.lit(0.0)).alias("kl_divergence")
     )
+
+
+# --- per-label embedding centroids + pairwise cosine ----------------------
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+WITH ex AS (
+  SELECT label, r.i AS i, embedding[r.i]::DOUBLE AS v
+  FROM embeddings, range(1, 65) r(i)
+), comp AS (
+  SELECT label, i, sum(v) / count(*) AS m FROM ex GROUP BY label, i
+), nrm AS (
+  SELECT label, sum(m * m) AS n2 FROM comp GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+  FROM comp a JOIN comp b ON a.i = b.i AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.label_a, d.label_b,
+       round(d.dot / sqrt(na.n2 * nb.n2), 6) + 0.0 AS cos_sim
+FROM dots d
+JOIN nrm na ON d.label_a = na.label
+JOIN nrm nb ON d.label_b = nb.label
+""",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids and their pairwise cosine — the
+    cluster-geometry diagnostic (are classes separable? which collapse
+    together?) that pairs with ``embedding_covariance``'s spread and the
+    ANN family's retrieval.
+
+    Vector AGGREGATION without UDFs: component means come from one
+    (label, dim) hash aggregate over the posexploded corpus — map-side
+    combinable, O(|labels|·d) result rows — so the corpus vectors
+    themselves cross no shuffle twice. The pairwise stage then runs
+    entirely on centroid tables of |labels|·d rows (dot products via a
+    dim-keyed join, norms a second tiny aggregate): at a billion vectors
+    the only data-proportional pass is the first scan+aggregate, exactly
+    the shape of the covariance operator. Doubles forced on both engines
+    before any product; cosine rounded to 6dp.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v0")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    comp = ex.groupBy("label", "i").agg(
+        (F.sum("v") / F.count(F.lit(1))).alias("m")
+    )
+    nrm = comp.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("n2"))
+    b = comp.select(
+        F.col("label").alias("label_b"), F.col("i").alias("ib"), F.col("m").alias("mb")
+    )
+    dots = (
+        comp.join(b, (F.col("i") == F.col("ib")) & (F.col("label") < F.col("label_b")))
+        .groupBy(F.col("label").alias("label_a"), "label_b")
+        .agg(F.sum(F.col("m") * F.col("mb")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n2").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n2").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (F.round(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
+        )
+    )
