@@ -107,7 +107,9 @@ _DRIVER_WINDOW: list[str] = [
 #   pipeline round-tripped through serialized bytes),
 #   stream_stream_interval_join (real watermarked stream-stream join vs
 #   the batch interval join oracle), label_centroid_similarity (per-label
-#   embedding centroids + pairwise cosine, UDF-free vector aggregation)
+#   embedding centroids + pairwise cosine, UDF-free vector aggregation),
+#   session_markov_transitions (within-session event-type Markov chain
+#   composed on the flagship sessionizer)
 
 
 def _apply_driver_window() -> None:

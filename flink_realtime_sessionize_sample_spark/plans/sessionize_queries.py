@@ -724,3 +724,58 @@ def pipeline_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("session_duration").cast("long").alias("total_duration"))
     )
+
+
+@query(
+    "session_markov_transitions",
+    oracle=_SESSIONIZE_CTE + """
+, typed AS (
+  SELECT s.user_id, s.session_id, s.ts_us, s.event_id, e.event_type
+  FROM sessionized s JOIN events e USING (event_id)
+), pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts_us, event_id) AS nxt
+  FROM typed
+), cnt AS (
+  SELECT cur, nxt, count(*)::BIGINT AS n FROM pairs
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt
+)
+SELECT cur, nxt, n,
+       round(n / (sum(n) OVER (PARTITION BY cur)), 6) + 0.0 AS p
+FROM cnt
+""",
+)
+def session_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types WITHIN sessions
+    — P(next | current) estimated only across consecutive events of the
+    same session, so cross-session (returning-user) jumps never pollute
+    the chain. The behavioral-model counterpart of
+    ``event_sequence_trigrams``, composed on the flagship sessionizer
+    (gap/size/duration cuts define the chain boundaries).
+
+    One user_id exchange drives both the sessionizer and the lead()
+    window (same partitioning, Catalyst reuses the sort); transition
+    counts collapse to an O(|event types|²) table, on which the
+    row-normalization window is bounded by construction (25 rows here) —
+    the same defended shape as the BPE alphabet² ranking.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = sessionize(ev, key="user_id", ts="ts", tiebreakers=("event_id",))
+    w = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w_cur = W.partitionBy("cur")
+    return cnt.select(
+        "cur",
+        "nxt",
+        "n",
+        (F.round(F.col("n") / F.sum("n").over(w_cur), 6) + F.lit(0.0)).alias("p"),
+    )
