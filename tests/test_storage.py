@@ -158,3 +158,51 @@ def test_schema_evolution_merge_scan(spark, sf_small, tmp_path):
     assert merged.filter(F.col("quality_score").isNull()).count() == n_old
     # new-generation rows keep their values
     assert merged.filter(F.col("quality_score").isNotNull()).count() == ev.count() - n_old
+
+
+def test_small_file_compaction_preserves_data_and_clusters(spark, sf_small, tmp_path):
+    """Small-files compaction — the table-maintenance pass every streaming
+    ingest needs (each micro-batch writes a file per partition; at 100 TB
+    the NameNode/manifest and scan-task overhead of millions of tiny files
+    dominates). Compaction = read → repartitionByRange(cluster key) →
+    rewrite: file count drops to the target, the fingerprint proves no
+    row was lost or duplicated, and range partitioning leaves each output
+    file covering a disjoint key span (the min/max-stats pruning property
+    ZORDER generalizes to multiple dimensions)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id", "value")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)  # simulate micro-batch litter
+    n_small = len(glob.glob(f"{frag}/part-*.parquet"))
+    assert n_small >= 32
+
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(frag).repartitionByRange(4, "user_id").write.parquet(compacted)
+    n_big = len(glob.glob(f"{compacted}/part-*.parquet"))
+    assert n_big <= 4
+
+    def fp(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(event_id, user_id))").alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    assert fp(spark.read.parquet(compacted)) == fp(ev)
+
+    # Range clustering: per-file user_id spans must be disjoint.
+    spans = []
+    for f in glob.glob(f"{compacted}/part-*.parquet"):
+        row = spark.read.parquet(f).agg(
+            F.min("user_id").alias("lo"), F.max("user_id").alias("hi")
+        ).collect()[0]
+        if row["lo"] is not None:
+            spans.append((row["lo"], row["hi"]))
+    spans.sort()
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
