@@ -109,7 +109,9 @@ _DRIVER_WINDOW: list[str] = [
 #   the batch interval join oracle), label_centroid_similarity (per-label
 #   embedding centroids + pairwise cosine, UDF-free vector aggregation),
 #   session_markov_transitions (within-session event-type Markov chain
-#   composed on the flagship sessionizer)
+#   composed on the flagship sessionizer), negative_sampling_contrastive
+#   (hash-deterministic contrastive negatives with near-dup neighbors
+#   excluded via the MinHash edge set)
 
 
 def _apply_driver_window() -> None:

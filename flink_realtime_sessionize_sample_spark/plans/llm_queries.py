@@ -2107,3 +2107,95 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- contrastive negative sampling ----------------------------------------
+
+@query(
+    "negative_sampling_contrastive",
+    oracle=_DOC_SHINGLES_CTE
+    + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+    + f"""
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE common::DOUBLE / uni >= 0.5
+),
+anchors AS (SELECT doc_id AS anchor FROM documents WHERE doc_id % 100 = 0),
+cands AS (
+  SELECT a.anchor, d.doc_id AS negative,
+         {T.h48_duck("concat(a.anchor::VARCHAR, ':', d.doc_id::VARCHAR)")} AS draw
+  FROM anchors a JOIN documents d ON d.doc_id <> a.anchor
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE (e.doc_a = a.anchor AND e.doc_b = d.doc_id)
+                       OR (e.doc_b = a.anchor AND e.doc_a = d.doc_id))
+), ranked AS (
+  SELECT anchor, negative, draw,
+         row_number() OVER (PARTITION BY anchor ORDER BY draw, negative) AS rk
+  FROM cands
+)
+SELECT anchor, negative, rk FROM ranked WHERE rk <= 5
+""",
+)
+def negative_sampling_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 5
+    negatives per anchor document, drawn uniformly via the portable
+    48-bit hash with the corpus's NEAR-DUP NEIGHBORS EXCLUDED — the false
+    negatives that poison contrastive objectives (a near-duplicate pushed
+    apart as a "negative" is a mislabeled positive). The standard
+    embedding-training data step downstream of the dedup family.
+
+    Shape at scale: anchors are a bounded training batch, so the
+    candidate stage is |anchors| × corpus — the contamination-scan shape,
+    anchor side broadcast, corpus scanned once. Near-dup exclusion is a
+    broadcast anti-join against the (symmetric) MinHash edge set; the
+    per-anchor top-k rides a window partitioned by anchor (balanced, one
+    exchange). The hash draw makes the sample reproducible and the
+    oracle able to replay it exactly — no rand(), no seed drift across
+    partitionings.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    sym = edges.unionAll(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    anchors = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("anchor")
+    )
+    cands = (
+        anchors.join(docs, docs.doc_id != anchors.anchor)
+        .select("anchor", F.col("doc_id").alias("negative"))
+        .join(
+            F.broadcast(
+                sym.select(
+                    F.col("doc_a").alias("anchor"), F.col("doc_b").alias("negative")
+                )
+            ),
+            ["anchor", "negative"],
+            "left_anti",
+        )
+        .withColumn(
+            "draw",
+            F.expr(
+                T.h48_spark(
+                    "concat(cast(anchor as string), ':', cast(negative as string))"
+                )
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("anchor").orderBy("draw", "negative")
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("anchor", "negative", "rk")
+    )
