@@ -111,7 +111,8 @@ _DRIVER_WINDOW: list[str] = [
 #   session_markov_transitions (within-session event-type Markov chain
 #   composed on the flagship sessionizer), negative_sampling_contrastive
 #   (hash-deterministic contrastive negatives with near-dup neighbors
-#   excluded via the MinHash edge set)
+#   excluded via the MinHash edge set), doc_chunk_overlap_rag
+#   (sliding-window chunking, 50% overlap — the RAG ingestion variant)
 
 
 def _apply_driver_window() -> None:

@@ -412,3 +412,64 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_next_fit(docs, capacity=_PACK_CAP, buckets=_PACK_BUCKETS)
+
+
+# --- RAG-style overlapping chunking ---------------------------------------
+
+_RAG_WIN, _RAG_STRIDE = 12, 6  # 50% overlap
+
+
+@query(
+    "doc_chunk_overlap_rag",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+nz AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+c AS (SELECT doc_id, t, r.i AS chunk_idx
+      FROM nz, range(0, 64) r(i)
+      WHERE r.i = 0 OR r.i * {_RAG_STRIDE} < len(t))
+SELECT doc_id, chunk_idx,
+       len(list_slice(t, chunk_idx*{_RAG_STRIDE} + 1,
+                         chunk_idx*{_RAG_STRIDE} + {_RAG_WIN}))::BIGINT
+         AS n_chunk_tokens,
+       md5(array_to_string(
+           list_slice(t, chunk_idx*{_RAG_STRIDE} + 1,
+                         chunk_idx*{_RAG_STRIDE} + {_RAG_WIN}), ' ')) AS chunk_md5
+FROM c
+""",
+)
+def doc_chunk_overlap_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with 50% overlap (window 12, stride 6) —
+    the RAG-ingestion variant of ``doc_chunk_tokens``: overlapping
+    windows keep answers that straddle a boundary retrievable from at
+    least one chunk, at a bounded 2× row blowup (window/stride).
+
+    Same scale shape as the non-overlapping chunker: one generator
+    expression per row (explode of the stride sequence + slice), a
+    narrow flatMap with no shuffle and no Python; the chunk md5 certifies
+    exact token-boundary agreement across engines. Chunk count per doc is
+    ceil(n/stride) bounded, with a single chunk-0 row for docs shorter
+    than one stride.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("t", F.expr(_TOKS_S))
+        .filter(F.size("t") > 0)
+        .withColumn(
+            "chunk_idx",
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest(cast(ceil(size(t) / {_RAG_STRIDE}.0) AS INT) - 1, 0))"
+                )
+            ),
+        )
+        .withColumn(
+            "chunk",
+            F.expr(f"slice(t, chunk_idx*{_RAG_STRIDE} + 1, {_RAG_WIN})"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )
