@@ -193,7 +193,9 @@ def main() -> None:
         sessionize_stream_bucketed,
     )
 
-    def measure_stream(builder, source_df=None) -> tuple[int, int | None, int]:
+    def measure_stream(
+        builder, source_df=None, prewatermark=True
+    ) -> tuple[int, int | None, int]:
         tmp = tempfile.mkdtemp(prefix="bench_stream_")
         try:
             src = f"{tmp}/src"
@@ -205,9 +207,11 @@ def main() -> None:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )
+            if prewatermark:
+                stream = stream.withWatermark("ts", "60 seconds")
             t0 = time.perf_counter()
             q = (
-                builder(stream.withWatermark("ts", "60 seconds"))
+                builder(stream)
                 .writeStream.format("noop")
                 .option("checkpointLocation", f"{tmp}/ckpt")
                 .outputMode("append")
@@ -242,6 +246,18 @@ def main() -> None:
         lambda s: sessionize_stream_bucketed(s)
     )
     peruser_eps, peruser_steady_eps, _ = measure_stream(lambda s: sessionize_stream(s))
+
+    # Streaming exact-dedup throughput: dropDuplicatesWithinWatermark over
+    # the same 1 M-event replay (4 micro-batches). State is one entry per
+    # key inside the watermark horizon — the Kafka-redelivery guard's
+    # steady-state cost, JVM-side (no Python channel), so it should run
+    # well above the pandas-state sessionizer.
+    from flink_realtime_sessionize_sample_spark.streaming.pipeline import dedup_stream
+
+    # dedup_stream applies its own watermark — pass the raw stream.
+    dedup_eps, dedup_steady_eps, _ = measure_stream(
+        lambda s: dedup_stream(s, ["event_id"], "ts"), prewatermark=False
+    )
 
     # Scale smoke: the heaviest LLM operator (MinHash-LSH dedup: signatures
     # + banded self-join + verify) at 10× the sf0.1 corpus with distinct
@@ -410,6 +426,8 @@ def main() -> None:
                 "events_per_sec_sessionize_streaming_steady": streaming_steady_eps,
                 "events_per_sec_streaming_peruser_wall": peruser_eps,
                 "events_per_sec_streaming_peruser_steady": peruser_steady_eps,
+                "events_per_sec_streaming_dedup_wall": dedup_eps,
+                "events_per_sec_streaming_dedup_steady": dedup_steady_eps,
                 "streaming_data_batches": n_data_batches,
                 "scale_smoke_minhash_docs": n_docs,
                 "scale_smoke_minhash_1x_sec": round(t_1x, 3),
