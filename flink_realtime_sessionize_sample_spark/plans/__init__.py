@@ -112,7 +112,9 @@ _DRIVER_WINDOW: list[str] = [
 #   composed on the flagship sessionizer), negative_sampling_contrastive
 #   (hash-deterministic contrastive negatives with near-dup neighbors
 #   excluded via the MinHash edge set), doc_chunk_overlap_rag
-#   (sliding-window chunking, 50% overlap — the RAG ingestion variant)
+#   (sliding-window chunking, 50% overlap — the RAG ingestion variant),
+#   ab_test_two_proportions (Wilson bounds + pooled two-proportion
+#   z-test on a deterministic split)
 
 
 def _apply_driver_window() -> None:

@@ -2375,3 +2375,109 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round((pe - pl) * F.log(pe / pl), 6) + F.lit(0.0)).alias("psi_term"),
         )
     )
+
+
+# --- A/B test: two-proportion z-test + Wilson bounds ----------------------
+
+@query(
+    "ab_test_two_proportions",
+    oracle="""
+WITH arms AS (
+  SELECT event_id % 2 AS arm,
+         CASE WHEN value > 60 THEN 1 ELSE 0 END AS converted
+  FROM events
+), per_arm AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
+  FROM arms GROUP BY arm
+), wil AS (
+  SELECT arm, n, conv,
+         round(conv / n, 6) + 0.0 AS rate,
+         round(((conv / n) + 1.92199 / n
+                - 1.96 * sqrt(((conv / n) * (1 - conv / n) + 0.9604 / n) / n))
+               / (1 + 3.8416 / n), 6) + 0.0 AS wilson_lb
+  FROM per_arm
+), pooled AS (
+  SELECT (SELECT conv FROM per_arm WHERE arm = 0) AS c0,
+         (SELECT n FROM per_arm WHERE arm = 0) AS n0,
+         (SELECT conv FROM per_arm WHERE arm = 1) AS c1,
+         (SELECT n FROM per_arm WHERE arm = 1) AS n1
+), z AS (
+  SELECT round((c0 / n0 - c1 / n1)
+               / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS z_stat
+  FROM pooled
+)
+SELECT w.arm, w.n, w.conv, w.rate, w.wilson_lb, z.z_stat,
+       abs(z.z_stat) > 1.96 AS significant_at_95
+FROM wil w CROSS JOIN z
+""",
+)
+def ab_test_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-arm conversion (high-value event,
+    value > 60), the Wilson 95% lower bound (the rank-by-proportion fix —
+    raw rates mislead at small n), and the pooled two-proportion z-test
+    with a 1.96 significance flag — the standard experimentation readout,
+    here with a deterministic split (event_id parity) so both engines
+    replay the full statistic exactly.
+
+    One conditional aggregate over the scan (no per-user pass needed at
+    event granularity), then everything downstream runs on a TWO-row
+    table — per-arm stats, Wilson algebra,
+    pooled z — pure broadcast arithmetic, no second pass over events. At
+    100 TB the only data-proportional work is the first map-side-combined
+    aggregate; p-values beyond the z threshold need erf, which neither
+    engine exposes portably, so the contract stops at the z statistic
+    (the standard practice for dashboard-grade readouts).
+    """
+    arms = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).alias("arm"),
+        F.when(F.col("value") > 60, 1).otherwise(0).alias("converted"),
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("long").alias("conv")
+    )
+    p = F.col("conv") / F.col("n")
+    wilson_lb = (
+        p
+        + F.lit(1.92199) / F.col("n")
+        - F.lit(1.96)
+        * F.sqrt((p * (1 - p) + F.lit(0.9604) / F.col("n")) / F.col("n"))
+    ) / (1 + F.lit(3.8416) / F.col("n"))
+    wil = per_arm.select(
+        "arm",
+        "n",
+        "conv",
+        (F.round(p, 6) + F.lit(0.0)).alias("rate"),
+        (F.round(wilson_lb, 6) + F.lit(0.0)).alias("wilson_lb"),
+    )
+    pooled = (
+        per_arm.filter(F.col("arm") == 0)
+        .select(F.col("conv").alias("c0"), F.col("n").alias("n0"))
+        .crossJoin(
+            per_arm.filter(F.col("arm") == 1).select(
+                F.col("conv").alias("c1"), F.col("n").alias("n1")
+            )
+        )
+    )
+    pall = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = pooled.select(
+        (
+            F.round(
+                (F.col("c0") / F.col("n0") - F.col("c1") / F.col("n1"))
+                / F.sqrt(
+                    pall * (1 - pall) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z_stat")
+    )
+    return wil.crossJoin(F.broadcast(z)).select(
+        "arm",
+        "n",
+        "conv",
+        "rate",
+        "wilson_lb",
+        "z_stat",
+        (F.abs(F.col("z_stat")) > F.lit(1.96)).alias("significant_at_95"),
+    )
