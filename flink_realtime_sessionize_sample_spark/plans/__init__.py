@@ -114,7 +114,8 @@ _DRIVER_WINDOW: list[str] = [
 #   excluded via the MinHash edge set), doc_chunk_overlap_rag
 #   (sliding-window chunking, 50% overlap — the RAG ingestion variant),
 #   ab_test_two_proportions (Wilson bounds + pooled two-proportion
-#   z-test on a deterministic split)
+#   z-test on a deterministic split), event_outliers_mad (median-absolute-
+#   deviation robust outlier flags per event type)
 
 
 def _apply_driver_window() -> None:

@@ -2481,3 +2481,74 @@ def ab_test_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_stat",
         (F.abs(F.col("z_stat")) > F.lit(1.96)).alias("significant_at_95"),
     )
+
+
+# --- robust outliers: median absolute deviation ---------------------------
+
+@query(
+    "event_outliers_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, m.med,
+         median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n_events,
+       round(m.med, 6) + 0.0 AS med,
+       round(m.mad, 6) + 0.0 AS mad,
+       sum(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type, m.med, m.mad
+""",
+)
+def event_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via the median absolute
+    deviation: |x − median| > 3·1.4826·MAD (the consistency constant maps
+    MAD to σ under normality). Unlike the rolling z-score
+    (``anomaly_rolling_zscore``), median/MAD are unmoved by the outliers
+    themselves — the robust-statistics member beside group-wise
+    winsorization.
+
+    Two grouped EXACT medians (both engines interpolate identically for
+    ``percentile``/``median``) on the ~|event types|-keyed aggregate, each
+    broadcast back onto the scan; flag counting is one conditional
+    aggregate. Three passes over events but zero data-proportional
+    shuffles — every exchange carries ≤|event types| rows. At 100 TB the
+    exact median swaps for the KLL sketch (``kll_mergeable_quantiles``)
+    without changing the plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            (F.round("med", 6) + F.lit(0.0)).alias("med"),
+            (F.round("mad", 6) + F.lit(0.0)).alias("mad"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "med", "mad", "n_outliers")
+    )
