@@ -175,8 +175,12 @@ def cosine_duck(a: str, b: str) -> str:
 
 
 def sign_bucket_spark(a: str, nbits: int = 4) -> str:
+    # try_element_at: vectors shorter than nbits yield NULL -> sign bit 0
+    # (ANSI-mode element_at would throw on out-of-bounds); DuckDB's list
+    # index is already NULL-tolerant, so both dialects agree.
     terms = " + ".join(
-        f"(case when element_at({a}, {i + 1}) >= 0 then {1 << i} else 0 end)" for i in range(nbits)
+        f"(case when try_element_at({a}, {i + 1}) >= 0 then {1 << i} else 0 end)"
+        for i in range(nbits)
     )
     return f"({terms})"
 

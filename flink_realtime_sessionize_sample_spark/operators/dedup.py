@@ -315,15 +315,18 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.4,
-    lsh_bits: int | None = None,
+    lsh_bits: int | None = 16,
 ) -> DataFrame:
     """Near-dup vector pairs with cosine ≥ threshold.
 
-    Exact brute force by default (O(n²) pairs — right for the verify tier
-    and for per-bucket refinement); ``lsh_bits`` switches to sign-bucket
-    pruning (pairs must share the bucket of sign bits of the first
-    ``lsh_bits`` dims) — the linear-shuffle scale path, identical oracle.
-    Norms are precomputed per row so each pair costs one dot product.
+    Sign-bucket LSH pruning by DEFAULT (pairs must share the bucket of
+    sign bits of the first ``lsh_bits`` dims) — the linear-shuffle scale
+    path a 100 TB corpus needs; a library default should be the plan that
+    survives scale. Pass ``lsh_bits=None`` EXPLICITLY to opt into the
+    exact brute-force O(n²) ``crossJoin`` tier — right only for the
+    verify/oracle tier and per-bucket refinement, and labeled as such at
+    every call site. Norms are precomputed per row so each pair costs one
+    dot product.
     """
     e = fan_out(emb).select(
         F.col(id_col), F.col(vec_col).alias("v"), F.expr(T.norm_spark(vec_col)).alias("nrm")

@@ -81,7 +81,8 @@ def with_global_rank(
     Optionally also attaches:
       * ``total_col``      — total row count (same value every row),
       * ``cum_col``        — exact running sum of ``sum_col`` in rank order,
-      * ``sum_total_col``  — grand total of ``sum_col``,
+      * ``sum_total_col``  — grand total of ``sum_col`` (valid with or
+        without ``cum_col``; requesting it without ``sum_col`` raises),
       * ``extra_cums``     — further ``(sum_col, cum_col)`` pairs; every
         running sum rides the SAME range exchange, local window, and
         broadcast offsets row (the two-sample CDF shape — e.g. a KS
@@ -94,8 +95,13 @@ def with_global_rank(
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = _sort_exprs(sort_cols)
-    pairs: list[tuple[str, str]] = (
-        [(sum_col, cum_col)] if sum_col is not None and cum_col is not None else []
+    if sum_total_col is not None and sum_col is None:
+        raise ValueError("sum_total_col requires sum_col")
+    # ``cum_col`` may be None with ``sum_col`` set (grand total only): the
+    # pair still contributes its per-partition partial (``_psum0``) so
+    # ``sum_total_col`` resolves, but skips the local prefix-sum window.
+    pairs: list[tuple[str, str | None]] = (
+        [(sum_col, cum_col)] if sum_col is not None else []
     ) + list(extra_cums)
 
     ranged = df.repartitionByRange(n_part, *keys)
@@ -115,8 +121,9 @@ def with_global_rank(
         w_loc = Window.partitionBy("_pid").orderBy("_lrn").rowsBetween(
             Window.unboundedPreceding, 0
         )
-        for i, (sc, _) in enumerate(pairs):
-            local = local.withColumn(f"_lcs{i}", F.sum(sc).over(w_loc))
+        for i, (sc, cc) in enumerate(pairs):
+            if cc is not None:
+                local = local.withColumn(f"_lcs{i}", F.sum(sc).over(w_loc))
 
     # Branch 2: per-partition totals straight off the reused range
     # exchange — count/sum need no sort, so this branch never re-sorts.
@@ -150,10 +157,13 @@ def with_global_rank(
     if total_col is not None:
         out = out.withColumn(total_col, _grand("_cnt"))
     for i, (_, cc) in enumerate(pairs):
-        out = out.withColumn(cc, _prefix(f"_psum{i}") + F.col(f"_lcs{i}"))
-    if sum_col is not None and sum_total_col is not None:
+        if cc is not None:
+            out = out.withColumn(cc, _prefix(f"_psum{i}") + F.col(f"_lcs{i}"))
+    if sum_total_col is not None:
         out = out.withColumn(sum_total_col, _grand("_psum0"))
-    drop = ["_pid", "_lrn", "_parts"] + [f"_lcs{i}" for i in range(len(pairs))]
+    drop = ["_pid", "_lrn", "_parts"] + [
+        f"_lcs{i}" for i, (_, cc) in enumerate(pairs) if cc is not None
+    ]
     return out.drop(*drop)
 
 

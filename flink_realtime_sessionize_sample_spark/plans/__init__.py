@@ -24,98 +24,208 @@ from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # no
 # that has not yet had an external row, then (implicitly) everything
 # already verified in earlier rounds. Registration itself is unchanged —
 # this only reorders the dict, so names/oracles/semantics are untouched.
-# ROUND-4 ROTATION (this edit): rounds 1-3 accumulated 97/137 external
-# green rows (r1+r2: 50, r3's window: 47 more). The 40 queries below are
-# the final never-externally-checked set (all registered late in round 3;
-# all have sf0.01 AND sf0.1 local oracle parity). 3 anchors + 40 backlog
-# = 43 ≤ 50, so this single rotation completes external coverage:
-# cumulative driver-green 137/137 after the round-4 check. No new queries
-# are registered ahead of this rotation (per the round-3 review); the four
-# round-4 additions fill the window's spare slots 44-50 without
-# displacing any backlog entry (registry total at rotation time: 144;
-# 159 by round close — see the round-5 note below).
+# ROUND-5 ROTATION (this edit): round 4 cleared the 40-query round-3
+# backlog (49/50 green; `array_set_funcs` was the one `err` — a driver
+# comparator limitation on array cells, fixed this round by rendering
+# array outputs to canonical strings in both engines). Rounds 1-4
+# accumulated 143/164 cumulative green rows. The 20 queries below are
+# the final never-externally-checked set (registered late in round 4;
+# all with sf0.01 AND sf0.1 local oracle parity). 3 anchors +
+# array_set_funcs (re-check after the comparator fix) + 20 backlog = 24,
+# so this rotation completes external coverage of everything registered
+# through round 4: cumulative 164/164 after the round-5 check. The
+# remaining 26 slots are filled by round-5 registrations ONLY — every
+# query registered this round goes directly into the window, so no new
+# backlog is created (round-5 registrations are capped at 26).
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Backlog: the 40 queries registered in round 3 behind the 50-slot
-    # window (old positions 98-137), never externally checked before.
-    "session_event_features",
-    "session_window_stream_durations",
-    "sessionize_dynamic_gap",
-    "session_funnel_conversion",
-    "profit_by_nation_year",
-    "waiting_suppliers_q21",
+    # Re-check: round 4's only red row. Array output columns are now
+    # rendered as canonical comma-joined strings in BOTH engines so the
+    # external canonicalizer hashes scalars (it cannot hash lists).
     "array_set_funcs",
-    "setop_intersect_all",
-    "setop_except_all",
-    "tokenizer_bpe_pair_counts",
-    "doc_winnowing_fingerprint",
-    "embedding_quantize_int8",
-    "doc_bigram_logprob",
-    "dedup_containment",
-    "embedding_covariance",
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "near_dup_triangles",
-    "funnel_stage_conversion",
-    "retention_cohorts",
-    "order_value_histogram",
-    "scd2_customer_orders",
-    "bm25_doc_search",
-    "domain_mixture_sample",
-    "sample_weighted_docs",
-    "snapshot_diff_cdc",
-    "heavy_hitters_bigrams",
-    "anomaly_rolling_zscore",
-    "value_winsorized",
-    "event_sequence_trigrams",
-    "data_quality_report",
-    "orders_trend_decomposition",
-    "token_pmi_cooccurrence",
-    "customer_rfm_segments",
-    "customer_pareto_abc",
-    "event_gap_percentiles",
-    "doc_zipf_fit",
-    "basket_part_associations",
-    "table_fingerprint",
-    "heavy_hitters_stream_events",
-    # Round-4 additions (new operators, verified on first registration) —
-    # they fill 4 of the window's 7 spare slots, BEHIND the whole backlog.
-    "dedup_stream_events",
-    "hll_mergeable_distinct",
-    "theta_set_algebra_distinct",
-    "kll_mergeable_quantiles",
-    # Round-4 continuation: the last 3 spare slots (48-50). Window now full
-    # at exactly 50.
-    "bloom_pruned_join",
-    "cms_point_frequency",
-    "fuzzy_edit_distance_join",
+    # Backlog: the 20 queries registered in round 4 behind the 50-slot
+    # window, never externally checked before.
+    "line_dedup_c4",
+    "bootstrap_mean_ci",
+    "last_touch_attribution",
+    "zorder_cluster_stats",
+    "ks_drift_detection",
+    "benford_digit_audit",
+    "user_value_ewma",
+    "pagerank_neardup_3iter",
+    "source_unigram_kl",
+    "item_cooccurrence_topk",
+    "pareto_skyline_parts",
+    "psi_value_drift",
+    "pipeline_json_sink_roundtrip",
+    "stream_stream_interval_join",
+    "label_centroid_similarity",
+    "session_markov_transitions",
+    "negative_sampling_contrastive",
+    "doc_chunk_overlap_rag",
+    "ab_test_two_proportions",
+    "event_outliers_mad",
+    # Round-5 registrations fill slots 25-50 below (appended as they are
+    # added, each verified at sf0.01 AND sf0.1 before registration; the
+    # registry-window tests assert every name here is registered, so the
+    # list only ever contains live queries).
 ]
 
-# ROUND-5 ROTATION NOTE: queries registered after the window filled —
-# each verified green on the driver-replica sweep at sf0.01 AND sf0.1 on
-# registration, awaiting an external row. Next round: keep the 3 anchors,
-# put these at positions 4+, fill remaining slots with new work.
-#   line_dedup_c4, bootstrap_mean_ci, last_touch_attribution,
-#   zorder_cluster_stats, ks_drift_detection, benford_digit_audit,
-#   user_value_ewma, pagerank_neardup_3iter, source_unigram_kl,
-#   item_cooccurrence_topk, pareto_skyline_parts, psi_value_drift,
-#   pipeline_json_sink_roundtrip (drives K1 JSON-encode + K2 file-sink +
-#   W1 watermark through the driver contract — the full reference
-#   pipeline round-tripped through serialized bytes),
-#   stream_stream_interval_join (real watermarked stream-stream join vs
-#   the batch interval join oracle), label_centroid_similarity (per-label
-#   embedding centroids + pairwise cosine, UDF-free vector aggregation),
-#   session_markov_transitions (within-session event-type Markov chain
-#   composed on the flagship sessionizer), negative_sampling_contrastive
-#   (hash-deterministic contrastive negatives with near-dup neighbors
-#   excluded via the MinHash edge set), doc_chunk_overlap_rag
-#   (sliding-window chunking, 50% overlap — the RAG ingestion variant),
-#   ab_test_two_proportions (Wilson bounds + pooled two-proportion
-#   z-test on a deterministic split), event_outliers_mad (median-absolute-
-#   deviation robust outlier flags per event type)
+
+
+# Frozen record of every query with a green external correctness row
+# through round 4 (CORRECTNESS_r01..r04: rows+schema+hash matched, err
+# null). The registry-window tests use this to enforce that any query
+# NOT in this set sits inside the first-50 driver window — i.e. no
+# round may register work behind the window again.
+_EXTERNALLY_GREEN_THROUGH_R4: frozenset[str] = frozenset({
+    "ann_cosine_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_lsh_topk",
+    "ann_pq_adc_topk",
+    "anomaly_rolling_zscore",
+    "approx_distinct_users",
+    "approx_price_quantiles",
+    "asof_clicks_views",
+    "balance_band_reconciliation",
+    "basket_part_associations",
+    "bilateral_shipping_volume",
+    "bloom_pruned_join",
+    "bm25_doc_search",
+    "cms_point_frequency",
+    "conditional_agg",
+    "contamination_ngram_overlap",
+    "corpus_selection_pipeline",
+    "cube_part_stats",
+    "customer_order_distribution",
+    "customer_pareto_abc",
+    "customer_rfm_segments",
+    "customer_running_total",
+    "customers_without_orders",
+    "data_quality_report",
+    "debug_ts_shift",
+    "dedup_cluster_canonical",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_stream_events",
+    "disjunctive_brand_revenue",
+    "doc_bigram_logprob",
+    "doc_boilerplate_overlap",
+    "doc_chunk_tokens",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_signals",
+    "doc_tfidf_topk",
+    "doc_token_count_bpe",
+    "doc_token_stats",
+    "doc_top_token_ratio",
+    "doc_unigram_entropy",
+    "doc_unigram_logprob",
+    "doc_winnowing_fingerprint",
+    "doc_zipf_fit",
+    "domain_mixture_sample",
+    "embedding_array_stats",
+    "embedding_covariance",
+    "embedding_knn_join",
+    "embedding_mean_pool",
+    "embedding_quantize_int8",
+    "event_gap_percentiles",
+    "event_lag_lead",
+    "event_sequence_trigrams",
+    "events_hourly_windows",
+    "funnel_stage_conversion",
+    "fuzzy_edit_distance_join",
+    "gap_fill_hourly",
+    "global_topk_orders",
+    "grouping_sets_revenue",
+    "heavy_hitters_bigrams",
+    "heavy_hitters_stream_events",
+    "hll_mergeable_distinct",
+    "important_parts",
+    "json_extract_events",
+    "kll_mergeable_quantiles",
+    "large_quantity_orders",
+    "latest_event_per_user",
+    "multimodal_byte_features",
+    "multimodal_decode",
+    "multimodal_decode_real",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "nation_revenue",
+    "near_dup_triangles",
+    "order_priority_count",
+    "order_value_histogram",
+    "orders_trend_decomposition",
+    "orders_with_heavy_items_semi",
+    "pack_sequences",
+    "parse_access_logs",
+    "pii_redact",
+    "pivot_event_type_counts",
+    "price_percentiles",
+    "pricing_summary",
+    "profit_by_nation_year",
+    "quality_filter_pipeline",
+    "range_join_error_windows",
+    "ranking_family",
+    "retention_cohorts",
+    "rolling_30d_customer_spend",
+    "rollup_revenue",
+    "salted_skew_join",
+    "salted_user_event_totals",
+    "sample_k_per_group",
+    "sample_stratified_docs",
+    "sample_weighted_docs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scan_csv_lines",
+    "scan_json_lines",
+    "scd2_customer_orders",
+    "session_durations",
+    "session_event_features",
+    "session_funnel_conversion",
+    "session_stats",
+    "session_window_durations",
+    "session_window_stream_durations",
+    "sessionize_access_logs",
+    "sessionize_bucketed",
+    "sessionize_dynamic_gap",
+    "sessionize_events",
+    "sessionize_gap_only",
+    "sessionize_stateful",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union",
+    "small_quantity_revenue",
+    "snapshot_diff_cdc",
+    "supplier_customer_same_nation",
+    "table_fingerprint",
+    "theta_set_algebra_distinct",
+    "time_bucket_rollup",
+    "token_frequency_topk",
+    "token_pmi_cooccurrence",
+    "tokenizer_bpe_pair_counts",
+    "top_orders_per_customer",
+    "top_revenue_orders",
+    "top_supplier_revenue",
+    "train_val_test_split",
+    "unpivot_user_value_stats",
+    "user_total_durations",
+    "value_winsorized",
+    "waiting_suppliers_q21",
+})
 
 
 def _apply_driver_window() -> None:

@@ -1665,14 +1665,33 @@ def fuzzy_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per distinct string and verification cost tracks the true match
     density. (DuckDB and Spark implement the same plain Levenshtein
     metric.)
+
+    Losslessness precondition: the pigeonhole bound |G(a) ∩ G(b)| ≥
+    |G(a)| − k·q only forces a shared prefix gram when BOTH strings have
+    more than k·q = 4 distinct bigrams. Strings at or below that floor
+    (short or highly repetitive, e.g. "aaaaa") could match with zero
+    shared grams, so they get an explicit fallback: every low-gram string
+    is paired with ALL strings within the ±k length band via a bounded
+    length-bucket equi-join (≤ 2k+1 rows per low string, broadcast — the
+    low set is by construction tiny), unioned into the candidate set
+    before verification. This closes the latent false-negative window the
+    round-4 advisor flagged without touching the common path.
     """
-    k, q = 2, 2
+    return fuzzy_edit_distance_pairs(
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+
+
+def fuzzy_edit_distance_pairs(names: DataFrame, k: int = 2, q: int = 2) -> DataFrame:
+    """The ``fuzzy_edit_distance_join`` pipeline over an arbitrary
+    single-column (p_name) frame of distinct strings — extracted so the
+    low-gram fallback tier is unit-testable with adversarial inputs."""
     prefix_len = k * q + 1
-    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
-    grams = names.select(
-        "p_name",
-        F.explode(
-            F.slice(
+    names = (
+        names.withColumn(
+            "_grams",
+            F.when(
+                F.length("p_name") >= 2,
                 F.array_sort(
                     F.array_distinct(
                         F.expr(
@@ -1681,10 +1700,11 @@ def fuzzy_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
                 ),
-                1,
-                prefix_len,
-            )
-        ).alias("g"),
+            ).otherwise(F.expr("array()")),
+        )
+    )
+    grams = names.filter(F.size("_grams") >= prefix_len).select(
+        "p_name", F.explode(F.slice("_grams", 1, prefix_len)).alias("g")
     )
     b = grams.select(F.col("p_name").alias("name_b"), F.col("g").alias("g_b"))
     cand = (
@@ -1692,6 +1712,24 @@ def fuzzy_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_name").alias("name_a"), "name_b")
         .distinct()
     )
+    # Fallback tier: low-gram strings vs everything in the ±k length band.
+    low = names.filter(F.size("_grams") < prefix_len).select(
+        "p_name", F.explode(F.sequence(F.length("p_name") - k, F.length("p_name") + k)).alias("_lb")
+    )
+    all_by_len = names.select(
+        F.col("p_name").alias("other"), F.length("p_name").alias("_lb")
+    )
+    cand_low = (
+        F.broadcast(low)
+        .join(all_by_len, "_lb")
+        .filter(F.col("p_name") != F.col("other"))
+        .select(
+            F.least("p_name", "other").alias("name_a"),
+            F.greatest("p_name", "other").alias("name_b"),
+        )
+        .distinct()
+    )
+    cand = cand.unionByName(cand_low).distinct()
     return (
         cand.filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(k)
@@ -2392,7 +2430,7 @@ WITH arms AS (
 ), wil AS (
   SELECT arm, n, conv,
          round(conv / n, 6) + 0.0 AS rate,
-         round(((conv / n) + 1.92199 / n
+         round(((conv / n) + 1.9208 / n
                 - 1.96 * sqrt(((conv / n) * (1 - conv / n) + 0.9604 / n) / n))
                / (1 + 3.8416 / n), 6) + 0.0 AS wilson_lb
   FROM per_arm
@@ -2439,7 +2477,7 @@ def ab_test_two_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("conv") / F.col("n")
     wilson_lb = (
         p
-        + F.lit(1.92199) / F.col("n")
+        + F.lit(1.9208) / F.col("n")
         - F.lit(1.96)
         * F.sqrt((p * (1 - p) + F.lit(0.9604) / F.col("n")) / F.col("n"))
     ) / (1 + F.lit(3.8416) / F.col("n"))

@@ -391,8 +391,11 @@ WHERE round({T.dot_duck('a.v', 'b.v')} / (a.nrm * b.nrm), 6) >= 0.4
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.4), exact brute force — the
-    verify tier; `embedding_near_dup_pairs(lsh_bits=…)` is the scale path."""
-    return D.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    labeled verify tier (``lsh_bits=None`` opts OUT of the default
+    sign-bucket LSH scale path, matching the brute oracle exactly)."""
+    return D.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, lsh_bits=None
+    )
 
 
 # --- similarity search ----------------------------------------------------
@@ -1791,24 +1794,30 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH toks AS (
   SELECT doc_id, {T.tokens_duck('text')} AS t FROM documents
 ), seg AS (
+  -- range() cannot take a lateral column bound in DuckDB, so the segment
+  -- index is capped by a generous constant: 4096 segments x 10 tokens =
+  -- docs up to 40,960 tokens (testdata max is ~100 tokens; the Spark side
+  -- is uncapped). The WHERE clause trims the unused indices per doc.
   SELECT doc_id, s.i AS seg_i,
          array_to_string(t[(s.i*10+1):(s.i*10+10)], ' ') AS line
-  FROM toks, range(0, 64) s(i)
+  FROM toks, range(0, 4096) s(i)
   WHERE s.i * 10 < len(t)
 ), keyed AS (
   SELECT doc_id, seg_i, line,
          {T.h48_duck('line')} AS lh
   FROM seg
 ), firsts AS (
-  SELECT lh, min(doc_id * 1000 + seg_i) AS first_slot
+  -- first occurrence = lexicographic MIN over the (doc_id, seg_i) struct:
+  -- no packed-slot arithmetic, so no bound on tokens-per-doc.
+  SELECT lh, min(struct_pack(d := doc_id, s := seg_i)) AS fs
   FROM keyed GROUP BY lh
 )
 SELECT k.doc_id,
        count(*)::BIGINT AS n_segments,
-       sum(CASE WHEN k.doc_id * 1000 + k.seg_i = f.first_slot
+       sum(CASE WHEN k.doc_id = f.fs.d AND k.seg_i = f.fs.s
                 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
        coalesce(array_to_string(
-         list(CASE WHEN k.doc_id * 1000 + k.seg_i = f.first_slot
+         list(CASE WHEN k.doc_id = f.fs.d AND k.seg_i = f.fs.s
                    THEN k.line END ORDER BY k.seg_i),
          ' '), '') AS clean_text
 FROM keyed k JOIN firsts f USING (lh)
@@ -1858,12 +1867,17 @@ def line_dedup_frame(docs: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "s.seg_i", "s.line")
-    keyed = seg.withColumn("lh", F.expr(T.h48_spark("line"))).withColumn(
-        "slot", F.col("doc_id") * 1000 + F.col("seg_i")
+    keyed = seg.withColumn("lh", F.expr(T.h48_spark("line")))
+    # First occurrence per span = lexicographic MIN of the (doc_id, seg_i)
+    # struct — no packed-slot arithmetic, so no tokens-per-doc bound; the
+    # aggregate is still a map-side-combinable MIN of a fixed-width value.
+    firsts = keyed.groupBy("lh").agg(
+        F.min(F.struct("doc_id", "seg_i")).alias("_first")
     )
-    firsts = keyed.groupBy("lh").agg(F.min("slot").alias("first_slot"))
     kept = keyed.join(firsts, "lh").withColumn(
-        "keep", F.col("slot") == F.col("first_slot")
+        "keep",
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("seg_i") == F.col("_first.seg_i")),
     )
     return kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),

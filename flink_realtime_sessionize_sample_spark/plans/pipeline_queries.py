@@ -424,8 +424,12 @@ _RAG_WIN, _RAG_STRIDE = 12, 6  # 50% overlap
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
 nz AS (SELECT doc_id, t FROM tok WHERE len(t) > 0),
+-- range() cannot take a lateral column bound in DuckDB, so the chunk index
+-- is capped by a generous constant: 4096 chunks x stride {_RAG_STRIDE} =
+-- docs up to {4096 * _RAG_STRIDE} tokens (testdata max ~100 tokens; the
+-- Spark side derives the bound per-doc and is uncapped).
 c AS (SELECT doc_id, t, r.i AS chunk_idx
-      FROM nz, range(0, 64) r(i)
+      FROM nz, range(0, 4096) r(i)
       WHERE r.i = 0 OR r.i * {_RAG_STRIDE} < len(t))
 SELECT doc_id, chunk_idx,
        len(list_slice(t, chunk_idx*{_RAG_STRIDE} + 1,

@@ -1175,10 +1175,10 @@ WITH base AS (
   FROM embeddings WHERE vec_id % 20 = 0
 )
 SELECT vec_id,
-       list_sort(a) AS a_sorted,
-       list_sort(list_distinct(list_concat(a, b))) AS union_ab,
-       list_sort(list_distinct(list_intersect(a, b))) AS intersect_ab,
-       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS except_ab,
+       array_to_string(list_sort(a), ',') AS a_sorted,
+       array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_ab,
+       array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',') AS intersect_ab,
+       array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ',') AS except_ab,
        list_contains(a, a[1]) AS contains_first,
        len(a) AS n_a
 FROM base
@@ -1191,7 +1191,12 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan). Arrays are floored to ints BEFORE set ops so cross-engine float
     repr can't perturb the value hash; the multiply is forced to DOUBLE on
     both engines (float32-vs-double products floor differently at boundary
-    values — caught by the sf0.1 sweep).
+    values — caught by the sf0.1 sweep). Output arrays are rendered to
+    canonical comma-joined strings in BOTH engines: the external driver's
+    row canonicalizer hashes cells and cannot hash Python lists
+    (CORRECTNESS_r04 ``TypeError: unhashable type: 'list'``); string
+    rendering keeps the value comparison exact while making every cell a
+    hashable scalar.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
     to_int = lambda col: F.expr(f"transform({col}, x -> cast(floor(cast(x as double) * 1000) as int))")  # noqa: E731
@@ -1202,10 +1207,10 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "vec_id",
-        F.array_sort("a").alias("a_sorted"),
-        F.array_sort(F.array_distinct(F.array_union("a", "b"))).alias("union_ab"),
-        F.array_sort(F.array_distinct(F.array_intersect("a", "b"))).alias("intersect_ab"),
-        F.array_sort(F.array_distinct(F.array_except("a", "b"))).alias("except_ab"),
+        F.array_join(F.array_sort("a"), ",").alias("a_sorted"),
+        F.array_join(F.array_sort(F.array_distinct(F.array_union("a", "b"))), ",").alias("union_ab"),
+        F.array_join(F.array_sort(F.array_distinct(F.array_intersect("a", "b"))), ",").alias("intersect_ab"),
+        F.array_join(F.array_sort(F.array_distinct(F.array_except("a", "b"))), ",").alias("except_ab"),
         F.expr("array_contains(a, element_at(a, 1))").alias("contains_first"),
         F.size("a").alias("n_a"),
     )

@@ -168,3 +168,22 @@ def test_edjoin_prefix_filter_is_lossless_on_random_typos(spark):
         )
     }
     assert got == _brute_pairs(names, k)
+
+
+def test_edjoin_low_gram_fallback_catches_zero_overlap_pairs(spark):
+    # r4 advisor: strings with <= k*q distinct bigrams can be within edit
+    # distance k yet share ZERO grams ("aaaa" vs "abab": gram sets {aa} vs
+    # {ab, ba}). The low-gram fallback tier must recover exactly the
+    # brute-force pair set anyway.
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        fuzzy_edit_distance_pairs,
+    )
+
+    names = ["aaaa", "abab", "aaab", "zzzz", "zzyz", "qrstuvw", "a"]
+    df = spark.createDataFrame([(n,) for n in sorted(set(names))], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_edit_distance_pairs(df).collect()
+    }
+    want = _brute_pairs(sorted(set(names)), 2)
+    assert got == want

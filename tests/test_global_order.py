@@ -137,3 +137,26 @@ def test_prefix_max_no_single_partition_sort(spark):
             assert "HashAggregate" in child or "ObjectHashAggregate" in child, (
                 f"SinglePartition exchange feeds a non-aggregate:\n{child}"
             )
+
+
+def test_sum_total_without_cum_col(spark):
+    # r4 advisor: sum_col + sum_total_col with cum_col=None must resolve
+    # (grand total only, no local prefix-sum window).
+    df = _sample(spark, n=300)
+    got = with_global_rank(
+        df,
+        [F.col("amt").desc(), F.col("id").asc()],
+        rank_col="r",
+        sum_col="amt",
+        sum_total_col="tot",
+    )
+    assert "cum" not in got.columns
+    row = got.select("tot").distinct().collect()
+    total = df.agg(F.sum("amt")).collect()[0][0]
+    assert len(row) == 1 and row[0]["tot"] == total
+
+
+def test_sum_total_without_sum_col_raises(spark):
+    df = _sample(spark, n=10)
+    with pytest.raises(ValueError, match="sum_total_col requires sum_col"):
+        with_global_rank(df, ["id"], sum_total_col="tot")
