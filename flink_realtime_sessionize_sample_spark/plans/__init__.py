@@ -14,6 +14,7 @@ from flink_realtime_sessionize_sample_spark.plans import coverage_queries  # noq
 from flink_realtime_sessionize_sample_spark.plans import temporal_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import pipeline_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # noqa: F401
+from flink_realtime_sessionize_sample_spark.plans import tpch_queries  # noqa: F401
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
@@ -72,6 +73,20 @@ _DRIVER_WINDOW: list[str] = [
     # added, each verified at sf0.01 AND sf0.1 before registration; the
     # registry-window tests assert every name here is registered, so the
     # list only ever contains live queries).
+    # TPC-H shape suite (plans/tpch_queries.py).
+    "min_cost_supplier_q2",
+    "shipping_priority_q3",
+    "local_supplier_volume_q5",
+    "forecast_revenue_q6",
+    "global_sales_channel_q7",
+    "national_market_share_q8",
+    "returned_item_customers_q10",
+    "shipping_modes_q12",
+    "customer_order_distribution_q13",
+    "promo_revenue_share_q14",
+    "parts_supplier_relationship_q16",
+    "excess_stock_suppliers_q20",
+    "avg_account_balance_q22",
 ]
 
 

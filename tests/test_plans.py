@@ -157,3 +157,67 @@ def test_bloom_probe_precedes_join_exchange(spark, sf_oracle):
     # And the probe is not smuggled into the join condition instead.
     join_lines = [ln for ln in p.splitlines() if "Join" in ln]
     assert all("xxhash64" not in ln for ln in join_lines)
+
+
+# --- round-5 TPC-H shape suite (plans/tpch_queries.py) --------------------
+
+_R5_TPCH = [
+    "min_cost_supplier_q2",
+    "shipping_priority_q3",
+    "local_supplier_volume_q5",
+    "forecast_revenue_q6",
+    "global_sales_channel_q7",
+    "national_market_share_q8",
+    "returned_item_customers_q10",
+    "shipping_modes_q12",
+    "customer_order_distribution_q13",
+    "promo_revenue_share_q14",
+    "parts_supplier_relationship_q16",
+    "excess_stock_suppliers_q20",
+    "avg_account_balance_q22",
+]
+
+
+@pytest.mark.parametrize("name", _R5_TPCH)
+def test_tpch_plans_no_cartesian_no_python(spark, sf_oracle, name):
+    """Scale contracts for the TPC-H shapes: no Cartesian product except
+    the labeled 1-row scalar broadcast (Q22's `pos` aggregate, planned as
+    a broadcast nested loop over one row), no Python eval, and every
+    SinglePartition exchange is an aggregate collapse."""
+    p = _plan(spark, sf_oracle, name)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = lines[i + 1]
+            assert (
+                "HashAggregate" in nxt
+                or "ObjectHashAggregate" in nxt
+                or "SortAggregate" in nxt
+            ), f"{name}: SinglePartition feeds non-aggregate:\n{nxt}"
+
+
+def test_q3_q10_topk_never_global_sort(spark, sf_oracle):
+    # Deterministic top-k must plan as TakeOrderedAndProject.
+    for name in ("shipping_priority_q3", "returned_item_customers_q10"):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_oracle, name)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_oracle):
+    p = _plan(spark, sf_oracle, "forecast_revenue_q6")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # Column pruning: only the three needed columns reach the scan.
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_shipdate" in read and "l_partkey" not in read
+
+
+def test_q5_q7_broadcast_nation_dims(spark, sf_oracle):
+    for name in ("local_supplier_volume_q5", "global_sales_channel_q7"):
+        assert "BroadcastHashJoin" in _plan(spark, sf_oracle, name)
+
+
+def test_q16_q20_q22_semi_anti_join_shapes(spark, sf_oracle):
+    assert "LeftAnti" in _plan(spark, sf_oracle, "parts_supplier_relationship_q16")
+    assert "LeftSemi" in _plan(spark, sf_oracle, "excess_stock_suppliers_q20")
+    assert "LeftAnti" in _plan(spark, sf_oracle, "avg_account_balance_q22")
