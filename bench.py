@@ -85,6 +85,15 @@ HEADLINE = [
     "line_dedup_c4",
     "ks_drift_detection",
     "item_cooccurrence_topk",
+    # round-5: TPC-H shape suite representatives — the correlated-min
+    # dim join (Q2), the 6-way same-nation join (Q5), the pure pushdown
+    # probe (Q6), the conditional-share 8-way join (Q8), and the nested
+    # semi-join (Q20)
+    "min_cost_supplier_q2",
+    "local_supplier_volume_q5",
+    "forecast_revenue_q6",
+    "national_market_share_q8",
+    "excess_stock_suppliers_q20",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -144,9 +153,12 @@ def main() -> None:
     n_big = n_events * 10
     sustained = sessionize(big, key="user_id", ts="ts", tiebreakers=("event_id",))
     force(sustained)  # warm
-    t0 = time.perf_counter()
-    force(sustained)
-    sustained_eps = round(n_big / (time.perf_counter() - t0))
+    best = float("inf")
+    for _ in range(2):  # best-of-2, same discipline as the headline set
+        t0 = time.perf_counter()
+        force(sustained)
+        best = min(best, time.perf_counter() - t0)
+    sustained_eps = round(n_big / best)
 
     # Adversarial skew: ONE key holding 500k events with the 12h-duration
     # cap firing every ~720 events — the cap-refine (sequential) kernel path
@@ -162,9 +174,12 @@ def main() -> None:
     )
     hot_out = sessionize(hot, key="user_id", ts="ts", tiebreakers=("event_id",))
     force(hot_out)  # warm
-    t0 = time.perf_counter()
-    force(hot_out)
-    hotkey_eps = round(500_000 / (time.perf_counter() - t0))
+    best = float("inf")
+    for _ in range(2):  # best-of-2
+        t0 = time.perf_counter()
+        force(hot_out)
+        best = min(best, time.perf_counter() - t0)
+    hotkey_eps = round(500_000 / best)
 
     # Streaming path: SUSTAINED throughput of the stateful per-event
     # sessionizer (the reference's actual runtime shape) — the same 10×
@@ -242,10 +257,21 @@ def main() -> None:
     measure_stream(lambda s: sessionize_stream_bucketed(s), source_df=warm_events)
     measure_stream(lambda s: sessionize_stream(s), source_df=warm_events)
 
-    streaming_eps, streaming_steady_eps, n_data_batches = measure_stream(
+    def best_stream(builder, runs: int = 2, **kw) -> tuple[int, int | None, int]:
+        """Best-of-N for the streaming paths, mirroring the headline
+        queries' best-of-2 discipline: single-shot streaming numbers
+        random-walked 15-20% round-over-round (r3→r4) purely from
+        scheduler/GC noise; the max-throughput (= min-time) of N warm
+        replays is the low-variance estimator for a deterministic replay."""
+        results = [measure_stream(builder, **kw) for _ in range(runs)]
+        wall = max(r[0] for r in results)
+        steadies = [r[1] for r in results if r[1] is not None]
+        return wall, (max(steadies) if steadies else None), results[0][2]
+
+    streaming_eps, streaming_steady_eps, n_data_batches = best_stream(
         lambda s: sessionize_stream_bucketed(s)
     )
-    peruser_eps, peruser_steady_eps, _ = measure_stream(lambda s: sessionize_stream(s))
+    peruser_eps, peruser_steady_eps, _ = best_stream(lambda s: sessionize_stream(s))
 
     # Streaming exact-dedup throughput: dropDuplicatesWithinWatermark over
     # the same 1 M-event replay (4 micro-batches). State is one entry per
@@ -255,7 +281,7 @@ def main() -> None:
     from flink_realtime_sessionize_sample_spark.streaming.pipeline import dedup_stream
 
     # dedup_stream applies its own watermark — pass the raw stream.
-    dedup_eps, dedup_steady_eps, _ = measure_stream(
+    dedup_eps, dedup_steady_eps, _ = best_stream(
         lambda s: dedup_stream(s, ["event_id"], "ts"), prewatermark=False
     )
 

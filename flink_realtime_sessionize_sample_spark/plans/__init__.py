@@ -15,6 +15,7 @@ from flink_realtime_sessionize_sample_spark.plans import temporal_queries  # noq
 from flink_realtime_sessionize_sample_spark.plans import pipeline_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import analytics_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import tpch_queries  # noqa: F401
+from flink_realtime_sessionize_sample_spark.plans import feature_queries  # noqa: F401
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
@@ -87,6 +88,15 @@ _DRIVER_WINDOW: list[str] = [
     "parts_supplier_relationship_q16",
     "excess_stock_suppliers_q20",
     "avg_account_balance_q22",
+    # Feature/scale-pattern suite (plans/feature_queries.py).
+    "embedding_pca_power_iteration",
+    "doc_dup_cluster_sizes",
+    "stratified_sample_exact",
+    "events_sliding_windows",
+    "doc_sparse_cosine_pairs",
+    "robust_scaler_features",
+    "late_data_accounting",
+    "doc_ngram_novelty",
 ]
 
 

@@ -1,0 +1,543 @@
+"""Round-5 feature-engineering / scale-pattern operators.
+
+Eight beyond-parity operators a 100 TB training-data pipeline reaches for
+once the core dedup/similarity/text family (llm_queries.py) is in place:
+iterative distributed linear algebra (power-iteration PCA), cluster-size
+audits of the dedup graph, exact-count stratified sampling, hopping
+event-time windows, the sparse (inverted-index) cosine similarity join,
+per-dimension robust feature scaling, watermark-delay late-data
+accounting, and corpus n-gram novelty scoring.
+
+Cross-engine exactness conventions: every float that crosses an engine
+boundary is either (a) an exact integer in disguise (fixed-point e2/e6
+scaling), (b) a deterministic double expression over identical operands
+(sqrt/division of exact integers — IEEE ops are bit-deterministic given
+the same inputs, unlike SUM over doubles whose order differs), or (c)
+rounded at 6dp after (a)/(b). Iterative queries quantize state between
+iterations so both engines iterate the SAME integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.plans.registry import query
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+
+# --- power-iteration PCA over the embedding covariance --------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+def _pca_iter_duck(k: int) -> str:
+    """One quantized power iteration: integer matvec → 1-row max →
+    renormalize to e6 fixed point (round of a deterministic double ratio)."""
+    return f"""
+w{k} AS (
+  SELECT c.i, sum(c.c_int * v.v)::BIGINT AS w
+  FROM cfull c JOIN v{k - 1} v ON v.i = c.j GROUP BY c.i
+),
+m{k} AS (SELECT max(abs(w))::BIGINT AS m FROM w{k}),
+v{k} AS (
+  SELECT i, CAST(round(w::DOUBLE / m::DOUBLE * 1000000) AS BIGINT) AS v
+  FROM w{k}, m{k}
+)"""
+
+
+@query(
+    "embedding_pca_power_iteration",
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS v
+  FROM embeddings, range(1, {_PCA_DIM + 1}) r(i)
+), cov AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j, round(covar_samp(a.v, b.v), 6) AS c
+  FROM ex a JOIN ex b USING (vec_id)
+  WHERE a.i <= b.i
+  GROUP BY a.i, b.i
+), cfull AS (
+  SELECT i, j, CAST(round(c * 1000000) AS BIGINT) AS c_int FROM cov
+  UNION ALL
+  SELECT j, i, CAST(round(c * 1000000) AS BIGINT) FROM cov WHERE i < j
+), v0 AS (
+  SELECT r.i AS i, 1000000::BIGINT AS v FROM range(0, {_PCA_DIM}) r(i)
+),
+{",".join(_pca_iter_duck(k) for k in range(1, _PCA_ITERS + 1)).lstrip()}
+SELECT i, v AS v_e6 FROM v{_PCA_ITERS}
+""",
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by {_PCA_ITERS}
+    power iterations over the covariance matrix — the whitening/PCA step
+    of an embedding pipeline as a DISTRIBUTED iterative algorithm (the
+    dense-matrix sibling of ``pagerank_neardup_3iter``).
+
+    The data-proportional work is the covariance itself
+    (operators/vector_stats.py: per-Arrow-batch BLAS partials, zero corpus
+    bytes shuffled). Everything after operates on the FIXED d×d = {_PCA_DIM}×{_PCA_DIM}
+    matrix: each iteration is an equi-join matvec + a 1-row broadcast max
+    + a renormalizing projection — O(d²) rows per step regardless of
+    corpus size, so the plan is identical at 100 TB.
+
+    Cross-engine exactness: the covariance is rounded to 6dp (already
+    oracle-verified identical via ``embedding_covariance``), quantized to
+    e6 integers, and every iteration renormalizes through
+    ``round(w/m * 1e6)`` — an IEEE-deterministic double ratio of exact
+    integers — so both engines iterate bit-identical state and the final
+    eigenvector (e6 fixed point, sign fixed by the all-positive start) is
+    exactly comparable, no tolerance needed."""
+    from flink_realtime_sessionize_sample_spark.operators.vector_stats import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb, "embedding", dim=_PCA_DIM)
+    upper = cov.select("i", "j", F.round(F.col("cov") * 1000000).cast("long").alias("c_int"))
+    cfull = upper.unionByName(
+        upper.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c_int"
+        )
+    )
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").cast("int").alias("i"), F.lit(1000000).cast("long").alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            cfull.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c_int") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.round(F.col("w").cast("double") / F.col("m").cast("double") * 1000000)
+            .cast("long")
+            .alias("v"),
+        )
+    return v.select("i", F.col("v").alias("v_e6"))
+
+
+# --- near-dup cluster-size audit ------------------------------------------
+
+def _cluster_sizes_oracle() -> str:
+    # Reuse the verified-pairs + recursive-CC oracle of
+    # dedup_cluster_canonical, wrapping its final SELECT as a CTE and
+    # aggregating component sizes into a histogram.
+    from flink_realtime_sessionize_sample_spark.plans import llm_queries as L
+    from flink_realtime_sessionize_sample_spark.operators import dedup as D
+
+    canon = (
+        L._DOC_SHINGLES_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + L._minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+        + L._CLUSTER_TAIL_D
+    )
+    wrapped = canon.replace(
+        "SELECT node AS doc_id, MIN(lab) AS canonical_doc_id\nFROM reach GROUP BY node",
+        """, canon AS (
+  SELECT node AS doc_id, MIN(lab) AS canonical_doc_id FROM reach GROUP BY node
+), sizes AS (
+  SELECT canonical_doc_id, count(*)::BIGINT AS cluster_size
+  FROM canon GROUP BY canonical_doc_id
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size""",
+    )
+    assert "n_clusters" in wrapped  # replace() must have matched
+    return wrapped
+
+
+@query("doc_dup_cluster_sizes", oracle=_cluster_sizes_oracle())
+def doc_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph — the audit a dedup run
+    reports (how many pairs/triples/template-families, i.e. is the corpus
+    2% clones or one 10k-doc boilerplate blob?). Composed on
+    ``near_dup_clusters`` (MinHash-LSH pairs → large-star/small-star CC):
+    two cascaded hash aggregates on top, both map-side combinable; the
+    histogram domain is bounded by the largest cluster, not the corpus."""
+    from flink_realtime_sessionize_sample_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    comp = near_dup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    sizes = comp.groupBy("canonical_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+# --- exact-count stratified sampling --------------------------------------
+
+_STRAT_FRAC = 0.2
+
+
+@query(
+    "stratified_sample_exact",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, {T.h48_duck("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM keyed
+)
+SELECT doc_id, source FROM ranked WHERE rn <= floor(cnt * {_STRAT_FRAC})
+""",
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified sampling: precisely ⌊{_STRAT_FRAC}·N_s⌋ docs
+    from every source stratum — the complement of ``sample_stratified_docs``
+    (hash-rate sampling, whose per-stratum count is only binomially close
+    to the target). Training mixtures with hard token budgets need the
+    exact variant.
+
+    Determinism without a shuffle-order dependence: rows are ranked by a
+    portable 48-bit hash of the doc id (+ id tiebreak), so the selected
+    set is a pure function of the data. The rank window partitions by
+    stratum — balanced as long as strata are (documented: a single
+    mega-stratum would need the global_order two-pass instead); the
+    per-stratum count rides the same window, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(T.h48_spark("cast(doc_id as string)")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wc = Window.partitionBy("source")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") <= F.floor(F.col("cnt") * _STRAT_FRAC))
+        .select("doc_id", "source")
+    )
+
+
+# --- hopping (sliding) event-time windows ---------------------------------
+
+_HOP_US = 1_800_000_000  # 30 min
+_WIN_HOPS = 4  # window = 4 hops = 2 h
+
+
+@query(
+    "events_sliding_windows",
+    oracle=f"""
+SELECT (CAST(floor(epoch_us(ts) / {_HOP_US}) AS BIGINT) - k.k) * {_HOP_US} AS window_start_us,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents
+FROM events, range(0, {_WIN_HOPS}) k(k)
+GROUP BY window_start_us
+""",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows (2 h window, 30 min hop): every event
+    lands in exactly {_WIN_HOPS} overlapping windows — the sliding-window
+    aggregation ``events_hourly_windows`` (tumbling) doesn't cover, and
+    the batch twin of Structured Streaming's ``window(ts, '2 hours',
+    '30 minutes')``. Implemented as an explicit bounded explode (×{_WIN_HOPS},
+    the window/hop ratio) + one hash aggregate, with window starts from
+    integer epoch arithmetic so both engines bucket identically (no
+    reliance on an engine's window-origin convention). At scale the
+    blowup factor is the ratio — chosen, bounded, and map-side combined
+    away within each partition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .select(
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_WIN_HOPS - 1))).alias("k"),
+            F.floor(F.col("ts_us") / _HOP_US).alias("bucket"),
+        )
+        .groupBy(((F.col("bucket") - F.col("k")) * _HOP_US).alias("window_start_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+    )
+
+
+# --- sparse (inverted-index) cosine similarity join -----------------------
+
+_SPARSE_THRESHOLD = 0.9
+
+
+@query(
+    "doc_sparse_cosine_pairs",
+    oracle=f"""
+WITH sub AS (SELECT doc_id, {T.tokens_duck('text')} AS t FROM documents WHERE doc_id % 10 = 0),
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM sub WHERE len(t) > 0)
+  GROUP BY doc_id, tok
+), nrm AS (
+  SELECT doc_id, sqrt(sum(tf * tf)::DOUBLE) AS nrm FROM tf GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf * b.tf)::BIGINT AS dot
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot::DOUBLE / (x.nrm * y.nrm), 6) AS cosine
+FROM dots d
+JOIN nrm x ON x.doc_id = d.doc_a
+JOIN nrm y ON y.doc_id = d.doc_b
+WHERE round(d.dot::DOUBLE / (x.nrm * y.nrm), 6) >= {_SPARSE_THRESHOLD}
+""",
+)
+def doc_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-frequency cosine similarity join via an inverted index —
+    the bag-of-words complement of the dense ``dedup_embedding_cosine``:
+    dot products accumulate through a token-postings equi-join (never a
+    crossJoin), so join fan-out is Σ_token df² — bounded by posting-list
+    length, which real corpora prune by document frequency (drop tokens
+    with df above a cap: exact for pairs whose support isn't exclusively
+    stopwords).
+
+    The SYNTHETIC corpus is the documented degenerate case: a ~31-word
+    vocabulary makes every posting list corpus-length (same regime as
+    ``containment_pairs``' scale caveat), so df pruning would delete the
+    vocabulary; the query therefore runs on a deterministic 1-in-10 doc
+    subset and the docstring, not the data, carries the scale story.
+
+    Cross-engine exactness: dot products and squared norms are exact
+    integers; sqrt/multiply/divide are IEEE-deterministic on identical
+    operands; the only round is the final 6dp, applied to identical
+    doubles. Threshold compares the ROUNDED value in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = tf.select(F.col("doc_id").alias("doc_a"), "tok", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "tok", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    return (
+        dots.join(nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a")), "doc_a")
+        .join(nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b")), "doc_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SPARSE_THRESHOLD)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+# --- per-dimension robust feature scaling ---------------------------------
+
+@query(
+    "robust_scaler_features",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, r.i - 1 AS i, embedding[r.i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) r(i)
+), stats AS (
+  SELECT i,
+         round(quantile_cont(x, 0.5), 6) AS med,
+         round(quantile_cont(x, 0.25), 6) AS q1,
+         round(quantile_cont(x, 0.75), 6) AS q3
+  FROM ex GROUP BY i
+)
+SELECT s.i, s.med, s.q1, s.q3,
+       round(s.q3 - s.q1, 6) + 0.0 AS iqr,
+       sum(CASE WHEN e.x < s.q1 - 1.5 * (s.q3 - s.q1)
+                  OR e.x > s.q3 + 1.5 * (s.q3 - s.q1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       count(*)::BIGINT AS n
+FROM ex e JOIN stats s USING (i)
+GROUP BY s.i, s.med, s.q1, s.q3
+""",
+)
+def robust_scaler_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension robust scaling statistics for the embedding corpus —
+    median/IQR (the outlier-insensitive alternative to mean/std feature
+    normalization) plus Tukey-fence outlier counts, the pre-training
+    feature-QA table. One posexplode (×64, the fixed dim) → exact
+    percentile aggregate per dimension → one join back for the fence
+    counts; the dimension key gives 64 perfectly-balanced groups at any
+    corpus size. Exact ``percentile`` ≙ DuckDB ``quantile_cont``; fences
+    compare raw doubles against 6dp-rounded quantile arithmetic, which is
+    deterministic in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    stats = ex.groupBy("i").agg(
+        F.round(F.expr("percentile(x, 0.5)"), 6).alias("med"),
+        F.round(F.expr("percentile(x, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(x, 0.75)"), 6).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ex.join(stats, "i")
+        .groupBy("i", "med", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x") < F.col("q1") - 1.5 * iqr)
+                    | (F.col("x") > F.col("q3") + 1.5 * iqr),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "i",
+            "med",
+            "q1",
+            "q3",
+            (F.round(iqr, 6) + F.lit(0.0)).alias("iqr"),
+            "n_outliers",
+            "n",
+        )
+    )
+
+
+# --- watermark-delay late-data accounting ---------------------------------
+
+_LATE_DELAYS_S = (0, 60, 300, 3600)
+
+
+@query(
+    "late_data_accounting",
+    oracle=f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+pm AS (
+  SELECT event_id, ts_us,
+         max(ts_us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM e
+)
+SELECT d.delay_s,
+       sum(CASE WHEN pm.pmax IS NOT NULL
+                 AND pm.ts_us < pm.pmax - d.delay_s::BIGINT * 1000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_late
+FROM pm, (VALUES {", ".join(f"({d})" for d in _LATE_DELAYS_S)}) d(delay_s)
+GROUP BY d.delay_s
+""",
+)
+def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing table: for each candidate watermark delay, how many
+    events would be DROPPED as late (event time behind the running max of
+    all prior arrivals by more than the delay)? Arrival order = event_id
+    (the generator's ingestion order). This is the batch replay that picks
+    the streaming pipeline's ``withWatermark`` horizon from data instead
+    of folklore (the reference hard-codes 60 s —
+    RealtimeSessionize.scala:105).
+
+    The running prior-max uses ``with_global_prefix_max``
+    (operators/global_order.py): range partition + local window + one
+    broadcast offsets row — NO single-partition global window even though
+    the oracle states it that way. The delay dimension is a bounded ×{len(_LATE_DELAYS_S)}
+    explode collapsed by one aggregate."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_prefix_max,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    pm = with_global_prefix_max(ev, ["event_id"], "ts_us", out_col="pmax")
+    delays = F.array(*[F.lit(d).cast("long") for d in _LATE_DELAYS_S])
+    return (
+        pm.select("ts_us", "pmax", F.explode(delays).alias("delay_s"))
+        .groupBy("delay_s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("pmax").isNotNull()
+                    & (F.col("ts_us") < F.col("pmax") - F.col("delay_s") * 1000000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_late")
+        )
+    )
+
+
+# --- corpus n-gram novelty scoring ----------------------------------------
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {T.tokens_duck('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id, {T.shingles_duck('t')} AS sh FROM tok
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh WHERE len(sh) > 0
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g
+)
+SELECT e.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) * 100.0
+             / count(*), 6) + 0.0 AS novelty_pct
+FROM ex e JOIN firsts f USING (g)
+GROUP BY e.doc_id
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram novelty: per document, what fraction of its distinct
+    3-gram shingles appear for the FIRST time (min doc_id order) — the
+    curation score that separates fresh content from recombinations of
+    already-seen text, and the streaming-ingest dual of dedup (novelty 0 ≈
+    exact duplicate, low novelty ≈ template).
+
+    Same scale skeleton as ``line_dedup_c4``: explode to (doc, gram) →
+    map-side-combinable MIN per gram (state = distinct grams) → re-join on
+    the gram key (co-partitioned with the aggregate, no second text
+    shuffle) → per-doc rollup. The percent is an exact integer ratio
+    rounded at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t"))
+    sh = toks.select("doc_id", F.expr(T.shingles_spark("t")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    firsts = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        ex.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.round(F.col("n_novel") * 100.0 / F.col("n_shingles"), 6)
+                + F.lit(0.0)
+            ).alias("novelty_pct"),
+        )
+    )

@@ -221,3 +221,53 @@ def test_q16_q20_q22_semi_anti_join_shapes(spark, sf_oracle):
     assert "LeftAnti" in _plan(spark, sf_oracle, "parts_supplier_relationship_q16")
     assert "LeftSemi" in _plan(spark, sf_oracle, "excess_stock_suppliers_q20")
     assert "LeftAnti" in _plan(spark, sf_oracle, "avg_account_balance_q22")
+
+
+# --- round-5 feature/scale-pattern suite (plans/feature_queries.py) -------
+
+_R5_FEATURES = [
+    "embedding_pca_power_iteration",
+    "doc_dup_cluster_sizes",
+    "stratified_sample_exact",
+    "events_sliding_windows",
+    "doc_sparse_cosine_pairs",
+    "robust_scaler_features",
+    "late_data_accounting",
+    "doc_ngram_novelty",
+]
+
+
+@pytest.mark.parametrize("name", _R5_FEATURES)
+def test_r5_feature_plans_no_cartesian_no_global_sort(spark, sf_oracle, name):
+    """No Cartesian product, no data-proportional single-partition work.
+    (embedding_pca / doc_dup_cluster_sizes legitimately use ArrowEvalPython
+    via mapInPandas BLAS partials / MinHash — but never row-at-a-time
+    BatchEvalPython.)"""
+    p = _plan(spark, sf_oracle, name)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = lines[i + 1]
+            assert (
+                "HashAggregate" in nxt
+                or "ObjectHashAggregate" in nxt
+                or "SortAggregate" in nxt
+            ), f"{name}: SinglePartition feeds non-aggregate:\n{nxt}"
+
+
+def test_late_data_accounting_prefix_max_is_distributed(spark, sf_oracle):
+    # The running prior-max must ride the partition-index window of
+    # with_global_prefix_max, never an empty-partition global window.
+    p = _plan(spark, sf_oracle, "late_data_accounting")
+    assert "Exchange rangepartitioning" in p
+    assert "windowspecdefinition(_pid" in p
+
+
+def test_sparse_cosine_join_is_token_equi_join(spark, sf_oracle):
+    # The pair generator must be an equi-join on the token key (inverted
+    # index), not a nested-loop over doc pairs.
+    p = _plan(spark, sf_oracle, "doc_sparse_cosine_pairs")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
