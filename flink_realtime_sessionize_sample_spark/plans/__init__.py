@@ -97,6 +97,10 @@ _DRIVER_WINDOW: list[str] = [
     "robust_scaler_features",
     "late_data_accounting",
     "doc_ngram_novelty",
+    "equi_depth_histogram",
+    "orders_yoy_growth",
+    "doc_source_contingency_chi2",
+    "rolling_7d_distinct_users",
 ]
 
 

@@ -541,3 +541,224 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_pct"),
         )
     )
+
+
+# --- exact equi-depth histogram -------------------------------------------
+
+_EQD_BUCKETS = 8
+
+
+@query(
+    "equi_depth_histogram",
+    oracle=f"""
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice * 100)::BIGINT AS cents
+  FROM lineitem
+), t AS (
+  SELECT cents,
+         ntile({_EQD_BUCKETS}) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bucket
+  FROM c
+)
+SELECT bucket, count(*)::BIGINT AS n,
+       min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents
+FROM t GROUP BY bucket
+""",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-FREQUENCY histogram of line-item prices ({_EQD_BUCKETS}
+    buckets) — the complement of ``order_value_histogram`` (equal-width)
+    and ``price_percentiles`` (point quantiles): every bucket holds the
+    same row count to ±1, with exact value boundaries, the statistic
+    range-partitioners and CBO histograms are built from.
+
+    SQL-standard ``ntile`` needs a total order over the DATA — the classic
+    global-sort pinch — so the bucket assignment here rides
+    ``with_global_rank`` + ``ntile_from_rank`` (operators/global_order.py):
+    range exchange + local sort + one broadcast offsets row, no
+    single-partition sort; the oracle states it as the global window and
+    the value hash proves the rewrite exact (ties broken by the unique
+    (orderkey, linenumber) suffix)."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    c = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    ranked = with_global_rank(
+        c,
+        [F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        rank_col="_r",
+        total_col="_n",
+    )
+    return (
+        ranked.select(
+            "cents",
+            ntile_from_rank(F.col("_r"), F.col("_n"), _EQD_BUCKETS).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+# --- year-over-year growth ------------------------------------------------
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+         sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY nation, o_year
+)
+SELECT nation, o_year, rev_cents,
+       lag(rev_cents) OVER (PARTITION BY nation ORDER BY o_year) AS prev_cents,
+       round((rev_cents - lag(rev_cents) OVER (PARTITION BY nation ORDER BY o_year))::DOUBLE
+             / lag(rev_cents) OVER (PARTITION BY nation ORDER BY o_year), 6) + 0.0
+         AS yoy_growth
+FROM rev
+""",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the lag-over-aggregated-
+    series reporting pattern (distinct from ``orders_trend_decomposition``'s
+    within-series moving average): one join-aggregate collapses the fact
+    table to |nations|×|years| rows, then the lag window runs on that TINY
+    series (25 partitions), so window cost is independent of fact-table
+    size. First year per nation reports NULL growth (honest missing prior,
+    not zero). Exact integer cents until the final 6dp ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("rev_cents").over(w)
+    return rev.select(
+        "nation",
+        "o_year",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        (
+            F.round((F.col("rev_cents") - prev).cast("double") / prev, 6) + F.lit(0.0)
+        ).alias("yoy_growth"),
+    )
+
+
+# --- chi-square contingency (category association) ------------------------
+
+@query(
+    "doc_source_contingency_chi2",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY source, lang
+), rows_ AS (SELECT source, sum(n)::BIGINT AS row_n FROM cells GROUP BY source),
+cols_ AS (SELECT lang, sum(n)::BIGINT AS col_n FROM cells GROUP BY lang),
+tot AS (SELECT sum(n)::BIGINT AS grand FROM cells)
+SELECT c.source, c.lang, c.n,
+       round(r.row_n * co.col_n / t.grand::DOUBLE, 6) + 0.0 AS expected,
+       round(pow(c.n - r.row_n * co.col_n / t.grand::DOUBLE, 2)
+             / (r.row_n * co.col_n / t.grand::DOUBLE), 6) + 0.0 AS chi2_contrib
+FROM cells c
+JOIN rows_ r USING (source)
+JOIN cols_ co USING (lang)
+CROSS JOIN tot t
+""",
+)
+def doc_source_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table for source × lang — is document
+    language independent of its source? (The corpus-mixture audit that
+    catches a crawler feeding one language from one domain.) Per-cell
+    observed counts, expected counts under independence, and chi-square
+    contributions; the global statistic is the SUM of the last column,
+    deliberately left to the consumer because a cross-cell double sum is
+    accumulation-order-dependent across engines while every per-cell value
+    here is IEEE-deterministic (margins are exact integers; the only
+    float ops are one division and one square on identical operands).
+
+    Plan: one hash aggregate for the cells, two trivial re-aggregates for
+    the margins, margins re-joined (broadcast — bounded by category
+    cardinality, never corpus size), 1-row grand total crossJoin."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_ = cells.groupBy("source").agg(F.sum("n").alias("row_n"))
+    cols_ = cells.groupBy("lang").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(F.sum("n").alias("grand"))
+    e = F.col("row_n") * F.col("col_n") / F.col("grand").cast("double")
+    return (
+        cells.join(F.broadcast(rows_), "source")
+        .join(F.broadcast(cols_), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n",
+            (F.round(e, 6) + F.lit(0.0)).alias("expected"),
+            (F.round(F.pow(F.col("n") - e, 2) / e, 6) + F.lit(0.0)).alias(
+                "chi2_contrib"
+            ),
+        )
+    )
+
+
+# --- rolling 7-day distinct users -----------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "rolling_7d_distinct_users",
+    oracle=f"""
+WITH daily AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day
+  FROM events
+), infl AS (
+  SELECT DISTINCT user_id, day + k.k AS d
+  FROM daily, range(0, 7) k(k)
+)
+SELECT d AS day, count(*)::BIGINT AS n_distinct_users
+FROM infl GROUP BY d
+""",
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the DAU/WAU rolling
+    metric windows cannot express (COUNT(DISTINCT) over a sliding frame is
+    unsupported, and collect_set frames hold the whole window in memory).
+    The scalable rewrite: dedup to (user, active-day) pairs, explode each
+    into its 7 influenced days (bounded ×7, the window length), dedup
+    again, count per day. Both dedups are hash aggregates on fixed-width
+    keys; state is O(users × days), never O(events). Days with no activity
+    in range simply don't appear (join a calendar to densify — see
+    ``gap_fill_hourly``)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.floor(F.unix_micros("ts") / _DAY_US).alias("day")
+    ).distinct()
+    infl = daily.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("d")
+    ).distinct()
+    return infl.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_distinct_users")
+    )

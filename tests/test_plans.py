@@ -271,3 +271,34 @@ def test_sparse_cosine_join_is_token_equi_join(spark, sf_oracle):
     p = _plan(spark, sf_oracle, "doc_sparse_cosine_pairs")
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+_R5_FEATURES_B = [
+    "equi_depth_histogram",
+    "orders_yoy_growth",
+    "doc_source_contingency_chi2",
+    "rolling_7d_distinct_users",
+]
+
+
+@pytest.mark.parametrize("name", _R5_FEATURES_B)
+def test_r5b_plans_no_cartesian_no_python(spark, sf_oracle, name):
+    p = _plan(spark, sf_oracle, name)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = lines[i + 1]
+            assert (
+                "HashAggregate" in nxt
+                or "ObjectHashAggregate" in nxt
+                or "SortAggregate" in nxt
+            ), f"{name}: SinglePartition feeds non-aggregate:\n{nxt}"
+
+
+def test_equi_depth_histogram_no_single_partition_sort(spark, sf_oracle):
+    # The ntile must ride the distributed global-order rewrite.
+    p = _plan(spark, sf_oracle, "equi_depth_histogram")
+    assert "Exchange rangepartitioning" in p
+    _single_partition_feeds_only_aggregates(p)
