@@ -89,10 +89,15 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the (part, supplier) cost table is one hash aggregate of
     lineitem; the region restriction prunes it via broadcast nation/region
     BEFORE the per-part min (so the correlated aggregate only sees
-    eligible rows — the classic decorrelation); the min table re-joins on
-    (partkey, cost) — both sides partitioned by partkey, no extra
-    exchange under AQE. ORDER BY has a unique (acctbal, nation, supplier,
-    part) suffix so LIMIT 100 is deterministic."""
+    eligible rows — the classic decorrelation). The per-part min is a
+    window over the partkey partitioning (NOT an aggregate + self-join:
+    that formulation materializes the whole eligible subtree twice —
+    lineitem agg + three joins — unless exchange reuse happens to fire;
+    the window is one pass over one exchange, balanced by partkey).
+    ORDER BY has a unique (acctbal, nation, supplier, part) suffix so
+    LIMIT 100 is deterministic."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -114,14 +119,11 @@ def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
         )
     )
-    minc = eligible.groupBy("l_partkey").agg(F.min("cost_cents").alias("min_cost"))
+    w_part = Window.partitionBy("l_partkey")
     return (
-        eligible.join(
-            minc,
-            (eligible.l_partkey == minc.l_partkey)
-            & (eligible.cost_cents == minc.min_cost),
-        )
-        .drop(minc.l_partkey)
+        eligible.withColumn("_min_cost", F.min("cost_cents").over(w_part))
+        .filter(F.col("cost_cents") == F.col("_min_cost"))
+        .drop("_min_cost")
         .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
