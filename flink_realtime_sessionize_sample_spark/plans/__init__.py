@@ -101,6 +101,7 @@ _DRIVER_WINDOW: list[str] = [
     "orders_yoy_growth",
     "doc_source_contingency_chi2",
     "rolling_7d_distinct_users",
+    "minhash_recall_audit",
 ]
 
 

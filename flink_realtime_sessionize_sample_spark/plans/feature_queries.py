@@ -762,3 +762,98 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infl.groupBy(F.col("d").alias("day")).agg(
         F.count(F.lit(1)).alias("n_distinct_users")
     )
+
+
+# --- MinHash-LSH recall audit ---------------------------------------------
+
+def _minhash_recall_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans import llm_queries as L
+    from flink_realtime_sessionize_sample_spark.operators import dedup as D
+
+    mh = L._minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS).replace(
+        "cand AS (", "mh_cand AS ("
+    )
+    assert "mh_cand AS (" in mh
+    return (
+        L._DOC_SHINGLES_CTE
+        + """
+, ex AS (SELECT doc_id, len(sh) AS _n, unnest(sh) AS s FROM nonempty),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, _n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY _df ASC, s ASC) AS _pos
+    FROM (SELECT doc_id, s, _n, count(*) OVER (PARTITION BY s) AS _df FROM ex)
+  ) WHERE _pos <= _n - ceil(0.5 * _n) + 1
+),
+ex_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+tverified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM ex_cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+true_pairs AS (
+  SELECT doc_a, doc_b, round(common::DOUBLE / uni, 6) AS jaccard
+  FROM tverified WHERE common::DOUBLE / uni >= 0.5
+)"""
+        + mh
+        + """
+SELECT CAST(floor(t.jaccard * 10) AS INT) AS jaccard_band,
+       count(*)::BIGINT AS n_true,
+       sum(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+       round(sum(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS recall
+FROM true_pairs t
+LEFT JOIN mh_cand m ON m.doc_a = t.doc_a AND m.doc_b = t.doc_b
+GROUP BY jaccard_band
+"""
+    )
+
+
+@query("minhash_recall_audit", oracle=_minhash_recall_oracle())
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical MinHash-LSH recall per Jaccard band — the tuning readout
+    for the dedup family: ground truth = the EXACT PPJoin Jaccard join
+    (lossless), probe = the banded LSH candidate set; per 0.1-wide Jaccard
+    band report how many true pairs the 12-hash/4-band scheme surfaced.
+    This is how (num_hashes, bands) get chosen against the S-curve on the
+    real corpus instead of on paper.
+
+    Both sides are existing oracle-verified operators composed by one
+    left join on the canonical (doc_a < doc_b) pair key + one small
+    aggregate — no new candidate generation. Banding floors the 6dp-rounded
+    Jaccard ×10 in IEEE doubles; both engines evaluate the identical
+    expression, so boundary values land in the same band by construction.
+    At 100 TB the exact side is the expensive one — which is the point:
+    this audit runs on a SAMPLE to tune the cheap LSH side before the
+    full-corpus LSH-only run."""
+    from flink_realtime_sessionize_sample_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    true_pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    found = D.minhash_lsh_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("_f")
+    )
+    return (
+        true_pairs.join(found, ["doc_a", "doc_b"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("_f"), F.lit(0))).cast("long").alias("n_found"),
+            (
+                F.round(
+                    F.sum(F.coalesce(F.col("_f"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )

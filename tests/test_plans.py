@@ -278,6 +278,7 @@ _R5_FEATURES_B = [
     "orders_yoy_growth",
     "doc_source_contingency_chi2",
     "rolling_7d_distinct_users",
+    "minhash_recall_audit",
 ]
 
 
