@@ -208,15 +208,24 @@ def main() -> None:
         sessionize_stream_bucketed,
     )
 
+    # The 1 M-event replay source is identical for every measured run —
+    # write it ONCE and give each run only a fresh checkpoint dir (the
+    # per-run rewrite cost ~3-4 s × 8 runs otherwise, pure noise).
+    _big_src = tempfile.mkdtemp(prefix="bench_stream_src_") + "/big"
+    big.select("user_id", "ts", "event_id").repartition(4).write.parquet(_big_src)
+
     def measure_stream(
         builder, source_df=None, prewatermark=True
     ) -> tuple[int, int | None, int]:
         tmp = tempfile.mkdtemp(prefix="bench_stream_")
         try:
-            src = f"{tmp}/src"
-            (source_df if source_df is not None else big).select(
-                "user_id", "ts", "event_id"
-            ).repartition(4).write.parquet(src)
+            if source_df is not None:
+                src = f"{tmp}/src"
+                source_df.select("user_id", "ts", "event_id").repartition(
+                    4
+                ).write.parquet(src)
+            else:
+                src = _big_src
             stream = (
                 spark.readStream.schema(spark.read.parquet(src).schema)
                 .option("maxFilesPerTrigger", 1)
@@ -437,6 +446,22 @@ def main() -> None:
     force(line_dedup_frame(docs_10x_lin))
     t_ld_10x = time.perf_counter() - t0
 
+    # N-gram novelty scale smoke (round 5): same two-exchange skeleton as
+    # line-dedup (gram MIN aggregate + co-partitioned rejoin) on the
+    # permuted-clone corpus, so workload stays ~linear in docs and the
+    # ratio measures the plan.
+    from flink_realtime_sessionize_sample_spark.plans.feature_queries import (
+        _novelty_frame,
+    )
+
+    force(_novelty_frame(docs))  # warm
+    t0 = time.perf_counter()
+    force(_novelty_frame(docs))
+    t_nv_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(_novelty_frame(docs_10x_lin))
+    t_nv_10x = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -482,6 +507,11 @@ def main() -> None:
                 "scale_smoke_line_dedup_10x_sec": round(t_ld_10x, 3),
                 "scale_smoke_line_dedup_10x_ratio_vs_linear": round(
                     t_ld_10x / (10 * t_ld_1x), 3
+                ),
+                "scale_smoke_novelty_1x_sec": round(t_nv_1x, 3),
+                "scale_smoke_novelty_10x_sec": round(t_nv_10x, 3),
+                "scale_smoke_novelty_10x_ratio_vs_linear": round(
+                    t_nv_10x / (10 * t_nv_1x), 3
                 ),
             }
         )

@@ -924,7 +924,13 @@ def token_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(F.expr(tokens_spark("text"))).alias("t")
     )
     n_docs = tok.agg(F.count(F.lit(1)).alias("n"))
-    ex = tok.select("doc_id", F.explode("t").alias("w"))
+    # explode_outer + null filter, not plain explode: Catalyst's
+    # InferFiltersFromGenerate would otherwise add `size(t) > 0` and push
+    # it to the scan with the array_distinct(split(...)) tree inlined —
+    # every doc tokenized twice (operators audit, round 5).
+    ex = tok.select("doc_id", F.explode_outer("t").alias("w")).filter(
+        F.col("w").isNotNull()
+    )
     marg = ex.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     a = ex.select("doc_id", F.col("w").alias("w1"))
     b = ex.select("doc_id", F.col("w").alias("w2"))
@@ -1703,9 +1709,20 @@ def fuzzy_edit_distance_pairs(names: DataFrame, k: int = 2, q: int = 2) -> DataF
             ).otherwise(F.expr("array()")),
         )
     )
-    grams = names.filter(F.size("_grams") >= prefix_len).select(
-        "p_name", F.explode(F.slice("_grams", 1, prefix_len)).alias("g")
-    )
+    # CASE-gated explode_outer + null filter rather than
+    # `filter(size >= prefix_len)` + explode: either a user size-filter or
+    # InferFiltersFromGenerate on a plain explode pushes the whole
+    # gram-building tree into a scan-side Filter (every name gram-ified
+    # twice — round-5 plan audit); the outer generate infers nothing and
+    # low-gram names simply yield one NULL row dropped above the Generate.
+    grams = names.select(
+        "p_name",
+        F.explode_outer(
+            F.when(
+                F.size("_grams") >= prefix_len, F.slice("_grams", 1, prefix_len)
+            )
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
     b = grams.select(F.col("p_name").alias("name_b"), F.col("g").alias("g_b"))
     cand = (
         grams.join(b, (F.col("g") == F.col("g_b")) & (F.col("p_name") < F.col("name_b")))
@@ -1713,9 +1730,17 @@ def fuzzy_edit_distance_pairs(names: DataFrame, k: int = 2, q: int = 2) -> DataF
         .distinct()
     )
     # Fallback tier: low-gram strings vs everything in the ±k length band.
-    low = names.filter(F.size("_grams") < prefix_len).select(
-        "p_name", F.explode(F.sequence(F.length("p_name") - k, F.length("p_name") + k)).alias("_lb")
-    )
+    # Same CASE-gated outer-explode shape as the main tier, so the size
+    # predicate never sinks into the scan with the gram tree inlined.
+    low = names.select(
+        "p_name",
+        F.explode_outer(
+            F.when(
+                F.size("_grams") < prefix_len,
+                F.sequence(F.length("p_name") - k, F.length("p_name") + k),
+            )
+        ).alias("_lb"),
+    ).filter(F.col("_lb").isNotNull())
     all_by_len = names.select(
         F.col("p_name").alias("other"), F.length("p_name").alias("_lb")
     )

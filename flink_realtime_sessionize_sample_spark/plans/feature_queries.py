@@ -516,17 +516,50 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram key (co-partitioned with the aggregate, no second text
     shuffle) → per-doc rollup. The percent is an exact integer ratio
     rounded at 6dp."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t"))
-    sh = toks.select("doc_id", F.expr(T.shingles_spark("t")).alias("sh")).filter(
-        F.size("sh") > 0
+    return _novelty_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _novelty_frame(docs: DataFrame) -> DataFrame:
+    """The ``doc_ngram_novelty`` pipeline over an arbitrary (doc_id, text)
+    frame — shared by the registered query and bench.py's scale smoke.
+
+    Unconditional ``repartition`` first: tokenize + shingle +
+    array_distinct is the per-row CPU hot spot, and a small corpus arrives
+    as ONE parquet split — without the spread the whole projection runs on
+    a single core (measured 8× slower at sf0.1). Unconditional (rather
+    than ``fan_out``'s partition-count probe) because this helper also
+    receives DERIVED frames (bench's exploded 10× corpus), where the
+    ``.rdd`` partition probe itself is pathologically expensive; the cost
+    is one shuffle of raw doc bytes, strictly smaller than the gram-keyed
+    exchange the first aggregate pays anyway."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_part).select(
+        "doc_id", F.expr(T.tokens_spark("text")).alias("t")
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("g"))
-    firsts = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    # Three deliberate shape choices, all learned from the 10× scale
+    # smoke (each alone made the operator serial AND quadratic per doc):
+    # * `explode_outer` + post-generate null filter, NOT plain `explode`:
+    #   Catalyst's InferFiltersFromGenerate adds `size(sh) > 0` for a
+    #   non-outer explode and pushes it below the repartition exchange,
+    #   inlining the ENTIRE tokenize+shingle tree into a pre-exchange
+    #   Filter evaluated on the un-spread scan partition. The outer
+    #   variant infers nothing; the explicit `g IS NOT NULL` sits above
+    #   the Generate where it belongs.
+    # * No user `filter(size(sh) > 0)` either — same pushdown+inlining.
+    # * First-occurrence via a WINDOW over the gram partitioning, not an
+    #   aggregate + rejoin: the join's derived `isnotnull(g)` constraint
+    #   triggers the same inlined pushdown; the window needs the one
+    #   gram-keyed exchange and adds no pushable predicate.
+    sh = toks.select("doc_id", F.expr(T.shingles_spark("t")).alias("sh"))
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    exw = ex.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        ex.join(firsts, "g")
-        .groupBy("doc_id")
+        exw.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(novel).cast("long").alias("n_novel"),

@@ -187,3 +187,28 @@ def test_edjoin_low_gram_fallback_catches_zero_overlap_pairs(spark):
     }
     want = _brute_pairs(sorted(set(names)), 2)
     assert got == want
+
+
+def test_edjoin_lossless_on_short_repetitive_alphabet(spark):
+    # Small alphabet + short lengths maximize low-gram strings (<= 4
+    # distinct bigrams), exercising the fallback tier against brute force
+    # across the full mixed population, not just handpicked cases.
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        fuzzy_edit_distance_pairs,
+    )
+
+    rng = random.Random(97)
+    alpha = "abc"
+    names = sorted(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(2, 9)))
+            for _ in range(60)
+        }
+    )
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_edit_distance_pairs(df).collect()
+    }
+    want = _brute_pairs(names, 2)
+    assert got == want

@@ -303,3 +303,33 @@ def test_equi_depth_histogram_no_single_partition_sort(spark, sf_oracle):
     p = _plan(spark, sf_oracle, "equi_depth_histogram")
     assert "Exchange rangepartitioning" in p
     _single_partition_feeds_only_aggregates(p)
+
+
+# --- generate-filter inlining guard (round-5 plan audit) ------------------
+
+_GENERATE_HEAVY = [
+    "doc_ngram_novelty",
+    "token_pmi_cooccurrence",
+    "fuzzy_edit_distance_join",
+    "line_dedup_c4",
+    "doc_chunk_overlap_rag",
+    "heavy_hitters_bigrams",
+    "doc_sparse_cosine_pairs",
+]
+
+
+@pytest.mark.parametrize("name", _GENERATE_HEAVY)
+def test_no_inlined_generate_filter(spark, sf_oracle, name):
+    """Catalyst's InferFiltersFromGenerate (and user size-filters placed
+    before an explode) push a `size(arr) > 0` predicate below exchanges
+    with the WHOLE array-building expression tree inlined — evaluated
+    serially on the scan partition, and quadratic when the tree contains
+    per-element `element_at(split(...))` (measured 505 s vs ~1 s on the
+    novelty 10x smoke). The fix pattern is CASE-gated `explode_outer` + a
+    post-Generate null filter; this test pins it."""
+    p = _plan(spark, sf_oracle, name)
+    for line in p.splitlines():
+        if "Filter" in line:
+            assert "array_distinct" not in line and "transform(sequence" not in line, (
+                f"{name}: inlined array expression in a Filter:\n{line.strip()[:200]}"
+            )
