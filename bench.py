@@ -210,8 +210,14 @@ def main() -> None:
 
     # The 1 M-event replay source is identical for every measured run —
     # write it ONCE and give each run only a fresh checkpoint dir (the
-    # per-run rewrite cost ~3-4 s × 8 runs otherwise, pure noise).
-    _big_src = tempfile.mkdtemp(prefix="bench_stream_src_") + "/big"
+    # per-run rewrite cost ~3-4 s × 8 runs otherwise, pure noise). Removed
+    # at process exit: a plain finally would need to wrap the rest of
+    # main(), and the dir leaked a full parquet copy per invocation before.
+    import atexit
+
+    _big_src_root = tempfile.mkdtemp(prefix="bench_stream_src_")
+    atexit.register(shutil.rmtree, _big_src_root, ignore_errors=True)
+    _big_src = _big_src_root + "/big"
     big.select("user_id", "ts", "event_id").repartition(4).write.parquet(_big_src)
 
     def measure_stream(

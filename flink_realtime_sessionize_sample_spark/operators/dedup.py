@@ -32,6 +32,8 @@ from the same dialect-paired primitives in ``functions/text.py``.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 import pandas as pd
 
@@ -59,6 +61,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _threshold_ratio(threshold: float) -> tuple[int, int]:
+    """Recover the user-intended rational p/q from a float threshold so the
+    prefix/positional bounds can be evaluated in EXACT integer arithmetic.
+
+    Floating-point ``ceil(t·n)`` / ``ceil(t/(1+t)·(n_a+n_b))`` can exceed
+    the true bound by 1 whenever binary rounding of ``t`` lands *above* the
+    intended rational and the product sits exactly on an integer — which
+    would silently drop true pairs whose overlap equals the bound. All
+    integer comparisons below use ``p·x ⋛ q·y`` cross-multiplication, so
+    losslessness holds for every rational threshold, not just t=0.5."""
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    return frac.numerator, frac.denominator
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
@@ -152,12 +168,18 @@ def ngram_jaccard_pairs(
     # Global canonical order: ascending document frequency (via a window —
     # one shuffle, no groupBy+join round trip), value as tie break; set
     # size is carried from size(sh), not recounted. Rank within each doc,
-    # keep only the prefix.
+    # keep only the prefix. Prefix bound in exact integer arithmetic:
+    # _pos ≤ _n − ⌈t·_n⌉ + 1  ⟺  ⌈(p/q)·_n⌉ ≤ _n − _pos + 1  ⟺
+    # p·_n ≤ q·(_n − _pos + 1)  (RHS integer, so ceil drops) — no float
+    # rounding can shorten the prefix and lose a true pair.
+    tp, tq = _threshold_ratio(threshold)
     w_doc = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("s").asc())
     prefix = (
         ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .withColumn("_pos", F.row_number().over(w_doc))
-        .filter(F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .filter(
+            F.lit(tp) * F.col("_n") <= F.lit(tq) * (F.col("_n") - F.col("_pos") + 1)
+        )
         .select(id_col, "s", "_pos", "_n")
         # Pre-shuffle on the join key so both self-join sides share one
         # exchange (ReusedExchange) — the prefix pipeline runs once.
@@ -182,16 +204,17 @@ def ngram_jaccard_pairs(
     # (measured: 409 k → 125 k candidates on the sf0.1 corpus, exact-side
     # warm wall 15 s → 4.6 s). Subsumes the length filter (bound ≤ |a| forces
     # |a| ≥ α ≥ t·|b|·t/(1+t)… the classic t·|b| ≤ |a| check).
-    alpha = F.ceil(
-        F.lit(threshold) / (1 + threshold) * (F.col("_n_a") + F.col("_n_b"))
-    )
+    # Exact form: ubound ≥ ⌈t/(1+t)·(n_a+n_b)⌉ ⟺ ubound ≥ (p/(p+q))·(n_a+n_b)
+    # ⟺ (p+q)·ubound ≥ p·(n_a+n_b) — integer cross-multiplication, so the
+    # lossless claim holds for every rational threshold (float ceil could
+    # overshoot by 1 when t·(n_a+n_b)/(1+t) lands on an integer).
     ubound = 1 + F.least(
         F.col("_n_a") - F.col("_pos_a"), F.col("_n_b") - F.col("_pos_b")
     )
     cand = (
         ea.join(eb, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(ubound >= alpha)
+        .filter(F.lit(tp + tq) * ubound >= F.lit(tp) * (F.col("_n_a") + F.col("_n_b")))
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -532,11 +555,16 @@ def containment_pairs(
     if max_shingle_df is not None:
         hot = ex.groupBy("s").count().filter(F.col("count") > max_shingle_df).select("s")
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    # Same exact integer-arithmetic prefix bound as ngram_jaccard_pairs:
+    # p·_n ≤ q·(_n − _pos + 1) ⟺ _pos ≤ _n − ⌈t·_n⌉ + 1, float-rounding-proof.
+    tp, tq = _threshold_ratio(threshold)
     w_doc = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("s").asc())
     prefix = (
         ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .withColumn("_pos", F.row_number().over(w_doc))
-        .filter(F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+        .filter(
+            F.lit(tp) * F.col("_n") <= F.lit(tq) * (F.col("_n") - F.col("_pos") + 1)
+        )
         .select(F.col(id_col).alias("doc_a"), "s")
         .repartition("s")
     )

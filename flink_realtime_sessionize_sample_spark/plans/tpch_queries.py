@@ -269,7 +269,6 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the query that proves pushdown works: bytes read ≈
     three columns of the date-matching row groups, nothing more."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_pct = _cents("l_discount") / 1  # already e2 integer
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))

@@ -77,7 +77,9 @@ def test_embedding_near_dup_lsh_bucket_prunes(spark):
         "vec_id long, embedding array<float>",
     )
     # brute force sees the antipodal pair fail the threshold; LSH never scores it
-    exact = D.embedding_near_dup_pairs(emb, threshold=0.9)
+    # (lsh_bits=None opts out of the default LSH tier — this comparison is
+    # the brute-force-vs-LSH parity check its name claims).
+    exact = D.embedding_near_dup_pairs(emb, threshold=0.9, lsh_bits=None)
     pruned = D.embedding_near_dup_pairs(emb, threshold=0.9, lsh_bits=2)
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, pruned.collect()))
 
