@@ -26,82 +26,48 @@ from flink_realtime_sessionize_sample_spark.plans import feature_queries  # noqa
 # that has not yet had an external row, then (implicitly) everything
 # already verified in earlier rounds. Registration itself is unchanged —
 # this only reorders the dict, so names/oracles/semantics are untouched.
-# ROUND-5 ROTATION (this edit): round 4 cleared the 40-query round-3
-# backlog (49/50 green; `array_set_funcs` was the one `err` — a driver
-# comparator limitation on array cells, fixed this round by rendering
-# array outputs to canonical strings in both engines). Rounds 1-4
-# accumulated 143/164 cumulative green rows. The 20 queries below are
-# the final never-externally-checked set (registered late in round 4;
-# all with sf0.01 AND sf0.1 local oracle parity). 3 anchors +
-# array_set_funcs (re-check after the comparator fix) + 20 backlog = 24,
-# so this rotation completes external coverage of everything registered
-# through round 4: cumulative 164/164 after the round-5 check. The
-# remaining 26 slots are filled by round-5 registrations ONLY — every
-# query registered this round goes directly into the window, so no new
-# backlog is created (round-5 registrations are capped at 26).
+# STANDING RULE (adopted round 6, permanent): any query whose plan or
+# operator code changed since its most recent green external row goes
+# BACK into the window — a green row only certifies the code that was
+# live when the driver ran it. ``_CHANGED_SINCE_EXTERNAL`` below is the
+# per-round worklist for that rule; `tests/test_registry_window.py`
+# asserts every name in it sits inside the first-50 window, alongside
+# every query not yet externally green (new registrations).
+#
+# ROUND-6 ROTATION (this edit): round 5 went 50/50 green, completing
+# external coverage of all 190 registered queries (cumulative r01-r05).
+# This round's window = 3 anchors + the changed-since-external re-checks
+# + round-6 registrations (appended as they are added, each verified at
+# sf0.01 AND sf0.1 before registration).
+
+# Queries whose implementation changed after their latest green external
+# row. Round-6 list: the round-5 post-close addendum commits (8c686c8
+# PPJoin positional filter; bf2909f generate-inlining fix touched
+# token_pmi_cooccurrence + fuzzy_edit_distance_join outside the r5
+# window; the r4 global-order edits to customer_rfm_segments /
+# customer_pareto_abc / doc_zipf_fit), the round-5 embedding-near-dup
+# default flip, and this round's exact-integer PPJoin bounds
+# (dedup_ngram_jaccard, dedup_containment) + Q6 dead-code removal.
+_CHANGED_SINCE_EXTERNAL: list[str] = [
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "fuzzy_edit_distance_join",
+    "token_pmi_cooccurrence",
+    "customer_rfm_segments",
+    "customer_pareto_abc",
+    "doc_zipf_fit",
+    "forecast_revenue_q6",
+]
+
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Re-check: round 4's only red row. Array output columns are now
-    # rendered as canonical comma-joined strings in BOTH engines so the
-    # external canonicalizer hashes scalars (it cannot hash lists).
-    "array_set_funcs",
-    # Backlog: the 20 queries registered in round 4 behind the 50-slot
-    # window, never externally checked before.
-    "line_dedup_c4",
-    "bootstrap_mean_ci",
-    "last_touch_attribution",
-    "zorder_cluster_stats",
-    "ks_drift_detection",
-    "benford_digit_audit",
-    "user_value_ewma",
-    "pagerank_neardup_3iter",
-    "source_unigram_kl",
-    "item_cooccurrence_topk",
-    "pareto_skyline_parts",
-    "psi_value_drift",
-    "pipeline_json_sink_roundtrip",
-    "stream_stream_interval_join",
-    "label_centroid_similarity",
-    "session_markov_transitions",
-    "negative_sampling_contrastive",
-    "doc_chunk_overlap_rag",
-    "ab_test_two_proportions",
-    "event_outliers_mad",
-    # Round-5 registrations fill slots 25-50 below (appended as they are
-    # added, each verified at sf0.01 AND sf0.1 before registration; the
-    # registry-window tests assert every name here is registered, so the
-    # list only ever contains live queries).
-    # TPC-H shape suite (plans/tpch_queries.py).
-    "min_cost_supplier_q2",
-    "shipping_priority_q3",
-    "local_supplier_volume_q5",
-    "forecast_revenue_q6",
-    "global_sales_channel_q7",
-    "national_market_share_q8",
-    "returned_item_customers_q10",
-    "shipping_modes_q12",
-    "customer_order_distribution_q13",
-    "promo_revenue_share_q14",
-    "parts_supplier_relationship_q16",
-    "excess_stock_suppliers_q20",
-    "avg_account_balance_q22",
-    # Feature/scale-pattern suite (plans/feature_queries.py).
-    "embedding_pca_power_iteration",
-    "doc_dup_cluster_sizes",
-    "stratified_sample_exact",
-    "events_sliding_windows",
-    "doc_sparse_cosine_pairs",
-    "robust_scaler_features",
-    "late_data_accounting",
-    "doc_ngram_novelty",
-    "equi_depth_histogram",
-    "orders_yoy_growth",
-    "doc_source_contingency_chi2",
-    "rolling_7d_distinct_users",
-    "minhash_recall_audit",
+    # Changed-code re-checks (standing rule above).
+    *_CHANGED_SINCE_EXTERNAL,
+    # Round-6 registrations appended below.
 ]
 
 
@@ -255,6 +221,64 @@ _EXTERNALLY_GREEN_THROUGH_R4: frozenset[str] = frozenset({
     "user_total_durations",
     "value_winsorized",
     "waiting_suppliers_q21",
+})
+
+# Round 5 window: 50/50 green (CORRECTNESS_r05). Union = every query with
+# a green external row through round 5 — i.e. the whole 190-query registry
+# as of round 5's close. Queries in ``_CHANGED_SINCE_EXTERNAL`` are still
+# members (their *older* code was green); the standing rule, not this set,
+# forces their re-check.
+_EXTERNALLY_GREEN_THROUGH_R5: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R4 | frozenset({
+    "ab_test_two_proportions",
+    "array_set_funcs",
+    "avg_account_balance_q22",
+    "benford_digit_audit",
+    "bootstrap_mean_ci",
+    "customer_order_distribution_q13",
+    "doc_chunk_overlap_rag",
+    "doc_dup_cluster_sizes",
+    "doc_ngram_novelty",
+    "doc_source_contingency_chi2",
+    "doc_sparse_cosine_pairs",
+    "embedding_pca_power_iteration",
+    "equi_depth_histogram",
+    "event_outliers_mad",
+    "events_sliding_windows",
+    "excess_stock_suppliers_q20",
+    "forecast_revenue_q6",
+    "global_sales_channel_q7",
+    "item_cooccurrence_topk",
+    "ks_drift_detection",
+    "label_centroid_similarity",
+    "last_touch_attribution",
+    "late_data_accounting",
+    "line_dedup_c4",
+    "local_supplier_volume_q5",
+    "min_cost_supplier_q2",
+    "minhash_recall_audit",
+    "national_market_share_q8",
+    "negative_sampling_contrastive",
+    "orders_yoy_growth",
+    "pagerank_neardup_3iter",
+    "pareto_skyline_parts",
+    "parse_access_logs",
+    "parts_supplier_relationship_q16",
+    "pipeline_json_sink_roundtrip",
+    "promo_revenue_share_q14",
+    "psi_value_drift",
+    "returned_item_customers_q10",
+    "robust_scaler_features",
+    "rolling_7d_distinct_users",
+    "session_markov_transitions",
+    "sessionize_events",
+    "shipping_modes_q12",
+    "shipping_priority_q3",
+    "source_unigram_kl",
+    "stratified_sample_exact",
+    "stream_stream_interval_join",
+    "user_total_durations",
+    "user_value_ewma",
+    "zorder_cluster_stats",
 })
 
 

@@ -1,72 +1,46 @@
 """Invariants on the query-registry iteration order.
 
 The external correctness harness snapshots exactly the first 50 entries of
-``queries()``. These tests pin the round-5 rotation: every query that has
-no external correctness row through round 4 must sit inside that window,
-alongside the continuity anchors and the one round-4 red row
-(``array_set_funcs``, driver-comparator limitation fixed this round).
+``queries()``. These tests pin the round-6 rotation and the STANDING RULE
+adopted this round: any query whose implementation changed after its most
+recent green external row re-enters the window (a green row only certifies
+the code the driver actually ran), and every query registered this round
+sits inside the window (no new backlog, ever).
 """
 
 from __future__ import annotations
 
 from flink_realtime_sessionize_sample_spark import plans
 
-# Queries with no external correctness row through round 4 (registered
-# late in round 4 behind the full window). Each must occupy the harness's
-# first-50 window until it has been externally verified. Rounds 1-4
-# verified the other 143 (save array_set_funcs, re-checked below).
-ROUND4_BACKLOG = [
-    "line_dedup_c4",
-    "bootstrap_mean_ci",
-    "last_touch_attribution",
-    "zorder_cluster_stats",
-    "ks_drift_detection",
-    "benford_digit_audit",
-    "user_value_ewma",
-    "pagerank_neardup_3iter",
-    "source_unigram_kl",
-    "item_cooccurrence_topk",
-    "pareto_skyline_parts",
-    "psi_value_drift",
-    "pipeline_json_sink_roundtrip",
-    "stream_stream_interval_join",
-    "label_centroid_similarity",
-    "session_markov_transitions",
-    "negative_sampling_contrastive",
-    "doc_chunk_overlap_rag",
-    "ab_test_two_proportions",
-    "event_outliers_mad",
-]
-
 ANCHORS = ["sessionize_events", "user_total_durations", "parse_access_logs"]
 
-# Round 4's only external `err` — arrays rendered to canonical strings in
-# both engines this round; must be re-checked in the window.
-RECHECK = ["array_set_funcs"]
 
-
-def test_backlog_inside_driver_window():
-    window = set(list(plans.QUERIES)[:50])
-    missing = [n for n in ROUND4_BACKLOG + RECHECK if n not in window]
-    assert not missing, f"backlog queries outside the first-50 window: {missing}"
+def _window() -> set[str]:
+    return set(list(plans.QUERIES)[:50])
 
 
 def test_anchors_inside_driver_window():
-    window = set(list(plans.QUERIES)[:50])
-    assert all(a in window for a in ANCHORS)
+    assert all(a in _window() for a in ANCHORS)
 
 
-def test_round5_registrations_inside_driver_window():
-    # No new backlog: every query registered in round 5 (anything not
-    # externally green through round 4) must be inside the first-50 window.
-    externally_green_r1_r4 = set(plans._EXTERNALLY_GREEN_THROUGH_R4)
-    window = set(list(plans.QUERIES)[:50])
-    out = [
-        n
-        for n in plans.QUERIES
-        if n not in externally_green_r1_r4 and n not in window
-    ]
+def test_changed_since_external_inside_driver_window():
+    # The standing changed-code-re-rotates rule: every query listed as
+    # changed since its last green external row must be re-checked.
+    missing = [n for n in plans._CHANGED_SINCE_EXTERNAL if n not in _window()]
+    assert not missing, f"changed-code queries outside the first-50 window: {missing}"
+
+
+def test_unverified_registrations_inside_driver_window():
+    # No new backlog: every query without a green external row through
+    # round 5 (i.e. anything registered in round 6 or later) must be
+    # inside the first-50 window.
+    green = set(plans._EXTERNALLY_GREEN_THROUGH_R5)
+    out = [n for n in plans.QUERIES if n not in green and n not in _window()]
     assert not out, f"unverified queries outside the first-50 window: {out}"
+
+
+def test_window_fits_harness_snapshot():
+    assert len(plans._DRIVER_WINDOW) <= 50
 
 
 def test_window_names_all_registered():
