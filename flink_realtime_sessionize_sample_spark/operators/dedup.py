@@ -585,3 +585,76 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token span
+    of ≥ ``min_span`` tokens that already occurred earlier in the corpus
+    (keep-first order = ascending (doc_id, position)). The strongest
+    standard training-data dedup — catches copied paragraphs the document-
+    and shingle-level tiers miss. No reference analog (the reference has
+    no dedup; SURVEY.md §2.9 — rebuild scope).
+
+    Spark-first replacement for the suffix array: a span of L ≥ min_span
+    duplicated tokens is EXACTLY a run of L − min_span + 1 consecutive
+    duplicated min_span-gram windows, so
+      1. per row, emit (pos, h48(window)) for every min_span-token window —
+         a codegen transform + one explode, zero shuffle;
+      2. mark a window duplicated iff an identical window precedes it in
+         (doc_id, pos) order — row_number over the hash partitioning, the
+         ONE content-keyed shuffle (narrow (id, pos, h) rows, never text);
+      3. stitch consecutive duplicated positions into maximal spans with
+         the gaps-and-islands trick — one doc-keyed exchange shared by the
+         window and the aggregate.
+    Equivalent to the suffix-array answer for spans ≥ min_span (shorter
+    duplicates are invisible by design), with shuffle bytes proportional
+    to token count, not text bytes. Within-doc repeats count too (the
+    first occurrence stays canonical), as in the suffix-array original.
+
+    Same Catalyst hazards as ``_novelty_frame``: unconditional spread
+    before the tokenize (single parquet split otherwise serializes the
+    hashing), CASE-gated ``explode_outer`` + post-Generate null filter
+    (plain explode triggers InferFiltersFromGenerate inlining the whole
+    window-hash tree below the exchange).
+
+    Output: (doc_id, span_start, span_len_tokens) — 1-based token offset,
+    maximal-run length; rows only for docs containing duplicated spans.
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_part).select(
+        F.col(id_col), F.expr(T.tokens_spark(text_col)).alias("t")
+    )
+    window_hash = T.h48_spark(f"concat_ws(' ', slice(t, i, {min_span}))")
+    win_expr = (
+        f"case when size(t) >= {min_span} then "
+        f"transform(sequence(1, size(t) - {min_span - 1}), "
+        f"i -> struct(i as pos, {window_hash} as h)) "
+        f"else cast(null as array<struct<pos:int,h:bigint>>) end"
+    )
+    wins = (
+        toks.select(F.col(id_col), F.explode_outer(F.expr(win_expr)).alias("w"))
+        .filter(F.col("w").isNotNull())
+        .select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    dup = (
+        wins.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") > 1)
+        .select(id_col, "pos")
+    )
+    by_doc = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    return (
+        dup.withColumn("_grp", F.col("pos") - F.row_number().over(by_doc))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(min_span - 1)).alias("span_len_tokens"),
+        )
+        .select(id_col, "span_start", "span_len_tokens")
+    )

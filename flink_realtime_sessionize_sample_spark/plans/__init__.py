@@ -67,7 +67,9 @@ _DRIVER_WINDOW: list[str] = [
     "parse_access_logs",
     # Changed-code re-checks (standing rule above).
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-6 registrations appended below.
+    # Round-6 registrations appended below (each verified at sf0.01 AND
+    # sf0.1 before registration).
+    "substring_dedup_spans",
 ]
 
 

@@ -2213,3 +2213,48 @@ def negative_sampling_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rk") <= 5)
         .select("anchor", "negative", "rk")
     )
+
+
+# --- round 6: substring-level exact dedup ---------------------------------
+
+
+@query(
+    "substring_dedup_spans",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+w AS (
+  SELECT doc_id, pos,
+         {T.h48_duck("array_to_string(t[pos:pos+7], ' ')")} AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS pos
+        FROM tok WHERE len(t) >= 8)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (count(*) + 7)::BIGINT AS span_len_tokens
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup à la Lee et al. 2022: maximal token
+    spans ≥ 8 tokens that already occurred earlier in the corpus
+    ((doc_id, pos) keep-first order), computed as runs of consecutive
+    duplicated 8-gram windows — the Spark-native equivalent of the
+    suffix-array scan for spans ≥ min_span
+    (operators/dedup.py::duplicate_substring_spans). The DuckDB twin runs
+    the identical window-hash → first-occurrence → gaps-and-islands
+    pipeline, so the hash gate checks every stage, including the maximal-
+    run stitching."""
+    return D.duplicate_substring_spans(
+        load_table(spark, sf_dir, "documents"), min_span=8
+    )

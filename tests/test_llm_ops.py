@@ -465,3 +465,25 @@ def test_containment_hot_shingle_guard(spark):
     e = set(zip(exact.doc_a, exact.doc_b))
     c = set(zip(capped.doc_a, capped.doc_b))
     assert c <= e
+
+
+def test_substring_spans_planted_copy_and_within_doc_repeat(spark):
+    a = [f"a{i}" for i in range(1, 13)]  # 12 distinct tokens
+    doc1 = " ".join(a)
+    doc2 = " ".join(a[:10] + ["x1", "x2"])  # copies tokens 1..10 of doc1
+    doc3 = " ".join(a[:8] + a[:8])  # 8-token block repeated within one doc
+    docs = _docs(spark, [(1, doc1), (2, doc2), (3, doc3)])
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_len_tokens"])
+        for r in D.duplicate_substring_spans(docs, min_span=8).collect()
+    )
+    # doc2: windows at pos 1..3 duplicated -> one maximal 10-token span.
+    # doc3: pos 1 (= doc1's first window) and pos 9 (the repeat) duplicated,
+    # interior windows straddle the seam and are unique -> two 8-token spans.
+    # doc1 is the first occurrence everywhere -> no rows.
+    assert out == [(2, 1, 10), (3, 1, 8), (3, 9, 8)]
+
+
+def test_substring_spans_short_docs_produce_no_windows(spark):
+    docs = _docs(spark, [(1, "only five tokens right here"), (2, "only five tokens right here")])
+    assert D.duplicate_substring_spans(docs, min_span=8).count() == 0

@@ -315,6 +315,7 @@ _GENERATE_HEAVY = [
     "doc_chunk_overlap_rag",
     "heavy_hitters_bigrams",
     "doc_sparse_cosine_pairs",
+    "substring_dedup_spans",
 ]
 
 
