@@ -221,6 +221,40 @@ def ngram_jaccard_pairs(
     return _jaccard_verify(cand, base, id_col, threshold)
 
 
+def minhash_band_frame(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """MinHash band keys (id, band_idx, sig) from a (id, sh) shingle frame.
+
+    Per-row codegen (one md5 pass per shingle, K affine transforms, band
+    concat) — zero exchanges; ``bands`` narrow rows of ~30 bytes per doc
+    regardless of document size. Shared by the LSH self-join and the
+    persisted incremental-dedup index (operators/incremental.py)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    mh = base.withColumn(
+        "shh", F.expr(f"transform(sh, s -> {T.h48_spark('s')})")
+    ).select(
+        F.col(id_col),
+        *[F.expr(T.minhash_spark("shh", i)).alias(f"mh{i}") for i in range(num_hashes)],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return mh.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.sig")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -240,8 +274,6 @@ def minhash_lsh_pairs(
     band: P(candidate) = 1-(1-j^r)^bands, ≈0.94 at j=0.8 with 12/4) — the
     oracle twin runs the identical pipeline, so the gate is deterministic.
     """
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
     # size(toks) >= k ⟺ sh non-empty, without re-evaluating `sh` in the
     # pushed-down filter (see ngram_jaccard_pairs).
     base = (
@@ -249,24 +281,7 @@ def minhash_lsh_pairs(
         .filter(F.size("toks") >= k)
         .select(id_col, "sh")
     )
-    mh = base.withColumn(
-        "shh", F.expr(f"transform(sh, s -> {T.h48_spark('s')})")
-    ).select(
-        F.col(id_col),
-        *[F.expr(T.minhash_spark("shh", i)).alias(f"mh{i}") for i in range(num_hashes)],
-    )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    bands_df = mh.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
-    ).select(id_col, "bd.band_idx", "bd.sig")
+    bands_df = minhash_band_frame(base, id_col, num_hashes, bands)
     ba = bands_df.select(F.col(id_col).alias("doc_a"), "band_idx", "sig")
     bb = bands_df.select(F.col(id_col).alias("doc_b"), "band_idx", "sig")
     cand = (

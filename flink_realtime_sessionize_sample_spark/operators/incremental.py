@@ -1,0 +1,176 @@
+"""Incremental (new-batch-vs-corpus) dedup against a persisted fingerprint
+index.
+
+Every other dedup operator in this package recomputes over the full corpus;
+a production pipeline ingests an INCREMENT and dedups it against what the
+corpus already contains — without rescanning 100 TB of text. The pattern
+(no reference analog; the reference has no dedup at all — SURVEY.md §2.9):
+
+1. **Index build, once per corpus epoch** — two narrow fingerprint tables:
+   an exact tier (48-bit content hash → canonical doc) and a near tier
+   (MinHash band signature → canonical doc, one row per DISTINCT band sig).
+   Both are written as BUCKETED managed tables on their probe key
+   (`operators/storage.py::write_bucketed`), so every future probe join
+   finds the index pre-partitioned: the index side of the join needs NO
+   exchange, ever. Index size is O(distinct fingerprints) — a few tens of
+   bytes per corpus document, ~10,000× smaller than the text.
+2. **Probe, per increment** — hash + band the increment (per-row codegen,
+   no corpus access), LEFT-join both index tables, and grade each incoming
+   doc ``exact`` (content hash already in corpus), ``near`` (shares ≥ 1
+   MinHash band with a corpus doc — the standard LSH dedup decision at
+   index scale, where re-verifying against corpus text would defeat the
+   no-rescan point), or ``unique``. The only shuffle is the increment's
+   own (narrow fingerprint rows, partitioned into the index's bucketing);
+   at 100 TB corpus / 1 TB increment the job touches the 1 TB increment
+   plus the fingerprint index and nothing else.
+
+The DuckDB oracle for the registered query computes the same verdicts
+directly from the full corpus (no index) — the green row IS the proof that
+probe-vs-index ≡ full-corpus dedup restricted to the increment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    fan_out,
+    minhash_band_frame,
+    with_shingles,
+)
+from flink_realtime_sessionize_sample_spark.operators.storage import write_bucketed
+
+
+def _content_hash(text_col: str) -> F.Column:
+    return F.expr(T.h48_spark(f"lower(trim({text_col}))"))
+
+
+def _drop_stale_table(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(mode=overwrite)`` idempotent across SESSIONS: a
+    fresh session's catalog has no entry for ``table``, but the previous
+    run's warehouse directory survives on disk and table creation then
+    fails with LOCATION_ALREADY_EXISTS. Drop the catalog entry if present
+    and clear an orphaned local warehouse dir (non-local warehouse URIs —
+    a real cluster's HDFS/S3 metastore — never orphan this way because the
+    catalog there is persistent too, so the rmtree path is local-only)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and wh.path:
+        shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
+
+
+def _band_keys(
+    docs: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, bsig) band keys; band_idx folded into the string so the probe
+    join has ONE key column — the bucketed-layout requirement."""
+    base = (
+        with_shingles(fan_out(docs), text_col, k)
+        .filter(F.size("toks") >= k)
+        .select(id_col, "sh")
+    )
+    bf = minhash_band_frame(base, id_col, num_hashes, bands)
+    return bf.select(
+        F.col(id_col),
+        F.concat_ws("|", F.col("band_idx").cast("string"), "sig").alias("bsig"),
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    exact_table: str = "dedup_idx_exact",
+    bands_table: str = "dedup_idx_bands",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n_buckets: int = 8,
+) -> None:
+    """Persist the two-tier fingerprint index for ``corpus``.
+
+    ``exact_table``: (content_hash, canonical_doc_id) — one row per
+    distinct normalized text, bucketed by content_hash.
+    ``bands_table``: (bsig, canonical_doc_id) — one row per distinct
+    MinHash band signature (min doc id wins), bucketed by bsig.
+    Both aggregates collapse map-side before their single exchange, which
+    doubles as the bucketed write's required partitioning. ``n_buckets``
+    is test-scale; size it to ~one task per bucket at target scale.
+    """
+    _drop_stale_table(corpus.sparkSession, exact_table)
+    _drop_stale_table(corpus.sparkSession, bands_table)
+    exact = (
+        corpus.select(F.col(id_col), _content_hash(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_doc_id"))
+    )
+    write_bucketed(exact, exact_table, ["content_hash"], n_buckets)
+    bsigs = (
+        _band_keys(corpus, text_col, id_col, k, num_hashes, bands)
+        .groupBy("bsig")
+        .agg(F.min(id_col).alias("canonical_doc_id"))
+    )
+    write_bucketed(bsigs, bands_table, ["bsig"], n_buckets)
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    increment: DataFrame,
+    exact_table: str = "dedup_idx_exact",
+    bands_table: str = "dedup_idx_bands",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Grade every increment doc against the persisted index — no corpus
+    text is read.
+
+    Output: (doc_id, verdict ∈ {exact, near, unique}, matched_corpus_doc)
+    where matched_corpus_doc is the exact tier's canonical doc, else the
+    MINIMUM canonical doc over all matching band signatures, else NULL.
+    Increment-internal duplicates are deliberately not graded here — run
+    the batch dedup operators within the increment, then this against the
+    corpus (the two compose; documented contract).
+    """
+    inc_hash = increment.select(
+        F.col(id_col), _content_hash(text_col).alias("content_hash")
+    )
+    exact_idx = spark.table(exact_table)
+    exact_m = inc_hash.join(exact_idx, "content_hash", "left").select(
+        F.col(id_col), F.col("canonical_doc_id").alias("_exact_doc")
+    )
+    bands_idx = spark.table(bands_table)
+    near_m = (
+        _band_keys(increment, text_col, id_col, k, num_hashes, bands)
+        .join(bands_idx, "bsig")
+        .groupBy(id_col)
+        .agg(F.min("canonical_doc_id").alias("_near_doc"))
+    )
+    verdict = (
+        F.when(F.col("_exact_doc").isNotNull(), F.lit("exact"))
+        .when(F.col("_near_doc").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        exact_m.join(near_m, id_col, "left")
+        .select(
+            F.col(id_col),
+            verdict.alias("verdict"),
+            # double, not bigint: the column is nullable, and nullable int
+            # columns round-trip as float64 through the driver comparator's
+            # pandas path — emit float on both engines (oracle ::DOUBLE).
+            F.coalesce("_exact_doc", "_near_doc")
+            .cast("double")
+            .alias("matched_corpus_doc"),
+        )
+    )

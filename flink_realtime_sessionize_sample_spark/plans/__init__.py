@@ -51,6 +51,10 @@ from flink_realtime_sessionize_sample_spark.plans import feature_queries  # noqa
 _CHANGED_SINCE_EXTERNAL: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_containment",
+    # round-6 band-frame refactor (minhash_band_frame extraction) touched
+    # the minhash pipeline both of these run through:
+    "dedup_minhash_lsh",
+    "minhash_recall_audit",
     "dedup_embedding_cosine",
     "fuzzy_edit_distance_join",
     "token_pmi_cooccurrence",
@@ -70,6 +74,7 @@ _DRIVER_WINDOW: list[str] = [
     # Round-6 registrations appended below (each verified at sf0.01 AND
     # sf0.1 before registration).
     "substring_dedup_spans",
+    "dedup_incremental_index",
 ]
 
 

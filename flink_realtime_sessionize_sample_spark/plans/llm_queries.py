@@ -2258,3 +2258,62 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_substring_spans(
         load_table(spark, sf_dir, "documents"), min_span=8
     )
+
+
+# --- round 6: incremental corpus-vs-index dedup ---------------------------
+
+
+@query(
+    "dedup_incremental_index",
+    oracle=_DOC_SHINGLES_CTE
+    + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+    + f"""
+, cex AS (
+  SELECT {T.h48_duck("lower(trim(text))")} AS content_hash, min(doc_id) AS c_doc
+  FROM documents WHERE doc_id % 10 < 8 GROUP BY 1
+),
+iex AS (
+  SELECT doc_id, {T.h48_duck("lower(trim(text))")} AS content_hash
+  FROM documents WHERE doc_id % 10 >= 8
+),
+cb AS (
+  SELECT band_idx::VARCHAR || '|' || sig AS bsig, min(doc_id) AS c_doc
+  FROM bands WHERE doc_id % 10 < 8 GROUP BY 1
+),
+ib AS (
+  SELECT doc_id, band_idx::VARCHAR || '|' || sig AS bsig
+  FROM bands WHERE doc_id % 10 >= 8
+),
+nearm AS (
+  SELECT ib.doc_id, min(cb.c_doc) AS n_doc
+  FROM ib JOIN cb USING (bsig) GROUP BY ib.doc_id
+)
+SELECT i.doc_id,
+       CASE WHEN e.c_doc IS NOT NULL THEN 'exact'
+            WHEN n.n_doc IS NOT NULL THEN 'near'
+            ELSE 'unique' END AS verdict,
+       coalesce(e.c_doc, n.n_doc)::DOUBLE AS matched_corpus_doc
+FROM iex i
+LEFT JOIN cex e USING (content_hash)
+LEFT JOIN nearm n ON n.doc_id = i.doc_id
+""",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against a PERSISTED
+    fingerprint index — the production shape for a growing corpus
+    (operators/incremental.py). Corpus = doc_id % 10 < 8, increment = the
+    rest; the query builds the bucketed exact-hash + MinHash-band index
+    tables from the corpus, then grades the increment against the index
+    alone (no corpus text rescan). The oracle computes the same verdicts
+    directly from the full documents table — the hash gate is the proof
+    that probe-vs-index ≡ full-corpus dedup restricted to the increment."""
+    from flink_realtime_sessionize_sample_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    increment = docs.filter(F.col("doc_id") % 10 >= 8)
+    build_dedup_index(corpus)
+    return incremental_dedup(spark, increment)
