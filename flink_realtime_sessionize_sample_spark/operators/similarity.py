@@ -461,3 +461,72 @@ def ivf_pq_topk(
             "cosine",
         )
     )
+
+
+def semdedup_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest (cosine) centroid.
+
+    One pass over the corpus against the broadcast codebook (n_clusters ×
+    dim doubles — KBs for any corpus size); ties break on cent_id for
+    determinism. Output: (cent_id, c_id, c_v, c_nrm)."""
+    c = _with_norm(fan_out(emb), vec_col, id_col, "c")
+    cos = F.expr(T.dot_spark("c_v", "ct_v")) / (F.col("c_nrm") * F.col("ct_nrm"))
+    w = Window.partitionBy("c_id").orderBy(F.col("_ccos").desc(), F.col("cent_id").asc())
+    return (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", F.round(cos, 6))
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") == 1)
+        .select("cent_id", "c_id", "c_v", "c_nrm")
+    )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): KMeans-cluster
+    the embeddings, then score near-dup pairs ONLY within each cluster —
+    the pairwise work drops from O(n²) to Σ|cluster|², and every stage is
+    bucketed by cent_id, so a 100 TB corpus never sees an all-pairs join.
+    Approximate by design: cross-cluster duplicates are invisible
+    (recall measured against the brute-force tier in the registered
+    query's audit booleans and tests).
+
+    Keep-first convention matches the other dedup tiers: per qualifying
+    pair the smaller vec_id is canonical, so the prune set is the distinct
+    vec_b column. Output: (cluster, vec_a, vec_b, cosine)."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        emb, n_centroids=n_clusters, seed=seed, vec_col=vec_col
+    )
+    assigned = semdedup_assign(emb, cents, vec_col, id_col)
+    a = assigned.select(
+        "cent_id",
+        F.col("c_id").alias("vec_a"),
+        F.col("c_v").alias("_va"),
+        F.col("c_nrm").alias("_na"),
+    )
+    b = assigned.select(
+        "cent_id",
+        F.col("c_id").alias("vec_b"),
+        F.col("c_v").alias("_vb"),
+        F.col("c_nrm").alias("_nb"),
+    )
+    cos = F.expr(T.dot_spark("_va", "_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("cent_id").alias("cluster"), "vec_a", "vec_b", "cosine")
+    )

@@ -75,6 +75,7 @@ _DRIVER_WINDOW: list[str] = [
     # sf0.1 before registration).
     "substring_dedup_spans",
     "dedup_incremental_index",
+    "semantic_dedup_semdedup",
 ]
 
 

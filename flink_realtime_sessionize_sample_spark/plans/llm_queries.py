@@ -2317,3 +2317,73 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment = docs.filter(F.col("doc_id") % 10 >= 8)
     build_dedup_index(corpus)
     return incremental_dedup(spark, increment)
+
+
+# --- round 6: SemDeDup-style semantic dedup -------------------------------
+
+
+@query(
+    "semantic_dedup_semdedup",
+    oracle="""
+SELECT count(*)::INT AS n_vectors,
+       TRUE AS clusters_cover_all,
+       TRUE AS pairs_subset_of_brute,
+       TRUE AS recall_vs_brute_ge_20pct
+FROM embeddings
+""",
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: KMeans-cluster the
+    embedding corpus (trained-IVF machinery, seed 42), score near-dup
+    pairs within clusters only, prune keep-first
+    (operators/similarity.py::semdedup_pairs). A k-means codebook is not
+    SQL-expressible, so the oracle is bounds-style like
+    ``ann_ivf_trained_topk``: the exact vector count anchors the input,
+    and three audited booleans assert (a) every vector lands in exactly
+    one cluster, (b) PRECISION is exact — every emitted pair is in the
+    brute-force cosine ≥ 0.4 set (the within-cluster scorer is the same
+    arithmetic), (c) recall vs brute force ≥ 0.20 — conservatively below
+    the measured 0.36–0.51 across scales and safely above the ~0.125
+    balanced-8-cluster chance floor, robust to k-means|| init varying
+    with partitioning. Recall/precision are computed distributed
+    (semi/anti joins against the labeled exact tier)."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        semdedup_assign,
+        semdedup_pairs,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Train the codebook once; both the pair scorer and the coverage audit
+    # consume the same broadcastable centroid table.
+    cents = train_ivf_centroids(emb, n_centroids=8, seed=42)
+    sem = semdedup_pairs(emb, threshold=0.4, centroids=cents)
+    brute = D.embedding_near_dup_pairs(emb, threshold=0.4, lsh_bits=None).select(
+        "vec_a", "vec_b"
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).cast("int").alias("n_vectors"))
+    sem_pairs = sem.select("vec_a", "vec_b")
+    hits = sem_pairs.join(brute, ["vec_a", "vec_b"]).agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    extras = sem_pairs.join(brute, ["vec_a", "vec_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("_extras")
+    )
+    total = brute.agg(F.count(F.lit(1)).alias("_brute"))
+    assigned_n = semdedup_assign(emb, cents).agg(
+        F.count(F.lit(1)).alias("_assigned")
+    )
+    return (
+        n_vec.crossJoin(assigned_n)
+        .crossJoin(hits)
+        .crossJoin(extras)
+        .crossJoin(total)
+        .select(
+            "n_vectors",
+            (F.col("_assigned") == F.col("n_vectors")).alias("clusters_cover_all"),
+            (F.col("_extras") == 0).alias("pairs_subset_of_brute"),
+            (F.col("_hits") / F.col("_brute") >= 0.20).alias(
+                "recall_vs_brute_ge_20pct"
+            ),
+        )
+    )

@@ -487,3 +487,43 @@ def test_substring_spans_planted_copy_and_within_doc_repeat(spark):
 def test_substring_spans_short_docs_produce_no_windows(spark):
     docs = _docs(spark, [(1, "only five tokens right here"), (2, "only five tokens right here")])
     assert D.duplicate_substring_spans(docs, min_span=8).count() == 0
+
+
+def test_semdedup_finds_within_cluster_duplicates(spark):
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    # Two well-separated directions; near-dups planted inside each.
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),   # dup of 1
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.01, 0.99, 0.0]),   # dup of 3
+            (5, [0.0, 1.0, 0.0, 0.5]),     # singleton
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = semdedup_pairs(emb, n_clusters=2, threshold=0.9, seed=42)
+    got = sorted((r["vec_a"], r["vec_b"]) for r in pairs.collect())
+    assert (1, 2) in got and (3, 4) in got
+    assert all(r["cosine"] >= 0.9 for r in pairs.collect())
+
+
+def test_semdedup_plan_is_cluster_bucketed_not_all_pairs(spark):
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = semdedup_pairs(emb, n_clusters=8, threshold=0.4, seed=42)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # No all-pairs scan: the only nested-loop joins are the two broadcast
+    # 8-row codebook assigns (both pair sides); the pair join itself is an
+    # equi join on cent_id.
+    assert "CartesianProduct" not in final
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
