@@ -159,6 +159,27 @@ def main() -> None:
         force(sustained)
         best = min(best, time.perf_counter() - t0)
     sustained_eps = round(n_big / best)
+    t_sess_10x = best
+
+    # Flagship 100× smoke (round 6): 100 distinct-user copies ≈ 10 M
+    # events through the batch sessionizer — direct evidence that the
+    # core operator's plan (hash exchange on user, per-key Arrow kernel)
+    # survives a 100× scale-up. Ratio vs linear uses the 10× best as the
+    # per-event baseline; ≲1 means fixed costs still amortizing, ~1 means
+    # the operator is already throughput-bound and scaling linearly.
+    big100 = ev.withColumn(
+        "_c", F.explode(F.array(*[F.lit(i) for i in range(100)]))
+    ).select(
+        (F.col("user_id") + F.col("_c") * 100000).alias("user_id"), "ts", "event_id"
+    )
+    n_big100 = n_events * 100
+    sustained100 = sessionize(big100, key="user_id", ts="ts", tiebreakers=("event_id",))
+    force(sustained100)  # warm
+    t0 = time.perf_counter()
+    force(sustained100)
+    t_sess_100x = time.perf_counter() - t0
+    sustained100_eps = round(n_big100 / t_sess_100x)
+    sess_100x_ratio = round(t_sess_100x / (10 * t_sess_10x), 3)
 
     # Adversarial skew: ONE key holding 500k events with the 12h-duration
     # cap firing every ~720 events — the cap-refine (sequential) kernel path
@@ -272,21 +293,35 @@ def main() -> None:
     measure_stream(lambda s: sessionize_stream_bucketed(s), source_df=warm_events)
     measure_stream(lambda s: sessionize_stream(s), source_df=warm_events)
 
-    def best_stream(builder, runs: int = 2, **kw) -> tuple[int, int | None, int]:
-        """Best-of-N for the streaming paths, mirroring the headline
-        queries' best-of-2 discipline: single-shot streaming numbers
-        random-walked 15-20% round-over-round (r3→r4) purely from
-        scheduler/GC noise; the max-throughput (= min-time) of N warm
-        replays is the low-variance estimator for a deterministic replay."""
+    def best_stream(
+        builder, runs: int = 3, **kw
+    ) -> tuple[int, int | None, int, list[int], float | None]:
+        """Best-of-N (N=3 since round 6) for the streaming paths,
+        mirroring the headline queries' best-of-2 discipline: single-shot
+        streaming numbers random-walked 15-20% round-over-round (r3→r4)
+        purely from scheduler/GC noise; the max-throughput (= min-time) of
+        N warm replays is the low-variance estimator for a deterministic
+        replay. Also returns every per-run steady number and the spread
+        (max−min)/max so round-over-round drift can be separated from
+        within-round dispersion (the round-5 open question: dedup steady
+        fell r4→r5 by more than the claimed noise band — publishing the
+        run set makes that call auditable)."""
         results = [measure_stream(builder, **kw) for _ in range(runs)]
         wall = max(r[0] for r in results)
         steadies = [r[1] for r in results if r[1] is not None]
-        return wall, (max(steadies) if steadies else None), results[0][2]
+        spread = (
+            round((max(steadies) - min(steadies)) / max(steadies), 3)
+            if steadies
+            else None
+        )
+        return wall, (max(steadies) if steadies else None), results[0][2], steadies, spread
 
-    streaming_eps, streaming_steady_eps, n_data_batches = best_stream(
+    streaming_eps, streaming_steady_eps, n_data_batches, streaming_runs, streaming_spread = best_stream(
         lambda s: sessionize_stream_bucketed(s)
     )
-    peruser_eps, peruser_steady_eps, _ = best_stream(lambda s: sessionize_stream(s))
+    peruser_eps, peruser_steady_eps, _, peruser_runs, peruser_spread = best_stream(
+        lambda s: sessionize_stream(s)
+    )
 
     # Streaming exact-dedup throughput: dropDuplicatesWithinWatermark over
     # the same 1 M-event replay (4 micro-batches). State is one entry per
@@ -296,7 +331,7 @@ def main() -> None:
     from flink_realtime_sessionize_sample_spark.streaming.pipeline import dedup_stream
 
     # dedup_stream applies its own watermark — pass the raw stream.
-    dedup_eps, dedup_steady_eps, _ = best_stream(
+    dedup_eps, dedup_steady_eps, _, dedup_runs, dedup_spread = best_stream(
         lambda s: dedup_stream(s, ["event_id"], "ts"), prewatermark=False
     )
 
@@ -468,6 +503,25 @@ def main() -> None:
     force(_novelty_frame(docs_10x_lin))
     t_nv_10x = time.perf_counter() - t0
 
+    # Substring-dedup scale smoke (round 6): duplicate-span extraction on
+    # the permuted-clone corpus. The per-clone bijective translate
+    # preserves within-clone duplicate spans and collapses cross-clone
+    # window matches (8-token windows untouched by the translate are
+    # negligible), so workload stays ~linear in docs and the ratio
+    # measures the plan: window-hash explode → one hash-keyed exchange →
+    # one doc-keyed exchange.
+    from flink_realtime_sessionize_sample_spark.operators.dedup import (
+        duplicate_substring_spans,
+    )
+
+    force(duplicate_substring_spans(docs))  # warm
+    t0 = time.perf_counter()
+    force(duplicate_substring_spans(docs))
+    t_ss_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(duplicate_substring_spans(docs_10x_lin))
+    t_ss_10x = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -478,13 +532,21 @@ def main() -> None:
                 "sf": sf_dir,
                 "events_per_sec_sessionize": events_per_sec,
                 "events_per_sec_sessionize_sustained_10x": sustained_eps,
+                "events_per_sec_sessionize_sustained_100x": sustained100_eps,
+                "sessionize_100x_ratio_vs_linear": sess_100x_ratio,
                 "events_per_sec_sessionize_hotkey_500k_1key": hotkey_eps,
                 "events_per_sec_sessionize_streaming_1m_wall": streaming_eps,
                 "events_per_sec_sessionize_streaming_steady": streaming_steady_eps,
+                "events_per_sec_sessionize_streaming_steady_runs": streaming_runs,
+                "events_per_sec_sessionize_streaming_steady_spread": streaming_spread,
                 "events_per_sec_streaming_peruser_wall": peruser_eps,
                 "events_per_sec_streaming_peruser_steady": peruser_steady_eps,
+                "events_per_sec_streaming_peruser_steady_runs": peruser_runs,
+                "events_per_sec_streaming_peruser_steady_spread": peruser_spread,
                 "events_per_sec_streaming_dedup_wall": dedup_eps,
                 "events_per_sec_streaming_dedup_steady": dedup_steady_eps,
+                "events_per_sec_streaming_dedup_steady_runs": dedup_runs,
+                "events_per_sec_streaming_dedup_steady_spread": dedup_spread,
                 "streaming_data_batches": n_data_batches,
                 "scale_smoke_minhash_docs": n_docs,
                 "scale_smoke_minhash_1x_sec": round(t_1x, 3),
@@ -518,6 +580,11 @@ def main() -> None:
                 "scale_smoke_novelty_10x_sec": round(t_nv_10x, 3),
                 "scale_smoke_novelty_10x_ratio_vs_linear": round(
                     t_nv_10x / (10 * t_nv_1x), 3
+                ),
+                "scale_smoke_substring_1x_sec": round(t_ss_1x, 3),
+                "scale_smoke_substring_10x_sec": round(t_ss_10x, 3),
+                "scale_smoke_substring_10x_ratio_vs_linear": round(
+                    t_ss_10x / (10 * t_ss_1x), 3
                 ),
             }
         )
