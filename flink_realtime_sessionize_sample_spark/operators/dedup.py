@@ -641,6 +641,26 @@ def duplicate_substring_spans(
     Output: (doc_id, span_start, span_len_tokens) — 1-based token offset,
     maximal-run length; rows only for docs containing duplicated spans.
     """
+    dup = _duplicated_windows(docs, text_col, id_col, min_span)
+    by_doc = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    return (
+        dup.withColumn("_grp", F.col("pos") - F.row_number().over(by_doc))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(min_span - 1)).alias("span_len_tokens"),
+        )
+        .select(id_col, "span_start", "span_len_tokens")
+    )
+
+
+def _duplicated_windows(
+    docs: DataFrame, text_col: str, id_col: str, min_span: int
+) -> DataFrame:
+    """(id, _n, pos): every min_span-token window position whose window
+    content occurred earlier in (doc_id, pos) order, with the doc's token
+    count carried alongside. Stage 1+2 of the substring-dedup pipeline,
+    shared by the span extractor and the per-doc coverage rollup."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(n_part).select(
         F.col(id_col), F.expr(T.tokens_spark(text_col)).alias("t")
@@ -653,23 +673,139 @@ def duplicate_substring_spans(
         f"else cast(null as array<struct<pos:int,h:bigint>>) end"
     )
     wins = (
-        toks.select(F.col(id_col), F.explode_outer(F.expr(win_expr)).alias("w"))
+        toks.select(
+            F.col(id_col),
+            F.size("t").cast("long").alias("_n"),
+            F.explode_outer(F.expr(win_expr)).alias("w"),
+        )
         .filter(F.col("w").isNotNull())
-        .select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        .select(
+            F.col(id_col), "_n", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+        )
     )
     first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    dup = (
+    return (
         wins.withColumn("_rn", F.row_number().over(first))
         .filter(F.col("_rn") > 1)
-        .select(id_col, "pos")
+        .select(id_col, "_n", "pos")
     )
-    by_doc = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
-    return (
-        dup.withColumn("_grp", F.col("pos") - F.row_number().over(by_doc))
+
+
+def substring_dedup_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-token coverage: how many of each doc's
+    tokens sit inside SOME duplicated ≥ min_span-token window — the
+    actionable "what would substring dedup delete" metric (Lee et al.
+    2022 report corpora where this is 3-13 % of all tokens).
+
+    Duplicated windows overlap (consecutive positions share min_span−1
+    tokens) and distinct maximal RUNS can still overlap in token space
+    when their position gap is < min_span, so coverage is the measure of
+    the interval UNION: classic sweep — an interval opens a new island iff
+    its start exceeds the running max end of all preceding intervals
+    (prefix-max window), islands then aggregate to (max end − min start
+    + 1). Same two exchanges as the span extractor (hash-keyed, then
+    doc-keyed; the doc window and both aggregates share one exchange).
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_fraction) — docs with ≥ 1
+    duplicated window only (no-dup docs have coverage 0 by definition).
+    """
+    dup = _duplicated_windows(docs, text_col, id_col, min_span).withColumn(
+        "_end", F.col("pos") + F.lit(min_span - 1)
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(F.max("_end").over(w_prev), F.lit(0)), 1
+    ).otherwise(0)
+    islands = (
+        dup.withColumn("_grp", F.sum(brk).over(w_run))
         .groupBy(id_col, "_grp")
         .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.count(F.lit(1)) + F.lit(min_span - 1)).alias("span_len_tokens"),
+            F.first("_n").alias("_n"),
+            F.min("pos").alias("_mn"),
+            F.max("_end").alias("_mx"),
         )
-        .select(id_col, "span_start", "span_len_tokens")
+    )
+    return (
+        islands.groupBy(id_col)
+        .agg(
+            F.first("_n").alias("n_tokens"),
+            F.sum(F.col("_mx") - F.col("_mn") + 1).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)
+        )
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    mod: int = 8,
+) -> DataFrame:
+    """Content-defined-chunking dedup: split every document at positions
+    where the rolling k-token-gram hash ≡ 0 (mod ``mod``) — boundaries
+    follow CONTENT, so an insertion early in a copied document shifts
+    token offsets but not the downstream chunk boundaries, and the shared
+    tail still dedups (the property fixed-size blocks lack; the storage/
+    backup dedup shape applied to corpus text). Average chunk ≈ ``mod``
+    tokens.
+
+    Everything up to the final aggregate is per-row codegen: boundary
+    filter, chunk slicing, and chunk hashing are HOF expressions over the
+    token array — zero exchanges; the ONE shuffle is the hash aggregate
+    over (chunk_hash), which partial-aggregates map-side, so the exchange
+    carries ~one row per distinct chunk. Output: duplicated chunks only —
+    (chunk_hash, n_copies, canonical_doc_id = min doc containing it).
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_part).select(
+        F.col(id_col), F.expr(T.tokens_spark(text_col)).alias("t")
+    )
+    gram_hash = T.h48_spark(f"concat_ws(' ', slice(t, i - {k - 1}, {k}))")
+    chunks_expr = (
+        f"case when size(t) >= {k} then "
+        f"transform(sequence(1, size(bs) - 1), j -> "
+        f"concat_ws(' ', slice(t, element_at(bs, j) + 1, "
+        f"element_at(bs, j + 1) - element_at(bs, j)))) "
+        f"else cast(null as array<string>) end"
+    )
+    with_bounds = toks.withColumn(
+        "bs",
+        F.expr(
+            f"array_sort(array_distinct(concat(array(0), "
+            f"filter(sequence({k}, size(t)), i -> {gram_hash} % {mod} = 0), "
+            f"array(size(t)))))"
+        ),
+    )
+    chunks = (
+        with_bounds.select(
+            F.col(id_col), F.explode_outer(F.expr(chunks_expr)).alias("chunk")
+        )
+        .filter(F.col("chunk").isNotNull() & (F.col("chunk") != ""))
+        .select(F.col(id_col), F.expr(T.h48_spark("chunk")).alias("chunk_hash"))
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("chunk_hash", "n_copies", "canonical_doc_id")
     )

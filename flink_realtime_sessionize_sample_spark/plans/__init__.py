@@ -76,6 +76,8 @@ _DRIVER_WINDOW: list[str] = [
     "substring_dedup_spans",
     "dedup_incremental_index",
     "semantic_dedup_semdedup",
+    "substring_dedup_coverage",
+    "cdc_chunk_dedup",
 ]
 
 

@@ -2387,3 +2387,92 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "substring_dedup_coverage",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+w AS (
+  SELECT doc_id, n, pos,
+         {T.h48_duck("array_to_string(t[pos:pos+7], ' ')")} AS h
+  FROM (SELECT doc_id, t, len(t)::BIGINT AS n, unnest(range(1, len(t) - 8 + 2)) AS pos
+        FROM tok WHERE len(t) >= 8)
+),
+dup AS (
+  SELECT doc_id, n, pos, pos + 7 AS endp FROM (
+    SELECT doc_id, n, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+g AS (
+  SELECT doc_id, n, pos, endp,
+         CASE WHEN pos > coalesce(max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, n, pos, endp,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM g
+),
+agg AS (
+  SELECT doc_id, grp, any_value(n) AS n, min(pos) AS mn, max(endp) AS mx
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id, any_value(n) AS n_tokens,
+       sum(mx - mn + 1)::BIGINT AS dup_tokens,
+       round(sum(mx - mn + 1) / any_value(n), 6) AS dup_fraction
+FROM agg GROUP BY doc_id
+""",
+)
+def substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-token coverage — the interval-UNION rollup of
+    ``substring_dedup_spans`` (operators/dedup.py::substring_dedup_coverage):
+    for each doc, how many tokens sit inside some ≥ 8-token span that
+    occurred earlier in the corpus, and what fraction of the doc that is.
+    The oracle runs the identical window-hash → first-occurrence →
+    prefix-max interval sweep, so the hash gate checks the overlap-aware
+    union arithmetic too."""
+    return D.substring_dedup_coverage(
+        load_table(spark, sf_dir, "documents"), min_span=8
+    )
+
+
+@query(
+    "cdc_chunk_dedup",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+b AS (
+  SELECT doc_id, t, len(t)::BIGINT AS n,
+         list_filter(range(4, len(t) + 1), i ->
+           {T.h48_duck("array_to_string(t[i-3:i], ' ')")} % 8 = 0) AS bpos
+  FROM tok WHERE len(t) >= 4
+),
+bounds AS (
+  SELECT doc_id, t,
+         list_sort(list_distinct(list_concat(list_concat([0::BIGINT], bpos), [n]))) AS bs
+  FROM b
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(t[bs[u.j] + 1 : bs[u.j + 1]], ' ') AS chunk
+  FROM bounds, unnest(range(1, len(bs))) AS u(j)
+),
+hashed AS (
+  SELECT doc_id, {T.h48_duck('chunk')} AS chunk_hash
+  FROM chunks WHERE chunk <> ''
+)
+SELECT chunk_hash, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+FROM hashed GROUP BY chunk_hash HAVING count(*) > 1
+""",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (operators/dedup.py::cdc_chunk_dedup):
+    rolling 4-gram hash boundaries (avg chunk ≈ 8 tokens), chunks hashed
+    and collapsed corpus-wide; duplicated chunks reported with their
+    canonical (min) document. Boundaries follow content, so shared tails
+    of shifted copies still dedup — the storage-dedup primitive applied
+    to corpus text. One shuffle total (the chunk-hash aggregate)."""
+    return D.cdc_chunk_dedup(load_table(spark, sf_dir, "documents"), k=4, mod=8)

@@ -527,3 +527,37 @@ def test_semdedup_plan_is_cluster_bucketed_not_all_pairs(spark):
     # equi join on cent_id.
     assert "CartesianProduct" not in final
     assert final.count("BroadcastNestedLoopJoin") <= 2, final
+
+
+def test_substring_coverage_merges_overlapping_runs(spark):
+    # doc3 = t1..t10; its pos-1 window lives in doc1, pos-3 window in doc2,
+    # pos-2 window nowhere else -> two islands whose TOKEN extents overlap
+    # ([1,8] and [3,10]); union coverage is 10, not the 16 a naive
+    # sum-of-span-lengths would report.
+    t = [f"t{i}" for i in range(1, 11)]
+    docs = _docs(
+        spark,
+        [(1, " ".join(t[:8])), (2, " ".join(t[2:10])), (3, " ".join(t))],
+    )
+    rows = D.substring_dedup_coverage(docs, min_span=8).collect()
+    out = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"]) for r in rows}
+    assert out == {3: (10, 10, 1.0)}
+    # sanity: the span extractor sees the same two runs un-merged
+    spans = sorted(
+        (r["span_start"], r["span_len_tokens"])
+        for r in D.duplicate_substring_spans(docs, min_span=8)
+        .filter(F.col("doc_id") == 3)
+        .collect()
+    )
+    assert spans == [(1, 8), (3, 8)]
+
+
+def test_cdc_chunk_dedup_survives_prefix_shift(spark):
+    # Same long body with a novel token PREPENDED: fixed-size blocks would
+    # misalign everywhere, content-defined boundaries re-sync after the
+    # first boundary, so shared chunks dedup.
+    body = " ".join(f"w{i * 7 % 53}" for i in range(40))
+    docs = _docs(spark, [(1, body), (2, "prefix-token " + body)])
+    dup = D.cdc_chunk_dedup(docs, k=4, mod=8).collect()
+    assert dup, "shifted copy must share at least one content-defined chunk"
+    assert all(r["canonical_doc_id"] == 1 and r["n_copies"] == 2 for r in dup)
