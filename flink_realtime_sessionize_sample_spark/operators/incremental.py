@@ -71,9 +71,13 @@ def _band_keys(
     docs: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id, bsig) band keys; band_idx folded into the string so the probe
-    join has ONE key column — the bucketed-layout requirement."""
+    join has ONE key column — the bucketed-layout requirement. Works on
+    both batch and streaming frames (the partition-spread probe uses
+    ``.rdd``, which streaming forbids — a streaming micro-batch already
+    arrives pre-split by the source)."""
+    spread = docs if docs.isStreaming else fan_out(docs)
     base = (
-        with_shingles(fan_out(docs), text_col, k)
+        with_shingles(spread, text_col, k)
         .filter(F.size("toks") >= k)
         .select(id_col, "sh")
     )
@@ -174,3 +178,42 @@ def incremental_dedup(
             .alias("matched_corpus_doc"),
         )
     )
+
+
+def incremental_probe_streams(
+    spark: SparkSession,
+    increment_stream: DataFrame,
+    exact_table: str = "dedup_idx_exact",
+    bands_table: str = "dedup_idx_bands",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The STREAMING probe: fingerprint each arriving increment doc and
+    join it against the persisted index — both joins are STATELESS
+    stream-static joins (the static index side re-resolves per
+    micro-batch, reading through its bucketed layout), so this runs in
+    append mode with no watermark and no state store: the Kafka-ingest
+    dedup shape, where every micro-batch's verdicts ship to the sink as
+    they arrive.
+
+    Returns two streaming frames (grouping a stream needs event-time
+    machinery the decision doesn't; the per-doc min over band matches is
+    the CONSUMER's rollup — see the registered query):
+      * exact matches: (id, _exact_doc nullable) — one row per doc;
+      * near candidates: (id, _near_doc) — one row per matching band sig.
+    """
+    inc_hash = increment_stream.select(
+        F.col(id_col), _content_hash(text_col).alias("content_hash")
+    )
+    exact = inc_hash.join(spark.table(exact_table), "content_hash", "left").select(
+        F.col(id_col), F.col("canonical_doc_id").alias("_exact_doc")
+    )
+    near = (
+        _band_keys(increment_stream, text_col, id_col, k, num_hashes, bands)
+        .join(spark.table(bands_table), "bsig")
+        .select(F.col(id_col), F.col("canonical_doc_id").alias("_near_doc"))
+    )
+    return exact, near

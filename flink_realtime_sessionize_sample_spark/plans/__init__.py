@@ -78,6 +78,7 @@ _DRIVER_WINDOW: list[str] = [
     "semantic_dedup_semdedup",
     "substring_dedup_coverage",
     "cdc_chunk_dedup",
+    "stream_incremental_index_dedup",
 ]
 
 

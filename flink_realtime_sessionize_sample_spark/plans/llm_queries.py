@@ -2263,9 +2263,10 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 6: incremental corpus-vs-index dedup ---------------------------
 
 
-@query(
-    "dedup_incremental_index",
-    oracle=_DOC_SHINGLES_CTE
+# Shared by the batch probe and its streaming (stream-static join) twin:
+# both must equal full-corpus dedup restricted to the increment.
+_INCREMENTAL_ORACLE = (
+    _DOC_SHINGLES_CTE
     + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
     + f"""
 , cex AS (
@@ -2296,8 +2297,11 @@ SELECT i.doc_id,
 FROM iex i
 LEFT JOIN cex e USING (content_hash)
 LEFT JOIN nearm n ON n.doc_id = i.doc_id
-""",
+"""
 )
+
+
+@query("dedup_incremental_index", oracle=_INCREMENTAL_ORACLE)
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup of an incoming batch against a PERSISTED
     fingerprint index — the production shape for a growing corpus
@@ -2476,3 +2480,77 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of shifted copies still dedup — the storage-dedup primitive applied
     to corpus text. One shuffle total (the chunk-hash aggregate)."""
     return D.cdc_chunk_dedup(load_table(spark, sf_dir, "documents"), k=4, mod=8)
+
+
+@query("stream_incremental_index_dedup", oracle=_INCREMENTAL_ORACLE)
+def stream_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-ingest shape of incremental dedup: the increment arrives
+    as a STREAM (2 micro-batches via maxFilesPerTrigger=1) and every doc is
+    graded against the persisted bucketed fingerprint index through
+    STATELESS stream-static joins — append mode, no watermark, no state
+    store; verdicts ship to the sink as each micro-batch lands
+    (operators/incremental.py::incremental_probe_streams). The final
+    rollup (per-doc min over band matches + verdict CASE) runs batch-side
+    over the sink tables, exactly as a downstream consumer would. Oracle:
+    the SAME full-corpus SQL as ``dedup_incremental_index`` — streaming
+    probe ≡ batch probe ≡ full-corpus dedup restricted to the increment,
+    all value-hash checked."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from flink_realtime_sessionize_sample_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_probe_streams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    increment = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+    build_dedup_index(corpus, "s_idx_exact", "s_idx_bands")
+
+    src = _tempfile.mkdtemp(prefix="inc_stream_src_")
+    try:
+        # Two parquet files → two micro-batches (deterministic split).
+        increment.filter(F.col("doc_id") % 20 < 18).write.parquet(f"{src}/a")
+        increment.filter(F.col("doc_id") % 20 >= 18).write.parquet(f"{src}/b")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        exact_s, near_s = incremental_probe_streams(
+            spark, stream, "s_idx_exact", "s_idx_bands"
+        )
+        qe = f"inc_exact_{_uuid.uuid4().hex[:8]}"
+        qn = f"inc_near_{_uuid.uuid4().hex[:8]}"
+        h1 = (
+            exact_s.writeStream.format("memory").queryName(qe)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        h2 = (
+            near_s.writeStream.format("memory").queryName(qn)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not (h1.awaitTermination(600) and h2.awaitTermination(600)):
+            h1.stop()
+            h2.stop()
+            raise RuntimeError("stream_incremental_index_dedup: replay hung")
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
+
+    exact_m = spark.table(qe)
+    near_m = spark.table(qn).groupBy("doc_id").agg(
+        F.min("_near_doc").alias("_near_doc")
+    )
+    verdict = (
+        F.when(F.col("_exact_doc").isNotNull(), F.lit("exact"))
+        .when(F.col("_near_doc").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    return exact_m.join(near_m, "doc_id", "left").select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.coalesce("_exact_doc", "_near_doc").cast("double").alias("matched_corpus_doc"),
+    )
