@@ -79,6 +79,7 @@ _DRIVER_WINDOW: list[str] = [
     "substring_dedup_coverage",
     "cdc_chunk_dedup",
     "stream_incremental_index_dedup",
+    "dedup_survivor_corpus",
 ]
 
 

@@ -2554,3 +2554,142 @@ def stream_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         verdict.alias("verdict"),
         F.coalesce("_exact_doc", "_near_doc").cast("double").alias("matched_corpus_doc"),
     )
+
+
+@query(
+    "dedup_survivor_corpus",
+    oracle=_DOC_SHINGLES_CTE
+    + f"""
+, ex AS (SELECT doc_id, len(sh) AS _n, unnest(sh) AS s FROM nonempty),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, _n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY _df ASC, s ASC) AS _pos
+    FROM (SELECT doc_id, s, _n, count(*) OVER (PARTITION BY s) AS _df FROM ex)
+  ) WHERE _pos <= _n - ceil(0.5 * _n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+near_pruned AS (
+  SELECT DISTINCT doc_b AS doc_id FROM verified WHERE common::DOUBLE / uni >= 0.5
+),
+exact_pruned AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY {T.h48_duck('lower(trim(text))')}) AS c_doc
+    FROM documents
+  ) WHERE doc_id <> c_doc
+),
+w AS (
+  SELECT doc_id, n, pos,
+         {T.h48_duck("array_to_string(tt[pos:pos+7], ' ')")} AS h
+  FROM (SELECT doc_id, t AS tt, len(t)::BIGINT AS n,
+               unnest(range(1, len(t) - 8 + 2)) AS pos
+        FROM tok WHERE len(t) >= 8)
+),
+dupw AS (
+  SELECT doc_id, n, pos, pos + 7 AS endp FROM (
+    SELECT doc_id, n, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+gg AS (
+  SELECT doc_id, n, pos, endp,
+         CASE WHEN pos > coalesce(max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS brk
+  FROM dupw
+),
+isl AS (
+  SELECT doc_id, n, pos, endp,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM gg
+),
+cov_pruned AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, any_value(n) AS n, sum(mx - mn + 1) AS dup_tokens FROM (
+      SELECT doc_id, grp, any_value(n) AS n, min(pos) AS mn, max(endp) AS mx
+      FROM isl GROUP BY doc_id, grp
+    ) GROUP BY doc_id
+  ) WHERE dup_tokens > 0.5 * n
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN nr.doc_id IS NOT NULL THEN 'near'
+            WHEN cv.doc_id IS NOT NULL THEN 'substring'
+            ELSE NULL END AS reason,
+       (e.doc_id IS NULL AND nr.doc_id IS NULL AND cv.doc_id IS NULL) AS keep
+FROM documents d
+LEFT JOIN exact_pruned e ON e.doc_id = d.doc_id
+LEFT JOIN near_pruned nr ON nr.doc_id = d.doc_id
+LEFT JOIN cov_pruned cv ON cv.doc_id = d.doc_id
+""",
+)
+def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION: one row per document with keep/prune
+    and the first firing rule — the query a pipeline operator actually
+    ships. Tiers compose keep-first, strongest evidence wins:
+      1. ``exact``    — a smaller-id doc has identical normalized text;
+      2. ``near``     — a smaller-id doc with shingle Jaccard ≥ 0.5
+                        (exact PPJoin tier, not the probabilistic LSH);
+      3. ``substring``— > 50 % of the doc's tokens sit inside ≥ 8-token
+                        spans that occurred earlier in the corpus.
+    Each tier is the already-verified operator
+    (operators/dedup.py::{{exact_dedup_groups, ngram_jaccard_pairs,
+    substring_dedup_coverage}}); this query is their broadcast-join
+    composition, and the oracle recomputes all three tiers + the CASE in
+    one SQL statement — a full value-hash check of the composed decision,
+    not a bounds audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_pruned = (
+        D.exact_dedup_groups(docs)
+        .filter(F.col("n_copies") > 1)
+        .join(
+            docs.select(
+                "doc_id",
+                F.expr(T.h48_spark("lower(trim(text))")).alias("content_hash"),
+            ),
+            "content_hash",
+        )
+        .filter(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select("doc_id")
+    )
+    near_pruned = (
+        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    cov_pruned = (
+        D.substring_dedup_coverage(docs, min_span=8)
+        .filter(F.col("dup_tokens") > 0.5 * F.col("n_tokens"))
+        .select("doc_id")
+    )
+    reason = (
+        F.when(F.col("_ex").isNotNull(), F.lit("exact"))
+        .when(F.col("_nr").isNotNull(), F.lit("near"))
+        .when(F.col("_cv").isNotNull(), F.lit("substring"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_pruned.withColumn("_ex", F.lit(1)), "doc_id", "left")
+        .join(near_pruned.withColumn("_nr", F.lit(1)), "doc_id", "left")
+        .join(cov_pruned.withColumn("_cv", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            reason.alias("reason"),
+            (
+                F.col("_ex").isNull() & F.col("_nr").isNull() & F.col("_cv").isNull()
+            ).alias("keep"),
+        )
+    )
