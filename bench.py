@@ -94,6 +94,13 @@ HEADLINE = [
     "forecast_revenue_q6",
     "national_market_share_q8",
     "excess_stock_suppliers_q20",
+    # round-6: the corpus-dedup completion set — substring spans (window
+    # hashing + islands), content-defined chunking, the persisted-index
+    # incremental probe, and the composed keep/prune decision
+    "substring_dedup_spans",
+    "cdc_chunk_dedup",
+    "dedup_incremental_index",
+    "dedup_survivor_corpus",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
