@@ -607,6 +607,7 @@ def duplicate_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_span: int = 8,
+    max_window_df: int | None = None,
 ) -> DataFrame:
     """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every maximal token span
@@ -640,8 +641,17 @@ def duplicate_substring_spans(
 
     Output: (doc_id, span_start, span_len_tokens) — 1-based token offset,
     maximal-run length; rows only for docs containing duplicated spans.
+
+    SKEW: a boilerplate window shared by millions of documents lands in
+    ONE first-occurrence rank partition — a bounded straggler (rows are
+    ~24-byte narrow fingerprints, never text), but for adversarial
+    template corpora ``max_window_df`` drops ultra-hot windows outright
+    via a broadcast anti-join before ranking (documented approximation:
+    spans consisting ONLY of such boilerplate go unreported — usually the
+    desired behavior, since template boilerplate is removed by its own
+    filters; default off, mirroring ``max_shingle_df``).
     """
-    dup = _duplicated_windows(docs, text_col, id_col, min_span)
+    dup = _duplicated_windows(docs, text_col, id_col, min_span, max_window_df)
     by_doc = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
     return (
         dup.withColumn("_grp", F.col("pos") - F.row_number().over(by_doc))
@@ -655,7 +665,11 @@ def duplicate_substring_spans(
 
 
 def _duplicated_windows(
-    docs: DataFrame, text_col: str, id_col: str, min_span: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_span: int,
+    max_window_df: int | None = None,
 ) -> DataFrame:
     """(id, _n, pos): every min_span-token window position whose window
     content occurred earlier in (doc_id, pos) order, with the doc's token
@@ -683,6 +697,11 @@ def _duplicated_windows(
             F.col(id_col), "_n", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
         )
     )
+    if max_window_df is not None:
+        hot = (
+            wins.groupBy("h").count().filter(F.col("count") > max_window_df).select("h")
+        )
+        wins = wins.join(F.broadcast(hot), "h", "left_anti")
     first = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
     return (
         wins.withColumn("_rn", F.row_number().over(first))
@@ -696,6 +715,7 @@ def substring_dedup_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_span: int = 8,
+    max_window_df: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-token coverage: how many of each doc's
     tokens sit inside SOME duplicated ≥ min_span-token window — the
@@ -714,9 +734,9 @@ def substring_dedup_coverage(
     Output: (doc_id, n_tokens, dup_tokens, dup_fraction) — docs with ≥ 1
     duplicated window only (no-dup docs have coverage 0 by definition).
     """
-    dup = _duplicated_windows(docs, text_col, id_col, min_span).withColumn(
-        "_end", F.col("pos") + F.lit(min_span - 1)
-    )
+    dup = _duplicated_windows(
+        docs, text_col, id_col, min_span, max_window_df
+    ).withColumn("_end", F.col("pos") + F.lit(min_span - 1))
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy(F.col("pos").asc())

@@ -561,3 +561,17 @@ def test_cdc_chunk_dedup_survives_prefix_shift(spark):
     dup = D.cdc_chunk_dedup(docs, k=4, mod=8).collect()
     assert dup, "shifted copy must share at least one content-defined chunk"
     assert all(r["canonical_doc_id"] == 1 and r["n_copies"] == 2 for r in dup)
+
+
+def test_substring_spans_max_window_df_drops_boilerplate(spark):
+    # 3 docs sharing one boilerplate 8-gram; with max_window_df=2 the
+    # 3-occurrence window is dropped and no span survives, default keeps it.
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = _docs(
+        spark,
+        [(1, boiler + " x1"), (2, boiler + " x2"), (3, boiler + " x3")],
+    )
+    assert D.duplicate_substring_spans(docs, min_span=8).count() == 2
+    assert (
+        D.duplicate_substring_spans(docs, min_span=8, max_window_df=2).count() == 0
+    )
