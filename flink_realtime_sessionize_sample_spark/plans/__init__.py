@@ -80,6 +80,7 @@ _DRIVER_WINDOW: list[str] = [
     "cdc_chunk_dedup",
     "stream_incremental_index_dedup",
     "dedup_survivor_corpus",
+    "dsir_importance_sampling",
 ]
 
 

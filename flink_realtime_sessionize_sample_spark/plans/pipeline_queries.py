@@ -477,3 +477,111 @@ def doc_chunk_overlap_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
         )
     )
+
+
+# --- DSIR-style importance resampling (round 6) ---------------------------
+
+
+@query(
+    "dsir_importance_sampling",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_D}) AS w FROM documents),
+bk AS (SELECT doc_id, lang, {T.h48_duck('w')} % 64 AS b FROM tok),
+tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+rawc AS (SELECT b, count(*) AS cr FROM bk WHERE lang <> 'en' GROUP BY b),
+nt AS (SELECT sum(ct)::DOUBLE AS n FROM tgt),
+nr AS (SELECT sum(cr)::DOUBLE AS n FROM rawc),
+q AS (
+  SELECT g.b,
+         round((ln(coalesce(ct, 0) + 1) - ln(nt.n + 64)
+                - ln(coalesce(cr, 0) + 1) + ln(nr.n + 64)) * 1000000)::BIGINT AS qv
+  FROM range(0, 64) g(b)
+  LEFT JOIN tgt ON tgt.b = g.b
+  LEFT JOIN rawc ON rawc.b = g.b
+  CROSS JOIN nt CROSS JOIN nr
+),
+scored AS (
+  SELECT bk.doc_id, sum(qv)::BIGINT AS w_int, count(*) AS n_tokens
+  FROM bk JOIN q ON bk.b = q.b
+  WHERE bk.lang <> 'en'
+  GROUP BY bk.doc_id
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(w_int / 1000000.0, 6) AS logweight,
+       rank::INT AS rank
+FROM (
+  SELECT doc_id, n_tokens, w_int,
+         row_number() OVER (ORDER BY w_int DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 50
+""",
+)
+def dsir_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by its hashed-unigram importance under a bag-of-words model of the
+    TARGET distribution (here: the English slice) vs the RAW distribution
+    (everything else), keep the top 50 — the published method for picking
+    pretraining data that "looks like" a curated target set.
+
+    Determinism is engineered, not hoped for: the per-bucket Laplace
+    log-ratio is quantized to integer MICRO-units (×1e6, the PCA queries'
+    e6 trick), so each document's weight is an exact INTEGER sum — immune
+    to float summation order across partitions, which a naive Σ log(p/q)
+    over thousands of tokens is not. Scale shape: one explode + two
+    64-row hash aggregates build the model; scoring joins each token's
+    bucket against the 64-row broadcast table and sums per doc — the
+    corpus shuffles once; the model state is 64 rows regardless of corpus
+    size. Top-50 via TakeOrderedAndProject (never a global sort); the
+    rank window runs over the already-limited 50 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
+    bk = ex.select(
+        "doc_id", "lang", F.pmod(F.expr(T.h48_spark("w")), F.lit(64)).alias("b")
+    )
+    tgt = bk.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    rawc = bk.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    nt = tgt.agg(F.sum("ct").cast("double").alias("nt"))
+    nr = rawc.agg(F.sum("cr").cast("double").alias("nr"))
+    q = (
+        spark.range(64).select(F.col("id").alias("b"))
+        .join(tgt, "b", "left")
+        .join(rawc, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - F.log(F.col("nt") + 64)
+                    - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    + F.log(F.col("nr") + 64)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    scored = (
+        bk.filter(F.col("lang") != "en")
+        .join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("qv").cast("long").alias("w_int"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    top = scored.orderBy(F.col("w_int").desc(), F.col("doc_id").asc()).limit(50)
+    w = Window.orderBy(F.col("w_int").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("w_int") / 1000000.0, 6).alias("logweight"),
+        "rank",
+    )
