@@ -81,6 +81,7 @@ _DRIVER_WINDOW: list[str] = [
     "stream_incremental_index_dedup",
     "dedup_survivor_corpus",
     "dsir_importance_sampling",
+    "bpe_train_merges",
 ]
 
 

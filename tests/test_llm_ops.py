@@ -575,3 +575,57 @@ def test_substring_spans_max_window_df_drops_boilerplate(spark):
     assert (
         D.duplicate_substring_spans(docs, min_span=8, max_window_df=2).count() == 0
     )
+
+
+def _canonical_bpe(word_counts, n_merges):
+    """Array-walk reference BPE trainer: leftmost non-overlapping merge of
+    the globally top pair (count desc, pair asc), frequency-weighted."""
+    states = {w: list(w) for w in word_counts}
+    merges = []
+    for it in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, syms in states.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, a, b, c))
+        for w, syms in states.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            states[w] = out
+    return merges
+
+
+def test_bpe_train_matches_canonical_reference(spark):
+    """Adversarial run-heavy vocabulary: back-to-back occurrences of the
+    top pair ([a,b,a,b,...], [a,a,a,a]) are exactly where a single
+    string-replace pass would under-merge — the two-pass merge must equal
+    the canonical array-walk trainer merge-for-merge."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        bpe_train_frame,
+    )
+
+    words = {"abababab": 4, "aaaa": 3, "abba": 2, "cab": 5, "abcab": 1}
+    # one doc per word copy so corpus token counts equal the weights
+    rows = []
+    i = 0
+    for w, n in words.items():
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["iteration"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_frame(docs, n_merges=5, top_words=200)
+        .orderBy("iteration")
+        .collect()
+    ]
+    assert got == _canonical_bpe(words, 5)
