@@ -101,6 +101,10 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "dedup_incremental_index",
     "dedup_survivor_corpus",
+    # round-6 continuation: target-distribution data selection and the
+    # declarative 5-round BPE trainer
+    "dsir_importance_sampling",
+    "bpe_train_merges",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -529,6 +533,28 @@ def main() -> None:
     force(duplicate_substring_spans(docs_10x_lin))
     t_ss_10x = time.perf_counter() - t0
 
+    # Incremental-probe scale smoke (round 6): the production-repeated op
+    # is the PROBE (the index build runs once per corpus epoch), so it is
+    # what must stay linear. Permuted-clone corpus keeps the near-match
+    # workload ~linear; clone ids preserve the %10 corpus/increment split.
+    from flink_realtime_sessionize_sample_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    def _probe_time(all_docs) -> float:
+        corpus = all_docs.filter(F.col("doc_id") % 10 < 8)
+        inc = all_docs.filter(F.col("doc_id") % 10 >= 8)
+        build_dedup_index(corpus, "bench_idx_e", "bench_idx_b")
+        probe = incremental_dedup(spark, inc, "bench_idx_e", "bench_idx_b")
+        force(probe)  # warm (and JIT the probe plan against this index)
+        t0 = time.perf_counter()
+        force(probe)
+        return time.perf_counter() - t0
+
+    t_ip_1x = _probe_time(docs)
+    t_ip_10x = _probe_time(docs_10x_lin)
+
     print(
         json.dumps(
             {
@@ -592,6 +618,11 @@ def main() -> None:
                 "scale_smoke_substring_10x_sec": round(t_ss_10x, 3),
                 "scale_smoke_substring_10x_ratio_vs_linear": round(
                     t_ss_10x / (10 * t_ss_1x), 3
+                ),
+                "scale_smoke_incremental_probe_1x_sec": round(t_ip_1x, 3),
+                "scale_smoke_incremental_probe_10x_sec": round(t_ip_10x, 3),
+                "scale_smoke_incremental_probe_10x_ratio_vs_linear": round(
+                    t_ip_10x / (10 * t_ip_1x), 3
                 ),
             }
         )

@@ -316,6 +316,9 @@ _GENERATE_HEAVY = [
     "heavy_hitters_bigrams",
     "doc_sparse_cosine_pairs",
     "substring_dedup_spans",
+    "substring_dedup_coverage",
+    "cdc_chunk_dedup",
+    "bpe_train_merges",
 ]
 
 
