@@ -217,3 +217,116 @@ def incremental_probe_streams(
         .select(F.col(id_col), F.col("canonical_doc_id").alias("_near_doc"))
     )
     return exact, near
+
+
+def build_plain_index(
+    corpus: DataFrame,
+    exact_table: str,
+    bands_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Index epoch for the APPEND-maintained variant: plain managed tables
+    (no bucket spec) so streaming micro-batches can ``insertInto`` them.
+    Production operates exactly this way — appends land unbucketed and a
+    periodic compaction job rewrites the epoch bucketed
+    (``build_dedup_index``); the probe meanwhile pays one extra index-side
+    exchange, the classic freshness-vs-layout trade."""
+    spark = corpus.sparkSession
+    _drop_stale_table(spark, exact_table)
+    _drop_stale_table(spark, bands_table)
+    exact = (
+        corpus.select(F.col(id_col), _content_hash(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_doc_id"))
+    )
+    exact.write.mode("overwrite").saveAsTable(exact_table)
+    bsigs = (
+        _band_keys(corpus, text_col, id_col, k, num_hashes, bands)
+        .groupBy("bsig")
+        .agg(F.min(id_col).alias("canonical_doc_id"))
+    )
+    bsigs.write.mode("overwrite").saveAsTable(bands_table)
+
+
+def stream_index_update_writer(
+    spark: SparkSession,
+    increment_stream: DataFrame,
+    exact_table: str,
+    bands_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+):
+    """GROW the fingerprint index from a stream: per micro-batch,
+    probe-then-append inside ``foreachBatch`` — the index-maintenance half
+    of incremental dedup (the probe query is the read half).
+
+    Per batch: a document is ACCEPTED iff its content hash misses the
+    exact tier AND none of its MinHash bands hit the band tier — probed
+    against the index AS OF the previous batch, so batch 2 correctly
+    dedups against batch 1's accepted docs (grow-as-you-ingest). Accepted
+    docs contribute ALL their fingerprints (grouped min within the
+    batch); rejected duplicates contribute nothing — their canonical is
+    already indexed. Appends are plain ``insertInto`` (see
+    ``build_plain_index`` for the compaction story).
+
+    Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint).
+    """
+
+    def _update(batch_df, _batch_id) -> None:
+        hashes = batch_df.select(
+            F.col(id_col), _content_hash(text_col).alias("content_hash")
+        )
+        bkeys = _band_keys(batch_df, text_col, id_col, k, num_hashes, bands)
+        exact_hit = hashes.join(
+            spark.table(exact_table), "content_hash", "left_semi"
+        ).select(id_col)
+        band_hit = bkeys.join(
+            spark.table(bands_table), "bsig", "left_semi"
+        ).select(id_col)
+        dup_ids = exact_hit.union(band_hit).distinct()
+        # FREEZE the accepted set under the as-of-previous-batch index by
+        # spilling it to a per-batch temp parquet and re-reading. Anything
+        # lazier breaks: plain lineage re-evaluates `unique` for the
+        # second append AFTER the exact tier already contains this
+        # batch's own hashes (every doc self-matches, zero band rows —
+        # observed); a cache does not survive either, because
+        # `insertInto` refreshes the target table which invalidates every
+        # cached plan referencing it (observed: cached frame recounted 0
+        # post-insert). The spill is tiny (accepted fingerprint columns
+        # only) and is the standard freeze pattern inside foreachBatch.
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        tmp = _tempfile.mkdtemp(prefix="idx_update_batch_")
+        try:
+            batch_df.join(dup_ids, id_col, "left_anti").write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/uniq")
+            unique = spark.read.parquet(f"{tmp}/uniq")
+            (
+                unique.select(
+                    F.col(id_col), _content_hash(text_col).alias("content_hash")
+                )
+                .groupBy("content_hash")
+                .agg(F.min(id_col).alias("canonical_doc_id"))
+                .write.mode("append")
+                .insertInto(exact_table)
+            )
+            (
+                _band_keys(unique, text_col, id_col, k, num_hashes, bands)
+                .groupBy("bsig")
+                .agg(F.min(id_col).alias("canonical_doc_id"))
+                .write.mode("append")
+                .insertInto(bands_table)
+            )
+        finally:
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+    return increment_stream.writeStream.foreachBatch(_update)

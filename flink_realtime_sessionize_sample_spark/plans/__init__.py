@@ -82,6 +82,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_survivor_corpus",
     "dsir_importance_sampling",
     "bpe_train_merges",
+    "stream_index_update_roundtrip",
 ]
 
 

@@ -2821,3 +2821,131 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iteration, left_sym, right_sym, pair_count) — the trained tokenizer
     artifact."""
     return bpe_train_frame(load_table(spark, sf_dir, "documents"), 5, 200)
+
+
+def _index_update_oracle() -> str:
+    """Three-round index-growth simulation: corpus epoch, then batch a
+    (doc_id%20 ∈ {8,9}) probed+appended, then batch b ({18,19}) probed
+    against the GROWN index — replicating foreachBatch's sequential
+    probe-then-append semantics in pure SQL."""
+    hashes = f"SELECT doc_id, {T.h48_duck('lower(trim(text))')} AS ch FROM documents"
+    prelude = (
+        _DOC_SHINGLES_CTE
+        + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+        + f"""
+, hashes AS ({hashes}),
+bandkeys AS (
+  SELECT doc_id, band_idx::VARCHAR || '|' || sig AS bsig FROM bands
+),
+i0_ex AS (SELECT ch, min(doc_id) AS cd FROM hashes WHERE doc_id % 10 < 8 GROUP BY ch),
+i0_bd AS (SELECT bsig, min(doc_id) AS cd FROM bandkeys WHERE doc_id % 10 < 8 GROUP BY bsig)
+"""
+    )
+    rounds = []
+    prev = "i0"
+    for rnd, pred in (("a", "doc_id % 20 IN (8, 9)"), ("b", "doc_id % 20 IN (18, 19)")):
+        rounds.append(
+            f"""
+, {rnd}_dup AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT h.doc_id FROM hashes h JOIN {prev}_ex i ON h.ch = i.ch WHERE h.{pred}
+    UNION
+    SELECT b.doc_id FROM bandkeys b JOIN {prev}_bd i ON b.bsig = i.bsig WHERE b.{pred}
+  )
+),
+{rnd}_uniq AS (
+  SELECT doc_id FROM documents WHERE {pred}
+  AND doc_id NOT IN (SELECT doc_id FROM {rnd}_dup)
+),
+{rnd}_ex AS (
+  SELECT ch, cd FROM {prev}_ex
+  UNION ALL
+  SELECT ch, min(doc_id) AS cd FROM hashes
+  WHERE doc_id IN (SELECT doc_id FROM {rnd}_uniq) GROUP BY ch
+),
+{rnd}_bd AS (
+  SELECT bsig, cd FROM {prev}_bd
+  UNION ALL
+  SELECT bsig, min(doc_id) AS cd FROM bandkeys
+  WHERE doc_id IN (SELECT doc_id FROM {rnd}_uniq) GROUP BY bsig
+)"""
+        )
+        prev = rnd
+    tail = """
+SELECT 'exact' AS kind, ch::VARCHAR AS key, cd AS canonical_doc_id FROM b_ex
+UNION ALL
+SELECT 'band' AS kind, bsig AS key, cd AS canonical_doc_id FROM b_bd
+"""
+    return prelude + "".join(rounds) + tail
+
+
+@query("stream_index_update_roundtrip", oracle=_index_update_oracle())
+def stream_index_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE under streaming ingest — the write half of
+    incremental dedup: the fingerprint index must GROW as increments are
+    accepted. The increment arrives as two ordered micro-batches; each
+    batch is probed against the index AS OF the previous batch inside
+    ``foreachBatch``, accepted (fully novel) docs append their
+    fingerprints, rejected duplicates append nothing — so batch 2
+    correctly dedups against batch 1's accepted docs
+    (operators/incremental.py::stream_index_update_writer). The result is
+    the FINAL index contents (exact + band tiers), and the oracle
+    replays the same three-round simulation in pure SQL — the value-hash
+    row proves grow-as-you-ingest ≡ the sequential batch semantics."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from flink_realtime_sessionize_sample_spark.operators.incremental import (
+        build_plain_index,
+        stream_index_update_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    build_plain_index(corpus, "ui_idx_exact", "ui_idx_bands")
+
+    src = _tempfile.mkdtemp(prefix="idx_update_src_")
+    ckpt = _tempfile.mkdtemp(prefix="idx_update_ckpt_")
+    try:
+        # One part-file per batch; explicit mtimes pin the processing
+        # order (FileStreamSource drains oldest-first).
+        inc = docs.select("doc_id", "text").filter(F.col("doc_id") % 10 >= 8)
+        # batch a = doc_id%20 in {8,9}; batch b = {18,19}
+        inc.filter(F.col("doc_id") % 20 < 10).coalesce(1).write.parquet(f"{src}/a")
+        inc.filter(F.col("doc_id") % 20 >= 10).coalesce(1).write.parquet(f"{src}/b")
+        now = _time.time()
+        for sub, age in (("a", 20.0), ("b", 10.0)):
+            for f in _os.listdir(f"{src}/{sub}"):
+                _os.utime(f"{src}/{sub}/{f}", (now - age, now - age))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        h = (
+            stream_index_update_writer(spark, stream, "ui_idx_exact", "ui_idx_bands")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not h.awaitTermination(600):
+            h.stop()
+            raise RuntimeError("stream_index_update_roundtrip: ingest hung")
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+
+    ex = spark.table("ui_idx_exact").select(
+        F.lit("exact").alias("kind"),
+        F.col("content_hash").cast("string").alias("key"),
+        F.col("canonical_doc_id"),
+    )
+    bd = spark.table("ui_idx_bands").select(
+        F.lit("band").alias("kind"),
+        F.col("bsig").alias("key"),
+        F.col("canonical_doc_id"),
+    )
+    return ex.unionAll(bd)

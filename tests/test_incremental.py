@@ -91,3 +91,49 @@ def test_incremental_probe_index_side_never_shuffles(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_stream_index_update_dedups_across_batches(spark, tmp_path):
+    """Grow-as-you-ingest sequencing: a batch-2 doc identical to a doc
+    ACCEPTED in batch 1 must be rejected (its fingerprints indexed once,
+    canonical = the batch-1 id), because batch 2 probes the grown index."""
+    import os
+    import time
+
+    from flink_realtime_sessionize_sample_spark.operators.incremental import (
+        build_plain_index,
+        stream_index_update_writer,
+    )
+
+    corpus = _docs(spark, [(1, "corpus content entirely its own thing here today")])
+    build_plain_index(corpus, "t_ui_exact", "t_ui_bands")
+    novel = "fresh text that no corpus document contains at all right now"
+    batch_a = _docs(spark, [(10, novel)])
+    batch_b = _docs(spark, [(20, novel), (21, "another brand new unique document body")])
+    src = tmp_path / "src"
+    batch_a.coalesce(1).write.parquet(str(src / "a"))
+    batch_b.coalesce(1).write.parquet(str(src / "b"))
+    now = time.time()
+    for sub, age in (("a", 20.0), ("b", 10.0)):
+        for f in os.listdir(src / sub):
+            os.utime(src / sub / f, (now - age, now - age))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    h = (
+        stream_index_update_writer(spark, stream, "t_ui_exact", "t_ui_bands")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert h.awaitTermination(600)
+    ex = {
+        r["content_hash"]: r["canonical_doc_id"]
+        for r in spark.table("t_ui_exact").collect()
+    }
+    # 3 hashes total: corpus doc, novel (canonical = 10, NOT 20), doc 21.
+    assert len(ex) == 3
+    assert 10 in ex.values() and 21 in ex.values() and 20 not in ex.values()
