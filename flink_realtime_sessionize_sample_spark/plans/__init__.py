@@ -83,6 +83,7 @@ _DRIVER_WINDOW: list[str] = [
     "dsir_importance_sampling",
     "bpe_train_merges",
     "stream_index_update_roundtrip",
+    "doc_trigram_backoff_logprob",
 ]
 
 

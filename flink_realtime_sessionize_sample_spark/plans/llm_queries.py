@@ -2949,3 +2949,145 @@ def stream_index_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("canonical_doc_id"),
     )
     return ex.unionAll(bd)
+
+
+@query(
+    "doc_trigram_backoff_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 0),
+sc AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 1),
+tri AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, count(*) AS c3
+  FROM tr, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  GROUP BY w1, w2, w3
+),
+bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c2
+  FROM tr, unnest(range(1, greatest(len(t), 1))) AS u(i)
+  GROUP BY w1, w2
+),
+uni AS (
+  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w
+),
+tot AS (SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni),
+pos AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+  FROM sc, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN tri.c3 IS NOT NULL THEN tri.c3::DOUBLE / b12.c2
+              WHEN b23.c2 IS NOT NULL THEN 0.4 * b23.c2::DOUBLE / u2.c1
+              ELSE 0.16 * (coalesce(u3.c1, 0) + 1) / (tot.n + tot.v) END AS s,
+         CASE WHEN tri.c3 IS NULL THEN 1 ELSE 0 END AS backed_off
+  FROM pos p
+  LEFT JOIN tri ON p.w1 = tri.w1 AND p.w2 = tri.w2 AND p.w3 = tri.w3
+  LEFT JOIN bi b12 ON p.w1 = b12.w1 AND p.w2 = b12.w2
+  LEFT JOIN bi b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+  LEFT JOIN uni u2 ON p.w2 = u2.w
+  LEFT JOIN uni u3 ON p.w3 = u3.w
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_scored,
+       round(avg(ln(s)), 6) AS avg_logprob,
+       round(sum(backed_off) * 1.0 / count(*), 6) AS backoff_rate
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff (Brants et al. 2007) on a held-out
+    split: the LM trains on even doc_ids, odd docs are scored — so the
+    backoff chain (trigram MLE → 0.4·bigram → 0.16·add-one unigram)
+    genuinely fires, unlike corpus-as-its-own-LM scoring where every
+    observed trigram trivially has count ≥ 1. The per-doc mean
+    log-probability is the CCNet-style quality filter one tier above
+    ``doc_bigram_logprob``; ``backoff_rate`` (an exact integer ratio) is
+    the novelty diagnostic.
+
+    Scale shape: three hash-agg count tables from one tokenize pass over
+    the training half; scoring is five equi joins on token keys — all
+    deliberately hint-free (a web-scale vocabulary is unbounded; AQE
+    broadcasts when the measured build side is small, shuffles when not,
+    exactly as ``doc_unigram_logprob`` documents). Only the 1-row
+    (N, V) total is explicitly broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.expr(_TOKS_S).alias("t"))
+    tr = tok.filter(F.col("doc_id") % 2 == 0)
+    sc = tok.filter(F.col("doc_id") % 2 == 1)
+    tri_expr = (
+        "case when size(t) >= 3 then transform(sequence(1, size(t) - 2), "
+        "i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2, "
+        "element_at(t, i + 2) as w3)) "
+        "else cast(null as array<struct<w1:string,w2:string,w3:string>>) end"
+    )
+    bi_expr = (
+        "case when size(t) >= 2 then transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) as w1, element_at(t, i + 1) as w2)) "
+        "else cast(null as array<struct<w1:string,w2:string>>) end"
+    )
+
+    def _explode(df, expr):
+        return (
+            df.select("doc_id", F.explode_outer(F.expr(expr)).alias("g"))
+            .filter(F.col("g").isNotNull())
+            .select("doc_id", "g.*")
+        )
+
+    tri = _explode(tr, tri_expr).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bi = _explode(tr, bi_expr).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        tr.select(F.explode_outer("t").alias("w"))
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    pos = _explode(sc, tri_expr)
+    b12 = bi.select(
+        F.col("w1").alias("b12_w1"), F.col("w2").alias("b12_w2"), F.col("c2").alias("c12")
+    )
+    b23 = bi.select(
+        F.col("w1").alias("b23_w1"), F.col("w2").alias("b23_w2"), F.col("c2").alias("c23")
+    )
+    u2 = uni.select(F.col("w").alias("u2_w"), F.col("c1").alias("c1_w2"))
+    u3 = uni.select(F.col("w").alias("u3_w"), F.col("c1").alias("c1_w3"))
+    s = (
+        F.when(
+            F.col("c3").isNotNull(), F.col("c3").cast("double") / F.col("c12")
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(0.4) * F.col("c23").cast("double") / F.col("c1_w2"),
+        )
+        .otherwise(
+            F.lit(0.16)
+            * (F.coalesce(F.col("c1_w3"), F.lit(0)) + 1)
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(b12, (F.col("w1") == F.col("b12_w1")) & (F.col("w2") == F.col("b12_w2")), "left")
+        .join(b23, (F.col("w2") == F.col("b23_w1")) & (F.col("w3") == F.col("b23_w2")), "left")
+        .join(u2, F.col("w2") == F.col("u2_w"), "left")
+        .join(u3, F.col("w3") == F.col("u3_w"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(s).alias("lp"),
+            F.when(F.col("c3").isNull(), 1).otherwise(0).alias("backed_off"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.sum("backed_off") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "backoff_rate"
+        ),
+    )
