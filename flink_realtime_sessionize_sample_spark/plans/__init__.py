@@ -84,6 +84,7 @@ _DRIVER_WINDOW: list[str] = [
     "bpe_train_merges",
     "stream_index_update_roundtrip",
     "doc_trigram_backoff_logprob",
+    "kmeans_lloyd_2iter",
 ]
 
 

@@ -890,3 +890,122 @@ def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- fully hash-checked KMeans (round 6) ----------------------------------
+
+_KM_DIM = 64
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_iter_duck(n: int) -> str:
+    """One Lloyd round: integer-exact assignment + quantized recenter."""
+    return f"""
+d{n} AS (
+  SELECT e.vec_id, c.cent_id, sum((e.xq - c.cq) * (e.xq - c.cq)) AS dist
+  FROM exq e JOIN cents{n - 1} c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cent_id
+),
+a{n} AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+    FROM d{n}
+  ) WHERE rn = 1
+),
+m{n} AS (
+  SELECT a.cent_id, e.pos,
+         CAST(round(sum(e.xq)::DOUBLE / count(*)) AS BIGINT) AS cq
+  FROM a{n} a JOIN exq e ON a.vec_id = e.vec_id
+  GROUP BY a.cent_id, e.pos
+),
+cents{n} AS (
+  SELECT p.cent_id, p.pos, coalesce(m.cq, p.cq) AS cq
+  FROM cents{n - 1} p
+  LEFT JOIN m{n} m ON m.cent_id = p.cent_id AND m.pos = p.pos
+)"""
+
+
+@query(
+    "kmeans_lloyd_2iter",
+    oracle=f"""
+WITH exq AS (
+  SELECT vec_id, r.i AS pos,
+         CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS xq
+  FROM embeddings, range(1, {_KM_DIM + 1}) r(i)
+),
+cents0 AS (
+  SELECT vec_id AS cent_id, pos, xq AS cq FROM exq WHERE vec_id < {_KM_K}
+),
+{",".join(_km_iter_duck(n) for n in range(1, _KM_ITERS + 1)).lstrip()},
+sizes AS (SELECT cent_id, count(*) AS n FROM a{_KM_ITERS} GROUP BY cent_id)
+SELECT c.cent_id, c.pos, c.cq AS c_e6, coalesce(s.n, 0)::BIGINT AS n_members
+FROM cents{_KM_ITERS} c LEFT JOIN sizes s ON s.cent_id = c.cent_id
+""",
+)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans as a fully VALUE-HASH-CHECKED distributed iterative
+    algorithm: {_KM_ITERS} Lloyd rounds, k={_KM_K}, deterministic first-k
+    init — the cross-engine-exact sibling of the pyspark.ml codebook
+    (``ann_ivf_trained_topk``, which can only be bounds-audited because
+    k-means|| init varies with partitioning). Here EVERY arithmetic step
+    is order-independent: coordinates quantize to e6 integers per row, so
+    squared distances are exact BIGINT sums (no float summation order),
+    argmin ties break on cent_id, and recentring re-quantizes through
+    round(sum/count) — an IEEE-deterministic ratio of exact integers —
+    so both engines iterate bit-identical centroids (the PCA queries' e6
+    trick applied to clustering). Empty clusters keep their previous
+    centroid.
+
+    Scale shape: the assignment joins each row against the 512-row
+    broadcast centroid table and PARTIAL-AGGREGATES map-side, so the
+    exchange carries k rows per vector, not k×d; recentring is one
+    hash aggregate on (cent, dim). Output: the trained model itself —
+    (cent_id, pos, c_e6, n_members), {_KM_K}×{_KM_DIM} rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exq = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        ).alias("pos0", "xq"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    cents = exq.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cent_id"), "pos", F.col("xq").alias("cq")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d = (
+            exq.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cent_id")
+            .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cent_id")
+        )
+        means = (
+            assign.join(exq, "vec_id")
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.round(F.sum("xq").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq_new")
+            )
+        )
+        cents = (
+            cents.join(means, ["cent_id", "pos"], "left")
+            .select("cent_id", "pos", F.coalesce("cq_new", "cq").alias("cq"))
+        )
+    sizes = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cents.join(sizes, "cent_id", "left")
+        .select(
+            "cent_id",
+            "pos",
+            F.col("cq").alias("c_e6"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_members"),
+        )
+    )
