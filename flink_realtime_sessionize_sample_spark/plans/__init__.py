@@ -85,6 +85,7 @@ _DRIVER_WINDOW: list[str] = [
     "stream_index_update_roundtrip",
     "doc_trigram_backoff_logprob",
     "kmeans_lloyd_2iter",
+    "semantic_dedup_exact_kmeans",
 ]
 
 

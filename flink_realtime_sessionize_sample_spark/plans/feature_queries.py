@@ -927,6 +927,48 @@ cents{n} AS (
 )"""
 
 
+def kmeans_exact_frames(emb: DataFrame):
+    """The integer-exact Lloyd pipeline of ``kmeans_lloyd_2iter`` —
+    returns (centroids (cent_id, pos, cq), final assignment
+    (vec_id, cent_id)); shared with the hash-checked SemDeDup query."""
+    exq = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        ).alias("pos0", "xq"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    cents = exq.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cent_id"), "pos", F.col("xq").alias("cq")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        d = (
+            exq.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cent_id")
+            .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cent_id")
+        )
+        means = (
+            assign.join(exq, "vec_id")
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.round(F.sum("xq").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cq_new")
+            )
+        )
+        cents = (
+            cents.join(means, ["cent_id", "pos"], "left")
+            .select("cent_id", "pos", F.coalesce("cq_new", "cq").alias("cq"))
+        )
+    return cents, assign
+
+
 @query(
     "kmeans_lloyd_2iter",
     oracle=f"""
@@ -963,42 +1005,7 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange carries k rows per vector, not k×d; recentring is one
     hash aggregate on (cent, dim). Output: the trained model itself —
     (cent_id, pos, c_e6, n_members), {_KM_K}×{_KM_DIM} rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    exq = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-        ).alias("pos0", "xq"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
-    cents = exq.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cent_id"), "pos", F.col("xq").alias("cq")
-    )
-    assign = None
-    for _ in range(_KM_ITERS):
-        d = (
-            exq.join(F.broadcast(cents), "pos")
-            .groupBy("vec_id", "cent_id")
-            .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("dist"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
-        assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cent_id")
-        )
-        means = (
-            assign.join(exq, "vec_id")
-            .groupBy("cent_id", "pos")
-            .agg(
-                F.round(F.sum("xq").cast("double") / F.count(F.lit(1)))
-                .cast("long")
-                .alias("cq_new")
-            )
-        )
-        cents = (
-            cents.join(means, ["cent_id", "pos"], "left")
-            .select("cent_id", "pos", F.coalesce("cq_new", "cq").alias("cq"))
-        )
+    cents, assign = kmeans_exact_frames(load_table(spark, sf_dir, "embeddings"))
     sizes = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
     return (
         cents.join(sizes, "cent_id", "left")
@@ -1008,4 +1015,66 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cq").alias("c_e6"),
             F.coalesce("n", F.lit(0)).cast("long").alias("n_members"),
         )
+    )
+
+
+@query(
+    "semantic_dedup_exact_kmeans",
+    oracle=f"""
+WITH exq AS (
+  SELECT vec_id, r.i AS pos,
+         CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS xq
+  FROM embeddings, range(1, {_KM_DIM + 1}) r(i)
+),
+cents0 AS (
+  SELECT vec_id AS cent_id, pos, xq AS cq FROM exq WHERE vec_id < {_KM_K}
+),
+{",".join(_km_iter_duck(n) for n in range(1, _KM_ITERS + 1)).lstrip()},
+e AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+asg AS (SELECT a.vec_id, a.cent_id, e.v, e.nrm FROM a{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id)
+SELECT a.cent_id AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({T.dot_duck('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine
+FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+WHERE round({T.dot_duck('a.v', 'b.v')} / (a.nrm * b.nrm), 6) >= 0.4
+""",
+)
+def semantic_dedup_exact_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the whole pipeline VALUE-HASH-CHECKED: clusters come
+    from the integer-exact Lloyd rounds (``kmeans_lloyd_2iter`` — both
+    engines iterate bit-identical centroids, so cluster membership is
+    deterministic), then cosine ≥ 0.4 near-dup pairs are scored WITHIN
+    clusters only — the end-to-end semantic dedup whose every emitted
+    row the oracle reproduces, upgrading the pyspark.ml-codebook variant
+    (``semantic_dedup_semdedup``, bounds-audited by necessity) to a full
+    hash gate. Same scale shape: pair work is Σ|cluster|², every join an
+    equi join on cent_id, no all-pairs scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assign = kmeans_exact_frames(emb)
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(T.norm_spark("embedding")).alias("nrm"),
+    )
+    asg = assign.join(e, "vec_id")
+    a = asg.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    b = asg.select(
+        "cent_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    cos = F.expr(T.dot_spark("_va", "_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select(F.col("cent_id").alias("cluster"), "vec_a", "vec_b", "cosine")
     )
