@@ -86,6 +86,7 @@ _DRIVER_WINDOW: list[str] = [
     "doc_trigram_backoff_logprob",
     "kmeans_lloyd_2iter",
     "semantic_dedup_exact_kmeans",
+    "ann_ivf_exact_kmeans_topk",
 ]
 
 

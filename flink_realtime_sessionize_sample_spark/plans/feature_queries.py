@@ -1078,3 +1078,112 @@ def semantic_dedup_exact_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.4)
         .select(F.col("cent_id").alias("cluster"), "vec_a", "vec_b", "cosine")
     )
+
+
+@query(
+    "ann_ivf_exact_kmeans_topk",
+    oracle=f"""
+WITH exq AS (
+  SELECT vec_id, r.i AS pos,
+         CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS xq
+  FROM embeddings, range(1, {_KM_DIM + 1}) r(i)
+),
+cents0 AS (
+  SELECT vec_id AS cent_id, pos, xq AS cq FROM exq WHERE vec_id < {_KM_K}
+),
+{",".join(_km_iter_duck(n) for n in range(1, _KM_ITERS + 1)).lstrip()},
+dq AS (
+  SELECT e.vec_id, c.cent_id, sum((e.xq - c.cq) * (e.xq - c.cq)) AS dist
+  FROM exq e JOIN cents{_KM_ITERS} c ON e.pos = c.pos
+  WHERE e.vec_id % 100 = 0
+  GROUP BY e.vec_id, c.cent_id
+),
+probe AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+    FROM dq
+  ) WHERE rn <= 3
+),
+e AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+corpus_cells AS (SELECT a.vec_id, a.cent_id, e.v, e.nrm FROM a{_KM_ITERS} a JOIN e ON e.vec_id = a.vec_id),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS cosine
+  FROM probe p
+  JOIN corpus_cells c ON c.cent_id = p.cent_id
+  JOIN e q ON q.vec_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_exact_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with the WHOLE index value-hash-checked: cells come
+    from the integer-exact Lloyd rounds (deterministic membership both
+    engines), queries (vec_id % 100 = 0) probe their nprobe=3 nearest
+    cells by the same exact integer distance, candidates score by cosine
+    rounded at 6dp with neighbor-id tie-break — every emitted (query,
+    neighbor, rank, cosine) row oracle-reproduced, unlike the
+    pyspark.ml-codebook IVF variants whose init forces bounds-style
+    audits. Scale shape identical to ``ann_ivf_trained_topk``: bucketed
+    candidate generation via the cell equi join, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assign = kmeans_exact_frames(emb)
+    exq = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            )
+        ).alias("pos0", "xq"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    dq = (
+        exq.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias(
+                "dist"
+            )
+        )
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
+    probe = (
+        dq.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(T.norm_spark("embedding")).alias("nrm"),
+    )
+    corpus_cells = assign.join(e, "vec_id").select(
+        "cent_id", F.col("vec_id").alias("c_id"), F.col("v").alias("c_v"), F.col("nrm").alias("c_nrm")
+    )
+    q = e.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_nrm")
+    )
+    cos = F.expr(T.dot_spark("c_v", "q_v")) / (F.col("c_nrm") * F.col("q_nrm"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        probe.join(corpus_cells, "cent_id")
+        .join(q, F.col("query_id") == F.col("q_id"))
+        .filter(F.col("c_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("c_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
