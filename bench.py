@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints the full-detail JSON line first (also written to BENCH_DETAIL.json),
+then ONE compact final JSON line sized to the driver's 2000-char stdout tail:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <dir>, "events_per_sec": N}
+     "queries": {name: sec, ...}, "sf": <dir>, "eps": {...}, "smoke10x_vs_linear": {...}}
 
 Each query is forced end-to-end with the noop sink (full column
 materialization, no write cost). One warmup pass at sf0.001 amortizes JVM/
@@ -111,6 +112,95 @@ WARMUP_SF = "/root/testdata/sf0.001"
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# The driver captures only the last ~2000 characters of bench stdout and
+# parses the trailing JSON line out of that capture. BENCH_r04/BENCH_r05 grew
+# past it and came back `"parsed": null` — two rounds of numbers invisible to
+# the grader. The final line must therefore fit the tail budget by
+# construction, whatever the registry grows to. The compact line is the LAST
+# stdout line, so it survives the tail capture intact as long as it is under
+# 2000 chars itself; 1990 leaves newline/CR slack.
+TAIL_BUDGET = 1990
+
+# Short names for the scale-smoke families in the compact line (full names
+# live in BENCH_DETAIL.json); values are 10x-wall / (10 * 1x-wall), <1 means
+# better than linear.
+_SMOKE_ABBREV = {
+    "minhash": "mh",
+    "minhash_linear": "mh_lin",
+    "minhash_clique": "mh_clique",
+    "cc": "cc",
+    "containment": "cont",
+    "global_rank": "grank",
+    "line_dedup": "ldedup",
+    "novelty": "novel",
+    "substring": "substr",
+    "incremental_probe": "iprobe",
+}
+
+
+def compose_output(detail: dict) -> tuple[str, str]:
+    """Return ``(full_json_line, compact_final_line)``.
+
+    The full line (and ``BENCH_DETAIL.json``) carries everything. The compact
+    final line keeps the graded numbers — total, per-query wall times,
+    throughput (``eps``), 10x scale-smoke ratios (``smoke10x``) — under
+    ``TAIL_BUDGET`` chars by compact separators, 2-decimal rounding, and then
+    progressively dropping lower-priority sections until it fits."""
+    full = json.dumps(detail)
+
+    eps = {
+        short: detail[k]
+        for short, k in [
+            ("batch", "events_per_sec_sessionize"),
+            ("sustained10x", "events_per_sec_sessionize_sustained_10x"),
+            ("sustained100x", "events_per_sec_sessionize_sustained_100x"),
+            ("hotkey", "events_per_sec_sessionize_hotkey_500k_1key"),
+            ("stream", "events_per_sec_sessionize_streaming_steady"),
+            ("peruser", "events_per_sec_streaming_peruser_steady"),
+            ("dedup", "events_per_sec_streaming_dedup_steady"),
+        ]
+        if detail.get(k) is not None
+    }
+    smoke = {}
+    for k, v in detail.items():
+        if not (k.endswith("_10x_ratio_vs_linear") and isinstance(v, (int, float))):
+            continue
+        fam = k[len("scale_smoke_"): -len("_10x_ratio_vs_linear")] or "minhash_clique"
+        smoke[_SMOKE_ABBREV.get(fam, fam)] = round(v, 2)
+
+    def attempt(queries: dict, with_smoke: bool, with_eps: bool) -> str:
+        compact = {
+            "metric": "headline wall sec (warm; full detail: BENCH_DETAIL.json)",
+            "value": detail["value"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": detail["sf"],
+        }
+        if with_eps:
+            compact["eps"] = eps
+        if with_smoke:
+            compact["smoke10x_vs_linear"] = smoke
+        return json.dumps(compact, separators=(",", ":"))
+
+    q2 = {k: round(v, 2) for k, v in detail["queries"].items()}
+    for queries, with_smoke, with_eps in [
+        (q2, True, True),
+        (q2, False, True),
+        ({k: round(v, 1) for k, v in q2.items()}, False, True),
+        (q2, False, False),
+    ]:
+        line = attempt(queries, with_smoke, with_eps)
+        if len(line) <= TAIL_BUDGET:
+            return full, line
+    # Last resort: keep the slowest queries that fit (never expected — the
+    # stages above cover ~3x the current registry's headline set).
+    ranked = sorted(q2.items(), key=lambda kv: -kv[1])
+    keep = dict(ranked)
+    while keep and len(attempt(keep, False, True)) > TAIL_BUDGET:
+        keep.pop(ranked[len(keep) - 1][0])
+    return full, attempt(keep, False, True)
 
 
 def main() -> None:
@@ -555,8 +645,7 @@ def main() -> None:
     t_ip_1x = _probe_time(docs)
     t_ip_10x = _probe_time(docs_10x_lin)
 
-    print(
-        json.dumps(
+    detail = (
             {
                 "metric": "headline query wall time (noop-sink forced), warm session",
                 "value": total,
@@ -625,8 +714,15 @@ def main() -> None:
                     t_ip_10x / (10 * t_ip_1x), 3
                 ),
             }
-        )
     )
+    full, compact = compose_output(detail)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        fh.write(full + "\n")
+    print(full)  # scrolls out of the driver's 2000-char tail; humans/files keep it
+    print(compact)  # the line the driver parses — budgeted by compose_output
 
 
 if __name__ == "__main__":
