@@ -284,9 +284,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query(
-    "bm25_doc_search",
-    oracle=f"""
+_BM25_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {tokens_duck('text')} AS t FROM documents
 ), lens AS (
@@ -311,21 +309,14 @@ WITH toks AS (
 )
 SELECT doc_id, round(score, 4) AS bm25
 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
-""",
-)
-def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75) top-20 retrieval for a fixed term query over
-    the corpus, Robertson/Sparck-Jones idf with the +1 floor.
+"""
 
-    Scale shape: the token stream is filtered to the query's terms BEFORE
-    any exchange, so the (doc, term) aggregation shuffles O(hits), not
-    O(corpus tokens); document frequency and the (N, avgdl) corpus stats are
-    tiny aggregates joined back by broadcast; the final per-doc sum groups
-    ≤ |query| rows per doc. Ordering is on the ROUNDED score (+ doc_id
-    tiebreak) so cross-engine float noise below 1e-4 cannot reorder the
-    top-k.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+def bm25_scored_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document hitting the fixed term query —
+    the scorer behind ``bm25_doc_search`` and the lexical leg of
+    ``hybrid_rrf_retrieval`` (ml_eval_queries.py). Score rounded at 4dp
+    so downstream ordering is immune to sub-1e-4 cross-engine noise."""
     toks = docs.select(
         "doc_id", F.expr(tokens_spark("text")).alias("t")
     ).withColumn("dl", F.size("t").cast("long"))
@@ -357,8 +348,25 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
+    return scored.select("doc_id", F.round("score", 4).alias("bm25"))
+
+
+@query("bm25_doc_search", oracle=_BM25_ORACLE)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 retrieval for a fixed term query over
+    the corpus, Robertson/Sparck-Jones idf with the +1 floor.
+
+    Scale shape: the token stream is filtered to the query's terms BEFORE
+    any exchange, so the (doc, term) aggregation shuffles O(hits), not
+    O(corpus tokens); document frequency and the (N, avgdl) corpus stats are
+    tiny aggregates joined back by broadcast; the final per-doc sum groups
+    ≤ |query| rows per doc. Ordering is on the ROUNDED score (+ doc_id
+    tiebreak) so cross-engine float noise below 1e-4 cannot reorder the
+    top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        bm25_scored_frame(docs)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )

@@ -1,0 +1,380 @@
+"""Round-6 model-adjacent evaluation operators.
+
+Three beyond-parity operators the model-facing end of a 100 TB training-data
+pipeline needs once the corpus is deduped and featurized: a trained+scored
+classifier (hashed multinomial naive Bayes over a train/test split), an
+exact distributed ranking metric (Mann-Whitney / ROC-AUC with full tie
+correction), and hybrid retrieval (reciprocal-rank fusion of the BM25
+lexical index with the dense cosine index).
+
+Cross-engine exactness follows the DSIR/PCA discipline (feature_queries.py):
+log-likelihoods quantize to integer micro-units BEFORE any corpus-sized sum,
+rank statistics stay in exact integer arithmetic end-to-end, and the only
+doubles that cross an engine boundary are deterministic single expressions
+over identical operands, rounded at 6dp.
+
+The reference has no ML-evaluation surface at all (SURVEY.md §2.9) — this
+layer is rebuild scope driven by the training-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.operators.global_order import (
+    with_global_rank,
+)
+from flink_realtime_sessionize_sample_spark.plans.registry import query
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+_TOKS_S = T.tokens_spark("text")
+_TOKS_D = T.tokens_duck("text")
+
+# --- hashed multinomial naive Bayes --------------------------------------
+
+_NB_BUCKETS = 128
+
+
+@query(
+    "naive_bayes_lang_classify",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, w FROM (
+    SELECT doc_id, lang, unnest({_TOKS_D}) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+bk AS (SELECT doc_id, lang, {T.h48_duck('w')} % {_NB_BUCKETS} AS b FROM tok),
+train AS (SELECT * FROM bk WHERE doc_id % 2 = 0),
+test AS (SELECT doc_id, lang AS true_lang, b FROM bk WHERE doc_id % 2 = 1),
+counts AS (SELECT lang, b, count(*) AS c FROM train GROUP BY lang, b),
+totals AS (SELECT lang, count(*) AS t FROM train GROUP BY lang),
+grid AS (SELECT t.lang, g.b, t.t FROM totals t, range(0, {_NB_BUCKETS}) g(b)),
+model AS (
+  SELECT grid.lang, grid.b,
+         round((ln(coalesce(c, 0) + 1) - ln(grid.t + {_NB_BUCKETS}))
+               * 1000000)::BIGINT AS llv
+  FROM grid LEFT JOIN counts ON counts.lang = grid.lang AND counts.b = grid.b
+),
+ndoc AS (SELECT lang, count(*) AS nd FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+ntot AS (SELECT sum(nd)::DOUBLE AS ndt FROM ndoc),
+prior AS (
+  SELECT lang, round((ln(nd) - ln(ndt)) * 1000000)::BIGINT AS pv FROM ndoc, ntot
+),
+sc AS (
+  SELECT test.doc_id, test.true_lang, m.lang AS cls, sum(m.llv)::BIGINT AS s
+  FROM test JOIN model m ON test.b = m.b
+  GROUP BY test.doc_id, test.true_lang, m.lang
+),
+si AS (
+  SELECT sc.doc_id, sc.true_lang, sc.cls, sc.s + p.pv AS stot
+  FROM sc JOIN prior p ON p.lang = sc.cls
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stot DESC, cls ASC) AS rn
+  FROM si
+)
+SELECT doc_id, true_lang, cls AS pred_lang, (cls = true_lang) AS correct,
+       round(stot / 1000000.0, 6) AS logscore
+FROM rk WHERE rn = 1
+""",
+)
+def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a hashed multinomial naive Bayes language classifier on the
+    even-doc_id half of the corpus and SCORE the odd half — a full
+    train/predict round trip (the fasttext-style quality/language
+    classifier shape every corpus pipeline ships), not just feature
+    extraction. Laplace-smoothed token likelihoods over a 128-bucket
+    hashed vocabulary, class priors from training document counts.
+
+    Determinism: per-(class, bucket) log-likelihoods and per-class log
+    priors are quantized to integer MICRO-units before scoring, so each
+    test document's class score is an exact integer sum (immune to float
+    summation order); argmax ties break on class name. Scale shape: the
+    model is |classes| x 128 rows regardless of corpus size — training is
+    one explode + one hash aggregate; scoring broadcast-joins each test
+    token's bucket against the model grid and sums per (doc, class), so
+    the corpus shuffles once and the prediction window runs per-doc over
+    |classes| rows. Scoring output: one row per scorable test document
+    (>= 1 non-empty token) with true/predicted class and the winning
+    quantized joint log-likelihood."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    bk = tok.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.expr(T.h48_spark("w")), F.lit(_NB_BUCKETS)).alias("b"),
+    )
+    train = bk.filter(F.col("doc_id") % 2 == 0)
+    test = bk.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("true_lang"), "b"
+    )
+    counts = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    totals = train.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    grid = totals.crossJoin(
+        spark.range(_NB_BUCKETS).select(F.col("id").alias("b"))
+    )
+    model = (
+        grid.join(counts, ["lang", "b"], "left")
+        .select(
+            "lang",
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    - F.log(F.col("t") + F.lit(_NB_BUCKETS))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("llv"),
+        )
+    )
+    ndoc = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    ntot = ndoc.agg(F.sum("nd").cast("double").alias("ndt"))
+    prior = ndoc.crossJoin(F.broadcast(ntot)).select(
+        "lang",
+        F.round((F.log("nd") - F.log("ndt")) * 1000000).cast("long").alias("pv"),
+    )
+    sc = (
+        test.join(F.broadcast(model.withColumnRenamed("lang", "cls")), "b")
+        .groupBy("doc_id", "true_lang", "cls")
+        .agg(F.sum("llv").cast("long").alias("s"))
+    )
+    si = sc.join(
+        F.broadcast(prior.select(F.col("lang").alias("cls"), "pv")), "cls"
+    ).select("doc_id", "true_lang", "cls", (F.col("s") + F.col("pv")).alias("stot"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("stot").desc(), F.col("cls").asc()
+    )
+    return (
+        si.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cls").alias("pred_lang"),
+            (F.col("cls") == F.col("true_lang")).alias("correct"),
+            F.round(F.col("stot") / 1000000.0, 6).alias("logscore"),
+        )
+    )
+
+
+# --- exact ROC-AUC (Mann-Whitney U with tie correction) -------------------
+
+
+@query(
+    "roc_auc_token_count",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, (lang = 'en')::INT AS pos, len({_TOKS_D})::BIGINT AS dl
+  FROM documents
+),
+g AS (SELECT dl, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS p FROM d GROUP BY dl),
+cdf AS (
+  SELECT dl, cnt, p,
+         sum(cnt) OVER (ORDER BY dl)::BIGINT AS cum_all
+  FROM g
+),
+tot AS (SELECT sum(p)::BIGINT AS np, (sum(cnt) - sum(p))::BIGINT AS nn FROM g),
+r2 AS (
+  SELECT sum(p * (2 * (cum_all - cnt) + cnt + 1))::BIGINT AS rp2 FROM cdf
+)
+SELECT t.np AS n_pos, t.nn AS n_neg,
+       (r2.rp2 - t.np * (t.np + 1))::BIGINT AS u2,
+       round((r2.rp2 - t.np * (t.np + 1)) * 1000000.0 / (2.0 * t.np * t.nn))::BIGINT
+         AS auc_micro
+FROM r2, tot t
+""",
+)
+def roc_auc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of document token count as a predictor of the binary
+    label ``lang = 'en'`` — the rank statistic (Mann-Whitney U) every
+    trained filter/classifier is judged by, computed EXACTLY under ties:
+    AUC = U / (n_pos * n_neg) with U from tie-averaged ranks.
+
+    Exactness without floats: tie groups collapse to one row per distinct
+    score, average ranks are kept DOUBLED so everything stays integer
+    (rank-sum x2 = sum over scores of pos_s * (2*cum_before + cnt_s + 1)),
+    and U x2 = rank-sum x2 - n_pos*(n_pos+1). The only division is the
+    final AUC, emitted in micro-units from one deterministic double ratio
+    of exact integers. Scale shape: one hash aggregate maps the corpus to
+    |distinct scores| rows; the cumulative count rides the distributed
+    ``with_global_rank`` pass (range partition + broadcast offsets — no
+    single-partition sort); the statistic is a scalar aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.size(F.expr(_TOKS_S)).cast("long").alias("dl"),
+    )
+    g = d.groupBy("dl").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").cast("long").alias("p")
+    )
+    cdf = with_global_rank(
+        g, ["dl"], rank_col="_rk", sum_col="cnt", cum_col="cum_all"
+    )
+    tot = g.agg(
+        F.sum("p").cast("long").alias("np"),
+        (F.sum("cnt") - F.sum("p")).cast("long").alias("nn"),
+    )
+    r2 = cdf.agg(
+        F.sum(
+            F.col("p")
+            * (2 * (F.col("cum_all") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("rp2")
+    )
+    return (
+        r2.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("np").alias("n_pos"),
+            F.col("nn").alias("n_neg"),
+            (F.col("rp2") - F.col("np") * (F.col("np") + 1)).alias("u2"),
+            F.round(
+                (F.col("rp2") - F.col("np") * (F.col("np") + 1))
+                * F.lit(1000000.0)
+                / (F.lit(2.0) * F.col("np") * F.col("nn"))
+            )
+            .cast("long")
+            .alias("auc_micro"),
+        )
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_TOP = 10
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_D} AS t FROM documents
+),
+lens AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM lens),
+hits AS (SELECT doc_id, unnest(t) AS term, len(t)::BIGINT AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+  FROM hits WHERE term IN ('spark', 'join', 'stream', 'window')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+sparse AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS sr
+  FROM bm ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+e AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round({T.dot_duck('e.v', 'q.v')} / (e.nrm * q.nrm), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS dr
+  FROM cos ORDER BY cosine DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+fused AS (
+  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.sr, d.dr,
+         round((coalesce(1.0 / ({_RRF_K} + s.sr), 0.0)
+                + coalesce(1.0 / ({_RRF_K} + d.dr), 0.0)) * 1000000)::BIGINT
+           AS rrf_micro
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, sr::BIGINT AS sparse_rank, dr::BIGINT AS dense_rank, rrf_micro,
+       row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)::BIGINT AS fused_rank
+FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT {_RRF_TOP}
+""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (Cormack et al. 2009, k=60)
+    of the BM25 lexical ranking (fixed term query, analytics_queries.py's
+    scorer) with the dense cosine ranking for the vec_id=0 query
+    embedding (testdata aligns vec_id with doc_id) — the standard RAG
+    retrieval stack, lexical + dense fused without score calibration.
+
+    Each leg ranks to depth 20 via TakeOrderedAndProject on its ROUNDED
+    score (4dp lexical / 6dp dense + doc_id tiebreaks — cross-engine
+    float noise cannot reorder), so the fusion input is two 20-row
+    frames: the full-outer join, the 1/(k+rank) sum (two-term double
+    expression over identical operands, quantized to micro-units), and
+    the fused top-10 all run on driver-negligible row counts. Scale
+    shape: both legs are the already-verified index patterns — the corpus
+    shuffles once per leg, never crossJoins."""
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        bm25_scored_frame,
+    )
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm = bm25_scored_frame(docs)  # (doc_id, bm25 rounded 4dp)
+    sparse = (
+        bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "sr",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "sr")
+    )
+    dense = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_DEPTH)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dr"))
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "sr",
+            "dr",
+            F.round(
+                (
+                    F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("sr")), F.lit(0.0))
+                    + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("dr")), F.lit(0.0))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOP
+    )
+    wf = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("fused_rank", F.row_number().over(wf).cast("long")).select(
+        "doc_id",
+        F.col("sr").cast("long").alias("sparse_rank"),
+        F.col("dr").cast("long").alias("dense_rank"),
+        "rrf_micro",
+        "fused_rank",
+    )
