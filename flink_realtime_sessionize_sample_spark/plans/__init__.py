@@ -96,6 +96,7 @@ _DRIVER_WINDOW: list[str] = [
     "naive_bayes_lang_classify",
     "roc_auc_token_count",
     "hybrid_rrf_retrieval",
+    "bpe_encode_corpus",
 ]
 
 

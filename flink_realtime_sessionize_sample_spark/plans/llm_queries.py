@@ -2698,9 +2698,10 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 6: iterative BPE tokenizer training ----------------------------
 
 
-def _bpe_oracle(n_merges: int, top_words: int) -> str:
-    """Unrolled n-merge BPE training loop in DuckDB SQL. Each stage picks
-    the globally most frequent adjacent symbol pair (count desc, pair asc
+def _bpe_oracle_ctes(n_merges: int, top_words: int) -> str:
+    """Unrolled n-merge BPE training loop in DuckDB SQL (CTE chain only —
+    shared by the trainer and encoder oracles). Each stage picks the
+    globally most frequent adjacent symbol pair (count desc, pair asc
     tie-break) and applies the merge to every word via leftmost
     non-overlapping string replace — the exact BPE merge rule, identical
     in both engines."""
@@ -2741,18 +2742,28 @@ w{i} AS (
   FROM w{i - 1} CROSS JOIN top{i}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int, top_words: int) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS iteration, a AS left_sym, b AS right_sym, c AS pair_count FROM top{i}"
         for i in range(1, n_merges + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return _bpe_oracle_ctes(n_merges, top_words) + "\n" + selects
 
 
-def bpe_train_frame(
+def bpe_merge_plan(
     docs: DataFrame, n_merges: int = 5, top_words: int = 200
-) -> DataFrame:
-    """The BPE training pipeline over an arbitrary (doc_id, text) frame —
-    shared by the registered query and the canonical-reference unit test."""
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """The BPE training loop over an arbitrary (doc_id, text) frame.
+
+    Returns ``(merges, tops)``: per-round 1-row merge-table frames
+    (iteration, left_sym, right_sym, pair_count) and the matching raw
+    top-pair frames (a, b, c) — the trained artifact in the form the
+    ENCODER needs (``bpe_encode_frame`` broadcast-applies each top in
+    round order). Shared by ``bpe_train_merges``, ``bpe_encode_corpus``,
+    and the canonical-reference unit test."""
     vocab = (
         docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
         .filter(F.length("w") > 0)
@@ -2767,6 +2778,7 @@ def bpe_train_frame(
         F.concat(F.lit(" "), F.array_join(F.expr("split(word, '')"), " "), F.lit(" ")).alias("s"),
     )
     merges = []
+    tops = []
     pair_expr = (
         "case when size(sym) >= 2 then "
         "transform(sequence(1, size(sym) - 1), "
@@ -2782,7 +2794,8 @@ def bpe_train_frame(
             .agg(F.sum("cnt").cast("long").alias("c"))
         )
         top = pairs.orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc()).limit(1)
-        merges.append(top.select(F.lit(i).alias("iteration"), 
+        tops.append(top)
+        merges.append(top.select(F.lit(i).alias("iteration"),
                                  F.col("a").alias("left_sym"),
                                  F.col("b").alias("right_sym"),
                                  F.col("c").alias("pair_count")))
@@ -2796,10 +2809,127 @@ def bpe_train_frame(
                 "concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"
             ).alias("s"),
         )
+    return merges, tops
+
+
+def bpe_train_frame(
+    docs: DataFrame, n_merges: int = 5, top_words: int = 200
+) -> DataFrame:
+    """The learned merge table (iteration, left_sym, right_sym,
+    pair_count) — the trained-tokenizer artifact as one frame."""
+    merges, _ = bpe_merge_plan(docs, n_merges, top_words)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+# The encoder's two-pass leftmost non-overlapping merge — identical
+# expression to the trainer's state update (see the oracle comment there).
+_BPE_MERGE_EXPR = (
+    "replace(replace(s, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' ')), "
+    "concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"
+)
+
+
+def bpe_encode_frame(
+    docs: DataFrame, n_merges: int = 5, top_words: int = 200
+) -> DataFrame:
+    """ENCODE the corpus with the tokenizer trained on it: apply the
+    learned merges, in round order, to every distinct word, then roll
+    per-document token counts up from the (doc, word) occurrence table.
+
+    Scale shape: training touches only the bounded top-``top_words`` word
+    state (see ``bpe_merge_plan``); encoding applies each 1-row broadcast
+    merge to the DISTINCT-word table (vocabulary-sized, not corpus-sized
+    — the standard word-level BPE encoding trick), and the only
+    corpus-sized operations are the (doc_id, word) count aggregate and
+    the final per-doc sum — two hash aggregates, no window, no Python.
+    Output per doc: occurrence count, pre-merge character-symbol count,
+    and post-merge BPE token count — all exact integer sums."""
+    _, tops = bpe_merge_plan(docs, n_merges, top_words)
+    dw = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    words = dw.select("word").distinct().select(
+        "word",
+        F.concat(
+            F.lit(" "), F.array_join(F.expr("split(word, '')"), " "), F.lit(" ")
+        ).alias("s"),
+    )
+    for top in tops:
+        words = words.crossJoin(F.broadcast(top)).select(
+            "word", F.expr(_BPE_MERGE_EXPR).alias("s")
+        )
+    wtok = words.select(
+        "word", F.size(F.expr("split(trim(s), ' ')")).cast("long").alias("n_sym")
+    )
+    return (
+        dw.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_word_occurrences"),
+            F.sum(F.col("n_occ") * F.size(F.expr("split(word, '')")))
+            .cast("long")
+            .alias("n_char_syms"),
+            F.sum(F.col("n_occ") * F.col("n_sym")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_encode_oracle(n_merges: int, top_words: int) -> str:
+    """The trainer's unrolled CTE chain (``_bpe_oracle_ctes``) extended
+    with the encode pass: the same two-pass merge applied to every
+    distinct corpus word, then per-doc integer rollups."""
+    enc = [
+        f"""
+, dw AS (
+  SELECT doc_id, w AS word, count(*) AS n_occ FROM (
+    SELECT doc_id, unnest({_TOKS_D}) AS w FROM documents
+  ) WHERE length(w) > 0 GROUP BY doc_id, w
+),
+aw0 AS (
+  SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+  FROM (SELECT DISTINCT word FROM dw)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        enc.append(
+            f"""
+, aw{i} AS (
+  SELECT word,
+         replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                 ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+  FROM aw{i - 1} CROSS JOIN top{i}
+)"""
+        )
+    tail = f"""
+, wt AS (
+  SELECT word, len(string_split(trim(s), ' '))::BIGINT AS n_sym FROM aw{n_merges}
+)
+SELECT dw.doc_id,
+       sum(dw.n_occ)::BIGINT AS n_word_occurrences,
+       sum(dw.n_occ * len(string_split(dw.word, '')))::BIGINT AS n_char_syms,
+       sum(dw.n_occ * wt.n_sym)::BIGINT AS n_bpe_tokens
+FROM dw JOIN wt USING (word)
+GROUP BY dw.doc_id
+"""
+    return _bpe_oracle_ctes(n_merges, top_words) + "".join(enc) + tail
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle(5, 200))
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE story: encode every
+    document with the 5-round tokenizer trained by ``bpe_train_merges``
+    (train-then-apply in one lineage, no driver collect). Per document:
+    word occurrences, pre-merge character-symbol count, post-merge BPE
+    token count — i.e. the compression the learned merges actually buy,
+    the number a token-budgeted 100 TB pipeline bills by. See
+    ``bpe_encode_frame`` for the vocabulary-sized encode trick."""
+    return bpe_encode_frame(load_table(spark, sf_dir, "documents"), 5, 200)
 
 
 @query("bpe_train_merges", oracle=_bpe_oracle(5, 200))

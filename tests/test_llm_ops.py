@@ -629,3 +629,46 @@ def test_bpe_train_matches_canonical_reference(spark):
         .collect()
     ]
     assert got == _canonical_bpe(words, 5)
+
+
+def test_bpe_encode_matches_canonical_apply(spark):
+    """The encoder must tokenize every word exactly as the canonical
+    array-walk application of the learned merges — same adversarial
+    run-heavy vocabulary as the trainer test."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        bpe_encode_frame,
+    )
+
+    words = {"abababab": 4, "aaaa": 3, "abba": 2, "cab": 5, "abcab": 1}
+    rows = []
+    i = 0
+    for w, n in words.items():
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = _canonical_bpe(words, 5)
+
+    def apply_merges(word):
+        syms = list(word)
+        for _, a, b, _c in merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    expected = {w: len(apply_merges(w)) for w in words}
+    got = bpe_encode_frame(docs, n_merges=5, top_words=200).collect()
+    assert len(got) == len(rows)
+    by_doc = {r["doc_id"]: r for r in got}
+    for doc_id, w in rows:
+        r = by_doc[doc_id]
+        assert r["n_word_occurrences"] == 1
+        assert r["n_char_syms"] == len(w)
+        assert r["n_bpe_tokens"] == expected[w], w
