@@ -67,6 +67,9 @@ _CHANGED_SINCE_EXTERNAL: list[str] = [
     # bm25_scored_frame (shared with hybrid_rrf_retrieval) — semantics
     # identical, but the code changed, so it re-enters the window.
     "bm25_doc_search",
+    # round-6 continuation: pair mirror rewritten union→explode so the
+    # distinct+join+aggregate subtree runs once (plan fix, same rows).
+    "item_cooccurrence_topk",
 ]
 
 _DRIVER_WINDOW: list[str] = [
@@ -97,6 +100,7 @@ _DRIVER_WINDOW: list[str] = [
     "roc_auc_token_count",
     "hybrid_rrf_retrieval",
     "bpe_encode_corpus",
+    "geometric_median_embeddings",
 ]
 
 

@@ -2243,15 +2243,25 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Generate each unordered pair ONCE (i < j) and mirror after the count
     # aggregate: halves the join output and the (i, j) shuffle vs emitting
     # both directions (measured ~2x at sf0.1); cooc is symmetric so the
-    # mirrored rows are exact.
+    # mirrored rows are exact. The mirror is an explode of the two
+    # orientations, NOT half.unionAll(half.select(swap)) — the union's two
+    # branches differ by the column swap, so Catalyst cannot ReusedExchange
+    # them and the whole distinct+join+aggregate subtree would run twice
+    # (observed in the physical plan; this halved the query's wall time).
     half = (
         bp.join(b2, (bp.l_orderkey == b2.ok) & (bp.l_partkey < b2.j))
         .groupBy(F.col("l_partkey").alias("i"), "j")
         .agg(F.count(F.lit(1)).alias("cooc"))
     )
-    pairs = half.unionAll(
-        half.select(F.col("j").alias("i"), F.col("i").alias("j"), "cooc")
-    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("i").alias("i"), F.col("j").alias("j")),
+                F.struct(F.col("j").alias("i"), F.col("i").alias("j")),
+            )
+        ).alias("p"),
+        "cooc",
+    ).select("p.i", "p.j", "cooc")
     scored = (
         pairs.join(cnt.select(F.col("l_partkey").alias("i"), F.col("c").alias("ci")), "i")
         .join(cnt.select(F.col("l_partkey").alias("j"), F.col("c").alias("cj")), "j")

@@ -1187,3 +1187,143 @@ def ann_ivf_exact_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- hash-checked geometric median (round 6) -------------------------------
+
+_GM_DIM = 64
+_GM_ITERS = 2
+
+
+def _gm_iter_duck(n: int) -> str:
+    """One Weiszfeld step with per-point quantized contributions: exact
+    BIGINT squared distances -> deterministic sqrt -> each point's
+    numerator/denominator term rounded to an integer BEFORE the corpus
+    sum, so the update is a ratio of exact integer sums."""
+    return f"""
+d{n} AS (
+  SELECT e.vec_id, sqrt(sum((e.xq - g.gq) * (e.xq - g.gq))::DOUBLE) AS dist
+  FROM exq e JOIN g{n - 1} g ON e.pos = g.pos
+  GROUP BY e.vec_id
+  HAVING sum((e.xq - g.gq) * (e.xq - g.gq)) > 0
+),
+num{n} AS (
+  SELECT e.pos, sum(CAST(round(e.xq * 1000000.0 / d.dist) AS BIGINT))::BIGINT AS nq
+  FROM exq e JOIN d{n} d ON e.vec_id = d.vec_id
+  GROUP BY e.pos
+),
+den{n} AS (
+  SELECT sum(CAST(round(1000000000000.0 / dist) AS BIGINT))::BIGINT AS dq,
+         count(*)::BIGINT AS n_used
+  FROM d{n}
+),
+g{n} AS (
+  SELECT n.pos, CAST(round(n.nq * 1000000.0 / d.dq) AS BIGINT) AS gq
+  FROM num{n} n CROSS JOIN den{n} d
+)"""
+
+
+@query(
+    "geometric_median_embeddings",
+    oracle=f"""
+WITH exq AS (
+  SELECT vec_id, r.i AS pos,
+         CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS xq
+  FROM embeddings, range(1, {_GM_DIM + 1}) r(i)
+),
+g0 AS (
+  SELECT pos, CAST(round(sum(xq)::DOUBLE / count(*)) AS BIGINT) AS gq
+  FROM exq GROUP BY pos
+),
+{",".join(_gm_iter_duck(n) for n in range(1, _GM_ITERS + 1)).lstrip()}
+SELECT g.pos, m.gq AS mean_e6, g.gq AS gmedian_e6,
+       (SELECT n_used FROM den{_GM_ITERS})::BIGINT AS n_points
+FROM g{_GM_ITERS} g JOIN g0 m ON m.pos = g.pos
+""",
+)
+def geometric_median_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of the embedding corpus — the outlier-robust
+    centroid (50% breakdown point vs the mean's 0%) behind robust
+    aggregation and poisoning-resistant averaging — via {_GM_ITERS}
+    VALUE-HASH-CHECKED Weiszfeld iterations seeded from the quantized
+    mean.
+
+    Same determinism discipline as ``kmeans_lloyd_2iter``: coordinates
+    quantize to e6 integers; per-point squared distances are exact BIGINT
+    sums; dist = sqrt(int) is one IEEE-deterministic double per point;
+    and crucially each point's Weiszfeld terms (x_ij/d_i, 1/d_i) are
+    ROUNDED TO INTEGERS BEFORE the corpus-wide sum, so the update is a
+    ratio of exact integer sums — no float summation order anywhere.
+    Points coincident with the current iterate (dist 0) drop out of that
+    round, the standard Weiszfeld-at-a-vertex guard.
+
+    Scale shape: each iteration is (join each row against the 64-row
+    broadcast iterate -> per-vector BIGINT aggregate -> per-dim integer
+    aggregate + one scalar) — two hash aggregates per round, state 64
+    rows regardless of corpus size; nothing wider than (vec_id, pos, xq)
+    ever shuffles. Output: (pos, mean_e6, gmedian_e6, n_points) — the
+    mean kept alongside to show the robust shift."""
+    return geometric_median_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+def geometric_median_frame(emb: DataFrame) -> DataFrame:
+    """The Weiszfeld pipeline over an arbitrary (vec_id, embedding) frame —
+    shared by the registered query and the robustness unit test."""
+    exq = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            )
+        ).alias("pos0", "xq"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    mean = exq.groupBy("pos").agg(
+        F.round(F.sum("xq").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("gq")
+    )
+    g = mean
+    den = None
+    for _ in range(_GM_ITERS):
+        ss = (
+            exq.join(F.broadcast(g), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("xq") - F.col("gq")) * (F.col("xq") - F.col("gq"))).alias(
+                    "ss"
+                )
+            )
+        )
+        d = ss.filter(F.col("ss") > 0).select(
+            "vec_id", F.sqrt(F.col("ss").cast("double")).alias("dist")
+        )
+        num = (
+            exq.join(d, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("xq") * F.lit(1000000.0) / F.col("dist")).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("nq")
+            )
+        )
+        den = d.agg(
+            F.sum(F.round(F.lit(1000000000000.0) / F.col("dist")).cast("long"))
+            .cast("long")
+            .alias("dq"),
+            F.count(F.lit(1)).alias("n_used"),
+        )
+        g = num.crossJoin(F.broadcast(den)).select(
+            "pos",
+            F.round(F.col("nq") * F.lit(1000000.0) / F.col("dq"))
+            .cast("long")
+            .alias("gq"),
+        )
+    return (
+        g.join(mean.select("pos", F.col("gq").alias("mean_e6")), "pos")
+        .crossJoin(F.broadcast(den.select(F.col("n_used").cast("long").alias("n_points"))))
+        .select("pos", "mean_e6", F.col("gq").alias("gmedian_e6"), "n_points")
+    )

@@ -672,3 +672,27 @@ def test_bpe_encode_matches_canonical_apply(spark):
         assert r["n_word_occurrences"] == 1
         assert r["n_char_syms"] == len(w)
         assert r["n_bpe_tokens"] == expected[w], w
+
+
+def test_geometric_median_resists_outlier(spark):
+    """One far outlier drags the mean but barely moves the geometric
+    median — the robustness property the operator exists for."""
+    from flink_realtime_sessionize_sample_spark.plans.feature_queries import (
+        geometric_median_frame,
+    )
+
+    dim = 64
+    rows = []
+    # 9 points tightly around 0.1*j/dim, one outlier at 100.0 everywhere
+    for i in range(9):
+        rows.append((i, [0.1 + 0.001 * i] * dim))
+    rows.append((99, [100.0] * dim))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["pos"]: r for r in geometric_median_frame(emb).collect()}
+    assert len(got) == dim
+    for r in got.values():
+        # mean is dragged to ~ (9*0.104 + 100)/10 ~ 10.09
+        assert r["mean_e6"] > 9_000_000
+        # geometric median stays with the cluster (~0.104), far below 1.0
+        assert r["gmedian_e6"] < 1_000_000
+        assert r["n_points"] == 10
