@@ -101,6 +101,8 @@ _DRIVER_WINDOW: list[str] = [
     "hybrid_rrf_retrieval",
     "bpe_encode_corpus",
     "geometric_median_embeddings",
+    "jl_project_embeddings",
+    "ann_jl_recall_audit",
 ]
 
 
