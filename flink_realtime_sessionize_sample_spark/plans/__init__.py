@@ -103,6 +103,7 @@ _DRIVER_WINDOW: list[str] = [
     "geometric_median_embeddings",
     "jl_project_embeddings",
     "ann_jl_recall_audit",
+    "naive_bayes_eval_f1",
 ]
 
 

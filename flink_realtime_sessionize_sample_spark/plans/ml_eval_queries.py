@@ -37,9 +37,9 @@ _TOKS_D = T.tokens_duck("text")
 _NB_BUCKETS = 128
 
 
-@query(
-    "naive_bayes_lang_classify",
-    oracle=f"""
+# The NB train+score CTE chain — shared by the per-doc prediction query
+# and the confusion/F1 evaluation query.
+_NB_PRED_CTES = f"""
 WITH tok AS (
   SELECT doc_id, lang, w FROM (
     SELECT doc_id, lang, unnest({_TOKS_D}) AS w FROM documents
@@ -74,10 +74,19 @@ si AS (
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stot DESC, cls ASC) AS rn
   FROM si
-)
-SELECT doc_id, true_lang, cls AS pred_lang, (cls = true_lang) AS correct,
+),
+pred AS (
+  SELECT doc_id, true_lang, cls AS pred_lang, stot FROM rk WHERE rn = 1
+)"""
+
+
+@query(
+    "naive_bayes_lang_classify",
+    oracle=_NB_PRED_CTES
+    + """
+SELECT doc_id, true_lang, pred_lang, (pred_lang = true_lang) AS correct,
        round(stot / 1000000.0, 6) AS logscore
-FROM rk WHERE rn = 1
+FROM pred
 """,
 )
 def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,6 +108,19 @@ def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     |classes| rows. Scoring output: one row per scorable test document
     (>= 1 non-empty token) with true/predicted class and the winning
     quantized joint log-likelihood."""
+    return _nb_prediction_frame(spark, sf_dir).select(
+        "doc_id",
+        "true_lang",
+        "pred_lang",
+        (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+        F.round(F.col("stot") / 1000000.0, 6).alias("logscore"),
+    )
+
+
+def _nb_prediction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, true_lang, pred_lang, stot) for every scorable test doc —
+    the train+score pipeline shared by the prediction and evaluation
+    queries (mirrors ``_NB_PRED_CTES``)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
@@ -158,13 +180,97 @@ def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         si.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"), "stot")
+    )
+
+
+@query(
+    "naive_bayes_eval_f1",
+    oracle=_NB_PRED_CTES
+    + """
+, classes AS (
+  SELECT true_lang AS lang FROM pred
+  UNION SELECT pred_lang FROM pred
+),
+tp AS (SELECT true_lang AS lang, count(*) AS n FROM pred
+       WHERE pred_lang = true_lang GROUP BY true_lang),
+actual AS (SELECT true_lang AS lang, count(*) AS n FROM pred GROUP BY true_lang),
+predicted AS (SELECT pred_lang AS lang, count(*) AS n FROM pred GROUP BY pred_lang)
+SELECT c.lang,
+       coalesce(a.n, 0)::BIGINT AS support,
+       coalesce(t.n, 0)::BIGINT AS tp,
+       (coalesce(p.n, 0) - coalesce(t.n, 0))::BIGINT AS fp,
+       (coalesce(a.n, 0) - coalesce(t.n, 0))::BIGINT AS fn,
+       round(coalesce(t.n, 0) / greatest(coalesce(p.n, 0), 1), 6) + 0.0 AS precision_,
+       round(coalesce(t.n, 0) / greatest(coalesce(a.n, 0), 1), 6) + 0.0 AS recall_,
+       round(2.0 * coalesce(t.n, 0)
+             / greatest(coalesce(p.n, 0) + coalesce(a.n, 0), 1), 6) + 0.0 AS f1
+FROM classes c
+LEFT JOIN tp t ON t.lang = c.lang
+LEFT JOIN actual a ON a.lang = c.lang
+LEFT JOIN predicted p ON p.lang = c.lang
+""",
+)
+def naive_bayes_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 (+ support and the raw TP/FP/FN
+    counts) of the held-out naive Bayes predictions — the evaluation table
+    every shipped classifier carries. Classes = union of true and
+    predicted labels, so a class the model never predicts (or never truly
+    occurs) still gets a row with the right zeros.
+
+    Pure integer counting on top of the shared prediction frame (three
+    tiny aggregates + broadcast joins over |classes| rows); the only
+    floats are final 6dp-rounded ratios of exact integers (F1 computed as
+    2TP/(P+A) — identical single expression both engines, no
+    precision*recall float chaining)."""
+    pred = _nb_prediction_frame(spark, sf_dir)
+    classes = (
+        pred.select(F.col("true_lang").alias("lang"))
+        .union(pred.select(F.col("pred_lang").alias("lang")))
+        .distinct()
+    )
+    tp = (
+        pred.filter(F.col("pred_lang") == F.col("true_lang"))
+        .groupBy(F.col("true_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("tp_n"))
+    )
+    actual = pred.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("a_n")
+    )
+    predicted = pred.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("p_n")
+    )
+    j = (
+        classes.join(tp, "lang", "left")
+        .join(actual, "lang", "left")
+        .join(predicted, "lang", "left")
         .select(
-            "doc_id",
-            "true_lang",
-            F.col("cls").alias("pred_lang"),
-            (F.col("cls") == F.col("true_lang")).alias("correct"),
-            F.round(F.col("stot") / 1000000.0, 6).alias("logscore"),
+            "lang",
+            F.coalesce("tp_n", F.lit(0)).alias("t"),
+            F.coalesce("a_n", F.lit(0)).alias("a"),
+            F.coalesce("p_n", F.lit(0)).alias("p"),
         )
+    )
+    return j.select(
+        "lang",
+        F.col("a").cast("long").alias("support"),
+        F.col("t").cast("long").alias("tp"),
+        (F.col("p") - F.col("t")).cast("long").alias("fp"),
+        (F.col("a") - F.col("t")).cast("long").alias("fn"),
+        (F.round(F.col("t") / F.greatest(F.col("p"), F.lit(1)), 6) + F.lit(0.0)).alias(
+            "precision_"
+        ),
+        (F.round(F.col("t") / F.greatest(F.col("a"), F.lit(1)), 6) + F.lit(0.0)).alias(
+            "recall_"
+        ),
+        (
+            F.round(
+                F.lit(2.0) * F.col("t")
+                / F.greatest(F.col("p") + F.col("a"), F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("f1"),
     )
 
 
