@@ -104,6 +104,7 @@ _DRIVER_WINDOW: list[str] = [
     "jl_project_embeddings",
     "ann_jl_recall_audit",
     "naive_bayes_eval_f1",
+    "ndcg_jl_ranking",
 ]
 
 

@@ -1498,8 +1498,39 @@ def ann_jl_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact_top = cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=5).select(
-        "query_id", "neighbor_id"
+    exact_top, jl_top = _jl_vs_exact_rankings(emb)
+    exact_top = exact_top.select("query_id", "neighbor_id")
+    jl_top = jl_top.select("query_id", "neighbor_id")
+    hits = exact_top.join(jl_top, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    expected = exact_top.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_expected"),
+    )
+    return (
+        expected.crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            "n_expected",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (
+                F.round(F.col("n_hit").cast("double") / F.col("n_expected"), 6)
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )
+
+
+def _jl_vs_exact_rankings(emb: DataFrame, k: int = 5):
+    """(exact top-k with ``rnk``, JL top-k with ``rn``) for the %100 query
+    set — shared by the recall audit and the nDCG audit."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    exact_top = cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk")
     )
     proj = _jl_proj_frames(emb)
     ssq = proj.groupBy("vec_id").agg(F.sum(F.col("pq") * F.col("pq")).alias("s2"))
@@ -1531,25 +1562,133 @@ def ann_jl_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wj = Window.partitionBy("query_id").orderBy(F.col("jcos").desc(), F.col("neighbor_id").asc())
     jl_top = (
         jl_scored.withColumn("rn", F.row_number().over(wj))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id")
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn")
     )
-    hits = exact_top.join(jl_top, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
+    return exact_top, jl_top
+
+
+# Quantized DCG discount terms: rel in 0..5, rank in 1..5 — round(rel*1e6 /
+# log2(rank+1)) as integers so per-query DCG is an exact integer sum (float
+# sum order can differ across engines; 25 possible terms, none near a .5
+# rounding boundary).
+_NDCG_K = 5
+
+
+@query(
+    "ndcg_jl_ranking",
+    oracle="WITH "
+    + _JL_PROJ_DUCK.format(sign=_jl_signs_duck()).lstrip()
+    + f""",
+c AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+q AS (SELECT * FROM c WHERE vec_id % 100 = 0),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS cosine
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+),
+exact_top AS (
+  SELECT query_id, neighbor_id, rn AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM exact_scored
+  ) WHERE rn <= {_NDCG_K}
+),
+ssq AS (SELECT vec_id, sum(pq * pq) AS s2 FROM proj GROUP BY vec_id),
+pq_q AS (SELECT * FROM proj WHERE vec_id % 100 = 0),
+jl_scored AS (
+  SELECT p.vec_id AS query_id, cvec.vec_id AS neighbor_id,
+         round(sum(cvec.pq * p.pq)::DOUBLE
+               / (sqrt(sq.s2::DOUBLE) * sqrt(sc.s2::DOUBLE)), 6) AS jcos
+  FROM pq_q p
+  JOIN proj cvec ON cvec.pos = p.pos AND cvec.vec_id <> p.vec_id
+  JOIN ssq sq ON sq.vec_id = p.vec_id
+  JOIN ssq sc ON sc.vec_id = cvec.vec_id
+  GROUP BY p.vec_id, cvec.vec_id, sq.s2, sc.s2
+),
+jl_top AS (
+  SELECT query_id, neighbor_id, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY jcos DESC, neighbor_id ASC) AS rn
+    FROM jl_scored
+  ) WHERE rn <= {_NDCG_K}
+),
+dcg AS (
+  SELECT j.query_id,
+         sum(CAST(round(({_NDCG_K + 1} - e.rnk) * 1000000.0 / log2(j.rn + 1))
+                  AS BIGINT))::BIGINT AS dcg_micro
+  FROM jl_top j JOIN exact_top e
+    ON e.query_id = j.query_id AND e.neighbor_id = j.neighbor_id
+  GROUP BY j.query_id
+),
+idcg AS (
+  SELECT sum(CAST(round(({_NDCG_K + 1} - r.i) * 1000000.0 / log2(r.i + 1))
+                  AS BIGINT))::BIGINT AS idcg_micro
+  FROM range(1, {_NDCG_K + 1}) r(i)
+)
+SELECT q.query_id,
+       coalesce(d.dcg_micro, 0)::BIGINT AS dcg_micro,
+       CAST(round(coalesce(d.dcg_micro, 0) * 1000000.0 / i.idcg_micro) AS BIGINT)
+         AS ndcg_micro
+FROM (SELECT DISTINCT query_id FROM exact_top) q
+LEFT JOIN dcg d ON d.query_id = q.query_id
+CROSS JOIN idcg i
+""",
+)
+def ndcg_jl_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the JL-projected ranking against exact cosine as
+    ground truth (graded relevance = 6 - exact rank) — the
+    position-sensitive IR metric that complements ``ann_jl_recall_audit``'s
+    set-overlap recall: a projection that finds the right neighbors in the
+    wrong ORDER scores lower here.
+
+    Determinism: each DCG term rel/log2(rank+1) is one deterministic
+    double over small integers, quantized to micro-units BEFORE the
+    per-query sum — so DCG is an exact integer sum and nDCG one rounded
+    ratio against the constant quantized ideal. Scale: both rankings are
+    the already-audited top-k frames; the metric joins two k-row-per-query
+    frames and aggregates per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_top, jl_top = _jl_vs_exact_rankings(emb, k=_NDCG_K)
+    dcg = (
+        jl_top.join(exact_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.lit(_NDCG_K + 1) - F.col("rnk"))
+                    * F.lit(1000000.0)
+                    / F.log2(F.col("rn") + 1)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("dcg_micro")
+        )
     )
-    expected = exact_top.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_expected"),
+    idcg = spark.range(1, _NDCG_K + 1).agg(
+        F.sum(
+            F.round(
+                (F.lit(_NDCG_K + 1) - F.col("id"))
+                * F.lit(1000000.0)
+                / F.log2(F.col("id") + 1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("idcg_micro")
     )
     return (
-        expected.crossJoin(F.broadcast(hits))
+        exact_top.select("query_id")
+        .distinct()
+        .join(dcg, "query_id", "left")
+        .crossJoin(F.broadcast(idcg))
         .select(
-            "n_queries",
-            "n_expected",
-            F.col("n_hit").cast("long").alias("n_hit"),
-            (
-                F.round(F.col("n_hit").cast("double") / F.col("n_expected"), 6)
-                + F.lit(0.0)
-            ).alias("recall"),
+            "query_id",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.round(
+                F.coalesce("dcg_micro", F.lit(0)) * F.lit(1000000.0)
+                / F.col("idcg_micro")
+            )
+            .cast("long")
+            .alias("ndcg_micro"),
         )
     )
