@@ -105,6 +105,7 @@ _DRIVER_WINDOW: list[str] = [
     "ann_jl_recall_audit",
     "naive_bayes_eval_f1",
     "ndcg_jl_ranking",
+    "stream_naive_bayes_score",
 ]
 
 

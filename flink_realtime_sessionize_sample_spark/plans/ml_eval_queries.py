@@ -117,24 +117,26 @@ def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_prediction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, true_lang, pred_lang, stot) for every scorable test doc —
-    the train+score pipeline shared by the prediction and evaluation
-    queries (mirrors ``_NB_PRED_CTES``)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = (
+def _nb_bucketed_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b) — one row per non-empty token, hashed to its
+    model bucket."""
+    return (
         docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
         .filter(F.length("w") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(F.expr(T.h48_spark("w")), F.lit(_NB_BUCKETS)).alias("b"),
+        )
     )
-    bk = tok.select(
-        "doc_id",
-        "lang",
-        F.pmod(F.expr(T.h48_spark("w")), F.lit(_NB_BUCKETS)).alias("b"),
-    )
-    train = bk.filter(F.col("doc_id") % 2 == 0)
-    test = bk.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", F.col("lang").alias("true_lang"), "b"
-    )
+
+
+def _nb_model_frames(docs: DataFrame):
+    """Train on the even-doc_id half: returns ``(model (cls, b, llv),
+    prior (cls, pv))`` — the quantized NB artifact, |classes| x 128 +
+    |classes| rows."""
+    spark = docs.sparkSession
+    train = _nb_bucketed_tokens(docs).filter(F.col("doc_id") % 2 == 0)
     counts = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
     totals = train.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
     grid = totals.crossJoin(
@@ -143,7 +145,7 @@ def _nb_prediction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = (
         grid.join(counts, ["lang", "b"], "left")
         .select(
-            "lang",
+            F.col("lang").alias("cls"),
             "b",
             F.round(
                 (
@@ -163,17 +165,23 @@ def _nb_prediction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ntot = ndoc.agg(F.sum("nd").cast("double").alias("ndt"))
     prior = ndoc.crossJoin(F.broadcast(ntot)).select(
-        "lang",
+        F.col("lang").alias("cls"),
         F.round((F.log("nd") - F.log("ndt")) * 1000000).cast("long").alias("pv"),
     )
+    return model, prior
+
+
+def _nb_score(test_bk: DataFrame, model: DataFrame, prior: DataFrame) -> DataFrame:
+    """Score bucketed test tokens (doc_id, true_lang, b) against the model:
+    (doc_id, true_lang, pred_lang, stot) via exact integer sums + argmax."""
     sc = (
-        test.join(F.broadcast(model.withColumnRenamed("lang", "cls")), "b")
+        test_bk.join(F.broadcast(model), "b")
         .groupBy("doc_id", "true_lang", "cls")
         .agg(F.sum("llv").cast("long").alias("s"))
     )
-    si = sc.join(
-        F.broadcast(prior.select(F.col("lang").alias("cls"), "pv")), "cls"
-    ).select("doc_id", "true_lang", "cls", (F.col("s") + F.col("pv")).alias("stot"))
+    si = sc.join(F.broadcast(prior), "cls").select(
+        "doc_id", "true_lang", "cls", (F.col("s") + F.col("pv")).alias("stot")
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("stot").desc(), F.col("cls").asc()
     )
@@ -182,6 +190,20 @@ def _nb_prediction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"), "stot")
     )
+
+
+def _nb_prediction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, true_lang, pred_lang, stot) for every scorable test doc —
+    the train+score pipeline shared by the prediction and evaluation
+    queries (mirrors ``_NB_PRED_CTES``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model, prior = _nb_model_frames(docs)
+    test = (
+        _nb_bucketed_tokens(docs)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.col("lang").alias("true_lang"), "b")
+    )
+    return _nb_score(test, model, prior)
 
 
 @query(
@@ -484,3 +506,83 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_micro",
         "fused_rank",
     )
+
+
+@query(
+    "stream_naive_bayes_score",
+    oracle=_NB_PRED_CTES
+    + """
+SELECT doc_id, true_lang, pred_lang, (pred_lang = true_lang) AS correct,
+       round(stot / 1000000.0, 6) AS logscore
+FROM pred
+""",
+)
+def stream_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model SERVING on the ingest path: the held-out half arrives as a
+    STREAM (2 micro-batches) and every micro-batch is scored against the
+    broadcast naive-Bayes model inside ``foreachBatch`` — the standard
+    Structured Streaming shape for per-entity model inference that needs
+    an aggregation (per-doc score sums can't run in watermark-free append
+    mode; each document is wholly contained in one micro-batch, so
+    batch-local scoring is exact). Scored predictions append to a parquet
+    sink as each batch lands; the result is read back from the sink, as a
+    downstream consumer would.
+
+    The model and prior frames are trained batch-side once and cached
+    (640 + 5 rows) — production would persist the artifact; the scoring
+    math is the byte-identical `_nb_score` the batch query uses. Oracle:
+    the SAME full held-out-half SQL as ``naive_bayes_lang_classify`` —
+    streaming scoring ≡ batch scoring, value-hash checked."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, prior = _nb_model_frames(docs)
+    model = model.cache()
+    prior = prior.cache()
+
+    held_out = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "text"
+    )
+    src = _tempfile.mkdtemp(prefix="nb_stream_src_")
+    sink = _tempfile.mkdtemp(prefix="nb_stream_sink_")
+    try:
+        # Two parquet files -> two micro-batches (deterministic split).
+        held_out.filter(F.col("doc_id") % 4 == 1).write.parquet(f"{src}/a")
+        held_out.filter(F.col("doc_id") % 4 == 3).write.parquet(f"{src}/b")
+
+        def _score_batch(batch_df, _batch_id):
+            test = _nb_bucketed_tokens(batch_df).select(
+                "doc_id", F.col("lang").alias("true_lang"), "b"
+            )
+            _nb_score(test, model, prior).write.mode("append").parquet(
+                f"{sink}/out"
+            )
+
+        h = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.foreachBatch(_score_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not h.awaitTermination(600):
+            h.stop()
+            raise RuntimeError("stream_naive_bayes_score: replay hung")
+        out = spark.read.parquet(f"{sink}/out").select(
+            "doc_id",
+            "true_lang",
+            "pred_lang",
+            (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+            F.round(F.col("stot") / 1000000.0, 6).alias("logscore"),
+        )
+        # Materialize before the sink dir is removed.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        model.unpersist()
+        prior.unpersist()
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(sink, ignore_errors=True)
