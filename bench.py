@@ -106,6 +106,14 @@ HEADLINE = [
     # declarative 5-round BPE trainer
     "dsir_importance_sampling",
     "bpe_train_merges",
+    # round-6 second session: the model-adjacent evaluation family (NB
+    # train+score, hybrid retrieval fusion), tokenizer apply, and the
+    # hash-checked robust/projected vector ops
+    "naive_bayes_lang_classify",
+    "hybrid_rrf_retrieval",
+    "bpe_encode_corpus",
+    "geometric_median_embeddings",
+    "jl_project_embeddings",
 ]
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -170,7 +178,7 @@ def compose_output(detail: dict) -> tuple[str, str]:
         fam = k[len("scale_smoke_"): -len("_10x_ratio_vs_linear")] or "minhash_clique"
         smoke[_SMOKE_ABBREV.get(fam, fam)] = round(v, 2)
 
-    def attempt(queries: dict, with_smoke: bool, with_eps: bool) -> str:
+    def attempt(queries: dict, smoke_mode: str, with_eps: bool) -> str:
         compact = {
             "metric": "headline wall sec (warm; full detail: BENCH_DETAIL.json)",
             "value": detail["value"],
@@ -180,27 +188,32 @@ def compose_output(detail: dict) -> tuple[str, str]:
         }
         if with_eps:
             compact["eps"] = eps
-        if with_smoke:
+        if smoke_mode == "full":
             compact["smoke10x_vs_linear"] = smoke
+        elif smoke_mode == "max" and smoke:
+            # One-number summary: every linear-workload 10x smoke ran at
+            # <= this multiple of perfectly-linear scaling.
+            compact["smoke10x_vs_linear_worst"] = max(smoke.values())
         return json.dumps(compact, separators=(",", ":"))
 
     q2 = {k: round(v, 2) for k, v in detail["queries"].items()}
-    for queries, with_smoke, with_eps in [
-        (q2, True, True),
-        (q2, False, True),
-        ({k: round(v, 1) for k, v in q2.items()}, False, True),
-        (q2, False, False),
+    for queries, smoke_mode, with_eps in [
+        (q2, "full", True),
+        (q2, "max", True),
+        (q2, "none", True),
+        ({k: round(v, 1) for k, v in q2.items()}, "none", True),
     ]:
-        line = attempt(queries, with_smoke, with_eps)
+        line = attempt(queries, smoke_mode, with_eps)
         if len(line) <= TAIL_BUDGET:
             return full, line
-    # Last resort: keep the slowest queries that fit (never expected — the
-    # stages above cover ~3x the current registry's headline set).
+    # Last resort: drop the FASTEST queries until the line fits — eps (the
+    # flagship throughput numbers vs the baseline design target) outranks
+    # sub-second query rows, which BENCH_DETAIL.json still carries in full.
     ranked = sorted(q2.items(), key=lambda kv: -kv[1])
     keep = dict(ranked)
-    while keep and len(attempt(keep, False, True)) > TAIL_BUDGET:
+    while keep and len(attempt(keep, "none", True)) > TAIL_BUDGET:
         keep.pop(ranked[len(keep) - 1][0])
-    return full, attempt(keep, False, True)
+    return full, attempt(keep, "none", True)
 
 
 def main() -> None:
