@@ -106,6 +106,7 @@ _DRIVER_WINDOW: list[str] = [
     "naive_bayes_eval_f1",
     "ndcg_jl_ranking",
     "stream_naive_bayes_score",
+    "conformal_interval_coverage",
 ]
 
 

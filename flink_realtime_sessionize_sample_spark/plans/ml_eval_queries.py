@@ -1,11 +1,12 @@
 """Round-6 model-adjacent evaluation operators.
 
-Three beyond-parity operators the model-facing end of a 100 TB training-data
-pipeline needs once the corpus is deduped and featurized: a trained+scored
-classifier (hashed multinomial naive Bayes over a train/test split), an
-exact distributed ranking metric (Mann-Whitney / ROC-AUC with full tie
-correction), and hybrid retrieval (reciprocal-rank fusion of the BM25
-lexical index with the dense cosine index).
+The model-facing end of a 100 TB training-data pipeline, once the corpus is
+deduped and featurized: a trained+scored classifier (hashed multinomial
+naive Bayes over a train/test split) with its per-class F1 evaluation and a
+streaming-serving twin, an exact distributed ranking metric (Mann-Whitney /
+ROC-AUC with full tie correction), hybrid retrieval (reciprocal-rank fusion
+of the BM25 lexical index with the dense cosine index), and split-conformal
+interval calibration of a point predictor.
 
 Cross-engine exactness follows the DSIR/PCA discipline (feature_queries.py):
 log-likelihoods quantize to integer micro-units BEFORE any corpus-sized sum,
@@ -586,3 +587,124 @@ def stream_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         prior.unpersist()
         _shutil.rmtree(src, ignore_errors=True)
         _shutil.rmtree(sink, ignore_errors=True)
+
+
+# --- split-conformal interval calibration ---------------------------------
+
+_CONF_ALPHA_NUM = 9  # coverage level 0.9 as the exact rational 9/10
+_CONF_ALPHA_DEN = 10
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+pred AS (
+  SELECT event_type, CAST(round(sum(vq)::DOUBLE / count(*)) AS BIGINT) AS p
+  FROM ev WHERE event_id % 3 = 0 GROUP BY event_type
+),
+calib AS (
+  SELECT e.event_id, abs(e.vq - p.p) AS r
+  FROM ev e JOIN pred p USING (event_type) WHERE e.event_id % 3 = 1
+),
+nc AS (SELECT count(*)::BIGINT AS n FROM calib),
+kq AS (
+  SELECT ({_CONF_ALPHA_NUM} * (n + 1) + {_CONF_ALPHA_DEN} - 1) // {_CONF_ALPHA_DEN}
+           AS k, n
+  FROM nc
+),
+ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r ASC, event_id ASC) AS rk FROM calib
+),
+qhat AS (SELECT r AS q FROM ranked, kq WHERE ranked.rk = kq.k),
+test AS (
+  SELECT abs(e.vq - p.p) AS r
+  FROM ev e JOIN pred p USING (event_type) WHERE e.event_id % 3 = 2
+)
+SELECT kq.n AS n_calib, kq.k::BIGINT AS k_order_stat, qhat.q AS q_micro,
+       count(*)::BIGINT AS n_test,
+       sum(CASE WHEN test.r <= qhat.q THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+       round(sum(CASE WHEN test.r <= qhat.q THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) + 0.0 AS coverage
+FROM test CROSS JOIN qhat CROSS JOIN kq
+GROUP BY kq.n, kq.k, qhat.q
+""",
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (Vovk; Angelopoulos & Bates 2022) of a
+    per-type mean-value predictor over the event stream: train on split 0
+    (per-event_type quantized mean), take the ceil(0.9(n+1))-th smallest
+    absolute residual on calibration split 1 as the interval half-width,
+    and report empirical coverage on test split 2 — the
+    distribution-free uncertainty wrapper modern eval stacks put around
+    ANY point predictor, here computed EXACTLY.
+
+    Exactness: values quantize to integer micro-units, predictions are
+    round(int-sum/count), residuals are exact integer |differences|; the
+    conformal rank k = ceil(0.9(n+1)) is computed in pure integer
+    arithmetic (9(n+1)+9)//10 — no 0.9 float — and the order statistic
+    is selected by exact rank (tie-broken on event_id) via the
+    distributed ``with_global_rank`` pass, not a single-partition sort.
+    Coverage is one rounded ratio of exact counts. Scale: two hash
+    aggregates + the range-partitioned rank pass; the model is
+    |event_types| broadcast rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("vq"),
+    )
+    pred = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("vq").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("p")
+        )
+    )
+    calib = (
+        ev.filter(F.col("event_id") % 3 == 1)
+        .join(F.broadcast(pred), "event_type")
+        .select("event_id", F.abs(F.col("vq") - F.col("p")).alias("r"))
+    )
+    kq = calib.agg(F.count(F.lit(1)).alias("n")).select(
+        "n",
+        F.expr(
+            f"({_CONF_ALPHA_NUM} * (n + 1) + {_CONF_ALPHA_DEN} - 1) div {_CONF_ALPHA_DEN}"
+        ).alias("k"),
+    )
+    ranked = with_global_rank(calib, ["r", "event_id"], rank_col="rk")
+    qhat = (
+        ranked.crossJoin(F.broadcast(kq))
+        .filter(F.col("rk") == F.col("k"))
+        .select(F.col("r").alias("q"), "n", F.col("k").cast("long").alias("k"))
+    )
+    test = (
+        ev.filter(F.col("event_id") % 3 == 2)
+        .join(F.broadcast(pred), "event_type")
+        .select(F.abs(F.col("vq") - F.col("p")).alias("r"))
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("n", "k", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            F.col("n").alias("n_calib"),
+            F.col("k").alias("k_order_stat"),
+            F.col("q").alias("q_micro"),
+            F.col("n_test").cast("long").alias("n_test"),
+            "n_covered",
+            (
+                F.round(F.col("n_covered").cast("double") / F.col("n_test"), 6)
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+    )
