@@ -337,3 +337,59 @@ def test_no_inlined_generate_filter(spark, sf_oracle, name):
             assert "array_distinct" not in line and "transform(sequence" not in line, (
                 f"{name}: inlined array expression in a Filter:\n{line.strip()[:200]}"
             )
+
+
+# --- round-6 second session: evaluation / vector-op scale contracts -------
+
+_R6_EVAL = [
+    "naive_bayes_lang_classify",
+    "naive_bayes_eval_f1",
+    "roc_auc_token_count",
+    "hybrid_rrf_retrieval",
+    "bpe_encode_corpus",
+    "geometric_median_embeddings",
+    "jl_project_embeddings",
+    "ann_jl_recall_audit",
+    "ndcg_jl_ranking",
+    "conformal_interval_coverage",
+]
+
+
+@pytest.mark.parametrize("name", _R6_EVAL)
+def test_r6_eval_plans_no_cartesian_no_python(spark, sf_oracle, name):
+    """No Cartesian product and no Python eval anywhere in the evaluation
+    family — every pairing is an equi join or an explicit broadcast of a
+    bounded frame (model grids, iterates, 1-row scalars)."""
+    p = _plan(spark, sf_oracle, name)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+@pytest.mark.parametrize(
+    "name", ["naive_bayes_lang_classify", "geometric_median_embeddings", "jl_project_embeddings"]
+)
+def test_r6_model_state_joins_are_broadcast(spark, sf_oracle, name):
+    """The bounded model state (NB class x bucket grid, the Weiszfeld
+    iterate, the JL sign matrix) must reach the corpus through a broadcast
+    join — a shuffled join here would re-exchange the corpus against a
+    few-hundred-row table."""
+    p = _plan(spark, sf_oracle, name)
+    assert "BroadcastHashJoin" in p
+
+
+def test_roc_auc_rank_pass_is_distributed(spark, sf_oracle):
+    """The AUC cumulative-count pass must ride the range-partitioned
+    global-rank operator; SinglePartition exchanges may only feed the
+    final scalar aggregate collapse."""
+    p = _plan(spark, sf_oracle, "roc_auc_token_count")
+    assert "Exchange rangepartitioning" in p
+    _single_partition_feeds_only_aggregates(p)
+
+
+def test_jl_projection_single_data_exchange(spark, sf_oracle):
+    """The projection is one map-side-combined aggregate: exactly one
+    hash-partitioned exchange (carrying the n x 16 output rows), nothing
+    else."""
+    p = _plan(spark, sf_oracle, "jl_project_embeddings")
+    assert p.count("Exchange hashpartitioning") == 1
