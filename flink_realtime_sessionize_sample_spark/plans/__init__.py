@@ -107,6 +107,8 @@ _DRIVER_WINDOW: list[str] = [
     "ndcg_jl_ranking",
     "stream_naive_bayes_score",
     "conformal_interval_coverage",
+    "minhash_s_curve",
+    "source_contamination_matrix",
 ]
 
 

@@ -1692,3 +1692,83 @@ def ndcg_jl_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_micro"),
         )
     )
+
+
+# --- MinHash S-curve: analytic design vs empirical recall (round 6) --------
+
+
+def _s_curve_oracle() -> str:
+    """Analytic band-collision probability joined against the empirical
+    recall audit (its full oracle embedded as a subquery)."""
+    from flink_realtime_sessionize_sample_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_HASHES,
+    )
+
+    r = DEFAULT_NUM_HASHES // DEFAULT_BANDS
+    assert r == 3 and DEFAULT_BANDS == 4, "unrolled powers below assume r=3, b=4"
+    return f"""
+WITH a AS (
+  SELECT g.band AS jaccard_band,
+         round((2 * g.band + 1) / 20.0, 6) AS j_mid,
+         -- p = 1 - (1 - j^3)^4, unrolled to pure multiplications so both
+         -- engines evaluate the identical IEEE expression (no pow()):
+         round(1 - ((1 - j.j * j.j * j.j) * (1 - j.j * j.j * j.j))
+                   * ((1 - j.j * j.j * j.j) * (1 - j.j * j.j * j.j)), 6)
+           AS p_analytic
+  FROM range(5, 10) g(band),
+       LATERAL (SELECT (2 * g.band + 1) / 20.0 AS j) j
+)
+SELECT a.jaccard_band::INT AS jaccard_band, a.j_mid, a.p_analytic,
+       coalesce(e.n_true, 0)::BIGINT AS n_true,
+       coalesce(e.n_found, 0)::BIGINT AS n_found,
+       e.recall
+FROM a LEFT JOIN ({_minhash_recall_oracle()}) e
+  ON e.jaccard_band = a.jaccard_band
+"""
+
+
+@query("minhash_s_curve", oracle=_s_curve_oracle())
+def minhash_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH DESIGN readout: the analytic S-curve P(candidate | J) =
+    1 - (1 - J^r)^b for the configured 12-hash / 4-band scheme, side by
+    side with the measured per-band recall from ``minhash_recall_audit``
+    — one table answering "is the corpus behaving like the theory says
+    the parameters should?", which is how (r, b) get re-tuned when it
+    isn't.
+
+    Determinism: the analytic probability is unrolled to pure
+    multiplications of the exact band-midpoint double (no pow(), whose
+    libm rounding may differ per engine); the empirical side is the
+    already-verified audit frame. Bands 5-9 (the J >= 0.5 true-pair
+    region); bands with no true pairs keep NULL recall and zero counts."""
+    from flink_realtime_sessionize_sample_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_HASHES,
+    )
+
+    r = DEFAULT_NUM_HASHES // DEFAULT_BANDS
+    assert r == 3 and DEFAULT_BANDS == 4
+    j = (2 * F.col("band") + 1) / F.lit(20.0)
+    j3 = F.lit(1.0) - j * j * j
+    analytic = (
+        spark.range(5, 10)
+        .select(F.col("id").alias("band"))
+        .select(
+            F.col("band").cast("int").alias("jaccard_band"),
+            F.round(j, 6).alias("j_mid"),
+            F.round(F.lit(1) - (j3 * j3) * (j3 * j3), 6).alias("p_analytic"),
+        )
+    )
+    emp = minhash_recall_audit(spark, sf_dir)
+    return (
+        analytic.join(F.broadcast(emp), "jaccard_band", "left")
+        .select(
+            "jaccard_band",
+            "j_mid",
+            "p_analytic",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            "recall",
+        )
+    )

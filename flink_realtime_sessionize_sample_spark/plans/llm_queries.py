@@ -3221,3 +3221,78 @@ def doc_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "backoff_rate"
         ),
     )
+
+
+# --- cross-source contamination matrix (round 6) ---------------------------
+
+
+@query(
+    "source_contamination_matrix",
+    oracle=_DOC_SHINGLES_CTE
+    + """
+, ex AS (SELECT doc_id, len(sh) AS _n, unnest(sh) AS s FROM nonempty),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, _n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY _df ASC, s ASC) AS _pos
+    FROM (SELECT doc_id, s, _n, count(*) OVER (PARTITION BY s) AS _df FROM ex)
+  ) WHERE _pos <= _n - ceil(0.5 * _n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE common::DOUBLE / uni >= 0.5
+),
+tagged AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_x, source_y, count(*)::BIGINT AS n_pairs,
+       (source_x <> source_y) AS cross_source
+FROM tagged GROUP BY source_x, source_y
+""",
+)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance readout: how many verified near-duplicate pairs
+    (the exact PPJoin Jaccard >= 0.5 tier) fall WITHIN each source vs
+    ACROSS each source pair — the matrix that tells you whether "two
+    datasets" are secretly one (cross-source contamination, the
+    train/benchmark leakage shape) before mixing weights are chosen.
+
+    Composition of the verified pair frame with two broadcast-able
+    dimension joins; the unordered source pair canonicalizes via
+    least/greatest so both orientations land in one cell. Output is at
+    most |sources|^2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    return tagged.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).withColumn("cross_source", F.col("source_x") != F.col("source_y"))
