@@ -109,6 +109,8 @@ _DRIVER_WINDOW: list[str] = [
     "conformal_interval_coverage",
     "minhash_s_curve",
     "source_contamination_matrix",
+    "ab_test_cuped",
+    "token_gini_concentration",
 ]
 
 

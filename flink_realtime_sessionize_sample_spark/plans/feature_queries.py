@@ -1772,3 +1772,65 @@ def minhash_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall",
         )
     )
+
+
+# --- token concentration: exact Gini coefficient (round 6) -----------------
+
+
+@query(
+    "token_gini_concentration",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, len({T.tokens_duck('text')})::BIGINT AS dl FROM documents
+),
+rk AS (
+  SELECT dl, row_number() OVER (ORDER BY dl ASC, doc_id ASC) AS r FROM d
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s0, sum(r * dl)::BIGINT AS s1
+  FROM rk
+)
+SELECT n AS n_docs, s0 AS total_tokens,
+       CAST(round((2 * s1 - (n + 1) * s0) * 1000000.0 / (n::DOUBLE * s0)) AS BIGINT)
+         AS gini_micro
+FROM s
+""",
+)
+def token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of token mass across documents — the
+    corpus-balance readout (0 = every doc the same length, →1 = all
+    tokens in a few documents) that decides whether length-stratified
+    sampling or packing-bucket rebalancing is needed before training.
+
+    Exact under ties: with ranks from ANY deterministic total order
+    (length, doc_id), the rank-weighted sum Σ r·x is tie-invariant in
+    aggregate, so G = (2Σr·x - (n+1)Σx) / (nΣx) needs no tie averaging.
+    Every term is an exact BIGINT sum; the single division is one
+    deterministic double, emitted in micro-units. The rank rides the
+    distributed ``with_global_rank`` pass (range partition + broadcast
+    offsets) — no single-partition sort at any corpus size."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.expr(T.tokens_spark("text"))).cast("long").alias("dl")
+    )
+    rk = with_global_rank(d, ["dl", "doc_id"], rank_col="r")
+    s = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("long").alias("s0"),
+        F.sum(F.col("r") * F.col("dl")).cast("long").alias("s1"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.col("s0").alias("total_tokens"),
+        F.round(
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0"))
+            * F.lit(1000000.0)
+            / (F.col("n").cast("double") * F.col("s0"))
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )

@@ -393,3 +393,33 @@ def test_jl_projection_single_data_exchange(spark, sf_oracle):
     else."""
     p = _plan(spark, sf_oracle, "jl_project_embeddings")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_cuped_reduces_variance_on_correlated_users(spark):
+    """When users have stable spend levels (pre-period predicts
+    post-period), CUPED must remove most of the between-user variance;
+    on this construction theta ~ 1 and the reduction is large."""
+    import datetime as dt
+
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        cuped_from_events,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        level = 100.0 + 37.0 * u  # user-specific spend level
+        for k in range(4):  # pre-period events
+            rows.append((u, base + dt.timedelta(hours=k), level + 3.0 * k))
+        for k in range(4):  # post-period events
+            rows.append(
+                (u, base + dt.timedelta(days=5, hours=k), level + 2.0 * k)
+            )
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    out = cuped_from_events(ev).collect()[0]
+    assert out["n_users"] == 40
+    assert out["var_reduction"] > 0.9
+    # theta ~ cov/var of near-identical per-user sums -> close to 1
+    assert 0.8 < out["theta_micro"] / 1_000_000 < 1.2
