@@ -352,6 +352,10 @@ _R6_EVAL = [
     "ann_jl_recall_audit",
     "ndcg_jl_ranking",
     "conformal_interval_coverage",
+    "minhash_s_curve",
+    "source_contamination_matrix",
+    "ab_test_cuped",
+    "token_gini_concentration",
 ]
 
 
