@@ -7,47 +7,63 @@ operation"). For a table proportional to the data — |customers|, |vocab| —
 that is the classic scale pinch: one executor sorts (and for running sums,
 scans) everything while the rest of the cluster idles.
 
-The standard two-pass rewrite used here:
+The two-pass rewrite used here:
 
-1. **Range-partition + local sort** — ``repartitionByRange(sort_keys)``
-   gives non-overlapping, ordered key ranges; ``sortWithinPartitions``
-   orders each range locally. This is exactly how Spark executes a global
-   ``orderBy``, minus the final single-partition collapse.
-2. **Local position** — ``monotonically_increasing_id()`` computed after
-   the local sort encodes (partition id << 33) | record-index (documented
-   bit layout of the function), so the local row number and the physical
-   partition index come from a pure projection: no extra shuffle, no
-   window, no Python.
-3. **Partition offsets** — per-partition row counts (and value sums, for
-   running totals) are aggregated into ONE row holding an array of at most
-   ``num_partitions`` structs (bounded by config, not data) and broadcast;
-   a higher-order ``aggregate(filter(...))`` prefix-sum turns each row's
-   (partition, local position) into its exact global rank — and, when a
-   value column is given, its exact global running sum.
+1. **Deterministic range banding** — every row's band index ``_pid`` is a
+   PURE FUNCTION of its sort-key value: a hash-gated sample of the primary
+   key (``md5(key) % 64 == 0`` — a deterministic SET, not an RNG draw) is
+   sorted and decimated into at most ``num_partitions - 1`` cut points,
+   broadcast as one row, and each row counts the cut points strictly below
+   (asc) / above (desc) its key. Bands are non-overlapping ordered key
+   ranges, exactly like a range exchange — but reproducible.
+2. **Local position** — one window ``partitionBy(_pid).orderBy(sort_cols)``
+   assigns the within-band row number (and, for running totals, the local
+   prefix sums — same spec, same single sort). ``_pid`` has at most
+   ``num_partitions`` distinct values with near-equal populations, so this
+   is a balanced hash exchange, never a single task.
+3. **Band offsets** — per-band row counts (and value sums) are aggregated
+   into ONE row holding an array of at most ``num_partitions`` structs
+   (bounded by config, not data) and broadcast; a higher-order
+   ``aggregate(filter(...))`` prefix-sum turns each row's (band, local
+   position) into its exact global rank — and, when a value column is
+   given, its exact global running sum.
 
-The per-partition aggregate is taken on a second consumer of the SAME
-range exchange (``spark_partition_id()`` + count/sum, no sort), so AQE's
-ReusedExchange shuffles the data once and the offsets branch never pays
-the sort. The only single-partition hops left are O(num_partitions)-row
-scalar-aggregate collapses — the same shape as any global ``count()``.
+Why not ``repartitionByRange`` (the pre-round-6 design): its cut points
+come from reservoir sampling seeded by the RUNTIME RDD id
+(``RangePartitioner.sketch`` — ``byteswap32(idx ^ (rdd.id << 16))``), so
+two executions of the "same" exchange can place the boundaries
+differently. The old design computed local positions and band offsets as
+two consumers of one range exchange and was correct only while AQE's
+ReusedExchange actually deduplicated them; when adaptive replanning broke
+reuse (observed on ``ccnet_perplexity_buckets`` at sf0.1: AQE flipped a
+join's build side between the branches), each branch shuffled under
+DIFFERENT boundaries and ranks silently corrupted (duplicate and
+out-of-range ranks). Deterministic banding removes the assumption: any
+branch, recomputation, or task retry assigns every row the same ``_pid``,
+for the same reason ``sample_stratified_docs`` hash-gates instead of
+calling ``rand()``.
 
-The running-sum variant additionally needs each row's *local* prefix sum,
-which no projection can produce; that one window rides the partition-index
-key (``Window.partitionBy(_pid)``) — a uniformly-balanced hash exchange
-(range partitions are near-equal by construction), never a single task.
+Scale note: the boundary sample collects ~n/64 primary keys into one
+aggregate row. At the 100 TB design point the gate modulus is the knob —
+size it so the sample stays ~10^5-10^6 rows (e.g. ``n / (200 *
+num_partitions)``); cut-point quality degrades gracefully (bands skew,
+ranks stay exact). Rows equal on the primary key always share a band, so
+heavily-tied keys bound band balance the same way they bound any
+key-partitioned operator.
 
 Exactness: identical results to the global-window formulation whenever the
 sort key is total (callers append a unique tiebreaker — the oracles already
-do, for deterministic ntile/rank). Range boundaries come from sampling, but
-rank correctness needs only disjoint ordered ranges, which the range
-partitioner guarantees regardless of where the sampled cut points land.
+do, for deterministic ntile/rank). Sort keys must be non-null; the primary
+key must cast to string deterministically (numeric/string keys — every
+caller here).
 
 Used by ``customer_rfm_segments`` / ``customer_pareto_abc`` /
 ``doc_zipf_fit`` (plans/analytics_queries.py), replacing their documented
-global-sort pinches. Parity with the reference: the reference's Flink job
-never needs a global order (per-key MapState only,
-SessionizeGroupMapFunction.scala:90-130); this operator exists for the
-beyond-parity analytics surface.
+global-sort pinches, and by the round-5/6 evaluation family (ROC-AUC CDF,
+conformal order statistic, CCNet perplexity buckets, water-filling).
+Parity with the reference: the reference's Flink job never needs a global
+order (per-key MapState only, SessionizeGroupMapFunction.scala:90-130);
+this operator exists for the beyond-parity analytics surface.
 """
 
 from __future__ import annotations
@@ -57,11 +73,79 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_PID_BITS = 33  # monotonically_increasing_id: upper 31 bits = partition id
+# Deterministic sample gate: keep a primary-key value iff the low bits of
+# its 48-bit md5 hash clear this modulus. ~n/64 samples — plenty of cut
+# points at test SFs; see the module docstring for the 100 TB sizing knob.
+_SAMPLE_MOD = 64
 
 
 def _sort_exprs(sort_cols: Sequence[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+
+
+def _primary_key(sort_cols: Sequence[Column | str]) -> tuple[str, bool]:
+    """(column name, is_descending) of the leading sort key.
+
+    Callers pass either bare names (ascending) or ``F.col(name).asc() /
+    .desc()`` — simple references, never computed expressions (banding
+    hashes the key by NAME, so it must be a real column). Direction is
+    read from the column's SQL rendering ("name ASC NULLS FIRST" /
+    "name DESC NULLS LAST" / "name").
+    """
+    c = sort_cols[0]
+    if isinstance(c, str):
+        return c, False
+    s = c._jc.toString()
+    desc = " DESC" in s
+    name = s.split(" DESC")[0].split(" ASC")[0].strip("`")
+    return name, desc
+
+
+def _with_deterministic_band(
+    df: DataFrame, pname: str, pdesc: bool, n_part: int
+) -> DataFrame:
+    """Attach ``_pid``: the row's deterministic range-band index under the
+    primary sort key — ``size(filter(cuts, c -> c < key))`` (asc; flipped
+    for desc) against a broadcast 1-row array of hash-sampled cut points.
+
+    Everything is a pure function of row values, so any recomputation —
+    a second plan branch, an AQE re-plan, a task retry — bands identically.
+    """
+    p = F.col(pname)
+    gate = (
+        F.expr(
+            f"cast(conv(substring(md5(cast({pname} as string)), 1, 12), 16, 10)"
+            " as bigint)"
+        )
+        % _SAMPLE_MOD
+        == 0
+    )
+    if n_part >= 2:
+        # Decimate the sorted sample to n_part-1 cut points: the
+        # (i*size/n_part)-th order statistics. With fewer samples than
+        # bands the array is empty and every row lands in band 0 — the
+        # frame is tiny (≲ 64*n_part rows expected), one window partition
+        # is the right plan anyway.
+        cuts = F.expr(
+            f"array_distinct(filter(transform(sequence(1, {n_part - 1}), "
+            f"i -> case when size(_s) >= {n_part} "
+            f"then element_at(_s, cast((i * size(_s)) div {n_part} as int)) "
+            f"else null end), b -> b is not null))"
+        )
+    else:
+        cuts = F.expr("slice(_s, 1, 0)")  # typed empty array
+    bnd = (
+        df.select(p.alias("_k"))
+        .filter(gate)
+        .agg(F.array_sort(F.collect_list("_k")).alias("_s"))
+        .select(cuts.alias("_bnds"))
+    )
+    cmp = (lambda b: b > p) if pdesc else (lambda b: b < p)
+    return (
+        df.crossJoin(F.broadcast(bnd))
+        .withColumn("_pid", F.size(F.filter(F.col("_bnds"), cmp)))
+        .drop("_bnds")
+    )
 
 
 def with_global_rank(
@@ -84,56 +168,48 @@ def with_global_rank(
       * ``sum_total_col``  — grand total of ``sum_col`` (valid with or
         without ``cum_col``; requesting it without ``sum_col`` raises),
       * ``extra_cums``     — further ``(sum_col, cum_col)`` pairs; every
-        running sum rides the SAME range exchange, local window, and
-        broadcast offsets row (the two-sample CDF shape — e.g. a KS
-        statistic needs both groups' cumulative counts in one pass).
+        running sum rides the SAME band window as the row number — one
+        exchange, one sort, however many sums (the two-sample CDF shape —
+        e.g. a KS statistic needs both groups' cumulative counts in one
+        pass).
 
-    ``sort_cols`` must form a total order (append a unique tiebreaker) for
-    the rank to be deterministic. Sum columns must be integral (offsets
-    accumulate exactly as longs).
+    ``sort_cols`` must form a total order (append a unique tiebreaker) of
+    non-null keys for the rank to be deterministic; the leading key must
+    be a plain column (see :func:`_primary_key`). Sum columns must be
+    integral (offsets accumulate exactly as longs).
     """
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = _sort_exprs(sort_cols)
+    pname, pdesc = _primary_key(sort_cols)
     if sum_total_col is not None and sum_col is None:
         raise ValueError("sum_total_col requires sum_col")
-    # ``cum_col`` may be None with ``sum_col`` set (grand total only): the
-    # pair still contributes its per-partition partial (``_psum0``) so
-    # ``sum_total_col`` resolves, but skips the local prefix-sum window.
     pairs: list[tuple[str, str | None]] = (
         [(sum_col, cum_col)] if sum_col is not None else []
     ) + list(extra_cums)
 
-    ranged = df.repartitionByRange(n_part, *keys)
+    banded = _with_deterministic_band(df, pname, pdesc, n_part)
 
-    # Branch 1: local sort + pure-projection (pid, local row number).
-    local = (
-        ranged.sortWithinPartitions(*keys)
-        .withColumn("_mono", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mono", _PID_BITS))
-        .withColumn("_lrn", F.col("_mono").bitwiseAND(F.lit((1 << _PID_BITS) - 1)))
-        .drop("_mono")
-    )
-    if pairs:
-        # Local prefix sums: the one pass a projection cannot do. Keyed on
-        # the partition index — a balanced hash exchange, never one task.
-        # All pairs share one window spec → one sort, however many sums.
-        w_loc = Window.partitionBy("_pid").orderBy("_lrn").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        for i, (sc, cc) in enumerate(pairs):
-            if cc is not None:
-                local = local.withColumn(f"_lcs{i}", F.sum(sc).over(w_loc))
+    # Branch 1: within-band row number + local prefix sums. One window
+    # spec (band key, full sort order) carries every expression — row
+    # numbers and running sums share the frame, so this is ONE balanced
+    # hash exchange + ONE local sort however many sums ride along.
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = banded.withColumn("_lrn", F.row_number().over(w))
+    for i, (sc, cc) in enumerate(pairs):
+        if cc is not None:
+            local = local.withColumn(f"_lcs{i}", F.sum(sc).over(w_cum))
 
-    # Branch 2: per-partition totals straight off the reused range
-    # exchange — count/sum need no sort, so this branch never re-sorts.
+    # Branch 2: per-band totals — a plain hash aggregate on the SAME
+    # deterministic band key (no sort). Even if the optimizer executes
+    # this branch independently, its counts agree with branch 1 row for
+    # row, because ``_pid`` is data, not a physical partition id.
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     for i, (sc, _) in enumerate(pairs):
         aggs.append(F.sum(sc).cast("long").alias(f"_psum{i}"))
     sum_fields = [f"_psum{i}" for i in range(len(pairs))]
-    per_pid = (
-        ranged.withColumn("_pid", F.spark_partition_id()).groupBy("_pid").agg(*aggs)
-    )
+    per_pid = banded.groupBy("_pid").agg(*aggs)
     parts = per_pid.agg(
         F.array_sort(
             F.collect_list(F.struct("_pid", "_cnt", *sum_fields))
@@ -153,7 +229,7 @@ def with_global_rank(
             "_parts", F.lit(0).cast("long"), lambda acc, e: acc + e[field]
         )
 
-    out = out.withColumn(rank_col, (_prefix("_cnt") + F.col("_lrn") + F.lit(1)))
+    out = out.withColumn(rank_col, (_prefix("_cnt") + F.col("_lrn")))
     if total_col is not None:
         out = out.withColumn(total_col, _grand("_cnt"))
     for i, (_, cc) in enumerate(pairs):
@@ -199,38 +275,28 @@ def with_global_prefix_max(
     distributed, same two-pass shape as :func:`with_global_rank`.
 
     The strictly-previous frame is what dominance sweeps need (2-D skyline:
-    a point survives iff its value exceeds every earlier point's): range
-    partition + local sort, a local ``ROWS UNBOUNDED PRECEDING AND 1
-    PRECEDING`` window keyed on the partition index, and ONE broadcast row
-    of per-partition maxima folded into each row's cross-partition prefix.
-    No single-partition sort anywhere; the only 1-task hop is the
-    O(num_partitions)-row offsets collapse.
+    a point survives iff its value exceeds every earlier point's):
+    deterministic range banding, a local ``ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING`` window keyed on the band index, and ONE broadcast row of
+    per-band maxima folded into each row's cross-band prefix. No
+    single-partition sort anywhere; the only 1-task hops are
+    O(num_partitions)-row scalar-aggregate collapses.
 
-    ``value_col`` must be orderable; sort keys must form a total order for
-    a deterministic result (append a tiebreaker).
+    ``value_col`` must be orderable; sort keys must form a total order of
+    non-null values for a deterministic result (append a tiebreaker).
     """
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = _sort_exprs(sort_cols)
+    pname, pdesc = _primary_key(sort_cols)
 
-    ranged = df.repartitionByRange(n_part, *keys)
-    local = (
-        ranged.sortWithinPartitions(*keys)
-        .withColumn("_mono", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mono", _PID_BITS))
-        .withColumn("_lrn", F.col("_mono").bitwiseAND(F.lit((1 << _PID_BITS) - 1)))
-        .drop("_mono")
-    )
-    w_prev = Window.partitionBy("_pid").orderBy("_lrn").rowsBetween(
+    banded = _with_deterministic_band(df, pname, pdesc, n_part)
+    w_prev = Window.partitionBy("_pid").orderBy(*keys).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    local = local.withColumn("_lpm", F.max(value_col).over(w_prev))
+    local = banded.withColumn("_lpm", F.max(value_col).over(w_prev))
 
-    per_pid = (
-        ranged.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .agg(F.max(value_col).alias("_pmax"))
-    )
+    per_pid = banded.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
     parts = per_pid.agg(
         F.array_sort(F.collect_list(F.struct("_pid", "_pmax"))).alias("_parts")
     )
@@ -243,4 +309,4 @@ def with_global_prefix_max(
         F.when(F.col("_lpm").isNull(), cross_pm)
         .when(cross_pm.isNull(), F.col("_lpm"))
         .otherwise(F.greatest(F.col("_lpm"), cross_pm)),
-    ).drop("_pid", "_lrn", "_parts", "_lpm")
+    ).drop("_pid", "_parts", "_lpm")

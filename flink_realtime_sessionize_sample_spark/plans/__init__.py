@@ -72,6 +72,23 @@ _CHANGED_SINCE_EXTERNAL: list[str] = [
     "item_cooccurrence_topk",
 ]
 
+# ROUND-7 ROTATION DEBT (window overflow): the round-6 third session
+# rewrote operators/global_order.py (deterministic hash-sampled banding
+# replacing repartitionByRange — its rdd-id-seeded boundary sampling
+# corrupted ranks when AQE broke exchange reuse; caught by
+# ccnet_perplexity_buckets at sf0.1). Per the standing rule every
+# with_global_rank / with_global_prefix_max query re-enters the window;
+# nine of them are already inside this round's window
+# (calibration_reliability_brier, ccnet_perplexity_buckets,
+# conformal_interval_coverage, customer_pareto_abc, customer_rfm_segments,
+# doc_zipf_fit, roc_auc_token_count, token_budget_waterfill,
+# token_gini_concentration), but the window is at its 50-slot cap, so the
+# remaining five could NOT be rotated this round. They are verified green
+# at sf0.01 AND sf0.1 by the local driver-replica sweep (2026-08-14) and
+# MUST lead round 7's _CHANGED_SINCE_EXTERNAL:
+#   equi_depth_histogram, ks_drift_detection, late_data_accounting,
+#   pareto_skyline_parts, psi_value_drift
+
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
@@ -111,6 +128,12 @@ _DRIVER_WINDOW: list[str] = [
     "source_contamination_matrix",
     "ab_test_cuped",
     "token_gini_concentration",
+    # round-6 third session: agreement/calibration/budget/leakage/quality.
+    "cohens_kappa_agreement",
+    "calibration_reliability_brier",
+    "token_budget_waterfill",
+    "split_leakage_neardup",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -3296,3 +3296,193 @@ def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("source_x", "source_y").agg(
         F.count(F.lit(1)).alias("n_pairs")
     ).withColumn("cross_source", F.col("source_x") != F.col("source_y"))
+
+
+# --- train/test split leakage via near-dup pairs --------------------------
+
+
+@query(
+    "split_leakage_neardup",
+    oracle=_DOC_SHINGLES_CTE
+    + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+    + """
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+)
+SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS train_doc,
+       CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS test_doc,
+       round(common::DOUBLE / uni, 6) AS jaccard
+FROM verified
+WHERE common::DOUBLE / uni >= 0.5 AND (doc_a % 2) <> (doc_b % 2)
+""",
+)
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (MinHash-LSH
+    candidates, exact Jaccard >= 0.5 verified) that CROSS the train/test
+    split (even/odd doc_id — the same split every evaluation query in
+    ml_eval_queries.py trains on). Each surviving row is a test document
+    whose near-twin sits in training data — the contamination that
+    silently inflates held-out metrics; the fix is dedup-aware splitting
+    (assign whole dup-clusters to one side, cf. ``dedup_cluster_canonical``).
+
+    Reuses the externally-verified ``minhash_lsh_pairs`` pipeline
+    unchanged (per-row signatures, banded equi-join candidates, exact
+    verification) and adds only a parity filter + train/test orientation —
+    so the scale story is identical: bucketed candidate generation, never
+    all-pairs, one extra codegen Filter. At 100 TB the split gate would be
+    a hash of the doc key rather than parity; the parity split keeps the
+    audit aligned with this repo's evaluation family."""
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+    cross = pairs.filter((F.col("doc_a") % 2) != (F.col("doc_b") % 2))
+    train_first = F.col("doc_a") % 2 == 0
+    return cross.select(
+        F.when(train_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "train_doc"
+        ),
+        F.when(train_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "test_doc"
+        ),
+        "jaccard",
+    )
+
+
+# --- CCNet-style perplexity quality buckets -------------------------------
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_D} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM tok
+),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+bc2 AS (
+  SELECT w1, w2,
+         CAST(round((ln(c2) - ln(sum(c2) OVER (PARTITION BY w1))) * 1000000)
+              AS BIGINT) AS lpq
+  FROM bc
+),
+pd AS (
+  SELECT b.doc_id, sum(m.lpq)::BIGINT AS lp_sum, count(*)::BIGINT AS n_bigrams
+  FROM bg b JOIN bc2 m ON b.w1 = m.w1 AND b.w2 = m.w2
+  GROUP BY b.doc_id
+),
+pd2 AS (
+  SELECT doc_id, n_bigrams,
+         CAST(round(lp_sum::DOUBLE / n_bigrams) AS BIGINT) AS avg_micro
+  FROM pd
+),
+nt AS (
+  SELECT *, ntile(10) OVER (ORDER BY avg_micro DESC, doc_id ASC) AS bucket
+  FROM pd2
+)
+SELECT bucket::INT AS bucket, count(*)::BIGINT AS n_docs,
+       sum(n_bigrams)::BIGINT AS n_bigrams,
+       max(avg_micro)::BIGINT AS best_avg_micro,
+       min(avg_micro)::BIGINT AS worst_avg_micro,
+       round(sum(avg_micro)::DOUBLE / count(*) / 1000000, 6) + 0.0
+         AS mean_avg_logprob,
+       (bucket <= 7) AS kept
+FROM nt GROUP BY bucket
+""",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document under a language model (here the corpus's own bigram LM, the
+    ``doc_bigram_logprob`` scorer made integer-exact), rank by mean token
+    log-probability, and cut the corpus into 10 equal buckets — keep the
+    head/middle (buckets 1-7), drop the worst 30% — the standard
+    LM-perplexity quality filter between raw scrape and tokenizer.
+
+    Exactness: per-bigram conditionals quantize to integer micro-units
+    BEFORE the per-doc sum (ln of exact integer counts only — the proven
+    cross-engine recipe); the per-doc mean re-quantizes via one
+    deterministic double expression; ranking ties break on doc_id, and the
+    bucket cut uses the exact SQL-standard ntile replicated from the
+    global (rank, total) pair. Scale shape: ONE corpus explode feeds both
+    the bigram-count model (hash agg + window over the aggregated counts,
+    AQE-decided model join, no broadcast hint — at web scale the bigram
+    table outgrows the vocab) and the scoring join; the per-doc frame then
+    rides the distributed ``with_global_rank`` pass (range exchange +
+    broadcast offsets — never a single-partition sort) into a 10-row
+    aggregate."""
+    from pyspark.sql import Window
+
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS_S).alias("t")).filter(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bc2 = bc.select(
+        "w1",
+        "w2",
+        F.round(
+            (F.log("c2") - F.log(F.sum("c2").over(Window.partitionBy("w1"))))
+            * 1000000
+        )
+        .cast("long")
+        .alias("lpq"),
+    )
+    pd = bg.join(bc2, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.sum("lpq").cast("long").alias("lp_sum"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    pd2 = pd.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.col("lp_sum").cast("double") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_micro"),
+    )
+    ranked = with_global_rank(
+        pd2,
+        [F.col("avg_micro").desc(), F.col("doc_id").asc()],
+        rank_col="rnk",
+        total_col="ntot",
+    )
+    bucketed = ranked.withColumn(
+        "bucket", ntile_from_rank(F.col("rnk"), F.col("ntot"), 10)
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        F.max("avg_micro").alias("best_avg_micro"),
+        F.min("avg_micro").alias("worst_avg_micro"),
+        (
+            F.round(
+                F.sum("avg_micro").cast("double") / F.count(F.lit(1)) / 1000000, 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_avg_logprob"),
+    ).select(
+        "bucket",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_bigrams",
+        "best_avg_micro",
+        "worst_avg_micro",
+        "mean_avg_logprob",
+        (F.col("bucket") <= 7).alias("kept"),
+    )

@@ -708,3 +708,253 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- inter-rater agreement: Cohen's kappa ---------------------------------
+
+
+def _kappa_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+
+    case = _langid_case(
+        "men", "mde", "mfr", "mes", f"regexp_matches(text, '{_CJK}')"
+    )
+    return (
+        _NB_PRED_CTES
+        + f"""
+, toks2 AS (
+  SELECT doc_id, text, {_TOKS_D} AS t FROM documents WHERE doc_id % 2 = 1
+),
+hs AS (
+  SELECT doc_id, text,
+         {T.marker_score_duck('t', 'en')} AS men, {T.marker_score_duck('t', 'de')} AS mde,
+         {T.marker_score_duck('t', 'fr')} AS mfr, {T.marker_score_duck('t', 'es')} AS mes
+  FROM toks2
+),
+heur AS (SELECT doc_id, {case} AS pb FROM hs),
+pairs AS (
+  SELECT p.doc_id, p.pred_lang AS pa, h.pb
+  FROM pred p JOIN heur h USING (doc_id)
+),
+na AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pa = pb THEN 1 ELSE 0 END)::BIGINT AS agree
+  FROM pairs
+),
+ma AS (SELECT pa AS lbl, count(*)::BIGINT AS ca FROM pairs GROUP BY pa),
+mb AS (SELECT pb AS lbl, count(*)::BIGINT AS cb FROM pairs GROUP BY pb),
+sab AS (
+  SELECT sum(coalesce(ca, 0) * coalesce(cb, 0))::BIGINT AS sab
+  FROM ma FULL OUTER JOIN mb USING (lbl)
+)
+SELECT n AS n_docs, agree AS n_agree, sab AS sum_marginal_prod,
+       round(agree::DOUBLE / n, 6) + 0.0 AS po,
+       round(sab::DOUBLE / (n * n), 6) + 0.0 AS pe,
+       round((n * agree - sab)::DOUBLE / (n * n - sab), 6) + 0.0 AS kappa
+FROM na CROSS JOIN sab
+"""
+    )
+
+
+@query("cohens_kappa_agreement", oracle=_kappa_oracle())
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent labelers of the
+    held-out documents — the trained naive Bayes classifier vs the
+    marker-word language-ID heuristic (``doc_lang_id``'s rule) — the
+    standard chance-corrected agreement statistic every labeling/judging
+    pipeline reports before trusting silver labels.
+
+    Exactness: observed agreement and both marginal distributions are
+    exact integer counts; kappa = (po-pe)/(1-pe) is algebraically
+    rearranged to the all-integer form (n*agree - sum_k a_k*b_k) /
+    (n^2 - sum_k a_k*b_k), so the only doubles are three final 6dp-rounded
+    ratios of exact integers — identical single expressions both engines.
+
+    Scale shape: the heuristic labels are per-row codegen over the
+    held-out scan; the NB labels ride the already-verified prediction
+    pipeline; the pair frame is ONE doc_id equi-join; the kappa inputs are
+    two |labels|-row aggregates full-outer-joined and collapsed to one
+    row, cross-joined as 1-row broadcasts."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+
+    pred = _nb_prediction_frame(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("pa")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("t", F.expr(_TOKS_S))
+        .select(
+            "doc_id",
+            "text",
+            F.expr(T.marker_score_spark("t", "en")).alias("men"),
+            F.expr(T.marker_score_spark("t", "de")).alias("mde"),
+            F.expr(T.marker_score_spark("t", "fr")).alias("mfr"),
+            F.expr(T.marker_score_spark("t", "es")).alias("mes"),
+        )
+    )
+    heur = hs.select(
+        "doc_id",
+        F.expr(
+            _langid_case("men", "mde", "mfr", "mes", f"text rlike '{_CJK}'")
+        ).alias("pb"),
+    )
+    pairs = pred.join(heur, "doc_id")
+    na = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pa") == F.col("pb"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = pairs.groupBy(F.col("pa").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    mb = pairs.groupBy(F.col("pb").alias("lbl")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    sab = (
+        ma.join(mb, "lbl", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("ca", F.lit(0)) * F.coalesce("cb", F.lit(0))
+            )
+            .cast("long")
+            .alias("sab")
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        na.crossJoin(F.broadcast(sab))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            F.col("sab").alias("sum_marginal_prod"),
+            (F.round(d("agree") / F.col("n"), 6) + F.lit(0.0)).alias("po"),
+            (F.round(d("sab") / (F.col("n") * F.col("n")), 6) + F.lit(0.0)).alias(
+                "pe"
+            ),
+            (
+                F.round(
+                    (F.col("n") * F.col("agree") - F.col("sab")).cast("double")
+                    / (F.col("n") * F.col("n") - F.col("sab")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("kappa"),
+        )
+    )
+
+
+# --- calibration: reliability bins + Brier score --------------------------
+
+
+@query(
+    "calibration_reliability_brier",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, (lang = 'en')::INT AS pos, len({_TOKS_D})::BIGINT AS dl
+  FROM documents
+),
+g AS (SELECT dl, count(*)::BIGINT AS cnt FROM d GROUP BY dl),
+cdf AS (
+  SELECT dl, sum(cnt) OVER (ORDER BY dl)::BIGINT AS cum_all,
+         sum(cnt) OVER ()::BIGINT AS n_all
+  FROM g
+),
+s AS (
+  SELECT d.pos,
+         CAST(round(c.cum_all * 1000000.0 / c.n_all) AS BIGINT) AS sm
+  FROM d JOIN cdf c USING (dl)
+),
+b AS (SELECT least((sm // 100000), 9)::INT AS bin, pos, sm FROM s)
+SELECT bin, count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos,
+       sum(sm)::BIGINT AS sum_score_micro,
+       round(sum(sm)::DOUBLE / count(*) / 1000000, 6) + 0.0 AS conf,
+       round(sum(pos)::DOUBLE / count(*), 6) + 0.0 AS obs,
+       round(sum(sm)::DOUBLE / count(*) / 1000000
+             - sum(pos)::DOUBLE / count(*), 6) + 0.0 AS gap,
+       round(sum((sm - pos * 1000000) * (sm - pos * 1000000))::DOUBLE
+             / count(*) / 1000000000000.0, 6) + 0.0 AS brier
+FROM b GROUP BY bin
+""",
+)
+def calibration_reliability_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score of a [0,1] score predicting the
+    binary label ``lang = 'en'`` — the calibration audit every deployed
+    classifier/filter needs (a well-ranked score, cf.
+    ``roc_auc_token_count``, can still be badly calibrated). The score is
+    the empirical CDF percentile of the document's token count
+    (P(dl' <= dl)), binned into 10 equal-width bins; per bin: mean
+    predicted probability (confidence), observed positive rate, their gap,
+    and the bin's mean squared error (Brier contribution).
+
+    Exactness: the percentile quantizes to integer micro-units via ONE
+    deterministic double expression (cum*1e6/n, round half-up — both
+    engines) over exact integer counts; every per-bin statistic is then a
+    6dp-rounded single-expression ratio of exact integer sums (the squared
+    error sums (sm - y*1e6)^2 stay far inside int64 at any SF that fits a
+    corpus: 1e12 per doc). Scale shape: one hash aggregate collapses the
+    corpus to |distinct lengths| rows; the CDF rides the distributed
+    ``with_global_rank`` pass; the per-doc score join broadcasts the
+    bounded length table back; one final hash aggregate over 10 bins."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.size(F.expr(_TOKS_S)).cast("long").alias("dl"),
+    )
+    g = d.groupBy("dl").agg(F.count(F.lit(1)).alias("cnt"))
+    cdf = with_global_rank(
+        g,
+        ["dl"],
+        rank_col="_rk",
+        sum_col="cnt",
+        cum_col="cum_all",
+        sum_total_col="n_all",
+    ).select("dl", "cum_all", "n_all")
+    s = d.join(F.broadcast(cdf), "dl").select(
+        "pos",
+        F.round(F.col("cum_all") * 1000000.0 / F.col("n_all"))
+        .cast("long")
+        .alias("sm"),
+    )
+    b = s.select(
+        F.least(F.expr("sm div 100000"), F.lit(9)).cast("int").alias("bin"),
+        "pos",
+        "sm",
+    )
+    err = F.col("sm") - F.col("pos") * 1000000
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("sm").cast("long").alias("sum_score_micro"),
+        F.sum(err * err).cast("long").alias("_sse"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "bin",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_pos",
+        "sum_score_micro",
+        (F.round(dd("sum_score_micro") / F.col("n_docs") / 1000000, 6) + F.lit(0.0)).alias(
+            "conf"
+        ),
+        (F.round(dd("n_pos") / F.col("n_docs"), 6) + F.lit(0.0)).alias("obs"),
+        (
+            F.round(
+                dd("sum_score_micro") / F.col("n_docs") / 1000000
+                - dd("n_pos") / F.col("n_docs"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gap"),
+        (
+            F.round(dd("_sse") / F.col("n_docs") / 1000000000000.0, 6)
+            + F.lit(0.0)
+        ).alias("brier"),
+    )

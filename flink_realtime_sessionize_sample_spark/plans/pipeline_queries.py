@@ -585,3 +585,104 @@ def dsir_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w_int") / 1000000.0, 6).alias("logweight"),
         "rank",
     )
+
+
+# --- token-budget water-filling across sources ----------------------------
+
+
+@query(
+    "token_budget_waterfill",
+    oracle=f"""
+WITH sup AS (
+  SELECT source, sum(len({_TOKS_D}))::BIGINT AS s
+  FROM documents GROUP BY source
+),
+rk AS (
+  SELECT source, s,
+         row_number() OVER (ORDER BY s ASC, source ASC)::BIGINT AS r,
+         sum(s) OVER (ORDER BY s ASC, source ASC)::BIGINT AS cum,
+         count(*) OVER ()::BIGINT AS m,
+         (sum(s) OVER ()::BIGINT) // 2 AS bgt
+  FROM sup
+),
+rs AS (
+  SELECT coalesce(max(CASE WHEN cum + (m - r) * s <= bgt THEN r END), 0)::BIGINT AS rstar,
+         coalesce(max(CASE WHEN cum + (m - r) * s <= bgt THEN cum END), 0)::BIGINT AS pstar
+  FROM rk
+)
+SELECT source, s AS supply_tokens, r AS fill_rank, bgt AS budget_tokens,
+       CASE WHEN r <= rstar THEN s
+            ELSE (bgt - pstar) // (m - rstar)
+                 + CASE WHEN r - rstar <= (bgt - pstar) % (m - rstar) THEN 1 ELSE 0 END
+       END AS allocated_tokens,
+       (r > rstar) AS capped
+FROM rk CROSS JOIN rs
+""",
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a global token budget across sources —
+    the standard mixture step when a training run has a fixed token budget
+    and per-source supplies: every source keeps min(supply, L) with the
+    water level L chosen so allocations sum EXACTLY to the budget (here
+    budget = half the corpus). Small sources keep everything; large
+    sources are capped at the common level, with the integer remainder
+    distributed one token each to the smallest capped sources — fully
+    deterministic, no fractional tokens.
+
+    Exact integer algorithm: sort sources ascending by supply (name
+    tiebreak), prefix-sum; the saturation boundary r* is the largest rank
+    whose sources can all be fully funded with the remaining budget
+    levelled above them (cum_r + (m-r)*s_r <= B — monotone, so max() finds
+    it); L = (B - P*) div (m - r*). Maximality of r* guarantees every
+    capped supply >= L+1, so the remainder distribution never overfills a
+    source, and sum(allocated) == B by construction.
+
+    Scale shape: the ONLY corpus-sized work is the per-source token-count
+    aggregate (one hash exchange, map-side combined). Everything after
+    runs on |sources| rows: the rank/prefix pass rides the distributed
+    ``with_global_rank`` machinery (range exchange + broadcast offsets —
+    no single-partition window even if |sources| grows to millions), the
+    boundary is one scalar aggregate broadcast back, and the allocation
+    is a per-row expression."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sup = (
+        docs.select("source", F.size(F.expr(_TOKS_S)).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("s"))
+    )
+    rk = with_global_rank(
+        sup,
+        [F.col("s").asc(), F.col("source").asc()],
+        rank_col="r",
+        total_col="m",
+        sum_col="s",
+        cum_col="cum",
+        sum_total_col="tot",
+    ).withColumn("bgt", F.expr("tot div 2"))
+    feas = (F.col("cum") + (F.col("m") - F.col("r")) * F.col("s")) <= F.col("bgt")
+    rs = rk.agg(
+        F.coalesce(F.max(F.when(feas, F.col("r"))), F.lit(0))
+        .cast("long")
+        .alias("rstar"),
+        F.coalesce(F.max(F.when(feas, F.col("cum"))), F.lit(0))
+        .cast("long")
+        .alias("pstar"),
+    )
+    j = rk.crossJoin(F.broadcast(rs))
+    lvl = F.expr("(bgt - pstar) div (m - rstar)")
+    rem = (F.col("bgt") - F.col("pstar")) % (F.col("m") - F.col("rstar"))
+    alloc = F.when(F.col("r") <= F.col("rstar"), F.col("s")).otherwise(
+        lvl + F.when((F.col("r") - F.col("rstar")) <= rem, 1).otherwise(0)
+    )
+    return j.select(
+        "source",
+        F.col("s").alias("supply_tokens"),
+        F.col("r").cast("long").alias("fill_rank"),
+        F.col("bgt").cast("long").alias("budget_tokens"),
+        alloc.cast("long").alias("allocated_tokens"),
+        (F.col("r") > F.col("rstar")).alias("capped"),
+    )

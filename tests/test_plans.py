@@ -85,20 +85,33 @@ def _single_partition_feeds_only_aggregates(p: str) -> None:
 def test_global_order_queries_have_no_single_partition_sort(spark, sf_oracle, name):
     p = _plan(spark, sf_oracle, name)
     _single_partition_feeds_only_aggregates(p)
-    assert "Exchange rangepartitioning" in p  # the distributed sort path
+    # The distributed sort path: the round-6 deterministic-banding rewrite
+    # plans the global order as a window keyed on the computed band index
+    # (balanced hash exchange), never a range exchange (whose sampled
+    # boundaries are rdd-id-seeded — nondeterministic across plan-branch
+    # recomputation) and never an empty-partition global window.
+    assert "windowspecdefinition(_pid" in p
+    assert "Exchange rangepartitioning" not in p
 
 
 def test_pareto_only_window_rides_partition_index(spark, sf_oracle):
-    # The one window left (local prefix sum) must be keyed on the range
-    # partition index, never an empty partition spec.
+    # The one window (row number + local prefix sum share one spec) must
+    # be keyed on the band index, never an empty partition spec.
     p = _plan(spark, sf_oracle, "customer_pareto_abc")
     assert p.count("Window ") == 1
     assert "windowspecdefinition(_pid" in p
 
 
-def test_rfm_and_zipf_have_no_windows_at_all(spark, sf_oracle):
+def test_rfm_and_zipf_windows_all_ride_band_index(spark, sf_oracle):
+    # Since the deterministic-banding rewrite the rank carries one window
+    # (within-band row_number); it must be keyed on _pid — an
+    # empty-partition spec here would be the single-task global sort this
+    # operator exists to avoid.
     for name in ("customer_rfm_segments", "doc_zipf_fit"):
-        assert _plan(spark, sf_oracle, name).count("Window ") == 0
+        p = _plan(spark, sf_oracle, name)
+        n_win = p.count("Window ")
+        assert n_win >= 1  # one per with_global_rank call (RFM makes 3)
+        assert p.count("windowspecdefinition(_pid") == n_win
 
 
 _R4_SECOND_SESSION = [
@@ -261,8 +274,8 @@ def test_late_data_accounting_prefix_max_is_distributed(spark, sf_oracle):
     # The running prior-max must ride the partition-index window of
     # with_global_prefix_max, never an empty-partition global window.
     p = _plan(spark, sf_oracle, "late_data_accounting")
-    assert "Exchange rangepartitioning" in p
     assert "windowspecdefinition(_pid" in p
+    assert "Exchange rangepartitioning" not in p
 
 
 def test_sparse_cosine_join_is_token_equi_join(spark, sf_oracle):
@@ -301,7 +314,7 @@ def test_r5b_plans_no_cartesian_no_python(spark, sf_oracle, name):
 def test_equi_depth_histogram_no_single_partition_sort(spark, sf_oracle):
     # The ntile must ride the distributed global-order rewrite.
     p = _plan(spark, sf_oracle, "equi_depth_histogram")
-    assert "Exchange rangepartitioning" in p
+    assert "windowspecdefinition(_pid" in p
     _single_partition_feeds_only_aggregates(p)
 
 
@@ -387,7 +400,7 @@ def test_roc_auc_rank_pass_is_distributed(spark, sf_oracle):
     global-rank operator; SinglePartition exchanges may only feed the
     final scalar aggregate collapse."""
     p = _plan(spark, sf_oracle, "roc_auc_token_count")
-    assert "Exchange rangepartitioning" in p
+    assert "windowspecdefinition(_pid" in p
     _single_partition_feeds_only_aggregates(p)
 
 
@@ -427,3 +440,75 @@ def test_cuped_reduces_variance_on_correlated_users(spark):
     assert out["var_reduction"] > 0.9
     # theta ~ cov/var of near-identical per-user sums -> close to 1
     assert 0.8 < out["theta_micro"] / 1_000_000 < 1.2
+
+
+# --- round-6 third session: agreement / calibration / budget / leakage ----
+
+_R6_THIRD = [
+    "cohens_kappa_agreement",
+    "calibration_reliability_brier",
+    "token_budget_waterfill",
+    "split_leakage_neardup",
+    "ccnet_perplexity_buckets",
+]
+
+
+@pytest.mark.parametrize("name", _R6_THIRD)
+def test_r6_third_plans_no_cartesian_no_python(spark, sf_oracle, name):
+    """No Cartesian product and no Python eval in the third-session
+    family; SinglePartition exchanges may only feed aggregate collapses
+    (scalar stats, boundary samples, band offsets)."""
+    p = _plan(spark, sf_oracle, name)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = lines[i + 1]
+            assert (
+                "HashAggregate" in nxt
+                or "ObjectHashAggregate" in nxt
+                or "SortAggregate" in nxt
+            ), f"{name}: SinglePartition feeds non-aggregate:\n{nxt}"
+
+
+def test_waterfill_corpus_work_is_one_aggregate(spark, sf_oracle):
+    """The only corpus-sized work in the water-filling plan is the
+    per-source token-count aggregate; everything downstream runs on
+    |sources| rows. The documents scan must appear exactly once per
+    consumer of the supply frame (banding sample + rank + offsets =
+    bounded re-reads of the AGGREGATED frame, not of the corpus)."""
+    p = _plan(spark, sf_oracle, "token_budget_waterfill")
+    assert "windowspecdefinition(_pid" in p
+    # Allocation must sum exactly to the budget — the water-filling
+    # invariant, checked on data.
+    rows = plans.QUERIES["token_budget_waterfill"](spark, sf_oracle).collect()
+    assert sum(r["allocated_tokens"] for r in rows) == rows[0]["budget_tokens"]
+    assert all(r["allocated_tokens"] <= r["supply_tokens"] for r in rows)
+    # Uncapped sources keep everything; capped sources never exceed an
+    # uncapped source's supply ordering.
+    for r in rows:
+        if not r["capped"]:
+            assert r["allocated_tokens"] == r["supply_tokens"]
+
+
+def test_split_leakage_reuses_banded_candidates(spark, sf_oracle):
+    """The leakage audit must inherit the LSH join shape: candidates come
+    from the (band_idx, sig) equi-join, never an all-pairs product."""
+    p = _plan(spark, sf_oracle, "split_leakage_neardup")
+    assert "CartesianProduct" not in p
+    assert "band_idx" in p and "sig" in p
+
+
+def test_ccnet_buckets_are_exact_tiles(spark, sf_oracle):
+    """ntile exactness on data: bucket sizes must differ by at most one
+    and cover every scorable doc — the invariant the round-6
+    deterministic-banding rewrite restored (rdd-id-seeded range sampling
+    corrupted ranks when AQE broke exchange reuse)."""
+    rows = plans.QUERIES["ccnet_perplexity_buckets"](spark, sf_oracle).collect()
+    sizes = [r["n_docs"] for r in sorted(rows, key=lambda r: r["bucket"])]
+    assert len(sizes) == 10
+    assert max(sizes) - min(sizes) <= 1
+    kept = [r for r in rows if r["kept"]]
+    assert {r["bucket"] for r in kept} == set(range(1, 8))
