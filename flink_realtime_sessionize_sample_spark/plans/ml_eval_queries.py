@@ -805,7 +805,12 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             _langid_case("men", "mde", "mfr", "mes", f"text rlike '{_CJK}'")
         ).alias("pb"),
     )
-    pairs = pred.join(heur, "doc_id")
+    return kappa_from_pairs(pred.join(heur, "doc_id"))
+
+
+def kappa_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Cohen's kappa over an arbitrary (pa, pb) label-pair frame — shared
+    by the registered query and the textbook-example unit test."""
     na = pairs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("pa") == F.col("pb"), 1).otherwise(0))

@@ -640,20 +640,28 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ONLY corpus-sized work is the per-source token-count
     aggregate (one hash exchange, map-side combined). Everything after
     runs on |sources| rows: the rank/prefix pass rides the distributed
-    ``with_global_rank`` machinery (range exchange + broadcast offsets —
-    no single-partition window even if |sources| grows to millions), the
-    boundary is one scalar aggregate broadcast back, and the allocation
-    is a per-row expression."""
-    from flink_realtime_sessionize_sample_spark.operators.global_order import (
-        with_global_rank,
-    )
-
+    ``with_global_rank`` machinery (deterministic banding + broadcast
+    offsets — no single-partition window even if |sources| grows to
+    millions), the boundary is one scalar aggregate broadcast back, and
+    the allocation is a per-row expression."""
     docs = load_table(spark, sf_dir, "documents")
     sup = (
         docs.select("source", F.size(F.expr(_TOKS_S)).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("s"))
     )
+    return waterfill_from_supply(sup)
+
+
+def waterfill_from_supply(sup: DataFrame) -> DataFrame:
+    """The exact integer water-filling allocation over an arbitrary
+    (source, s) supply frame, budget = total div 2 — shared by the
+    registered query and the invariant property test
+    (tests/test_llm_ops.py)."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
     rk = with_global_rank(
         sup,
         [F.col("s").asc(), F.col("source").asc()],

@@ -696,3 +696,110 @@ def test_geometric_median_resists_outlier(spark):
         # geometric median stays with the cluster (~0.104), far below 1.0
         assert r["gmedian_e6"] < 1_000_000
         assert r["n_points"] == 10
+
+
+def test_cohens_kappa_textbook_example(spark):
+    """The classic 2x2 worked example: 50 items, raters agree on 20 yes +
+    15 no, disagree on 15 -> po = 0.7, pe = 0.5 + 0.06... exact values:
+    marginals A: yes 30, no 20; B: yes 25, no 25 -> pe = (30*25 + 20*25)
+    / 2500 = 0.5, kappa = (0.7 - 0.5) / 0.5 = 0.4."""
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        kappa_from_pairs,
+    )
+
+    rows = (
+        [("yes", "yes")] * 20
+        + [("no", "no")] * 15
+        + [("yes", "no")] * 10
+        + [("no", "yes")] * 5
+    )
+    pairs = spark.createDataFrame(rows, "pa string, pb string")
+    out = kappa_from_pairs(pairs).collect()[0]
+    assert out["n_docs"] == 50
+    assert out["n_agree"] == 35
+    assert out["po"] == 0.7
+    assert out["pe"] == 0.5
+    assert out["kappa"] == 0.4
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_waterfill_invariants_random_supplies(spark, seed):
+    """Water-filling invariants on arbitrary supply distributions:
+    allocations are nonnegative, never exceed supply, sum EXACTLY to the
+    budget; uncapped sources keep everything; capped allocations are
+    level +- the one-token remainder and never below an uncapped
+    source's supply."""
+    import random
+
+    from flink_realtime_sessionize_sample_spark.plans.pipeline_queries import (
+        waterfill_from_supply,
+    )
+
+    rng = random.Random(seed)
+    sup_rows = [
+        (f"s{i:03d}", rng.choice([rng.randint(1, 50), rng.randint(1000, 9999)]))
+        for i in range(rng.randint(3, 40))
+    ]
+    sup = spark.createDataFrame(sup_rows, "source string, s long")
+    rows = waterfill_from_supply(sup).collect()
+    total = sum(s for _, s in sup_rows)
+    budget = total // 2
+    assert rows[0]["budget_tokens"] == budget
+    assert sum(r["allocated_tokens"] for r in rows) == budget
+    for r in rows:
+        assert 0 <= r["allocated_tokens"] <= r["supply_tokens"]
+        if not r["capped"]:
+            assert r["allocated_tokens"] == r["supply_tokens"]
+    capped = [r["allocated_tokens"] for r in rows if r["capped"]]
+    uncapped_sup = [r["supply_tokens"] for r in rows if not r["capped"]]
+    if capped:
+        assert max(capped) - min(capped) <= 1  # common level +- remainder
+        if uncapped_sup:
+            # the water level never sits below a fully-funded supply
+            assert min(capped) >= max(uncapped_sup)
+
+
+def test_global_rank_deterministic_under_replan(spark):
+    """Regression for the round-6 banding rewrite: a rank pipeline whose
+    lineage contains aggregates + a window (the ccnet shape that broke
+    exchange reuse) must produce IDENTICAL ranks and exact ntile sizes on
+    every execution — under the old repartitionByRange design this
+    varied run to run (rdd-id-seeded boundary sampling)."""
+    from pyspark.sql import Window
+
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    base = spark.range(20000).select(
+        F.col("id"),
+        (F.abs(F.xxhash64("id")) % 400).alias("k"),
+    )
+    per_k = base.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    scored = per_k.withColumn(
+        "w", F.sum("c").over(Window.partitionBy(F.col("k") % 10))
+    ).select("k", (F.col("c") * 1000 + F.col("w") % 7).alias("score"))
+    runs = []
+    for _ in range(3):
+        ranked = with_global_rank(
+            scored,
+            [F.col("score").desc(), F.col("k").asc()],
+            rank_col="r",
+            total_col="n",
+        )
+        tiled = ranked.withColumn(
+            "bucket", ntile_from_rank(F.col("r"), F.col("n"), 10)
+        )
+        sizes = sorted(
+            (row["bucket"], row["cnt"])
+            for row in tiled.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        ranks = sorted(r["r"] for r in ranked.collect())
+        runs.append((sizes, ranks))
+    n = len(runs[0][1])
+    assert runs[0][1] == list(range(1, n + 1))  # no dup/out-of-range ranks
+    assert runs[0] == runs[1] == runs[2]
+    assert max(c for _, c in runs[0][0]) - min(c for _, c in runs[0][0]) <= 1
