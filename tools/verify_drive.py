@@ -1,0 +1,104 @@
+"""Driver-replica verify: run __spark_entry__ queries vs DuckDB oracles.
+
+Usage: copy to /tmp and run `python /tmp/verify_drive.py [sf_dir] [name ...]`
+Defaults: sf_dir=/root/testdata/sf0.01, names = all registered oracles.
+Run from a cwd OUTSIDE the repo: module-level functions shipped to Python
+workers pickle by reference, and only a non-repo cwd catches workers that
+cannot import the package (see .claude/skills/verify/SKILL.md gotchas).
+"""
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_df(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cv(x):
+        # mirror tests/oracle_util.py::_canon_element: numerics coerce to
+        # rounded float (nullable int columns round-trip as float64 through
+        # DuckDB's pandas path), NaN -> None.
+        if hasattr(x, "item"):
+            x = x.item()
+        if isinstance(x, bool):
+            return x
+        if isinstance(x, (int, float)):
+            if isinstance(x, float) and math.isnan(x):
+                return None
+            return round(float(x), 5)
+        return x
+
+    out = []
+    for r in rows:
+        t = tuple(cv(r[i]) for i in order)
+        out.append(repr(t))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+
+    ent = E.entry(spark)
+    n = ent.count()
+    print(f"entry: {n} rows", flush=True)
+    assert n >= 0
+
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    names = sys.argv[2:] or list(os_)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            odf = con.execute(os_[name]).fetchdf()
+            ocols = list(odf.columns)
+            orows = list(odf.itertuples(index=False, name=None))
+            sc, sr = canon_df(scols, srows)
+            oc, orr = canon_df(ocols, orows)
+            ok = (len(sr) == len(orr)) and (sc == oc) and (sr == orr)
+            status = "OK" if ok else "MISMATCH"
+            print(f"{name}: {status} spark={len(sr)} oracle={len(orr)}", flush=True)
+            if not ok:
+                bad.append(name)
+                if sc != oc:
+                    print(f"  cols spark={sc} oracle={oc}")
+                else:
+                    diff = [
+                        (a, b) for a, b in zip(sr, orr) if a != b
+                    ][:3]
+                    for a, b in diff:
+                        print(f"  spark={a[:200]}\n  duck ={b[:200]}")
+        except Exception as e:  # noqa: BLE001
+            bad.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
+    print(f"done: {len(names) - len(bad)}/{len(names)} green; bad={bad}", flush=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
