@@ -152,6 +152,7 @@ _SMOKE_ABBREV = {
     "novelty": "novel",
     "substring": "substr",
     "incremental_probe": "iprobe",
+    "ccnet": "ccnet",
 }
 
 
@@ -608,6 +609,23 @@ def main() -> None:
     force(line_dedup_frame(docs_10x_lin))
     t_ld_10x = time.perf_counter() - t0
 
+    # CCNet perplexity-bucket scale smoke (round 6): the bigram-LM scoring
+    # + deterministic-banded global rank pipeline. Plain 10x clones keep
+    # the model table vocabulary-sized while counts and per-doc scoring
+    # grow 10x — the workload is ~linear, so ratio-vs-linear measures the
+    # plan (corpus explode, two hash aggs, model join, banded rank).
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        ccnet_buckets_frame,
+    )
+
+    force(ccnet_buckets_frame(docs))  # warm
+    t0 = time.perf_counter()
+    force(ccnet_buckets_frame(docs))
+    t_cp_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(ccnet_buckets_frame(docs_10x))
+    t_cp_10x = time.perf_counter() - t0
+
     # N-gram novelty scale smoke (round 5): same two-exchange skeleton as
     # line-dedup (gram MIN aggregate + co-partitioned rejoin) on the
     # permuted-clone corpus, so workload stays ~linear in docs and the
@@ -732,6 +750,11 @@ def main() -> None:
                 "scale_smoke_incremental_probe_10x_sec": round(t_ip_10x, 3),
                 "scale_smoke_incremental_probe_10x_ratio_vs_linear": round(
                     t_ip_10x / (10 * t_ip_1x), 3
+                ),
+                "scale_smoke_ccnet_1x_sec": round(t_cp_1x, 3),
+                "scale_smoke_ccnet_10x_sec": round(t_cp_10x, 3),
+                "scale_smoke_ccnet_10x_ratio_vs_linear": round(
+                    t_cp_10x / (10 * t_cp_1x), 3
                 ),
             }
     )

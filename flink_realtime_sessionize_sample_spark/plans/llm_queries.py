@@ -3414,9 +3414,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram-count model (hash agg + window over the aggregated counts,
     AQE-decided model join, no broadcast hint — at web scale the bigram
     table outgrows the vocab) and the scoring join; the per-doc frame then
-    rides the distributed ``with_global_rank`` pass (range exchange +
-    broadcast offsets — never a single-partition sort) into a 10-row
-    aggregate."""
+    rides the distributed ``with_global_rank`` pass (deterministic
+    banding + broadcast offsets — never a single-partition sort) into a
+    10-row aggregate."""
+    return ccnet_buckets_frame(load_table(spark, sf_dir, "documents"))
+
+
+def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
+    """The CCNet bucketing pipeline over an arbitrary (doc_id, text) frame
+    — shared by the registered query and the bench 10× scale smoke."""
     from pyspark.sql import Window
 
     from flink_realtime_sessionize_sample_spark.operators.global_order import (
@@ -3424,7 +3430,6 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_rank,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.expr(_TOKS_S).alias("t")).filter(F.size("t") >= 2)
     bg = t.select(
         "doc_id",
