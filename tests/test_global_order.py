@@ -160,3 +160,29 @@ def test_sum_total_without_sum_col_raises(spark):
     df = _sample(spark, n=10)
     with pytest.raises(ValueError, match="sum_total_col requires sum_col"):
         with_global_rank(df, ["id"], sum_total_col="tot")
+
+
+def test_primary_key_parser_directions(spark):
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        _primary_key,
+    )
+
+    assert _primary_key(["v"]) == ("v", False)
+    assert _primary_key([F.col("v")]) == ("v", False)
+    assert _primary_key([F.col("v").asc(), F.col("id").desc()]) == ("v", False)
+    assert _primary_key([F.col("v").desc(), "id"]) == ("v", True)
+
+
+def test_rank_with_string_primary_key(spark):
+    """Banding compares string cut points lexicographically; ranks must
+    still match the global window on a string-keyed sort."""
+    rows = [(f"w{(i * 7919) % 101:03d}-{i}", i % 13) for i in range(300)]
+    df = spark.createDataFrame(rows, "word string, grp long")
+    got = with_global_rank(
+        df, [F.col("word").asc()], rank_col="r", total_col="n"
+    )
+    want = df.select(
+        "word", F.row_number().over(Window.orderBy(F.col("word").asc())).alias("r")
+    )
+    assert got.select("word", "r").exceptAll(want).count() == 0
+    assert got.select("n").distinct().collect()[0]["n"] == 300
