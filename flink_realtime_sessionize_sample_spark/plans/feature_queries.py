@@ -452,7 +452,7 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     RealtimeSessionize.scala:105).
 
     The running prior-max uses ``with_global_prefix_max``
-    (operators/global_order.py): range partition + local window + one
+    (operators/global_order.py): deterministic banding + local window + one
     broadcast offsets row — NO single-partition global window even though
     the oracle states it that way. The delay dimension is a bounded ×{len(_LATE_DELAYS_S)}
     explode collapsed by one aggregate."""
@@ -608,7 +608,7 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-standard ``ntile`` needs a total order over the DATA — the classic
     global-sort pinch — so the bucket assignment here rides
     ``with_global_rank`` + ``ntile_from_rank`` (operators/global_order.py):
-    range exchange + local sort + one broadcast offsets row, no
+    deterministic banding + local sort + one broadcast offsets row, no
     single-partition sort; the oracle states it as the global window and
     the value hash proves the rewrite exact (ties broken by the unique
     (orderkey, linenumber) suffix)."""
@@ -1807,7 +1807,7 @@ def token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so G = (2Σr·x - (n+1)Σx) / (nΣx) needs no tie averaging.
     Every term is an exact BIGINT sum; the single division is one
     deterministic double, emitted in micro-units. The rank rides the
-    distributed ``with_global_rank`` pass (range partition + broadcast
+    distributed ``with_global_rank`` pass (deterministic banding + broadcast
     offsets) — no single-partition sort at any corpus size."""
     from flink_realtime_sessionize_sample_spark.operators.global_order import (
         with_global_rank,

@@ -337,7 +337,7 @@ def roc_auc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     final AUC, emitted in micro-units from one deterministic double ratio
     of exact integers. Scale shape: one hash aggregate maps the corpus to
     |distinct scores| rows; the cumulative count rides the distributed
-    ``with_global_rank`` pass (range partition + broadcast offsets — no
+    ``with_global_rank`` pass (deterministic banding + broadcast offsets — no
     single-partition sort); the statistic is a scalar aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
