@@ -44,7 +44,7 @@ for the same reason ``sample_stratified_docs`` hash-gates instead of
 calling ``rand()``.
 
 Scale note: the boundary sample collects ~n/64 primary keys into one
-aggregate row. At the 100 TB design point the gate modulus is the knob —
+aggregate row. At the 100 TB design point the gate modulus is the knob (``sample_mod`` parameter) —
 size it so the sample stays ~10^5-10^6 rows (e.g. ``n / (200 *
 num_partitions)``); cut-point quality degrades gracefully (bands skew,
 ranks stay exact). Rows equal on the primary key always share a band, so
@@ -102,7 +102,7 @@ def _primary_key(sort_cols: Sequence[Column | str]) -> tuple[str, bool]:
 
 
 def _with_deterministic_band(
-    df: DataFrame, pname: str, pdesc: bool, n_part: int
+    df: DataFrame, pname: str, pdesc: bool, n_part: int, sample_mod: int = _SAMPLE_MOD
 ) -> DataFrame:
     """Attach ``_pid``: the row's deterministic range-band index under the
     primary sort key — ``size(filter(cuts, c -> c < key))`` (asc; flipped
@@ -117,7 +117,7 @@ def _with_deterministic_band(
             f"cast(conv(substring(md5(cast({pname} as string)), 1, 12), 16, 10)"
             " as bigint)"
         )
-        % _SAMPLE_MOD
+        % sample_mod
         == 0
     )
     if n_part >= 2:
@@ -159,6 +159,7 @@ def with_global_rank(
     sum_total_col: str | None = None,
     extra_cums: Sequence[tuple[str, str]] = (),
     num_partitions: int | None = None,
+    sample_mod: int = _SAMPLE_MOD,
 ) -> DataFrame:
     """Attach the exact global row number under ``sort_cols`` — distributed.
 
@@ -188,7 +189,7 @@ def with_global_rank(
         [(sum_col, cum_col)] if sum_col is not None else []
     ) + list(extra_cums)
 
-    banded = _with_deterministic_band(df, pname, pdesc, n_part)
+    banded = _with_deterministic_band(df, pname, pdesc, n_part, sample_mod)
 
     # Branch 1: within-band row number + local prefix sums. One window
     # spec (band key, full sort order) carries every expression — row
@@ -269,6 +270,7 @@ def with_global_prefix_max(
     *,
     out_col: str = "prefix_max",
     num_partitions: int | None = None,
+    sample_mod: int = _SAMPLE_MOD,
 ) -> DataFrame:
     """Attach the exact running MAX of ``value_col`` over all *strictly
     previous* rows in ``sort_cols`` order (NULL for the global first row) —
@@ -290,7 +292,7 @@ def with_global_prefix_max(
     keys = _sort_exprs(sort_cols)
     pname, pdesc = _primary_key(sort_cols)
 
-    banded = _with_deterministic_band(df, pname, pdesc, n_part)
+    banded = _with_deterministic_band(df, pname, pdesc, n_part, sample_mod)
     w_prev = Window.partitionBy("_pid").orderBy(*keys).rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -186,3 +186,20 @@ def test_rank_with_string_primary_key(spark):
     )
     assert got.select("word", "r").exceptAll(want).count() == 0
     assert got.select("n").distinct().collect()[0]["n"] == 300
+
+
+def test_rank_invariant_to_sample_mod(spark):
+    """The gate modulus only moves cut points (band balance); ranks are
+    exact for ANY modulus — the 100 TB sizing knob must be safe to turn."""
+    df = _sample(spark, n=400)
+    base = with_global_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], rank_col="r"
+    ).select("id", "r")
+    for mod in (2, 16, 1024):
+        alt = with_global_rank(
+            df,
+            [F.col("v").asc(), F.col("id").asc()],
+            rank_col="r",
+            sample_mod=mod,
+        ).select("id", "r")
+        assert alt.exceptAll(base).count() == 0
