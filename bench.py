@@ -152,7 +152,6 @@ _SMOKE_ABBREV = {
     "novelty": "novel",
     "substring": "substr",
     "incremental_probe": "iprobe",
-    "ccnet": "ccnet",
 }
 
 

@@ -53,9 +53,10 @@ key-partitioned operator.
 
 Exactness: identical results to the global-window formulation whenever the
 sort key is total (callers append a unique tiebreaker — the oracles already
-do, for deterministic ntile/rank). Sort keys must be non-null; the primary
-key must cast to string deterministically (numeric/string keys — every
-caller here).
+do, for deterministic ntile/rank). Null primary keys band to the side the
+sort order's null placement dictates (asc→first/desc→last, or the explicit
+``_nulls_first``/``_nulls_last`` variant); the primary key must cast to
+string deterministically (numeric/string keys — every caller here).
 
 Used by ``customer_rfm_segments`` / ``customer_pareto_abc`` /
 ``doc_zipf_fit`` (plans/analytics_queries.py), replacing their documented
@@ -83,34 +84,57 @@ def _sort_exprs(sort_cols: Sequence[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in sort_cols]
 
 
-def _primary_key(sort_cols: Sequence[Column | str]) -> tuple[str, bool]:
-    """(column name, is_descending) of the leading sort key.
+_PLAIN_NAME = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _primary_key(sort_cols: Sequence[Column | str]) -> tuple[str, bool, bool]:
+    """(column name, is_descending, nulls_first) of the leading sort key.
 
     Callers pass either bare names (ascending) or ``F.col(name).asc() /
-    .desc()`` — simple references, never computed expressions (banding
-    hashes the key by NAME, so it must be a real column). Direction is
-    read from the column's SQL rendering ("name ASC NULLS FIRST" /
-    "name DESC NULLS LAST" / "name").
+    .desc()`` (optionally ``_nulls_first/_nulls_last``) — simple
+    references, never computed expressions (banding hashes the key by
+    NAME, so it must be a real column; enforced with a loud error in
+    ``_with_deterministic_band``). Direction and null placement are read
+    from the column's SQL rendering ("name ASC NULLS FIRST" /
+    "name DESC NULLS LAST" / "name"); a plain name follows Spark's
+    defaults (ascending, NULLS FIRST).
     """
     c = sort_cols[0]
     if isinstance(c, str):
-        return c, False
+        return c, False, True
     s = c._jc.toString()
+    # Names are validated to plain identifiers (no spaces), so " DESC" /
+    # "NULLS LAST" substrings can only come from the sort-order rendering.
     desc = " DESC" in s
+    nulls_first = "NULLS LAST" not in s  # Spark defaults: asc→first, desc→last
     name = s.split(" DESC")[0].split(" ASC")[0].strip("`")
-    return name, desc
+    return name, desc, nulls_first
 
 
 def _with_deterministic_band(
-    df: DataFrame, pname: str, pdesc: bool, n_part: int, sample_mod: int = _SAMPLE_MOD
+    df: DataFrame,
+    pname: str,
+    pdesc: bool,
+    nulls_first: bool,
+    n_part: int,
+    sample_mod: int = _SAMPLE_MOD,
 ) -> DataFrame:
     """Attach ``_pid``: the row's deterministic range-band index under the
     primary sort key — ``size(filter(cuts, c -> c < key))`` (asc; flipped
     for desc) against a broadcast 1-row array of hash-sampled cut points.
+    Null keys (never sampled — the md5 gate is null for them) band to 0
+    when the sort order puts nulls first, else past every cut point, so
+    the band order matches the window's null placement exactly.
 
     Everything is a pure function of row values, so any recomputation —
     a second plan branch, an AQE re-plan, a task retry — bands identically.
     """
+    if pname not in df.columns or not _PLAIN_NAME.match(pname):
+        raise ValueError(
+            f"global-order banding needs a plain leading sort COLUMN of the "
+            f"input frame; got {pname!r} (columns: {df.columns}). Project "
+            f"computed sort keys into a named column first."
+        )
     p = F.col(pname)
     gate = (
         F.expr(
@@ -135,15 +159,21 @@ def _with_deterministic_band(
     else:
         cuts = F.expr("slice(_s, 1, 0)")  # typed empty array
     bnd = (
-        df.select(p.alias("_k"))
-        .filter(gate)
+        df.filter(gate)
+        .select(p.alias("_k"))
         .agg(F.array_sort(F.collect_list("_k")).alias("_s"))
         .select(cuts.alias("_bnds"))
     )
     cmp = (lambda b: b > p) if pdesc else (lambda b: b < p)
+    null_band = F.lit(0) if nulls_first else F.size(F.col("_bnds"))
     return (
         df.crossJoin(F.broadcast(bnd))
-        .withColumn("_pid", F.size(F.filter(F.col("_bnds"), cmp)))
+        .withColumn(
+            "_pid",
+            F.when(p.isNull(), null_band).otherwise(
+                F.size(F.filter(F.col("_bnds"), cmp))
+            ),
+        )
         .drop("_bnds")
     )
 
@@ -182,14 +212,14 @@ def with_global_rank(
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = _sort_exprs(sort_cols)
-    pname, pdesc = _primary_key(sort_cols)
+    pname, pdesc, nulls_first = _primary_key(sort_cols)
     if sum_total_col is not None and sum_col is None:
         raise ValueError("sum_total_col requires sum_col")
     pairs: list[tuple[str, str | None]] = (
         [(sum_col, cum_col)] if sum_col is not None else []
     ) + list(extra_cums)
 
-    banded = _with_deterministic_band(df, pname, pdesc, n_part, sample_mod)
+    banded = _with_deterministic_band(df, pname, pdesc, nulls_first, n_part, sample_mod)
 
     # Branch 1: within-band row number + local prefix sums. One window
     # spec (band key, full sort order) carries every expression — row
@@ -290,9 +320,9 @@ def with_global_prefix_max(
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = _sort_exprs(sort_cols)
-    pname, pdesc = _primary_key(sort_cols)
+    pname, pdesc, nulls_first = _primary_key(sort_cols)
 
-    banded = _with_deterministic_band(df, pname, pdesc, n_part, sample_mod)
+    banded = _with_deterministic_band(df, pname, pdesc, nulls_first, n_part, sample_mod)
     w_prev = Window.partitionBy("_pid").orderBy(*keys).rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -902,9 +902,12 @@ def calibration_reliability_brier(spark: SparkSession, sf_dir: str) -> DataFrame
     Exactness: the percentile quantizes to integer micro-units via ONE
     deterministic double expression (cum*1e6/n, round half-up — both
     engines) over exact integer counts; every per-bin statistic is then a
-    6dp-rounded single-expression ratio of exact integer sums (the squared
-    error sums (sm - y*1e6)^2 stay far inside int64 at any SF that fits a
-    corpus: 1e12 per doc). Scale shape: one hash aggregate collapses the
+    6dp-rounded single-expression ratio of exact integer sums. Bound: the
+    squared-error terms are up to 1e12 per doc, so the int64 per-bin sum
+    is exact to ~9.2M docs per bin (far above every test SF); a corpus
+    past that re-quantizes the score to milli-units for the SSE term
+    (1e6 per doc -> ~9.2e12 docs/bin) rather than switching to
+    order-sensitive float sums. Scale shape: one hash aggregate collapses the
     corpus to |distinct lengths| rows; the CDF rides the distributed
     ``with_global_rank`` pass; the per-doc score join broadcasts the
     bounded length table back; one final hash aggregate over 10 bins."""

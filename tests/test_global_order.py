@@ -167,10 +167,12 @@ def test_primary_key_parser_directions(spark):
         _primary_key,
     )
 
-    assert _primary_key(["v"]) == ("v", False)
-    assert _primary_key([F.col("v")]) == ("v", False)
-    assert _primary_key([F.col("v").asc(), F.col("id").desc()]) == ("v", False)
-    assert _primary_key([F.col("v").desc(), "id"]) == ("v", True)
+    assert _primary_key(["v"]) == ("v", False, True)
+    assert _primary_key([F.col("v")]) == ("v", False, True)
+    assert _primary_key([F.col("v").asc(), F.col("id").desc()]) == ("v", False, True)
+    assert _primary_key([F.col("v").desc(), "id"]) == ("v", True, False)
+    assert _primary_key([F.col("v").asc_nulls_last()]) == ("v", False, False)
+    assert _primary_key([F.col("v").desc_nulls_first()]) == ("v", True, True)
 
 
 def test_rank_with_string_primary_key(spark):
@@ -203,3 +205,29 @@ def test_rank_invariant_to_sample_mod(spark):
             sample_mod=mod,
         ).select("id", "r")
         assert alt.exceptAll(base).count() == 0
+
+
+def test_rank_desc_with_null_keys_matches_global_window(spark):
+    """Null sort keys must land where the sort order's null placement puts
+    them (desc → NULLS LAST) — the code-review repro that the banding
+    rewrite initially got wrong (nulls banded first under desc)."""
+    df = _sample(spark, n=399).withColumn(
+        "v", F.when(F.col("id") % 80 == 3, None).otherwise(F.col("v"))
+    )
+    for order in (
+        [F.col("v").desc(), F.col("id").asc()],
+        [F.col("v").asc(), F.col("id").asc()],
+        [F.col("v").asc_nulls_last(), F.col("id").asc()],
+        [F.col("v").desc_nulls_first(), F.col("id").asc()],
+    ):
+        got = with_global_rank(df, order, rank_col="r").select("id", "r")
+        want = df.select("id", F.row_number().over(Window.orderBy(*order)).alias("r"))
+        assert got.exceptAll(want).count() == 0, str(order[0])
+
+
+def test_computed_leading_sort_key_raises(spark):
+    df = _sample(spark, n=50)
+    with pytest.raises(ValueError, match="plain leading sort COLUMN"):
+        with_global_rank(df, [(F.col("v") + 1).asc(), "id"], rank_col="r")
+    with pytest.raises(ValueError, match="plain leading sort COLUMN"):
+        with_global_rank(df, ["nonexistent_column"], rank_col="r")

@@ -5,45 +5,32 @@ Defaults: sf_dir=/root/testdata/sf0.01, names = all registered oracles.
 Run from a cwd OUTSIDE the repo: module-level functions shipped to Python
 workers pickle by reference, and only a non-repo cwd catches workers that
 cannot import the package (see .claude/skills/verify/SKILL.md gotchas).
+
+Comparison is EXACTLY tests/oracle_util.py's strict canonicalization
+(loaded from the repo checkout, so the two can never drift): both sides go
+through pandas, columns sort by name, ints stay ints (dtype mismatches are
+caught), floats round at 6dp, NaN→None, rows repr-sorted.
 """
 
-import math
+import importlib.util
 import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
 
 from pyspark.sql import SparkSession
+
+_spec = importlib.util.spec_from_file_location(
+    "oracle_util", f"{REPO}/tests/oracle_util.py"
+)
+_ou = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_ou)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-
-def canon_df(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def cv(x):
-        # mirror tests/oracle_util.py::_canon_element: numerics coerce to
-        # rounded float (nullable int columns round-trip as float64 through
-        # DuckDB's pandas path), NaN -> None.
-        if hasattr(x, "item"):
-            x = x.item()
-        if isinstance(x, bool):
-            return x
-        if isinstance(x, (int, float)):
-            if isinstance(x, float) and math.isnan(x):
-                return None
-            return round(float(x), 5)
-        return x
-
-    out = []
-    for r in rows:
-        t = tuple(cv(r[i]) for i in order)
-        out.append(repr(t))
-    out.sort()
-    return [cols[i] for i in order], out
 
 
 def main():
@@ -72,14 +59,10 @@ def main():
     bad = []
     for name in names:
         try:
-            sdf = qs[name](spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            sdf = qs[name](spark, sf_dir).toPandas()
             odf = con.execute(os_[name]).fetchdf()
-            ocols = list(odf.columns)
-            orows = list(odf.itertuples(index=False, name=None))
-            sc, sr = canon_df(scols, srows)
-            oc, orr = canon_df(ocols, orows)
+            sc, oc = sorted(sdf.columns), sorted(odf.columns)
+            sr, orr = _ou._canon(sdf), _ou._canon(odf)
             ok = (len(sr) == len(orr)) and (sc == oc) and (sr == orr)
             status = "OK" if ok else "MISMATCH"
             print(f"{name}: {status} spark={len(sr)} oracle={len(orr)}", flush=True)
@@ -88,9 +71,7 @@ def main():
                 if sc != oc:
                     print(f"  cols spark={sc} oracle={oc}")
                 else:
-                    diff = [
-                        (a, b) for a, b in zip(sr, orr) if a != b
-                    ][:3]
+                    diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
                     for a, b in diff:
                         print(f"  spark={a[:200]}\n  duck ={b[:200]}")
         except Exception as e:  # noqa: BLE001
