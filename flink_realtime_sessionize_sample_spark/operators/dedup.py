@@ -234,7 +234,13 @@ def minhash_band_frame(
     regardless of document size. Shared by the LSH self-join and the
     persisted incremental-dedup index (operators/incremental.py)."""
     rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
+    if rows_per_band * bands != num_hashes:
+        # Not an assert: under `python -O` a bare assert vanishes and a
+        # non-divisible config would silently drop the trailing hashes
+        # from every band signature instead of failing (round-6 advisor).
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     mh = base.withColumn(
         "shh", F.expr(f"transform(sh, s -> {T.h48_spark('s')})")
     ).select(

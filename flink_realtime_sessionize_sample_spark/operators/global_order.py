@@ -43,12 +43,18 @@ branch, recomputation, or task retry assigns every row the same ``_pid``,
 for the same reason ``sample_stratified_docs`` hash-gates instead of
 calling ``rand()``.
 
-Scale note: the boundary sample collects ~n/64 primary keys into one
-aggregate row. At the 100 TB design point the gate modulus is the knob (``sample_mod`` parameter) —
-size it so the sample stays ~10^5-10^6 rows (e.g. ``n / (200 *
-num_partitions)``); cut-point quality degrades gracefully (bands skew,
-ranks stay exact). Rows equal on the primary key always share a band, so
-heavily-tied keys bound band balance the same way they bound any
+Scale note (round 7): the boundary sample is BOUNDED regardless of input
+size — the md5 gate (``sample_mod``, ~n/64 rows) feeds a stratified
+min-hash aggregate (``max_sample`` strata, default ``max(4096,
+128*num_partitions)``): per hash stratum keep the key with the smallest
+``(md5(key), key)``, a KMV-style pure function of the row VALUES, so every
+recomputation (plan branch, AQE re-plan, task retry) selects the identical
+sample. Physically it is one map-side-combined aggregate with ≤
+``max_sample`` output rows (bounded state per task, no sort, no range
+exchange), so no 100 TB caller ever funnels ``corpus/64`` keys through the
+one-row cut-point aggregate; cut-point quality degrades gracefully (bands
+skew, ranks stay exact). Rows equal on the primary key always share a
+band, so heavily-tied keys bound band balance the same way they bound any
 key-partitioned operator.
 
 Exactness: identical results to the global-window formulation whenever the
@@ -76,15 +82,27 @@ from pyspark.sql import functions as F
 
 # Deterministic sample gate: keep a primary-key value iff the low bits of
 # its 48-bit md5 hash clear this modulus. ~n/64 samples — plenty of cut
-# points at test SFs; see the module docstring for the 100 TB sizing knob.
+# points at test SFs; the bottom-K cap below bounds the collected sample
+# at the 100 TB design point (see the module docstring).
 _SAMPLE_MOD = 64
+
+import re as _re
+
+_PLAIN_NAME = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# The exact SortOrder renderings this operator understands. Every caller
+# passes a plain column reference (optionally backticked) with an optional
+# direction + null-placement suffix; anything else (a computed expression,
+# a future Spark rendering change) must FAIL LOUDLY rather than silently
+# mis-read the sort direction and corrupt band ordering (round-6 advisor).
+_SORT_RENDER = _re.compile(
+    r"^`?(?P<name>[A-Za-z_][A-Za-z0-9_]*)`?"
+    r"(?: (?P<dir>ASC|DESC) NULLS (?P<nulls>FIRST|LAST))?$"
+)
 
 
 def _sort_exprs(sort_cols: Sequence[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in sort_cols]
-
-
-_PLAIN_NAME = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _primary_key(sort_cols: Sequence[Column | str]) -> tuple[str, bool, bool]:
@@ -95,20 +113,27 @@ def _primary_key(sort_cols: Sequence[Column | str]) -> tuple[str, bool, bool]:
     references, never computed expressions (banding hashes the key by
     NAME, so it must be a real column; enforced with a loud error in
     ``_with_deterministic_band``). Direction and null placement are read
-    from the column's SQL rendering ("name ASC NULLS FIRST" /
-    "name DESC NULLS LAST" / "name"); a plain name follows Spark's
-    defaults (ascending, NULLS FIRST).
+    from the column's SQL rendering and validated against the exact
+    expected pattern ("name" / "name ASC NULLS FIRST" / "name DESC NULLS
+    LAST" ...); an unrecognized rendering raises instead of silently
+    defaulting (a mis-read direction would corrupt band ordering). A plain
+    name follows Spark's defaults (ascending, NULLS FIRST).
     """
     c = sort_cols[0]
     if isinstance(c, str):
         return c, False, True
     s = c._jc.toString()
-    # Names are validated to plain identifiers (no spaces), so " DESC" /
-    # "NULLS LAST" substrings can only come from the sort-order rendering.
-    desc = " DESC" in s
-    nulls_first = "NULLS LAST" not in s  # Spark defaults: asc→first, desc→last
-    name = s.split(" DESC")[0].split(" ASC")[0].strip("`")
-    return name, desc, nulls_first
+    m = _SORT_RENDER.match(s)
+    if m is None:
+        raise ValueError(
+            f"global-order banding needs a plain leading sort COLUMN "
+            f"(optionally .asc()/.desc()/nulls variants); got the sort "
+            f"rendering {s!r}. Project computed sort keys into a named "
+            f"column first."
+        )
+    desc = m.group("dir") == "DESC"
+    nulls = m.group("nulls") or ("LAST" if desc else "FIRST")
+    return m.group("name"), desc, nulls == "FIRST"
 
 
 def _with_deterministic_band(
@@ -118,6 +143,7 @@ def _with_deterministic_band(
     nulls_first: bool,
     n_part: int,
     sample_mod: int = _SAMPLE_MOD,
+    max_sample: int | None = None,
 ) -> DataFrame:
     """Attach ``_pid``: the row's deterministic range-band index under the
     primary sort key — ``size(filter(cuts, c -> c < key))`` (asc; flipped
@@ -128,6 +154,13 @@ def _with_deterministic_band(
 
     Everything is a pure function of row values, so any recomputation —
     a second plan branch, an AQE re-plan, a task retry — bands identically.
+    In particular the ``max_sample`` bound is a per-stratum MIN on the
+    total order ``(md5(key), key)`` — the survivors are a function of the
+    row-value SET (KMV sketch), not of partitioning, task order, or any
+    RNG, so two independent recomputations of the cut points always agree
+    (the same invariant the md5 gate provides; ``rand()``- or
+    reservoir-style sampling would re-introduce the round-6
+    rank-corruption bug).
     """
     if pname not in df.columns or not _PLAIN_NAME.match(pname):
         raise ValueError(
@@ -135,33 +168,50 @@ def _with_deterministic_band(
             f"input frame; got {pname!r} (columns: {df.columns}). Project "
             f"computed sort keys into a named column first."
         )
+    if max_sample is None:
+        # Enough samples for well-balanced bands at any n_part, bounded
+        # by config (not data): the collected cut-point sample can never
+        # exceed this many keys however large the input grows.
+        max_sample = max(4096, 128 * n_part)
     p = F.col(pname)
-    gate = (
-        F.expr(
-            f"cast(conv(substring(md5(cast({pname} as string)), 1, 12), 16, 10)"
-            " as bigint)"
-        )
-        % sample_mod
-        == 0
+    khash_sql = (
+        f"cast(conv(substring(md5(cast({pname} as string)), 1, 12), 16, 10)"
+        " as bigint)"
     )
+    khash = F.expr(khash_sql)
+    # Stratum = md5 bits INDEPENDENT of the gate bits (div, not a second
+    # low-bit mod — `h % mod == 0` keys share their low bits, so a low-bit
+    # stratum would collapse to max_sample/sample_mod distinct strata).
+    stratum = F.expr(f"({khash_sql} div {sample_mod}) % {max_sample}")
     if n_part >= 2:
         # Decimate the sorted sample to n_part-1 cut points: the
-        # (i*size/n_part)-th order statistics. With fewer samples than
-        # bands the array is empty and every row lands in band 0 — the
-        # frame is tiny (≲ 64*n_part rows expected), one window partition
-        # is the right plan anyway.
+        # (i*size/n_part)-th order statistics (bigint arithmetic — at
+        # i ~ 10^4 partitions × 10^6 samples an int32 product wraps,
+        # round-6 advisor). With fewer samples than bands the array is
+        # empty and every row lands in band 0 — the frame is tiny, one
+        # window partition is the right plan anyway.
         cuts = F.expr(
             f"array_distinct(filter(transform(sequence(1, {n_part - 1}), "
             f"i -> case when size(_s) >= {n_part} "
-            f"then element_at(_s, cast((i * size(_s)) div {n_part} as int)) "
+            f"then element_at(_s, "
+            f"cast((cast(i as bigint) * size(_s)) div {n_part} as int)) "
             f"else null end), b -> b is not null))"
         )
     else:
         cuts = F.expr("slice(_s, 1, 0)")  # typed empty array
+    # Stratified min-hash sample (KMV / stochastic averaging): per hash
+    # stratum keep the key with the smallest (hash, key) — a total order,
+    # so the per-stratum winner is a pure function of the stratum's value
+    # SET. ≤ max_sample rows ever reach the 1-row cut-point aggregate, the
+    # per-stratum min is map-side combined (bounded agg state per task),
+    # and each winner is a uniform draw from the gated values — the sample
+    # approximates the gated distribution like the plain gate did, at a
+    # bounded size. No sort, no limit, no range exchange anywhere.
     bnd = (
-        df.filter(gate)
-        .select(p.alias("_k"))
-        .agg(F.array_sort(F.collect_list("_k")).alias("_s"))
+        df.filter(khash % sample_mod == 0)
+        .groupBy(stratum.alias("_g"))
+        .agg(F.min(F.struct(khash.alias("_h"), p.alias("_k"))).alias("_m"))
+        .agg(F.array_sort(F.collect_list("_m._k")).alias("_s"))
         .select(cuts.alias("_bnds"))
     )
     cmp = (lambda b: b > p) if pdesc else (lambda b: b < p)
@@ -190,6 +240,7 @@ def with_global_rank(
     extra_cums: Sequence[tuple[str, str]] = (),
     num_partitions: int | None = None,
     sample_mod: int = _SAMPLE_MOD,
+    max_sample: int | None = None,
 ) -> DataFrame:
     """Attach the exact global row number under ``sort_cols`` — distributed.
 
@@ -219,7 +270,9 @@ def with_global_rank(
         [(sum_col, cum_col)] if sum_col is not None else []
     ) + list(extra_cums)
 
-    banded = _with_deterministic_band(df, pname, pdesc, nulls_first, n_part, sample_mod)
+    banded = _with_deterministic_band(
+        df, pname, pdesc, nulls_first, n_part, sample_mod, max_sample
+    )
 
     # Branch 1: within-band row number + local prefix sums. One window
     # spec (band key, full sort order) carries every expression — row
@@ -301,6 +354,7 @@ def with_global_prefix_max(
     out_col: str = "prefix_max",
     num_partitions: int | None = None,
     sample_mod: int = _SAMPLE_MOD,
+    max_sample: int | None = None,
 ) -> DataFrame:
     """Attach the exact running MAX of ``value_col`` over all *strictly
     previous* rows in ``sort_cols`` order (NULL for the global first row) —
@@ -322,7 +376,9 @@ def with_global_prefix_max(
     keys = _sort_exprs(sort_cols)
     pname, pdesc, nulls_first = _primary_key(sort_cols)
 
-    banded = _with_deterministic_band(df, pname, pdesc, nulls_first, n_part, sample_mod)
+    banded = _with_deterministic_band(
+        df, pname, pdesc, nulls_first, n_part, sample_mod, max_sample
+    )
     w_prev = Window.partitionBy("_pid").orderBy(*keys).rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -35,59 +35,60 @@ from flink_realtime_sessionize_sample_spark.plans import ml_eval_queries  # noqa
 # asserts every name in it sits inside the first-50 window, alongside
 # every query not yet externally green (new registrations).
 #
-# ROUND-6 ROTATION (this edit): round 5 went 50/50 green, completing
-# external coverage of all 190 registered queries (cumulative r01-r05).
-# This round's window = 3 anchors + the changed-since-external re-checks
-# + round-6 registrations (appended as they are added, each verified at
-# sf0.01 AND sf0.1 before registration).
+# ROUND-7 ROTATION (this edit): round 6 went 50/50 green — all 224
+# registered queries have a cumulative green external row, but five
+# global-order consumers overflowed the r6 window after the banding
+# rewrite (stale rows, judge's lead item), and round 7 itself touched
+# shared operator code. This round's window = 3 anchors + every
+# changed-since-external re-check + round-7 registrations (appended as
+# they are added, each verified at sf0.01 AND sf0.1 before registration).
 
 # Queries whose implementation changed after their latest green external
-# row. Round-6 list: the round-5 post-close addendum commits (8c686c8
-# PPJoin positional filter; bf2909f generate-inlining fix touched
-# token_pmi_cooccurrence + fuzzy_edit_distance_join outside the r5
-# window; the r4 global-order edits to customer_rfm_segments /
-# customer_pareto_abc / doc_zipf_fit), the round-5 embedding-near-dup
-# default flip, and this round's exact-integer PPJoin bounds
-# (dedup_ngram_jaccard, dedup_containment) + Q6 dead-code removal.
+# row. Round-7 list, in order:
+#   (a) the five round-6 window-overflow global-order consumers (stale
+#       r5 rows; pre-listed as rotation debt at round-6 close);
+#   (b) the remaining nine global-order consumers — round 7 changed
+#       operators/global_order.py again (bounded stratified min-hash
+#       cut-point sample replacing the unbounded collect, bigint
+#       decimation arithmetic, strict sort-rendering validation), so per
+#       the standing rule every with_global_rank / with_global_prefix_max
+#       query re-enters even though all nine re-greened in r6;
+#   (c) the minhash_band_frame consumers — round 7 replaced its
+#       stripped-under-python-O divisibility assert with ValueError
+#       (validation-only, but operator code changed);
+#   (d) stream_naive_bayes_score — sink moved from a collect()ed temp
+#       parquet dir to a managed warehouse table.
 _CHANGED_SINCE_EXTERNAL: list[str] = [
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    # round-6 band-frame refactor (minhash_band_frame extraction) touched
-    # the minhash pipeline both of these run through:
+    # (a) round-6 rotation debt — global-order consumers with stale rows.
+    "equi_depth_histogram",
+    "ks_drift_detection",
+    "late_data_accounting",
+    "pareto_skyline_parts",
+    "psi_value_drift",
+    # (b) global-order consumers re-greened in r6, re-entering after the
+    # round-7 bounded-sample change.
+    "calibration_reliability_brier",
+    "ccnet_perplexity_buckets",
+    "conformal_interval_coverage",
+    "customer_pareto_abc",
+    "customer_rfm_segments",
+    "doc_zipf_fit",
+    "roc_auc_token_count",
+    "token_budget_waterfill",
+    "token_gini_concentration",
+    # (c) minhash_band_frame consumers (assert→ValueError in dedup.py).
     "dedup_minhash_lsh",
     "minhash_recall_audit",
-    "dedup_embedding_cosine",
-    "fuzzy_edit_distance_join",
-    "token_pmi_cooccurrence",
-    "customer_rfm_segments",
-    "customer_pareto_abc",
-    "doc_zipf_fit",
-    "forecast_revenue_q6",
-    # round-6 continuation: bm25_doc_search's scorer was factored into
-    # bm25_scored_frame (shared with hybrid_rrf_retrieval) — semantics
-    # identical, but the code changed, so it re-enters the window.
-    "bm25_doc_search",
-    # round-6 continuation: pair mirror rewritten union→explode so the
-    # distinct+join+aggregate subtree runs once (plan fix, same rows).
-    "item_cooccurrence_topk",
+    "near_dup_triangles",
+    "pagerank_neardup_3iter",
+    "negative_sampling_contrastive",
+    "split_leakage_neardup",
+    "dedup_incremental_index",
+    "stream_incremental_index_dedup",
+    "stream_index_update_roundtrip",
+    # (d) warehouse-table sink rewrite.
+    "stream_naive_bayes_score",
 ]
-
-# ROUND-7 ROTATION DEBT (window overflow): the round-6 third session
-# rewrote operators/global_order.py (deterministic hash-sampled banding
-# replacing repartitionByRange — its rdd-id-seeded boundary sampling
-# corrupted ranks when AQE broke exchange reuse; caught by
-# ccnet_perplexity_buckets at sf0.1). Per the standing rule every
-# with_global_rank / with_global_prefix_max query re-enters the window;
-# nine of them are already inside this round's window
-# (calibration_reliability_brier, ccnet_perplexity_buckets,
-# conformal_interval_coverage, customer_pareto_abc, customer_rfm_segments,
-# doc_zipf_fit, roc_auc_token_count, token_budget_waterfill,
-# token_gini_concentration), but the window is at its 50-slot cap, so the
-# remaining five could NOT be rotated this round. They are verified green
-# at sf0.01 AND sf0.1 by the local driver-replica sweep (2026-08-14) and
-# MUST lead round 7's _CHANGED_SINCE_EXTERNAL:
-#   equi_depth_histogram, ks_drift_detection, late_data_accounting,
-#   pareto_skyline_parts, psi_value_drift
 
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
@@ -96,44 +97,8 @@ _DRIVER_WINDOW: list[str] = [
     "parse_access_logs",
     # Changed-code re-checks (standing rule above).
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-6 registrations appended below (each verified at sf0.01 AND
+    # Round-7 registrations appended below (each verified at sf0.01 AND
     # sf0.1 before registration).
-    "substring_dedup_spans",
-    "dedup_incremental_index",
-    "semantic_dedup_semdedup",
-    "substring_dedup_coverage",
-    "cdc_chunk_dedup",
-    "stream_incremental_index_dedup",
-    "dedup_survivor_corpus",
-    "dsir_importance_sampling",
-    "bpe_train_merges",
-    "stream_index_update_roundtrip",
-    "doc_trigram_backoff_logprob",
-    "kmeans_lloyd_2iter",
-    "semantic_dedup_exact_kmeans",
-    "ann_ivf_exact_kmeans_topk",
-    # round-6 continuation: model-adjacent evaluation ops.
-    "naive_bayes_lang_classify",
-    "roc_auc_token_count",
-    "hybrid_rrf_retrieval",
-    "bpe_encode_corpus",
-    "geometric_median_embeddings",
-    "jl_project_embeddings",
-    "ann_jl_recall_audit",
-    "naive_bayes_eval_f1",
-    "ndcg_jl_ranking",
-    "stream_naive_bayes_score",
-    "conformal_interval_coverage",
-    "minhash_s_curve",
-    "source_contamination_matrix",
-    "ab_test_cuped",
-    "token_gini_concentration",
-    # round-6 third session: agreement/calibration/budget/leakage/quality.
-    "cohens_kappa_agreement",
-    "calibration_reliability_brier",
-    "token_budget_waterfill",
-    "split_leakage_neardup",
-    "ccnet_perplexity_buckets",
 ]
 
 
@@ -345,6 +310,49 @@ _EXTERNALLY_GREEN_THROUGH_R5: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R4 | fr
     "user_total_durations",
     "user_value_ewma",
     "zorder_cluster_stats",
+})
+
+
+# Round 6 window: 50/50 green (CORRECTNESS_r06). Union = every query with
+# a green external row through round 6 — the whole 224-query registry as
+# of round 6's close. Queries in ``_CHANGED_SINCE_EXTERNAL`` are still
+# members (their *older* code was green); the standing rule, not this set,
+# forces their re-check.
+_EXTERNALLY_GREEN_THROUGH_R6: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R5 | frozenset({
+    "ab_test_cuped",
+    "ann_ivf_exact_kmeans_topk",
+    "ann_jl_recall_audit",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "calibration_reliability_brier",
+    "ccnet_perplexity_buckets",
+    "cdc_chunk_dedup",
+    "cohens_kappa_agreement",
+    "conformal_interval_coverage",
+    "dedup_incremental_index",
+    "dedup_survivor_corpus",
+    "doc_trigram_backoff_logprob",
+    "dsir_importance_sampling",
+    "geometric_median_embeddings",
+    "hybrid_rrf_retrieval",
+    "jl_project_embeddings",
+    "kmeans_lloyd_2iter",
+    "minhash_s_curve",
+    "naive_bayes_eval_f1",
+    "naive_bayes_lang_classify",
+    "ndcg_jl_ranking",
+    "roc_auc_token_count",
+    "semantic_dedup_exact_kmeans",
+    "semantic_dedup_semdedup",
+    "source_contamination_matrix",
+    "split_leakage_neardup",
+    "stream_incremental_index_dedup",
+    "stream_index_update_roundtrip",
+    "stream_naive_bayes_score",
+    "substring_dedup_coverage",
+    "substring_dedup_spans",
+    "token_budget_waterfill",
+    "token_gini_concentration",
 })
 
 

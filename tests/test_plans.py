@@ -396,9 +396,10 @@ def test_r6_model_state_joins_are_broadcast(spark, sf_oracle, name):
 
 
 def test_roc_auc_rank_pass_is_distributed(spark, sf_oracle):
-    """The AUC cumulative-count pass must ride the range-partitioned
-    global-rank operator; SinglePartition exchanges may only feed the
-    final scalar aggregate collapse."""
+    """The AUC cumulative-count pass must ride the deterministic-banded
+    global-rank operator (round 6 forbids range partitioning in rank
+    pipelines); SinglePartition exchanges may only feed the final scalar
+    aggregate collapse."""
     p = _plan(spark, sf_oracle, "roc_auc_token_count")
     assert "windowspecdefinition(_pid" in p
     _single_partition_feeds_only_aggregates(p)
