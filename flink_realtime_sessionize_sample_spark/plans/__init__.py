@@ -99,6 +99,7 @@ _DRIVER_WINDOW: list[str] = [
     *_CHANGED_SINCE_EXTERNAL,
     # Round-7 registrations appended below (each verified at sf0.01 AND
     # sf0.1 before registration).
+    "gopher_quality_rules",
 ]
 
 

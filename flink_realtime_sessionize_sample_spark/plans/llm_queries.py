@@ -3491,3 +3491,241 @@ def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
         "mean_avg_logprob",
         (F.col("bucket") <= 7).alias("kept"),
     )
+
+
+# --- round 7: Gopher/RedPajama quality-rule battery ------------------------
+
+# The ten per-document rule predicates, as (name, Spark SQL boolean) pairs.
+# Every threshold comparison is cross-multiplied INTEGER arithmetic — no
+# float ratio ever crosses an engine boundary, so both engines agree bit
+# for bit. Thresholds follow Rae+ 2021 (Gopher, Table A1) and the
+# RedPajama/C4 rule set; `m`-prefixed columns are computed once in the
+# single projection below.
+_GOPHER_RULES: list[tuple[str, str]] = [
+    # 50 <= word count <= 100000
+    ("01_word_count", "n_tok >= 50 and n_tok <= 100000"),
+    # 3 <= mean word length <= 10  (sum_len/n_tok, cross-multiplied)
+    ("02_mean_word_length", "sum_len >= 3 * n_tok and sum_len <= 10 * n_tok"),
+    # symbol-to-word ratio ('#' chars + '...' runs) <= 0.1
+    ("03_symbol_word_ratio", "(n_hash + n_ellsym) * 10 <= n_tok"),
+    # <= 90% of lines start with a bullet
+    ("04_bullet_lines", "n_bullet * 10 <= 9 * n_lines"),
+    # <= 30% of lines end with an ellipsis
+    ("05_ellipsis_lines", "n_ellline * 10 <= 3 * n_lines"),
+    # >= 80% of words contain an alphabetic character
+    ("06_alpha_words", "n_alpha * 10 >= 8 * n_tok"),
+    # >= 2 stop-word tokens (natural prose carries closed-class words)
+    ("07_stop_words", "stop_cnt >= 2"),
+    # duplicate-trigram fraction <= 0.3 (doc_repetition_signals' signal)
+    ("08_dup_trigrams", "(n_tri - n_dist_tri) * 10 <= 3 * n_tri"),
+    # most-frequent-bigram fraction <= 0.18
+    ("09_top_bigram", "top_cnt * 100 <= 18 * n_bi"),
+    # C4 code filter: no '{' anywhere
+    ("10_curly_brace", "text not like '%{%'"),
+]
+
+
+def _gopher_oracle() -> str:
+    rules_duck = {
+        name: pred for name, pred in _GOPHER_RULES
+    }  # identical predicate text is valid DuckDB (integer ops + LIKE only)
+    b_cols = ",\n    ".join(
+        f"CASE WHEN {rules_duck[name]} THEN 1 ELSE 0 END AS b{i:02d}"
+        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    f_sums = ",\n    ".join(
+        f"sum(1 - b{i:02d})::BIGINT AS f{i:02d},\n"
+        f"    sum((1 - b{i:02d}) * doc_id)::BIGINT AS fd{i:02d}"
+        for i in range(1, len(_GOPHER_RULES) + 1)
+    )
+    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, len(_GOPHER_RULES) + 1))
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS rule, n_docs, f{i:02d} AS n_fail, "
+        f"fd{i:02d} AS fail_docid_sum FROM a"
+        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents),
+m0 AS (
+  SELECT doc_id, text, t,
+         len(t)::BIGINT AS n_tok,
+         list_sum(list_transform(t, x -> length(x)))::BIGINT AS sum_len,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         {T.stopword_count_duck('t')}::BIGINT AS stop_cnt,
+         (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellsym,
+         string_split(text, chr(10)) AS lines,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+              ELSE [] END AS bi,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+              ELSE [] END AS tri
+  FROM tok
+),
+bg AS (SELECT doc_id, g FROM m0, unnest(bi) AS u(g)),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+tp AS (SELECT doc_id, max(c)::BIGINT AS top_cnt FROM bgc GROUP BY doc_id),
+r AS (
+  SELECT m0.doc_id, m0.text, m0.n_tok, m0.sum_len, m0.n_alpha, m0.stop_cnt,
+         m0.n_hash, m0.n_ellsym,
+         len(m0.lines)::BIGINT AS n_lines,
+         len(list_filter(m0.lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::BIGINT AS n_bullet,
+         len(list_filter(m0.lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))::BIGINT AS n_ellline,
+         len(m0.bi)::BIGINT AS n_bi,
+         len(m0.tri)::BIGINT AS n_tri,
+         len(list_distinct(m0.tri))::BIGINT AS n_dist_tri,
+         coalesce(tp.top_cnt, 0)::BIGINT AS top_cnt
+  FROM m0 LEFT JOIN tp USING (doc_id)
+),
+p AS (
+  SELECT doc_id,
+    {b_cols}
+  FROM r
+),
+a AS (
+  SELECT count(*)::BIGINT AS n_docs,
+    {f_sums},
+    sum({keep_prod})::BIGINT AS keep_cnt,
+    sum((1 - {keep_prod}) * doc_id)::BIGINT AS keep_fd
+  FROM p
+),
+stacked AS (
+  {unions}
+UNION ALL SELECT '11_composed_keep' AS rule, n_docs,
+                 (n_docs - keep_cnt) AS n_fail, keep_fd AS fail_docid_sum FROM a
+)
+SELECT rule, n_docs, n_fail::BIGINT AS n_fail,
+       (n_docs - n_fail)::BIGINT AS n_pass,
+       round((n_docs - n_fail)::DOUBLE / n_docs, 6) + 0.0 AS pass_rate,
+       fail_docid_sum::BIGINT AS fail_docid_sum
+FROM stacked
+"""
+
+
+@query("gopher_quality_rules", oracle=_gopher_oracle())
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RedPajama-style quality-rule battery (Rae+ 2021 Table A1;
+    RedPajama-Data/C4 heuristics) over the document corpus: ten composable
+    per-document booleans (word count, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line shares, alphabetic-word share, stop-word
+    presence, duplicate-trigram and top-bigram repetition, C4 curly-brace
+    code filter) plus the composed keep decision, reported as per-rule
+    fail counts and pass rates — the standard pre-training corpus filter
+    readout.
+
+    Scale shape: ONE corpus scan. Every rule metric — including the
+    most-frequent-bigram count, computed as the longest equal run of the
+    per-row SORTED bigram array (O(n log n) array_sort + one O(n) fold,
+    never the O(n²) pairwise HOF scan doc_repetition_signals rejects, and
+    never that query's corpus-sized explode+shuffle) — is a per-row
+    projection, so the whole battery collapses into one map-side-combined
+    scalar aggregate followed by an 11-row stack. Zero data-proportional
+    shuffles; plan-asserted single scan (tests/test_plans.py).
+
+    Exactness: every threshold is cross-multiplied integer arithmetic
+    (e.g. mean word length in [3,10] ⟺ 3·n ≤ Σlen ≤ 10·n), so no float
+    ratio crosses the engine boundary; the only doubles are the final
+    round(n_pass/n_docs, 6) rates. Thresholds that Gopher states as
+    ratios are encoded at the same values; short documents pass the
+    repetition rules trivially (0 ≤ 0) and fail the word-count rule, as
+    in the published filter order. ``fail_docid_sum`` (Σ doc_id over the
+    rule's failing documents) pins per-document rule MEMBERSHIP across
+    engines — a rule with zero failures would otherwise verify trivially
+    even if the two engines disagreed doc-by-doc. The composed keep is the AND of all
+    ten — what quality_filter_pipeline applies, here fully decomposed."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.selectExpr(
+        "doc_id",
+        "text",
+        f"{_TOKS_S} as t",
+        "split(text, '\\n') as lines",
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "cast(size(t) as bigint) as n_tok",
+        "aggregate(t, 0L, (a, x) -> a + length(x)) as sum_len",
+        "cast(size(filter(t, x -> x rlike '[a-z]')) as bigint) as n_alpha",
+        f"cast({T.stopword_count_spark('t')} as bigint) as stop_cnt",
+        "cast(length(text) - length(replace(text, '#', '')) as bigint) as n_hash",
+        "cast((length(text) - length(replace(text, '...', ''))) div 3 as bigint)"
+        " as n_ellsym",
+        "cast(size(lines) as bigint) as n_lines",
+        "cast(size(filter(lines, l -> ltrim(l) rlike '^[-*•]')) as bigint)"
+        " as n_bullet",
+        "cast(size(filter(lines, l -> rtrim(l) like '%...' or rtrim(l) like '%…'))"
+        " as bigint) as n_ellline",
+        "case when size(t) >= 2 then transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))) "
+        "else slice(t, 1, 0) end as bi",
+        "case when size(t) >= 3 then transform(sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+        "element_at(t, i + 2))) else slice(t, 1, 0) end as tri",
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "n_tok",
+        "sum_len",
+        "n_alpha",
+        "stop_cnt",
+        "n_hash",
+        "n_ellsym",
+        "n_lines",
+        "n_bullet",
+        "n_ellline",
+        "cast(size(bi) as bigint) as n_bi",
+        "cast(size(tri) as bigint) as n_tri",
+        "cast(size(array_distinct(tri)) as bigint) as n_dist_tri",
+        # longest equal run of the sorted bigram array = max bigram count
+        "aggregate(array_sort(bi), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', if(acc.prev <=> x, acc.run + 1L, 1L), "
+        "  'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1L, 1L))), "
+        "acc -> acc.best) as top_cnt",
+    )
+    b_cols = [
+        F.expr(f"case when {pred} then 1L else 0L end").alias(f"b{i:02d}")
+        for i, (_, pred) in enumerate(_GOPHER_RULES, start=1)
+    ]
+    p = m.select(F.col("doc_id"), *b_cols)
+    n_rules = len(_GOPHER_RULES)
+    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, n_rules + 1))
+    a = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(F.expr(f"1L - b{i:02d}")).cast("long").alias(f"f{i:02d}")
+            for i in range(1, n_rules + 1)
+        ],
+        *[
+            F.sum(F.expr(f"(1L - b{i:02d}) * doc_id")).cast("long").alias(f"fd{i:02d}")
+            for i in range(1, n_rules + 1)
+        ],
+        F.sum(F.expr(keep_prod)).cast("long").alias("keep_cnt"),
+        F.sum(F.expr(f"(1L - {keep_prod}) * doc_id")).cast("long").alias("keep_fd"),
+    )
+    stack_args = ", ".join(
+        f"'{name}', f{i:02d}, fd{i:02d}"
+        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    stacked = a.selectExpr(
+        "n_docs",
+        f"stack({n_rules + 1}, {stack_args}, '11_composed_keep', "
+        f"n_docs - keep_cnt, keep_fd) as (rule, n_fail, fail_docid_sum)",
+    )
+    return stacked.select(
+        "rule",
+        "n_docs",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        (F.col("n_docs") - F.col("n_fail")).cast("long").alias("n_pass"),
+        (
+            F.round(
+                (F.col("n_docs") - F.col("n_fail")).cast("double") / F.col("n_docs"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pass_rate"),
+        F.col("fail_docid_sum").cast("long").alias("fail_docid_sum"),
+    )

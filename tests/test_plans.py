@@ -513,3 +513,17 @@ def test_ccnet_buckets_are_exact_tiles(spark, sf_oracle):
     assert max(sizes) - min(sizes) <= 1
     kept = [r for r in rows if r["kept"]]
     assert {r["bucket"] for r in kept} == set(range(1, 8))
+
+
+def test_gopher_battery_is_one_scan_one_aggregate(spark, sf_oracle):
+    """The quality-rule battery must be a single corpus scan feeding one
+    map-side-combined scalar aggregate: no joins, no explode of the bigram
+    arrays, no data-proportional exchange — every rule metric (including
+    the top-bigram count, a per-row fold over the sorted bigram array) is
+    a projection expression."""
+    p = _plan(spark, sf_oracle, "gopher_quality_rules")
+    assert p.count("Scan parquet") == 1, p
+    assert "Generate explode" not in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+    _single_partition_feeds_only_aggregates(p)
