@@ -100,6 +100,7 @@ _DRIVER_WINDOW: list[str] = [
     # Round-7 registrations appended below (each verified at sf0.01 AND
     # sf0.1 before registration).
     "gopher_quality_rules",
+    "dedup_aware_split",
 ]
 
 

@@ -3729,3 +3729,126 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pass_rate"),
         F.col("fail_docid_sum").cast("long").alias("fail_docid_sum"),
     )
+
+
+# --- round 7: dedup-aware train/test split assignment ----------------------
+
+
+@query(
+    "dedup_aware_split",
+    oracle=(
+        _DOC_SHINGLES_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+        + """
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE common::DOUBLE / uni >= 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+canon AS (SELECT node AS doc_id, MIN(lab) AS canonical_doc_id
+          FROM reach GROUP BY node),
+assign AS (
+  SELECT d.doc_id,
+         (coalesce(c.canonical_doc_id, d.doc_id) % 2 = 0) AS is_train
+  FROM documents d LEFT JOIN canon c USING (doc_id)
+)
+SELECT
+  (SELECT count(*) FROM pairs)::BIGINT AS n_neardup_pairs,
+  (SELECT count(*) FROM pairs WHERE (doc_a % 2) <> (doc_b % 2))::BIGINT
+    AS n_cross_naive,
+  (SELECT count(*) FROM pairs p
+     JOIN assign x ON p.doc_a = x.doc_id
+     JOIN assign y ON p.doc_b = y.doc_id
+   WHERE x.is_train <> y.is_train)::BIGINT AS n_cross_cluster_aware,
+  (SELECT count(*) FROM assign WHERE is_train)::BIGINT AS n_train,
+  (SELECT count(*) FROM assign WHERE NOT is_train)::BIGINT AS n_test,
+  round((SELECT count(*) FROM assign WHERE is_train)::DOUBLE
+        / (SELECT count(*) FROM assign), 6) + 0.0 AS train_frac
+"""
+    ),
+)
+def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/test split assignment — the FIX that
+    ``split_leakage_neardup`` exists to motivate: instead of splitting on
+    each document's own id parity (which strands near-duplicate twins on
+    opposite sides and silently inflates held-out metrics), split on the
+    near-dup CLUSTER CANONICAL id (``dedup_cluster_canonical``'s
+    connected-component min label; singleton docs are their own
+    canonical), so every verified near-dup cluster lands wholly in train
+    or wholly in test. The readout PROVES the property rather than
+    assuming it: cross-split verified pair count under the naive even/odd
+    split (nonzero — the measured leakage) next to the count under the
+    cluster-aware split (zero — any verified pair's endpoints are
+    connected, hence share a canonical, hence a side), plus the resulting
+    split sizes (cluster-parity splitting keeps ~50/50 because canonical
+    ids inherit the id distribution).
+
+    Scale shape: the verified-pair frame is computed ONCE
+    (``minhash_lsh_pairs``, bucketed LSH candidates, never all-pairs) and
+    ``localCheckpoint``ed — the component rounds, the leakage counts and
+    the split audit all reuse the materialized pairs instead of re-running
+    the LSH; components contract in O(log²) alternating-star rounds
+    (operators/dedup.py::connected_components); the assignment join is a
+    left join on doc_id. At 100 TB the parity gate becomes a hash of the
+    canonical id — same one-sided property, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    comp = D.connected_components(pairs)  # (node, label)
+    assign = (
+        docs.select("doc_id")
+        .join(comp.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("label", F.col("doc_id")) % 2 == 0).alias("is_train"),
+        )
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
+    cross_naive = pairs.filter((F.col("doc_a") % 2) != (F.col("doc_b") % 2)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cross_naive")
+    )
+    a_side = assign.select(F.col("doc_id").alias("doc_a"), F.col("is_train").alias("ta"))
+    b_side = assign.select(F.col("doc_id").alias("doc_b"), F.col("is_train").alias("tb"))
+    cross_aware = (
+        pairs.join(a_side, "doc_a")
+        .join(b_side, "doc_b")
+        .filter(F.col("ta") != F.col("tb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_cluster_aware"))
+    )
+    sizes = assign.agg(
+        F.sum(F.col("is_train").cast("long")).cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        n_pairs.crossJoin(cross_naive)
+        .crossJoin(cross_aware)
+        .crossJoin(sizes)
+        .select(
+            "n_neardup_pairs",
+            "n_cross_naive",
+            "n_cross_cluster_aware",
+            "n_train",
+            (F.col("n_docs") - F.col("n_train")).cast("long").alias("n_test"),
+            (
+                F.round(F.col("n_train").cast("double") / F.col("n_docs"), 6)
+                + F.lit(0.0)
+            ).alias("train_frac"),
+        )
+    )
