@@ -101,6 +101,7 @@ _DRIVER_WINDOW: list[str] = [
     # sf0.1 before registration).
     "gopher_quality_rules",
     "dedup_aware_split",
+    "ab_segment_bh_fdr",
 ]
 
 

@@ -2811,3 +2811,195 @@ def cuped_from_events(events: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("var_reduction"),
     )
+
+
+# --- round 7: per-segment A/B readout with Benjamini-Hochberg FDR ----------
+
+# Normal-tail p-value p = erfc(|z|/sqrt(2)) via Abramowitz & Stegun 7.1.26
+# (max abs error 1.5e-7, invisible at the 6dp rounding both engines
+# apply). The polynomial is written ONCE and pasted verbatim into both
+# dialects so the two engines evaluate the identical operand sequence.
+_AS_ERFC_POLY = (
+    "((((1.061405429 * _t - 1.453152027) * _t + 1.421413741) * _t"
+    " - 0.284496736) * _t + 0.254829592) * _t * exp(-_x * _x)"
+)
+
+
+@query(
+    "ab_segment_bh_fdr",
+    oracle=f"""
+WITH seg AS (
+  SELECT event_type || '_' || CAST(user_id % 4 AS VARCHAR) AS segment,
+         event_id % 2 AS arm,
+         CASE WHEN value > 60 OR (event_id % 2 = 1 AND event_type = 'purchase'
+                                  AND value > 30)
+              THEN 1 ELSE 0 END AS converted
+  FROM events
+),
+per AS (
+  SELECT segment,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS c0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS c1
+  FROM seg GROUP BY segment
+),
+zs AS (
+  SELECT *, round((c1 / n1 - c0 / n0)
+                  / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                         * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS z_stat
+  FROM per
+  WHERE c0 + c1 > 0 AND c0 + c1 < n0 + n1
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+            1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zs
+),
+pv AS (
+  SELECT segment, n0, c0, n1, c1, z_stat,
+         round({_AS_ERFC_POLY}, 6) + 0.0 AS p_value
+  FROM xt
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY p_value ASC, segment ASC) AS p_rank,
+         count(*) OVER () AS m
+  FROM pv
+),
+bh AS (
+  SELECT *, (p_value * m <= p_rank * 0.05) AS _ok FROM rk
+),
+kk AS (
+  SELECT *, max(CASE WHEN _ok THEN p_rank ELSE 0 END) OVER () AS _k FROM bh
+)
+SELECT segment, n0, c0, n1, c1,
+       round(c0 / n0, 6) + 0.0 AS rate0,
+       round(c1 / n1, 6) + 0.0 AS rate1,
+       round(((c1 / n1) + 1.9208 / n1
+              - 1.96 * sqrt(((c1 / n1) * (1 - c1 / n1) + 0.9604 / n1) / n1))
+             / (1 + 3.8416 / n1), 6) + 0.0 AS wilson_lb1,
+       round(((c1 / n1) + 1.9208 / n1
+              + 1.96 * sqrt(((c1 / n1) * (1 - c1 / n1) + 0.9604 / n1) / n1))
+             / (1 + 3.8416 / n1), 6) + 0.0 AS wilson_ub1,
+       round(((c0 / n0) + 1.9208 / n0
+              - 1.96 * sqrt(((c0 / n0) * (1 - c0 / n0) + 0.9604 / n0) / n0))
+             / (1 + 3.8416 / n0), 6) + 0.0 AS wilson_lb0,
+       round(((c0 / n0) + 1.9208 / n0
+              + 1.96 * sqrt(((c0 / n0) * (1 - c0 / n0) + 0.9604 / n0) / n0))
+             / (1 + 3.8416 / n0), 6) + 0.0 AS wilson_ub0,
+       z_stat, p_value,
+       p_rank::BIGINT AS p_rank,
+       round(p_rank * 0.05 / m, 6) + 0.0 AS bh_thresh,
+       (p_rank <= _k) AS rejected
+FROM kk
+""",
+)
+def ab_segment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment A/B experiment readout with multiple-testing control —
+    the missing piece after ``ab_test_two_proportions`` (one overall test)
+    and ``ab_test_cuped`` (variance reduction): 20 segments (event_type ×
+    user bucket) each get a two-proportion z-test and per-arm Wilson 95%
+    intervals, then Benjamini-Hochberg (1995) step-up FDR at α=0.05 picks
+    the segments whose lift survives 20 simultaneous looks — the standard
+    guard against segment-fishing in experiment dashboards. The conversion
+    metric plants a real treatment effect in the purchase segments
+    (arm-1 purchases convert at value>30 instead of >60) so BOTH branches
+    of the step-up — rejected and retained — are exercised and verified
+    cross-engine, not just the trivial k=0 path.
+
+    p-values: p = erfc(|z|/√2) via the Abramowitz-Stegun 7.1.26 polynomial
+    (error 1.5e-7 < the 6dp contract), evaluated from the ROUNDED z with
+    the identical expression text in both engines. BH runs on the rounded
+    p (ties broken by segment name), comparing p·m ≤ rank·α exactly as
+    written on both sides; rejected = rank ≤ max{i : p_(i) ≤ i·α/m}.
+
+    Scale shape: ONE map-side-combined conditional aggregate over the
+    event scan (segment × arm counts); everything downstream — z, p,
+    Wilson algebra, the rank and step-up windows — runs on the bounded
+    ~20-row segment table (global windows over bounded post-aggregate
+    frames are the documented exception to the no-global-window rule)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit("_"), (F.col("user_id") % 4).cast("string")
+        ).alias("segment"),
+        (F.col("event_id") % 2).alias("arm"),
+        F.when(
+            (F.col("value") > 60)
+            | (
+                (F.col("event_id") % 2 == 1)
+                & (F.col("event_type") == "purchase")
+                & (F.col("value") > 30)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    per = ev.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    p0, p1 = F.col("c0") / F.col("n0"), F.col("c1") / F.col("n1")
+    pall = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    zs = per.filter(
+        (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    ).withColumn(
+        "z_stat",
+        F.round(
+            (p1 - p0)
+            / F.sqrt(
+                pall * (1 - pall) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            ),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    xt = zs.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    pv = xt.withColumn("p_value", F.round(F.expr(_AS_ERFC_POLY), 6) + F.lit(0.0))
+
+    def _wilson(p: Column, n: Column, sign: int) -> Column:
+        half = 1.96 * F.sqrt((p * (1 - p) + F.lit(0.9604) / n) / n)
+        return (
+            F.round((p + F.lit(1.9208) / n + sign * half) / (1 + F.lit(3.8416) / n), 6)
+            + F.lit(0.0)
+        )
+
+    w_rank = Window.orderBy(F.col("p_value").asc(), F.col("segment").asc())
+    w_all = Window.partitionBy()  # bounded ~20-row post-aggregate frame
+    rk = (
+        pv.withColumn("p_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("m", F.count(F.lit(1)).over(w_all))
+        .withColumn("_ok", F.col("p_value") * F.col("m") <= F.col("p_rank") * 0.05)
+        .withColumn(
+            "_k", F.max(F.when(F.col("_ok"), F.col("p_rank")).otherwise(0)).over(w_all)
+        )
+    )
+    return rk.select(
+        "segment",
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        (F.round(p0, 6) + F.lit(0.0)).alias("rate0"),
+        (F.round(p1, 6) + F.lit(0.0)).alias("rate1"),
+        _wilson(p1, F.col("n1"), -1).alias("wilson_lb1"),
+        _wilson(p1, F.col("n1"), +1).alias("wilson_ub1"),
+        _wilson(p0, F.col("n0"), -1).alias("wilson_lb0"),
+        _wilson(p0, F.col("n0"), +1).alias("wilson_ub0"),
+        "z_stat",
+        "p_value",
+        "p_rank",
+        (F.round(F.col("p_rank") * 0.05 / F.col("m"), 6) + F.lit(0.0)).alias(
+            "bh_thresh"
+        ),
+        (F.col("p_rank") <= F.col("_k")).alias("rejected"),
+    )
