@@ -102,6 +102,7 @@ _DRIVER_WINDOW: list[str] = [
     "gopher_quality_rules",
     "dedup_aware_split",
     "ab_segment_bh_fdr",
+    "expected_calibration_error",
 ]
 
 

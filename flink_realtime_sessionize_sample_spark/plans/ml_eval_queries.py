@@ -861,10 +861,10 @@ def kappa_from_pairs(pairs: DataFrame) -> DataFrame:
 
 # --- calibration: reliability bins + Brier score --------------------------
 
-
-@query(
-    "calibration_reliability_brier",
-    oracle=f"""
+# Shared DuckDB prelude: per-doc calibration score (empirical-CDF
+# percentile of token count, integer micro-units) binned into 10
+# equal-width bins — used by the reliability diagram AND the ECE summary.
+_RELIABILITY_CTES = f"""
 WITH d AS (
   SELECT doc_id, (lang = 'en')::INT AS pos, len({_TOKS_D})::BIGINT AS dl
   FROM documents
@@ -881,6 +881,53 @@ s AS (
   FROM d JOIN cdf c USING (dl)
 ),
 b AS (SELECT least((sm // 100000), 9)::INT AS bin, pos, sm FROM s)
+"""
+
+
+def _reliability_bin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin calibration aggregate (bin, n_docs, n_pos, sum_score_micro,
+    _sse) — the Spark twin of ``_RELIABILITY_CTES``, shared by the
+    reliability diagram and the ECE summary. One corpus aggregate to
+    |distinct lengths| rows, the CDF on the distributed global-rank pass,
+    a broadcast join back, one 10-bin hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.size(F.expr(_TOKS_S)).cast("long").alias("dl"),
+    )
+    g = d.groupBy("dl").agg(F.count(F.lit(1)).alias("cnt"))
+    cdf = with_global_rank(
+        g,
+        ["dl"],
+        rank_col="_rk",
+        sum_col="cnt",
+        cum_col="cum_all",
+        sum_total_col="n_all",
+    ).select("dl", "cum_all", "n_all")
+    s = d.join(F.broadcast(cdf), "dl").select(
+        "pos",
+        F.round(F.col("cum_all") * 1000000.0 / F.col("n_all"))
+        .cast("long")
+        .alias("sm"),
+    )
+    b = s.select(
+        F.least(F.expr("sm div 100000"), F.lit(9)).cast("int").alias("bin"),
+        "pos",
+        "sm",
+    )
+    err = F.col("sm") - F.col("pos") * 1000000
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("sm").cast("long").alias("sum_score_micro"),
+        F.sum(err * err).cast("long").alias("_sse"),
+    )
+
+
+@query(
+    "calibration_reliability_brier",
+    oracle=_RELIABILITY_CTES
+    + """
 SELECT bin, count(*)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos,
        sum(sm)::BIGINT AS sum_score_micro,
        round(sum(sm)::DOUBLE / count(*) / 1000000, 6) + 0.0 AS conf,
@@ -914,38 +961,7 @@ def calibration_reliability_brier(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus to |distinct lengths| rows; the CDF rides the distributed
     ``with_global_rank`` pass; the per-doc score join broadcasts the
     bounded length table back; one final hash aggregate over 10 bins."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        (F.col("lang") == "en").cast("int").alias("pos"),
-        F.size(F.expr(_TOKS_S)).cast("long").alias("dl"),
-    )
-    g = d.groupBy("dl").agg(F.count(F.lit(1)).alias("cnt"))
-    cdf = with_global_rank(
-        g,
-        ["dl"],
-        rank_col="_rk",
-        sum_col="cnt",
-        cum_col="cum_all",
-        sum_total_col="n_all",
-    ).select("dl", "cum_all", "n_all")
-    s = d.join(F.broadcast(cdf), "dl").select(
-        "pos",
-        F.round(F.col("cum_all") * 1000000.0 / F.col("n_all"))
-        .cast("long")
-        .alias("sm"),
-    )
-    b = s.select(
-        F.least(F.expr("sm div 100000"), F.lit(9)).cast("int").alias("bin"),
-        "pos",
-        "sm",
-    )
-    err = F.col("sm") - F.col("pos") * 1000000
-    agg = b.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.sum("sm").cast("long").alias("sum_score_micro"),
-        F.sum(err * err).cast("long").alias("_sse"),
-    )
+    agg = _reliability_bin_agg(spark, sf_dir)
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
     return agg.select(
         "bin",
@@ -968,4 +984,80 @@ def calibration_reliability_brier(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(dd("_sse") / F.col("n_docs") / 1000000000000.0, 6)
             + F.lit(0.0)
         ).alias("brier"),
+    )
+
+
+@query(
+    "expected_calibration_error",
+    oracle=_RELIABILITY_CTES
+    + """
+, bins AS (
+  SELECT bin, count(*)::BIGINT AS nb, sum(pos)::BIGINT AS np,
+         sum(sm)::BIGINT AS ssm,
+         sum((sm - pos * 1000000) * (sm - pos * 1000000))::BIGINT AS sse
+  FROM b GROUP BY bin
+)
+SELECT sum(nb)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_bins,
+       sum(abs(ssm - np * 1000000))::BIGINT AS ece_micro_sum,
+       round(sum(abs(ssm - np * 1000000))::DOUBLE
+             / (sum(nb) * 1000000.0), 6) + 0.0 AS ece,
+       round(max(abs(ssm - np * 1000000)::DOUBLE / (nb * 1000000.0)), 6)
+         + 0.0 AS mce,
+       round(sum(sse)::DOUBLE / (sum(nb) * 1000000000000.0), 6) + 0.0
+         AS brier_overall
+FROM bins
+""",
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error summary (Naeini+ 2015; Guo+ 2017) over
+    the SAME 10 reliability bins as ``calibration_reliability_brier``:
+    ECE = Σ_b (n_b/N)·|conf_b − obs_b|, plus the maximum calibration error
+    (worst bin) and the overall Brier score — the one-line calibration
+    readout that completes the diagram.
+
+    Exactness: the bin-weighted |conf−obs| telescopes to pure integers —
+    (n_b/N)·|Σscore_micro/(n_b·1e6) − n_pos/n_b| = |Σscore_micro −
+    1e6·n_pos| / (N·1e6) — so ECE's numerator is an exact int64 sum of
+    per-bin absolute integer deviations (bounded by N·1e6) and the only
+    double is the single final division. MCE divides the same integer
+    deviation by each bin's n_b·1e6 (identical expression both engines)
+    before the max. Scale shape: identical to the reliability query it
+    shares ``_reliability_bin_agg`` with — the added work is one aggregate
+    over the bounded 10-row bin frame."""
+    agg = _reliability_bin_agg(spark, sf_dir)
+    adev = F.abs(F.col("sum_score_micro") - F.col("n_pos") * 1000000)
+    dev = agg.select(
+        F.col("n_docs").alias("nb"),
+        adev.alias("_adev"),
+        (adev.cast("double") / (F.col("n_docs") * 1000000.0)).alias("_devr"),
+        "_sse",
+    )
+    out = dev.agg(
+        F.sum("nb").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("_adev").cast("long").alias("ece_micro_sum"),
+        F.max("_devr").alias("_mce_raw"),
+        F.sum("_sse").cast("long").alias("_sse_all"),
+    )
+    return out.select(
+        "n_docs",
+        "n_bins",
+        "ece_micro_sum",
+        (
+            F.round(
+                F.col("ece_micro_sum").cast("double") / (F.col("n_docs") * 1000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ece"),
+        (F.round(F.col("_mce_raw"), 6) + F.lit(0.0)).alias("mce"),
+        (
+            F.round(
+                F.col("_sse_all").cast("double")
+                / (F.col("n_docs") * 1000000000000.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("brier_overall"),
     )
