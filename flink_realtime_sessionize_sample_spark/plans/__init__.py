@@ -103,6 +103,7 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_aware_split",
     "ab_segment_bh_fdr",
     "expected_calibration_error",
+    "zca_whitening_newton_schulz",
 ]
 
 

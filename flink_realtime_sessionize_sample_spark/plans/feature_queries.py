@@ -1834,3 +1834,201 @@ def token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_micro"),
     )
+
+
+# --- round 7: ZCA whitening via Newton-Schulz inverse square root ----------
+
+_ZCA_ITERS = 12
+_ZCA_RIDGE_DIV = 100 * _PCA_DIM  # ridge = trace/(100 d), >= 1 e6-unit
+
+
+def _zca_iter_duck(k: int) -> str:
+    """One quantized Newton-Schulz step: P = Z·Y (e6), T = (3I - P)/2,
+    Y ← Y·T, Z ← T·Z — each an equi-join matmul + round-renormalize."""
+    return f"""
+p{k} AS MATERIALIZED (
+  SELECT z.i AS i, y.j AS j,
+         CAST(round(sum(z.v * y.v)::DOUBLE / 1000000) AS BIGINT) AS v
+  FROM z{k - 1} z JOIN y{k - 1} y ON z.j = y.i GROUP BY z.i, y.j
+),
+t{k} AS MATERIALIZED (
+  SELECT i, j,
+         CAST(round((CASE WHEN i = j THEN 3000000 ELSE 0 END - v)::DOUBLE / 2)
+              AS BIGINT) AS v
+  FROM p{k}
+),
+y{k} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j,
+         CAST(round(sum(a.v * b.v)::DOUBLE / 1000000) AS BIGINT) AS v
+  FROM y{k - 1} a JOIN t{k} b ON a.j = b.i GROUP BY a.i, b.j
+),
+z{k} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j,
+         CAST(round(sum(a.v * b.v)::DOUBLE / 1000000) AS BIGINT) AS v
+  FROM t{k} a JOIN z{k - 1} b ON a.j = b.i GROUP BY a.i, b.j
+)"""
+
+
+def _zca_oracle() -> str:
+    iters = ",".join(_zca_iter_duck(k) for k in range(1, _ZCA_ITERS + 1))
+    return f"""
+WITH ex AS (
+  SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS v
+  FROM embeddings, range(1, {_PCA_DIM + 1}) r(i)
+), cov AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j, round(covar_samp(a.v, b.v), 6) AS c
+  FROM ex a JOIN ex b USING (vec_id)
+  WHERE a.i <= b.i
+  GROUP BY a.i, b.i
+), cfull AS MATERIALIZED (
+  SELECT i, j, CAST(round(c * 1000000) AS BIGINT) AS c_int FROM cov
+  UNION ALL
+  SELECT j, i, CAST(round(c * 1000000) AS BIGINT) FROM cov WHERE i < j
+),
+tr AS (SELECT sum(CASE WHEN i = j THEN c_int ELSE 0 END)::BIGINT AS t FROM cfull),
+rdg AS (SELECT greatest(1, t // {_ZCA_RIDGE_DIV})::BIGINT AS r, t FROM tr),
+trr AS (SELECT (t + {_PCA_DIM} * r)::BIGINT AS tr2 FROM rdg),
+y0 AS MATERIALIZED (
+  SELECT i, j,
+         CAST(round((c_int + CASE WHEN i = j THEN r ELSE 0 END)::DOUBLE
+                    / tr2::DOUBLE * 1000000) AS BIGINT) AS v
+  FROM cfull, rdg, trr
+),
+z0 AS MATERIALIZED (
+  SELECT a.i::INT AS i, b.i::INT AS j,
+         (CASE WHEN a.i = b.i THEN 1000000 ELSE 0 END)::BIGINT AS v
+  FROM range(0, {_PCA_DIM}) a(i), range(0, {_PCA_DIM}) b(i)
+),
+{iters.lstrip()}
+SELECT z.i, z.j,
+       CAST(round(z.v::DOUBLE / sqrt(tr2::DOUBLE / 1000000.0)) AS BIGINT)
+         AS w_e6
+FROM z{_ZCA_ITERS} z, trr
+"""
+
+
+@query("zca_whitening_newton_schulz", oracle=_zca_oracle())
+def zca_whitening_newton_schulz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening matrix W = (C + εI)^{-1/2} of the embedding corpus —
+    the decorrelation transform (Bell & Sejnowski 1997; Kessy+ 2018
+    "Optimal Whitening and Decorrelation") feature pipelines apply before
+    contrastive training or covariance-sensitive indexing — computed
+    DISTRIBUTED by {_ZCA_ITERS} Newton-Schulz iterations (Higham,
+    *Functions of Matrices* §6.3) on the trace-normalized covariance:
+    Y₀ = C'/tr(C'), Z₀ = I, then Yₖ₊₁ = Yₖ(3I − ZₖYₖ)/2,
+    Zₖ₊₁ = (3I − ZₖYₖ)/2·Zₖ → Z∞ = (C'/tr)^{-1/2}; W = Z/√tr. The ridge
+    ε = tr/(100·d) is the standard ZCA epsilon, and trace normalization
+    puts every eigenvalue in (0,1) so the iteration is globally
+    convergent; at d = {_PCA_DIM} the quantized fixed point lands by
+    iteration ~10 (max |WCW − I| ≈ 0.013, the ridge+quantization floor —
+    asserted in tests).
+
+    Scale shape: the corpus appears ONLY in the covariance
+    (operators/vector_stats.py, per-Arrow-batch BLAS partials); every
+    iteration is two d×d equi-join matmuls + one elementwise map on
+    d² = {_PCA_DIM * _PCA_DIM}-row frames — O(d³) work per step regardless
+    of corpus size, the same contract as ``embedding_pca_power_iteration``.
+    Frames are localCheckpoint()ed per step to keep the unrolled plan flat.
+
+    Cross-engine exactness: the covariance is 6dp-rounded and e6-quantized
+    (the verified ``embedding_covariance`` numbers); every matmul
+    renormalizes through round(Σ/1e6) — a deterministic double op on exact
+    int64 sums (|Σ| < 2⁵³) — and the halving round(x/2) hits exact .5
+    ties, which BOTH engines round half-away-from-zero; so the two engines
+    iterate bit-identical integer matrices and the full d² result
+    value-hashes with no tolerance."""
+    from flink_realtime_sessionize_sample_spark.operators.vector_stats import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = embedding_covariance(emb, "embedding", dim=_PCA_DIM)
+    upper = cov.select(
+        "i", "j", F.round(F.col("cov") * 1000000).cast("long").alias("c_int")
+    )
+    cfull = upper.unionByName(
+        upper.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c_int"
+        )
+    )
+    tr = cfull.filter(F.col("i") == F.col("j")).agg(
+        F.sum("c_int").cast("long").alias("t")
+    )
+    rdg = tr.select(
+        F.greatest(F.lit(1).cast("long"), F.expr(f"t div {_ZCA_RIDGE_DIV}")).alias("r"),
+        "t",
+    )
+    trr = rdg.select((F.col("t") + _PCA_DIM * F.col("r")).cast("long").alias("tr2"))
+    y = (
+        cfull.crossJoin(F.broadcast(rdg))
+        .crossJoin(F.broadcast(trr))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("c_int")
+                    + F.when(F.col("i") == F.col("j"), F.col("r")).otherwise(0)
+                ).cast("double")
+                / F.col("tr2").cast("double")
+                * 1000000
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        .localCheckpoint()
+    )
+    z = (
+        spark.range(_PCA_DIM)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(_PCA_DIM).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(F.col("i") == F.col("j"), 1000000)
+            .otherwise(0)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+
+    def _matmul(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.alias("a")
+            .join(b.alias("b"), F.col("a.j") == F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+            .agg(
+                F.round(F.sum(F.col("a.v") * F.col("b.v")).cast("double") / 1000000)
+                .cast("long")
+                .alias("v")
+            )
+        )
+
+    for _ in range(_ZCA_ITERS):
+        p = _matmul(z, y)
+        t_half = p.select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.when(F.col("i") == F.col("j"), 3000000).otherwise(0)
+                    - F.col("v")
+                ).cast("double")
+                / 2
+            )
+            .cast("long")
+            .alias("v"),
+        ).localCheckpoint()
+        y = _matmul(y, t_half).localCheckpoint()
+        z = _matmul(t_half, z).localCheckpoint()
+
+    return z.crossJoin(F.broadcast(trr)).select(
+        "i",
+        "j",
+        F.round(
+            F.col("v").cast("double")
+            / F.sqrt(F.col("tr2").cast("double") / 1000000.0)
+        )
+        .cast("long")
+        .alias("w_e6"),
+    )

@@ -527,3 +527,25 @@ def test_gopher_battery_is_one_scan_one_aggregate(spark, sf_oracle):
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 0
     _single_partition_feeds_only_aggregates(p)
+
+
+def test_zca_whitening_actually_whitens(spark, sf_small):
+    """The Newton-Schulz fixed point must be a real inverse square root:
+    W·C·W ≈ I on the raw (unquantized) covariance, within the documented
+    ridge + e6-quantization floor."""
+    import numpy as np
+
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = plans.QUERIES["zca_whitening_newton_schulz"](spark, sf_small).collect()
+    d = max(r["i"] for r in rows) + 1
+    W = np.zeros((d, d))
+    for r in rows:
+        W[r["i"], r["j"]] = r["w_e6"] / 1e6
+    emb = load_table(spark, sf_small, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    C = np.cov(X, rowvar=False)
+    err = np.abs(W @ C @ W - np.eye(d)).max()
+    assert err < 0.05, f"max|WCW - I| = {err}"
+    # W must be (near-)symmetric — ZCA, not an arbitrary factor.
+    assert np.abs(W - W.T).max() <= 2 / 1e6 * 1e3  # quantization slack
