@@ -104,6 +104,8 @@ _DRIVER_WINDOW: list[str] = [
     "ab_segment_bh_fdr",
     "expected_calibration_error",
     "zca_whitening_newton_schulz",
+    "padding_efficiency_buckets",
+    "mixture_temperature_weights",
 ]
 
 

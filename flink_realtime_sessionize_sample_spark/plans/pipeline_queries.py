@@ -694,3 +694,209 @@ def waterfill_from_supply(sup: DataFrame) -> DataFrame:
         alloc.cast("long").alias("allocated_tokens"),
         (F.col("r") > F.col("rstar")).alias("capped"),
     )
+
+
+# --- round 7: sequence-length bucketing / padding-efficiency audit ---------
+
+_PAD_MAX_BUCKET = 4096  # largest bucket cap (tokens); docs above clip here
+
+
+@query(
+    "padding_efficiency_buckets",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, len({_TOKS_D})::BIGINT AS n_tok FROM documents),
+t AS (SELECT doc_id, n_tok FROM tok WHERE n_tok > 0),
+b AS (
+  SELECT doc_id, n_tok,
+         least(CAST(power(2, ceil(log2(n_tok))) AS BIGINT),
+               {_PAD_MAX_BUCKET}) AS cap
+  FROM t
+),
+g AS (
+  SELECT greatest(cap, 1)::BIGINT AS bucket_cap,
+         count(*)::BIGINT AS n_docs,
+         sum(least(n_tok, greatest(cap, 1)))::BIGINT AS n_tokens,
+         sum(greatest(cap, 1) - least(n_tok, greatest(cap, 1)))::BIGINT
+           AS n_pad
+  FROM b GROUP BY greatest(cap, 1)
+),
+tot AS (
+  SELECT max(least(n_tok, {_PAD_MAX_BUCKET}))::BIGINT AS max_len,
+         count(*)::BIGINT AS n_all,
+         sum(least(n_tok, {_PAD_MAX_BUCKET}))::BIGINT AS tok_all
+  FROM t
+)
+SELECT g.bucket_cap, g.n_docs, g.n_tokens, g.n_pad,
+       round(g.n_pad::DOUBLE / (g.bucket_cap * g.n_docs), 6) + 0.0
+         AS bucket_waste,
+       round((tot.max_len * tot.n_all - tot.tok_all)::DOUBLE
+             / (tot.max_len * tot.n_all), 6) + 0.0 AS unbucketed_waste
+FROM g CROSS JOIN tot
+""",
+)
+def padding_efficiency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit for training-batch packing: assign
+    every document to the power-of-two token bucket that covers it
+    (clipped at {_PAD_MAX_BUCKET}), and report per bucket the documents,
+    real tokens, padding tokens, and padding-waste fraction — next to the
+    waste a single pad-to-global-max batch shape would pay (the number
+    that motivates bucketing; trainer dataloaders run exactly this readout
+    before choosing bucket boundaries). Docs longer than the clip cap
+    count truncated, as the trainer would truncate them.
+
+    Exactness: bucket caps are exact powers of two via
+    ``power(2, ceil(log2(n)))`` — log2/power of EXACT integers, the same
+    deterministic-double contract as the repo's sqrt/division rule, and
+    the result is floored back to integer before any arithmetic; every
+    count/sum is int64; the two waste ratios are final 6dp divisions.
+    Scale: one scan, one hash aggregate keyed by ~{12} bucket caps, one
+    1-row total broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    b = t.select(
+        "n_tok",
+        F.greatest(
+            F.least(
+                F.expr("cast(power(2, ceiling(log2(n_tok))) as bigint)"),
+                F.lit(_PAD_MAX_BUCKET).cast("long"),
+            ),
+            F.lit(1).cast("long"),
+        ).alias("bucket_cap"),
+    )
+    clipped = F.least(F.col("n_tok"), F.col("bucket_cap"))
+    g = b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(clipped).cast("long").alias("n_tokens"),
+        F.sum(F.col("bucket_cap") - clipped).cast("long").alias("n_pad"),
+    )
+    tot = t.agg(
+        F.max(F.least(F.col("n_tok"), F.lit(_PAD_MAX_BUCKET).cast("long")))
+        .cast("long")
+        .alias("max_len"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.least(F.col("n_tok"), F.lit(_PAD_MAX_BUCKET).cast("long")))
+        .cast("long")
+        .alias("tok_all"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket_cap",
+        "n_docs",
+        "n_tokens",
+        "n_pad",
+        (
+            F.round(
+                F.col("n_pad").cast("double")
+                / (F.col("bucket_cap") * F.col("n_docs")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("bucket_waste"),
+        (
+            F.round(
+                (F.col("max_len") * F.col("n_all") - F.col("tok_all")).cast("double")
+                / (F.col("max_len") * F.col("n_all")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("unbucketed_waste"),
+    )
+
+
+# --- round 7: temperature-scaled source mixture weights --------------------
+
+# Sampling temperature alpha = 0.7 as the exact rational 7/10 (the standard
+# multilingual/multisource rebalancing exponent, cf. mT5/XLM-R).
+_MIX_ALPHA_NUM = 7
+_MIX_ALPHA_DEN = 10
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+WITH tok AS (SELECT source, len({_TOKS_D})::BIGINT AS n_tok FROM documents),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+  FROM tok GROUP BY source
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS t_all FROM per),
+pw AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(power(n_tokens::DOUBLE / t_all::DOUBLE,
+                          {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN}) * 1000000000)
+              AS BIGINT) AS w_e9
+  FROM per CROSS JOIN tot
+),
+norm AS (SELECT sum(w_e9)::BIGINT AS w_sum FROM pw)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / t_all::DOUBLE, 6) + 0.0 AS p_natural,
+       round(w_e9::DOUBLE / w_sum, 6) + 0.0 AS p_sampled,
+       round((w_e9::DOUBLE / w_sum) * t_all::DOUBLE / n_tokens, 6) + 0.0
+         AS effective_epochs
+FROM pw CROSS JOIN norm CROSS JOIN tot
+""",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the standard
+    multilingual/multisource rebalancing (mT5, XLM-R: p_i ∝ n_i^α,
+    α = {_MIX_ALPHA_NUM}/{_MIX_ALPHA_DEN}) that upsamples tail sources
+    without letting the head dominate. Per source: natural token share,
+    temperature-scaled sampling probability, and effective epochs (how
+    many times the source's tokens are seen when the mixture is sampled
+    for one corpus-worth of tokens) — the readout a data-mixing plan is
+    signed off on; pairs with ``token_budget_waterfill``'s hard-budget
+    allocator.
+
+    Exactness: token counts are exact int64; power(p, α) is a
+    deterministic double over identical rational operands (the
+    single-expression contract) and quantizes to e9 integer micro-units
+    BEFORE the normalizing sum — the repo's standing fix for float
+    summation-order divergence, which applies even on this bounded frame
+    because hash-aggregate fold order is engine-specific. Every output
+    ratio is a final 6dp division of exact integers.
+
+    Scale: one scan → per-source hash aggregate (bounded rows); all
+    mixture algebra on the ~5-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("t_all"))
+    pw = per.crossJoin(F.broadcast(tot)).withColumn(
+        "w_e9",
+        F.round(
+            F.pow(
+                F.col("n_tokens").cast("double") / F.col("t_all").cast("double"),
+                F.lit(_MIX_ALPHA_NUM) / F.lit(_MIX_ALPHA_DEN),
+            )
+            * 1000000000
+        ).cast("long"),
+    )
+    norm = pw.agg(F.sum("w_e9").cast("long").alias("w_sum"))
+    return pw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.round(F.col("n_tokens").cast("double") / F.col("t_all").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("p_natural"),
+        (
+            F.round(F.col("w_e9").cast("double") / F.col("w_sum"), 6) + F.lit(0.0)
+        ).alias("p_sampled"),
+        (
+            F.round(
+                (F.col("w_e9").cast("double") / F.col("w_sum"))
+                * F.col("t_all").cast("double")
+                / F.col("n_tokens"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("effective_epochs"),
+    )
