@@ -106,6 +106,7 @@ _DRIVER_WINDOW: list[str] = [
     "zca_whitening_newton_schulz",
     "padding_efficiency_buckets",
     "mixture_temperature_weights",
+    "stream_gopher_filter",
 ]
 
 

@@ -3525,27 +3525,17 @@ _GOPHER_RULES: list[tuple[str, str]] = [
 ]
 
 
-def _gopher_oracle() -> str:
-    rules_duck = {
-        name: pred for name, pred in _GOPHER_RULES
-    }  # identical predicate text is valid DuckDB (integer ops + LIKE only)
+def _gopher_doc_ctes(where: str = "") -> str:
+    """DuckDB CTE chain ending in ``p``: per-document rule booleans
+    (doc_id, b01..b10). The rule predicate text is identical in both
+    dialects (integer ops + LIKE only); ``where`` restricts the scanned
+    documents (the streaming twin filters to its replayed half)."""
     b_cols = ",\n    ".join(
-        f"CASE WHEN {rules_duck[name]} THEN 1 ELSE 0 END AS b{i:02d}"
-        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
-    )
-    f_sums = ",\n    ".join(
-        f"sum(1 - b{i:02d})::BIGINT AS f{i:02d},\n"
-        f"    sum((1 - b{i:02d}) * doc_id)::BIGINT AS fd{i:02d}"
-        for i in range(1, len(_GOPHER_RULES) + 1)
-    )
-    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, len(_GOPHER_RULES) + 1))
-    unions = "\nUNION ALL ".join(
-        f"SELECT '{name}' AS rule, n_docs, f{i:02d} AS n_fail, "
-        f"fd{i:02d} AS fail_docid_sum FROM a"
-        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+        f"CASE WHEN {pred} THEN 1 ELSE 0 END AS b{i:02d}"
+        for i, (_, pred) in enumerate(_GOPHER_RULES, start=1)
     )
     return f"""
-WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents),
+WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents {where}),
 m0 AS (
   SELECT doc_id, text, t,
          len(t)::BIGINT AS n_tok,
@@ -3583,7 +3573,22 @@ p AS (
   SELECT doc_id,
     {b_cols}
   FROM r
-),
+)"""
+
+
+def _gopher_oracle() -> str:
+    f_sums = ",\n    ".join(
+        f"sum(1 - b{i:02d})::BIGINT AS f{i:02d},\n"
+        f"    sum((1 - b{i:02d}) * doc_id)::BIGINT AS fd{i:02d}"
+        for i in range(1, len(_GOPHER_RULES) + 1)
+    )
+    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, len(_GOPHER_RULES) + 1))
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS rule, n_docs, f{i:02d} AS n_fail, "
+        f"fd{i:02d} AS fail_docid_sum FROM a"
+        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    return _gopher_doc_ctes() + f""",
 a AS (
   SELECT count(*)::BIGINT AS n_docs,
     {f_sums},
@@ -3604,38 +3609,11 @@ FROM stacked
 """
 
 
-@query("gopher_quality_rules", oracle=_gopher_oracle())
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/RedPajama-style quality-rule battery (Rae+ 2021 Table A1;
-    RedPajama-Data/C4 heuristics) over the document corpus: ten composable
-    per-document booleans (word count, mean word length, symbol-to-word
-    ratio, bullet/ellipsis line shares, alphabetic-word share, stop-word
-    presence, duplicate-trigram and top-bigram repetition, C4 curly-brace
-    code filter) plus the composed keep decision, reported as per-rule
-    fail counts and pass rates — the standard pre-training corpus filter
-    readout.
-
-    Scale shape: ONE corpus scan. Every rule metric — including the
-    most-frequent-bigram count, computed as the longest equal run of the
-    per-row SORTED bigram array (O(n log n) array_sort + one O(n) fold,
-    never the O(n²) pairwise HOF scan doc_repetition_signals rejects, and
-    never that query's corpus-sized explode+shuffle) — is a per-row
-    projection, so the whole battery collapses into one map-side-combined
-    scalar aggregate followed by an 11-row stack. Zero data-proportional
-    shuffles; plan-asserted single scan (tests/test_plans.py).
-
-    Exactness: every threshold is cross-multiplied integer arithmetic
-    (e.g. mean word length in [3,10] ⟺ 3·n ≤ Σlen ≤ 10·n), so no float
-    ratio crosses the engine boundary; the only doubles are the final
-    round(n_pass/n_docs, 6) rates. Thresholds that Gopher states as
-    ratios are encoded at the same values; short documents pass the
-    repetition rules trivially (0 ≤ 0) and fail the word-count rule, as
-    in the published filter order. ``fail_docid_sum`` (Σ doc_id over the
-    rule's failing documents) pins per-document rule MEMBERSHIP across
-    engines — a rule with zero failures would otherwise verify trivially
-    even if the two engines disagreed doc-by-doc. The composed keep is the AND of all
-    ten — what quality_filter_pipeline applies, here fully decomposed."""
-    docs = load_table(spark, sf_dir, "documents")
+def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, b01..b10): per-document rule booleans as 0/1 longs — the
+    Spark twin of ``_gopher_doc_ctes``. Pure per-row projections (the
+    top-bigram count is a fold over the sorted per-row bigram array), so
+    it runs unchanged on a batch frame or a streaming micro-batch."""
     m = docs.selectExpr(
         "doc_id",
         "text",
@@ -3690,7 +3668,41 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"case when {pred} then 1L else 0L end").alias(f"b{i:02d}")
         for i, (_, pred) in enumerate(_GOPHER_RULES, start=1)
     ]
-    p = m.select(F.col("doc_id"), *b_cols)
+    return m.select(F.col("doc_id"), *b_cols)
+
+
+@query("gopher_quality_rules", oracle=_gopher_oracle())
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RedPajama-style quality-rule battery (Rae+ 2021 Table A1;
+    RedPajama-Data/C4 heuristics) over the document corpus: ten composable
+    per-document booleans (word count, mean word length, symbol-to-word
+    ratio, bullet/ellipsis line shares, alphabetic-word share, stop-word
+    presence, duplicate-trigram and top-bigram repetition, C4 curly-brace
+    code filter) plus the composed keep decision, reported as per-rule
+    fail counts and pass rates — the standard pre-training corpus filter
+    readout.
+
+    Scale shape: ONE corpus scan. Every rule metric — including the
+    most-frequent-bigram count, computed as the longest equal run of the
+    per-row SORTED bigram array (O(n log n) array_sort + one O(n) fold,
+    never the O(n²) pairwise HOF scan doc_repetition_signals rejects, and
+    never that query's corpus-sized explode+shuffle) — is a per-row
+    projection, so the whole battery collapses into one map-side-combined
+    scalar aggregate followed by an 11-row stack. Zero data-proportional
+    shuffles; plan-asserted single scan (tests/test_plans.py).
+
+    Exactness: every threshold is cross-multiplied integer arithmetic
+    (e.g. mean word length in [3,10] ⟺ 3·n ≤ Σlen ≤ 10·n), so no float
+    ratio crosses the engine boundary; the only doubles are the final
+    round(n_pass/n_docs, 6) rates. Thresholds that Gopher states as
+    ratios are encoded at the same values; short documents pass the
+    repetition rules trivially (0 ≤ 0) and fail the word-count rule, as
+    in the published filter order. ``fail_docid_sum`` (Σ doc_id over the
+    rule's failing documents) pins per-document rule MEMBERSHIP across
+    engines — a rule with zero failures would otherwise verify trivially
+    even if the two engines disagreed doc-by-doc. The composed keep is the AND of all
+    ten — what quality_filter_pipeline applies, here fully decomposed."""
+    p = _gopher_flag_frame(load_table(spark, sf_dir, "documents"))
     n_rules = len(_GOPHER_RULES)
     keep_prod = " * ".join(f"b{i:02d}" for i in range(1, n_rules + 1))
     a = p.agg(
@@ -3852,3 +3864,76 @@ def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("train_frac"),
         )
     )
+
+
+# --- round 7: streaming twin of the quality-rule keep decision --------------
+
+_GF_SUM = " + ".join(f"b{i:02d}" for i in range(1, len(_GOPHER_RULES) + 1))
+_GF_PROD = " * ".join(f"b{i:02d}" for i in range(1, len(_GOPHER_RULES) + 1))
+
+
+@query(
+    "stream_gopher_filter",
+    oracle=_gopher_doc_ctes(where="WHERE doc_id % 2 = 1")
+    + f"""
+SELECT doc_id,
+       (10 - ({_GF_SUM}))::BIGINT AS n_failed,
+       ({_GF_PROD} = 1) AS keep
+FROM p
+""",
+)
+def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering on the INGEST path: the odd-doc_id half of the
+    corpus arrives as a file stream (2 micro-batches) and every
+    micro-batch runs the full Gopher/RedPajama rule battery
+    (``_gopher_flag_frame`` — per-row projections only, so batch and
+    stream semantics are identical by construction) inside
+    ``foreachBatch``, appending per-document (n_failed, keep) decisions to
+    a managed warehouse table — the standard shape for filter-at-ingest
+    so downstream consumers never see rejected documents. Oracle: the SAME
+    per-document rule SQL restricted to the replayed half — streaming
+    filtering ≡ batch filtering, value-hash checked per document.
+
+    Scale: each micro-batch is one scan + per-row codegen (no aggregate
+    state across batches — every rule is document-local), so the stream
+    sustains source rate; the sink table is the same bucketed-warehouse
+    pattern as ``stream_naive_bayes_score``."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from flink_realtime_sessionize_sample_spark.operators.incremental import (
+        _drop_stale_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    held = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    src = _tempfile.mkdtemp(prefix="gopher_stream_src_")
+    sink_table = "gopher_stream_keep"
+    _drop_stale_table(spark, sink_table)
+    try:
+        held.filter(F.col("doc_id") % 4 == 1).write.parquet(f"{src}/a")
+        held.filter(F.col("doc_id") % 4 == 3).write.parquet(f"{src}/b")
+
+        def _filter_batch(batch_df, _batch_id):
+            flags = _gopher_flag_frame(batch_df)
+            flags.select(
+                "doc_id",
+                (10 - F.expr(_GF_SUM)).cast("long").alias("n_failed"),
+                (F.expr(_GF_PROD) == 1).alias("keep"),
+            ).write.mode("append").format("parquet").saveAsTable(sink_table)
+
+        h = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.foreachBatch(_filter_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not h.awaitTermination(600):
+            h.stop()
+            raise RuntimeError("stream_gopher_filter: replay hung")
+        return spark.table(sink_table).select("doc_id", "n_failed", "keep")
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
