@@ -107,6 +107,7 @@ _DRIVER_WINDOW: list[str] = [
     "padding_efficiency_buckets",
     "mixture_temperature_weights",
     "stream_gopher_filter",
+    "ann_ivf_nprobe_sweep",
 ]
 
 

@@ -3937,3 +3937,134 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(sink_table).select("doc_id", "n_failed", "keep")
     finally:
         _shutil.rmtree(src, ignore_errors=True)
+
+
+# --- round 7: IVF nprobe recall sweep ---------------------------------------
+
+_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def _ivf_sweep_oracle() -> str:
+    """Recall@5 per nprobe, one UNION ALL branch per setting — the oracle
+    twin of the deterministic-quantizer IVF (same CTE shapes as
+    ``ann_ivf_topk``), each branch probing its own cell count."""
+    per = []
+    for np_ in _SWEEP_NPROBES:
+        per.append(f"""
+qa{np_} AS (
+  SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm, cent_id FROM (
+    SELECT qq.vec_id, qq.v, qq.nrm, ct.cent_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY round({T.dot_duck('qq.v', 'ct.ct_v')} / (qq.nrm * ct.ct_nrm), 6) DESC,
+                      ct.cent_id ASC) AS r
+    FROM q0 qq CROSS JOIN cents ct
+  ) WHERE r <= {np_}
+),
+iv{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({T.dot_duck('c.v', 'q.q_v')} / (c.nrm * q.q_nrm), 6) DESC,
+                      c.vec_id ASC) AS rnk
+    FROM cassign c JOIN qa{np_} q ON c.cent_id = q.cent_id AND c.vec_id <> q.q_id
+  ) WHERE rnk <= 5
+),
+h{np_} AS (
+  SELECT count(*)::BIGINT AS n_hits
+  FROM iv{np_} i JOIN expairs e
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+)""")
+    rows = "\nUNION ALL ".join(
+        f"""SELECT {np_} AS nprobe,
+       (SELECT count(*) FROM q0)::BIGINT AS n_queries,
+       (SELECT count(*) FROM expairs)::BIGINT AS n_exact,
+       n_hits,
+       round(n_hits::DOUBLE / (SELECT count(*) FROM expairs), 6) + 0.0
+         AS recall_at_5
+FROM h{np_}"""
+        for np_ in _SWEEP_NPROBES
+    )
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, v AS ct_v, nrm AS ct_nrm FROM c0 WHERE vec_id < 8),
+cassign AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT c.vec_id, c.v, c.nrm, ct.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round({T.dot_duck('c.v', 'ct.ct_v')} / (c.nrm * ct.ct_nrm), 6) DESC,
+                      ct.cent_id ASC) AS r
+    FROM c0 c CROSS JOIN cents ct
+  ) WHERE r = 1
+),
+q0 AS (SELECT * FROM c0 WHERE {_QUERY_PRED_D}),
+expairs AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) DESC,
+                      c.vec_id ASC) AS rnk
+    FROM c0 c CROSS JOIN q0 q WHERE c.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+),
+{",".join(per).lstrip().lstrip(",")}
+{rows}
+"""
+
+
+@query("ann_ivf_nprobe_sweep", oracle=_ivf_sweep_oracle())
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost design sweep: recall@5 versus nprobe ∈
+    {1, 2, 4, 8} of 8 cells against the exact brute-force top-5 — the
+    table an ANN deployment is tuned from (raising nprobe buys recall
+    linearly in scored candidates; nprobe = n_centroids must reach recall
+    1.0, which the sweep's last row PROVES rather than assumes, since
+    probing every cell makes IVF exhaustive). Uses the deterministic
+    first-n quantizer so the ENTIRE sweep — assignments, candidates,
+    ranks, hits — is value-hash reproducible in SQL, unlike the
+    bounds-checked trained-codebook variant (``ann_ivf_trained_topk``).
+
+    Scale shape: the exact top-5 is computed ONCE and checkpointed (it is
+    the expensive side — brute force exists here as the recall
+    denominator); each sweep point reuses the broadcast centroid table and
+    adds one cell-equi-join candidate generation + per-query window, the
+    same plan as ``ann_ivf_topk``. Per-row work is Σ|probed cells| — the
+    cost axis the sweep trades against recall."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(_query_pred_s())
+    exact = (
+        cosine_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_q = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    n_ex = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    out = None
+    for np_ in _SWEEP_NPROBES:
+        ivf = cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=np_).select(
+            "query_id", "neighbor_id"
+        )
+        hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        row = (
+            n_q.crossJoin(n_ex)
+            .crossJoin(hits)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_queries",
+                "n_exact",
+                "n_hits",
+                (
+                    F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6)
+                    + F.lit(0.0)
+                ).alias("recall_at_5"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
