@@ -108,6 +108,8 @@ _DRIVER_WINDOW: list[str] = [
     "mixture_temperature_weights",
     "stream_gopher_filter",
     "ann_ivf_nprobe_sweep",
+    "mcnemar_nb_vs_heuristic",
+    "gopher_rule_ablation",
 ]
 
 

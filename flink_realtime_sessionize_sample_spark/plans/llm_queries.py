@@ -4068,3 +4068,99 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- round 7: quality-rule ablation ------------------------------------------
+
+
+def _ablation_oracle() -> str:
+    n = len(_GOPHER_RULES)
+    aggs = []
+    for i in range(1, n + 1):
+        others = " * ".join(f"b{j:02d}" for j in range(1, n + 1) if j != i)
+        aggs.append(
+            f"sum(1 - b{i:02d})::BIGINT AS f{i:02d},\n"
+            f"    sum((1 - b{i:02d}) * {others})::BIGINT AS s{i:02d}"
+        )
+    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, n + 1))
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS rule, n_docs, keep_cnt, f{i:02d} AS n_fail, "
+        f"s{i:02d} AS n_sole_fail FROM a"
+        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    return (
+        _gopher_doc_ctes()
+        + f""",
+a AS (
+  SELECT count(*)::BIGINT AS n_docs,
+    sum({keep_prod})::BIGINT AS keep_cnt,
+    {",".join(aggs)}
+  FROM p
+),
+stacked AS (
+  {unions}
+)
+SELECT rule, n_docs, n_fail, n_sole_fail,
+       keep_cnt AS keep_now,
+       (keep_cnt + n_sole_fail)::BIGINT AS keep_if_dropped,
+       round(n_sole_fail::DOUBLE / n_docs, 6) + 0.0 AS keep_gain_rate
+FROM stacked
+"""
+    )
+
+
+@query("gopher_rule_ablation", oracle=_ablation_oracle())
+def gopher_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ablation readout for the quality-rule battery: per rule, how many
+    documents fail ONLY that rule — i.e. how much corpus the composed keep
+    decision would gain if the rule were dropped. A rule with a large fail
+    count but near-zero SOLE-fail count is redundant (its rejections are
+    all co-rejected by other rules); a rule with a large sole-fail count
+    is the binding constraint — the standard analysis before tuning
+    thresholds on a real corpus (every rejected token is paid-for data).
+
+    Scale shape: identical to ``gopher_quality_rules`` — the shared
+    per-document flag frame (one scan, per-row projections) feeds one
+    map-side-combined scalar aggregate carrying per-rule fail and
+    sole-fail sums, then a bounded 10-row stack. The sole-fail indicator
+    (1 − bᵢ)·Πⱼ≠ᵢ bⱼ is exact 0/1 integer arithmetic; the only double is
+    the final 6dp gain rate."""
+    p = _gopher_flag_frame(load_table(spark, sf_dir, "documents"))
+    n = len(_GOPHER_RULES)
+    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, n + 1))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr(keep_prod)).cast("long").alias("keep_cnt"),
+    ]
+    for i in range(1, n + 1):
+        others = " * ".join(f"b{j:02d}" for j in range(1, n + 1) if j != i)
+        aggs.append(F.sum(F.expr(f"1L - b{i:02d}")).cast("long").alias(f"f{i:02d}"))
+        aggs.append(
+            F.sum(F.expr(f"(1L - b{i:02d}) * {others}"))
+            .cast("long")
+            .alias(f"s{i:02d}")
+        )
+    a = p.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', f{i:02d}, s{i:02d}"
+        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    stacked = a.selectExpr(
+        "n_docs",
+        "keep_cnt",
+        f"stack({n}, {stack_args}) as (rule, n_fail, n_sole_fail)",
+    )
+    return stacked.select(
+        "rule",
+        "n_docs",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        F.col("n_sole_fail").cast("long").alias("n_sole_fail"),
+        F.col("keep_cnt").alias("keep_now"),
+        (F.col("keep_cnt") + F.col("n_sole_fail")).cast("long").alias(
+            "keep_if_dropped"
+        ),
+        (
+            F.round(F.col("n_sole_fail").cast("double") / F.col("n_docs"), 6)
+            + F.lit(0.0)
+        ).alias("keep_gain_rate"),
+    )

@@ -1061,3 +1061,150 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("brier_overall"),
     )
+
+
+# --- round 7: McNemar's paired classifier comparison ------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _AS_ERFC_POLY,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+
+    case = _langid_case(
+        "men", "mde", "mfr", "mes", f"regexp_matches(text, '{_CJK}')"
+    )
+    return (
+        _NB_PRED_CTES
+        + f"""
+, toks2 AS (
+  SELECT doc_id, lang, text, {_TOKS_D} AS t FROM documents WHERE doc_id % 2 = 1
+),
+hs AS (
+  SELECT doc_id, lang, text,
+         {T.marker_score_duck('t', 'en')} AS men, {T.marker_score_duck('t', 'de')} AS mde,
+         {T.marker_score_duck('t', 'fr')} AS mfr, {T.marker_score_duck('t', 'es')} AS mes
+  FROM toks2
+),
+heur AS (SELECT doc_id, (({case}) = lang)::INT AS hb FROM hs),
+pairs AS (
+  SELECT p.doc_id, (p.pred_lang = p.true_lang)::INT AS nb, h.hb
+  FROM pred p JOIN heur h USING (doc_id)
+),
+cnt AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(nb * hb)::BIGINT AS n_both_right,
+         sum((1 - nb) * (1 - hb))::BIGINT AS n_both_wrong,
+         sum(nb * (1 - hb))::BIGINT AS n_nb_only,
+         sum((1 - nb) * hb)::BIGINT AS n_heur_only
+  FROM pairs
+),
+zz AS (
+  SELECT *,
+         CASE WHEN n_nb_only + n_heur_only = 0 THEN 0.0
+              ELSE round((n_nb_only - n_heur_only)
+                         / sqrt(n_nb_only + n_heur_only), 6) + 0.0 END AS z_stat
+  FROM cnt
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+            1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_docs, n_both_right, n_both_wrong, n_nb_only, n_heur_only, z_stat,
+       round({_AS_ERFC_POLY}, 6) + 0.0 AS p_value,
+       (round({_AS_ERFC_POLY}, 6) + 0.0) <= 0.05 AS significant_at_95
+FROM xt
+"""
+    )
+
+
+@query("mcnemar_nb_vs_heuristic", oracle=_mcnemar_oracle())
+def mcnemar_nb_vs_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (1947) — is the trained naive-Bayes language
+    classifier actually BETTER than the marker-word heuristic on the same
+    held-out documents? The correct comparison for two classifiers
+    evaluated on the SAME examples (a two-proportion test ignores the
+    pairing): only the discordant documents carry evidence, z =
+    (n₀₁ − n₁₀)/√(n₀₁ + n₁₀) over the nb-only-right and heuristic-only-
+    right counts, p = erfc(|z|/√2) via the shared Abramowitz-Stegun
+    polynomial. Completes the classifier-comparison family next to
+    ``cohens_kappa_agreement`` (same two labelers, agreement vs
+    superiority).
+
+    Exactness: the 2×2 discordance table is exact integer sums of 0/1
+    products; z is one 6dp-rounded expression of those integers (zero-
+    discordance guarded to 0.0 on both sides); p evaluates the identical
+    polynomial text from the rounded z. Scale: both label pipelines are
+    verified per-row plans; the pairing is ONE doc_id equi-join and one
+    map-side-combined scalar aggregate."""
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _AS_ERFC_POLY,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+
+    pred = _nb_prediction_frame(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("nb")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("t", F.expr(_TOKS_S))
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.expr(T.marker_score_spark("t", "en")).alias("men"),
+            F.expr(T.marker_score_spark("t", "de")).alias("mde"),
+            F.expr(T.marker_score_spark("t", "fr")).alias("mfr"),
+            F.expr(T.marker_score_spark("t", "es")).alias("mes"),
+        )
+    )
+    heur = hs.select(
+        "doc_id",
+        (
+            F.expr(_langid_case("men", "mde", "mfr", "mes", f"text rlike '{_CJK}'"))
+            == F.col("lang")
+        )
+        .cast("int")
+        .alias("hb"),
+    )
+    cnt = pred.join(heur, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("nb * hb")).cast("long").alias("n_both_right"),
+        F.sum(F.expr("(1 - nb) * (1 - hb)")).cast("long").alias("n_both_wrong"),
+        F.sum(F.expr("nb * (1 - hb)")).cast("long").alias("n_nb_only"),
+        F.sum(F.expr("(1 - nb) * hb")).cast("long").alias("n_heur_only"),
+    )
+    zz = cnt.withColumn(
+        "z_stat",
+        F.when(F.col("n_nb_only") + F.col("n_heur_only") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                (F.col("n_nb_only") - F.col("n_heur_only"))
+                / F.sqrt((F.col("n_nb_only") + F.col("n_heur_only")).cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ),
+    )
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    pv = F.round(F.expr(_AS_ERFC_POLY), 6) + F.lit(0.0)
+    return xt.select(
+        "n_docs",
+        "n_both_right",
+        "n_both_wrong",
+        "n_nb_only",
+        "n_heur_only",
+        "z_stat",
+        pv.alias("p_value"),
+        (pv <= 0.05).alias("significant_at_95"),
+    )
