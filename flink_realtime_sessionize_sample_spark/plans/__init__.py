@@ -110,6 +110,8 @@ _DRIVER_WINDOW: list[str] = [
     "ann_ivf_nprobe_sweep",
     "mcnemar_nb_vs_heuristic",
     "gopher_rule_ablation",
+    "vocab_coverage_curve",
+    "source_language_mix_entropy",
 ]
 
 

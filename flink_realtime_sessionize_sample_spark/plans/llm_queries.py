@@ -4164,3 +4164,159 @@ def gopher_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("keep_gain_rate"),
     )
+
+
+# --- round 7: vocabulary coverage curve --------------------------------------
+
+_VOCAB_KS = (100, 1000, 10000)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+WITH tok AS (SELECT {_TOKS_D} AS t FROM documents),
+ex AS (SELECT unnest(t) AS w FROM tok),
+g AS (SELECT w, count(*)::BIGINT AS c FROM ex WHERE w <> '' GROUP BY w),
+rk AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r,
+         sum(c) OVER (ORDER BY c DESC, w ASC)::BIGINT AS cum,
+         count(*) OVER ()::BIGINT AS vocab_size,
+         sum(c) OVER ()::BIGINT AS total_tokens
+  FROM g
+)
+{" UNION ALL ".join(
+    f'''SELECT {k} AS k, max(vocab_size)::BIGINT AS vocab_size,
+       max(total_tokens)::BIGINT AS total_tokens,
+       max(cum)::BIGINT AS covered_tokens,
+       round(max(cum)::DOUBLE / max(total_tokens), 6) + 0.0 AS coverage
+FROM rk WHERE r <= {k}''' for k in _VOCAB_KS)}
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus token
+    OCCURRENCES is covered by the top-k most frequent types, for k ∈
+    {_VOCAB_KS} — the readout that sizes a tokenizer vocabulary (or an
+    embedding table) against a corpus: the knee of this curve is where
+    added vocab stops buying coverage and BPE merges take over
+    (cf. ``bpe_train_merges``).
+
+    Scale shape: one explode + hash aggregate collapses the corpus to the
+    |vocab| type table; the frequency ranking and running coverage ride
+    ONE ``with_global_rank`` pass (deterministic banding — no
+    single-partition sort of the vocabulary, which is the classic Zipf
+    pinch: |vocab| grows with corpus size); the curve points are three
+    bounded filters over the checkpointed ranked frame. Exactness: counts
+    and cumulative sums are exact int64 (ties broken (count DESC, word
+    ASC) — a total order, so both engines take identical prefixes);
+    coverage is the final 6dp division."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = with_global_rank(
+        g,
+        [F.col("c").desc(), F.col("w").asc()],
+        rank_col="r",
+        total_col="vocab_size",
+        sum_col="c",
+        cum_col="cum",
+        sum_total_col="total_tokens",
+    ).localCheckpoint()
+    out = None
+    for k in _VOCAB_KS:
+        row = ranked.filter(F.col("r") <= k).agg(
+            F.lit(k).cast("int").alias("k"),
+            F.max("vocab_size").cast("long").alias("vocab_size"),
+            F.max("total_tokens").cast("long").alias("total_tokens"),
+            F.max("cum").cast("long").alias("covered_tokens"),
+            (
+                F.round(
+                    F.max("cum").cast("double") / F.max("total_tokens").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# --- round 7: per-source language-mix entropy --------------------------------
+
+
+@query(
+    "source_language_mix_entropy",
+    oracle=f"""
+WITH sl AS (
+  SELECT source, lang, count(*)::BIGINT AS c FROM documents GROUP BY source, lang
+),
+terms AS (
+  SELECT source, lang, c,
+         CAST(round(c * ln(c) * 1000000) AS BIGINT) AS clnc_micro
+  FROM sl
+),
+per AS (
+  SELECT source, sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_langs,
+         sum(clnc_micro)::BIGINT AS sum_clnc
+  FROM terms GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       round(ln(n_docs) - (sum_clnc / 1000000.0) / n_docs, 6) + 0.0
+         AS lang_entropy_nats,
+       round((ln(n_docs) - (sum_clnc / 1000000.0) / n_docs)
+             / ln(greatest(n_langs, 2)), 6) + 0.0 AS normalized_entropy
+FROM per
+""",
+)
+def source_language_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix entropy — the monolingual-vs-mixed audit a
+    multisource corpus plan reads next to ``mixture_temperature_weights``:
+    H(source) = −Σ_lang p·ln p over the source's language distribution,
+    plus the entropy normalized by ln(n_langs) (1.0 = perfectly mixed,
+    0.0 = monolingual). Sources that claim one language but show entropy
+    ≫ 0 are mislabeled-scrape suspects.
+
+    Exactness: H = ln(n) − (Σ c·ln c)/n is computed from ln of INTEGERS
+    only (the cross-engine-safe ln contract); each c·ln(c) term quantizes
+    to e6 integer micro-units BEFORE the per-source sum, so no float
+    summation order crosses the engine boundary; final expressions are
+    6dp-rounded single operations. Scale: one (source, lang) hash
+    aggregate — bounded rows — then per-source algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    terms = sl.select(
+        "source",
+        "c",
+        F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1000000)
+        .cast("long")
+        .alias("clnc_micro"),
+    )
+    per = terms.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum("clnc_micro").cast("long").alias("sum_clnc"),
+    )
+    ent = F.log(F.col("n_docs").cast("double")) - (
+        F.col("sum_clnc") / 1000000.0
+    ) / F.col("n_docs")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (F.round(ent, 6) + F.lit(0.0)).alias("lang_entropy_nats"),
+        (
+            F.round(
+                ent / F.log(F.greatest(F.col("n_langs"), F.lit(2)).cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("normalized_entropy"),
+    )
