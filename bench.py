@@ -682,6 +682,28 @@ def main() -> None:
     t_ip_1x = _probe_time(docs)
     t_ip_10x = _probe_time(docs_10x_lin)
 
+    # Quality-rule battery scale smoke (round 7): the Gopher/RedPajama
+    # per-document rule flags are pure per-row projections (the top-bigram
+    # count is a fold over the sorted per-row bigram array), so the
+    # workload is exactly linear in docs on the permuted-clone corpus and
+    # the ratio measures the plan: one scan, one scalar aggregate.
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _gopher_flag_frame,
+    )
+
+    def _gopher_agg(d):
+        flags = _gopher_flag_frame(d)
+        cols = [c for c in flags.columns if c.startswith("b")]
+        return flags.agg(*[F.sum(c).alias(c) for c in cols])
+
+    force(_gopher_agg(docs))  # warm
+    t0 = time.perf_counter()
+    force(_gopher_agg(docs))
+    t_gq_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(_gopher_agg(docs_10x_lin))
+    t_gq_10x = time.perf_counter() - t0
+
     detail = (
             {
                 "metric": "headline query wall time (noop-sink forced), warm session",
@@ -754,6 +776,11 @@ def main() -> None:
                 "scale_smoke_ccnet_10x_sec": round(t_cp_10x, 3),
                 "scale_smoke_ccnet_10x_ratio_vs_linear": round(
                     t_cp_10x / (10 * t_cp_1x), 3
+                ),
+                "scale_smoke_gopher_1x_sec": round(t_gq_1x, 3),
+                "scale_smoke_gopher_10x_sec": round(t_gq_10x, 3),
+                "scale_smoke_gopher_10x_ratio_vs_linear": round(
+                    t_gq_10x / (10 * t_gq_1x), 3
                 ),
             }
     )
