@@ -4171,6 +4171,31 @@ def gopher_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_KS = (100, 1000, 10000)
 
 
+def _vocab_ranked_frame(docs: DataFrame) -> DataFrame:
+    """Frequency-ranked vocabulary with running coverage — the
+    pre-checkpoint plan (one explode + hash aggregate, then the
+    deterministic-banded global-rank pass); plan-asserted in tests."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    g = (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return with_global_rank(
+        g,
+        [F.col("c").desc(), F.col("w").asc()],
+        rank_col="r",
+        total_col="vocab_size",
+        sum_col="c",
+        cum_col="cum",
+        sum_total_col="total_tokens",
+    )
+
+
 @query(
     "vocab_coverage_curve",
     oracle=f"""
@@ -4209,26 +4234,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cumulative sums are exact int64 (ties broken (count DESC, word
     ASC) — a total order, so both engines take identical prefixes);
     coverage is the final 6dp division."""
-    from flink_realtime_sessionize_sample_spark.operators.global_order import (
-        with_global_rank,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    g = (
-        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    ranked = with_global_rank(
-        g,
-        [F.col("c").desc(), F.col("w").asc()],
-        rank_col="r",
-        total_col="vocab_size",
-        sum_col="c",
-        cum_col="cum",
-        sum_total_col="total_tokens",
-    ).localCheckpoint()
+    ranked = _vocab_ranked_frame(load_table(spark, sf_dir, "documents"))
+    # The ranked vocab is consumed once per curve point: materialize it.
+    ranked = ranked.localCheckpoint()
     out = None
     for k in _VOCAB_KS:
         row = ranked.filter(F.col("r") <= k).agg(

@@ -549,3 +549,29 @@ def test_zca_whitening_actually_whitens(spark, sf_small):
     assert err < 0.05, f"max|WCW - I| = {err}"
     # W must be (near-)symmetric — ZCA, not an arbitrary factor.
     assert np.abs(W - W.T).max() <= 2 / 1e6 * 1e3  # quantization slack
+
+
+def test_vocab_coverage_rides_banded_rank(spark, sf_oracle):
+    """The vocabulary ranking must use the deterministic-banded global
+    rank (|vocab| grows with the corpus — a global window or range
+    exchange here is the classic Zipf pinch). Asserted on the
+    pre-checkpoint ranked frame (the registered query localCheckpoints it
+    before fanning out the curve points, which truncates the visible
+    plan)."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _vocab_ranked_frame,
+    )
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    df = _vocab_ranked_frame(load_table(spark, sf_oracle, "documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_bh_fdr_single_data_exchange(spark, sf_oracle):
+    """The per-segment A/B battery touches the event corpus exactly once:
+    one hash exchange for the segment aggregate; every window after it
+    runs on the bounded ~20-row segment frame."""
+    p = _plan(spark, sf_oracle, "ab_segment_bh_fdr")
+    assert p.count("Exchange hashpartitioning") == 1
