@@ -112,6 +112,7 @@ _DRIVER_WINDOW: list[str] = [
     "gopher_rule_ablation",
     "vocab_coverage_curve",
     "source_language_mix_entropy",
+    "dsir_ess_diagnostic",
 ]
 
 

@@ -900,3 +900,125 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("effective_epochs"),
     )
+
+
+# --- round 7: importance-weight ESS diagnostic ------------------------------
+
+
+@query(
+    "dsir_ess_diagnostic",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_D}) AS w FROM documents),
+bk AS (SELECT doc_id, lang, {T.h48_duck('w')} % 64 AS b FROM tok),
+tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+rawc AS (SELECT b, count(*) AS cr FROM bk WHERE lang <> 'en' GROUP BY b),
+nt AS (SELECT sum(ct)::DOUBLE AS n FROM tgt),
+nr AS (SELECT sum(cr)::DOUBLE AS n FROM rawc),
+q AS (
+  SELECT g.b,
+         round((ln(coalesce(ct, 0) + 1) - ln(nt.n + 64)
+                - ln(coalesce(cr, 0) + 1) + ln(nr.n + 64)) * 1000000)::BIGINT AS qv
+  FROM range(0, 64) g(b)
+  LEFT JOIN tgt ON tgt.b = g.b
+  LEFT JOIN rawc ON rawc.b = g.b
+  CROSS JOIN nt CROSS JOIN nr
+),
+scored AS (
+  SELECT doc_id, sum(qv)::BIGINT AS w_int
+  FROM bk JOIN q USING (b) WHERE lang <> 'en' GROUP BY doc_id
+),
+mx AS (SELECT max(w_int)::BIGINT AS m FROM scored),
+wq AS (
+  SELECT CAST(round(exp((w_int - m) / 1000000.0) * 1000000) AS BIGINT) AS v
+  FROM scored CROSS JOIN mx
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(v)::BIGINT AS sum_wq,
+         sum(v * v)::BIGINT AS sum_wq2
+  FROM wq
+)
+SELECT n_docs, sum_wq,
+       round((sum_wq::DOUBLE * sum_wq::DOUBLE) / sum_wq2::DOUBLE, 6) + 0.0 AS ess,
+       round((sum_wq::DOUBLE * sum_wq::DOUBLE) / sum_wq2::DOUBLE / n_docs, 6)
+         + 0.0 AS ess_frac
+FROM agg
+""",
+)
+def dsir_ess_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights — the
+    diagnostic (Kong 1992; standard in importance-sampling practice) read
+    BEFORE trusting ``dsir_importance_sampling``'s selection: ESS =
+    (Σw)²/Σw² over the self-normalized weights; ESS/n near 1 means the
+    target re-weighting is mild, near 0 means a few documents dominate and
+    the resampled corpus is effectively tiny.
+
+    Exactness: per-document log-weights are the SAME exact integer
+    micro-unit sums the DSIR query verifies; weights are stabilized as
+    exp((lw − max lw)/1e6) — a deterministic double of exact integer
+    operands — and quantized to e6 integers BEFORE the corpus sums, so Σw
+    and Σw² are exact int64 (Σw² bound: ≤1e12 per doc → exact to ~9.2M
+    max-weight docs; a corpus past that re-quantizes to e3, same
+    discipline as the Brier bound). Scale: the model is the same 64-row
+    broadcast; ESS adds one scalar aggregate over the scored frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
+    bk = ex.select(
+        "doc_id", "lang", F.pmod(F.expr(T.h48_spark("w")), F.lit(64)).alias("b")
+    )
+    tgt = bk.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    rawc = bk.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    nt = tgt.agg(F.sum("ct").cast("double").alias("nt"))
+    nr = rawc.agg(F.sum("cr").cast("double").alias("nr"))
+    q = (
+        spark.range(64)
+        .select(F.col("id").alias("b"))
+        .join(tgt, "b", "left")
+        .join(rawc, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - F.log(F.col("nt") + 64)
+                    - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    + F.log(F.col("nr") + 64)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    scored = (
+        bk.filter(F.col("lang") != "en")
+        .join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("qv").cast("long").alias("w_int"))
+    )
+    mx = scored.agg(F.max("w_int").cast("long").alias("m"))
+    wq = scored.crossJoin(F.broadcast(mx)).select(
+        F.round(F.exp((F.col("w_int") - F.col("m")) / 1000000.0) * 1000000)
+        .cast("long")
+        .alias("v")
+    )
+    agg = wq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("v").cast("long").alias("sum_wq"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sum_wq2"),
+    )
+    ess = (F.col("sum_wq").cast("double") * F.col("sum_wq").cast("double")) / F.col(
+        "sum_wq2"
+    ).cast("double")
+    return agg.select(
+        "n_docs",
+        "sum_wq",
+        (F.round(ess, 6) + F.lit(0.0)).alias("ess"),
+        (F.round(ess / F.col("n_docs"), 6) + F.lit(0.0)).alias("ess_frac"),
+    )
