@@ -44,17 +44,21 @@ for the same reason ``sample_stratified_docs`` hash-gates instead of
 calling ``rand()``.
 
 Scale note (round 7): the boundary sample is BOUNDED regardless of input
-size — the md5 gate (``sample_mod``, ~n/64 rows) feeds a stratified
-min-hash aggregate (``max_sample`` strata, default ``max(4096,
-128*num_partitions)``): per hash stratum keep the key with the smallest
-``(md5(key), key)``, a KMV-style pure function of the row VALUES, so every
-recomputation (plan branch, AQE re-plan, task retry) selects the identical
-sample. Physically it is one map-side-combined aggregate with ≤
-``max_sample`` output rows (bounded state per task, no sort, no range
-exchange), so no 100 TB caller ever funnels ``corpus/64`` keys through the
-one-row cut-point aggregate; cut-point quality degrades gracefully (bands
-skew, ranks stay exact). Rows equal on the primary key always share a
-band, so heavily-tied keys bound band balance the same way they bound any
+size — the md5 gate (``sample_mod``, ~n/64 rows) feeds a two-level
+weighted stratified sample (``max_sample`` strata, default ``max(4096,
+128*num_partitions)``): level 1 counts gated rows per key (distributed
+hash aggregate), level 2 keeps per hash stratum the HEAVIEST key plus the
+stratum's total row mass, and the cut points are chosen where the
+cumulative row mass of the key-sorted sample crosses multiples of
+W/num_partitions — so cuts track the ROW distribution (hot keys land on
+cut boundaries and isolate into their own bands) while the collected
+sample stays ≤ ``max_sample`` rows, a pure function of the row-value
+multiset, so every recomputation (plan branch, AQE re-plan, task retry)
+selects identical cuts. No sort, no limit, no range exchange; no 100 TB
+caller ever funnels ``corpus/64`` keys through the one-row cut-point
+aggregate; cut-point quality degrades gracefully (bands skew, ranks stay
+exact). Rows equal on the primary key always share a band, so
+heavily-tied keys bound band balance the same way they bound any
 key-partitioned operator.
 
 Exactness: identical results to the global-window formulation whenever the
@@ -154,13 +158,13 @@ def _with_deterministic_band(
 
     Everything is a pure function of row values, so any recomputation —
     a second plan branch, an AQE re-plan, a task retry — bands identically.
-    In particular the ``max_sample`` bound is a per-stratum MIN on the
-    total order ``(md5(key), key)`` — the survivors are a function of the
-    row-value SET (KMV sketch), not of partitioning, task order, or any
-    RNG, so two independent recomputations of the cut points always agree
-    (the same invariant the md5 gate provides; ``rand()``- or
-    reservoir-style sampling would re-introduce the round-6
-    rank-corruption bug).
+    In particular the ``max_sample`` bound is a per-stratum MAX on the
+    total order ``(row-weight, md5(key), key)`` over per-key row counts —
+    the survivors and their weights are a function of the row-value
+    MULTISET, not of partitioning, task order, or any RNG, so two
+    independent recomputations of the cut points always agree (the same
+    invariant the md5 gate provides; ``rand()``- or reservoir-style
+    sampling would re-introduce the round-6 rank-corruption bug).
     """
     if pname not in df.columns or not _PLAIN_NAME.match(pname):
         raise ValueError(
@@ -174,44 +178,77 @@ def _with_deterministic_band(
         # exceed this many keys however large the input grows.
         max_sample = max(4096, 128 * n_part)
     p = F.col(pname)
-    khash_sql = (
-        f"cast(conv(substring(md5(cast({pname} as string)), 1, 12), 16, 10)"
-        " as bigint)"
-    )
-    khash = F.expr(khash_sql)
+
+    def _khash_sql(col: str) -> str:
+        return (
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 12), 16, 10)"
+            " as bigint)"
+        )
+
+    khash = F.expr(_khash_sql(pname))
+    khash_k_sql = _khash_sql("_k")
     # Stratum = md5 bits INDEPENDENT of the gate bits (div, not a second
     # low-bit mod — `h % mod == 0` keys share their low bits, so a low-bit
     # stratum would collapse to max_sample/sample_mod distinct strata).
-    stratum = F.expr(f"({khash_sql} div {sample_mod}) % {max_sample}")
+    stratum_k = F.expr(f"({khash_k_sql} div {sample_mod}) % {max_sample}")
     if n_part >= 2:
-        # Decimate the sorted sample to n_part-1 cut points: the
-        # (i*size/n_part)-th order statistics (bigint arithmetic — at
-        # i ~ 10^4 partitions × 10^6 samples an int32 product wraps,
-        # round-6 advisor). With fewer samples than bands the array is
-        # empty and every row lands in band 0 — the frame is tiny, one
-        # window partition is the right plan anyway.
+        # Weighted decimation: walk the key-sorted (key, row-weight)
+        # sample once, cutting wherever the cumulative ROW mass crosses a
+        # multiple of W/n_part — so cut points track the row-count
+        # distribution (like the original per-row sample did), not just
+        # the distinct-value distribution, and a hot key heavy enough to
+        # cross a threshold becomes its own cut (round-7 review: a
+        # value-uniform sample banded 90%-of-rows hot keys into one
+        # window partition). One O(max_sample) fold; all-bigint
+        # threshold arithmetic.
         cuts = F.expr(
-            f"array_distinct(filter(transform(sequence(1, {n_part - 1}), "
-            f"i -> case when size(_s) >= {n_part} "
-            f"then element_at(_s, "
-            f"cast((cast(i as bigint) * size(_s)) div {n_part} as int)) "
-            f"else null end), b -> b is not null))"
+            f"array_distinct(aggregate(_s, "
+            f"named_struct('cum', 0L, "
+            f"'cuts', slice(transform(_s, x -> x.k), 1, 0)), "
+            f"(acc, x) -> named_struct("
+            f"'cum', acc.cum + x.w, "
+            f"'cuts', if(((acc.cum + x.w) * {n_part}L) div _W "
+            f"           > (acc.cum * {n_part}L) div _W "
+            f"       and ((acc.cum + x.w) * {n_part}L) div _W < {n_part}L, "
+            f"    concat(acc.cuts, array(x.k)), acc.cuts)), "
+            f"acc -> acc.cuts))"
         )
     else:
-        cuts = F.expr("slice(_s, 1, 0)")  # typed empty array
-    # Stratified min-hash sample (KMV / stochastic averaging): per hash
-    # stratum keep the key with the smallest (hash, key) — a total order,
-    # so the per-stratum winner is a pure function of the stratum's value
-    # SET. ≤ max_sample rows ever reach the 1-row cut-point aggregate, the
-    # per-stratum min is map-side combined (bounded agg state per task),
-    # and each winner is a uniform draw from the gated values — the sample
-    # approximates the gated distribution like the plain gate did, at a
-    # bounded size. No sort, no limit, no range exchange anywhere.
-    bnd = (
+        cuts = F.expr("slice(transform(_s, x -> x.k), 1, 0)")  # typed empty
+    # Bounded stratified sample with row weights. Level 1 aggregates the
+    # md5-gated rows per KEY (distributed hash aggregate over ~n/64
+    # rows); level 2 keeps, per hash stratum, the HEAVIEST key (ties
+    # broken (hash, key) — a total order) plus the stratum's total row
+    # mass. Both levels are pure functions of the row-value multiset —
+    # no partitioning, task order, or RNG dependence — so two independent
+    # recomputations of the cut points always agree (the invariant that
+    # rules out rand()/reservoir sampling, round-6 rank-corruption bug).
+    # ≤ max_sample (stratum count) rows ever reach the 1-row cut-point
+    # aggregate, however large the input grows; attributing mass to the
+    # heaviest key makes hot keys land ON cut boundaries, so they isolate
+    # into their own bands instead of pooling into one.
+    lvl1 = (
         df.filter(khash % sample_mod == 0)
-        .groupBy(stratum.alias("_g"))
-        .agg(F.min(F.struct(khash.alias("_h"), p.alias("_k"))).alias("_m"))
-        .agg(F.array_sort(F.collect_list("_m._k")).alias("_s"))
+        .groupBy(p.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    lvl2 = lvl1.groupBy(stratum_k.alias("_g")).agg(
+        F.max(
+            F.struct(
+                F.col("_w").alias("_wm"),
+                F.expr(khash_k_sql).alias("_h"),
+                F.col("_k").alias("_k"),
+            )
+        ).alias("_m"),
+        F.sum("_w").cast("long").alias("_w"),
+    )
+    bnd = (
+        lvl2.select(F.col("_m._k").alias("k"), F.col("_w").alias("w"))
+        .agg(F.array_sort(F.collect_list(F.struct("k", "w"))).alias("_s"))
+        .select(
+            "_s",
+            F.expr("aggregate(_s, 0L, (a, x) -> a + x.w)").alias("_W"),
+        )
         .select(cuts.alias("_bnds"))
     )
     cmp = (lambda b: b > p) if pdesc else (lambda b: b < p)

@@ -76,7 +76,9 @@ _CHANGED_SINCE_EXTERNAL: list[str] = [
     "roc_auc_token_count",
     "token_budget_waterfill",
     "token_gini_concentration",
-    # (c) minhash_band_frame consumers (assert→ValueError in dedup.py).
+    # (c) minhash_band_frame consumers (assert→ValueError in dedup.py) —
+    # including the three that reach it through near_dup_clusters, missed
+    # in the first pass and caught by this round's code review.
     "dedup_minhash_lsh",
     "minhash_recall_audit",
     "near_dup_triangles",
@@ -86,9 +88,25 @@ _CHANGED_SINCE_EXTERNAL: list[str] = [
     "dedup_incremental_index",
     "stream_incremental_index_dedup",
     "stream_index_update_roundtrip",
-    # (d) warehouse-table sink rewrite.
+    "dedup_cluster_canonical",
+    "corpus_selection_pipeline",
+    "doc_dup_cluster_sizes",
+    # (d) warehouse-table sink rewrite (first session), then the shared
+    # streaming-replay harness extraction (review fix, same session).
     "stream_naive_bayes_score",
+    # (e) DSIR family: the scored-weight pipeline was factored into a
+    # shared helper (review fix) — the selection query re-enters; the ESS
+    # diagnostic is a round-7 registration below.
+    "dsir_importance_sampling",
 ]
+
+# DEFERRED to round 8 (known, documented): ann_ivf_nprobe_sweep re-runs
+# the corpus→cell assignment once per sweep point (4×) because
+# cosine_topk_ivf computes it internally; the fix (an optional
+# precomputed-cells parameter) changes the operator under
+# ann_ivf_topk/ann_ivf_trained_topk/ann_ivf_exact_kmeans_topk and would
+# consume three more window slots this round. Results are identical; the
+# cost is 4 embarrassingly-parallel broadcast passes.
 
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.

@@ -3898,45 +3898,29 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     state across batches — every rule is document-local), so the stream
     sustains source rate; the sink table is the same bucketed-warehouse
     pattern as ``stream_naive_bayes_score``."""
-    import shutil as _shutil
-    import tempfile as _tempfile
-
-    from flink_realtime_sessionize_sample_spark.operators.incremental import (
-        _drop_stale_table,
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     held = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-    src = _tempfile.mkdtemp(prefix="gopher_stream_src_")
-    sink_table = "gopher_stream_keep"
-    _drop_stale_table(spark, sink_table)
-    try:
-        held.filter(F.col("doc_id") % 4 == 1).write.parquet(f"{src}/a")
-        held.filter(F.col("doc_id") % 4 == 3).write.parquet(f"{src}/b")
 
-        def _filter_batch(batch_df, _batch_id):
-            flags = _gopher_flag_frame(batch_df)
-            flags.select(
-                "doc_id",
-                (10 - F.expr(_GF_SUM)).cast("long").alias("n_failed"),
-                (F.expr(_GF_PROD) == 1).alias("keep"),
-            ).write.mode("append").format("parquet").saveAsTable(sink_table)
-
-        h = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(src)
-            .writeStream.foreachBatch(_filter_batch)
-            .trigger(availableNow=True)
-            .start()
+    def _filter_batch(batch_df: DataFrame) -> DataFrame:
+        return _gopher_flag_frame(batch_df).select(
+            "doc_id",
+            (10 - F.expr(_GF_SUM)).cast("long").alias("n_failed"),
+            (F.expr(_GF_PROD) == 1).alias("keep"),
         )
-        if not h.awaitTermination(600):
-            h.stop()
-            raise RuntimeError("stream_gopher_filter: replay hung")
-        return spark.table(sink_table).select("doc_id", "n_failed", "keep")
-    finally:
-        _shutil.rmtree(src, ignore_errors=True)
+
+    out = replay_split_stream(
+        spark,
+        held,
+        "doc_id long, text string",
+        _filter_batch,
+        "gopher_stream_keep",
+        src_prefix="gopher_stream_src_",
+    )
+    return out.select("doc_id", "n_failed", "keep")
 
 
 # --- round 7: IVF nprobe recall sweep ---------------------------------------
@@ -4174,7 +4158,15 @@ _VOCAB_KS = (100, 1000, 10000)
 def _vocab_ranked_frame(docs: DataFrame) -> DataFrame:
     """Frequency-ranked vocabulary with running coverage — the
     pre-checkpoint plan (one explode + hash aggregate, then the
-    deterministic-banded global-rank pass); plan-asserted in tests."""
+    deterministic-banded global-rank pass); plan-asserted in tests.
+
+    The sort is materialized as ONE composite string key ``_ck`` =
+    lpad(1e12 − c) ∥ w, whose ascending order equals (c DESC, w ASC) —
+    the banding operator partitions on its LEADING key, and banding on
+    ``c`` alone would put the entire count-1 Zipf tail (roughly half of
+    any natural vocabulary, growing with the corpus) into a single tied
+    band/window partition (round-7 review). The composite key spreads the
+    tail across bands by word while preserving the exact rank order."""
     from flink_realtime_sessionize_sample_spark.operators.global_order import (
         with_global_rank,
     )
@@ -4185,15 +4177,21 @@ def _vocab_ranked_frame(docs: DataFrame) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # Fixed-width zero-padded (1e12 - c) prefix: lexicographic asc == c
+    # desc; the suffix position is fixed, so the tail compares as w asc.
+    ck = g.withColumn(
+        "_ck",
+        F.concat(F.lpad((F.lit(1000000000000) - F.col("c")).cast("string"), 13, "0"), F.col("w")),
+    )
     return with_global_rank(
-        g,
-        [F.col("c").desc(), F.col("w").asc()],
+        ck,
+        [F.col("_ck").asc()],
         rank_col="r",
         total_col="vocab_size",
         sum_col="c",
         cum_col="cum",
         sum_total_col="total_tokens",
-    )
+    ).drop("_ck")
 
 
 @query(

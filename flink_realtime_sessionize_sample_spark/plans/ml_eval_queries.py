@@ -27,9 +27,6 @@ from flink_realtime_sessionize_sample_spark.functions import text as T
 from flink_realtime_sessionize_sample_spark.operators.global_order import (
     with_global_rank,
 )
-from flink_realtime_sessionize_sample_spark.operators.incremental import (
-    _drop_stale_table,
-)
 from flink_realtime_sessionize_sample_spark.plans.registry import query
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 
@@ -539,8 +536,9 @@ def stream_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is the byte-identical `_nb_score` the batch query uses. Oracle:
     the SAME full held-out-half SQL as ``naive_bayes_lang_classify`` —
     streaming scoring ≡ batch scoring, value-hash checked."""
-    import shutil as _shutil
-    import tempfile as _tempfile
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     model, prior = _nb_model_frames(docs)
@@ -550,36 +548,24 @@ def stream_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     held_out = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", "text"
     )
-    src = _tempfile.mkdtemp(prefix="nb_stream_src_")
-    sink_table = "nb_stream_scores"
-    _drop_stale_table(spark, sink_table)
-    try:
-        # Two parquet files -> two micro-batches (deterministic split).
-        held_out.filter(F.col("doc_id") % 4 == 1).write.parquet(f"{src}/a")
-        held_out.filter(F.col("doc_id") % 4 == 3).write.parquet(f"{src}/b")
 
-        def _score_batch(batch_df, _batch_id):
-            test = _nb_bucketed_tokens(batch_df).select(
-                "doc_id", F.col("lang").alias("true_lang"), "b"
-            )
-            _nb_score(test, model, prior).write.mode("append").format(
-                "parquet"
-            ).saveAsTable(sink_table)
-
-        h = (
-            spark.readStream.schema("doc_id long, lang string, text string")
-            .option("maxFilesPerTrigger", 1)
-            .option("recursiveFileLookup", "true")
-            .parquet(src)
-            .writeStream.foreachBatch(_score_batch)
-            .trigger(availableNow=True)
-            .start()
+    def _score_batch(batch_df: DataFrame) -> DataFrame:
+        test = _nb_bucketed_tokens(batch_df).select(
+            "doc_id", F.col("lang").alias("true_lang"), "b"
         )
-        if not h.awaitTermination(600):
-            h.stop()
-            raise RuntimeError("stream_naive_bayes_score: replay hung")
+        return _nb_score(test, model, prior)
+
+    try:
         # The warehouse table outlives the temp source dir: no collect().
-        return spark.table(sink_table).select(
+        out = replay_split_stream(
+            spark,
+            held_out,
+            "doc_id long, lang string, text string",
+            _score_batch,
+            "nb_stream_scores",
+            src_prefix="nb_stream_src_",
+        )
+        return out.select(
             "doc_id",
             "true_lang",
             "pred_lang",
@@ -589,7 +575,6 @@ def stream_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         model.unpersist()
         prior.unpersist()
-        _shutil.rmtree(src, ignore_errors=True)
 
 
 # --- split-conformal interval calibration ---------------------------------

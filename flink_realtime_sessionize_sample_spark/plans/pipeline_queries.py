@@ -482,9 +482,63 @@ def doc_chunk_overlap_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- DSIR-style importance resampling (round 6) ---------------------------
 
 
-@query(
-    "dsir_importance_sampling",
-    oracle=f"""
+def _dsir_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact integer DSIR log-weights (doc_id, w_int,
+    n_tokens) — the Spark twin of ``_DSIR_SCORED_CTES``, shared by the
+    selection query and its ESS diagnostic so the diagnostic measures
+    exactly the weights the selection verifies (round-7 review: the two
+    previously duplicated this 40-line chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
+    bk = ex.select(
+        "doc_id", "lang", F.pmod(F.expr(T.h48_spark("w")), F.lit(64)).alias("b")
+    )
+    tgt = bk.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    rawc = bk.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    nt = tgt.agg(F.sum("ct").cast("double").alias("nt"))
+    nr = rawc.agg(F.sum("cr").cast("double").alias("nr"))
+    q = (
+        spark.range(64)
+        .select(F.col("id").alias("b"))
+        .join(tgt, "b", "left")
+        .join(rawc, "b", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - F.log(F.col("nt") + 64)
+                    - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    + F.log(F.col("nr") + 64)
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("qv"),
+        )
+    )
+    return (
+        bk.filter(F.col("lang") != "en")
+        .join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("qv").cast("long").alias("w_int"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+# Shared DuckDB prelude for the DSIR family: hashed-unigram importance
+# model + per-document exact integer log-weights (ends at CTE ``scored``)
+# — used verbatim by the selection query and its ESS diagnostic so the
+# diagnostic always measures the SAME weights the selection verifies.
+_DSIR_SCORED_CTES = f"""
 WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_D}) AS w FROM documents),
 bk AS (SELECT doc_id, lang, {T.h48_duck('w')} % 64 AS b FROM tok),
 tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
@@ -506,6 +560,13 @@ scored AS (
   WHERE bk.lang <> 'en'
   GROUP BY bk.doc_id
 )
+"""
+
+
+@query(
+    "dsir_importance_sampling",
+    oracle=_DSIR_SCORED_CTES
+    + """
 SELECT doc_id, n_tokens::BIGINT AS n_tokens,
        round(w_int / 1000000.0, 6) AS logweight,
        rank::INT AS rank
@@ -534,49 +595,7 @@ def dsir_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffles once; the model state is 64 rows regardless of corpus
     size. Top-50 via TakeOrderedAndProject (never a global sort); the
     rank window runs over the already-limited 50 rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
-    bk = ex.select(
-        "doc_id", "lang", F.pmod(F.expr(T.h48_spark("w")), F.lit(64)).alias("b")
-    )
-    tgt = bk.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
-    rawc = bk.filter(F.col("lang") != "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr")
-    )
-    nt = tgt.agg(F.sum("ct").cast("double").alias("nt"))
-    nr = rawc.agg(F.sum("cr").cast("double").alias("nr"))
-    q = (
-        spark.range(64).select(F.col("id").alias("b"))
-        .join(tgt, "b", "left")
-        .join(rawc, "b", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    - F.log(F.col("nt") + 64)
-                    - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
-                    + F.log(F.col("nr") + 64)
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("qv"),
-        )
-    )
-    scored = (
-        bk.filter(F.col("lang") != "en")
-        .join(F.broadcast(q), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("qv").cast("long").alias("w_int"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-    )
+    scored = _dsir_scored_frame(spark, sf_dir)
     top = scored.orderBy(F.col("w_int").desc(), F.col("doc_id").asc()).limit(50)
     w = Window.orderBy(F.col("w_int").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w)).select(
@@ -907,27 +926,9 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dsir_ess_diagnostic",
-    oracle=f"""
-WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_D}) AS w FROM documents),
-bk AS (SELECT doc_id, lang, {T.h48_duck('w')} % 64 AS b FROM tok),
-tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
-rawc AS (SELECT b, count(*) AS cr FROM bk WHERE lang <> 'en' GROUP BY b),
-nt AS (SELECT sum(ct)::DOUBLE AS n FROM tgt),
-nr AS (SELECT sum(cr)::DOUBLE AS n FROM rawc),
-q AS (
-  SELECT g.b,
-         round((ln(coalesce(ct, 0) + 1) - ln(nt.n + 64)
-                - ln(coalesce(cr, 0) + 1) + ln(nr.n + 64)) * 1000000)::BIGINT AS qv
-  FROM range(0, 64) g(b)
-  LEFT JOIN tgt ON tgt.b = g.b
-  LEFT JOIN rawc ON rawc.b = g.b
-  CROSS JOIN nt CROSS JOIN nr
-),
-scored AS (
-  SELECT doc_id, sum(qv)::BIGINT AS w_int
-  FROM bk JOIN q USING (b) WHERE lang <> 'en' GROUP BY doc_id
-),
-mx AS (SELECT max(w_int)::BIGINT AS m FROM scored),
+    oracle=_DSIR_SCORED_CTES
+    + """
+, mx AS (SELECT max(w_int)::BIGINT AS m FROM scored),
 wq AS (
   SELECT CAST(round(exp((w_int - m) / 1000000.0) * 1000000) AS BIGINT) AS v
   FROM scored CROSS JOIN mx
@@ -961,47 +962,7 @@ def dsir_ess_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-weight docs; a corpus past that re-quantizes to e3, same
     discipline as the Brier bound). Scale: the model is the same 64-row
     broadcast; ESS adds one scalar aggregate over the scored frame."""
-    docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
-    bk = ex.select(
-        "doc_id", "lang", F.pmod(F.expr(T.h48_spark("w")), F.lit(64)).alias("b")
-    )
-    tgt = bk.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
-    rawc = bk.filter(F.col("lang") != "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr")
-    )
-    nt = tgt.agg(F.sum("ct").cast("double").alias("nt"))
-    nr = rawc.agg(F.sum("cr").cast("double").alias("nr"))
-    q = (
-        spark.range(64)
-        .select(F.col("id").alias("b"))
-        .join(tgt, "b", "left")
-        .join(rawc, "b", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-        .select(
-            "b",
-            F.round(
-                (
-                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    - F.log(F.col("nt") + 64)
-                    - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)
-                    + F.log(F.col("nr") + 64)
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("qv"),
-        )
-    )
-    scored = (
-        bk.filter(F.col("lang") != "en")
-        .join(F.broadcast(q), "b")
-        .groupBy("doc_id")
-        .agg(F.sum("qv").cast("long").alias("w_int"))
-    )
+    scored = _dsir_scored_frame(spark, sf_dir)
     mx = scored.agg(F.max("w_int").cast("long").alias("m"))
     wq = scored.crossJoin(F.broadcast(mx)).select(
         F.round(F.exp((F.col("w_int") - F.col("m")) / 1000000.0) * 1000000)
