@@ -161,6 +161,56 @@ def train_ivf_centroids(
     )
 
 
+def _ivf_assign(
+    side: DataFrame, cents: DataFrame, vcol: str, ncol: str, idcol: str, keep: int
+) -> DataFrame:
+    """Assign each vector to its ``keep`` nearest centroid cells (cosine,
+    ties broken by cent_id) — shared by the index build and the query
+    probe of the IVF family."""
+    cos = F.expr(T.dot_spark(vcol, "ct_v")) / (F.col(ncol) * F.col("ct_nrm"))
+    w = Window.partitionBy(idcol).orderBy(F.col("_ccos").desc(), F.col("cent_id").asc())
+    return (
+        side.crossJoin(F.broadcast(cents))
+        .withColumn("_ccos", F.round(cos, 6))
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= keep)
+        .drop("ct_v", "ct_nrm", "_ccos", "_crank")
+    )
+
+
+def _ivf_cents(
+    emb: DataFrame, n_centroids: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """The deterministic first-n coarse quantizer (oracle-reproducible)."""
+    return _with_norm(
+        emb.filter(F.col(id_col) < n_centroids), vec_col, id_col, "ct"
+    ).withColumnRenamed("ct_id", "cent_id")
+
+
+def ivf_corpus_cells(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF index build alone: (cent_id, c_id, c_v, c_nrm) — every
+    corpus vector assigned to its nearest centroid cell. In production
+    this is the once-per-corpus-epoch step persisted as a partitioned
+    table; compute it once and pass it to ``cosine_topk_ivf`` via
+    ``corpus_cells`` when running several searches against one index
+    (e.g. the nprobe recall sweep — 4 settings would otherwise re-assign
+    the corpus 4×, round-7 review). ``centroids=None`` uses the same
+    deterministic first-n quantizer as ``cosine_topk_ivf``."""
+    cents = (
+        _ivf_cents(emb, n_centroids, vec_col, id_col)
+        if centroids is None
+        else centroids
+    )
+    c = _with_norm(fan_out(emb), vec_col, id_col, "c")
+    return _ivf_assign(c, cents, "c_v", "c_nrm", "c_id", 1)
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -170,6 +220,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the coarse-quantizer scale path.
 
@@ -183,33 +234,24 @@ def cosine_topk_ivf(
 
     Scale shape: assignment is one broadcast-centroids pass over the corpus
     (embarrassingly parallel, done once and persistable as a partitioned
-    table); per-query work is a broadcast equi join on cell id. This is the
-    standard billion-vector layout (IVF-Flat); LSH (`nbits`) and IVF
-    compose — bucket within cell — when cells are still too big.
+    table — pass a precomputed ``ivf_corpus_cells`` frame via
+    ``corpus_cells`` to reuse one index across several searches); per-query
+    work is a broadcast equi join on cell id. This is the standard
+    billion-vector layout (IVF-Flat); LSH (`nbits`) and IVF compose —
+    bucket within cell — when cells are still too big.
     """
-    if centroids is None:
-        cents = (
-            _with_norm(emb.filter(F.col(id_col) < n_centroids), vec_col, id_col, "ct")
-            .withColumnRenamed("ct_id", "cent_id")
-        )
-    else:
-        cents = centroids
-    c = _with_norm(fan_out(emb), vec_col, id_col, "c")
+    cents = (
+        _ivf_cents(emb, n_centroids, vec_col, id_col)
+        if centroids is None
+        else centroids
+    )
     q = _with_norm(queries, vec_col, id_col, "q")
-
-    def assign(side: DataFrame, vcol: str, ncol: str, idcol: str, keep: int) -> DataFrame:
-        cos = F.expr(T.dot_spark(vcol, "ct_v")) / (F.col(ncol) * F.col("ct_nrm"))
-        w = Window.partitionBy(idcol).orderBy(F.col("_ccos").desc(), F.col("cent_id").asc())
-        return (
-            side.crossJoin(F.broadcast(cents))
-            .withColumn("_ccos", F.round(cos, 6))
-            .withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= keep)
-            .drop("ct_v", "ct_nrm", "_ccos", "_crank")
-        )
-
-    c_cells = assign(c, "c_v", "c_nrm", "c_id", 1)
-    q_cells = assign(q, "q_v", "q_nrm", "q_id", nprobe)
+    c_cells = (
+        ivf_corpus_cells(emb, n_centroids, vec_col, id_col, centroids=cents)
+        if corpus_cells is None
+        else corpus_cells
+    )
+    q_cells = _ivf_assign(q, cents, "q_v", "q_nrm", "q_id", nprobe)
     cos = F.expr(T.dot_spark("c_v", "q_v")) / (F.col("c_nrm") * F.col("q_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (

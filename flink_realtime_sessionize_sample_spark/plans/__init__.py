@@ -98,15 +98,14 @@ _CHANGED_SINCE_EXTERNAL: list[str] = [
     # shared helper (review fix) — the selection query re-enters; the ESS
     # diagnostic is a round-7 registration below.
     "dsir_importance_sampling",
+    # (f) cosine_topk_ivf refactor (review fix): the corpus→cell
+    # assignment is exposed as ivf_corpus_cells + an optional
+    # corpus_cells parameter so the nprobe sweep builds the index ONCE;
+    # the assignment path the two IVF queries execute was factored into
+    # _ivf_assign/_ivf_cents, so they re-enter.
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
 ]
-
-# DEFERRED to round 8 (known, documented): ann_ivf_nprobe_sweep re-runs
-# the corpus→cell assignment once per sweep point (4×) because
-# cosine_topk_ivf computes it internally; the fix (an optional
-# precomputed-cells parameter) changes the operator under
-# ann_ivf_topk/ann_ivf_trained_topk/ann_ivf_exact_kmeans_topk and would
-# consume three more window slots this round. Results are identical; the
-# cost is 4 embarrassingly-parallel broadcast passes.
 
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.

@@ -4009,14 +4009,16 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks, hits — is value-hash reproducible in SQL, unlike the
     bounds-checked trained-codebook variant (``ann_ivf_trained_topk``).
 
-    Scale shape: the exact top-5 is computed ONCE and checkpointed (it is
-    the expensive side — brute force exists here as the recall
-    denominator); each sweep point reuses the broadcast centroid table and
-    adds one cell-equi-join candidate generation + per-query window, the
-    same plan as ``ann_ivf_topk``. Per-row work is Σ|probed cells| — the
+    Scale shape: the exact top-5 AND the IVF index build (corpus → cell
+    assignment, nprobe-independent) are each computed ONCE and
+    checkpointed; each sweep point adds only its query-side probe
+    assignment + one cell-equi-join candidate generation + per-query
+    window against the shared cells — the plan a production sweep runs
+    against a persisted index. Per-point work is Σ|probed cells| — the
     cost axis the sweep trades against recall."""
     from flink_realtime_sessionize_sample_spark.operators.similarity import (
         cosine_topk_ivf,
+        ivf_corpus_cells,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4026,13 +4028,17 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
+    # The index build (corpus → cell assignment) is nprobe-independent:
+    # compute it ONCE and share it across all four sweep points (round-7
+    # review — the sweep previously re-assigned the corpus per point).
+    cells = ivf_corpus_cells(emb, n_centroids=8).localCheckpoint()
     n_q = q.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     n_ex = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     out = None
     for np_ in _SWEEP_NPROBES:
-        ivf = cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=np_).select(
-            "query_id", "neighbor_id"
-        )
+        ivf = cosine_topk_ivf(
+            emb, q, k=5, n_centroids=8, nprobe=np_, corpus_cells=cells
+        ).select("query_id", "neighbor_id")
         hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).cast("long").alias("n_hits")
         )
