@@ -803,3 +803,60 @@ def test_global_rank_deterministic_under_replan(spark):
     assert runs[0][1] == list(range(1, n + 1))  # no dup/out-of-range ranks
     assert runs[0] == runs[1] == runs[2]
     assert max(c for _, c in runs[0][0]) - min(c for _, c in runs[0][0]) <= 1
+
+
+def test_gopher_rules_fire_on_handcrafted_documents(spark):
+    """Cross-engine hashing proves Spark and DuckDB AGREE; this pins the
+    rule semantics against INTENT — one handcrafted document per rule,
+    each violating exactly the targeted property, plus one clean document
+    that passes everything."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _gopher_flag_frame,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then walks home "
+        "to rest while the sun sets slowly behind the quiet hills today "
+    )
+    # Non-repeating ~55-word prose (repetition would trip rule 8).
+    clean = (
+        "the morning train arrived and people walked into town while "
+        "vendors opened their small shops near a river that flowed gently "
+        "past old stone bridges toward distant farms where workers "
+        "gathered fresh fruit before noon as children played outside "
+        "school waiting for lessons about history science music and art "
+        "under bright skies with calm winds drifting over green fields"
+    )
+    docs = [
+        # 1: word count < 50
+        (1, "too short to keep but the words are fine"),
+        # 2: mean word length > 10
+        (2, " ".join(["pneumonoultramicroscopics"] * 60)),
+        # 3: symbol/word ratio > 0.1 (hashes)
+        (3, clean + " " + "#" * 30),
+        # 4: > 90% bullet lines
+        (4, "\n".join(f"- {w}" for w in (prose * 2).split()[:60])),
+        # 5: > 30% ellipsis-terminated lines
+        (5, "\n".join(w + "..." for w in (prose * 3).split()[:60])),
+        # 6: < 80% alphabetic words
+        (6, " ".join(["123456"] * 40 + prose.split()[:15])),
+        # 7: < 2 stop-word tokens
+        (7, " ".join(["zebra", "quartz", "jungle"] * 20)),
+        # 8: duplicate-trigram fraction > 0.3
+        (8, " ".join(["alpha beta gamma"] * 25)),
+        # 9: top-bigram fraction > 0.18 (distinct trigrams via counters)
+        (9, " ".join(f"ping pong x{i} y{i}" for i in range(20))),
+        # 10: contains '{'
+        (10, clean + " if (x) { return; }"),
+        # 0: passes all ten
+        (0, clean),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in _gopher_flag_frame(df).collect()}
+    for i in range(1, 11):
+        col = f"b{i:02d}"
+        assert rows[i][col] == 0, f"doc {i} should FAIL rule {col}"
+    for i, r in rows.items():
+        fails = [c for c in r.asDict() if c.startswith("b") and r[c] == 0]
+        if i == 0:
+            assert not fails, f"clean doc fails {fails}"

@@ -871,3 +871,27 @@ def test_streaming_funnel_matches_batch(spark, sf_small, tmp_path):
         assert g.get("view") == tv, (user, "view", g.get("view"), tv)
         assert g.get("click") == tc, (user, "click", g.get("click"), tc)
         assert g.get("purchase") == tp, (user, "purchase", g.get("purchase"), tp)
+
+
+def test_replay_split_stream_roundtrip(spark):
+    """The shared 2-micro-batch replay harness (streaming/replay.py) must
+    deliver every odd-id row exactly once through the warehouse table and
+    apply the per-batch transform."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    held = spark.range(100).selectExpr("id as doc_id", "id * 2 as v").filter(
+        "doc_id % 2 = 1"
+    )
+    out = replay_split_stream(
+        spark,
+        held,
+        "doc_id long, v long",
+        lambda b: b.selectExpr("doc_id", "v + 1 as v1"),
+        "replay_test_sink",
+        src_prefix="replay_test_src_",
+    )
+    rows = {r["doc_id"]: r["v1"] for r in out.collect()}
+    assert len(rows) == 50  # every odd id, exactly once
+    assert all(rows[i] == 2 * i + 1 for i in rows)
