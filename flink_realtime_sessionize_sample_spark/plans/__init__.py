@@ -130,6 +130,7 @@ _DRIVER_WINDOW: list[str] = [
     "vocab_coverage_curve",
     "source_language_mix_entropy",
     "dsir_ess_diagnostic",
+    "gopher_quality_by_source",
 ]
 
 

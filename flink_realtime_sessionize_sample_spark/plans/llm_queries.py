@@ -3525,19 +3525,24 @@ _GOPHER_RULES: list[tuple[str, str]] = [
 ]
 
 
-def _gopher_doc_ctes(where: str = "") -> str:
+def _gopher_doc_ctes(where: str = "", carry: str = "") -> str:
     """DuckDB CTE chain ending in ``p``: per-document rule booleans
     (doc_id, b01..b10). The rule predicate text is identical in both
     dialects (integer ops + LIKE only); ``where`` restricts the scanned
-    documents (the streaming twin filters to its replayed half)."""
+    documents (the streaming twin filters to its replayed half); ``carry``
+    names one extra documents column threaded through to ``p`` (the
+    per-source matrix carries ``source``). With both defaults the emitted
+    SQL is byte-identical to the pre-carry version."""
+    cc = f"{carry}, " if carry else ""
+    mcc = f"m0.{carry}, " if carry else ""
     b_cols = ",\n    ".join(
         f"CASE WHEN {pred} THEN 1 ELSE 0 END AS b{i:02d}"
         for i, (_, pred) in enumerate(_GOPHER_RULES, start=1)
     )
     return f"""
-WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents {where}),
+WITH tok AS (SELECT {cc}doc_id, text, {_TOKS_D} AS t FROM documents {where}),
 m0 AS (
-  SELECT doc_id, text, t,
+  SELECT {cc}doc_id, text, t,
          len(t)::BIGINT AS n_tok,
          list_sum(list_transform(t, x -> length(x)))::BIGINT AS sum_len,
          len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
@@ -3558,7 +3563,7 @@ bg AS (SELECT doc_id, g FROM m0, unnest(bi) AS u(g)),
 bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
 tp AS (SELECT doc_id, max(c)::BIGINT AS top_cnt FROM bgc GROUP BY doc_id),
 r AS (
-  SELECT m0.doc_id, m0.text, m0.n_tok, m0.sum_len, m0.n_alpha, m0.stop_cnt,
+  SELECT {mcc}m0.doc_id, m0.text, m0.n_tok, m0.sum_len, m0.n_alpha, m0.stop_cnt,
          m0.n_hash, m0.n_ellsym,
          len(m0.lines)::BIGINT AS n_lines,
          len(list_filter(m0.lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::BIGINT AS n_bullet,
@@ -3570,7 +3575,7 @@ r AS (
   FROM m0 LEFT JOIN tp USING (doc_id)
 ),
 p AS (
-  SELECT doc_id,
+  SELECT {cc}doc_id,
     {b_cols}
   FROM r
 )"""
@@ -3609,17 +3614,20 @@ FROM stacked
 """
 
 
-def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, b01..b10): per-document rule booleans as 0/1 longs — the
-    Spark twin of ``_gopher_doc_ctes``. Pure per-row projections (the
-    top-bigram count is a fold over the sorted per-row bigram array), so
-    it runs unchanged on a batch frame or a streaming micro-batch."""
+def _gopher_flag_frame(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, [*carry,] b01..b10): per-document rule booleans as 0/1
+    longs — the Spark twin of ``_gopher_doc_ctes``. Pure per-row
+    projections (the top-bigram count is a fold over the sorted per-row
+    bigram array), so it runs unchanged on a batch frame or a streaming
+    micro-batch; ``carry`` threads extra document columns through."""
     m = docs.selectExpr(
+        *carry,
         "doc_id",
         "text",
         f"{_TOKS_S} as t",
         "split(text, '\\n') as lines",
     ).selectExpr(
+        *carry,
         "doc_id",
         "text",
         "cast(size(t) as bigint) as n_tok",
@@ -3641,6 +3649,7 @@ def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
         "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
         "element_at(t, i + 2))) else slice(t, 1, 0) end as tri",
     ).selectExpr(
+        *carry,
         "doc_id",
         "text",
         "n_tok",
@@ -3668,7 +3677,7 @@ def _gopher_flag_frame(docs: DataFrame) -> DataFrame:
         F.expr(f"case when {pred} then 1L else 0L end").alias(f"b{i:02d}")
         for i, (_, pred) in enumerate(_GOPHER_RULES, start=1)
     ]
-    return m.select(F.col("doc_id"), *b_cols)
+    return m.select(*[F.col(c) for c in carry], F.col("doc_id"), *b_cols)
 
 
 @query("gopher_quality_rules", oracle=_gopher_oracle())
@@ -4331,4 +4340,92 @@ def source_language_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("normalized_entropy"),
+    )
+
+
+# --- round 7: per-source quality matrix -------------------------------------
+
+
+def _quality_by_source_oracle() -> str:
+    n = len(_GOPHER_RULES)
+    f_sums = ",\n    ".join(
+        f"sum(1 - b{i:02d})::BIGINT AS f{i:02d}" for i in range(1, n + 1)
+    )
+    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, n + 1))
+    unions = "\nUNION ALL ".join(
+        f"SELECT source, n_docs, '{name}' AS rule, f{i:02d} AS n_fail FROM a"
+        for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    return (
+        _gopher_doc_ctes(carry="source")
+        + f""",
+a AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    {f_sums},
+    sum({keep_prod})::BIGINT AS keep_cnt
+  FROM p GROUP BY source
+),
+stacked AS (
+  {unions}
+UNION ALL SELECT source, n_docs, '11_composed_keep' AS rule,
+                 (n_docs - keep_cnt) AS n_fail FROM a
+)
+SELECT source, rule, n_docs, n_fail::BIGINT AS n_fail,
+       round((n_docs - n_fail)::DOUBLE / n_docs, 6) + 0.0 AS pass_rate
+FROM stacked
+"""
+    )
+
+
+@query("gopher_quality_by_source", oracle=_quality_by_source_oracle())
+def gopher_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-rule battery BROKEN OUT BY SOURCE — the matrix
+    (source × rule → fail count, pass rate, plus the composed keep row
+    per source) a corpus owner reads to decide which scrape to drop,
+    re-crawl, or re-threshold: a source whose composed keep rate is an
+    outlier, or that fails one specific rule far above the corpus base
+    rate, is a pipeline incident, not a data property. Completes the
+    family: corpus-level battery (``gopher_quality_rules``), marginal
+    rule value (``gopher_rule_ablation``), ingest-path decisions
+    (``stream_gopher_filter``), and now per-source attribution.
+
+    Scale shape: the shared per-document flag frame carries ``source``
+    through its per-row projections (still ONE corpus scan), then one
+    hash aggregate keyed by the bounded source set and an 11-row stack
+    per source. Exactness: identical integer rule arithmetic; the only
+    doubles are the final 6dp pass rates."""
+    p = _gopher_flag_frame(
+        load_table(spark, sf_dir, "documents"), carry=("source",)
+    )
+    n = len(_GOPHER_RULES)
+    keep_prod = " * ".join(f"b{i:02d}" for i in range(1, n + 1))
+    a = p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(F.expr(f"1L - b{i:02d}")).cast("long").alias(f"f{i:02d}")
+            for i in range(1, n + 1)
+        ],
+        F.sum(F.expr(keep_prod)).cast("long").alias("keep_cnt"),
+    )
+    stack_args = ", ".join(
+        f"'{name}', f{i:02d}" for i, (name, _) in enumerate(_GOPHER_RULES, start=1)
+    )
+    stacked = a.selectExpr(
+        "source",
+        "n_docs",
+        f"stack({n + 1}, {stack_args}, '11_composed_keep', n_docs - keep_cnt)"
+        " as (rule, n_fail)",
+    )
+    return stacked.select(
+        "source",
+        "rule",
+        "n_docs",
+        F.col("n_fail").cast("long").alias("n_fail"),
+        (
+            F.round(
+                (F.col("n_docs") - F.col("n_fail")).cast("double") / F.col("n_docs"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pass_rate"),
     )
