@@ -736,14 +736,15 @@ g AS (
          count(*)::BIGINT AS n_docs,
          sum(least(n_tok, greatest(cap, 1)))::BIGINT AS n_tokens,
          sum(greatest(cap, 1) - least(n_tok, greatest(cap, 1)))::BIGINT
-           AS n_pad
+           AS n_pad,
+         max(least(n_tok, greatest(cap, 1)))::BIGINT AS max_clip
   FROM b GROUP BY greatest(cap, 1)
 ),
 tot AS (
-  SELECT max(least(n_tok, {_PAD_MAX_BUCKET}))::BIGINT AS max_len,
-         count(*)::BIGINT AS n_all,
-         sum(least(n_tok, {_PAD_MAX_BUCKET}))::BIGINT AS tok_all
-  FROM t
+  SELECT max(max_clip)::BIGINT AS max_len,
+         sum(n_docs)::BIGINT AS n_all,
+         sum(n_tokens)::BIGINT AS tok_all
+  FROM g
 )
 SELECT g.bucket_cap, g.n_docs, g.n_tokens, g.n_pad,
        round(g.n_pad::DOUBLE / (g.bucket_cap * g.n_docs), 6) + 0.0
@@ -789,17 +790,17 @@ def padding_efficiency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(clipped).cast("long").alias("n_tokens"),
         F.sum(F.col("bucket_cap") - clipped).cast("long").alias("n_pad"),
+        F.max(clipped).cast("long").alias("max_clip"),
     )
-    tot = t.agg(
-        F.max(F.least(F.col("n_tok"), F.lit(_PAD_MAX_BUCKET).cast("long")))
-        .cast("long")
-        .alias("max_len"),
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum(F.least(F.col("n_tok"), F.lit(_PAD_MAX_BUCKET).cast("long")))
-        .cast("long")
-        .alias("tok_all"),
+    # Grand totals derive from the bounded bucket frame — the corpus is
+    # scanned exactly once (the pad-to-max baseline's max length equals
+    # the max clipped length, realized in some bucket by definition).
+    tot = g.agg(
+        F.max("max_clip").cast("long").alias("max_len"),
+        F.sum("n_docs").cast("long").alias("n_all"),
+        F.sum("n_tokens").cast("long").alias("tok_all"),
     )
-    return g.crossJoin(F.broadcast(tot)).select(
+    return g.drop("max_clip").crossJoin(F.broadcast(tot)).select(
         "bucket_cap",
         "n_docs",
         "n_tokens",

@@ -575,3 +575,10 @@ def test_bh_fdr_single_data_exchange(spark, sf_oracle):
     runs on the bounded ~20-row segment frame."""
     p = _plan(spark, sf_oracle, "ab_segment_bh_fdr")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_padding_buckets_single_scan(spark, sf_oracle):
+    """The padding-efficiency audit scans the corpus exactly once: grand
+    totals derive from the bounded bucket frame, not a second pass."""
+    p = _plan(spark, sf_oracle, "padding_efficiency_buckets")
+    assert p.count("Scan parquet") == 1, p
