@@ -792,15 +792,17 @@ def padding_efficiency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("bucket_cap") - clipped).cast("long").alias("n_pad"),
         F.max(clipped).cast("long").alias("max_clip"),
     )
-    # Grand totals derive from the bounded bucket frame — the corpus is
-    # scanned exactly once (the pad-to-max baseline's max length equals
-    # the max clipped length, realized in some bucket by definition).
-    tot = g.agg(
-        F.max("max_clip").cast("long").alias("max_len"),
-        F.sum("n_docs").cast("long").alias("n_all"),
-        F.sum("n_tokens").cast("long").alias("tok_all"),
-    )
-    return g.drop("max_clip").crossJoin(F.broadcast(tot)).select(
+    # Grand totals derive from the bounded bucket frame via global
+    # windows (~12 rows — the documented bounded-post-aggregate exception
+    # to the no-global-window rule), so the corpus is scanned exactly
+    # once; a separate aggregate branch would duplicate the scan subtree
+    # in the static plan (the pad-to-max baseline's max length equals the
+    # max clipped length, realized in some bucket by definition).
+    w_all = Window.partitionBy()
+    max_len = F.max("max_clip").over(w_all)
+    n_all = F.sum("n_docs").over(w_all)
+    tok_all = F.sum("n_tokens").over(w_all)
+    return g.select(
         "bucket_cap",
         "n_docs",
         "n_tokens",
@@ -815,8 +817,7 @@ def padding_efficiency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket_waste"),
         (
             F.round(
-                (F.col("max_len") * F.col("n_all") - F.col("tok_all")).cast("double")
-                / (F.col("max_len") * F.col("n_all")),
+                (max_len * n_all - tok_all).cast("double") / (max_len * n_all),
                 6,
             )
             + F.lit(0.0)
