@@ -131,6 +131,8 @@ _DRIVER_WINDOW: list[str] = [
     "source_language_mix_entropy",
     "dsir_ess_diagnostic",
     "gopher_quality_by_source",
+    "chisq_source_language",
+    "bootstrap_poisson_ci",
 ]
 
 

@@ -3003,3 +3003,146 @@ def ab_segment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("p_rank") <= F.col("_k")).alias("rejected"),
     )
+
+
+# --- round 7: chi-square independence test (source × language) --------------
+
+# Fisher's sqrt-2-chi-square normal approximation of the chi-square upper
+# tail: sqrt(2*chi2) is approximately N(sqrt(2k-1), 1) for large k. Chosen
+# over Wilson-Hilferty deliberately: WH needs pow(x, 1/3), which is NOT an
+# IEEE correctly-rounded operation (Java Math.pow and C std::pow disagree
+# in the last ulp — measured flipping the 6dp-rounded z at sf0.1), while
+# Fisher's z uses only division-of-exact-integers, multiply, sqrt and
+# subtract — every one correctly rounded, so both engines produce the
+# bit-identical double BEFORE rounding. The expression is written ONCE and
+# pasted verbatim into both dialects over the same two integer columns
+# (``chi2_micro``: the e6-quantized chi-square sum; ``dof``).
+_CHISQ_Z = (
+    "round(sqrt(2 * (chi2_micro / 1000000.0)) - sqrt(2.0 * dof - 1), 6) + 0.0"
+)
+
+
+@query(
+    "chisq_source_language",
+    oracle=f"""
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS c FROM documents GROUP BY source, lang
+),
+m AS (
+  SELECT source, lang, c,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS rtot,
+         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS ctot,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM cells
+),
+terms AS (
+  SELECT n, CAST(round(1000000 * (c - rtot * ctot / n) * (c - rtot * ctot / n)
+                       / (rtot * ctot / n)) AS BIGINT) AS term_micro
+  FROM m
+),
+agg AS (
+  SELECT max(n)::BIGINT AS n_docs,
+         (SELECT count(DISTINCT source) FROM cells)::BIGINT AS n_sources,
+         (SELECT count(DISTINCT lang) FROM cells)::BIGINT AS n_langs,
+         sum(term_micro)::BIGINT AS chi2_micro
+  FROM terms
+),
+st AS (
+  SELECT *, CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS dof FROM agg
+),
+zz AS (
+  SELECT *, {_CHISQ_Z} AS z_stat FROM st
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+            1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_docs, n_sources, n_langs, dof,
+       round(chi2_micro / 1000000.0, 6) + 0.0 AS chi2,
+       z_stat,
+       round(CASE WHEN z_stat >= 0 THEN ({_AS_ERFC_POLY}) / 2
+                  ELSE 1 - ({_AS_ERFC_POLY}) / 2 END, 6) + 0.0 AS p_value
+FROM xt
+""",
+)
+def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the source × language
+    contingency table — the inferential companion to the descriptive
+    ``source_language_mix_entropy``: is the language mix actually DIFFERENT
+    across sources, or is the apparent variation what independent sampling
+    would produce? Completes the hypothesis-testing battery (two-proportion
+    z, CUPED, McNemar, BH-FDR, KS, PSI) with the classic contingency test a
+    corpus-governance dashboard reads before acting on per-source language
+    skew. One-sided upper-tail p via Fisher's sqrt(2*chi2) normal
+    approximation + the shared Abramowitz-Stegun erfc polynomial — the
+    classic large-dof approximation (dof = 76 here), chosen over
+    Wilson-Hilferty because it needs no pow(): see ``_CHISQ_Z``. Both
+    engines evaluate the identical expression text from the ROUNDED z, so
+    the cross-engine hash match is exact even where the approximation
+    itself carries error.
+
+    Exactness: observed counts, row/column/grand totals all exact int64;
+    each cell's (O-E)^2/E term is a deterministic double over exact-integer
+    operands, e6-quantized BEFORE the (bounded) sum; z is 6dp-rounded
+    before the polynomial (the ``_AS_ERFC_POLY`` contract). Scale shape:
+    ONE map-side-combined hash aggregate over the corpus scan collapses to
+    the bounded n_sources × n_langs cell table; the marginal windows and
+    everything downstream run on that bounded frame (the documented
+    exception to the no-global-window rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_s = Window.partitionBy("source")
+    w_l = Window.partitionBy("lang")
+    w_all = Window.partitionBy()  # bounded n_sources × n_langs cell frame
+    m = cells.select(
+        "source",
+        "lang",
+        "c",
+        F.sum("c").over(w_s).cast("long").alias("rtot"),
+        F.sum("c").over(w_l).cast("long").alias("ctot"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    e = F.col("rtot") * F.col("ctot") / F.col("n")
+    terms = m.select(
+        "source",
+        "lang",
+        "n",
+        F.round(F.lit(1000000) * (F.col("c") - e) * (F.col("c") - e) / e)
+        .cast("long")
+        .alias("term_micro"),
+    )
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("term_micro").cast("long").alias("chi2_micro"),
+    )
+    st = agg.withColumn(
+        "dof", ((F.col("n_sources") - 1) * (F.col("n_langs") - 1)).cast("long")
+    )
+    zz = st.withColumn("z_stat", F.expr(_CHISQ_Z))
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "dof",
+        (F.round(F.col("chi2_micro") / 1000000.0, 6) + F.lit(0.0)).alias("chi2"),
+        "z_stat",
+        (
+            F.round(
+                F.when(F.col("z_stat") >= 0, F.expr(_AS_ERFC_POLY) / 2).otherwise(
+                    1 - F.expr(_AS_ERFC_POLY) / 2
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )

@@ -1193,3 +1193,160 @@ def mcnemar_nb_vs_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         pv.alias("p_value"),
         (pv <= 0.05).alias("significant_at_95"),
     )
+
+
+# --- round 7: deterministic Poisson bootstrap CI -----------------------------
+
+# Poisson(1) CDF thresholds scaled to 2**48, precomputed at 50-digit
+# precision: a 48-bit md5 draw u (uniform on [0, 2**48)) maps to the
+# bootstrap weight w = min{k : u < floor(CDF(k) * 2**48)} — the standard
+# Poisson approximation of multinomial bootstrap resampling, which is THE
+# bootstrap that scales (each replicate is a weighted aggregate in the same
+# pass; no resampled copy of the corpus ever materializes). Truncated at
+# w = 9 (P[w > 9] ~ 1.1e-7 per draw — a deterministic, engine-identical
+# convention, not a source of divergence).
+_POIS_T = (
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,
+    281474659994280,
+)
+# Identical CASE text in both dialects, over a precomputed column ``_u``.
+_POIS_CASE = (
+    "CASE "
+    + " ".join(f"WHEN _u < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 9 END"
+)
+_BOOT_B = 200  # replicates; CI = order statistics 5 and 196 (2.5% / 97.5%)
+
+
+def _bootstrap_rep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The B-row per-replicate aggregate: ONE corpus scan, explode over the
+    replicate sequence, md5→Poisson weight as codegen projections, then a
+    map-side-combined groupBy(_b) — the shuffle carries at most
+    partitions × B partial rows. Each replicate covers every doc exactly
+    once, so the UNWEIGHTED corpus totals (n_docs, wc_tot) ride the same
+    aggregate and the point estimate costs no second scan (all B rows
+    agree on them; the consumer takes max)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("wc"),
+    )
+    return (
+        docs.select(
+            "doc_id", "wc", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("_b")
+        )
+        .select(
+            "wc",
+            "_b",
+            F.expr(
+                T.h48_spark("concat(cast(doc_id as string), ':', cast(_b as string))")
+            ).alias("_u"),
+        )
+        .select("_b", "wc", F.expr(_POIS_CASE).alias("_w"))
+        .groupBy("_b")
+        .agg(
+            F.sum("_w").cast("long").alias("sum_w"),
+            F.sum(F.col("_w") * F.col("wc")).cast("long").alias("sum_wm"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("wc").cast("long").alias("wc_tot"),
+        )
+    )
+
+
+def _bootstrap_oracle() -> str:
+    u48 = T.h48_duck("(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length({_TOKS_D}) AS BIGINT) AS wc
+  FROM documents
+),
+x AS (
+  SELECT wc, b,
+         {u48} AS _u
+  FROM d CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+),
+w AS (
+  SELECT b, wc, {_POIS_CASE} AS _w FROM x
+),
+rep AS (
+  SELECT b, sum(_w)::BIGINT AS sum_w, sum(_w * wc)::BIGINT AS sum_wm,
+         count(*)::BIGINT AS n_docs, sum(wc)::BIGINT AS wc_tot
+  FROM w GROUP BY b
+),
+mn AS (
+  SELECT b, round(sum_wm / sum_w, 6) + 0.0 AS mean_b, n_docs, wc_tot FROM rep
+),
+rk AS (
+  SELECT mean_b, n_docs, wc_tot,
+         row_number() OVER (ORDER BY mean_b, b) AS r
+  FROM mn
+)
+SELECT CAST({_BOOT_B} AS INT) AS b_replicates,
+       max(n_docs)::BIGINT AS n_docs,
+       round(max(wc_tot) / max(n_docs), 6) + 0.0 AS mean_words,
+       max(CASE WHEN r = 5 THEN mean_b END) AS boot_ci_lo,
+       max(CASE WHEN r = {_BOOT_B - 4} THEN mean_b END) AS boot_ci_hi,
+       round(max(CASE WHEN r = {_BOOT_B - 4} THEN mean_b END)
+             - max(CASE WHEN r = 5 THEN mean_b END), 6) + 0.0 AS boot_ci_width
+FROM rk
+"""
+
+
+@query("bootstrap_poisson_ci", oracle=_bootstrap_oracle())
+def bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap 95% CI for the corpus mean words
+    per document — the uncertainty readout that belongs next to every
+    point metric this family publishes. Classic multinomial bootstrap
+    resampling does not distribute (each replicate would be a shuffled
+    copy of the corpus); the Poisson bootstrap (Chamandy et al., "Estimating
+    uncertainty for massive data streams", 2012) replaces per-replicate
+    resampling with independent Poisson(1) weights per (row, replicate) —
+    every replicate becomes a weighted aggregate computed in the SAME
+    corpus pass. Weights here are a pure function of (doc_id, b) through
+    the portable 48-bit md5 hash mapped through the precomputed Poisson(1)
+    CDF thresholds, so both engines draw the identical "random" weights
+    and the driver's value-hash match is exact — no RNG anywhere (the
+    round-6 determinism rule).
+
+    Scale shape: ONE corpus scan; the replicate dimension is a
+    sequence-explode whose groupBy(b) aggregate map-side-combines to
+    B rows per partition before the (tiny) shuffle — at 100 TB the cost is
+    B extra codegen CASE evaluations per row, never B copies of the data.
+    The CI itself is order statistics 5/196 of the bounded B-row replicate
+    frame (global window over a bounded post-aggregate frame — the
+    documented exception). Exactness: weights and weighted sums are exact
+    int64; each replicate mean is ONE 6dp-rounded division; the order
+    statistics tie-break on (mean, b)."""
+    # The B-row replicate frame is consumed by both the CI order statistics
+    # and the corpus point estimate: materialize it (tiny — B rows) so the
+    # single corpus scan behind it runs exactly once.
+    rep = _bootstrap_rep_frame(spark, sf_dir).localCheckpoint()
+    mn = rep.select(
+        "_b",
+        (F.round(F.col("sum_wm") / F.col("sum_w"), 6) + F.lit(0.0)).alias("mean_b"),
+        "n_docs",
+        "wc_tot",
+    )
+    # Bounded B-row replicate frame — the documented global-window exception.
+    rk = mn.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("mean_b"), F.col("_b")))
+    )
+    lo = F.max(F.when(F.col("r") == 5, F.col("mean_b")))
+    hi = F.max(F.when(F.col("r") == _BOOT_B - 4, F.col("mean_b")))
+    return rk.agg(
+        F.lit(_BOOT_B).cast("int").alias("b_replicates"),
+        F.max("n_docs").cast("long").alias("n_docs"),
+        (F.round(F.max("wc_tot") / F.max("n_docs"), 6) + F.lit(0.0)).alias(
+            "mean_words"
+        ),
+        lo.alias("boot_ci_lo"),
+        hi.alias("boot_ci_hi"),
+        (F.round(hi - lo, 6) + F.lit(0.0)).alias("boot_ci_width"),
+    )

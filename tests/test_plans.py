@@ -582,3 +582,102 @@ def test_padding_buckets_single_scan(spark, sf_oracle):
     totals derive from the bounded bucket frame, not a second pass."""
     p = _plan(spark, sf_oracle, "padding_efficiency_buckets")
     assert p.count("Scan parquet") == 1, p
+
+
+def test_bootstrap_rep_frame_is_one_scan_mapside(spark, sf_oracle):
+    """The Poisson-bootstrap replicate aggregate must be ONE corpus scan
+    with map-side partial aggregation on the replicate key: the explode
+    multiplies ROWS inside the scan stage (codegen), never the shuffle —
+    only partitions × B partial rows may cross the exchange. Asserted on
+    the pre-checkpoint replicate frame (the registered query
+    localCheckpoints it before the order-statistics pass)."""
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _bootstrap_rep_frame,
+    )
+
+    df = _bootstrap_rep_frame(spark, sf_oracle)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1, p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
+
+
+def test_bootstrap_matches_python_reference(spark, sf_small):
+    """Third-implementation check: the full bootstrap readout recomputed in
+    plain Python (hashlib md5 → 48-bit draw → Poisson CDF thresholds →
+    per-replicate weighted means → order statistics) must equal the Spark
+    row exactly — proving the portable-hash weight derivation and the CI
+    conventions, independently of the DuckDB oracle that shares the SQL
+    shape."""
+    import hashlib
+
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _BOOT_B,
+        _POIS_T,
+    )
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
+    reps = {b: [0, 0] for b in range(_BOOT_B)}  # b -> [sum_w, sum_wm]
+    n_docs, wc_tot = 0, 0
+    for r in docs:
+        wc = len(r["text"].lower().strip().split(" "))
+        n_docs += 1
+        wc_tot += wc
+        for b in range(_BOOT_B):
+            u = int(
+                hashlib.md5(f"{r['doc_id']}:{b}".encode()).hexdigest()[:12], 16
+            )
+            w = next((k for k, t in enumerate(_POIS_T) if u < t), 9)
+            reps[b][0] += w
+            reps[b][1] += w * wc
+    means = sorted(
+        (round(sw_m / sw + 0.0, 6), b) for b, (sw, sw_m) in reps.items()
+    )
+    exp_lo, exp_hi = means[4][0], means[_BOOT_B - 5][0]
+    row = plans.QUERIES["bootstrap_poisson_ci"](spark, sf_small).collect()[0]
+    assert row["n_docs"] == n_docs
+    assert row["mean_words"] == round(wc_tot / n_docs + 0.0, 6)
+    assert row["boot_ci_lo"] == exp_lo
+    assert row["boot_ci_hi"] == exp_hi
+    # The interval must bracket the point estimate.
+    assert row["boot_ci_lo"] <= row["mean_words"] <= row["boot_ci_hi"]
+
+
+def test_chisq_matches_python_reference(spark, sf_small):
+    """Third-implementation check: chi-square, Fisher z and the upper-tail
+    p recomputed from a plain-Python contingency table must match the
+    Spark row (6dp columns to 1e-6, the quantized chi2 exactly)."""
+    import math
+    from collections import Counter
+
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = load_table(spark, sf_small, "documents").select("source", "lang").collect()
+    cells = Counter((r["source"], r["lang"]) for r in rows)
+    rtot = Counter()
+    ctot = Counter()
+    for (s, l), c in cells.items():
+        rtot[s] += c
+        ctot[l] += c
+    n = sum(cells.values())
+    chi2_micro = sum(
+        round(1000000 * (c - rtot[s] * ctot[l] / n) ** 2 / (rtot[s] * ctot[l] / n))
+        for (s, l), c in cells.items()
+    )
+    dof = (len(rtot) - 1) * (len(ctot) - 1)
+    z = round(math.sqrt(2 * (chi2_micro / 1000000.0)) - math.sqrt(2.0 * dof - 1), 6)
+    x = abs(z) / math.sqrt(2.0)
+    t = 1 / (1 + 0.3275911 * x)
+    erfc = (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736) * t
+        + 0.254829592
+    ) * t * math.exp(-x * x)
+    p_exp = round(erfc / 2 if z >= 0 else 1 - erfc / 2, 6)
+    row = plans.QUERIES["chisq_source_language"](spark, sf_small).collect()[0]
+    assert row["n_docs"] == n
+    assert row["dof"] == dof
+    assert abs(row["chi2"] - chi2_micro / 1000000.0) < 1e-6
+    assert abs(row["z_stat"] - z) < 1e-9
+    assert abs(row["p_value"] - p_exp) < 1e-9
