@@ -132,7 +132,7 @@ _DRIVER_WINDOW: list[str] = [
     "dsir_ess_diagnostic",
     "gopher_quality_by_source",
     "chisq_source_language",
-    "bootstrap_poisson_ci",
+    "spearman_chars_tokens",
 ]
 
 

@@ -3068,7 +3068,13 @@ FROM xt
 )
 def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence over the source × language
-    contingency table — the inferential companion to the descriptive
+    contingency table — the GLOBAL statistic that
+    ``doc_source_contingency_chi2`` (feature_queries.py) deliberately left
+    to the consumer because a cross-cell double sum is accumulation-order-
+    dependent across engines: quantizing each cell's contribution to e6
+    integer micro-units BEFORE the sum (the house pattern) removes that
+    dependence, so the full inference — statistic, z, p — now ships
+    verified. The inferential companion to the descriptive
     ``source_language_mix_entropy``: is the language mix actually DIFFERENT
     across sources, or is the apparent variation what independent sampling
     would produce? Completes the hypothesis-testing battery (two-proportion

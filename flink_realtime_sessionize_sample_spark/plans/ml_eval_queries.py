@@ -1195,158 +1195,117 @@ def mcnemar_nb_vs_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- round 7: deterministic Poisson bootstrap CI -----------------------------
-
-# Poisson(1) CDF thresholds scaled to 2**48, precomputed at 50-digit
-# precision: a 48-bit md5 draw u (uniform on [0, 2**48)) maps to the
-# bootstrap weight w = min{k : u < floor(CDF(k) * 2**48)} — the standard
-# Poisson approximation of multinomial bootstrap resampling, which is THE
-# bootstrap that scales (each replicate is a weighted aggregate in the same
-# pass; no resampled copy of the corpus ever materializes). Truncated at
-# w = 9 (P[w > 9] ~ 1.1e-7 per draw — a deterministic, engine-identical
-# convention, not a source of divergence).
-_POIS_T = (
-    103548857136060,
-    207097714272121,
-    258872142840152,
-    276130285696162,
-    280444821410164,
-    281307728552965,
-    281451546410098,
-    281472091818260,
-    281474659994280,
-)
-# Identical CASE text in both dialects, over a precomputed column ``_u``.
-_POIS_CASE = (
-    "CASE "
-    + " ".join(f"WHEN _u < {t} THEN {k}" for k, t in enumerate(_POIS_T))
-    + " ELSE 9 END"
-)
-_BOOT_B = 200  # replicates; CI = order statistics 5 and 196 (2.5% / 97.5%)
+# --- round 7: exact tie-corrected Spearman rank correlation ------------------
 
 
-def _bootstrap_rep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The B-row per-replicate aggregate: ONE corpus scan, explode over the
-    replicate sequence, md5→Poisson weight as codegen projections, then a
-    map-side-combined groupBy(_b) — the shuffle carries at most
-    partitions × B partial rows. Each replicate covers every doc exactly
-    once, so the UNWEIGHTED corpus totals (n_docs, wc_tot) ride the same
-    aggregate and the point estimate costs no second scan (all B rows
-    agree on them; the consumer takes max)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("wc"),
-    )
-    return (
-        docs.select(
-            "doc_id", "wc", F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("_b")
-        )
-        .select(
-            "wc",
-            "_b",
-            F.expr(
-                T.h48_spark("concat(cast(doc_id as string), ':', cast(_b as string))")
-            ).alias("_u"),
-        )
-        .select("_b", "wc", F.expr(_POIS_CASE).alias("_w"))
-        .groupBy("_b")
-        .agg(
-            F.sum("_w").cast("long").alias("sum_w"),
-            F.sum(F.col("_w") * F.col("wc")).cast("long").alias("sum_wm"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("wc").cast("long").alias("wc_tot"),
-        )
+def _midrank2_frame(d: DataFrame, col: str, alias: str) -> DataFrame:
+    """Per distinct value of ``col``: the DOUBLED tie-averaged (mid)rank —
+    2*cum_before + cnt + 1 — as an exact integer (doubling clears the /2;
+    the 2x scale cancels in the correlation). The cumulative count rides
+    the deterministic-banded ``with_global_rank`` pass (no range exchange,
+    no single-partition sort), exactly like the ROC-AUC rank pass."""
+    g = d.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = with_global_rank(g, [col], rank_col="_rk", sum_col="cnt", cum_col="_cum")
+    return r.select(
+        col,
+        (2 * (F.col("_cum") - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("long")
+        .alias(alias),
     )
 
 
-def _bootstrap_oracle() -> str:
-    u48 = T.h48_duck("(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
-    return f"""
+@query(
+    "spearman_chars_tokens",
+    oracle=f"""
 WITH d AS (
-  SELECT doc_id,
-         CAST(length({_TOKS_D}) AS BIGINT) AS wc
+  SELECT n_chars AS x,
+         CAST(length({_TOKS_D}) AS BIGINT) AS y
   FROM documents
 ),
-x AS (
-  SELECT wc, b,
-         {u48} AS _u
-  FROM d CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+gx AS (SELECT x, count(*)::BIGINT AS cnt FROM d GROUP BY x),
+rx AS (
+  SELECT x, CAST(2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS BIGINT) AS a
+  FROM gx
 ),
-w AS (
-  SELECT b, wc, {_POIS_CASE} AS _w FROM x
+gy AS (SELECT y, count(*)::BIGINT AS cnt FROM d GROUP BY y),
+ry AS (
+  SELECT y, CAST(2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS BIGINT) AS b
+  FROM gy
 ),
-rep AS (
-  SELECT b, sum(_w)::BIGINT AS sum_w, sum(_w * wc)::BIGINT AS sum_wm,
-         count(*)::BIGINT AS n_docs, sum(wc)::BIGINT AS wc_tot
-  FROM w GROUP BY b
-),
-mn AS (
-  SELECT b, round(sum_wm / sum_w, 6) + 0.0 AS mean_b, n_docs, wc_tot FROM rep
-),
-rk AS (
-  SELECT mean_b, n_docs, wc_tot,
-         row_number() OVER (ORDER BY mean_b, b) AS r
-  FROM mn
+j AS (SELECT a, b FROM d JOIN rx USING (x) JOIN ry USING (y)),
+s AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+         CAST(sum(a * b) AS BIGINT) AS sab,
+         CAST(sum(a * a) AS BIGINT) AS sa2,
+         CAST(sum(b * b) AS BIGINT) AS sb2
+  FROM j
 )
-SELECT CAST({_BOOT_B} AS INT) AS b_replicates,
-       max(n_docs)::BIGINT AS n_docs,
-       round(max(wc_tot) / max(n_docs), 6) + 0.0 AS mean_words,
-       max(CASE WHEN r = 5 THEN mean_b END) AS boot_ci_lo,
-       max(CASE WHEN r = {_BOOT_B - 4} THEN mean_b END) AS boot_ci_hi,
-       round(max(CASE WHEN r = {_BOOT_B - 4} THEN mean_b END)
-             - max(CASE WHEN r = 5 THEN mean_b END), 6) + 0.0 AS boot_ci_width
-FROM rk
-"""
+SELECT n AS n_docs,
+       CAST(n * sab - sa * sb AS BIGINT) AS sxy,
+       CAST(n * sa2 - sa * sa AS BIGINT) AS sxx,
+       CAST(n * sb2 - sb * sb AS BIGINT) AS syy,
+       round(CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * sa2 - sa * sa AS DOUBLE)
+                    * CAST(n * sb2 - sb * sb AS DOUBLE)), 6) + 0.0
+         AS spearman_rho
+FROM s
+""",
+)
+def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Spearman rank correlation between document
+    character length and token count — the first entry of the correlation
+    family (the registry had rank-STATISTICS — ROC-AUC/Mann-Whitney — but
+    no rank CORRELATION): the monotone-association readout a feature
+    audit runs between any two per-document metrics before trusting one
+    as a proxy for the other. Ties are handled exactly (both metrics are
+    small integers with heavy collisions): Spearman-with-ties = Pearson
+    over tie-averaged midranks, and the midranks are kept DOUBLED so the
+    whole moment computation stays in exact integer arithmetic — same
+    discipline as ``roc_auc_token_count``'s doubled rank-sums.
 
-
-@query("bootstrap_poisson_ci", oracle=_bootstrap_oracle())
-def bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Poisson bootstrap 95% CI for the corpus mean words
-    per document — the uncertainty readout that belongs next to every
-    point metric this family publishes. Classic multinomial bootstrap
-    resampling does not distribute (each replicate would be a shuffled
-    copy of the corpus); the Poisson bootstrap (Chamandy et al., "Estimating
-    uncertainty for massive data streams", 2012) replaces per-replicate
-    resampling with independent Poisson(1) weights per (row, replicate) —
-    every replicate becomes a weighted aggregate computed in the SAME
-    corpus pass. Weights here are a pure function of (doc_id, b) through
-    the portable 48-bit md5 hash mapped through the precomputed Poisson(1)
-    CDF thresholds, so both engines draw the identical "random" weights
-    and the driver's value-hash match is exact — no RNG anywhere (the
-    round-6 determinism rule).
-
-    Scale shape: ONE corpus scan; the replicate dimension is a
-    sequence-explode whose groupBy(b) aggregate map-side-combines to
-    B rows per partition before the (tiny) shuffle — at 100 TB the cost is
-    B extra codegen CASE evaluations per row, never B copies of the data.
-    The CI itself is order statistics 5/196 of the bounded B-row replicate
-    frame (global window over a bounded post-aggregate frame — the
-    documented exception). Exactness: weights and weighted sums are exact
-    int64; each replicate mean is ONE 6dp-rounded division; the order
-    statistics tie-break on (mean, b)."""
-    # The B-row replicate frame is consumed by both the CI order statistics
-    # and the corpus point estimate: materialize it (tiny — B rows) so the
-    # single corpus scan behind it runs exactly once.
-    rep = _bootstrap_rep_frame(spark, sf_dir).localCheckpoint()
-    mn = rep.select(
-        "_b",
-        (F.round(F.col("sum_wm") / F.col("sum_w"), 6) + F.lit(0.0)).alias("mean_b"),
-        "n_docs",
-        "wc_tot",
+    Scale shape: each metric collapses to its |distinct values| frame
+    (bounded by max document length, NOT corpus size) whose cumulative
+    count rides the deterministic-banded ``with_global_rank`` pass; the
+    midrank tables then broadcast back onto the corpus (bounded build
+    side), and the five moment sums are ONE map-side-combined scalar
+    aggregate. Exactness: every pre-division quantity is an exact int64
+    (largest ~4n^3 — inside int64 up to ~10^6 docs, and Spark's ANSI mode
+    makes the ceiling loud, not silent; promote the moment sums to
+    decimal(38,0) to push it to ~10^12); the final rho is one double
+    division of exactly-representable integers, 6dp-rounded."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("y"),
     )
-    # Bounded B-row replicate frame — the documented global-window exception.
-    rk = mn.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("mean_b"), F.col("_b")))
+    rx = _midrank2_frame(d, "x", "a")
+    ry = _midrank2_frame(d, "y", "b")
+    j = (
+        d.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry), "y")
+        .select("a", "b")
     )
-    lo = F.max(F.when(F.col("r") == 5, F.col("mean_b")))
-    hi = F.max(F.when(F.col("r") == _BOOT_B - 4, F.col("mean_b")))
-    return rk.agg(
-        F.lit(_BOOT_B).cast("int").alias("b_replicates"),
-        F.max("n_docs").cast("long").alias("n_docs"),
-        (F.round(F.max("wc_tot") / F.max("n_docs"), 6) + F.lit(0.0)).alias(
-            "mean_words"
-        ),
-        lo.alias("boot_ci_lo"),
-        hi.alias("boot_ci_hi"),
-        (F.round(hi - lo, 6) + F.lit(0.0)).alias("boot_ci_width"),
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("sa2"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sb2"),
+    )
+    sxy = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    sxx = F.col("n") * F.col("sa2") - F.col("sa") * F.col("sa")
+    syy = F.col("n") * F.col("sb2") - F.col("sb") * F.col("sb")
+    return s.select(
+        F.col("n").alias("n_docs"),
+        sxy.cast("long").alias("sxy"),
+        sxx.cast("long").alias("sxx"),
+        syy.cast("long").alias("syy"),
+        (
+            F.round(
+                sxy.cast("double") / F.sqrt(sxx.cast("double") * syy.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
     )

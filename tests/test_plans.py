@@ -584,67 +584,6 @@ def test_padding_buckets_single_scan(spark, sf_oracle):
     assert p.count("Scan parquet") == 1, p
 
 
-def test_bootstrap_rep_frame_is_one_scan_mapside(spark, sf_oracle):
-    """The Poisson-bootstrap replicate aggregate must be ONE corpus scan
-    with map-side partial aggregation on the replicate key: the explode
-    multiplies ROWS inside the scan stage (codegen), never the shuffle —
-    only partitions × B partial rows may cross the exchange. Asserted on
-    the pre-checkpoint replicate frame (the registered query
-    localCheckpoints it before the order-statistics pass)."""
-    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
-        _bootstrap_rep_frame,
-    )
-
-    df = _bootstrap_rep_frame(spark, sf_oracle)
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("Scan parquet") == 1, p
-    assert "partial_sum" in p  # map-side combine before the exchange
-    assert p.count("Exchange hashpartitioning") == 1, p
-    assert "Join" not in p
-
-
-def test_bootstrap_matches_python_reference(spark, sf_small):
-    """Third-implementation check: the full bootstrap readout recomputed in
-    plain Python (hashlib md5 → 48-bit draw → Poisson CDF thresholds →
-    per-replicate weighted means → order statistics) must equal the Spark
-    row exactly — proving the portable-hash weight derivation and the CI
-    conventions, independently of the DuckDB oracle that shares the SQL
-    shape."""
-    import hashlib
-
-    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
-        _BOOT_B,
-        _POIS_T,
-    )
-    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
-
-    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
-    reps = {b: [0, 0] for b in range(_BOOT_B)}  # b -> [sum_w, sum_wm]
-    n_docs, wc_tot = 0, 0
-    for r in docs:
-        wc = len(r["text"].lower().strip().split(" "))
-        n_docs += 1
-        wc_tot += wc
-        for b in range(_BOOT_B):
-            u = int(
-                hashlib.md5(f"{r['doc_id']}:{b}".encode()).hexdigest()[:12], 16
-            )
-            w = next((k for k, t in enumerate(_POIS_T) if u < t), 9)
-            reps[b][0] += w
-            reps[b][1] += w * wc
-    means = sorted(
-        (round(sw_m / sw + 0.0, 6), b) for b, (sw, sw_m) in reps.items()
-    )
-    exp_lo, exp_hi = means[4][0], means[_BOOT_B - 5][0]
-    row = plans.QUERIES["bootstrap_poisson_ci"](spark, sf_small).collect()[0]
-    assert row["n_docs"] == n_docs
-    assert row["mean_words"] == round(wc_tot / n_docs + 0.0, 6)
-    assert row["boot_ci_lo"] == exp_lo
-    assert row["boot_ci_hi"] == exp_hi
-    # The interval must bracket the point estimate.
-    assert row["boot_ci_lo"] <= row["mean_words"] <= row["boot_ci_hi"]
-
-
 def test_chisq_matches_python_reference(spark, sf_small):
     """Third-implementation check: chi-square, Fisher z and the upper-tail
     p recomputed from a plain-Python contingency table must match the
@@ -681,3 +620,59 @@ def test_chisq_matches_python_reference(spark, sf_small):
     assert abs(row["chi2"] - chi2_micro / 1000000.0) < 1e-6
     assert abs(row["z_stat"] - z) < 1e-9
     assert abs(row["p_value"] - p_exp) < 1e-9
+
+
+def test_spearman_matches_python_reference(spark, sf_small):
+    """Third-implementation check: tie-corrected Spearman recomputed in
+    plain Python (sort → midranks → Pearson over midranks) must match the
+    Spark row — components exactly, rho to 1e-9."""
+    import math
+
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = load_table(spark, sf_small, "documents").select("n_chars", "text").collect()
+    xs = [r["n_chars"] for r in rows]
+    ys = [len(r["text"].lower().strip().split(" ")) for r in rows]
+
+    def midrank2(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            # doubled average of ranks i+1..j (1-based): (i+1)+(j) = i+j+1
+            for k in range(i, j):
+                out[order[k]] = i + j + 1
+            i = j
+        return out
+
+    a, b = midrank2(xs), midrank2(ys)
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    sab = sum(x * y for x, y in zip(a, b))
+    sa2, sb2 = sum(x * x for x in a), sum(y * y for y in b)
+    sxy = n * sab - sa * sb
+    sxx = n * sa2 - sa * sa
+    syy = n * sb2 - sb * sb
+    rho = round(sxy / math.sqrt(float(sxx) * float(syy)) + 0.0, 6)
+    row = plans.QUERIES["spearman_chars_tokens"](spark, sf_small).collect()[0]
+    assert row["n_docs"] == n
+    assert row["sxy"] == sxy and row["sxx"] == sxx and row["syy"] == syy
+    assert abs(row["spearman_rho"] - rho) < 1e-9
+    # Longer docs have more tokens: the association must be strongly positive.
+    assert row["spearman_rho"] > 0.5
+
+
+def test_spearman_rank_passes_are_banded_and_broadcast(spark, sf_oracle):
+    """Both midrank pipelines must ride the deterministic-banded global
+    rank (no range partitioning, no TakeOrderedAndProject), and the
+    midrank tables must re-join the corpus by BROADCAST (the build sides
+    are bounded by max document length, never corpus size)."""
+    p = _plan(spark, sf_oracle, "spearman_chars_tokens")
+    assert p.count("windowspecdefinition(_pid") >= 2, p
+    assert "rangepartitioning" not in p
+    assert "TakeOrderedAndProject" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    _single_partition_feeds_only_aggregates(p)
