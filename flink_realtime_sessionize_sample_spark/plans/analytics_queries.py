@@ -3060,6 +3060,10 @@ xt AS (
 )
 SELECT n_docs, n_sources, n_langs, dof,
        round(chi2_micro / 1000000.0, 6) + 0.0 AS chi2,
+       round(sqrt(chi2_micro
+                  / (1000000.0 * n_docs
+                     * (CASE WHEN n_sources < n_langs THEN n_sources
+                             ELSE n_langs END - 1))), 6) + 0.0 AS cramers_v,
        z_stat,
        round(CASE WHEN z_stat >= 0 THEN ({_AS_ERFC_POLY}) / 2
                   ELSE 1 - ({_AS_ERFC_POLY}) / 2 END, 6) + 0.0 AS p_value
@@ -3080,7 +3084,9 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     would produce? Completes the hypothesis-testing battery (two-proportion
     z, CUPED, McNemar, BH-FDR, KS, PSI) with the classic contingency test a
     corpus-governance dashboard reads before acting on per-source language
-    skew. One-sided upper-tail p via Fisher's sqrt(2*chi2) normal
+    skew. Cramér's V (chi2 normalized by n·(min(r,c)−1)) is the effect
+    size — at corpus n everything is "significant"; V says whether the
+    dependence is material. One-sided upper-tail p via Fisher's sqrt(2*chi2) normal
     approximation + the shared Abramowitz-Stegun erfc polynomial — the
     classic large-dof approximation (dof = 76 here), chosen over
     Wilson-Hilferty because it needs no pow(): see ``_CHISQ_Z``. Both
@@ -3141,6 +3147,13 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "dof",
         (F.round(F.col("chi2_micro") / 1000000.0, 6) + F.lit(0.0)).alias("chi2"),
+        # Identical text to the oracle: every op correctly rounded over
+        # exact operands, so the double matches bit-for-bit.
+        F.expr(
+            "round(sqrt(chi2_micro / (1000000.0 * n_docs"
+            " * (CASE WHEN n_sources < n_langs THEN n_sources"
+            " ELSE n_langs END - 1))), 6) + 0.0"
+        ).alias("cramers_v"),
         "z_stat",
         (
             F.round(

@@ -614,10 +614,17 @@ def test_chisq_matches_python_reference(spark, sf_small):
         + 0.254829592
     ) * t * math.exp(-x * x)
     p_exp = round(erfc / 2 if z >= 0 else 1 - erfc / 2, 6)
+    v_exp = round(
+        math.sqrt(
+            chi2_micro / (1000000.0 * n * (min(len(rtot), len(ctot)) - 1))
+        ),
+        6,
+    )
     row = plans.QUERIES["chisq_source_language"](spark, sf_small).collect()[0]
     assert row["n_docs"] == n
     assert row["dof"] == dof
     assert abs(row["chi2"] - chi2_micro / 1000000.0) < 1e-6
+    assert abs(row["cramers_v"] - v_exp) < 1e-9
     assert abs(row["z_stat"] - z) < 1e-9
     assert abs(row["p_value"] - p_exp) < 1e-9
 
