@@ -683,3 +683,36 @@ def test_spearman_rank_passes_are_banded_and_broadcast(spark, sf_oracle):
     assert "TakeOrderedAndProject" not in p
     assert p.count("BroadcastHashJoin") >= 2
     _single_partition_feeds_only_aggregates(p)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=60)
+)
+def test_midrank_frame_matches_python_on_tie_heavy_data(spark, vals):
+    """Property: the distributed doubled-midrank frame (banded global rank
+    + cumulative counts) equals the textbook tie-averaged ranks on random
+    integer multisets with heavy ties — including negatives and the
+    all-one-value degenerate case."""
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _midrank2_frame,
+    )
+
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    got = {
+        r["x"]: r["a"] for r in _midrank2_frame(df, "x", "a").collect()
+    }
+    sv = sorted(vals)
+    expect = {}
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        expect[sv[i]] = i + j + 1  # doubled average of 1-based ranks i+1..j
+        i = j
+    assert got == expect
