@@ -302,6 +302,32 @@ def main() -> None:
     sustained100_eps = round(n_big100 / t_sess_100x)
     sess_100x_ratio = round(t_sess_100x / (10 * t_sess_10x), 3)
 
+    # Opt-in 1000× smoke (~100 M events, ~60-90 s wall): one decade past
+    # the per-round evidence, for occasional hand runs — enable with
+    # SPARK_GRAFT_SMOKE_1000X=1. Same distinct-user replication, but built
+    # from a range() cross of the event table to keep the explode array
+    # literal small. Ratio vs linear is against the 100× run.
+    sess_1000x = {}
+    if os.environ.get("SPARK_GRAFT_SMOKE_1000X"):
+        big1000 = ev.crossJoin(
+            spark.range(1000).select(F.col("id").alias("_c"))
+        ).select(
+            (F.col("user_id") + F.col("_c") * 100000).alias("user_id"),
+            "ts",
+            "event_id",
+        )
+        s1000 = sessionize(big1000, key="user_id", ts="ts", tiebreakers=("event_id",))
+        force(s1000)  # warm
+        t0 = time.perf_counter()
+        force(s1000)
+        t_1000x = time.perf_counter() - t0
+        sess_1000x = {
+            "events_per_sec_sessionize_sustained_1000x": round(
+                n_events * 1000 / t_1000x
+            ),
+            "sessionize_1000x_ratio_vs_linear": round(t_1000x / (10 * t_sess_100x), 3),
+        }
+
     # Adversarial skew: ONE key holding 500k events with the 12h-duration
     # cap firing every ~720 events — the cap-refine (sequential) kernel path
     # on the worst possible key distribution. At 100 TB a bot/proxy IP is
@@ -715,6 +741,7 @@ def main() -> None:
                 "events_per_sec_sessionize_sustained_10x": sustained_eps,
                 "events_per_sec_sessionize_sustained_100x": sustained100_eps,
                 "sessionize_100x_ratio_vs_linear": sess_100x_ratio,
+                **sess_1000x,
                 "events_per_sec_sessionize_hotkey_500k_1key": hotkey_eps,
                 "events_per_sec_sessionize_streaming_1m_wall": streaming_eps,
                 "events_per_sec_sessionize_streaming_steady": streaming_steady_eps,

@@ -3036,8 +3036,13 @@ m AS (
   FROM cells
 ),
 terms AS (
-  SELECT n, CAST(round(1000000 * (c - rtot * ctot / n) * (c - rtot * ctot / n)
-                       / (rtot * ctot / n)) AS BIGINT) AS term_micro
+  -- rtot is promoted to DOUBLE before the multiply: at real corpus scale
+  -- (1e12 docs) rtot*ctot in int64 overflows (~1e24); the double product
+  -- is correctly rounded in both engines, so the cross-engine value is
+  -- still bit-identical.
+  SELECT n, CAST(round(1000000 * (c - CAST(rtot AS DOUBLE) * ctot / n)
+                       * (c - CAST(rtot AS DOUBLE) * ctot / n)
+                       / (CAST(rtot AS DOUBLE) * ctot / n)) AS BIGINT) AS term_micro
   FROM m
 ),
 agg AS (
@@ -3095,8 +3100,11 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself carries error.
 
     Exactness: observed counts, row/column/grand totals all exact int64;
-    each cell's (O-E)^2/E term is a deterministic double over exact-integer
-    operands, e6-quantized BEFORE the (bounded) sum; z is 6dp-rounded
+    the expected count promotes rtot to double BEFORE the rtot*ctot
+    multiply (int64 would overflow near 1e12 docs; the double product is
+    correctly rounded in both engines, so cross-engine bit-identity
+    survives the promotion), each cell's (O-E)^2/E term is a deterministic
+    double, e6-quantized BEFORE the (bounded) sum; z is 6dp-rounded
     before the polynomial (the ``_AS_ERFC_POLY`` contract). Scale shape:
     ONE map-side-combined hash aggregate over the corpus scan collapses to
     the bounded n_sources × n_langs cell table; the marginal windows and
@@ -3117,7 +3125,10 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_l).cast("long").alias("ctot"),
         F.sum("c").over(w_all).cast("long").alias("n"),
     )
-    e = F.col("rtot") * F.col("ctot") / F.col("n")
+    # Double-promoted expected count — see the oracle comment (int64
+    # rtot*ctot overflows at 1e12-doc scale; double multiply is correctly
+    # rounded in both engines).
+    e = F.col("rtot").cast("double") * F.col("ctot") / F.col("n")
     terms = m.select(
         "source",
         "lang",

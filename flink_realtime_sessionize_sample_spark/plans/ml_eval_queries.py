@@ -1269,11 +1269,17 @@ def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     count rides the deterministic-banded ``with_global_rank`` pass; the
     midrank tables then broadcast back onto the corpus (bounded build
     side), and the five moment sums are ONE map-side-combined scalar
-    aggregate. Exactness: every pre-division quantity is an exact int64
-    (largest ~4n^3 — inside int64 up to ~10^6 docs, and Spark's ANSI mode
-    makes the ceiling loud, not silent; promote the moment sums to
-    decimal(38,0) to push it to ~10^12); the final rho is one double
-    division of exactly-representable integers, 6dp-rounded."""
+    aggregate. Exactness: every pre-division quantity is an exact int64.
+    The binding term is the cross product n*sab ~ 4n^4, so the int64
+    ceiling is ~4e4 docs — and it is LOUD, not silent: Spark's ANSI mode
+    (4.x default) throws on the multiply and DuckDB checks BIGINT
+    arithmetic, so an overflowing corpus fails the query rather than
+    corrupting rho. Scale extension (same exactness, ~1e9 docs): fold the
+    corpus onto the bounded (x, y) contingency cells first — sab =
+    sum(cnt_xy * a_x * b_y) stays <= 4n^3 over a cells-sized sum — and
+    carry the four cross products in decimal(38,0); past that, exact
+    integer Spearman needs 256-bit moments and the right answer is the
+    centered-double formulation with an error bound."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("n_chars").cast("long").alias("x"),
         F.expr(f"cast(size({_TOKS_S}) as bigint)").alias("y"),
