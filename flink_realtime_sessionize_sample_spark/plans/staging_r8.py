@@ -598,3 +598,482 @@ def permutation_test_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("p_value"),
     )
+
+
+# --- linear-kernel MMD drift over embeddings -------------------------------
+
+_EMB_DIM = 64
+
+
+@staged(
+    "mmd_linear_label_drift",
+    oracle=f"""
+WITH e AS (
+  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS g, embedding FROM embeddings
+),
+cnt AS (SELECT sum(g)::BIGINT AS n1, sum(1 - g)::BIGINT AS n0 FROM e),
+exq AS (
+  SELECT g, r.i AS pos,
+         CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS xq
+  FROM e, range(1, {_EMB_DIM + 1}) r(i)
+),
+dims AS (
+  SELECT pos, CAST(sum(g * xq) AS BIGINT) AS s1,
+         CAST(sum((1 - g) * xq) AS BIGINT) AS s0
+  FROM exq GROUP BY pos
+),
+m AS (
+  SELECT pos,
+         CAST(round(CAST(c.n0 * d.s1 - c.n1 * d.s0 AS DOUBLE)
+                    / CAST(c.n0 * c.n1 AS DOUBLE)) AS BIGINT) AS gap
+  FROM dims d CROSS JOIN cnt c
+)
+SELECT c.n0 AS n_ref, c.n1 AS n_cur,
+       (SELECT CAST(sum(gap * gap) AS BIGINT) FROM m) AS mmd2_e12,
+       round(CAST((SELECT sum(gap * gap) FROM m) AS DOUBLE) / 1e12, 6) + 0.0
+         AS mmd2_linear,
+       (SELECT pos FROM m ORDER BY abs(gap) DESC, pos ASC LIMIT 1) AS top_dim,
+       (SELECT gap FROM m ORDER BY abs(gap) DESC, pos ASC LIMIT 1)
+         AS top_gap_e6
+FROM cnt c
+""",
+)
+def mmd_linear_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between two embedding
+    cohorts (labels 0-4 as the reference corpus vs 5-9 as the incoming
+    one): MMD^2_linear = ||mean(X) - mean(Y)||^2, the standard cheap
+    two-sample drift test in REPRESENTATION space — it catches
+    distribution shift that the per-feature drift family (``ks_drift``,
+    ``psi_value_drift``, ``chisq_source_language``) cannot see because no
+    single coordinate moves. Also reports the dimension carrying the
+    largest mean gap, the first thing an embedding-drift triage looks at.
+
+    Exactness: coordinates quantize to e6 integers per row (the
+    PCA/KMeans discipline), so per-dimension group sums are exact int64;
+    each dimension's mean gap RE-quantizes to an e6 integer through
+    round((n0*s1 - n1*s0)/(n0*n1)) — a deterministic IEEE ratio of exact
+    integers — and the squared-gap sum is then exact integer arithmetic,
+    ORDER-INDEPENDENT by construction (the float-summation-order trap
+    cannot exist). int64 ceiling: n0*s1 ~ n^2 * 1e6 caps at ~3e6 vectors
+    per cohort — LOUD on overflow; past that, compute each cohort's
+    per-dim mean first (one extra rounding, documented) or carry the
+    cross products in decimal(38,0).
+
+    Scale shape: one pass explodes n x 64 quantized coordinates but
+    PARTIAL-AGGREGATES map-side to 64 (pos) groups; the cohort counts are
+    a 1-row broadcast; the final reduce is over 64 rows. State is O(d),
+    never O(n)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") < 5).cast("long").alias("g"), "embedding"
+    )
+    cnt = e.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(1 - F.col("g")).cast("long").alias("n0"),
+    )
+    exq = e.select(
+        "g",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            )
+        ).alias("pos0", "xq"),
+    ).select("g", (F.col("pos0") + 1).alias("pos"), "xq")
+    dims = exq.groupBy("pos").agg(
+        F.sum(F.col("g") * F.col("xq")).cast("long").alias("s1"),
+        F.sum((1 - F.col("g")) * F.col("xq")).cast("long").alias("s0"),
+    )
+    m = dims.crossJoin(F.broadcast(cnt)).select(
+        "pos",
+        "n0",
+        "n1",
+        F.expr(
+            "cast(round(cast(n0 * s1 - n1 * s0 as double)"
+            " / cast(n0 * n1 as double)) as bigint)"
+        ).alias("gap"),
+    )
+    agg = m.agg(
+        F.first("n0").alias("n_ref"),
+        F.first("n1").alias("n_cur"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("mmd2_e12"),
+        # Lexicographic struct max: largest |gap|, then largest -pos
+        # (= smallest dimension index) — a deterministic tie-break.
+        F.max(
+            F.struct(
+                F.abs("gap").alias("a"),
+                (-F.col("pos")).alias("np"),
+                F.col("gap").alias("g"),
+            )
+        ).alias("_top"),
+    )
+    return agg.select(
+        "n_ref",
+        "n_cur",
+        "mmd2_e12",
+        (F.round(F.col("mmd2_e12").cast("double") / F.lit(1e12), 6) + F.lit(0.0)).alias(
+            "mmd2_linear"
+        ),
+        (-F.col("_top.np")).cast("long").alias("top_dim"),
+        F.col("_top.g").alias("top_gap_e6"),
+    )
+
+
+# --- k-center greedy diversity selection -----------------------------------
+
+_KC_K = 4  # selected centers (seed + 3 greedy rounds)
+
+
+def _kc_round_duck(t: int) -> str:
+    """One greedy round: distance of every vector to the selected set,
+    farthest-point argmax (ties to the smallest vec_id), set grows by one.
+    ``AS MATERIALIZED`` is mandatory: sel{t} is referenced by both the
+    next round's distance join and the next UNION, and DuckDB's default
+    CTE inlining would re-expand the whole prefix 2^k times."""
+    return f"""
+d{t} AS (
+  SELECT e.vec_id, s.sel_id,
+         CAST(sum((e.xq - s.cq) * (e.xq - s.cq)) AS BIGINT) AS dd
+  FROM exq e JOIN sel{t - 1} s USING (pos)
+  GROUP BY e.vec_id, s.sel_id
+),
+m{t} AS (SELECT vec_id, min(dd)::BIGINT AS md FROM d{t} GROUP BY vec_id),
+p{t} AS MATERIALIZED (
+  SELECT vec_id, md FROM m{t} ORDER BY md DESC, vec_id ASC LIMIT 1
+),
+sel{t} AS MATERIALIZED (
+  SELECT * FROM sel{t - 1}
+  UNION ALL
+  SELECT e.vec_id AS sel_id, e.pos, e.xq AS cq
+  FROM exq e WHERE e.vec_id = (SELECT vec_id FROM p{t})
+)"""
+
+
+def _kc_oracle() -> str:
+    rounds = ",".join(_kc_round_duck(t) for t in range(1, _KC_K))
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {t} AS sel_ord, vec_id, md AS min_dist_e12 FROM p{t}"
+        for t in range(1, _KC_K)
+    )
+    return f"""
+WITH exq AS MATERIALIZED (
+  SELECT vec_id, r.i AS pos,
+         CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS xq
+  FROM embeddings, range(1, {_EMB_DIM + 1}) r(i)
+),
+sel0 AS MATERIALIZED (
+  SELECT vec_id AS sel_id, pos, xq AS cq FROM exq
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),{rounds}
+SELECT 0 AS sel_ord, (SELECT min(vec_id) FROM embeddings) AS vec_id,
+       0::BIGINT AS min_dist_e12
+UNION ALL
+{picks}
+"""
+
+
+@staged("kcenter_greedy_diversity", oracle=_kc_oracle())
+def kcenter_greedy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first, Gonzalez 1985) diversity
+    selection over the embedding corpus — the COVERAGE-style data
+    selection operator next to DSIR's importance-style sampling: each
+    round adds the vector farthest from everything already selected,
+    giving a 2-approximation of the optimal k-center cover. The emitted
+    min_dist_e12 of the last pick upper-bounds the squared covering
+    radius — the readout that says how well k exemplars span the corpus.
+
+    Determinism/exactness: coordinates quantize to e6 integers, so every
+    squared distance is an exact int64 sum (no float summation order);
+    the seed is min(vec_id) and every argmax breaks ties toward the
+    smaller vec_id via a lexicographic struct max — both engines select
+    the IDENTICAL center sequence, making this a full value-hash check
+    of a distributed iterative algorithm (the KMeans pattern applied to
+    submodular-style selection).
+
+    Scale shape: per round, the corpus joins the BROADCAST selected set
+    (<= k x d quantized rows) on the dimension key with map-side partial
+    aggregation, then one min per vector and a 1-row argmax reduce —
+    iteration state is O(k*d), never corpus-sized; total work k^2/2
+    corpus passes (k is small by design). The farthest-point argmax and
+    the distance recomputation are the same shapes the hash-checked
+    Lloyd rounds use (``kmeans_lloyd_2iter``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exq = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+            )
+        ).alias("pos0", "xq"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    seed_id = emb.agg(F.min("vec_id").alias("sid"))
+    sel = exq.join(F.broadcast(seed_id), exq["vec_id"] == F.col("sid")).select(
+        F.col("vec_id").alias("sel_id"), "pos", F.col("xq").alias("cq")
+    )
+    out = seed_id.select(
+        F.lit(0).cast("int").alias("sel_ord"),
+        F.col("sid").alias("vec_id"),
+        F.lit(0).cast("long").alias("min_dist_e12"),
+    )
+    for t in range(1, _KC_K):
+        d = (
+            exq.join(F.broadcast(sel), "pos")
+            .groupBy("vec_id", "sel_id")
+            .agg(
+                F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
+                .cast("long")
+                .alias("dd")
+            )
+        )
+        mind = d.groupBy("vec_id").agg(F.min("dd").cast("long").alias("md"))
+        pick = mind.agg(
+            F.max(
+                F.struct(F.col("md").alias("md"), (-F.col("vec_id")).alias("nv"))
+            ).alias("p")
+        ).select(F.col("p.md").alias("md"), (-F.col("p.nv")).cast("long").alias("vid"))
+        out = out.union(
+            pick.select(
+                F.lit(t).cast("int").alias("sel_ord"),
+                F.col("vid").alias("vec_id"),
+                F.col("md").alias("min_dist_e12"),
+            )
+        )
+        sel = sel.union(
+            exq.join(F.broadcast(pick), exq["vec_id"] == F.col("vid")).select(
+                F.col("vec_id").alias("sel_id"), "pos", F.col("xq").alias("cq")
+            )
+        )
+    return out
+
+
+# --- curriculum pacing by quality quantile ---------------------------------
+
+# Root-p pacing (p = 1/2), 4 stages: stage s unlocks the first
+# ceil(n * (s/4)^2) easiest documents, i.e. stage(rank) = min s with
+# 16 * rank <= n * s^2 — integer comparisons only, no quantile float.
+_CURR_STAGE = (
+    "case when 16 * rnk <= ntot * 1 then 1"
+    " when 16 * rnk <= ntot * 4 then 2"
+    " when 16 * rnk <= ntot * 9 then 3"
+    " else 4 end"
+)
+
+
+def _curriculum_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.functions.text import (
+        stopword_count_duck,
+    )
+
+    return f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS_D} AS t FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS n_tokens, {stopword_count_duck('t')} AS stop_cnt,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+           / length(text) AS punct_ratio
+  FROM tok WHERE len(t) > 0
+),
+q AS (
+  SELECT doc_id,
+         CAST(round(round(least(1.0, n_tokens / 100.0) * (1.0 - punct_ratio)
+               * (0.25 + 0.75 * least(1.0, stop_cnt / 10.0)), 6) * 1000000)
+           AS BIGINT) AS qe6
+  FROM m
+),
+r AS (
+  SELECT doc_id, qe6,
+         row_number() OVER (ORDER BY qe6 DESC, doc_id ASC) AS rnk,
+         count(*) OVER () AS ntot
+  FROM q
+),
+s AS (SELECT qe6, rnk, ntot, {_CURR_STAGE} AS stage FROM r)
+SELECT stage, count(*)::BIGINT AS n_docs,
+       min(rnk)::BIGINT AS rank_lo, max(rnk)::BIGINT AS rank_hi,
+       CAST(sum(qe6) AS BIGINT) AS sum_quality_e6,
+       round(CAST(sum(qe6) AS DOUBLE) / count(*) / 1000000.0, 6) + 0.0
+         AS avg_quality
+FROM s GROUP BY stage
+"""
+
+
+@staged("curriculum_pacing_stages", oracle=_curriculum_oracle())
+def curriculum_pacing_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning pacing schedule: rank the corpus easiest-first
+    by the shared heuristic quality score (``doc_quality_score``
+    semantics, quantized to e6 so the ordering key is an exact integer)
+    and assign each document the training stage that first unlocks it
+    under root-p pacing (p=1/2, 4 stages): stage s covers the first
+    n*(s/4)^2 ranks. The readout — per-stage sizes, rank boundaries and
+    mean quality — is the schedule a curriculum trainer consumes, and the
+    monotonically decreasing per-stage avg_quality is the sanity check
+    that the pacing actually orders easy-to-hard.
+
+    Exactness: the stage cut is pure integer arithmetic (16*rank <=
+    n*s^2 — no quantile floats, no percent_rank), the quality key is the
+    6dp-rounded score scaled to an exact int64, and per-stage sums are
+    exact integer sums of that key. Determinism: ranking rides the
+    deterministic-banded ``with_global_rank`` pass on (quality desc,
+    doc_id) — no range exchange, no single-partition sort, no rand().
+
+    Scale shape: one corpus scan computes the score; the global rank is
+    the banded two-branch pass (one balanced hash exchange + one local
+    sort); the final rollup is a 4-group hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = (
+        docs.withColumn("t", F.expr(_TOKS_S))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.expr(T.stopword_count_spark("t")).alias("stop_cnt"),
+            (
+                F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+                / F.length("text")
+            ).alias("punct_ratio"),
+        )
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        * (1.0 - F.col("punct_ratio"))
+        * (0.25 + 0.75 * F.least(F.lit(1.0), F.col("stop_cnt") / 10.0))
+    )
+    q = m.select(
+        "doc_id",
+        (F.round(F.round(quality, 6) * 1000000)).cast("long").alias("qe6"),
+    )
+    r = with_global_rank(
+        q,
+        [F.col("qe6").desc(), F.col("doc_id").asc()],
+        rank_col="rnk",
+        total_col="ntot",
+    )
+    s = r.withColumn("stage", F.expr(_CURR_STAGE))
+    return s.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("rnk").cast("long").alias("rank_lo"),
+        F.max("rnk").cast("long").alias("rank_hi"),
+        F.sum("qe6").cast("long").alias("sum_quality_e6"),
+        (
+            F.round(
+                F.sum("qe6").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            )
+            + F.lit(0.0)
+        ).alias("avg_quality"),
+    )
+
+
+# --- label propagation on the near-dup graph -------------------------------
+
+_LP_ITERS = 3
+
+
+def _lp_iter_duck(k: int) -> str:
+    """One synchronous min-label round: each node takes the minimum of its
+    own and its neighbors' labels. lab{k-1} feeds both the neighbor join
+    and the self union — ``AS MATERIALIZED`` prevents DuckDB's default
+    CTE inlining from re-expanding the whole prefix 2^k times."""
+    return f"""
+lab{k} AS MATERIALIZED (
+  SELECT doc_id, min(lab)::BIGINT AS lab FROM (
+    SELECT s.dst AS doc_id, l.lab FROM sym s JOIN lab{k - 1} l ON l.doc_id = s.src
+    UNION ALL
+    SELECT doc_id, lab FROM lab{k - 1}
+  ) GROUP BY doc_id
+)"""
+
+
+def _lp_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.operators import dedup as D
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _DOC_SHINGLES_CTE,
+        _minhash_bands_duck,
+    )
+
+    return (
+        _DOC_SHINGLES_CTE
+        + _minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS)
+        + """
+, verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ba.sh, bb.sh)) AS common,
+         len(ba.sh) + len(bb.sh) - len(list_intersect(ba.sh, bb.sh)) AS uni
+  FROM cand c
+  JOIN nonempty ba ON c.doc_a = ba.doc_id
+  JOIN nonempty bb ON c.doc_b = bb.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM verified WHERE common::DOUBLE / uni >= 0.5
+),
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT src AS doc_id, src AS lab FROM sym
+),"""
+        + ",".join(_lp_iter_duck(k) for k in range(1, _LP_ITERS + 1))
+        + f"""
+, conv AS (
+  SELECT a.doc_id, a.lab, (a.lab = b.lab) AS same
+  FROM lab{_LP_ITERS} a JOIN lab{_LP_ITERS - 1} b USING (doc_id)
+)
+SELECT lab AS community, count(*)::BIGINT AS n_members,
+       bool_and(same) AS converged
+FROM conv GROUP BY lab
+"""
+    )
+
+
+@staged("label_prop_neardup_communities", oracle=_lp_oracle())
+def label_prop_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation (3 fixed rounds) over the
+    symmetrized MinHash near-dup graph, with a per-community CONVERGENCE
+    flag — the bounded-cost community pass a pipeline runs before
+    deciding whether it needs the full data-dependent connected-
+    components machinery (``dedup_cluster_canonical``'s large-star/
+    small-star): communities whose flag is true are exact components
+    already; a false flag localizes exactly which chains were deeper
+    than the round budget. Shares the verified >= 0.5-Jaccard edge set
+    (and its DuckDB rebuild) with ``pagerank_neardup_3iter``.
+
+    Exactness: labels are doc_ids (exact int64) and every step is a MIN
+    — order-independent, idempotent, no floats anywhere; both engines
+    iterate identical label vectors, so this is a full value-hash check
+    of an iterative graph algorithm. Determinism needs no tie-breaks: min
+    is total on int64.
+
+    Scale shape: each round is ONE shuffle on the edge key (neighbor
+    labels union self labels, then a map-side-combinable MIN) — the
+    standard bulk-synchronous gossip step; state is O(|V|) rows, never
+    driver-side. Fixed 3 rounds unroll declaratively like the PageRank
+    and Lloyd loops (Catalyst sees the whole DAG); the convergence flag
+    is the honest readout replacing an unbounded loop."""
+    from flink_realtime_sessionize_sample_spark.operators import dedup as D
+
+    edges = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    lab = (
+        sym.select("src")
+        .distinct()
+        .select(F.col("src").alias("doc_id"), F.col("src").alias("lab"))
+    )
+    prev = None
+    for _ in range(_LP_ITERS):
+        prev = lab
+        nb = sym.join(lab, sym["src"] == lab["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "lab"
+        )
+        lab = (
+            nb.unionAll(prev)
+            .groupBy("doc_id")
+            .agg(F.min("lab").cast("long").alias("lab"))
+        )
+    conv = lab.alias("a").join(
+        prev.select("doc_id", F.col("lab").alias("lab_prev")).alias("b"), "doc_id"
+    )
+    return conv.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.expr("bool_and(lab = lab_prev)").alias("converged"),
+    )
