@@ -317,7 +317,11 @@ def simhash_pairs(
     therefore the candidate-join fan-out — bounded as the corpus grows;
     for larger distance budgets use more blocks or multi-probe.
     """
-    assert blocks >= max_hamming + 1, "pigeonhole guarantee needs blocks > max_hamming"
+    if blocks < max_hamming + 1:
+        # Not an assert: under `python -O` a bare assert vanishes and a
+        # too-small block count would silently DROP qualifying pairs (the
+        # pigeonhole guarantee needs blocks > max_hamming).
+        raise ValueError("pigeonhole guarantee needs blocks > max_hamming")
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
 

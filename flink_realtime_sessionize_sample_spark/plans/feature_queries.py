@@ -146,7 +146,10 @@ def _cluster_sizes_oracle() -> str:
 SELECT cluster_size, count(*)::BIGINT AS n_clusters
 FROM sizes GROUP BY cluster_size""",
     )
-    assert "n_clusters" in wrapped  # replace() must have matched
+    if "n_clusters" not in wrapped:
+        # Not an assert (stripped under `python -O`): a silently failed
+        # replace() would register a malformed oracle.
+        raise ValueError("cluster-sizes oracle rewrite did not match")
     return wrapped
 
 
@@ -806,7 +809,10 @@ def _minhash_recall_oracle() -> str:
     mh = L._minhash_bands_duck(D.DEFAULT_NUM_HASHES, D.DEFAULT_BANDS).replace(
         "cand AS (", "mh_cand AS ("
     )
-    assert "mh_cand AS (" in mh
+    if "mh_cand AS (" not in mh:
+        # Not an assert (stripped under `python -O`): a silently failed
+        # rename would collide with the outer cand CTE.
+        raise ValueError("minhash-recall oracle rename did not match")
     return (
         L._DOC_SHINGLES_CTE
         + """
@@ -1706,7 +1712,10 @@ def _s_curve_oracle() -> str:
     )
 
     r = DEFAULT_NUM_HASHES // DEFAULT_BANDS
-    assert r == 3 and DEFAULT_BANDS == 4, "unrolled powers below assume r=3, b=4"
+    if not (r == 3 and DEFAULT_BANDS == 4):
+        # Not an assert (stripped under `python -O`): the unrolled powers
+        # below are only correct for r=3, b=4.
+        raise ValueError("unrolled powers below assume r=3, b=4")
     return f"""
 WITH a AS (
   SELECT g.band AS jaccard_band,
@@ -1748,7 +1757,9 @@ def minhash_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     r = DEFAULT_NUM_HASHES // DEFAULT_BANDS
-    assert r == 3 and DEFAULT_BANDS == 4
+    if not (r == 3 and DEFAULT_BANDS == 4):
+        # Mirrors the oracle builder's guard (not an assert: `python -O`).
+        raise ValueError("unrolled powers below assume r=3, b=4")
     j = (2 * F.col("band") + 1) / F.lit(20.0)
     j3 = F.lit(1.0) - j * j * j
     analytic = (
