@@ -1077,3 +1077,361 @@ def label_prop_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.expr("bool_and(lab = lab_prev)").alias("converged"),
     )
+
+
+# --- A/B power analysis / minimum detectable effect ------------------------
+
+# z_{alpha/2}=1.959964 (two-sided 5%) + z_beta=0.841621 (80% power).
+_PW_ZSUM = "2.801585"
+_PW_SP2 = (
+    "((cast(vn0 as double) / cast(n0 as double)"
+    " + cast(vn1 as double) / cast(n1 as double))"
+    " / cast(n0 + n1 - 2 as double))"
+)
+_PW_MEAN = "(cast(s0 + s1 as double) / cast(n0 + n1 as double))"
+_PW_MDE = (
+    f"round({_PW_ZSUM} * sqrt({_PW_SP2}"
+    " * (1.0 / cast(n0 as double) + 1.0 / cast(n1 as double))), 6) + 0.0"
+)
+_PW_SD = f"round(sqrt({_PW_SP2}), 6) + 0.0"
+_PW_NREQ = (
+    f"cast(ceil(2.0 * {_PW_SP2} * {_PW_ZSUM} * {_PW_ZSUM}"
+    f" / ((0.01 * {_PW_MEAN}) * (0.01 * {_PW_MEAN}))) as bigint)"
+)
+
+
+def _power_oracle() -> str:
+    arm = T.h48_duck("doc_id::VARCHAR")
+    return f"""
+WITH d AS (
+  SELECT {arm} % 2 AS arm, n_chars AS y FROM documents
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(arm)::BIGINT AS n1,
+         sum(y)::BIGINT AS sall, CAST(sum(arm * y) AS BIGINT) AS s1,
+         CAST(sum(y * y) AS BIGINT) AS qall,
+         CAST(sum(arm * y * y) AS BIGINT) AS q1
+  FROM d
+),
+x AS (
+  SELECT n - n1 AS n0, n1, sall - s1 AS s0, s1,
+         CAST((n - n1) * (qall - q1) - (sall - s1) * (sall - s1) AS BIGINT)
+           AS vn0,
+         CAST(n1 * q1 - s1 * s1 AS BIGINT) AS vn1
+  FROM s
+)
+SELECT n0, n1,
+       round({_PW_MEAN}, 6) + 0.0 AS grand_mean,
+       {_PW_SD} AS pooled_sd,
+       {_PW_MDE} AS mde_abs,
+       round(({_PW_MDE}) / ({_PW_MEAN}), 6) + 0.0 AS mde_rel,
+       {_PW_NREQ} AS n_per_arm_for_1pct
+FROM x
+"""
+
+
+@staged("ab_power_mde", oracle=_power_oracle())
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning from the live corpus: the minimum
+    detectable effect of the CURRENT A/B split (two-sided alpha=5%,
+    power 80%) on the document-length metric, plus the per-arm sample
+    size a 1%-relative lift would need — the pre-registration readout an
+    experimentation stack computes before launching, closing the design
+    side of the family whose analysis side is ``welch_t_chars_ab`` /
+    ``ab_test_two_proportions`` / ``ab_test_cuped``. Uses the pooled
+    variance from the same exact integer moments as the Welch query.
+
+    Exactness: the six sufficient statistics are one conditional scalar
+    aggregate of exact int64s; pooled sd, MDE, relative MDE and the
+    required-n ceiling are each ONE deterministic double expression of
+    those integers (identical text in both engines — including the
+    ceil(), which both engines evaluate on the identical IEEE double).
+    z-constants are literals (1.959964 + 0.841621 = 2.801585).
+
+    Scale shape: one corpus scan, one map-side-combined 1-row aggregate;
+    nothing else."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(doc_id as string)')}, 2)")
+    d = load_table(spark, sf_dir, "documents").select(
+        arm.alias("arm"), F.col("n_chars").alias("y")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("arm").cast("long").alias("n1"),
+        F.sum("y").cast("long").alias("sall"),
+        F.sum(F.col("arm") * F.col("y")).cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("qall"),
+        F.sum(F.col("arm") * F.col("y") * F.col("y")).cast("long").alias("q1"),
+    )
+    x = s.select(
+        (F.col("n") - F.col("n1")).alias("n0"),
+        "n1",
+        (F.col("sall") - F.col("s1")).alias("s0"),
+        "s1",
+        (
+            (F.col("n") - F.col("n1")) * (F.col("qall") - F.col("q1"))
+            - (F.col("sall") - F.col("s1")) * (F.col("sall") - F.col("s1"))
+        )
+        .cast("long")
+        .alias("vn0"),
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+        .cast("long")
+        .alias("vn1"),
+    )
+    return x.select(
+        "n0",
+        "n1",
+        (F.round(F.expr(_PW_MEAN), 6) + F.lit(0.0)).alias("grand_mean"),
+        F.expr(_PW_SD).alias("pooled_sd"),
+        F.expr(_PW_MDE).alias("mde_abs"),
+        (F.round(F.expr(f"({_PW_MDE}) / ({_PW_MEAN})"), 6) + F.lit(0.0)).alias(
+            "mde_rel"
+        ),
+        F.expr(_PW_NREQ).alias("n_per_arm_for_1pct"),
+    )
+
+
+# --- Hill tail-index of the document-length distribution --------------------
+
+_HILL_K = 32
+
+
+def _hill_oracle() -> str:
+    return f"""
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+),
+ref AS (SELECT n_chars AS x_ref FROM r WHERE rnk = {_HILL_K + 1}),
+top AS (
+  SELECT CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT) AS le6
+  FROM r WHERE rnk <= {_HILL_K}
+),
+s AS (
+  SELECT CAST(sum(le6) AS BIGINT) AS sum_le6, count(*)::BIGINT AS k FROM top
+)
+SELECT s.k, ref.x_ref,
+       CAST(s.sum_le6 - s.k * CAST(round(ln(CAST(ref.x_ref AS DOUBLE))
+            * 1000000) AS BIGINT) AS BIGINT) AS sum_log_ratio_e6,
+       round(CAST(s.sum_le6 - s.k * CAST(round(ln(CAST(ref.x_ref AS DOUBLE))
+            * 1000000) AS BIGINT) AS DOUBLE) / (s.k * 1000000.0), 6) + 0.0
+         AS hill_inv_alpha,
+       round(s.k * 1000000.0
+             / CAST(s.sum_le6 - s.k * CAST(round(ln(CAST(ref.x_ref AS DOUBLE))
+                  * 1000000) AS BIGINT) AS DOUBLE), 6) + 0.0 AS hill_alpha
+FROM s CROSS JOIN ref
+"""
+
+
+@staged("hill_tail_doc_length", oracle=_hill_oracle())
+def hill_tail_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill (1975) tail-index estimate of the document-length
+    distribution from the top-32 order statistics: alpha^-1 = mean of
+    ln(x_(i) / x_(k+1)) over the k largest documents. The long-document
+    tail is what dominates token budgets, packing efficiency and OOM
+    risk at 100 TB; a small alpha (heavy tail) tells the pipeline that
+    truncation/chunking policy — not the mean — governs cost. Complements
+    ``doc_zipf_fit`` (body of the frequency distribution) with the
+    principled TAIL estimator.
+
+    Exactness: ranks ride the deterministic-banded global-rank pass on
+    (n_chars desc, doc_id) — a total order, so both engines pick the
+    identical top-k set and reference order statistic; each log
+    quantizes to an e6 integer PER ROW before the k-row sum (the
+    established quantize-before-any-float-sum rule, which also removes
+    summation-order dependence), and the estimator is one 6dp expression
+    of the exact integer sum. Scale shape: the rank pass is the banded
+    two-branch operator (no single-partition sort); the tail frame is k
+    rows; everything after is a bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    r = with_global_rank(
+        docs,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        rank_col="rnk",
+    )
+    ref = r.filter(F.col("rnk") == _HILL_K + 1).select(
+        F.col("n_chars").alias("x_ref")
+    )
+    top = r.filter(F.col("rnk") <= _HILL_K).select(
+        F.expr(
+            "cast(round(ln(cast(n_chars as double)) * 1000000) as bigint)"
+        ).alias("le6")
+    )
+    s = top.agg(
+        F.sum("le6").cast("long").alias("sum_le6"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    out = s.crossJoin(F.broadcast(ref))
+    num = F.expr(
+        "cast(sum_le6 - k * cast(round(ln(cast(x_ref as double)) * 1000000)"
+        " as bigint) as bigint)"
+    )
+    return out.select(
+        "k",
+        "x_ref",
+        num.alias("sum_log_ratio_e6"),
+        (
+            F.round(num.cast("double") / (F.col("k") * F.lit(1000000.0)), 6)
+            + F.lit(0.0)
+        ).alias("hill_inv_alpha"),
+        (
+            F.round((F.col("k") * F.lit(1000000.0)) / num.cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("hill_alpha"),
+    )
+
+
+# --- per-source trimmed means ----------------------------------------------
+
+
+@staged(
+    "trimmed_mean_chars_by_source",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+k AS (SELECT *, ns // 10 AS trim_k FROM r),
+a AS (
+  SELECT source, max(ns)::BIGINT AS n_docs, max(trim_k)::BIGINT AS trim_each,
+         sum(n_chars)::BIGINT AS sum_all,
+         sum(CASE WHEN rnk > trim_k AND rnk <= ns - trim_k
+                  THEN n_chars ELSE 0 END)::BIGINT AS sum_kept,
+         sum(CASE WHEN rnk > trim_k AND rnk <= ns - trim_k
+                  THEN 1 ELSE 0 END)::BIGINT AS n_kept
+  FROM k GROUP BY source
+)
+SELECT source, n_docs, trim_each, n_kept,
+       round(CAST(sum_all AS DOUBLE) / n_docs, 6) + 0.0 AS raw_mean,
+       CASE WHEN n_kept = 0 THEN NULL
+            ELSE round(CAST(sum_kept AS DOUBLE) / n_kept, 6) + 0.0 END
+         AS trimmed_mean
+FROM a
+""",
+)
+def trimmed_mean_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of document length per source — the
+    robust location estimate a source-quality dashboard shows next to
+    the raw mean: one crawler dumping megabyte pages (or empty stubs)
+    moves the raw mean arbitrarily but not the trimmed one, and the gap
+    between the two columns IS the outlier-contamination signal.
+
+    Exactness: the trim boundary is pure integer arithmetic (rank and
+    n//10 per source over the total order (n_chars, doc_id)), kept sums
+    are exact int64, and the two means are single 6dp-rounded
+    expressions. Determinism: within-source ranks come from a standard
+    hash-partitioned window on the source key — distributed across
+    sources, sort-spilled within one; per-source data (corpus/|sources|)
+    is the unit of parallelism here, the right shape while |sources| >>
+    cores. For a pathological single-source corpus the banded global
+    -order pass is the fallback (one source == a global rank).
+
+    Scale shape: ONE exchange on source (the window), one hash aggregate
+    on the same key — no second shuffle (the aggregate reuses the
+    window's partitioning); output is |sources| rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    r = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    ).withColumn("rnk", F.row_number().over(w)).withColumn(
+        "ns", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    k = r.withColumn("trim_k", F.expr("ns div 10"))
+    kept = (F.col("rnk") > F.col("trim_k")) & (
+        F.col("rnk") <= F.col("ns") - F.col("trim_k")
+    )
+    a = k.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_docs"),
+        F.max("trim_k").cast("long").alias("trim_each"),
+        F.sum("n_chars").cast("long").alias("sum_all"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("long").alias(
+            "sum_kept"
+        ),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return a.select(
+        "source",
+        "n_docs",
+        "trim_each",
+        "n_kept",
+        (F.round(F.col("sum_all").cast("double") / F.col("n_docs"), 6) + F.lit(0.0)).alias(
+            "raw_mean"
+        ),
+        F.when(F.col("n_kept") == 0, F.lit(None))
+        .otherwise(
+            F.round(F.col("sum_kept").cast("double") / F.col("n_kept"), 6) + F.lit(0.0)
+        )
+        .alias("trimmed_mean"),
+    )
+
+
+# --- weekly cohort retention over events -----------------------------------
+
+_WEEK_US = 7 * 86400 * 1000000
+
+
+@staged(
+    "cohort_retention_weekly",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+),
+act AS (SELECT DISTINCT user_id, wk FROM ev),
+cohort AS (SELECT user_id, min(wk) AS cw FROM act GROUP BY user_id),
+size_ AS (SELECT cw, count(*)::BIGINT AS cohort_size FROM cohort GROUP BY cw),
+cell AS (
+  SELECT c.cw, a.wk - c.cw AS offset_weeks, count(*)::BIGINT AS n_active
+  FROM act a JOIN cohort c USING (user_id)
+  GROUP BY c.cw, a.wk - c.cw
+)
+SELECT CAST(cell.cw AS BIGINT) AS cohort_week,
+       CAST(offset_weeks AS BIGINT) AS offset_weeks, n_active,
+       s.cohort_size,
+       round(CAST(n_active AS DOUBLE) / s.cohort_size, 6) + 0.0
+         AS retention_rate
+FROM cell JOIN size_ s USING (cw)
+""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream: users are
+    cohorted by their first active epoch-week, and each (cohort, offset)
+    cell counts how many came back — the canonical product-analytics
+    triangle, and for a data pipeline the freshness readout that says
+    whether user activity (and therefore training signal) decays or
+    compounds. Week = epoch-microseconds div one literal week, so no
+    calendar/timezone semantics can diverge between engines (the
+    events-timestamp gotcha: micros via unix_micros/epoch_us only).
+
+    Exactness: everything is integer arithmetic until the final 6dp
+    rate. Scale shape: one distinct on (user, week) — a hash aggregate
+    that collapses the event stream to at most |users| x |weeks| rows —
+    then a per-user min, a broadcastable |cohorts|-row size table, and
+    one hash aggregate on the (cohort, offset) key. The user-cohort join
+    keys on user_id, co-partitioned with the distinct's output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("wk")
+    )
+    act = ev.distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    size_ = cohort.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    cell = (
+        act.join(cohort, "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("offset_weeks"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cell.join(F.broadcast(size_), "cw").select(
+        F.col("cw").cast("long").alias("cohort_week"),
+        F.col("offset_weeks").cast("long").alias("offset_weeks"),
+        "n_active",
+        "cohort_size",
+        (
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6)
+            + F.lit(0.0)
+        ).alias("retention_rate"),
+    )
