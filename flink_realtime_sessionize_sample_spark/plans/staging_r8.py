@@ -327,13 +327,11 @@ _WT_DF_GUARDED = (
 )
 
 
-def _welch_oracle() -> str:
-    poly = _as_erfc_poly()
-    arm = T.h48_duck("doc_id::VARCHAR")
-    return f"""
-WITH d AS (
-  SELECT {arm} % 2 AS arm, n_chars AS y FROM documents
-),
+# The oracle's moments->readout chain, shared by the batch Welch query
+# (over documents) and the streaming guardrail twin (over events): input
+# CTE ``d`` must provide (arm, y); trailing SELECT columns appended per
+# query.
+_WELCH_CHAIN = """
 s AS (
   SELECT count(*)::BIGINT AS n, sum(arm)::BIGINT AS n1,
          sum(y)::BIGINT AS sall, CAST(sum(arm * y) AS BIGINT) AS s1,
@@ -353,8 +351,8 @@ zz AS (
          round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) + 0.0
            AS mean_diff,
-         {_WT_T_GUARDED} AS t_stat,
-         {_WT_DF_GUARDED} AS welch_df
+         {t_guard} AS t_stat,
+         {df_guard} AS welch_df
   FROM x
 ),
 xt AS (
@@ -362,6 +360,56 @@ xt AS (
             1 / (1 + 0.3275911 * (abs(t_stat) / sqrt(2.0))) AS _t
   FROM zz
 )
+"""
+
+
+def _welch_from_moments(s: DataFrame) -> DataFrame:
+    """The Spark moments->readout chain shared by the batch query and the
+    streaming guardrail: ``s`` is a 1-row frame with the six exact
+    integer sufficient statistics (n, n1, sall, s1, qall, q1); returns
+    the full Welch readout frame."""
+    poly = _as_erfc_poly()
+    x = s.select(
+        "*",
+        (F.col("n") - F.col("n1")).alias("n0"),
+        (F.col("sall") - F.col("s1")).alias("s0"),
+        (
+            (F.col("n") - F.col("n1")) * (F.col("qall") - F.col("q1"))
+            - (F.col("sall") - F.col("s1")) * (F.col("sall") - F.col("s1"))
+        )
+        .cast("long")
+        .alias("vn0"),
+        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
+        .cast("long")
+        .alias("vn1"),
+    )
+    zz = x.select(
+        "*",
+        (
+            F.round(
+                F.col("s1").cast("double") / F.col("n1").cast("double")
+                - F.col("s0").cast("double") / F.col("n0").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_diff"),
+        F.expr(_WT_T_GUARDED).alias("t_stat"),
+        F.expr(_WT_DF_GUARDED).alias("welch_df"),
+    )
+    xt = zz.withColumn("_x", F.abs(F.col("t_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("t_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.withColumn("p_normal", F.round(F.expr(poly), 6) + F.lit(0.0))
+
+
+def _welch_oracle() -> str:
+    poly = _as_erfc_poly()
+    arm = T.h48_duck("doc_id::VARCHAR")
+    chain = _WELCH_CHAIN.format(t_guard=_WT_T_GUARDED, df_guard=_WT_DF_GUARDED)
+    return f"""
+WITH d AS (
+  SELECT {arm} % 2 AS arm, n_chars AS y FROM documents
+),{chain}
 SELECT n0, n1, s0, s1, vn0, vn1, mean_diff, t_stat, welch_df,
        round({poly}, 6) + 0.0 AS p_normal
 FROM xt
@@ -394,7 +442,6 @@ def welch_t_chars_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     n * 4e6 caps at ~2e12 docs; the arm hash is the shared portable
     48-bit md5 (functions/text.py), so retries and both engines agree
     row-for-row."""
-    poly = _as_erfc_poly()
     arm = F.expr(f"pmod({T.h48_spark('cast(doc_id as string)')}, 2)")
     d = load_table(spark, sf_dir, "documents").select(
         arm.alias("arm"), F.col("n_chars").alias("y")
@@ -407,43 +454,7 @@ def welch_t_chars_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("qall"),
         F.sum(F.col("arm") * F.col("y") * F.col("y")).cast("long").alias("q1"),
     )
-    x = s.select(
-        (F.col("n") - F.col("n1")).alias("n0"),
-        "n1",
-        (F.col("sall") - F.col("s1")).alias("s0"),
-        "s1",
-        (
-            (F.col("n") - F.col("n1")) * (F.col("qall") - F.col("q1"))
-            - (F.col("sall") - F.col("s1")) * (F.col("sall") - F.col("s1"))
-        )
-        .cast("long")
-        .alias("vn0"),
-        (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1"))
-        .cast("long")
-        .alias("vn1"),
-    )
-    zz = x.select(
-        "n0",
-        "n1",
-        "s0",
-        "s1",
-        "vn0",
-        "vn1",
-        (
-            F.round(
-                F.col("s1").cast("double") / F.col("n1").cast("double")
-                - F.col("s0").cast("double") / F.col("n0").cast("double"),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("mean_diff"),
-        F.expr(_WT_T_GUARDED).alias("t_stat"),
-        F.expr(_WT_DF_GUARDED).alias("welch_df"),
-    )
-    xt = zz.withColumn("_x", F.abs(F.col("t_stat")) / F.sqrt(F.lit(2.0))).withColumn(
-        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("t_stat")) / F.sqrt(F.lit(2.0))))
-    )
-    return xt.select(
+    return _welch_from_moments(s).select(
         "n0",
         "n1",
         "s0",
@@ -453,7 +464,7 @@ def welch_t_chars_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_diff",
         "t_stat",
         "welch_df",
-        (F.round(F.expr(poly), 6) + F.lit(0.0)).alias("p_normal"),
+        "p_normal",
     )
 
 
@@ -1434,4 +1445,103 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6)
             + F.lit(0.0)
         ).alias("retention_rate"),
+    )
+
+
+# --- streaming A/B guardrail (mergeable Welch moments) ----------------------
+
+
+def _stream_guardrail_oracle() -> str:
+    poly = _as_erfc_poly()
+    arm = T.h48_duck("user_id::VARCHAR")
+    chain = _WELCH_CHAIN.format(t_guard=_WT_T_GUARDED, df_guard=_WT_DF_GUARDED)
+    return f"""
+WITH d AS (
+  SELECT {arm} % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE event_id % 2 = 1
+),{chain}
+SELECT 2::BIGINT AS n_batches, n0, n1, s0, s1, vn0, vn1, mean_diff,
+       t_stat, welch_df, round({poly}, 6) + 0.0 AS p_normal
+FROM xt
+"""
+
+
+@staged("stream_ab_guardrail_welch", oracle=_stream_guardrail_oracle())
+def stream_ab_guardrail_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch A/B guardrail computed ON THE INGEST PATH: the odd-event_id
+    half of the event stream replays as 2 micro-batches; each batch
+    appends ONE row of the six integer sufficient statistics (count, arm
+    count, sum, arm sum, square sums in cents) to a managed table, and
+    the readout merges the partials by plain summation before applying
+    the identical Welch chain as ``welch_t_chars_ab``. This is the
+    guardrail-metric shape every live experimentation system runs — and
+    the proof obligation is the interesting part: integer moments are
+    MERGEABLE, so streaming-then-merge is bit-identical to the batch
+    computation, which the oracle (one batch SQL over the same half)
+    certifies end to end. Contrast with sketch-based streaming state
+    (``heavy_hitters_stream_events``): here exactness survives because
+    the statistic IS a sum.
+
+    Scale shape: per micro-batch one map-side-combined scalar aggregate
+    (O(1) state, no shuffle); the merge reads |batches| rows. The arm
+    hash is the shared portable 48-bit md5 of user_id, the metric
+    quantizes to integer cents per row BEFORE any sum (both per the
+    established rules), so task retries, batch boundaries, and both
+    engines agree exactly."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def _moments_batch(batch_df: DataFrame) -> DataFrame:
+        b = batch_df.select(arm.alias("arm"), F.col("cents").alias("y"))
+        return b.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("arm").cast("long").alias("n1"),
+            F.sum("y").cast("long").alias("sall"),
+            F.sum(F.col("arm") * F.col("y")).cast("long").alias("s1"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("qall"),
+            F.sum(F.col("arm") * F.col("y") * F.col("y")).cast("long").alias("q1"),
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, user_id long, cents long",
+        _moments_batch,
+        "ab_guardrail_partials",
+        split_col="event_id",
+        src_prefix="ab_guardrail_src_",
+    )
+    merged = partials.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("sall").cast("long").alias("sall"),
+        F.sum("s1").cast("long").alias("s1"),
+        F.sum("qall").cast("long").alias("qall"),
+        F.sum("q1").cast("long").alias("q1"),
+    )
+    return _welch_from_moments(merged).select(
+        "n_batches",
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        "vn0",
+        "vn1",
+        "mean_diff",
+        "t_stat",
+        "welch_df",
+        "p_normal",
     )
