@@ -1545,3 +1545,233 @@ def stream_ab_guardrail_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "welch_df",
         "p_normal",
     )
+
+
+# --- Neyman optimal stratified allocation ----------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+# Per-stratum Neyman weight N_h * S_h (sample sd), quantized to an e6
+# integer so the cross-stratum total is an exact sum: the ONLY float step
+# is this one shared expression over the exact integer moments.
+_NEY_WQ = (
+    "case when nh < 2 or vnh <= 0 then cast(0 as bigint)"
+    " else cast(round(cast(nh as double)"
+    " * sqrt(cast(vnh as double)"
+    "        / (cast(nh as double) * cast(nh - 1 as double)))"
+    " * 1000000) as bigint) end"
+)
+
+
+@staged(
+    "neyman_allocation_by_source",
+    oracle=f"""
+WITH m AS (
+  SELECT source, count(*)::BIGINT AS nh, sum(n_chars)::BIGINT AS sh,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS qh
+  FROM documents GROUP BY source
+),
+v AS (
+  SELECT source, nh, CAST(nh * qh - sh * sh AS BIGINT) AS vnh FROM m
+),
+w AS (SELECT source, nh, {_NEY_WQ} AS wq FROM v),
+t AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w),
+f AS (
+  SELECT w.source, w.nh, w.wq,
+         CASE WHEN t.wtot = 0 THEN 0
+              ELSE ({_NEYMAN_BUDGET} * w.wq) // t.wtot END AS fl,
+         CASE WHEN t.wtot = 0 THEN 0
+              ELSE {_NEYMAN_BUDGET} * w.wq
+                   - (({_NEYMAN_BUDGET} * w.wq) // t.wtot) * t.wtot END AS rem
+  FROM w CROSS JOIN t
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rr,
+         {_NEYMAN_BUDGET} - sum(fl) OVER () AS extra
+  FROM f
+)
+SELECT source, nh AS n_docs, wq AS neyman_weight_e6,
+       CAST(fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r
+""",
+)
+def neyman_allocation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a
+    1000-unit labeling/eval budget across sources
+    proportionally to N_h * S_h (stratum size x within-stratum sd of
+    document length) — the allocation that minimizes the variance of the
+    stratified mean estimator, i.e. the principled answer to "which
+    sources deserve eval samples". The VARIANCE-aware sibling of
+    ``token_budget_waterfill`` (which allocates by caps): big uniform
+    sources get fewer samples than smaller, noisier ones.
+
+    Exactness: per-stratum moments are exact int64; the single float step
+    is the shared per-stratum weight expression, immediately re-quantized
+    to an e6 integer so the grand total is an EXACT sum (no cross-stratum
+    float accumulation); integer floor division and largest-remainder
+    rounding make every allocation an exact integer with sum(alloc) ==
+    budget BY CONSTRUCTION (ties in remainders break on source name).
+    Degenerate strata (n_h < 2 or zero variance) weight 0.
+
+    Scale shape: one corpus scan to the |sources|-row moment table; the
+    window over the bounded post-aggregate frame (|sources| rows) is the
+    documented bounded-global-window pattern; output |sources| rows."""
+    m = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("n_chars").cast("long").alias("sh"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("qh"),
+    )
+    v = m.select(
+        "source",
+        "nh",
+        (F.col("nh") * F.col("qh") - F.col("sh") * F.col("sh"))
+        .cast("long")
+        .alias("vnh"),
+    )
+    w = v.select("source", "nh", F.expr(_NEY_WQ).alias("wq"))
+    t = w.agg(F.sum("wq").cast("long").alias("wtot"))
+    f = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "nh",
+        "wq",
+        F.expr(
+            f"case when wtot = 0 then cast(0 as bigint)"
+            f" else ({_NEYMAN_BUDGET} * wq) div wtot end"
+        ).alias("fl"),
+        F.expr(
+            f"case when wtot = 0 then cast(0 as bigint)"
+            f" else {_NEYMAN_BUDGET} * wq"
+            f" - (({_NEYMAN_BUDGET} * wq) div wtot) * wtot end"
+        ).alias("rem"),
+    )
+    from pyspark.sql import Window
+
+    # |sources|-row post-aggregate frame: the empty-partition global
+    # window is bounded here by construction (documented pattern).
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    r = f.withColumn("rr", F.row_number().over(wr)).withColumn(
+        "extra", F.lit(_NEYMAN_BUDGET) - F.sum("fl").over(Window.partitionBy())
+    )
+    return r.select(
+        "source",
+        F.col("nh").alias("n_docs"),
+        F.col("wq").alias("neyman_weight_e6"),
+        (F.col("fl") + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# --- CUSUM change-point over the hourly event rate --------------------------
+
+_HOUR_US = 3600 * 1000000
+
+
+@staged(
+    "cusum_changepoint_hourly",
+    oracle=f"""
+WITH hc AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY hr
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*)::BIGINT AS nh FROM hc),
+d AS (
+  SELECT hr, c, CAST(t.nh * hc.c - t.tt AS BIGINT) AS dd, t.tt, t.nh
+  FROM hc CROSS JOIN tot t
+),
+p1 AS (
+  SELECT hr, c, tt, nh,
+         CAST(sum(dd) OVER (ORDER BY hr
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+  FROM d
+),
+p AS (
+  SELECT hr, c, tt, nh, pp,
+         min(pp) OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS mprev
+  FROM p1
+),
+s AS (
+  SELECT hr, c, tt, nh,
+         CAST(pp - least(0, coalesce(mprev, 0)) AS BIGINT) AS cs
+  FROM p
+)
+SELECT max(nh) AS n_hours, max(tt) AS total_events,
+       round(CAST(max(tt) AS DOUBLE) / max(nh), 6) + 0.0 AS mean_hourly_rate,
+       CAST(max(cs) AS BIGINT) AS max_cusum_scaled,
+       round(CAST(max(cs) AS DOUBLE) / max(nh), 6) + 0.0 AS max_cusum_events,
+       CAST(-(max(struct_pack(a := cs, b := -hr)).b) AS BIGINT) AS peak_hr
+FROM s
+""",
+)
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point scan over the hourly event rate — the
+    TEMPORAL member of the drift family (KS/PSI/chi-square/MMD compare
+    two snapshots; CUSUM localizes WHEN the level shifted): the peak of
+    S_t = max(0, S_(t-1) + (x_t - mean)) flags the hour where cumulative
+    upward deviation from the global mean rate is largest — the standard
+    ingest-monitoring primitive for "the crawler started double-sending
+    at 14:00".
+
+    Formulation: the clamped recurrence needs no sequential fold — by the
+    reflection identity S_t = P_t - min(0, min_(j<t) P_j) over prefix
+    sums P of the mean-centered deviations, so the whole scan is two
+    window functions over the BOUNDED hourly frame (|hours| rows,
+    post-aggregate — the documented bounded-global-window pattern).
+    Exactness: deviations are pre-scaled by n_hours (d_t = n*x_t - total)
+    so every P_t, min, and S_t is an exact int64; the two rate readouts
+    are final 6dp divisions; peak hour tie-breaks to the earliest via a
+    lexicographic struct max. Hours are epoch-microseconds div one
+    literal hour — no calendar semantics.
+
+    Scale shape: the event stream collapses to |hours| rows in one
+    map-side-combined aggregate; everything after is bounded."""
+    hc = load_table(spark, sf_dir, "events").groupBy(
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hc.agg(
+        F.sum("c").cast("long").alias("tt"), F.count(F.lit(1)).cast("long").alias("nh")
+    )
+    d = hc.crossJoin(F.broadcast(tot)).select(
+        "hr", "c", "tt", "nh",
+        (F.col("nh") * F.col("c") - F.col("tt")).cast("long").alias("dd"),
+    )
+    from pyspark.sql import Window
+
+    # Bounded post-aggregate frame (|hours| rows): global windows here
+    # follow the documented bounded pattern.
+    w_cum = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    p = d.withColumn("pp", F.sum("dd").over(w_cum).cast("long"))
+    p = p.withColumn("mprev", F.min("pp").over(w_prev))
+    s = p.select(
+        "hr",
+        "tt",
+        "nh",
+        (
+            F.col("pp")
+            - F.least(F.lit(0).cast("long"), F.coalesce("mprev", F.lit(0).cast("long")))
+        )
+        .cast("long")
+        .alias("cs"),
+    )
+    agg = s.agg(
+        F.max("nh").alias("n_hours"),
+        F.max("tt").alias("total_events"),
+        (F.round(F.max("tt").cast("double") / F.max("nh"), 6) + F.lit(0.0)).alias(
+            "mean_hourly_rate"
+        ),
+        F.max("cs").cast("long").alias("max_cusum_scaled"),
+        (F.round(F.max("cs").cast("double") / F.max("nh"), 6) + F.lit(0.0)).alias(
+            "max_cusum_events"
+        ),
+        F.max(F.struct(F.col("cs").alias("a"), (-F.col("hr")).alias("b"))).alias("_pk"),
+    )
+    return agg.select(
+        "n_hours",
+        "total_events",
+        "mean_hourly_rate",
+        "max_cusum_scaled",
+        "max_cusum_events",
+        (-F.col("_pk.b")).cast("long").alias("peak_hr"),
+    )
