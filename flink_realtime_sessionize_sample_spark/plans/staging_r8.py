@@ -1775,3 +1775,630 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_cusum_events",
         (-F.col("_pk.b")).cast("long").alias("peak_hr"),
     )
+
+# --- Wasserstein-1 distance between the A/B split's length CDFs -------------
+
+
+def _wass_oracle() -> str:
+    arm = T.h48_duck("doc_id::VARCHAR")
+    return f"""
+WITH d AS (
+  SELECT n_chars, {arm} % 2 AS arm FROM documents
+),
+g AS (
+  SELECT n_chars, sum(1 - arm)::BIGINT AS ca, sum(arm)::BIGINT AS cb
+  FROM d GROUP BY n_chars
+),
+t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM g),
+r AS (
+  SELECT n_chars, ca, cb,
+         sum(ca) OVER (ORDER BY n_chars)::BIGINT AS cum_a,
+         sum(cb) OVER (ORDER BY n_chars)::BIGINT AS cum_b,
+         lag(n_chars) OVER (ORDER BY n_chars) AS v_prev,
+         count(*) OVER ()::BIGINT AS n_vals
+  FROM g
+),
+terms AS (
+  SELECT r.*, t.na, t.nb,
+         CAST(round(abs((cum_a - ca) * nb - (cum_b - cb) * na) * 1000000.0
+              / (na * nb)) AS BIGINT) * (n_chars - v_prev) AS w_term,
+         CAST(round(abs(cum_a * nb - cum_b * na) * 1000000.0
+              / (na * nb)) AS BIGINT) AS d_e6
+  FROM r CROSS JOIN t
+)
+SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+       max(n_vals)::BIGINT AS n_values,
+       round(sum(w_term) / 1000000.0, 6) + 0.0 AS w1_chars,
+       round(max(d_e6) / 1000000.0, 6) + 0.0 AS ks_d
+FROM terms
+"""
+
+
+@staged("wasserstein_split_drift", oracle=_wass_oracle())
+def wasserstein_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the two hash-split
+    arms' document-length distributions, with the KS sup-distance beside
+    it — the drift readout that reports *how far apart* the CDFs are in
+    char units (W1 = integral of |F_A - F_B|), not just the largest gap
+    (KS) or a binned divergence (PSI). On an A/A split both should sit
+    near 0; a W1 of hundreds of chars on a re-crawl says the new snapshot
+    moved the whole length distribution, even when no single point gap
+    trips the KS alarm.
+
+    Exactness: per distinct length v the CDF gap is the exact integer
+    cross product |cumA*nB - cumB*nA|; each gap quantizes to an e6
+    integer height BEFORE the width multiply and the sum (the
+    quantize-before-any-float-sum rule — both engines compute the
+    identical per-row double round), widths are exact integer diffs
+    against the previous distinct value, and the two readouts are final
+    6dp divisions. The strictly-previous value comes from
+    ``with_global_prefix_max`` over the value order (values are distinct
+    after the groupBy, so the prefix max IS the predecessor).
+
+    Scale shape: the corpus collapses to the distinct-length frame in one
+    hash aggregate; both cumulative counts ride ONE deterministic-banded
+    rank pass (``extra_cums`` — the two-sample CDF shape), the
+    predecessor rides the banded prefix-max pass, and the (nA, nB)
+    totals are a 1-row broadcast. No single-partition sort anywhere;
+    int64 is exhausted only past ~3e9 docs per arm (the |gap|*1e6 cross
+    product), where ANSI Spark and DuckDB both fail LOUD.
+    """
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_prefix_max,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(doc_id as string)')}, 2)")
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars", arm.alias("arm")
+    )
+    g = d.groupBy("n_chars").agg(
+        F.sum(F.lit(1) - F.col("arm")).cast("long").alias("ca"),
+        F.sum("arm").cast("long").alias("cb"),
+    )
+    # The grouped frame feeds three consumers (totals + two banded
+    # passes): materialize the distinct-length frame once.
+    g = g.localCheckpoint()
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    ranked = with_global_rank(
+        g,
+        [F.col("n_chars").asc()],
+        rank_col="_r",
+        total_col="n_vals",
+        sum_col="ca",
+        cum_col="cum_a",
+        extra_cums=[("cb", "cum_b")],
+    )
+    prev = with_global_prefix_max(
+        ranked, [F.col("n_chars").asc()], "n_chars", out_col="v_prev"
+    )
+    j = prev.crossJoin(F.broadcast(tot))
+    h_excl = F.expr(
+        "cast(round(abs((cum_a - ca) * nb - (cum_b - cb) * na) * 1000000.0"
+        " / (na * nb)) as bigint)"
+    )
+    d_e6 = F.expr(
+        "cast(round(abs(cum_a * nb - cum_b * na) * 1000000.0 / (na * nb))"
+        " as bigint)"
+    )
+    terms = j.select(
+        "na",
+        "nb",
+        "n_vals",
+        (h_excl * (F.col("n_chars") - F.col("v_prev"))).alias("w_term"),
+        d_e6.alias("d_e6"),
+    )
+    return terms.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.max("n_vals").cast("long").alias("n_values"),
+        (F.round(F.sum("w_term") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+            "w1_chars"
+        ),
+        (F.round(F.max("d_e6") / F.lit(1000000.0), 6) + F.lit(0.0)).alias("ks_d"),
+    )
+
+
+# --- Kendall tau-b over the (length, token-count) bucket grid ----------------
+
+_KT_XW = 64  # n_chars bucket width
+_KT_YW = 16  # word-count bucket width
+
+
+def _kendall_oracle() -> str:
+    return f"""
+WITH b AS (
+  SELECT n_chars // {_KT_XW} AS bx,
+         length({_TOKS_D}) // {_KT_YW} AS by
+  FROM documents
+),
+cells AS (SELECT bx, by, count(*)::BIGINT AS c FROM b GROUP BY bx, by),
+pq AS (
+  SELECT sum(CASE WHEN p.by > a.by THEN a.c * p.c ELSE 0 END)::BIGINT AS conc,
+         sum(CASE WHEN p.by < a.by THEN a.c * p.c ELSE 0 END)::BIGINT AS disc
+  FROM cells a JOIN cells p ON p.bx > a.bx
+),
+mx AS (SELECT sum(m * (m - 1) // 2)::BIGINT AS tx
+       FROM (SELECT sum(c)::BIGINT AS m FROM cells GROUP BY bx)),
+my AS (SELECT sum(m * (m - 1) // 2)::BIGINT AS ty
+       FROM (SELECT sum(c)::BIGINT AS m FROM cells GROUP BY by)),
+n AS (SELECT sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_cells FROM cells)
+SELECT n.n_docs, n.n_cells, pq.conc AS concordant, pq.disc AS discordant,
+       mx.tx AS ties_x_pairs, my.ty AS ties_y_pairs,
+       round((pq.conc - pq.disc)
+             / (sqrt(n.n_docs * (n.n_docs - 1) // 2 - mx.tx)
+                * sqrt(n.n_docs * (n.n_docs - 1) // 2 - my.ty)), 6) + 0.0
+         AS tau_b,
+       CASE WHEN pq.conc + pq.disc = 0 THEN NULL
+            ELSE round(CAST(pq.conc - pq.disc AS DOUBLE)
+                       / (pq.conc + pq.disc), 6) + 0.0 END AS gamma
+FROM n CROSS JOIN pq CROSS JOIN mx CROSS JOIN my
+"""
+
+
+@staged("kendall_tau_chars_words", oracle=_kendall_oracle())
+def kendall_tau_chars_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between document length and word
+    count, computed EXACTLY from the bucket-grid contingency table —
+    the third member of the correlation family (Pearson-style moments:
+    ``welch``/``ab_test_cuped``; Spearman: ``spearman_chars_tokens``;
+    Kendall: this). Tau-b is the probability-scale readout (P(concordant)
+    - P(discordant), tie-corrected) that survives monotone transforms
+    and heavy tails — the robust check that a quality signal actually
+    ORDERS documents the way its proxy does.
+
+    Formulation: bucketing both axes (widths {_KT_XW}/{_KT_YW}) makes
+    the pair counts a function of the bounded contingency grid:
+    concordant pairs = sum over cell pairs (a, p) with p.bx > a.bx and
+    p.by > a.by of c_a*c_p — an O(cells^2) computation on a frame whose
+    size is the GRID, not the corpus (the exact-from-contingency trick
+    chi-square/Cramer's V already use). Ties within a bucket are counted
+    by the margin totals (tau-b's n1/n2 correction), so the statistic is
+    the exact tau-b of the bucketed variables.
+
+    Exactness: every pair count is exact int64 (ceiling n ~ 4e9 docs,
+    where n(n-1)/2 exhausts int64 LOUDLY in both engines); tau-b is one
+    final double expression over exact integers, 6dp-rounded. Scale: one
+    corpus scan to the grid; the grid self-join is a broadcast
+    nested-loop against a bounded aggregate (the documented allowed
+    shape), and margins are two tiny re-aggregations of the grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.expr(f"n_chars div {_KT_XW}").alias("bx"),
+        F.expr(f"size({_TOKS_S}) div {_KT_YW}").alias("by"),
+    )
+    cells = b.groupBy("bx", "by").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # grid feeds 4 consumers
+    a, p = cells.alias("a"), cells.alias("p")
+    pq = (
+        a.join(F.broadcast(p), F.col("p.bx") > F.col("a.bx"))
+        .agg(
+            F.sum(
+                F.when(F.col("p.by") > F.col("a.by"), F.col("a.c") * F.col("p.c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("conc"),
+            F.sum(
+                F.when(F.col("p.by") < F.col("a.by"), F.col("a.c") * F.col("p.c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("disc"),
+        )
+    )
+    mx = (
+        cells.groupBy("bx")
+        .agg(F.sum("c").cast("long").alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("tx"))
+    )
+    my = (
+        cells.groupBy("by")
+        .agg(F.sum("c").cast("long").alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("ty"))
+    )
+    n = cells.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    j = (
+        n.crossJoin(F.broadcast(pq))
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(my))
+    )
+    return j.select(
+        "n_docs",
+        "n_cells",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("tx").alias("ties_x_pairs"),
+        F.col("ty").alias("ties_y_pairs"),
+        (
+            F.round(
+                (F.col("conc") - F.col("disc"))
+                / (
+                    F.sqrt(F.expr("n_docs * (n_docs - 1) div 2 - tx"))
+                    * F.sqrt(F.expr("n_docs * (n_docs - 1) div 2 - ty"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("tau_b"),
+        F.when(F.col("conc") + F.col("disc") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("conc") - F.col("disc")).cast("double")
+                / (F.col("conc") + F.col("disc")),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        .alias("gamma"),
+    )
+
+
+# --- Good-Turing unseen-mass estimate over the vocabulary --------------------
+
+_GT_RS = (1, 2, 3, 4, 5)
+
+
+def _gt_oracle() -> str:
+    conds = ", ".join(
+        f"sum(CASE WHEN c = {r} THEN 1 ELSE 0 END)::BIGINT AS n{r}"
+        for r in range(1, 7)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {r} AS r, n{r} AS n_r, n{r + 1} AS n_r_next,
+       CASE WHEN n{r} = 0 THEN NULL
+            ELSE round({r + 1} * CAST(n{r + 1} AS DOUBLE) / n{r}, 6) + 0.0 END
+         AS r_star,
+       round(CAST(n1 AS DOUBLE) / total_tokens, 6) + 0.0 AS p_unseen,
+       total_tokens, vocab_size
+FROM a"""
+        for r in _GT_RS
+    )
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS_D}) AS w FROM documents),
+g AS (SELECT w, count(*)::BIGINT AS c FROM tok WHERE w <> '' GROUP BY w),
+a AS (
+  SELECT sum(c)::BIGINT AS total_tokens, count(*)::BIGINT AS vocab_size,
+         {conds}
+  FROM g
+)
+{rows}
+"""
+
+
+@staged("good_turing_unseen_mass", oracle=_gt_oracle())
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies readout: for r = 1..5 the
+    count-of-counts N_r, the smoothed count r* = (r+1)N_(r+1)/N_r, and
+    the Turing unseen-mass estimate N_1/N — the statistic that answers
+    "how much of the language has this corpus NOT seen yet": a large
+    p_unseen says another crawl snapshot still buys vocabulary (and that
+    an n-gram LM needs smoothing mass), a tiny one says the corpus has
+    saturated its domain. Complements ``vocab_coverage_curve`` (coverage
+    of what IS seen) and ``doc_zipf_fit`` (shape of the seen body).
+
+    Exactness: the vocabulary collapse and the six count-of-count cells
+    are exact int64 conditional sums in ONE scalar aggregate; r* and
+    p_unseen are final 6dp divisions of exact integers (no float ever
+    enters a corpus-sized sum). Scale: explode -> |vocab| hash aggregate
+    -> 1-row aggregate; the five output rows are a stack over that single
+    row — one corpus scan, map-side combinable everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    aggs = [
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    ] + [
+        F.sum(F.when(F.col("c") == r, 1).otherwise(0)).cast("long").alias(f"n{r}")
+        for r in range(1, 7)
+    ]
+    a = g.agg(*aggs)
+    stack_args = ", ".join(f"{r}, n{r}, n{r + 1}" for r in _GT_RS)
+    stacked = a.selectExpr(
+        "total_tokens",
+        "vocab_size",
+        "n1",
+        f"stack({len(_GT_RS)}, {stack_args}) as (r, n_r, n_r_next)",
+    )
+    return stacked.select(
+        "r",
+        "n_r",
+        "n_r_next",
+        F.when(F.col("n_r") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("r") + 1) * F.col("n_r_next").cast("double") / F.col("n_r"), 6
+            )
+            + F.lit(0.0)
+        )
+        .alias("r_star"),
+        (
+            F.round(F.col("n1").cast("double") / F.col("total_tokens"), 6)
+            + F.lit(0.0)
+        ).alias("p_unseen"),
+        "total_tokens",
+        "vocab_size",
+    )
+
+
+# --- k-anonymity audit over quasi-identifiers --------------------------------
+
+_KA_BANDS = "CASE WHEN gs = 1 THEN 'k=1' WHEN gs < 5 THEN 'k=2-4' \
+WHEN gs < 10 THEN 'k=5-9' WHEN gs < 25 THEN 'k=10-24' ELSE 'k>=25' END"
+
+
+@staged(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT lang, source, n_chars // 200 AS len_band, count(*)::BIGINT AS gs
+  FROM documents GROUP BY lang, source, len_band
+),
+t AS (SELECT sum(gs)::BIGINT AS n_docs, min(gs)::BIGINT AS min_k FROM g),
+b AS (
+  SELECT {_KA_BANDS} AS risk_band,
+         count(*)::BIGINT AS n_groups, sum(gs)::BIGINT AS n_rows
+  FROM g GROUP BY risk_band
+)
+SELECT b.risk_band, b.n_groups, b.n_rows,
+       round(CAST(b.n_rows AS DOUBLE) / t.n_docs, 6) + 0.0 AS doc_share,
+       t.min_k
+FROM b CROSS JOIN t
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk profile of the corpus under the quasi-identifier
+    tuple (lang, source, length-band): how many documents sit in QI
+    groups of size 1 (re-identifiable singletons), 2-4, 5-9, 10-24, and
+    >= 25 — the release-governance audit run next to ``pii_redact``
+    before a training corpus ships: a dataset is k-anonymous at the
+    reported ``min_k``, and the ``k=1`` row is the singleton exposure a
+    redaction pass must either generalize or drop.
+
+    Exactness: group sizes, band counts and the global minimum are exact
+    int64; the share is a final 6dp division. Scale: one hash aggregate
+    to the QI-group frame (bounded by the QI domain, not the corpus),
+    one re-aggregation to five band rows, one 1-row broadcast total —
+    no window, no join on the corpus."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source", F.expr("n_chars div 200").alias("len_band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("gs"))
+    )
+    g = g.localCheckpoint()  # QI-group frame feeds the total and the bands
+    t = g.agg(
+        F.sum("gs").cast("long").alias("n_docs"),
+        F.min("gs").cast("long").alias("min_k"),
+    )
+    b = g.groupBy(F.expr(_KA_BANDS).alias("risk_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gs").cast("long").alias("n_rows"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "risk_band",
+        "n_groups",
+        "n_rows",
+        (
+            F.round(F.col("n_rows").cast("double") / F.col("n_docs"), 6)
+            + F.lit(0.0)
+        ).alias("doc_share"),
+        "min_k",
+    )
+
+
+# --- AMS (F2) sketch vs exact second frequency moment ------------------------
+
+_AMS_J = 16
+
+
+def _ams_oracle() -> str:
+    signs = ", ".join(
+        f"CAST(sum(c * (1 - 2 * ((h // {1 << j}) % 2))) AS BIGINT) AS s{j}"
+        for j in range(_AMS_J)
+    )
+    lst = ", ".join(f"s{j} * s{j}" for j in range(_AMS_J))
+    return f"""
+WITH k AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id
+),
+h AS (SELECT c, {T.h48_duck('user_id::VARCHAR')} AS h FROM k),
+a AS (
+  SELECT count(*)::BIGINT AS n_users, sum(c)::BIGINT AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS f2_exact, {signs}
+  FROM h
+),
+m AS (SELECT *, list_sort([{lst}]) AS ests FROM a)
+SELECT n_users, n_events, f2_exact,
+       round((ests[{_AMS_J // 2}] + ests[{_AMS_J // 2 + 1}]) / 2.0, 6) + 0.0
+         AS ams_median_est,
+       round(abs((ests[{_AMS_J // 2}] + ests[{_AMS_J // 2 + 1}]) / 2.0
+                 - f2_exact) / f2_exact, 6) + 0.0 AS rel_err
+FROM m
+""".replace("//", "//")
+
+
+@staged("ams_f2_user_events", oracle=_ams_oracle())
+def ams_f2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch of the
+    event stream's user-key distribution, reported against the exact F2
+    = sum of squared per-user counts. F2 IS the self-join size on
+    user_id — the number a join planner needs to size a shuffle before
+    running it — and the sketch column demonstrates the mergeable
+    one-pass estimator ({_AMS_J} independent +-1 projections, median of
+    squares) whose state is {_AMS_J} counters regardless of corpus size,
+    joining the mergeable-sketch family (HLL / theta / KLL / CMS).
+
+    Determinism: the +-1 signs are bits {0}..{_AMS_J - 1} of the shared
+    portable 48-bit md5 key hash — no RNG, so retries/re-plans agree and
+    DuckDB reproduces the sketch bit-for-bit. Exactness: every signed
+    sum and square is exact int64 (ceiling ~3e9 events, LOUD overflow in
+    both engines); the median and relative error are final 6dp
+    expressions. Scale: one map-side-combined groupBy to the user frame,
+    then ONE scalar aggregate carrying the {_AMS_J} signed sums; the
+    sketch estimate is a 1-row array sort."""
+    k = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    h = k.select(
+        "c", F.expr(T.h48_spark("cast(user_id as string)")).alias("h")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+    ] + [
+        F.sum(F.col("c") * F.expr(f"1 - 2 * ((h div {1 << j}) % 2)"))
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(_AMS_J)
+    ]
+    a = h.agg(*aggs)
+    ests = F.array_sort(
+        F.array(*[(F.col(f"s{j}") * F.col(f"s{j}")) for j in range(_AMS_J)])
+    )
+    m = a.withColumn("ests", ests)
+    med = (
+        F.element_at("ests", _AMS_J // 2) + F.element_at("ests", _AMS_J // 2 + 1)
+    ) / F.lit(2.0)
+    return m.select(
+        "n_users",
+        "n_events",
+        "f2_exact",
+        (F.round(med, 6) + F.lit(0.0)).alias("ams_median_est"),
+        (
+            F.round(F.abs(med - F.col("f2_exact")) / F.col("f2_exact"), 6)
+            + F.lit(0.0)
+        ).alias("rel_err"),
+    )
+
+
+# --- Theil-Sen robust trend of the daily event rate --------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _ts_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT a.d AS da, b.d AS db,
+         CAST(round((b.c - a.c) * 1000000.0 / (b.d - a.d)) AS BIGINT)
+           AS slope_e6
+  FROM d a JOIN d b ON b.d > a.d
+),
+r AS (
+  SELECT slope_e6,
+         row_number() OVER (ORDER BY slope_e6, da, db) AS r,
+         count(*) OVER ()::BIGINT AS t
+  FROM p
+),
+med AS (
+  SELECT avg(slope_e6) AS med_e6, max(t)::BIGINT AS n_pairs
+  FROM r WHERE r = (t + 1) // 2 OR r = t // 2 + 1
+),
+o AS (
+  SELECT count(*)::BIGINT AS n_days, sum(d)::BIGINT AS sd,
+         sum(c)::BIGINT AS sc, CAST(sum(d * c) AS BIGINT) AS sdc,
+         CAST(sum(d * d) AS BIGINT) AS sdd
+  FROM d
+)
+SELECT o.n_days, med.n_pairs,
+       round(med.med_e6 / 1000000.0, 6) + 0.0 AS theil_sen_slope,
+       round(CAST(o.n_days * o.sdc - o.sd * o.sc AS DOUBLE)
+             / (o.n_days * o.sdd - o.sd * o.sd), 6) + 0.0 AS ols_slope
+FROM o CROSS JOIN med
+"""
+
+
+@staged("theil_sen_daily_trend", oracle=_ts_oracle())
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event volume — the median of
+    all pairwise day-to-day slopes — reported beside the OLS slope. The
+    gap between the two is the outlier alarm an ingest dashboard wants:
+    one crawler burst day drags OLS but moves the pairwise-slope median
+    almost nowhere, so "is volume really trending up" gets a robust
+    answer (complements ``cusum_changepoint_hourly``, which localizes a
+    LEVEL shift; this estimates the sustained RATE of change).
+
+    Exactness: each pairwise slope quantizes to an e6 integer
+    (quantize-before-selection — both engines round the identical
+    double), the median picks the middle element(s) of the total order
+    (slope_e6, day_a, day_b) via the deterministic-banded global-rank
+    operator (no single-partition sort of the O(days^2) pair frame), and
+    the OLS slope is one 6dp expression over exact int64 moment sums
+    (epoch-day indices — no calendar semantics). Scale: the corpus
+    collapses to the |days| frame in one aggregate; the pair frame is
+    O(days^2) — a function of the time horizon, not the corpus — built
+    by a broadcast self-join; the rank pass is banded."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr(f"unix_micros(ts) div {_DAY_US}").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d = d.localCheckpoint()  # day frame feeds the pair join twice + OLS
+    a = d.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = d.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    # nullif guard: the banding gate filter downstream references slope_e6
+    # and Catalyst pushes it INTO the join condition, where conjunct order
+    # is unspecified — under ANSI the raw division throws DIVIDE_BY_ZERO on
+    # the da == db pairs the `db > da` conjunct would have rejected. The
+    # total expression yields NULL there and the join condition still drops
+    # the row, so results are unchanged.
+    p = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        "da",
+        "db",
+        F.expr(
+            "cast(round((cb - ca) * 1000000.0 / nullif(db - da, 0)) as bigint)"
+        ).alias("slope_e6"),
+    )
+    r = with_global_rank(
+        p,
+        [F.col("slope_e6").asc(), F.col("da").asc(), F.col("db").asc()],
+        rank_col="r",
+        total_col="t",
+    )
+    med = r.filter(
+        (F.col("r") == F.expr("(t + 1) div 2")) | (F.col("r") == F.expr("t div 2 + 1"))
+    ).agg(
+        F.avg("slope_e6").alias("med_e6"),
+        F.max("t").cast("long").alias("n_pairs"),
+    )
+    o = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("d") * F.col("c")).cast("long").alias("sdc"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    j = o.crossJoin(F.broadcast(med))
+    return j.select(
+        "n_days",
+        "n_pairs",
+        (F.round(F.col("med_e6") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+            "theil_sen_slope"
+        ),
+        (
+            F.round(
+                (F.col("n_days") * F.col("sdc") - F.col("sd") * F.col("sc")).cast(
+                    "double"
+                )
+                / (F.col("n_days") * F.col("sdd") - F.col("sd") * F.col("sd")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ols_slope"),
+    )
