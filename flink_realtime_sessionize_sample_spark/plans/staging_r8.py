@@ -2402,3 +2402,303 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("ols_slope"),
     )
+
+
+# --- known-item retrieval eval: MRR / recall@k over BM25 ---------------------
+
+_KI_MOD = 16  # 1-in-16 hash sample of documents becomes the query set
+_KI_NT = 6  # first N tokens of the document form its query
+_KI_K1, _KI_B = 1.2, 0.75  # shared with bm25_doc_search
+
+
+def _ki_oracle() -> str:
+    h = T.h48_duck("doc_id::VARCHAR")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_D} AS t, length({_TOKS_D})::BIGINT AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM toks),
+qterms AS (
+  SELECT doc_id AS q_id, unnest(list_distinct(list_slice(t, 1, {_KI_NT}))) AS term
+  FROM toks WHERE {h} % {_KI_MOD} = 0
+),
+qt AS (SELECT q_id, term FROM qterms WHERE term <> ''),
+terms AS (SELECT DISTINCT term FROM qt),
+hits AS (
+  SELECT x.doc_id, x.dl, u.term
+  FROM (SELECT doc_id, dl, unnest(t) AS term FROM toks) x
+  JOIN terms u USING (term)
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl)::BIGINT AS dl
+  FROM hits GROUP BY doc_id, term
+),
+tfdf AS (
+  SELECT *, count(*) OVER (PARTITION BY term)::BIGINT AS df FROM tf
+),
+scored AS (
+  SELECT q.q_id, f.doc_id,
+         round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * f.tf * ({_KI_K1} + 1)
+               / (f.tf + {_KI_K1} * (1 - {_KI_B} + {_KI_B} * f.dl / s.avgdl))),
+               4) AS score
+  FROM tfdf f JOIN qt q USING (term) CROSS JOIN stats s
+  GROUP BY q.q_id, f.doc_id
+),
+tru AS (SELECT q_id, score AS s_true FROM scored WHERE doc_id = q_id),
+rk AS (
+  SELECT s.q_id,
+         1 + sum(CASE WHEN s.score > t.s_true
+                       OR (s.score = t.s_true AND s.doc_id < s.q_id)
+                 THEN 1 ELSE 0 END)::BIGINT AS rnk
+  FROM scored s JOIN tru t USING (q_id) GROUP BY s.q_id
+)
+SELECT count(*)::BIGINT AS n_queries,
+       sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END)::BIGINT AS hits_at_1,
+       sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_at_10,
+       round(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS recall_at_1,
+       round(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS recall_at_10,
+       round(sum(CAST(round(1000000.0 / rnk) AS BIGINT)) / 1000000.0
+             / count(*), 6) + 0.0 AS mrr,
+       round(sum(rnk) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_rank
+FROM rk
+"""
+
+
+@staged("retrieval_known_item_eval", oracle=_ki_oracle())
+def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval evaluation: a 1-in-{_KI_MOD} hash sample of
+    documents becomes the query set (each query = the document's first
+    {_KI_NT} distinct tokens), BM25 scores every candidate, and the rank
+    of the TRUE source document yields MRR, recall@1/@10 and mean rank —
+    the self-supervised relevance benchmark that needs no human labels,
+    used to regression-test a retrieval index after every corpus or
+    analyzer change (complements ``bm25_doc_search``: same scorer, but
+    an EVAL harness rather than one query's results).
+
+    Rank without a global sort: the true document's rank is 1 + the
+    COUNT of candidates strictly ahead of it under the (score desc,
+    doc_id asc) order — a per-query aggregate over the candidate frame,
+    never a corpus-wide ordering. The true document always scores > 0
+    against its own prefix terms (the +1-floored idf is positive), and
+    unmatched documents are unscored, so counting within the matched
+    frame IS the global rank.
+
+    Exactness: BM25 follows bm25_doc_search's discipline (4dp-rounded
+    score before any comparison); each reciprocal rank quantizes to an
+    e6 integer before the sum; everything else is int64 counts with
+    final 6dp divisions. Scale: query terms are a bounded broadcast (the
+    sample rate is the knob — raise _KI_MOD at 100 TB); the corpus token
+    stream is filtered to the query vocabulary BEFORE any exchange, so
+    the tf aggregate and the (query, doc) join shuffle O(hits); df and
+    corpus stats follow the bm25_doc_search window/broadcast shapes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.expr(_TOKS_S).alias("t")
+    ).withColumn("dl", F.size("t").cast("long"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qsel = toks.filter(
+        F.expr(f"pmod({T.h48_spark('cast(doc_id as string)')}, {_KI_MOD})") == 0
+    )
+    qt = (
+        qsel.select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(F.slice("t", 1, _KI_NT))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    qt = qt.localCheckpoint()  # feeds the vocab broadcast and the score join
+    terms = qt.select("term").distinct()
+    hits = (
+        toks.select("doc_id", "dl", F.explode("t").alias("term"))
+        .join(F.broadcast(terms), "term")
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("long")
+    )
+    k1, b = F.lit(_KI_K1), F.lit(_KI_B)
+    scored = (
+        tfdf.join(qt, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    scored = scored.localCheckpoint()  # feeds the true-score frame and the rank count
+    tru = scored.filter(F.col("doc_id") == F.col("q_id")).select(
+        "q_id", F.col("score").alias("s_true")
+    )
+    rk = (
+        scored.join(tru, "q_id")
+        .groupBy("q_id")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("score") > F.col("s_true"))
+                        | (
+                            (F.col("score") == F.col("s_true"))
+                            & (F.col("doc_id") < F.col("q_id"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("rnk")
+        )
+    )
+    return rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_1"),
+        F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_10"),
+        (
+            F.round(
+                F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall_at_1"),
+        (
+            F.round(
+                F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall_at_10"),
+        (
+            F.round(
+                F.sum(F.expr("cast(round(1000000.0 / rnk) as bigint)"))
+                / F.lit(1000000.0)
+                / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mrr"),
+        (
+            F.round(F.sum("rnk") / F.count(F.lit(1)).cast("double"), 6) + F.lit(0.0)
+        ).alias("mean_rank"),
+    )
+
+
+# --- hubness audit of the kNN graph ------------------------------------------
+
+_HUB_K = 5
+
+
+def _hub_oracle() -> str:
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+c AS (SELECT *, {T.sign_bucket_duck('v')} AS bucket FROM c0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS cosine
+  FROM c JOIN c q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+knn AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_HUB_K}
+),
+indeg AS (
+  SELECT e.vec_id, count(k.neighbor_id)::BIGINT AS d
+  FROM embeddings e LEFT JOIN knn k ON k.neighbor_id = e.vec_id
+  GROUP BY e.vec_id
+),
+t AS (SELECT count(*)::BIGINT AS n_vecs, sum(d)::BIGINT AS n_edges FROM indeg),
+h AS (SELECT d AS in_degree, count(*)::BIGINT AS n_vectors FROM indeg GROUP BY d)
+SELECT h.in_degree, h.n_vectors,
+       round(CAST(h.n_vectors AS DOUBLE) / t.n_vecs, 6) + 0.0 AS vec_share,
+       round(CAST(h.in_degree * h.n_vectors AS DOUBLE) / t.n_edges, 6) + 0.0
+         AS edge_share
+FROM h CROSS JOIN t
+"""
+
+
+@staged("knn_hubness_audit", oracle=_hub_oracle())
+def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: the in-degree distribution
+    of the k = {_HUB_K} cosine kNN graph — how many vectors are nobody's
+    neighbor (in-degree 0: unreachable from any ANN probe) and how many
+    are everybody's (hubs that dominate result lists). Hubness is the
+    classic high-dimensional pathology that silently degrades
+    ANN-backed dedup and retrieval; a heavy right tail here says "fix
+    the embedding normalization before trusting ``semantic_dedup_*``".
+
+    Built on the same LSH-bucketed kNN self-join as
+    ``embedding_knn_join`` (operators/similarity.py:knn_join_cosine —
+    bucketed candidate generation, never all-pairs), then one hash
+    aggregate to per-vector in-degree (a LEFT join from the corpus keeps
+    the in-degree-0 population visible — the audit's whole point), one
+    to the degree histogram. Exactness: degrees and counts are exact
+    int64 (cosine ties broken on the 6dp-rounded score + neighbor id,
+    the established knn ordering); shares are final 6dp divisions."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        knn_join_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_join_cosine(emb, k=_HUB_K, nbits=4).select("neighbor_id")
+    indeg = (
+        emb.select("vec_id")
+        .join(knn, knn.neighbor_id == F.col("vec_id"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("neighbor_id").cast("long").alias("d"))
+    )
+    indeg = indeg.localCheckpoint()  # feeds totals and the histogram
+    t = indeg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("d").cast("long").alias("n_edges"),
+    )
+    h = indeg.groupBy(F.col("d").alias("in_degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "in_degree",
+        "n_vectors",
+        (
+            F.round(F.col("n_vectors").cast("double") / F.col("n_vecs"), 6)
+            + F.lit(0.0)
+        ).alias("vec_share"),
+        (
+            F.round(
+                (F.col("in_degree") * F.col("n_vectors")).cast("double")
+                / F.col("n_edges"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("edge_share"),
+    )
