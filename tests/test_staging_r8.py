@@ -64,3 +64,271 @@ def test_staged_rank_passes_are_banded(spark, sf_small):
     p = _explain(S.STAGED_QUERIES["mann_whitney_en_tokens"](spark, sf_small))
     assert "rangepartitioning" not in p.lower()
     assert "_pid" in p
+
+
+# --- handcrafted semantics for the session-5 staged queries ------------------
+# Cross-engine parity proves Spark and DuckDB AGREE; these pin the statistics
+# against INTENT with independent Python brute-force references over tiny
+# handwritten tables (written as parquet so the full query surface — -
+# load_table included — is exercised).
+
+import hashlib
+from fractions import Fraction
+
+import pandas as pd
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _docs_pdf(rows):
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return df.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def _write_tables(tmp_path, **tables) -> str:
+    for name, df in tables.items():
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_wasserstein_matches_bruteforce(spark, tmp_path):
+    """W1 and KS against an exact Fraction-arithmetic CDF walk using the
+    same md5 arm split, replicated independently in Python."""
+    rows = [
+        (i, "x", "en", "s", 50 + (i * 37) % 173) for i in range(1, 41)
+    ]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    a = sorted(r[4] for r in rows if _h48(str(r[0])) % 2 == 0)
+    b = sorted(r[4] for r in rows if _h48(str(r[0])) % 2 == 1)
+    assert a and b, "handcrafted ids must populate both arms"
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    w1, ks = Fraction(0), Fraction(0)
+    ca = cb = 0
+    prev = None
+    for v in vals:
+        if prev is not None:
+            w1 += abs(Fraction(ca, na) - Fraction(cb, nb)) * (v - prev)
+        ca += a.count(v)
+        cb += b.count(v)
+        ks = max(ks, abs(Fraction(ca, na) - Fraction(cb, nb)))
+        prev = v
+    out = S.STAGED_QUERIES["wasserstein_split_drift"](spark, sf).collect()[0]
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert abs(out["w1_chars"] - float(w1)) < 5e-4  # e6 height quantization
+    assert abs(out["ks_d"] - float(ks)) < 2e-6
+
+
+def test_kendall_matches_bruteforce(spark, tmp_path):
+    """Concordant/discordant/tie pair counts and tau-b against an O(n^2)
+    Python sweep over the same bucket values."""
+    rows = []
+    for i in range(1, 31):
+        nw = 10 + (i * 11) % 70  # word count
+        nc = 48 + (i * 53) % 300  # char-length column (independent of text)
+        rows.append((i, " ".join(f"w{j}" for j in range(nw)), "en", "s", nc))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    pts = [
+        (r[4] // 64, len(r[1].lower().strip().split(" ")) // 16) for r in rows
+    ]
+    conc = disc = tx = ty = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    import math
+
+    tau = (conc - disc) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+    out = S.STAGED_QUERIES["kendall_tau_chars_words"](spark, sf).collect()[0]
+    assert out["n_docs"] == n
+    assert out["concordant"] == conc and out["discordant"] == disc
+    assert out["ties_x_pairs"] == tx and out["ties_y_pairs"] == ty
+    assert abs(out["tau_b"] - tau) < 1e-6
+
+
+def test_good_turing_matches_bruteforce(spark, tmp_path):
+    """Count-of-counts and the Turing estimators against a Python Counter
+    over the same whitespace tokenization."""
+    from collections import Counter
+
+    texts = [
+        "a a a a b b b c c d",  # a:4 b:3 c:2 d:1
+        "e f g h h",  # four more low counts
+        "a b e i",
+    ]
+    rows = [
+        (i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)
+    ]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    c = Counter(w for t in texts for w in t.lower().strip().split(" ") if w)
+    nr = Counter(c.values())
+    total = sum(c.values())
+    rows_out = {
+        r["r"]: r
+        for r in S.STAGED_QUERIES["good_turing_unseen_mass"](spark, sf).collect()
+    }
+    for r in range(1, 6):
+        assert rows_out[r]["n_r"] == nr.get(r, 0)
+        assert rows_out[r]["n_r_next"] == nr.get(r + 1, 0)
+        if nr.get(r, 0):
+            exp = round((r + 1) * nr.get(r + 1, 0) / nr[r], 6)
+            assert abs(rows_out[r]["r_star"] - exp) < 1e-9
+        else:
+            assert rows_out[r]["r_star"] is None
+    assert abs(rows_out[1]["p_unseen"] - round(nr[1] / total, 6)) < 1e-9
+    assert rows_out[1]["total_tokens"] == total
+    assert rows_out[1]["vocab_size"] == len(c)
+
+
+def test_k_anonymity_bands_on_engineered_groups(spark, tmp_path):
+    """QI groups of sizes 1/3/7/30 land in the right risk bands with the
+    right counts; min_k reports the singleton."""
+    rows, did = [], 0
+    for lang, src, size in (
+        ("en", "s1", 1),
+        ("de", "s1", 3),
+        ("fr", "s2", 7),
+        ("en", "s3", 30),
+    ):
+        for _ in range(size):
+            did += 1
+            rows.append((did, "x", lang, src, 100))  # one shared len_band
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = {
+        r["risk_band"]: r
+        for r in S.STAGED_QUERIES["k_anonymity_audit"](spark, sf).collect()
+    }
+    assert set(out) == {"k=1", "k=2-4", "k=5-9", "k>=25"}
+    assert (out["k=1"]["n_groups"], out["k=1"]["n_rows"]) == (1, 1)
+    assert (out["k=2-4"]["n_groups"], out["k=2-4"]["n_rows"]) == (1, 3)
+    assert (out["k=5-9"]["n_groups"], out["k=5-9"]["n_rows"]) == (1, 7)
+    assert (out["k>=25"]["n_groups"], out["k>=25"]["n_rows"]) == (1, 30)
+    assert all(r["min_k"] == 1 for r in out.values())
+    assert abs(out["k>=25"]["doc_share"] - round(30 / 41, 6)) < 1e-9
+
+
+def _events_pdf(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def test_ams_f2_exact_and_sketch_replicated(spark, tmp_path):
+    """F2 equals the brute sum of squared counts, and the 16-projection
+    sketch median is bit-reproduced from the md5 sign bits in Python."""
+    counts = {101: 5, 202: 3, 303: 3, 404: 2, 505: 1, 606: 1}
+    rows, eid = [], 0
+    for u, c in counts.items():
+        for k in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-01 00:{eid:02d}:00", u, "view", 1.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    f2 = sum(c * c for c in counts.values())
+    ests = sorted(
+        sum(
+            c * (1 - 2 * ((_h48(str(u)) >> j) & 1)) for u, c in counts.items()
+        )
+        ** 2
+        for j in range(16)
+    )
+    med = (ests[7] + ests[8]) / 2.0
+    out = S.STAGED_QUERIES["ams_f2_user_events"](spark, sf).collect()[0]
+    assert out["n_users"] == len(counts)
+    assert out["n_events"] == sum(counts.values())
+    assert out["f2_exact"] == f2
+    assert abs(out["ams_median_est"] - round(med, 6)) < 1e-9
+    assert abs(out["rel_err"] - round(abs(med - f2) / f2, 6)) < 1e-9
+
+
+def test_theil_sen_matches_bruteforce(spark, tmp_path):
+    """Median pairwise slope and OLS slope against exact Fraction
+    references over engineered daily counts."""
+    daily = [10, 12, 9, 20, 14, 13, 30]
+    rows, eid = [], 0
+    for d, c in enumerate(daily):
+        for k in range(c):
+            eid += 1
+            rows.append(
+                (eid, f"2024-03-{d + 1:02d} 06:{k % 60:02d}:07", 7, "view", 1.0, "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    days = list(range(len(daily)))
+    slopes = sorted(
+        Fraction(daily[j] - daily[i], j - i)
+        for i in days
+        for j in days
+        if j > i
+    )
+    assert len(slopes) % 2 == 1  # unique middle element by construction
+    med = slopes[len(slopes) // 2]
+    n = len(days)
+    sd, sc = sum(days), sum(daily)
+    sdc = sum(d * c for d, c in zip(days, daily))
+    sdd = sum(d * d for d in days)
+    ols = Fraction(n * sdc - sd * sc, n * sdd - sd * sd)
+    out = S.STAGED_QUERIES["theil_sen_daily_trend"](spark, sf).collect()[0]
+    assert out["n_days"] == n and out["n_pairs"] == len(slopes)
+    assert abs(out["theil_sen_slope"] - float(med)) < 2e-6
+    assert abs(out["ols_slope"] - float(ols)) < 2e-6
+
+
+def test_known_item_retrieval_is_perfect_on_unique_prefixes(spark, tmp_path):
+    """When every document's first six tokens are globally unique to it,
+    each query's only candidate is its own source document: rank 1
+    everywhere, so recall@1 = MRR = 1 exactly."""
+    rows = []
+    for i in range(1, 65):
+        toks = " ".join(f"uniq{i}t{j}" for j in range(6))
+        rows.append((i, toks + f" tail{i}", "en", "s", 40))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    nq = sum(1 for i in range(1, 65) if _h48(str(i)) % 16 == 0)
+    assert nq >= 1
+    out = S.STAGED_QUERIES["retrieval_known_item_eval"](spark, sf).collect()[0]
+    assert out["n_queries"] == nq
+    assert out["hits_at_1"] == nq and out["hits_at_10"] == nq
+    assert out["recall_at_1"] == 1.0 and out["recall_at_10"] == 1.0
+    assert out["mrr"] == 1.0 and out["mean_rank"] == 1.0
+
+
+def test_hubness_degrees_on_engineered_buckets(spark, tmp_path):
+    """Four mutually-visible vectors (same sign bucket, k >= 3 available
+    neighbors) each get in-degree 3; a fifth vector alone in another
+    bucket stays at in-degree 0 and visible in the histogram."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [
+        [1.0, 1.0, 1.0, 1.0, 0.1 * i, 0.0, 0.0, 0.0] for i in range(4)
+    ] + [[-1.0, -1.0, -1.0, -1.0, 0.5, 0.0, 0.0, 0.0]]
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(1, 6)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = {
+        r["in_degree"]: r
+        for r in S.STAGED_QUERIES["knn_hubness_audit"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 3}
+    assert out[3]["n_vectors"] == 4 and out[0]["n_vectors"] == 1
+    assert abs(out[3]["edge_share"] - 1.0) < 1e-9
+    assert abs(out[0]["vec_share"] - 0.2) < 1e-9
