@@ -2702,3 +2702,180 @@ def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("edge_share"),
     )
+
+
+# --- pairwise source vocabulary overlap ---------------------------------------
+
+
+@staged(
+    "source_vocab_jaccard",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_D}) AS w FROM documents
+),
+sv AS (SELECT DISTINCT source, w FROM tok WHERE w <> ''),
+vs AS (SELECT source, count(*)::BIGINT AS v FROM sv GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS inter
+  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, va.v AS vocab_a, vb.v AS vocab_b, i.inter,
+       round(CAST(i.inter AS DOUBLE) / (va.v + vb.v - i.inter), 6) + 0.0
+         AS jaccard
+FROM inter i
+JOIN vs va ON va.source = i.source_a
+JOIN vs vb ON vb.source = i.source_b
+""",
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of the per-source vocabularies — the
+    "which crawls are secretly the same crawl" audit: two sources whose
+    type vocabularies overlap far above the corpus baseline are
+    mirror/re-crawl suspects, which matters to mixture weighting
+    (``mixture_temperature_weights``) and dedup budgeting long before
+    any document-level near-dup pass runs. Complements
+    ``source_unigram_kl`` (distributional shape) with SET overlap.
+
+    Scale shape: the corpus collapses to the distinct (source, word)
+    frame in one hash aggregate; intersections come from a self
+    equi-join ON THE WORD (never a source×source×vocab blowup — a word
+    appearing in s sources contributes s(s-1)/2 rows, bounded by the
+    source count squared); per-source vocabulary sizes re-aggregate the
+    same frame and join back by the tiny source key. Exactness: all
+    counts exact int64; Jaccard is a final 6dp division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = (
+        docs.select("source", F.explode(F.expr(_TOKS_S)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    sv = sv.localCheckpoint()  # feeds the sizes and both join sides
+    vs = sv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = sv.select(F.col("source").alias("source_a"), "w")
+    b = sv.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    va = vs.select(F.col("source").alias("source_a"), F.col("v").alias("vocab_a"))
+    vb = vs.select(F.col("source").alias("source_b"), F.col("v").alias("vocab_b"))
+    j = inter.join(F.broadcast(va), "source_a").join(F.broadcast(vb), "source_b")
+    return j.select(
+        "source_a",
+        "source_b",
+        "vocab_a",
+        "vocab_b",
+        "inter",
+        (
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jaccard"),
+    )
+
+
+# --- Poisson overdispersion test of the hourly arrival process ----------------
+
+# Dispersion statistic D = (n*S2 - S1^2)/S1 = (n-1)*s^2/mean — chi-square
+# with n-1 df under a Poisson arrival process. Written once, pasted into
+# both dialects (identical operand sequence), 6dp-rounded before reuse.
+_DISP_D = "round((n * s2 - s1 * s1) / cast(s1 as double), 6) + 0.0"
+_DISP_VMR = "round((n * s2 - s1 * s1) / (cast(s1 as double) * kk), 6) + 0.0"
+# Wilson-Hilferty cube-root normalization of chi-square: z ~ N(0,1).
+# Literals are e-notation (1e0/3e0) on purpose: Spark parses `1.0/3.0` as
+# DECIMAL/DECIMAL — a truncated 0.333333 exponent — while DuckDB divides
+# doubles; e-notation is a double literal in BOTH dialects, keeping the
+# operand sequence identical (caught live: z diverged 9e-6 at sf0.001).
+_DISP_Z = (
+    "case when kk <= 0 or s1 = 0 then 0.0 else "
+    "round((pow(d / kk, 1e0/3e0) - (1e0 - 2e0/(9*kk)))"
+    " / sqrt(2e0/(9*kk)), 6) + 0.0 end"
+)
+
+
+def _disp_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH hc AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hr, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM hc
+),
+k AS (SELECT *, n - 1 AS kk FROM s),
+d0 AS (SELECT *, {_DISP_D} AS d FROM k),
+z0 AS (SELECT *, {_DISP_Z} AS z_stat FROM d0),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+            1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM z0
+)
+SELECT n AS n_hours, s1 AS total_events,
+       round(CAST(s1 AS DOUBLE) / n, 6) + 0.0 AS mean_hourly_rate,
+       {_DISP_VMR} AS vmr, d AS dispersion_stat, z_stat,
+       round({poly}, 6) + 0.0 AS p_value,
+       (round({poly}, 6) + 0.0) <= 0.05 AS significant_at_95
+FROM xt
+"""
+
+
+@staged("event_overdispersion_test", oracle=_disp_oracle())
+def event_overdispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion test of the hourly event-arrival process:
+    the index of dispersion D = (n-1) * variance / mean of the hourly
+    counts is chi-square(n-1) under a well-behaved (Poisson) arrival
+    process; a VMR far above 1 flags bursty/clumped ingestion (bot
+    bursts, batch replays, a stuck producer flushing) even when the MEAN
+    rate looks normal — the distributional health check that complements
+    ``cusum_changepoint_hourly`` (level shift WHEN) and
+    ``theil_sen_daily_trend`` (sustained drift).
+
+    Exactness: the hourly collapse and the (n, S1, S2) moments are exact
+    int64 (S2 overflows int64 LOUDLY past ~3e9 events/hour); D rounds at
+    6dp before the Wilson-Hilferty cube-root z-transform, z rounds at
+    6dp before the shared Abramowitz-Stegun erfc polynomial — identical
+    operand text in both engines, the established p-value discipline.
+    Scale: one map-side-combined aggregate to |hours| rows, one scalar
+    aggregate, then constant algebra."""
+    hc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = hc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    k = s.withColumn("kk", (F.col("n") - 1).cast("long"))
+    d0 = k.withColumn("d", F.expr(_DISP_D))
+    z0 = d0.withColumn("z_stat", F.expr(_DISP_Z))
+    xt = z0.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        F.col("n").alias("n_hours"),
+        F.col("s1").alias("total_events"),
+        (F.round(F.col("s1").cast("double") / F.col("n"), 6) + F.lit(0.0)).alias(
+            "mean_hourly_rate"
+        ),
+        F.expr(_DISP_VMR).alias("vmr"),
+        F.col("d").alias("dispersion_stat"),
+        "z_stat",
+        (F.round(F.expr(poly), 6) + F.lit(0.0)).alias("p_value"),
+        ((F.round(F.expr(poly), 6) + F.lit(0.0)) <= 0.05).alias(
+            "significant_at_95"
+        ),
+    )
