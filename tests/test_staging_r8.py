@@ -332,3 +332,54 @@ def test_hubness_degrees_on_engineered_buckets(spark, tmp_path):
     assert out[3]["n_vectors"] == 4 and out[0]["n_vectors"] == 1
     assert abs(out[3]["edge_share"] - 1.0) < 1e-9
     assert abs(out[0]["vec_share"] - 0.2) < 1e-9
+
+
+def test_source_vocab_jaccard_on_known_sets(spark, tmp_path):
+    """Known vocab sets: overlapping pairs get exact intersection/union
+    counts; fully disjoint pairs are (deliberately) absent — the overlap
+    matrix is sparse."""
+    rows = [
+        (1, "a b c d", "en", "s1", 7),
+        (2, "c d e", "en", "s2", 5),
+        (3, "x", "en", "s3", 1),
+        (4, "d e", "en", "s2", 3),  # dup types within a source collapse
+    ]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in S.STAGED_QUERIES["source_vocab_jaccard"](spark, sf).collect()
+    }
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert (r["vocab_a"], r["vocab_b"], r["inter"]) == (4, 3, 2)
+    assert abs(r["jaccard"] - round(2 / 5, 6)) < 1e-9
+
+
+def test_overdispersion_matches_python_erfc(spark, tmp_path):
+    """Dispersion statistic exact from integer moments; p-value within
+    the A&S polynomial's 1.5e-7 of Python's true erfc."""
+    import math
+
+    hourly = [2, 8, 3, 7, 5, 5, 1, 9]
+    rows, eid = [], 0
+    for h, c in enumerate(hourly):
+        for k in range(c):
+            eid += 1
+            rows.append(
+                (eid, f"2024-04-01 {h:02d}:{k:02d}:11", 3, "view", 1.0, "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    n, s1 = len(hourly), sum(hourly)
+    s2 = sum(c * c for c in hourly)
+    d = round((n * s2 - s1 * s1) / s1, 6)
+    kk = n - 1
+    z = round(
+        ((d / kk) ** (1 / 3) - (1 - 2 / (9 * kk))) / math.sqrt(2 / (9 * kk)), 6
+    )
+    p_true = math.erfc(abs(z) / math.sqrt(2))
+    out = S.STAGED_QUERIES["event_overdispersion_test"](spark, sf).collect()[0]
+    assert out["n_hours"] == n and out["total_events"] == s1
+    assert abs(out["dispersion_stat"] - d) < 1e-9
+    assert abs(out["vmr"] - round((n * s2 - s1 * s1) / (s1 * kk), 6)) < 1e-9
+    assert abs(out["z_stat"] - z) < 1e-9
+    assert abs(out["p_value"] - p_true) < 1e-5
