@@ -1667,12 +1667,14 @@ def neyman_allocation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOUR_US = 3600 * 1000000
 
 
-@staged(
-    "cusum_changepoint_hourly",
-    oracle=f"""
+def _cusum_oracle(where: str = "") -> str:
+    """The CUSUM readout SQL over ``events`` (optionally filtered) —
+    shared verbatim by the batch scan and the streaming twin, which
+    differ only in WHERE the hourly counts come from."""
+    return f"""
 WITH hc AS (
   SELECT epoch_us(ts) // {_HOUR_US} AS hr, count(*)::BIGINT AS c
-  FROM events GROUP BY hr
+  FROM events {where} GROUP BY hr
 ),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*)::BIGINT AS nh FROM hc),
 d AS (
@@ -1702,8 +1704,10 @@ SELECT max(nh) AS n_hours, max(tt) AS total_events,
        round(CAST(max(cs) AS DOUBLE) / max(nh), 6) + 0.0 AS max_cusum_events,
        CAST(-(max(struct_pack(a := cs, b := -hr)).b) AS BIGINT) AS peak_hr
 FROM s
-""",
-)
+"""
+
+
+@staged("cusum_changepoint_hourly", oracle=_cusum_oracle())
 def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point scan over the hourly event rate — the
     TEMPORAL member of the drift family (KS/PSI/chi-square/MMD compare
@@ -1729,6 +1733,12 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc = load_table(spark, sf_dir, "events").groupBy(
         F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return _cusum_readout(hc)
+
+
+def _cusum_readout(hc: DataFrame) -> DataFrame:
+    """Reflection-identity CUSUM scan over an hourly-count frame
+    ``(hr, c)`` — shared by the batch scan and the streaming twin."""
     tot = hc.agg(
         F.sum("c").cast("long").alias("tt"), F.count(F.lit(1)).cast("long").alias("nh")
     )
@@ -2879,3 +2889,60 @@ def event_overdispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_at_95"
         ),
     )
+
+
+# --- streaming twin: CUSUM monitor over replayed ingest -----------------------
+
+
+@staged(
+    "stream_cusum_hourly_monitor",
+    oracle=_cusum_oracle("WHERE event_id % 2 = 1"),
+)
+def stream_cusum_hourly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point monitor computed ON THE INGEST PATH: the
+    odd-event_id half of the event stream replays as 2 micro-batches;
+    each batch appends its per-hour event counts to a managed table, the
+    readout merges the partials by plain per-hour summation, and the
+    identical reflection-identity scan as ``cusum_changepoint_hourly``
+    runs over the merged hourly frame. The proof obligation mirrors
+    ``stream_ab_guardrail_welch``: hourly COUNTS are mergeable, so
+    streaming-then-merge is bit-identical to the batch scan over the
+    same half — certified end to end by the oracle (the batch CUSUM SQL
+    restricted to the replayed half). This is the monitoring shape a
+    live ingest pipeline runs: partial counts land continuously, the
+    scan is re-read from the merged table on demand.
+
+    Scale shape: per micro-batch one map-side-combined hash aggregate to
+    its |hours| rows (no shuffle of raw events beyond the aggregate);
+    the managed table holds batches x hours rows; the merge is one
+    bounded groupBy and the scan is the documented
+    bounded-global-window pattern."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+        )
+    )
+
+    def _hourly_batch(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("hr").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, hr long",
+        _hourly_batch,
+        "cusum_hourly_partials",
+        split_col="event_id",
+        src_prefix="cusum_monitor_src_",
+    )
+    merged = partials.groupBy("hr").agg(F.sum("c").cast("long").alias("c"))
+    return _cusum_readout(merged)
