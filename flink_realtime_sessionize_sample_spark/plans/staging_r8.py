@@ -1818,7 +1818,7 @@ terms AS (
 )
 SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
        max(n_vals)::BIGINT AS n_values,
-       round(sum(w_term) / 1000000.0, 6) + 0.0 AS w1_chars,
+       round(coalesce(sum(w_term), 0) / 1000000.0, 6) + 0.0 AS w1_chars,
        round(max(d_e6) / 1000000.0, 6) + 0.0 AS ks_d
 FROM terms
 """
@@ -1903,9 +1903,12 @@ def wasserstein_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
         F.max("n_vals").cast("long").alias("n_values"),
-        (F.round(F.sum("w_term") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
-            "w1_chars"
-        ),
+        # coalesce: a single distinct value leaves every width term NULL
+        # (no predecessor anywhere) — W1 is 0 there, not NULL.
+        (
+            F.round(F.coalesce(F.sum("w_term"), F.lit(0)) / F.lit(1000000.0), 6)
+            + F.lit(0.0)
+        ).alias("w1_chars"),
         (F.round(F.max("d_e6") / F.lit(1000000.0), 6) + F.lit(0.0)).alias("ks_d"),
     )
 
@@ -1925,8 +1928,10 @@ WITH b AS (
 ),
 cells AS (SELECT bx, by, count(*)::BIGINT AS c FROM b GROUP BY bx, by),
 pq AS (
-  SELECT sum(CASE WHEN p.by > a.by THEN a.c * p.c ELSE 0 END)::BIGINT AS conc,
-         sum(CASE WHEN p.by < a.by THEN a.c * p.c ELSE 0 END)::BIGINT AS disc
+  SELECT coalesce(sum(CASE WHEN p.by > a.by THEN a.c * p.c ELSE 0 END),
+                  0)::BIGINT AS conc,
+         coalesce(sum(CASE WHEN p.by < a.by THEN a.c * p.c ELSE 0 END),
+                  0)::BIGINT AS disc
   FROM cells a JOIN cells p ON p.bx > a.bx
 ),
 mx AS (SELECT sum(m * (m - 1) // 2)::BIGINT AS tx
@@ -1936,9 +1941,11 @@ my AS (SELECT sum(m * (m - 1) // 2)::BIGINT AS ty
 n AS (SELECT sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_cells FROM cells)
 SELECT n.n_docs, n.n_cells, pq.conc AS concordant, pq.disc AS discordant,
        mx.tx AS ties_x_pairs, my.ty AS ties_y_pairs,
-       round((pq.conc - pq.disc)
+       CASE WHEN n.n_docs * (n.n_docs - 1) // 2 - mx.tx <= 0
+              OR n.n_docs * (n.n_docs - 1) // 2 - my.ty <= 0 THEN NULL
+            ELSE round((pq.conc - pq.disc)
              / (sqrt(n.n_docs * (n.n_docs - 1) // 2 - mx.tx)
-                * sqrt(n.n_docs * (n.n_docs - 1) // 2 - my.ty)), 6) + 0.0
+                * sqrt(n.n_docs * (n.n_docs - 1) // 2 - my.ty)), 6) + 0.0 END
          AS tau_b,
        CASE WHEN pq.conc + pq.disc = 0 THEN NULL
             ELSE round(CAST(pq.conc - pq.disc AS DOUBLE)
@@ -1984,15 +1991,24 @@ def kendall_tau_chars_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = (
         a.join(F.broadcast(p), F.col("p.bx") > F.col("a.bx"))
         .agg(
-            F.sum(
-                F.when(F.col("p.by") > F.col("a.by"), F.col("a.c") * F.col("p.c"))
-                .otherwise(F.lit(0))
+            # coalesce: a grid with no strictly-greater-bx cell pair leaves
+            # the aggregate input EMPTY (sum -> NULL); zero pairs means
+            # zero concordant/discordant, not NULL.
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("p.by") > F.col("a.by"), F.col("a.c") * F.col("p.c"))
+                    .otherwise(F.lit(0))
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("conc"),
-            F.sum(
-                F.when(F.col("p.by") < F.col("a.by"), F.col("a.c") * F.col("p.c"))
-                .otherwise(F.lit(0))
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("p.by") < F.col("a.by"), F.col("a.c") * F.col("p.c"))
+                    .otherwise(F.lit(0))
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("disc"),
@@ -2024,7 +2040,15 @@ def kendall_tau_chars_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disc").alias("discordant"),
         F.col("tx").alias("ties_x_pairs"),
         F.col("ty").alias("ties_y_pairs"),
-        (
+        # Degenerate-margin guard: with every row tied on an axis the
+        # tie-corrected denominator is 0 and ANSI double division throws;
+        # tau-b is undefined there, so report NULL (mirrored in the oracle).
+        F.when(
+            (F.expr("n_docs * (n_docs - 1) div 2 - tx") <= 0)
+            | (F.expr("n_docs * (n_docs - 1) div 2 - ty") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
             F.round(
                 (F.col("conc") - F.col("disc"))
                 / (
@@ -2034,7 +2058,8 @@ def kendall_tau_chars_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             )
             + F.lit(0.0)
-        ).alias("tau_b"),
+        )
+        .alias("tau_b"),
         F.when(F.col("conc") + F.col("disc") == 0, F.lit(None).cast("double"))
         .otherwise(
             F.round(

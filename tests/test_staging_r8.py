@@ -383,3 +383,117 @@ def test_overdispersion_matches_python_erfc(spark, tmp_path):
     assert abs(out["vmr"] - round((n * s2 - s1 * s1) / (s1 * kk), 6)) < 1e-9
     assert abs(out["z_stat"] - z) < 1e-9
     assert abs(out["p_value"] - p_true) < 1e-5
+
+
+# --- property tests: random multisets vs exact Python references -------------
+
+import tempfile
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+
+def _tmp_sf(**tables) -> str:
+    d = tempfile.mkdtemp(prefix="staged_prop_")
+    for name, df in tables.items():
+        df.to_parquet(f"{d}/{name}.parquet", index=False)
+    return d
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=48, max_value=400), min_size=6, max_size=28)
+)
+def test_wasserstein_property_random_lengths(spark, lengths):
+    rows = [(i + 1, "x", "en", "s", v) for i, v in enumerate(lengths)]
+    a = sorted(r[4] for r in rows if _h48(str(r[0])) % 2 == 0)
+    b = sorted(r[4] for r in rows if _h48(str(r[0])) % 2 == 1)
+    assume(a and b)
+    sf = _tmp_sf(documents=_docs_pdf(rows))
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    w1, ks = Fraction(0), Fraction(0)
+    ca = cb = 0
+    prev = None
+    for v in vals:
+        if prev is not None:
+            w1 += abs(Fraction(ca, na) - Fraction(cb, nb)) * (v - prev)
+        ca += a.count(v)
+        cb += b.count(v)
+        ks = max(ks, abs(Fraction(ca, na) - Fraction(cb, nb)))
+        prev = v
+    out = S.STAGED_QUERIES["wasserstein_split_drift"](spark, sf).collect()[0]
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert abs(out["w1_chars"] - float(w1)) < 5e-4
+    assert abs(out["ks_d"] - float(ks)) < 2e-6
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # bx
+            st.integers(min_value=0, max_value=5),  # by
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_kendall_property_random_grids(spark, pts):
+    rows = [
+        (i + 1, " ".join(f"w{j}" for j in range(by * 16 + 1)), "en", "s", bx * 64)
+        for i, (bx, by) in enumerate(pts)
+    ]
+    sf = _tmp_sf(documents=_docs_pdf(rows))
+    grid = [(bx, (by * 16 + 1) // 16) for bx, by in pts]
+    conc = disc = tx = ty = 0
+    n = len(grid)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = grid[i][0] - grid[j][0]
+            dy = grid[i][1] - grid[j][1]
+            tx += dx == 0
+            ty += dy == 0
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    out = S.STAGED_QUERIES["kendall_tau_chars_words"](spark, sf).collect()[0]
+    assert (out["concordant"], out["discordant"]) == (conc, disc)
+    assert (out["ties_x_pairs"], out["ties_y_pairs"]) == (tx, ty)
+    if n0 - tx <= 0 or n0 - ty <= 0:
+        assert out["tau_b"] is None  # degenerate margins: NULL, not a crash
+    else:
+        import math
+
+        tau = (conc - disc) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+        assert abs(out["tau_b"] - tau) < 1e-6
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=25), min_size=2, max_size=9)
+)
+def test_theil_sen_property_random_daily_counts(spark, daily):
+    rows, eid = [], 0
+    for d, c in enumerate(daily):
+        for k in range(c):
+            eid += 1
+            rows.append(
+                (eid, f"2024-03-{d + 1:02d} 06:{k % 60:02d}:07", 7, "view", 1.0, "{}")
+            )
+    sf = _tmp_sf(events=_events_pdf(rows))
+    days = list(range(len(daily)))
+    slopes = sorted(
+        Fraction(daily[j] - daily[i], j - i) for i in days for j in days if j > i
+    )
+    m = len(slopes)
+    med = (
+        slopes[m // 2]
+        if m % 2
+        else Fraction(slopes[m // 2 - 1] + slopes[m // 2], 2)
+    )
+    out = S.STAGED_QUERIES["theil_sen_daily_trend"](spark, sf).collect()[0]
+    assert out["n_pairs"] == m
+    assert abs(out["theil_sen_slope"] - float(med)) < 2e-6
