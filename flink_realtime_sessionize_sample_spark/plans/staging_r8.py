@@ -2585,7 +2585,7 @@ def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", F.col("score").alias("s_true")
     )
     rk = (
-        scored.join(tru, "q_id")
+        scored.join(F.broadcast(tru), "q_id")  # one row per query — tiny
         .groupBy("q_id")
         .agg(
             (

@@ -497,3 +497,64 @@ def test_theil_sen_property_random_daily_counts(spark, daily):
     out = S.STAGED_QUERIES["theil_sen_daily_trend"](spark, sf).collect()[0]
     assert out["n_pairs"] == m
     assert abs(out["theil_sen_slope"] - float(med)) < 2e-6
+
+
+# --- plan-shape assertions for the session-5 staged queries -------------------
+
+
+def test_wasserstein_rank_passes_are_banded(spark, sf_small):
+    """Both the two-sample-CDF rank pass and the predecessor prefix-max
+    pass must be deterministic-banded: band-keyed windows, no range
+    exchange, no single-partition sort of the distinct-value frame."""
+    p = _explain(S.STAGED_QUERIES["wasserstein_split_drift"](spark, sf_small))
+    assert "rangepartitioning" not in p.lower()
+    assert "_pid" in p
+
+
+def test_theil_sen_median_is_banded_not_sorted(spark, sf_small):
+    """The pair-frame median must ride the banded rank operator — no
+    range exchange, no TakeOrderedAndProject of the O(days^2) frame."""
+    p = _explain(S.STAGED_QUERIES["theil_sen_daily_trend"](spark, sf_small))
+    assert "rangepartitioning" not in p.lower()
+    assert "TakeOrderedAndProject" not in p
+    assert "_pid" in p
+
+
+def test_known_item_eval_never_sorts_the_corpus(spark, sf_small):
+    """Rank-by-counting: the final plan (downstream of the checkpointed
+    candidate frame) must contain NO global sort or top-k of the scored
+    frame — ranks come from per-query count aggregates — and the
+    true-score join must be broadcast (one row per query)."""
+    p = _explain(S.STAGED_QUERIES["retrieval_known_item_eval"](spark, sf_small))
+    assert "rangepartitioning" not in p.lower()
+    assert "TakeOrderedAndProject" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_vocab_jaccard_joins_on_word(spark, sf_small):
+    """The intersection self-join must be a word-keyed equi join (shuffle
+    or broadcast hash join), never a nested-loop over source pairs."""
+    p = _explain(S.STAGED_QUERIES["source_vocab_jaccard"](spark, sf_small))
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stream_cusum_twin_equals_batch_on_same_half(spark, sf_small):
+    """The streaming twin's readout must equal the batch scan applied to
+    the same odd-event_id half directly (mergeability, end to end)."""
+    from flink_realtime_sessionize_sample_spark.plans.staging_r8 import (
+        _HOUR_US,
+        _cusum_readout,
+    )
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    twin = S.STAGED_QUERIES["stream_cusum_hourly_monitor"](spark, sf_small)
+    hc = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .groupBy(F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    batch = _cusum_readout(hc)
+    assert twin.collect() == batch.collect()
