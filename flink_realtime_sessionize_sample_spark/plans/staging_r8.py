@@ -2971,3 +2971,100 @@ def stream_cusum_hourly_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = partials.groupBy("hr").agg(F.sum("c").cast("long").alias("c"))
     return _cusum_readout(merged)
+
+
+# --- active learning: NB margin uncertainty sampling ---------------------------
+
+_UNC_TOP = 20
+
+
+def _unc_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _NB_PRED_CTES,
+    )
+
+    return (
+        _NB_PRED_CTES
+        + f""",
+m AS (
+  SELECT doc_id, true_lang,
+         max(CASE WHEN rn = 1 THEN cls END) AS pred_lang,
+         max(CASE WHEN rn = 2 THEN cls END) AS runner_up,
+         CAST(max(CASE WHEN rn = 1 THEN stot END)
+              - max(CASE WHEN rn = 2 THEN stot END) AS BIGINT) AS margin_micro
+  FROM rk WHERE rn <= 2 GROUP BY doc_id, true_lang
+)
+SELECT doc_id, true_lang, pred_lang, runner_up, margin_micro,
+       round(margin_micro / 1000000.0, 6) + 0.0 AS margin
+FROM m ORDER BY margin_micro ASC, doc_id ASC LIMIT {_UNC_TOP}
+"""
+    )
+
+
+@staged("nb_uncertainty_sampling", oracle=_unc_oracle())
+def nb_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection: the {_UNC_TOP} test documents
+    where the naive-Bayes language classifier is LEAST sure — smallest
+    margin between the winning and runner-up class log-scores. This is
+    the labeling-budget allocator of a data-annotation loop: human
+    labels buy the most model improvement exactly where the margin is
+    thinnest, and a margin near zero on a supposedly-monolingual source
+    doubles as a mislabeled-scrape alarm (pairs with
+    ``naive_bayes_eval_f1`` and ``mcnemar_nb_vs_heuristic``).
+
+    Reuses the verified NB scaffolding (ml_eval_queries:
+    _nb_model_frames / _nb_bucketed_tokens — broadcast model state,
+    integer micro-unit scores), so the margin s1 - s2 is an EXACT
+    integer difference, immune to float summation order; the top-k pick
+    orders by (margin_micro, doc_id) — a total order. Scale shape: one
+    corpus shuffle to per-(doc, class) integer sums; winner and
+    runner-up come from ONE conditional aggregate over the rn <= 2 rows
+    (no self-join); the final top-k is a distributed
+    TakeOrderedAndProject, never a full sort."""
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _nb_bucketed_tokens,
+        _nb_model_frames,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, prior = _nb_model_frames(docs)
+    test_bk = (
+        _nb_bucketed_tokens(docs)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.col("lang").alias("true_lang"), "b")
+    )
+    sc = (
+        test_bk.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "true_lang", "cls")
+        .agg(F.sum("llv").cast("long").alias("s"))
+    )
+    si = sc.join(F.broadcast(prior), "cls").select(
+        "doc_id", "true_lang", "cls", (F.col("s") + F.col("pv")).alias("stot")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("stot").desc(), F.col("cls").asc())
+    r = si.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    m = r.groupBy("doc_id", "true_lang").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cls"))).alias("pred_lang"),
+        F.max(F.when(F.col("rn") == 2, F.col("cls"))).alias("runner_up"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("stot")))
+            - F.max(F.when(F.col("rn") == 2, F.col("stot")))
+        )
+        .cast("long")
+        .alias("margin_micro"),
+    )
+    return (
+        m.select(
+            "doc_id",
+            "true_lang",
+            "pred_lang",
+            "runner_up",
+            "margin_micro",
+            (F.round(F.col("margin_micro") / F.lit(1000000.0), 6) + F.lit(0.0)).alias(
+                "margin"
+            ),
+        )
+        .orderBy(F.col("margin_micro").asc(), F.col("doc_id").asc())
+        .limit(_UNC_TOP)
+    )
