@@ -3068,3 +3068,101 @@ def nb_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin_micro").asc(), F.col("doc_id").asc())
         .limit(_UNC_TOP)
     )
+
+
+# --- quantile normalization of per-source length distributions -----------------
+
+
+@staged(
+    "quantile_normalize_lengths",
+    oracle="""
+WITH p AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+  FROM documents
+),
+t AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+s AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rs,
+         count(*) OVER (PARTITION BY source)::BIGINT AS ns
+  FROM documents
+),
+k AS (
+  SELECT s.*, t.n_all, (s.rs * t.n_all + s.ns - 1) // s.ns AS kk
+  FROM s CROSS JOIN t
+)
+SELECT k.doc_id, k.source, k.n_chars, k.rs AS src_rank,
+       p.n_chars AS norm_chars,
+       round(k.rs / CAST(k.ns AS DOUBLE), 6) + 0.0 AS quantile
+FROM k JOIN p ON p.gr = k.kk
+""",
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document length ACROSS sources — each
+    document's length is replaced by the pooled corpus length at the
+    same within-source quantile, the batch-effect correction that makes
+    a length-based quality threshold mean the same thing for a crawler
+    that ships 200-char snippets and one that ships 5k-char pages
+    (microarray-style quantile normalization, applied to corpus
+    governance; pairs with ``trimmed_mean_chars_by_source`` and
+    ``wasserstein_split_drift`` which DETECT the distributional gaps
+    this REMOVES).
+
+    Distributed shape: the pooled rank is one deterministic-banded
+    global-rank pass on (n_chars, doc_id); the within-source rank rides
+    a SECOND banded pass on the composite key source|lpad(n_chars)|
+    lpad(doc_id) — every fixed prefix is lexicographically contiguous,
+    so sources band contiguously and the per-source rank is the
+    composite rank minus a broadcast per-source offset (the documented
+    composite-banding pattern; a partitionBy(source) window would pool
+    each source into ONE task — the Zipf pinch). The quantile-matched
+    lookup is then an exact integer rank equi-join: target rank =
+    ceil(rs * n_all / ns) in pure int64 (LOUD overflow past ~3e9 docs).
+    Exactness: ranks and the matched lengths are exact integers under a
+    total order; the reported quantile is a final 6dp division.
+    Assumes source names contain no '|' (the testdata invariant)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs = docs.localCheckpoint()  # feeds the pooled pass, the composite pass, the total
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    pooled = with_global_rank(
+        docs.select("doc_id", "n_chars"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        rank_col="gr",
+    ).select("gr", F.col("n_chars").alias("norm_chars"))
+    ckf = docs.withColumn(
+        "ck",
+        F.concat(
+            F.col("source"),
+            F.lit("|"),
+            F.lpad(F.col("n_chars").cast("string"), 13, "0"),
+            F.lpad(F.col("doc_id").cast("string"), 13, "0"),
+        ),
+    )
+    cr = with_global_rank(ckf, [F.col("ck").asc()], rank_col="cr").drop("ck")
+    offs = cr.groupBy(F.col("source").alias("_src")).agg(
+        F.min("cr").cast("long").alias("off"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+    )
+    j = (
+        cr.join(F.broadcast(offs), cr.source == offs._src)
+        .drop("_src")
+        .withColumn("rs", (F.col("cr") - F.col("off") + 1).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "kk", F.expr("(rs * n_all + ns - 1) div ns").cast("long")
+        )
+    )
+    out = j.join(pooled, j.kk == pooled.gr)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("rs").alias("src_rank"),
+        "norm_chars",
+        (F.round(F.col("rs") / F.col("ns").cast("double"), 6) + F.lit(0.0)).alias(
+            "quantile"
+        ),
+    )

@@ -558,3 +558,26 @@ def test_stream_cusum_twin_equals_batch_on_same_half(spark, sf_small):
     )
     batch = _cusum_readout(hc)
     assert twin.collect() == batch.collect()
+
+
+def test_quantile_normalize_on_engineered_sources(spark, tmp_path):
+    """Two sources with hand-computable quantile matches: pooled sorted
+    lengths are (10,20,100,200,300,400); each doc maps to the pooled
+    value at ceil(rs*6/ns)."""
+    rows = [
+        (1, "x", "en", "A", 100),
+        (2, "x", "en", "A", 200),
+        (3, "x", "en", "A", 300),
+        (4, "x", "en", "A", 400),
+        (5, "x", "en", "B", 10),
+        (6, "x", "en", "B", 20),
+    ]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = {
+        r["doc_id"]: r
+        for r in S.STAGED_QUERIES["quantile_normalize_lengths"](spark, sf).collect()
+    }
+    expected = {1: 20, 2: 100, 3: 300, 4: 400, 5: 100, 6: 400}
+    assert {d: r["norm_chars"] for d, r in out.items()} == expected
+    assert out[5]["src_rank"] == 1 and out[4]["src_rank"] == 4
+    assert abs(out[5]["quantile"] - 0.5) < 1e-9
