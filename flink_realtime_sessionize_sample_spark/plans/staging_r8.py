@@ -3166,3 +3166,270 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quantile"
         ),
     )
+
+
+# --- embedding-space anisotropy audit ------------------------------------------
+
+_ANISO_BANDS = 10
+
+
+@staged(
+    "embedding_anisotropy_audit",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({T.dot_duck('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+q AS (
+  SELECT *, CAST(round(cosine * 1000000) AS BIGINT) AS c_e6,
+         CAST(floor(cosine * {_ANISO_BANDS}) AS BIGINT) AS band
+  FROM p
+),
+t AS (
+  SELECT count(*)::BIGINT AS n_pairs, sum(c_e6)::BIGINT AS sum_c_e6 FROM q
+)
+SELECT q.band, count(*)::BIGINT AS n_in_band,
+       round(count(*) / CAST(t.n_pairs AS DOUBLE), 6) + 0.0 AS band_share,
+       t.n_pairs,
+       round(t.sum_c_e6 / 1000000.0 / t.n_pairs, 6) + 0.0 AS mean_cosine
+FROM q CROSS JOIN t GROUP BY q.band, t.n_pairs, t.sum_c_e6
+""",
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit of the embedding space: the distribution (and
+    mean) of cosine similarity between id-adjacent vector pairs — pairs
+    that are unrelated in content, so their expected cosine is ~0 in an
+    isotropic space. A mean cosine pushed toward 1 is the classic
+    anisotropy pathology (Ethayarajh 2019): all vectors crowd a narrow
+    cone, cosine thresholds stop discriminating, and
+    ``semantic_dedup_*`` / ANN recall silently degrade — this is the
+    readout that says "whiten (``zca_whitening_newton_schulz``) or
+    re-center (``embedding_mean_pool``) before trusting cosine".
+
+    Pairing by consecutive vec_id is deterministic (no RNG — retries and
+    both engines agree) and content-blind, which is exactly what a
+    random-pair baseline needs. Exactness: each 6dp-rounded cosine
+    quantizes to an e6 integer BEFORE the mean's sum; the band histogram
+    floors the rounded cosine (identical text both engines). Scale: ONE
+    self equi-join on vec_id+1 (shuffle-or-broadcast hash join, no
+    bucketing needed — the join key is unique), one 1-row total, one
+    bounded band aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(T.norm_spark("embedding")).alias("nrm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    p = a.join(b, "id_a").select(
+        F.round(
+            F.expr(T.dot_spark("va", "vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine")
+    )
+    q = p.select(
+        F.expr("cast(round(cosine * 1000000) as bigint)").alias("c_e6"),
+        F.expr(f"cast(floor(cosine * {_ANISO_BANDS}) as bigint)").alias("band"),
+    )
+    q = q.localCheckpoint()  # feeds the total and the band histogram
+    t = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("c_e6").cast("long").alias("sum_c_e6"),
+    )
+    h = q.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("n_in_band"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "band",
+        "n_in_band",
+        (
+            F.round(F.col("n_in_band") / F.col("n_pairs").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("band_share"),
+        "n_pairs",
+        (
+            F.round(F.col("sum_c_e6") / F.lit(1000000.0) / F.col("n_pairs"), 6)
+            + F.lit(0.0)
+        ).alias("mean_cosine"),
+    )
+
+
+# --- Brown-Forsythe variance-equality test across sources ----------------------
+
+# F on the absolute deviations from the GROUP MEDIAN (doubled to stay
+# integer: z = |2x - (x_lo + x_hi)| — the factor cancels in the ratio).
+# Written once, pasted into both dialects; F rides Wilson-Hilferty with
+# df = k-1 (chi2/df = F as the denominator df grows — documented
+# large-N approximation), e-notation double literals throughout.
+_BF_F = (
+    "case when kk <= 0 or den_e6 <= 0 then cast(null as double) else "
+    "round((cast(num_e6 as double) * (n - k)) / (cast(den_e6 as double) * kk), 6)"
+    " + 0.0 end"
+)
+_BF_Z = (
+    "case when kk <= 0 or den_e6 <= 0 or num_e6 <= 0 then 0.0 else "
+    "round((pow((cast(num_e6 as double) * (n - k))"
+    " / (cast(den_e6 as double) * kk), 1e0/3e0) - (1e0 - 2e0/(9*kk)))"
+    " / sqrt(2e0/(9*kk)), 6) + 0.0 end"
+)
+
+
+def _bf_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH s AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rs,
+         count(*) OVER (PARTITION BY source)::BIGINT AS ns
+  FROM documents
+),
+med AS (
+  SELECT source,
+         CAST(max(CASE WHEN rs = (ns + 1) // 2 THEN n_chars END)
+              + max(CASE WHEN rs = ns // 2 + 1 THEN n_chars END) AS BIGINT)
+           AS m2
+  FROM s GROUP BY source
+),
+z AS (
+  SELECT d.source, CAST(abs(2 * d.n_chars - m.m2) AS BIGINT) AS z
+  FROM documents d JOIN med m USING (source)
+),
+g AS (
+  SELECT source, count(*)::BIGINT AS n_g, sum(z)::BIGINT AS sg,
+         CAST(sum(z * z) AS BIGINT) AS qg
+  FROM z GROUP BY source
+),
+t AS (
+  SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+         sum(sg)::BIGINT AS st, sum(qg)::BIGINT AS qt,
+         CAST(sum(CAST(round(1000000.0 * sg * sg / n_g) AS BIGINT))
+              AS BIGINT) AS terms_e6
+  FROM g
+),
+f0 AS (
+  SELECT k, n, k - 1 AS kk,
+         CAST(terms_e6 - CAST(round(1000000.0 * st * st / n) AS BIGINT)
+              AS BIGINT) AS num_e6,
+         CAST(1000000 * qt - terms_e6 AS BIGINT) AS den_e6
+  FROM t
+),
+z1 AS (SELECT *, {_BF_F} AS f_stat, {_BF_Z} AS z_stat FROM f0),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+            1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM z1
+)
+SELECT k AS k_sources, n AS n_docs, num_e6, den_e6, f_stat, z_stat,
+       round({poly}, 6) + 0.0 AS p_value,
+       (round({poly}, 6) + 0.0) <= 0.05 AS significant_at_95
+FROM xt
+"""
+
+
+@staged("brown_forsythe_length_variance", oracle=_bf_oracle())
+def brown_forsythe_length_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for equality of document-length VARIANCE
+    across sources — the robust (median-centered) Levene ANOVA on
+    z = |x - median_source|. The location-drift family (trimmed means,
+    Welch, Mann-Whitney) asks whether sources differ in LEVEL; this asks
+    whether they differ in SPREAD, which is what breaks shared
+    truncation thresholds and packing efficiency even when means agree.
+
+    Distributed shape: per-source medians come from the composite-banded
+    rank pass (source|lpad(n_chars)|lpad(doc_id) — the documented
+    pattern that avoids the partitionBy(source) single-task pinch) via
+    ONE conditional aggregate on the two middle order statistics;
+    deviations z = |2x - (x_lo + x_hi)| stay exact integers (the factor
+    2 cancels in F); group sums are exact int64 (den_e6's 1e6 scaling
+    exhausts int64 LOUDLY past ~9e12 in sum-of-squares — the documented
+    decimal extension point); each between-group term quantizes to e6
+    BEFORE the k-row sum. F and the Wilson-Hilferty z (df = k-1;
+    denominator df treated as large — exact for the corpus scales this
+    targets) are single 6dp expressions; p rides the shared erfc
+    polynomial."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs = docs.localCheckpoint()  # feeds the rank pass and the z join
+    ckf = docs.withColumn(
+        "ck",
+        F.concat(
+            F.col("source"),
+            F.lit("|"),
+            F.lpad(F.col("n_chars").cast("string"), 13, "0"),
+            F.lpad(F.col("doc_id").cast("string"), 13, "0"),
+        ),
+    )
+    cr = with_global_rank(ckf, [F.col("ck").asc()], rank_col="cr").drop("ck")
+    offs = cr.groupBy(F.col("source").alias("_src")).agg(
+        F.min("cr").cast("long").alias("off"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+    )
+    rs = (
+        cr.join(F.broadcast(offs), cr.source == offs._src)
+        .drop("_src")
+        .withColumn("rs", (F.col("cr") - F.col("off") + 1).cast("long"))
+    )
+    med = rs.groupBy("source").agg(
+        (
+            F.max(F.when(F.col("rs") == F.expr("(ns + 1) div 2"), F.col("n_chars")))
+            + F.max(F.when(F.col("rs") == F.expr("ns div 2 + 1"), F.col("n_chars")))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    z = docs.join(F.broadcast(med), "source").select(
+        "source", F.abs(2 * F.col("n_chars") - F.col("m2")).cast("long").alias("z")
+    )
+    g = z.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("sg"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("qg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("st"),
+        F.sum("qg").cast("long").alias("qt"),
+        F.sum(F.expr("cast(round(1000000.0 * sg * sg / n_g) as bigint)"))
+        .cast("long")
+        .alias("terms_e6"),
+    )
+    f0 = t.select(
+        "k",
+        "n",
+        (F.col("k") - 1).alias("kk"),
+        F.expr(
+            "cast(terms_e6 - cast(round(1000000.0 * st * st / n) as bigint)"
+            " as bigint)"
+        ).alias("num_e6"),
+        F.expr("cast(1000000 * qt - terms_e6 as bigint)").alias("den_e6"),
+    )
+    z1 = f0.withColumn("f_stat", F.expr(_BF_F)).withColumn("z_stat", F.expr(_BF_Z))
+    xt = z1.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        F.col("k").alias("k_sources"),
+        F.col("n").alias("n_docs"),
+        "num_e6",
+        "den_e6",
+        "f_stat",
+        "z_stat",
+        (F.round(F.expr(poly), 6) + F.lit(0.0)).alias("p_value"),
+        ((F.round(F.expr(poly), 6) + F.lit(0.0)) <= 0.05).alias(
+            "significant_at_95"
+        ),
+    )

@@ -581,3 +581,73 @@ def test_quantile_normalize_on_engineered_sources(spark, tmp_path):
     assert {d: r["norm_chars"] for d, r in out.items()} == expected
     assert out[5]["src_rank"] == 1 and out[4]["src_rank"] == 4
     assert abs(out[5]["quantile"] - 0.5) < 1e-9
+
+
+def test_anisotropy_on_engineered_vectors(spark, tmp_path):
+    """Hand-computable consecutive-pair cosines: (0, 0, 0.707107) ->
+    bands {0: 2, 7: 1}, mean = 0.235702."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]]
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = {
+        r["band"]: r
+        for r in S.STAGED_QUERIES["embedding_anisotropy_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert {b: r["n_in_band"] for b, r in out.items()} == {0: 2, 7: 1}
+    exp_mean = round((0 + 0 + 707107) / 3 / 1e6, 6)
+    for r in out.values():
+        assert r["n_pairs"] == 3
+        assert abs(r["mean_cosine"] - exp_mean) < 1e-9
+
+
+def test_brown_forsythe_matches_python_reference(spark, tmp_path):
+    """F, the integer num/den, and the erfc p-value against a from-scratch
+    Python computation on engineered groups with unequal spreads."""
+    import math
+
+    groups = {"A": [10, 20, 30], "B": [100, 200, 300, 400], "C": [50, 50, 52]}
+    rows, did = [], 0
+    for src, vals in groups.items():
+        for v in vals:
+            did += 1
+            rows.append((did, "x", "en", src, v))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    stats = []
+    for vals in groups.values():
+        sv = sorted(vals)
+        ng = len(sv)
+        m2 = sv[(ng + 1) // 2 - 1] + sv[ng // 2]
+        z = [abs(2 * x - m2) for x in sv]
+        stats.append((ng, sum(z), sum(v * v for v in z)))
+    k = len(stats)
+    n = sum(s[0] for s in stats)
+    st = sum(s[1] for s in stats)
+    qt = sum(s[2] for s in stats)
+    terms_e6 = sum(round(1e6 * sg * sg / ng) for ng, sg, _ in stats)
+    num_e6 = terms_e6 - round(1e6 * st * st / n)
+    den_e6 = 1000000 * qt - terms_e6
+    kk = k - 1
+    f = round((num_e6 * (n - k)) / (den_e6 * kk), 6)
+    zwh = round(
+        ((num_e6 * (n - k) / (den_e6 * kk)) ** (1 / 3) - (1 - 2 / (9 * kk)))
+        / math.sqrt(2 / (9 * kk)),
+        6,
+    )
+    p_true = math.erfc(abs(zwh) / math.sqrt(2))
+    out = S.STAGED_QUERIES["brown_forsythe_length_variance"](spark, sf).collect()[0]
+    assert (out["k_sources"], out["n_docs"]) == (k, n)
+    assert out["num_e6"] == num_e6 and out["den_e6"] == den_e6
+    assert abs(out["f_stat"] - f) < 1e-9
+    assert abs(out["z_stat"] - zwh) < 1e-9
+    assert abs(out["p_value"] - p_true) < 1e-5
