@@ -3433,3 +3433,97 @@ def brown_forsythe_length_variance(spark: SparkSession, sf_dir: str) -> DataFram
             "significant_at_95"
         ),
     )
+
+
+# --- rendezvous-hash shard rebalance preview -----------------------------------
+
+_SH_A, _SH_B = 16, 17  # shard counts before/after
+
+
+def _hrw_spark(n: int) -> str:
+    # argmax_s h48(doc_id:':s') via the packed-integer trick: h < 2^48, so
+    # max(h*32 + s) % 32 recovers the winning shard (ties -> larger s,
+    # identical in both engines). greatest() keeps it one per-row expression.
+    terms = ", ".join(
+        f"{T.h48_spark(f'''concat(cast(doc_id as string), ':{s}')''')} * 32 + {s}"
+        for s in range(n)
+    )
+    return f"greatest({terms}) % 32"
+
+
+def _hrw_duck(n: int) -> str:
+    terms = ", ".join(
+        f"{T.h48_duck(f'''doc_id::VARCHAR || ':{s}' ''')} * 32 + {s}"
+        for s in range(n)
+    )
+    return f"greatest({terms}) % 32"
+
+
+@staged(
+    "shard_rebalance_preview",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, CAST({_hrw_duck(_SH_A)} AS BIGINT) AS s_old,
+         CAST({_hrw_duck(_SH_B)} AS BIGINT) AS s_new
+  FROM documents
+),
+t AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END)::BIGINT AS n_moved
+  FROM a
+)
+SELECT a.s_new AS shard, count(*)::BIGINT AS n_docs_in_shard,
+       sum(CASE WHEN a.s_old <> a.s_new THEN 1 ELSE 0 END)::BIGINT
+         AS n_moved_in,
+       t.n_moved, t.n_docs,
+       round(CAST(t.n_moved AS DOUBLE) / t.n_docs, 6) + 0.0 AS moved_frac
+FROM a CROSS JOIN t GROUP BY a.s_new, t.n_moved, t.n_docs
+""",
+)
+def shard_rebalance_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash (HRW) shard-rebalance preview: assign every
+    document to its shard under {_SH_A} and under {_SH_B} shards and
+    report, per new shard, the incoming population and how much of it
+    MOVED — the data-placement audit run before resizing a bucketed
+    store or an IVF/LSH index (``dedup_incremental_index``'s bucketed
+    tables are exactly this shape). Rendezvous hashing moves only
+    ~1/{_SH_B} of keys on a {_SH_A}->{_SH_B} resize (vs ~all keys for
+    mod-N), and this query is the receipt: the measured moved_frac vs
+    the 1/{_SH_B} theory, plus the per-shard balance after.
+
+    Determinism/exactness: the winning shard is argmax over per-shard
+    48-bit md5 draws, computed as ONE per-row integer expression via the
+    packed max (h*32 + s < 2^53 — exact in int64, ties to the larger
+    shard id identically in both engines); everything after is exact
+    integer counting with a final 6dp share. Scale: per-row codegen
+    expressions ({_SH_A + _SH_B} hashes/row), one 1-row total, one
+    bounded groupBy — one corpus scan, no join, no window."""
+    a = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_hrw_spark(_SH_A)).cast("long").alias("s_old"),
+        F.expr(_hrw_spark(_SH_B)).cast("long").alias("s_new"),
+    )
+    a = a.localCheckpoint()  # feeds the total and the per-shard breakdown
+    t = a.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("s_old") != F.col("s_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    g = a.groupBy(F.col("s_new").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in_shard"),
+        F.sum(F.when(F.col("s_old") != F.col("s_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved_in"),
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "shard",
+        "n_docs_in_shard",
+        "n_moved_in",
+        "n_moved",
+        "n_docs",
+        (
+            F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6)
+            + F.lit(0.0)
+        ).alias("moved_frac"),
+    )

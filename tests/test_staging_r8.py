@@ -651,3 +651,28 @@ def test_brown_forsythe_matches_python_reference(spark, tmp_path):
     assert abs(out["f_stat"] - f) < 1e-9
     assert abs(out["z_stat"] - zwh) < 1e-9
     assert abs(out["p_value"] - p_true) < 1e-5
+
+
+def test_shard_rebalance_hrw_invariant_and_python_replication(spark, tmp_path):
+    """Rendezvous property: on a 16->17 resize, a document moves ONLY if
+    the new shard wins its argmax — so every moved document lands in
+    shard 16, and the assignment bit-matches a Python replication."""
+    rows = [(i, "x", "en", "s", 10) for i in range(1, 201)]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+
+    def hrw(doc_id, n):
+        return max(range(n), key=lambda s: (_h48(f"{doc_id}:{s}"), s))
+
+    moved = sum(1 for i in range(1, 201) if hrw(i, 16) != hrw(i, 17))
+    out = S.STAGED_QUERIES["shard_rebalance_preview"](spark, sf).collect()
+    by_shard = {r["shard"]: r for r in out}
+    assert all(r["n_moved"] == moved for r in out)
+    for s, r in by_shard.items():
+        if s == 16:
+            assert r["n_moved_in"] == r["n_docs_in_shard"] == moved
+        else:
+            assert r["n_moved_in"] == 0
+    py_counts = {}
+    for i in range(1, 201):
+        py_counts[hrw(i, 17)] = py_counts.get(hrw(i, 17), 0) + 1
+    assert {s: r["n_docs_in_shard"] for s, r in by_shard.items()} == py_counts
