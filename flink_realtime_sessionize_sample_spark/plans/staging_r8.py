@@ -3527,3 +3527,110 @@ def shard_rebalance_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("moved_frac"),
     )
+
+
+# --- join-skew preflight audit ---------------------------------------------------
+
+_SKEW_PARTS = 32
+_SKEW_TOP = 5
+
+
+@staged(
+    "join_skew_preflight",
+    oracle=f"""
+WITH k AS (
+  SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id
+),
+p AS (
+  SELECT {T.h48_duck('user_id::VARCHAR')} % {_SKEW_PARTS} AS part,
+         sum(c)::BIGINT AS rows_in_part
+  FROM k GROUP BY part
+),
+ps AS (
+  SELECT max(rows_in_part)::BIGINT AS max_part_rows,
+         count(*)::BIGINT AS n_parts
+  FROM p
+),
+t AS (SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS total_rows FROM k),
+top AS (
+  SELECT user_id AS hot_key, c AS key_rows,
+         row_number() OVER (ORDER BY c DESC, user_id ASC) AS rnk
+  FROM k ORDER BY c DESC, user_id ASC LIMIT {_SKEW_TOP}
+)
+SELECT top.rnk, top.hot_key, top.key_rows,
+       round(CAST(top.key_rows AS DOUBLE) / t.total_rows, 6) + 0.0
+         AS key_share,
+       t.n_keys, t.total_rows, ps.max_part_rows,
+       round(CAST(ps.max_part_rows * {_SKEW_PARTS} AS DOUBLE) / t.total_rows,
+             6) + 0.0 AS part_imbalance
+FROM top CROSS JOIN t CROSS JOIN ps
+""",
+)
+def join_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew audit for a shuffle key: the top-{_SKEW_TOP} hot
+    keys with their share of all rows, plus the max/mean imbalance of a
+    {_SKEW_PARTS}-way hash partitioning of the key — the numbers that
+    decide BEFORE a 100 TB join whether to broadcast, salt
+    (``salted_skew_join`` is the fix this motivates), or let AQE's skew
+    handling absorb it. part_imbalance ~ 1 means the hash spreads
+    evenly; a hot key holding x% of rows floors the imbalance at
+    {_SKEW_PARTS}*x/100 no matter the partitioning.
+
+    Exactness: per-key and per-partition counts are exact int64 off ONE
+    key-frame aggregate (the partition histogram re-aggregates the key
+    frame, never the raw rows twice); shares are final 6dp divisions;
+    the top-k is a distributed TakeOrderedAndProject on (count desc,
+    key) — a total order, never a full sort. The partition id uses the
+    portable 48-bit md5 so both engines (and any retry) agree."""
+    k = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    k = k.localCheckpoint()  # key frame feeds totals, histogram, top-k
+    t = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("total_rows"),
+    )
+    p = k.groupBy(
+        F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, {_SKEW_PARTS})").alias(
+            "part"
+        )
+    ).agg(F.sum("c").cast("long").alias("rows_in_part"))
+    ps = p.agg(F.max("rows_in_part").cast("long").alias("max_part_rows"))
+    from pyspark.sql import Window
+
+    top = (
+        k.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(_SKEW_TOP)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("user_id").asc())
+            ),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ps))
+        .select(
+            "rnk",
+            F.col("user_id").alias("hot_key"),
+            F.col("c").alias("key_rows"),
+            (
+                F.round(F.col("c").cast("double") / F.col("total_rows"), 6)
+                + F.lit(0.0)
+            ).alias("key_share"),
+            "n_keys",
+            "total_rows",
+            "max_part_rows",
+            (
+                F.round(
+                    (F.col("max_part_rows") * _SKEW_PARTS).cast("double")
+                    / F.col("total_rows"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("part_imbalance"),
+        )
+    )

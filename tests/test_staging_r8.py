@@ -676,3 +676,30 @@ def test_shard_rebalance_hrw_invariant_and_python_replication(spark, tmp_path):
     for i in range(1, 201):
         py_counts[hrw(i, 17)] = py_counts.get(hrw(i, 17), 0) + 1
     assert {s: r["n_docs_in_shard"] for s, r in by_shard.items()} == py_counts
+
+
+def test_join_skew_preflight_on_engineered_hot_key(spark, tmp_path):
+    """One key holding half of all rows: key_share and the md5-partition
+    imbalance match a Python replication."""
+    counts = {7: 50, 11: 20, 13: 15, 17: 10, 19: 5}
+    rows, eid = [], 0
+    for u, c in counts.items():
+        for k in range(c):
+            eid += 1
+            rows.append((eid, f"2024-05-01 00:{k % 60:02d}:33", u, "view", 1.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    total = sum(counts.values())
+    parts = {}
+    for u, c in counts.items():
+        p = _h48(str(u)) % 32
+        parts[p] = parts.get(p, 0) + c
+    out = S.STAGED_QUERIES["join_skew_preflight"](spark, sf).collect()
+    by_rnk = {r["rnk"]: r for r in out}
+    assert by_rnk[1]["hot_key"] == 7 and by_rnk[1]["key_rows"] == 50
+    assert abs(by_rnk[1]["key_share"] - 0.5) < 1e-9
+    for r in out:
+        assert r["n_keys"] == len(counts) and r["total_rows"] == total
+        assert r["max_part_rows"] == max(parts.values())
+        assert abs(
+            r["part_imbalance"] - round(max(parts.values()) * 32 / total, 6)
+        ) < 1e-9
