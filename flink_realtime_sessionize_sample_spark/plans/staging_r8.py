@@ -3634,3 +3634,197 @@ def join_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("part_imbalance"),
         )
     )
+
+
+# --- l-diversity audit over quasi-identifier groups ----------------------------
+
+
+@staged(
+    "l_diversity_audit",
+    oracle="""
+WITH g AS (
+  SELECT source, n_chars // 200 AS len_band,
+         count(*)::BIGINT AS gs,
+         count(DISTINCT lang)::BIGINT AS l_div
+  FROM documents GROUP BY source, len_band
+),
+t AS (
+  SELECT sum(gs)::BIGINT AS n_docs, min(l_div)::BIGINT AS min_l,
+         count(*)::BIGINT AS n_groups
+  FROM g
+)
+SELECT g.l_div, count(*)::BIGINT AS n_groups_at_l,
+       sum(g.gs)::BIGINT AS n_docs_at_l,
+       round(sum(g.gs) / CAST(t.n_docs AS DOUBLE), 6) + 0.0 AS doc_share,
+       t.min_l, t.n_groups
+FROM g CROSS JOIN t GROUP BY g.l_div, t.min_l, t.n_docs, t.n_groups
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: within each quasi-identifier group (source,
+    length-band), how many DISTINCT values of the sensitive attribute
+    (lang) appear — the companion to ``k_anonymity_audit``: a group can
+    be large (k-anonymous) yet reveal its members' language if every row
+    shares one value (l = 1, a homogeneity attack). The histogram over l
+    plus the dataset-wide min_l is the release decision number.
+
+    Exactness: per-group distinct counts and the histogram are exact
+    int64 (count(DISTINCT) inside a hash aggregate — Spark expands it to
+    a two-phase exact aggregation, no approximation); shares are final
+    6dp divisions. Scale: one aggregate to the QI-group frame (bounded
+    by the QI domain), one to the l histogram, one 1-row total."""
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", F.expr("n_chars div 200").alias("len_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("gs"),
+            F.countDistinct("lang").cast("long").alias("l_div"),
+        )
+    )
+    g = g.localCheckpoint()  # QI frame feeds the total and the histogram
+    t = g.agg(
+        F.sum("gs").cast("long").alias("n_docs"),
+        F.min("l_div").cast("long").alias("min_l"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    h = g.groupBy("l_div").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups_at_l"),
+        F.sum("gs").cast("long").alias("n_docs_at_l"),
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "l_div",
+        "n_groups_at_l",
+        "n_docs_at_l",
+        (
+            F.round(F.col("n_docs_at_l") / F.col("n_docs").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("doc_share"),
+        "min_l",
+        "n_groups",
+    )
+
+
+# --- linear multi-touch attribution --------------------------------------------
+
+
+@staged(
+    "linear_multitouch_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+conv AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM ev WHERE event_type IN ('view', 'click')),
+pairs AS (
+  SELECT c.event_id AS conv_id, c.cents, t.event_type AS touch_type,
+         count(*) OVER (PARTITION BY c.event_id)::BIGINT AS n_touch
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND (t.us < c.us OR (t.us = c.us AND t.event_id < c.event_id))
+),
+cr AS (
+  SELECT touch_type,
+         CAST(round(cents * 1000000.0 / n_touch) AS BIGINT) AS credit_e6
+  FROM pairs
+),
+t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS conv_cents_total,
+         count(*)::BIGINT AS n_conversions
+  FROM conv
+),
+att AS (
+  SELECT touch_type, count(*)::BIGINT AS n_credited_touches,
+         sum(credit_e6)::BIGINT AS credit_e6
+  FROM cr GROUP BY touch_type
+)
+SELECT att.touch_type, att.n_credited_touches,
+       round(att.credit_e6 / 1000000.0 / 100.0, 6) + 0.0 AS credited_value,
+       round(att.credit_e6
+             / (CAST(t.conv_cents_total AS DOUBLE) * 1000000.0), 6) + 0.0
+         AS credit_share,
+       t.n_conversions
+FROM att CROSS JOIN t
+""",
+)
+def linear_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across ALL of the user's prior view/click touches, and the
+    per-channel totals answer "which touch type actually drives revenue"
+    without last-touch's recency bias (``last_touch_attribution`` is the
+    single-credit contrast). The strictly-before predicate tie-breaks on
+    event_id, so the credited set is a total-order function of the data.
+
+    Exactness: values quantize to integer cents per row, each touch's
+    credit quantizes to an e6 integer BEFORE the channel sums (identical
+    rounding both engines), and shares are final 6dp divisions of exact
+    integers. Scale shape: conversions and touches are two filters of
+    one scan; the credit join is a user-keyed equi join with a range
+    residual (bounded per user by activity, never cross-user); the
+    per-conversion touch count rides a window over the already-joined
+    pairs — no second corpus scan, no global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    ev = ev.localCheckpoint()  # feeds the conversion and touch filters
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("us").alias("cus"),
+        "cents",
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("us").alias("tus"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("tu") == F.col("cu"))
+        & (
+            (F.col("tus") < F.col("cus"))
+            | ((F.col("tus") == F.col("cus")) & (F.col("tid") < F.col("conv_id")))
+        ),
+    ).withColumn(
+        "n_touch",
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).cast("long"),
+    )
+    cr = pairs.select(
+        "touch_type",
+        F.expr("cast(round(cents * 1000000.0 / n_touch) as bigint)").alias(
+            "credit_e6"
+        ),
+    )
+    t = conv.agg(
+        F.sum("cents").cast("long").alias("conv_cents_total"),
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+    )
+    att = cr.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credited_touches"),
+        F.sum("credit_e6").cast("long").alias("credit_e6"),
+    )
+    return att.crossJoin(F.broadcast(t)).select(
+        "touch_type",
+        "n_credited_touches",
+        (
+            F.round(F.col("credit_e6") / F.lit(1000000.0) / F.lit(100.0), 6)
+            + F.lit(0.0)
+        ).alias("credited_value"),
+        (
+            F.round(
+                F.col("credit_e6")
+                / (F.col("conv_cents_total").cast("double") * F.lit(1000000.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("credit_share"),
+        "n_conversions",
+    )

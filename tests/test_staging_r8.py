@@ -703,3 +703,57 @@ def test_join_skew_preflight_on_engineered_hot_key(spark, tmp_path):
         assert abs(
             r["part_imbalance"] - round(max(parts.values()) * 32 / total, 6)
         ) < 1e-9
+
+
+def test_l_diversity_on_engineered_groups(spark, tmp_path):
+    """One homogeneous group (l=1) and one diverse group (l=3) land in
+    the right histogram rows with min_l = 1."""
+    rows = [
+        (1, "x", "en", "A", 100),
+        (2, "x", "en", "A", 100),
+        (3, "x", "en", "A", 100),
+        (4, "x", "en", "B", 100),
+        (5, "x", "de", "B", 100),
+        (6, "x", "fr", "B", 100),
+        (7, "x", "de", "B", 100),
+    ]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = {
+        r["l_div"]: r
+        for r in S.STAGED_QUERIES["l_diversity_audit"](spark, sf).collect()
+    }
+    assert set(out) == {1, 3}
+    assert (out[1]["n_groups_at_l"], out[1]["n_docs_at_l"]) == (1, 3)
+    assert (out[3]["n_groups_at_l"], out[3]["n_docs_at_l"]) == (1, 4)
+    assert all(r["min_l"] == 1 and r["n_groups"] == 2 for r in out.values())
+
+
+def test_linear_attribution_on_engineered_journeys(spark, tmp_path):
+    """Hand-computable journeys: a 2-touch conversion splits evenly, a
+    1-touch conversion credits fully, and an orphan conversion (no prior
+    touch) counts in the total but credits nobody."""
+    rows = [
+        (1, "2024-06-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-06-01 10:05:00", 1, "click", 0.0, "{}"),
+        (3, "2024-06-01 10:10:00", 1, "purchase", 10.0, "{}"),
+        (4, "2024-06-01 11:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-06-01 11:10:00", 2, "purchase", 3.0, "{}"),
+        (6, "2024-06-01 12:00:00", 3, "purchase", 2.0, "{}"),
+        (7, "2024-06-01 12:30:00", 3, "view", 0.0, "{}"),  # AFTER: no credit
+    ]
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    out = {
+        r["touch_type"]: r
+        for r in S.STAGED_QUERIES["linear_multitouch_attribution"](
+            spark, sf
+        ).collect()
+    }
+    assert set(out) == {"view", "click"}
+    assert abs(out["view"]["credited_value"] - 8.0) < 1e-9  # 5 + 3
+    assert abs(out["click"]["credited_value"] - 5.0) < 1e-9
+    assert out["view"]["n_credited_touches"] == 2
+    assert out["click"]["n_credited_touches"] == 1
+    total_cents = 1500
+    assert all(r["n_conversions"] == 3 for r in out.values())
+    assert abs(out["view"]["credit_share"] - round(800 / total_cents, 6)) < 1e-9
+    assert abs(out["click"]["credit_share"] - round(500 / total_cents, 6)) < 1e-9
