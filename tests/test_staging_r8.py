@@ -757,3 +757,89 @@ def test_linear_attribution_on_engineered_journeys(spark, tmp_path):
     assert all(r["n_conversions"] == 3 for r in out.values())
     assert abs(out["view"]["credit_share"] - round(800 / total_cents, 6)) < 1e-9
     assert abs(out["click"]["credit_share"] - round(500 / total_cents, 6)) < 1e-9
+
+
+# --- Python reference pins for the session-4 staged statistics ----------------
+
+
+def test_mann_whitney_matches_pair_counting(spark, tmp_path):
+    """The doubled centered U statistic and the tie-corrected z against a
+    direct O(n^2) pair count (wins + half-ties), independent of the
+    midrank formulation."""
+    import math
+
+    rows = []
+    for i in range(1, 41):
+        lang = "en" if i % 3 == 0 else "de"
+        nw = 5 + (i * 7) % 23
+        rows.append((i, " ".join("w" for _ in range(nw)), lang, "s", 10))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    ys = [
+        (r[2] == "en", len(r[1].lower().strip().split(" "))) for r in rows
+    ]
+    en = [y for g, y in ys if g]
+    ot = [y for g, y in ys if not g]
+    u1 = sum((a > b) + 0.5 * (a == b) for a in en for b in ot)
+    n1, n2 = len(en), len(ot)
+    n = n1 + n2
+    u2num = round(2 * (u1 - n1 * n2 / 2))
+    from collections import Counter
+
+    st = sum(c**3 - c for c in Counter(y for _, y in ys).values())
+    aa = (n + 1) * n * (n - 1) - st
+    z = round(u2num / math.sqrt(n1 * n2 * aa / (3 * n * (n - 1))), 6)
+    p_true = math.erfc(abs(z) / math.sqrt(2))
+    out = S.STAGED_QUERIES["mann_whitney_en_tokens"](spark, sf).collect()[0]
+    assert (out["n_en"], out["n_other"]) == (n1, n2)
+    assert out["u2c_stat"] == u2num and out["tie_term"] == st
+    assert abs(out["z_stat"] - z) < 1e-9
+    assert abs(out["p_value"] - p_true) < 1e-5
+
+
+def test_welch_matches_python_reference(spark, tmp_path):
+    """Welch t, Satterthwaite df and the normal p against a from-scratch
+    Python computation using the same md5 arm split."""
+    import math
+
+    rows = [(i, "x", "en", "s", 60 + (i * 13) % 211) for i in range(1, 61)]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    arm1 = [r[4] for r in rows if _h48(str(r[0])) % 2 == 1]
+    arm0 = [r[4] for r in rows if _h48(str(r[0])) % 2 == 0]
+    n1, n0 = len(arm1), len(arm0)
+    assert n1 >= 2 and n0 >= 2
+    s1, s0 = sum(arm1), sum(arm0)
+    q1, q0 = sum(v * v for v in arm1), sum(v * v for v in arm0)
+    vn1, vn0 = n1 * q1 - s1 * s1, n0 * q0 - s0 * s0
+    qq1 = vn1 / (n1 * n1 * (n1 - 1))
+    qq0 = vn0 / (n0 * n0 * (n0 - 1))
+    t = round((s1 / n1 - s0 / n0) / math.sqrt(qq1 + qq0), 6)
+    df = round(
+        (qq1 + qq0) ** 2 / (qq1 * qq1 / (n1 - 1) + qq0 * qq0 / (n0 - 1)), 6
+    )
+    p_true = math.erfc(abs(t) / math.sqrt(2))
+    out = S.STAGED_QUERIES["welch_t_chars_ab"](spark, sf).collect()[0]
+    assert (out["n1"], out["n0"]) == (n1, n0)
+    assert (out["vn1"], out["vn0"]) == (vn1, vn0)
+    assert abs(out["t_stat"] - t) < 2e-6
+    assert abs(out["welch_df"] - df) < 2e-6
+    assert abs(out["p_normal"] - p_true) < 1e-5
+
+
+def test_hill_matches_python_reference(spark, tmp_path):
+    """Hill alpha over the top-32 order statistics against a Python
+    replication of the same e6 log quantization and rank order."""
+    import math
+
+    rows = [
+        (i, "x", "en", "s", 50 + ((i * 97) % 583)) for i in range(1, 81)
+    ]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    ordered = sorted(((r[4], r[0]) for r in rows), key=lambda t: (-t[0], t[1]))
+    top = [v for v, _ in ordered[:32]]
+    x_ref = ordered[32][0]
+    sum_le6 = sum(round(math.log(v) * 1e6) for v in top)
+    num = sum_le6 - 32 * round(math.log(x_ref) * 1e6)
+    out = S.STAGED_QUERIES["hill_tail_doc_length"](spark, sf).collect()[0]
+    assert out["k"] == 32 and out["x_ref"] == x_ref
+    assert out["sum_log_ratio_e6"] == num
+    assert abs(out["hill_alpha"] - round(32 * 1e6 / num, 6)) < 1e-9
