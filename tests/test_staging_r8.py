@@ -843,3 +843,65 @@ def test_hill_matches_python_reference(spark, tmp_path):
     assert out["k"] == 32 and out["x_ref"] == x_ref
     assert out["sum_log_ratio_e6"] == num
     assert abs(out["hill_alpha"] - round(32 * 1e6 / num, 6)) < 1e-9
+
+
+def test_power_mde_matches_python_reference(spark, tmp_path):
+    """Pooled-variance MDE and the 1%-effect sample size against a
+    from-scratch Python computation on the same md5 arm split."""
+    import math
+
+    rows = [(i, "x", "en", "s", 80 + (i * 29) % 331) for i in range(1, 71)]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    arm1 = [r[4] for r in rows if _h48(str(r[0])) % 2 == 1]
+    arm0 = [r[4] for r in rows if _h48(str(r[0])) % 2 == 0]
+    n1, n0 = len(arm1), len(arm0)
+    s1, s0 = sum(arm1), sum(arm0)
+    vn1 = n1 * sum(v * v for v in arm1) - s1 * s1
+    vn0 = n0 * sum(v * v for v in arm0) - s0 * s0
+    sp2 = (vn0 / n0 + vn1 / n1) / (n0 + n1 - 2)
+    zsum = 2.801585
+    mean = (s0 + s1) / (n0 + n1)
+    mde = round(zsum * math.sqrt(sp2 * (1 / n0 + 1 / n1)), 6)
+    nreq = math.ceil(2 * sp2 * zsum * zsum / ((0.01 * mean) ** 2))
+    out = S.STAGED_QUERIES["ab_power_mde"](spark, sf).collect()[0]
+    assert (out["n0"], out["n1"]) == (n0, n1)
+    assert abs(out["grand_mean"] - round(mean, 6)) < 1e-9
+    assert abs(out["pooled_sd"] - round(math.sqrt(sp2), 6)) < 1e-9
+    assert abs(out["mde_abs"] - mde) < 2e-6
+    assert out["n_per_arm_for_1pct"] == nreq
+
+
+def test_neyman_allocation_matches_python_reference(spark, tmp_path):
+    """Largest-remainder Neyman allocation against a from-scratch Python
+    apportionment; the budget invariant holds exactly."""
+    import math
+
+    groups = {"A": [10, 30, 50, 70], "B": [100, 100, 102], "C": [5, 500, 5, 500, 5]}
+    rows, did = [], 0
+    for src, vals in groups.items():
+        for v in vals:
+            did += 1
+            rows.append((did, "x", "en", src, v))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    wq = {}
+    for src, vals in groups.items():
+        nh, sh = len(vals), sum(vals)
+        vnh = nh * sum(v * v for v in vals) - sh * sh
+        wq[src] = (
+            0
+            if nh < 2 or vnh <= 0
+            else round(nh * math.sqrt(vnh / (nh * (nh - 1))) * 1e6)
+        )
+    wtot = sum(wq.values())
+    fl = {s: (1000 * w) // wtot for s, w in wq.items()}
+    rem = {s: 1000 * w - fl[s] * wtot for s, w in wq.items()}
+    extra = 1000 - sum(fl.values())
+    order = sorted(wq, key=lambda s: (-rem[s], s))
+    alloc = {s: fl[s] + (1 if i < extra else 0) for i, s in enumerate(order)}
+    out = {
+        r["source"]: r
+        for r in S.STAGED_QUERIES["neyman_allocation_by_source"](spark, sf).collect()
+    }
+    assert {s: r["neyman_weight_e6"] for s, r in out.items()} == wq
+    assert {s: r["alloc"] for s, r in out.items()} == alloc
+    assert sum(r["alloc"] for r in out.values()) == 1000
