@@ -1,14 +1,17 @@
-"""Round-8 capability queries, staged during round 7 (driver window full).
+"""Round-8 capability queries: staged during round 7, PROMOTED round 8.
 
-The round-7 driver window closed at 50/50, so these operators CANNOT take
-external correctness rows this round — registering them into the live
-registry would create unverifiable backlog, which the standing
-no-new-backlog rule (tests/test_registry_window.py) forbids. They are
-therefore built, oracle-paired and locally verified NOW, but registered in
-a *staging* dict that the driver never sees. Promotion at round-8 open is
-mechanical: swap ``staged`` for ``registry.query`` (the signatures are
-identical), import this module from ``plans/__init__``, and append the
-names to ``_DRIVER_WINDOW``.
+The round-7 driver window closed at 50/50, so these 34 operators were
+built, oracle-paired and locally verified during round 7 but held in a
+staging dict the driver never saw (registering them would have created
+unverifiable backlog, which the standing no-new-backlog rule in
+tests/test_registry_window.py forbids). At round-8 open the promotion
+landed exactly as planned: ``staged`` below now delegates to
+``registry.query`` (identical signature), ``plans/__init__`` imports this
+module, and every name sits inside ``_DRIVER_WINDOW`` for an external
+correctness row this round. ``STAGED_QUERIES``/``STAGED_ORACLES`` remain
+as the record of the promoted set (tests/test_staging_r8.py pins each
+query's semantics against independent Python brute-force references
+through them).
 
 Every query here follows the established cross-engine exactness
 discipline: integer (or quantized-integer) arithmetic for every
@@ -34,7 +37,7 @@ from flink_realtime_sessionize_sample_spark.functions import text as T
 from flink_realtime_sessionize_sample_spark.operators.global_order import (
     with_global_rank,
 )
-from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn, query
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 
 STAGED_QUERIES: dict[str, QueryFn] = {}
@@ -42,11 +45,11 @@ STAGED_ORACLES: dict[str, str] = {}
 
 
 def staged(name: str, oracle: str | None = None):
-    """Exactly ``registry.query`` but targeting the staging dicts."""
+    """Round-8 promotion: registers LIVE via ``registry.query`` and keeps
+    the staging dicts as the promoted-set record for the semantics tests."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged query name {name!r}")
+        fn = query(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLES[name] = oracle
@@ -1230,7 +1233,7 @@ SELECT s.k, ref.x_ref,
        round(s.k * 1000000.0
              / CAST(s.sum_le6 - s.k * CAST(round(ln(CAST(ref.x_ref AS DOUBLE))
                   * 1000000) AS BIGINT) AS DOUBLE), 6) + 0.0 AS hill_alpha
-FROM s CROSS JOIN ref
+FROM s LEFT JOIN ref ON TRUE
 """
 
 
@@ -1253,7 +1256,12 @@ def hill_tail_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order dependence), and the estimator is one 6dp expression
     of the exact integer sum. Scale shape: the rank pass is the banded
     two-branch operator (no single-partition sort); the tail frame is k
-    rows; everything after is a bounded aggregate."""
+    rows; everything after is a bounded aggregate.
+
+    Degenerate input (corpus ≤ k docs): the rank-(k+1) reference frame is
+    empty, so the 1-row aggregate LEFT-joins it and surfaces a visible
+    row with the actual k and NULL x_ref/alpha — instead of silently
+    returning zero rows (ADVICE r7). Identical on both engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     r = with_global_rank(
         docs,
@@ -1272,7 +1280,9 @@ def hill_tail_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("le6").cast("long").alias("sum_le6"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
-    out = s.crossJoin(F.broadcast(ref))
+    # LEFT join (not cross): a ≤k-doc corpus leaves ref empty and must
+    # yield one visible (k, NULL, NULL, NULL, NULL) row, not zero rows.
+    out = s.join(F.broadcast(ref), F.lit(True), "left")
     num = F.expr(
         "cast(sum_le6 - k * cast(round(ln(cast(x_ref as double)) * 1000000)"
         " as bigint) as bigint)"
@@ -1554,12 +1564,18 @@ _NEYMAN_BUDGET = 1000
 # Per-stratum Neyman weight N_h * S_h (sample sd), quantized to an e6
 # integer so the cross-stratum total is an exact sum: the ONLY float step
 # is this one shared expression over the exact integer moments.
+# e3 (not e6) quantization: the apportionment multiplies budget * wq, so
+# with budget=1000 the int64 ceiling sits at wq ≈ 9.2e15, i.e.
+# N_h * S_h ≈ 9.2e12 at e3 — three orders of magnitude beyond e6's
+# ~9.2e9 ceiling (a ~5M-doc stratum with sd ~2000 would have hit it;
+# ADVICE r7). Overflow beyond even that fails LOUD under ANSI mode in
+# both engines; the decimal(38,0) cast is the documented escape hatch.
 _NEY_WQ = (
     "case when nh < 2 or vnh <= 0 then cast(0 as bigint)"
     " else cast(round(cast(nh as double)"
     " * sqrt(cast(vnh as double)"
     "        / (cast(nh as double) * cast(nh - 1 as double)))"
-    " * 1000000) as bigint) end"
+    " * 1000) as bigint) end"
 )
 
 
@@ -1590,7 +1606,7 @@ r AS (
          {_NEYMAN_BUDGET} - sum(fl) OVER () AS extra
   FROM f
 )
-SELECT source, nh AS n_docs, wq AS neyman_weight_e6,
+SELECT source, nh AS n_docs, wq AS neyman_weight_e3,
        CAST(fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM r
 """,
@@ -1655,7 +1671,7 @@ def neyman_allocation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "source",
         F.col("nh").alias("n_docs"),
-        F.col("wq").alias("neyman_weight_e6"),
+        F.col("wq").alias("neyman_weight_e3"),
         (F.col("fl") + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0))
         .cast("long")
         .alias("alloc"),

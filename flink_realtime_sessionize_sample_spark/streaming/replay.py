@@ -51,8 +51,13 @@ def replay_split_stream(
     src = tempfile.mkdtemp(prefix=src_prefix)
     _drop_stale_table(spark, sink_table)
     try:
-        held.filter(F.col(split_col) % 4 == 1).write.parquet(f"{src}/a")
-        held.filter(F.col(split_col) % 4 == 3).write.parquet(f"{src}/b")
+        # coalesce(1): under maxFilesPerTrigger=1 the micro-batch count
+        # equals the data-file count, so each half must land in exactly
+        # one part file or the "2 micro-batches" contract would vary with
+        # write parallelism (ADVICE r7). Cheap here: the replay source is
+        # a test-scale half-table by construction, never a corpus.
+        held.filter(F.col(split_col) % 4 == 1).coalesce(1).write.parquet(f"{src}/a")
+        held.filter(F.col(split_col) % 4 == 3).coalesce(1).write.parquet(f"{src}/b")
 
         def _writer(batch_df: DataFrame, _batch_id: int) -> None:
             batch_fn(batch_df).write.mode("append").format("parquet").saveAsTable(

@@ -1,9 +1,11 @@
-"""Round-8 STAGED queries (plans/staging_r8.py): oracle parity + lint.
+"""Round-8 queries (plans/staging_r8.py, staged r7 → promoted r8): lint +
+handcrafted semantics.
 
-These run the same driver-replica comparison as test_oracle_parity.py, but
-against the staging dicts — the round-7 driver window is full, so the
-staged queries are locally certified here and promoted to the live
-registry (with external rows) at round-8 open."""
+Oracle parity for the promoted set now runs through the registry-wide
+``tests/test_oracle_parity.py`` (they register live since round 8); this
+module keeps the promotion invariants, the plan-shape lint, and the
+independent Python brute-force references that pin each statistic against
+INTENT, not just cross-engine agreement."""
 
 from __future__ import annotations
 
@@ -11,25 +13,17 @@ import pytest
 
 from flink_realtime_sessionize_sample_spark import plans
 from flink_realtime_sessionize_sample_spark.plans import staging_r8 as S
-from tests.oracle_util import _canon, run_oracle
 
 
-@pytest.mark.parametrize("name", sorted(S.STAGED_ORACLES))
-def test_staged_oracle_parity_small(spark, sf_small, name):
-    sdf = S.STAGED_QUERIES[name](spark, sf_small).toPandas()
-    odf = run_oracle(S.STAGED_ORACLES[name], sf_small)
-    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != oracle {len(odf)}"
-    assert sorted(sdf.columns) == sorted(odf.columns), (
-        f"{name}: columns {sorted(sdf.columns)} != oracle {sorted(odf.columns)}"
-    )
-    sr, orr = _canon(sdf), _canon(odf)
-    mism = [(a, b) for a, b in zip(sr, orr) if a != b]
-    assert not mism, f"{name}: first value mismatches: {mism[:3]}"
-
-
-def test_staged_names_do_not_collide_with_registry():
-    clash = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
-    assert not clash, f"staged names already registered: {clash}"
+def test_promoted_names_are_registered_live():
+    # Round-8 promotion invariant: every staged query registers into the
+    # live registry (same function object) and sits in the driver window.
+    missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
+    assert not missing, f"staged names not registered live: {missing}"
+    window = set(list(plans.QUERIES)[:50])
+    out = [n for n in S.STAGED_QUERIES if n not in window]
+    assert not out, f"promoted queries outside the first-50 window: {out}"
+    assert set(S.STAGED_QUERIES) == set(plans._ROUND8_PROMOTIONS)
 
 
 def test_every_staged_query_is_oracle_paired():
@@ -37,6 +31,8 @@ def test_every_staged_query_is_oracle_paired():
     # value-hash gate, so every staged query must carry an oracle.
     missing = [n for n in S.STAGED_QUERIES if n not in S.STAGED_ORACLES]
     assert not missing, f"staged queries without oracles: {missing}"
+    live_missing = [n for n in S.STAGED_ORACLES if plans.ORACLES.get(n) != S.STAGED_ORACLES[n]]
+    assert not live_missing, f"live oracle differs from staged: {live_missing}"
 
 
 def _explain(df) -> str:
@@ -845,6 +841,30 @@ def test_hill_matches_python_reference(spark, tmp_path):
     assert abs(out["hill_alpha"] - round(32 * 1e6 / num, 6)) < 1e-9
 
 
+def test_hill_degenerate_small_corpus_visible(spark, tmp_path):
+    """A ≤32-doc corpus must yield one VISIBLE row (actual k, NULL
+    x_ref/alpha), not silently zero rows (ADVICE r7). Both engines."""
+    rows = [(i, "x", "en", "s", 50 + i) for i in range(1, 11)]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = S.STAGED_QUERIES["hill_tail_doc_length"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["k"] == 10
+    assert r["x_ref"] is None and r["hill_alpha"] is None
+    assert r["hill_inv_alpha"] is None and r["sum_log_ratio_e6"] is None
+    import duckdb
+
+    from flink_realtime_sessionize_sample_spark.plans import staging_r8 as _S
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    odf = con.execute(_S.STAGED_ORACLES["hill_tail_doc_length"]).fetchdf()
+    assert len(odf) == 1 and odf["k"][0] == 10
+    assert pd.isna(odf["x_ref"][0]) and pd.isna(odf["hill_alpha"][0])
+
+
 def test_power_mde_matches_python_reference(spark, tmp_path):
     """Pooled-variance MDE and the 1%-effect sample size against a
     from-scratch Python computation on the same md5 arm split."""
@@ -890,7 +910,7 @@ def test_neyman_allocation_matches_python_reference(spark, tmp_path):
         wq[src] = (
             0
             if nh < 2 or vnh <= 0
-            else round(nh * math.sqrt(vnh / (nh * (nh - 1))) * 1e6)
+            else round(nh * math.sqrt(vnh / (nh * (nh - 1))) * 1e3)
         )
     wtot = sum(wq.values())
     fl = {s: (1000 * w) // wtot for s, w in wq.items()}
@@ -902,6 +922,6 @@ def test_neyman_allocation_matches_python_reference(spark, tmp_path):
         r["source"]: r
         for r in S.STAGED_QUERIES["neyman_allocation_by_source"](spark, sf).collect()
     }
-    assert {s: r["neyman_weight_e6"] for s, r in out.items()} == wq
+    assert {s: r["neyman_weight_e3"] for s, r in out.items()} == wq
     assert {s: r["alloc"] for s, r in out.items()} == alloc
     assert sum(r["alloc"] for r in out.values()) == 1000
