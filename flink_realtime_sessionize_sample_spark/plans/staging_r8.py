@@ -1561,7 +1561,7 @@ def stream_ab_guardrail_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEYMAN_BUDGET = 1000
 
-# Per-stratum Neyman weight N_h * S_h (sample sd), quantized to an e6
+# Per-stratum Neyman weight N_h * S_h (sample sd), quantized to an e3
 # integer so the cross-stratum total is an exact sum: the ONLY float step
 # is this one shared expression over the exact integer moments.
 # e3 (not e6) quantization: the apportionment multiplies budget * wq, so
@@ -1623,7 +1623,8 @@ def neyman_allocation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-stratum moments are exact int64; the single float step
     is the shared per-stratum weight expression, immediately re-quantized
-    to an e6 integer so the grand total is an EXACT sum (no cross-stratum
+    to an e3 integer (see the ``_NEY_WQ`` ceiling note; column
+    ``neyman_weight_e3``) so the grand total is an EXACT sum (no cross-stratum
     float accumulation); integer floor division and largest-remainder
     rounding make every allocation an exact integer with sum(alloc) ==
     budget BY CONSTRUCTION (ties in remainders break on source name).

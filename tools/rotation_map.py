@@ -21,9 +21,17 @@ positive costs one window slot; a false negative is a stale row):
   through its decorator's oracle f-strings and through locally-imported
   helpers), so one query touching ``operators/dedup.py`` does not rotate
   every query in its plans module.
-- A bare ``import pkg.mod [as M]`` / attribute use ``M.fn`` collapses to a
-  MODULE-level dependency on ``mod`` (any change to the module rotates the
-  consumer). Same for ``from pkg import mod``.
+- Attribute use off a module alias (``import pkg.mod as M; M.fn``, or
+  ``from pkg import mod as M; M.fn``) takes a SYMBOL-level edge to
+  ``mod.fn`` when ``fn`` is a top-level symbol of ``mod``, else collapses
+  to a module-level dependency (any change rotates the consumer). A bare
+  ``import pkg.mod`` with no attribute use, or an attribute not statically
+  resolvable, stays module-level. (Round-9 fix: these ``\\x01``-encoded
+  refs were previously dropped entirely in ``closure_modules`` — a FALSE
+  NEGATIVE, the unsafe direction; e.g. ``ab_power_mde`` uses
+  ``T.h48_duck`` from ``functions/text.py`` yet was absent from that
+  file's consumer list. ``tests/test_rotation_map.py`` now pins known
+  consumer sets.)
 - The inverted map is exposed at module-file granularity because git diffs
   are file-granular; symbol-level closures are kept for tests/debugging.
 
@@ -169,6 +177,41 @@ def closure_modules(start_module: str, start_symbol: str,
                 if p is not None:
                     touched.add(str(p))
                     _pull_whole_module(ref[len("\x00import:"):], mods, dq)
+            elif ref.startswith("\x01"):
+                root, attr = ref[1:].split(".", 1)
+                # Root may itself be a module-top-level symbol (an object
+                # whose attribute is read) — symbol-level edge to it.
+                if root in info.symbol_refs:
+                    dq.append((modname, root))
+                binding = info.imports.get(root)
+                if binding is None:
+                    continue  # local variable / parameter — no package edge
+                if binding[0] == "from":
+                    sub = f"{binding[1]}.{binding[2]}"
+                    if sub in mods:
+                        # ``from pkg import mod as M``: alias names a
+                        # package submodule — symbol-level edge to M.attr.
+                        p = _module_path(sub)
+                        if p is not None:
+                            touched.add(str(p))
+                        if attr in mods[sub].symbol_refs:
+                            dq.append((sub, attr))
+                        else:
+                            _pull_whole_module(sub, mods, dq)
+                    else:
+                        # Alias is a symbol (class/function/constant):
+                        # depend on the symbol itself.
+                        self_resolve(binding[1], binding[2], mods, touched, dq)
+                else:  # ("mod", dotted)
+                    target = binding[1]
+                    p = _module_path(target)
+                    if p is not None:
+                        touched.add(str(p))
+                    if target in mods:
+                        if attr in mods[target].symbol_refs:
+                            dq.append((target, attr))
+                        else:
+                            _pull_whole_module(target, mods, dq)
             elif ref in info.symbol_refs and (modname, ref) not in seen_syms:
                 dq.append((modname, ref))
             elif ref in info.imports:
