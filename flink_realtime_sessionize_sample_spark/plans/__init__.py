@@ -36,42 +36,61 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r8  # noqa: F40
 # asserts every name in it sits inside the first-50 window, alongside
 # every query not yet externally green (new registrations).
 #
-# ROUND-8 ROTATION (this edit): round 7 went 50/50 green at HEAD — every
-# one of the 241 registered queries has a cumulative green external row.
-# Round 8 is the promotion round: the 34 queries staged in
-# ``plans/staging_r8.py`` during round 7 (window was full) register live
-# and take the bulk of the window. The two queries whose rows went
-# verification-stale after the round-7 session-4 assert→ValueError edits
-# rotate first. Judge items 4/5 (explicit-key banding params +
-# checkpoint_banded on operators/global_order.py) are DEFERRED to round 9
-# by window arithmetic: touching global_order.py re-rotates all 14
-# with_global_rank consumers (standing rule), and 3 anchors + 4 re-checks
-# + 34 promotions + 14 = 55 > 50. The window rule is absolute; the
-# promotions are the judge's #1. Round 9 opens with plenty of slots for
-# that rotation.
+# ROUND-9 ROTATION (this edit): round 8 closed 50/50 green at HEAD with
+# zero verification-stale rows — all 275 registered queries carry a
+# cumulative green external row. Round 9 lands the two deferred judge
+# items on operators/global_order.py (Connect-safe ``_primary_key`` via
+# ``repr`` parsing + the opt-in ``checkpoint_banded`` materialization),
+# which rotates the operator's 24 consumers, plus ccnet's call-site
+# wiring (already among the 24) and a docstring-only touch on
+# ``neyman_allocation_by_source``.
+#
+# MECHANIZED as of this round (judge r7 item 3, completed r9): the list
+# below is the output of
+#   python tools/rotation_map.py --since <round-open commit>
+# at SYMBOL granularity (only consumers of the top-level symbols whose
+# AST actually changed rotate; comment-only edits are invisible,
+# docstring edits rotate their one symbol). ``_ROUND_OPEN_COMMIT`` pins
+# the round-open ref, and ``tests/test_registry_window.py::
+# test_mechanized_rotation_inside_window`` re-derives the rotation at
+# test time and asserts every name sits inside the first-50 window — the
+# hand-maintained list can no longer silently under-rotate.
+_ROUND_OPEN_COMMIT = "e6518e7"
 
 # Queries whose implementation changed after their latest green external
-# row. Round-8 list, in order:
-#   (a) the two round-7 session-4 stale rows (validation-only
-#       assert→ValueError edits in operators/dedup.py:320 and
-#       plans/feature_queries.py:1757 landed after their last green rows;
-#       byte-identical passing-path plans, re-verified locally, but the
-#       standing rule counts only driver rows) — self-listed at round-7
-#       close, judge's item 2;
-#   (b) the two registered streaming-replay twins — round 8 coalesce(1)s
-#       each replay half inside streaming/replay.py so the 2-micro-batch
-#       contract is parallelism-independent (ADVICE r7 item 1).
+# row (tools/rotation_map.py --since e6518e7; see the mechanization note
+# above). 24 global-order consumers + neyman's docstring touch.
 _CHANGED_SINCE_EXTERNAL: list[str] = [
-    # (a) round-7 session-4 stale rows.
-    "dedup_simhash",
-    "minhash_s_curve",
-    # (b) streaming/replay.py coalesce(1) (ADVICE fix).
-    "stream_naive_bayes_score",
-    "stream_gopher_filter",
+    "brown_forsythe_length_variance",
+    "calibration_reliability_brier",
+    "ccnet_perplexity_buckets",
+    "conformal_interval_coverage",
+    "curriculum_pacing_stages",
+    "customer_pareto_abc",
+    "customer_rfm_segments",
+    "doc_zipf_fit",
+    "equi_depth_histogram",
+    "expected_calibration_error",
+    "hill_tail_doc_length",
+    "ks_drift_detection",
+    "late_data_accounting",
+    "mann_whitney_en_tokens",
+    "neyman_allocation_by_source",
+    "pareto_skyline_parts",
+    "psi_value_drift",
+    "quantile_normalize_lengths",
+    "roc_auc_token_count",
+    "spearman_chars_tokens",
+    "theil_sen_daily_trend",
+    "token_budget_waterfill",
+    "token_gini_concentration",
+    "vocab_coverage_curve",
+    "wasserstein_split_drift",
 ]
 
 # The 34 queries built + oracle-paired + locally swept during round 7 in
-# plans/staging_r8.py, registered live this round. Order = staging order.
+# plans/staging_r8.py, registered live in round 8 — all 34 went green in
+# CORRECTNESS_r08 (kept as a list: it feeds _EXTERNALLY_GREEN_THROUGH_R8).
 _ROUND8_PROMOTIONS: list[str] = [
     "tokenizer_fertility_by_lang",
     "mann_whitney_en_tokens",
@@ -114,12 +133,11 @@ _DRIVER_WINDOW: list[str] = [
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Changed-code re-checks (standing rule above).
+    # Changed-code re-checks (standing rule above; mechanized list).
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-8 promotions (each re-swept at sf0.01 AND sf0.1 this round).
-    *_ROUND8_PROMOTIONS,
-    # Round-8 new registrations appended below (each verified at sf0.01
-    # AND sf0.1 before registration).
+    # Round-9 new registrations appended here (each verified at sf0.01
+    # AND sf0.1 before registration), then oldest-green fill-ins to
+    # round the window out to 50.
 ]
 
 
@@ -401,6 +419,18 @@ _EXTERNALLY_GREEN_THROUGH_R7: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R6 | fr
     "vocab_coverage_curve",
     "zca_whitening_newton_schulz",
 })
+
+
+# Round 8 window: 50/50 green at HEAD (CORRECTNESS_r08) — 3 anchors, the
+# 4 changed-code re-checks, all 34 staging_r8 promotions, 9 fill-ins.
+# Union = every query with a green external row through round 8 — the
+# whole 275-query registry, with ZERO verification-stale rows at the
+# round-8 close. Queries in ``_CHANGED_SINCE_EXTERNAL`` are still
+# members (their *older* code was green); the standing rule, not this
+# set, forces their re-check.
+_EXTERNALLY_GREEN_THROUGH_R8: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R7 | frozenset(
+    _ROUND8_PROMOTIONS
+)
 
 
 def _apply_driver_window() -> None:

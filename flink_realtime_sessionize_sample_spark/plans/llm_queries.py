@@ -3467,6 +3467,12 @@ def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
         [F.col("avg_micro").desc(), F.col("doc_id").asc()],
         rank_col="rnk",
         total_col="ntot",
+        # The per-doc frame's lineage (corpus explode + bigram-model join)
+        # is the dominant cost and would otherwise be recomputed by each
+        # of the rank pass's three plan branches whenever AQE exchange
+        # reuse fails to deduplicate them — materialize it once (see the
+        # with_global_rank docstring for the measured range).
+        checkpoint_banded=True,
     )
     bucketed = ranked.withColumn(
         "bucket", ntile_from_rank(F.col("rnk"), F.col("ntot"), 10)

@@ -326,3 +326,46 @@ def test_unrecognized_sort_rendering_raises(spark):
         _primary_key([(F.col("v") + 1).asc()])
     with pytest.raises(ValueError, match="plain leading sort COLUMN"):
         _primary_key([F.upper(F.col("v")).desc()])
+
+
+def test_checkpoint_banded_identical_results(spark):
+    # checkpoint_banded only changes WHEN lineage is computed, never what
+    # the rank/cumsum pass produces.
+    df = _sample(spark, n=600)
+    kwargs = dict(
+        rank_col="r", total_col="n", sum_col="amt", cum_col="cum",
+    )
+    keys = [F.col("amt").desc(), F.col("id").asc()]
+    base = with_global_rank(df, keys, **kwargs)
+    ckpt = with_global_rank(df, keys, checkpoint_banded=True, **kwargs)
+    assert ckpt.exceptAll(base).count() == 0
+    assert base.exceptAll(ckpt).count() == 0
+
+
+def test_primary_key_parses_classic_and_connect_reprs():
+    # _primary_key reads repr(col) — the wrapper and SortOrder grammar are
+    # identical on classic and Spark Connect columns (module comment), so
+    # a connect-shaped repr must parse without any _jc access.
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        _primary_key,
+    )
+
+    class FakeConnectColumn:
+        def __init__(self, render):
+            self._render = render
+
+        def __repr__(self):
+            return "Column<'%s'>" % self._render
+
+    assert _primary_key([FakeConnectColumn("v DESC NULLS LAST")]) == (
+        "v", True, False
+    )
+    assert _primary_key([FakeConnectColumn("v ASC NULLS FIRST")]) == (
+        "v", False, True
+    )
+    assert _primary_key(["v"]) == ("v", False, True)
+    # Classic columns flow through the same repr path.
+    assert _primary_key([F.col("amt").desc()]) == ("amt", True, False)
+    assert _primary_key([F.col("amt").asc_nulls_last()]) == ("amt", False, False)
+    with pytest.raises(ValueError):
+        _primary_key([FakeConnectColumn("(a + b) DESC NULLS LAST")])

@@ -39,9 +39,8 @@ def _consumers(cmap: dict[str, list[str]], relpath: str) -> set[str]:
 
 
 # Queries that call with_global_rank / with_global_prefix_max /
-# ntile_from_rank directly (grep over plans/), plus doc_dup_cluster_sizes
-# and minhash_recall_audit which reach banding through near_dup_clusters'
-# rank-based canonicalization. Hand-derived from call sites — the
+# ntile_from_rank directly (grep over plans/, each call site mapped to
+# its enclosing registered query). Hand-derived from call sites — the
 # global-order rotation set whenever operators/global_order.py changes.
 GLOBAL_ORDER_CONSUMERS = {
     # analytics_queries
@@ -140,3 +139,48 @@ def test_registry_change_rotates_everything(cmap):
 
     got = _consumers(cmap, "plans/registry.py")
     assert got == set(plans.QUERIES)
+
+
+# --- changed_symbols (the symbol-granular --since diff) --------------------
+
+from rotation_map import changed_symbols  # noqa: E402
+
+
+def test_comment_only_edit_rotates_nothing():
+    old = "X = 1\n\ndef f():\n    return X\n"
+    new = "# a new comment\nX = 1\n\ndef f():\n    # inline comment\n    return X\n"
+    syms, whole = changed_symbols(old, new, "m.py")
+    assert syms == set() and not whole
+
+
+def test_docstring_edit_rotates_only_its_symbol():
+    old = 'def f():\n    """a"""\n    return 1\n\ndef g():\n    return 2\n'
+    new = 'def f():\n    """b"""\n    return 1\n\ndef g():\n    return 2\n'
+    syms, whole = changed_symbols(old, new, "m.py")
+    assert syms == {"f"} and not whole
+
+
+def test_body_edit_rotates_only_its_symbol():
+    old = "def f():\n    return 1\n\ndef g():\n    return 2\n"
+    new = "def f():\n    return 1\n\ndef g():\n    return 3\n"
+    syms, whole = changed_symbols(old, new, "m.py")
+    assert syms == {"g"} and not whole
+
+
+def test_import_edit_falls_back_to_whole_module():
+    old = "import os\n\ndef f():\n    return os.sep\n"
+    new = "import posixpath as os\n\ndef f():\n    return os.sep\n"
+    syms, whole = changed_symbols(old, new, "m.py")
+    assert whole
+
+
+def test_new_file_is_whole_module():
+    syms, whole = changed_symbols(None, "def f():\n    return 1\n", "m.py")
+    assert whole
+
+
+def test_module_constant_edit_rotates_the_constant():
+    old = "K = 1\n\ndef f(K=2):\n    return K\n"
+    new = "K = 2\n\ndef f(K=2):\n    return K\n"
+    syms, whole = changed_symbols(old, new, "m.py")
+    assert syms == {"K"} and not whole

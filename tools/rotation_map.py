@@ -39,7 +39,22 @@ Usage:
     python tools/rotation_map.py                      # dump the module map
     python tools/rotation_map.py --since <commit>     # rotation list for a
         round: consumers of every package .py changed since <commit>
-        (committed AND working-tree changes).
+        (committed AND working-tree changes), at SYMBOL granularity —
+        the old and new versions of each changed file are AST-diffed per
+        top-level symbol, and only consumers of the changed symbols
+        rotate (a one-function edit in a 70-consumer module no longer
+        rotates the whole module's consumers). Falls back to
+        whole-module rotation when the file's import-binding table
+        changed (an import edit can change the meaning of symbols whose
+        own text is untouched), when the file is new, or when a
+        module-level statement outside any symbol changed.
+    python tools/rotation_map.py --since <commit> --files  # old
+        file-granular behavior (safe upper bound for cross-checking).
+
+Comment-only edits (# lines) never rotate — they are invisible to the
+AST. Docstring edits DO rotate their symbol's consumers (conservative:
+a docstring is part of the function object; cheap at one-symbol blast
+radius).
 """
 
 from __future__ import annotations
@@ -94,25 +109,55 @@ class _ModuleInfo:
         to be a module alias, the consumer map can then take a symbol-level
         edge to ``M.attr`` rather than a whole-module dependency (which
         would, e.g., make every user of one ``llm_queries`` helper a
-        consumer of everything ``llm_queries`` itself touches)."""
+        consumer of everything ``llm_queries`` itself touches).
+
+        Attribute reads off a FUNCTION-LOCAL import alias resolve inline
+        (``\\x02``-encoded with their binding — the module-level
+        ``info.imports`` table can't see local bindings), and the local
+        import statement itself only falls back to a ``\\x00``
+        whole-module ref when the alias is ALSO used bare (passed around,
+        getattr'd) or never attribute-read at all — otherwise every
+        ``from plans import llm_queries as L; L._helper`` site would
+        collapse to a dependency on everything in ``llm_queries`` (the
+        round-8 doc_dup_cluster_sizes/minhash_recall_audit false
+        positives)."""
+        # Pass 0: local import bindings under this symbol.
+        local_from: dict[str, tuple[str, str]] = {}
+        local_mod: dict[str, str] = {}
+        for n in ast.walk(node):
+            if isinstance(n, ast.ImportFrom) and n.module:
+                for a in n.names:
+                    local_from[a.asname or a.name] = (n.module, a.name)
+            elif isinstance(n, ast.Import):
+                for a in n.names:
+                    local_mod[a.asname or a.name.split(".")[0]] = a.name
         out: set[str] = set()
         attr_roots: set[int] = set()
+        attr_used: set[str] = set()
         for n in ast.walk(node):
             if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
-                out.add(f"\x01{n.value.id}.{n.attr}")
+                root = n.value.id
+                if root in local_from:
+                    m, s = local_from[root]
+                    out.add(f"\x02from:{m}:{s}:{n.attr}")
+                elif root in local_mod:
+                    out.add(f"\x02mod:{local_mod[root]}:{n.attr}")
+                else:
+                    out.add(f"\x01{root}.{n.attr}")
+                attr_used.add(root)
                 attr_roots.add(id(n.value))
+        bare_used: set[str] = set()
         for n in ast.walk(node):
             if isinstance(n, ast.Name):
                 if id(n) not in attr_roots:
                     out.add(n.id)
-            elif isinstance(n, ast.ImportFrom) and n.module:
-                # record a pseudo-reference via a reserved key the caller
-                # resolves with module context; encode inline instead.
-                for a in n.names:
-                    out.add(f"\x00from:{n.module}:{a.name}")
-            elif isinstance(n, ast.Import):
-                for a in n.names:
-                    out.add(f"\x00import:{a.name}")
+                    bare_used.add(n.id)
+        for alias, (m, s) in local_from.items():
+            if alias in bare_used or alias not in attr_used:
+                out.add(f"\x00from:{m}:{s}")
+        for alias, dotted in local_mod.items():
+            if alias in bare_used or alias not in attr_used:
+                out.add(f"\x00import:{dotted}")
         return out
 
     def _bind_import(self, node: ast.stmt) -> None:
@@ -156,6 +201,13 @@ def _load_package() -> dict[str, _ModuleInfo]:
 def closure_modules(start_module: str, start_symbol: str,
                     mods: dict[str, _ModuleInfo]) -> set[str]:
     """Repo-relative module paths reachable from (module, symbol)."""
+    return closure(start_module, start_symbol, mods)[0]
+
+
+def closure(start_module: str, start_symbol: str,
+            mods: dict[str, _ModuleInfo]) -> tuple[set[str], set[tuple[str, str]]]:
+    """(repo-relative module paths, (module, symbol) pairs) reachable from
+    (module, symbol) — the symbol set powers the symbol-granular rotation."""
     seen_syms: set[tuple[str, str]] = set()
     touched: set[str] = set()
     dq: deque[tuple[str, str]] = deque([(start_module, start_symbol)])
@@ -187,31 +239,17 @@ def closure_modules(start_module: str, start_symbol: str,
                 if binding is None:
                     continue  # local variable / parameter — no package edge
                 if binding[0] == "from":
-                    sub = f"{binding[1]}.{binding[2]}"
-                    if sub in mods:
-                        # ``from pkg import mod as M``: alias names a
-                        # package submodule — symbol-level edge to M.attr.
-                        p = _module_path(sub)
-                        if p is not None:
-                            touched.add(str(p))
-                        if attr in mods[sub].symbol_refs:
-                            dq.append((sub, attr))
-                        else:
-                            _pull_whole_module(sub, mods, dq)
-                    else:
-                        # Alias is a symbol (class/function/constant):
-                        # depend on the symbol itself.
-                        self_resolve(binding[1], binding[2], mods, touched, dq)
+                    _alias_attr_from(
+                        binding[1], binding[2], attr, mods, touched, dq
+                    )
                 else:  # ("mod", dotted)
-                    target = binding[1]
-                    p = _module_path(target)
-                    if p is not None:
-                        touched.add(str(p))
-                    if target in mods:
-                        if attr in mods[target].symbol_refs:
-                            dq.append((target, attr))
-                        else:
-                            _pull_whole_module(target, mods, dq)
+                    _alias_attr_mod(binding[1], attr, mods, touched, dq)
+            elif ref.startswith("\x02from:"):
+                _, srcmod, name, attr = ref.split(":", 3)
+                _alias_attr_from(srcmod, name, attr, mods, touched, dq)
+            elif ref.startswith("\x02mod:"):
+                _, dotted, attr = ref.split(":", 2)
+                _alias_attr_mod(dotted, attr, mods, touched, dq)
             elif ref in info.symbol_refs and (modname, ref) not in seen_syms:
                 dq.append((modname, ref))
             elif ref in info.imports:
@@ -223,7 +261,41 @@ def closure_modules(start_module: str, start_symbol: str,
                     if p is not None:
                         touched.add(str(p))
                         _pull_whole_module(kind[1], mods, dq)
-    return touched
+    return touched, seen_syms
+
+
+def _alias_attr_from(srcmod: str, name: str, attr: str,
+                     mods: dict[str, _ModuleInfo],
+                     touched: set[str], dq: deque) -> None:
+    """Resolve ``M.attr`` where ``M`` was bound by ``from srcmod import
+    name [as M]``: symbol-level edge to ``srcmod.name.attr`` when the
+    alias names a package module and the attribute is a top-level symbol
+    there; whole-module when the attribute isn't statically resolvable;
+    symbol edge to ``srcmod.name`` itself when the alias is an object."""
+    sub = f"{srcmod}.{name}"
+    if sub in mods:
+        p = _module_path(sub)
+        if p is not None:
+            touched.add(str(p))
+        if attr in mods[sub].symbol_refs:
+            dq.append((sub, attr))
+        else:
+            _pull_whole_module(sub, mods, dq)
+    else:
+        self_resolve(srcmod, name, mods, touched, dq)
+
+
+def _alias_attr_mod(dotted: str, attr: str, mods: dict[str, _ModuleInfo],
+                    touched: set[str], dq: deque) -> None:
+    """Resolve ``M.attr`` where ``M`` was bound by ``import dotted [as M]``."""
+    p = _module_path(dotted)
+    if p is not None:
+        touched.add(str(p))
+    if dotted in mods:
+        if attr in mods[dotted].symbol_refs:
+            dq.append((dotted, attr))
+        else:
+            _pull_whole_module(dotted, mods, dq)
 
 
 def self_resolve(srcmod: str, name: str, mods: dict[str, _ModuleInfo],
@@ -260,15 +332,80 @@ def _pull_whole_module(modname: str, mods: dict[str, _ModuleInfo],
 def build_consumer_map() -> dict[str, list[str]]:
     """repo-relative module path -> sorted registered query names whose
     plan construction transitively touches that module."""
+    return _build_maps()[0]
+
+
+def build_symbol_consumer_map() -> dict[tuple[str, str], list[str]]:
+    """(dotted module name, top-level symbol) -> sorted registered query
+    names whose plan construction transitively touches that symbol."""
+    return _build_maps()[1]
+
+
+def _build_maps() -> tuple[dict[str, list[str]], dict[tuple[str, str], list[str]]]:
     sys.path.insert(0, str(REPO))
     from flink_realtime_sessionize_sample_spark import plans
 
     mods = _load_package()
-    out: dict[str, set[str]] = defaultdict(set)
+    by_file: dict[str, set[str]] = defaultdict(set)
+    by_sym: dict[tuple[str, str], set[str]] = defaultdict(set)
     for qname, fn in plans.QUERIES.items():
-        for mpath in closure_modules(fn.__module__, fn.__name__, mods):
-            out[mpath].add(qname)
-    return {m: sorted(qs) for m, qs in sorted(out.items())}
+        touched, syms = closure(fn.__module__, fn.__name__, mods)
+        for mpath in touched:
+            by_file[mpath].add(qname)
+        for pair in syms:
+            by_sym[pair].add(qname)
+    return (
+        {m: sorted(qs) for m, qs in sorted(by_file.items())},
+        {p: sorted(qs) for p, qs in sorted(by_sym.items())},
+    )
+
+
+def _top_level_index(src: str, filename: str) -> tuple[dict[str, str], str]:
+    """(top-level symbol -> ast.dump of its definition, dump of everything
+    else at module level). "Everything else" = import bindings + loose
+    statements (registration calls, conditionals): if THAT changes, the
+    meaning of unchanged symbols may change (an import now resolves
+    elsewhere), so the caller falls back to whole-module rotation."""
+    tree = ast.parse(src, filename=filename)
+    symbols: dict[str, str] = {}
+    other: list[str] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            symbols[node.name] = ast.dump(node)
+        elif isinstance(node, ast.Assign):
+            d = ast.dump(node)
+            for tgt in node.targets:
+                for t in ast.walk(tgt):
+                    if isinstance(t, ast.Name):
+                        symbols[t.id] = symbols.get(t.id, "") + d
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            symbols[node.target.id] = ast.dump(node)
+        else:
+            other.append(ast.dump(node))
+    return symbols, "\n".join(other)
+
+
+def changed_symbols(old_src: str | None, new_src: str,
+                    filename: str) -> tuple[set[str], bool]:
+    """(top-level symbols whose AST changed, whole_module flag).
+
+    whole_module is True when the file is new or its module-level
+    import/statement scaffolding changed — the conservative fallback.
+    Comment-only edits yield (set(), False): comments are invisible to
+    the AST. Docstring edits flag their enclosing symbol (a docstring is
+    an AST constant)."""
+    if old_src is None:
+        return set(), True
+    old_syms, old_other = _top_level_index(old_src, f"{filename}@old")
+    new_syms, new_other = _top_level_index(new_src, filename)
+    if old_other != new_other:
+        return set(), True
+    changed = {
+        s
+        for s in set(old_syms) | set(new_syms)
+        if old_syms.get(s) != new_syms.get(s)
+    }
+    return changed, False
 
 
 def _changed_package_files(since: str) -> list[str]:
@@ -284,7 +421,17 @@ def _changed_package_files(since: str) -> list[str]:
     return sorted(f for f in files if f.startswith(f"{PKG}/") and f.endswith(".py"))
 
 
+def _old_source(since: str, relpath: str) -> str | None:
+    res = subprocess.run(
+        ["git", "show", f"{since}:{relpath}"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    return res.stdout if res.returncode == 0 else None
+
+
 def rotation_list(since: str) -> tuple[list[str], dict[str, list[str]]]:
+    """File-granular rotation (safe upper bound): every consumer of every
+    changed package file."""
     cmap = build_consumer_map()
     changed = _changed_package_files(since)
     per_file = {f: cmap.get(f, []) for f in changed}
@@ -292,9 +439,40 @@ def rotation_list(since: str) -> tuple[list[str], dict[str, list[str]]]:
     return union, per_file
 
 
+def rotation_list_symbols(since: str) -> tuple[list[str], dict[str, list[str]]]:
+    """Symbol-granular rotation: for each changed package file, AST-diff
+    the <since> version against the working tree and rotate only the
+    consumers of the top-level symbols that actually changed. Falls back
+    to the file's full consumer set when the module scaffolding changed
+    (``changed_symbols`` whole_module flag)."""
+    fmap, smap = _build_maps()
+    per_file: dict[str, list[str]] = {}
+    for relpath in _changed_package_files(since):
+        new_path = REPO / relpath
+        if not new_path.exists():
+            # Deleted module: any still-registered consumer would fail to
+            # import at all — nothing meaningful to rotate, but surface it.
+            per_file[relpath] = fmap.get(relpath, [])
+            continue
+        syms, whole = changed_symbols(
+            _old_source(since, relpath), new_path.read_text(), relpath
+        )
+        if whole:
+            per_file[relpath] = fmap.get(relpath, [])
+            continue
+        modname = _module_name(new_path)
+        out: set[str] = set()
+        for s in syms:
+            out.update(smap.get((modname, s), []))
+        per_file[relpath] = sorted(out)
+    union = sorted({q for qs in per_file.values() for q in qs})
+    return union, per_file
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--since":
-        union, per_file = rotation_list(sys.argv[2])
+        fn = rotation_list if "--files" in sys.argv[3:] else rotation_list_symbols
+        union, per_file = fn(sys.argv[2])
         for f, qs in per_file.items():
             print(f"{f}: {len(qs)} consumers")
             for q in qs:
