@@ -18,6 +18,7 @@ from flink_realtime_sessionize_sample_spark.plans import tpch_queries  # noqa: F
 from flink_realtime_sessionize_sample_spark.plans import feature_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import ml_eval_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import staging_r8  # noqa: F401  (promoted round 8)
+from flink_realtime_sessionize_sample_spark.plans import round9_queries  # noqa: F401
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
@@ -135,9 +136,16 @@ _DRIVER_WINDOW: list[str] = [
     "parse_access_logs",
     # Changed-code re-checks (standing rule above; mechanized list).
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-9 new registrations appended here (each verified at sf0.01
-    # AND sf0.1 before registration), then oldest-green fill-ins to
-    # round the window out to 50.
+    # Round-9 new registrations (plans/round9_queries.py; each verified
+    # at sf0.01 AND sf0.1 before registration).
+    "prefix_filter_jaccard_join",
+    "runs_test_daily_revenue",
+    "ols_chars_model",
+    "token_drift_top_movers",
+    "mutual_info_source_lang",
+    "obrien_fleming_ab_looks",
+    "sprt_purchase_rate_monitor",
+    # Oldest-green fill-ins appended at round close to round out to 50.
 ]
 
 
