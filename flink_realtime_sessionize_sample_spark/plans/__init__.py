@@ -145,6 +145,9 @@ _DRIVER_WINDOW: list[str] = [
     "mutual_info_source_lang",
     "obrien_fleming_ab_looks",
     "sprt_purchase_rate_monitor",
+    "krippendorff_alpha_agreement",
+    "js_divergence_source_matrix",
+    "kaplan_meier_session_survival",
     # Oldest-green fill-ins appended at round close to round out to 50.
 ]
 

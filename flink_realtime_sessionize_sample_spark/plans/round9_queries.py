@@ -874,3 +874,412 @@ def sprt_purchase_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "look", "n_cum", "k_cum", "llr_micro", F.expr(_SPRT_DECIDE).alias("decision")
     )
+
+
+# --- Krippendorff's alpha between the two label pipelines ------------------
+
+
+def _kripp_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _NB_PRED_CTES,
+    )
+
+    case = _langid_case(
+        "men", "mde", "mfr", "mes", f"regexp_matches(text, '{_CJK}')"
+    )
+    return (
+        _NB_PRED_CTES
+        + f"""
+, toks2 AS (
+  SELECT doc_id, text, {_TOKS_D} AS t FROM documents WHERE doc_id % 2 = 1
+),
+hs AS (
+  SELECT doc_id, text,
+         {T.marker_score_duck('t', 'en')} AS men, {T.marker_score_duck('t', 'de')} AS mde,
+         {T.marker_score_duck('t', 'fr')} AS mfr, {T.marker_score_duck('t', 'es')} AS mes
+  FROM toks2
+),
+heur AS (SELECT doc_id, ({case}) AS r2 FROM hs),
+pr AS (
+  SELECT p.doc_id, p.pred_lang AS r1, h.r2
+  FROM pred p JOIN heur h USING (doc_id)
+),
+u AS (
+  SELECT count(*)::BIGINT AS n_units,
+         CAST(sum(CASE WHEN r1 != r2 THEN 1 ELSE 0 END) AS BIGINT) AS disagree
+  FROM pr
+),
+st AS (
+  SELECT lab, count(*)::BIGINT AS nc FROM (
+    SELECT r1 AS lab FROM pr UNION ALL SELECT r2 AS lab FROM pr
+  ) GROUP BY lab
+),
+s2 AS (SELECT CAST(sum(nc * nc) AS BIGINT) AS sum_nc2 FROM st)
+SELECT n_units, disagree,
+       CASE WHEN (4 * n_units * n_units - sum_nc2) = 0 THEN NULL
+            ELSE round(1e0 - (1e0 * (2 * n_units - 1) * 2 * disagree)
+                       / (1e0 * 4 * n_units * n_units - sum_nc2), 6) + 0.0
+       END AS alpha
+FROM u CROSS JOIN s2
+"""
+    )
+
+
+@query("krippendorff_alpha_agreement", oracle=_kripp_oracle())
+def krippendorff_alpha_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data, two complete raters) between
+    the registry's two independent language-labeling pipelines — the
+    trained naive-Bayes classifier and the marker-word heuristic — on
+    the shared held-out half. Alpha is the agreement coefficient that
+    generalizes across rater counts and missing data, with chance
+    correction from the COINCIDENCE matrix (label prevalence across
+    both raters) rather than per-rater marginals: the robustness
+    companion to ``cohens_kappa_agreement``, and the number an
+    annotation pipeline quotes when raters or coverage vary.
+
+    Exactness: for two complete raters alpha reduces to the closed
+    rational form 1 - (n..-1)*D / (n..^2 - sum_c n_c^2) with n.. = 2N,
+    D = 2*disagreements — every term an exact int64 (unit count,
+    disagreement count, squared label totals), so alpha is ONE
+    6dp-rounded division of exact integers; a degenerate single-label
+    corpus yields NULL. Both label pipelines are the registry's
+    verified per-row plans (ml_eval_queries scaffolding).
+
+    Scale shape: the pairing is one doc_id equi-join; the label totals
+    are a bounded |labels| aggregate of a 2N-row stack; one scalar
+    reduce ends it. Cites cohens_kappa_agreement /
+    mcnemar_nb_vs_heuristic for the shared scaffolding."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _nb_prediction_frame,
+    )
+
+    pred = _nb_prediction_frame(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("r1")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("t", F.expr(_TOKS_S))
+        .select(
+            "doc_id",
+            "text",
+            F.expr(T.marker_score_spark("t", "en")).alias("men"),
+            F.expr(T.marker_score_spark("t", "de")).alias("mde"),
+            F.expr(T.marker_score_spark("t", "fr")).alias("mfr"),
+            F.expr(T.marker_score_spark("t", "es")).alias("mes"),
+        )
+    )
+    heur = hs.select(
+        "doc_id",
+        F.expr(_langid_case("men", "mde", "mfr", "mes", f"text rlike '{_CJK}'")).alias(
+            "r2"
+        ),
+    )
+    pr = pred.join(heur, "doc_id")
+    u = pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(F.col("r1") != F.col("r2"), 1).otherwise(0))
+        .cast("long")
+        .alias("disagree"),
+    )
+    stacked = pr.select(F.col("r1").alias("lab")).unionAll(
+        pr.select(F.col("r2").alias("lab"))
+    )
+    s2 = (
+        stacked.groupBy("lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+        .agg(F.sum(F.col("nc") * F.col("nc")).cast("long").alias("sum_nc2"))
+    )
+    return (
+        u.crossJoin(F.broadcast(s2))
+        .select(
+            "n_units",
+            "disagree",
+            F.expr(
+                "CASE WHEN (4 * n_units * n_units - sum_nc2) = 0 THEN NULL"
+                " ELSE round(1e0 - (1e0 * (2 * n_units - 1) * 2 * disagree)"
+                "            / (1e0 * 4 * n_units * n_units - sum_nc2), 6) + 0.0"
+                " END"
+            ).alias("alpha"),
+        )
+    )
+
+
+# --- pairwise Jensen-Shannon divergence between sources --------------------
+
+# Per-token JS contribution for the side whose count is c1 (>0), against
+# the other side's count c2 (0 when absent): 0.5 * (c1/n1) *
+# ln(2*c1*n2 / (c1*n2 + c2*n1)), e9-quantized through shared text (every
+# product promotes to double; both engines evaluate the identical
+# sequence). Summing the two directions over their own support gives the
+# full JS = 0.5 KL(P||M) + 0.5 KL(Q||M).
+_JS_TERM_E9 = (
+    "CAST(round(1000000000 * 5e-1 * (1e0 * c1 / n1)"
+    " * ln((2e0 * c1 * n2) / (1e0 * c1 * n2 + 1e0 * c2 * n1))) AS BIGINT)"
+)
+
+
+def _js_oracle() -> str:
+    return f"""
+WITH tk AS (
+  SELECT source, unnest({_TOKS_D}) AS token FROM documents
+),
+c AS (SELECT source, token, count(*)::BIGINT AS c FROM tk GROUP BY source, token),
+t AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.n AS na, b.n AS nb
+  FROM t a JOIN t b ON a.source < b.source
+),
+p_terms AS (
+  SELECT p.source_a, p.source_b,
+         x.c AS c1, coalesce(y.c, 0) AS c2, p.na AS n1, p.nb AS n2
+  FROM pairs p
+  JOIN c x ON x.source = p.source_a
+  LEFT JOIN c y ON y.source = p.source_b AND y.token = x.token
+),
+q_terms AS (
+  SELECT p.source_a, p.source_b,
+         x.c AS c1, coalesce(y.c, 0) AS c2, p.nb AS n1, p.na AS n2
+  FROM pairs p
+  JOIN c x ON x.source = p.source_b
+  LEFT JOIN c y ON y.source = p.source_a AND y.token = x.token
+),
+allt AS (
+  SELECT source_a, source_b, {_JS_TERM_E9} AS e9 FROM p_terms
+  UNION ALL
+  SELECT source_a, source_b, {_JS_TERM_E9} AS e9 FROM q_terms
+)
+SELECT source_a, source_b,
+       round(CAST(sum(e9) AS BIGINT) / 1e9, 6) + 0.0 AS js_nats
+FROM allt GROUP BY source_a, source_b
+"""
+
+
+@query("js_divergence_source_matrix", oracle=_js_oracle())
+def js_divergence_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of source
+    unigram distributions — the SYMMETRIC, bounded (<= ln 2) similarity
+    matrix a mixture designer actually clusters on, where
+    ``source_unigram_kl``'s asymmetric KL needs a reference side and
+    explodes on disjoint support. JS(P,Q) = 0.5 KL(P||M) + 0.5 KL(Q||M)
+    with M the even mixture; a token absent from one source contributes
+    the finite ln 2 term, never infinity.
+
+    Exactness: per-token counts and per-source totals are exact int64;
+    each direction's per-token contribution quantizes to an e9 integer
+    through ONE shared expression (double-promoted products inside the
+    ln — identical text both engines), so the cross-token sum is an
+    exact integer sum, order-independent by construction; js_nats is a
+    single 6dp division. The two KL directions sum over their OWN
+    support via LEFT joins (c2 = 0 when absent) — no full-outer join,
+    no missing-token special cases.
+
+    Scale shape: one explode -> per-(source, token) hash aggregate (the
+    only corpus-sized shuffle); the pair frame is the bounded |S|^2
+    broadcast; each direction is a token-keyed equi join of the count
+    frame against itself restricted to one source — shuffle
+    O(vocab * |S|), never O(corpus)."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(_TOKS_S)).alias("token")
+    )
+    c = tk.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = c.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    ta = t.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = t.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    pairs = ta.crossJoin(tb).filter(F.col("source_a") < F.col("source_b"))
+
+    def _terms(first: str, second: str, n1: str, n2: str) -> DataFrame:
+        x = c.select(
+            F.col("source").alias(first), F.col("token"), F.col("c").alias("c1")
+        )
+        y = c.select(
+            F.col("source").alias(second),
+            F.col("token"),
+            F.col("c").alias("_c2"),
+        )
+        return (
+            x.join(F.broadcast(pairs), first)
+            .join(y, [second, "token"], "left")
+            .select(
+                "source_a",
+                "source_b",
+                "c1",
+                F.coalesce(F.col("_c2"), F.lit(0)).alias("c2"),
+                F.col(n1).alias("n1"),
+                F.col(n2).alias("n2"),
+            )
+        )
+
+    allt = _terms("source_a", "source_b", "na", "nb").unionByName(
+        _terms("source_b", "source_a", "nb", "na")
+    )
+    return (
+        allt.withColumn("e9", F.expr(_JS_TERM_E9))
+        .groupBy("source_a", "source_b")
+        .agg(
+            (F.round(F.sum("e9").cast("long") / 1e9, 6) + F.lit(0.0)).alias(
+                "js_nats"
+            )
+        )
+    )
+
+
+# --- Kaplan-Meier survival over the reference's session semantics ----------
+
+# Shared per-death-time log-factor and survival texts. n_risk and d are
+# exact int64; the factor ln((n_risk - d) / n_risk) quantizes to an e6
+# integer; the cumulative sum of those integers is exact, and survival is
+# one exp over the identical integer operand. A death time that wipes the
+# whole risk set (n_risk == d) sets a zero flag instead of ln(0); once
+# the flag has fired, survival is exactly 0.0.
+_KM_FACTOR_E6 = (
+    "CASE WHEN n_risk <= d THEN 0"
+    " ELSE CAST(round(1000000 * ln((1e0 * (n_risk - d)) / n_risk)) AS BIGINT)"
+    " END"
+)
+_KM_SURV = (
+    "CASE WHEN zcum > 0 THEN 0.0"
+    " ELSE round(exp(cum_e6 / 1e6), 6) + 0.0 END"
+)
+
+
+def _km_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _SESSIONIZE_CTE,
+    )
+
+    return (
+        _SESSIONIZE_CTE
+        + f""",
+sess_end AS (
+  SELECT user_id, start_us,
+         max(sec - start_sec)::BIGINT AS dur,
+         max(sec)::BIGINT AS last_sec
+  FROM sess GROUP BY user_id, start_us
+),
+gmx AS (SELECT max(sec)::BIGINT AS mx FROM ev),
+obs AS (
+  SELECT dur AS t, (mx - last_sec) <= 1800 AS censored
+  FROM sess_end CROSS JOIN gmx
+),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM obs),
+bytime AS (
+  SELECT t,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         count(*)::BIGINT AS removed
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         n_total - coalesce(sum(removed) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM bytime CROSS JOIN tot
+),
+death AS (
+  SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, {_KM_FACTOR_E6} AS f_e6,
+         CASE WHEN n_risk <= d THEN 1 ELSE 0 END AS zflag
+  FROM risk WHERE d > 0
+),
+cum AS (
+  SELECT t, n_risk, d,
+         CAST(sum(f_e6) OVER w AS BIGINT) AS cum_e6,
+         CAST(sum(zflag) OVER w AS BIGINT) AS zcum
+  FROM death WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT t AS t_sec, n_risk, d AS n_events, {_KM_SURV} AS survival
+FROM cum
+"""
+    )
+
+
+@query("kaplan_meier_session_survival", oracle=_km_oracle())
+def kaplan_meier_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of session LIFETIME under the
+    reference's exact session semantics (30-min gap / 1499-event /
+    12-h caps — operators/sessionize.py, replicating
+    SessionizeGroupMapFunction.scala:90-130): S(t) = P(session survives
+    past duration t), with RIGHT CENSORING for sessions still open at
+    batch end (last event within the 30-min gap of the corpus's final
+    timestamp — their true duration is only known to exceed the
+    observed one, exactly what KM handles and a naive duration
+    histogram gets wrong). The ongoing-session analytics (A3 family)
+    answer "what is live now"; this answers "how long do sessions
+    LIVE", the number capacity planning and engagement work consume.
+
+    Exactness: durations and censor flags come from the verified
+    sessionize plan (Spark) and the recursive-CTE decision procedure
+    (oracle) — the same pair every sessionize-family query certifies;
+    risk sets and death counts are exact integer window arithmetic over
+    the per-duration frame; each KM factor ln((n-d)/n) quantizes to an
+    e6 integer through shared text, the factor SUM is exact (the
+    product-of-probabilities becomes an order-independent integer sum),
+    and survival is one exp per row on identical integer operands. A
+    risk-set-exhausting death time flags zero and pins survival to
+    exactly 0.0 thereafter.
+
+    Scale shape: sessionize is the established one-shuffle pass; the
+    survival table rides the bounded |distinct durations| frame
+    (duration domain <= 43200 s by the reference's own 12-h cap —
+    bounded-global-window pattern, independent of corpus size)."""
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _events_sessionized,
+    )
+
+    sz = _events_sessionized(spark, sf_dir).select(
+        "session_id",
+        F.col("duration").cast("long").alias("duration"),
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    sess_end = sz.groupBy("session_id").agg(
+        F.max("duration").cast("long").alias("dur"),
+        F.max("sec").cast("long").alias("last_sec"),
+    )
+    gmx = sz.agg(F.max("sec").cast("long").alias("mx"))
+    obs = sess_end.crossJoin(F.broadcast(gmx)).select(
+        F.col("dur").alias("t"),
+        ((F.col("mx") - F.col("last_sec")) <= 1800).alias("censored"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    bytime = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("removed"),
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = bytime.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("removed").over(w_before), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    death = risk.filter(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        "d",
+        F.expr(_KM_FACTOR_E6).alias("f_e6"),
+        F.expr("CASE WHEN n_risk <= d THEN 1 ELSE 0 END").alias("zflag"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = death.select(
+        "t",
+        "n_risk",
+        "d",
+        F.sum("f_e6").over(w_cum).cast("long").alias("cum_e6"),
+        F.sum("zflag").over(w_cum).cast("long").alias("zcum"),
+    )
+    return cum.select(
+        F.col("t").alias("t_sec"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.expr(_KM_SURV).alias("survival"),
+    )
