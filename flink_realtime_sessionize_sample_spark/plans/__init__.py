@@ -148,7 +148,21 @@ _DRIVER_WINDOW: list[str] = [
     "krippendorff_alpha_agreement",
     "js_divergence_source_matrix",
     "kaplan_meier_session_survival",
-    # Oldest-green fill-ins appended at round close to round out to 50.
+    # Oldest-green fill-ins: 36 queries' NEWEST external row still dates
+    # to round 2 (CORRECTNESS_r02); these 12 are the alphabetical first
+    # of that set — freshness rotation, code unchanged since their rows.
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "approx_distinct_users",
+    "approx_price_quantiles",
+    "balance_band_reconciliation",
+    "conditional_agg",
+    "cube_part_stats",
+    "customer_order_distribution",
+    "customer_running_total",
+    "customers_without_orders",
+    "dedup_exact",
+    "doc_fingerprint",
 ]
 
 
