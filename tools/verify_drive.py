@@ -35,12 +35,24 @@ TABLES = (
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Adversarial-config sweeps (skill: once per round, at close): run the
+    # full registry under each hostile-but-legal config, e.g.
+    #   ADV_CONF="spark.sql.adaptive.enabled=false" python verify_drive.py
+    # The r5 generate-inlining and r6 range-partitioner bugs were both
+    # default-green and wrong under a legal config.
+    import os
+
+    adv = os.environ.get("ADV_CONF", "")
+    for kv in filter(None, adv.split(";")):
+        k, _, v = kv.partition("=")
+        print(f"ADV_CONF: {k}={v}", flush=True)
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     import __spark_entry__ as E
 
     ent = E.entry(spark)
