@@ -35,10 +35,18 @@ TABLES = (
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import os
+
     builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # Per-process warehouse: the managed-table queries (stream twins,
+        # incremental dedup index) write fixed table names; two verify
+        # processes sharing one spark-warehouse dir race each other's
+        # create/drop (LOCATION_ALREADY_EXISTS / partial sinks — hit
+        # when the round-9 adversarial sweeps ran concurrently).
+        .config("spark.sql.warehouse.dir", f"/tmp/sparkwh_{os.getpid()}")
     )
     # Adversarial-config sweeps (skill: once per round, at close): run the
     # full registry under each hostile-but-legal config, e.g.
