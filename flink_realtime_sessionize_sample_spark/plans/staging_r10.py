@@ -1,0 +1,690 @@
+"""Round-10 capability queries — STAGED during round 9, promoted when the
+round-10 window opens (the r7→r8 staging pattern: the round-9 driver
+window closed at exactly 50/50, and the standing no-new-backlog rule in
+tests/test_registry_window.py forbids live registration the driver can't
+verify this round).
+
+``STAGED_QUERIES``/``STAGED_ORACLES`` hold the pairs; nothing here
+touches ``plans.QUERIES`` until the promotion round flips ``staged`` to
+delegate to ``registry.query`` (exactly how ``plans/staging_r8.py:47-57``
+did it). Each query is verified by the staged driver-replica sweep at
+sf0.001 AND sf0.01 before it lands here, and pinned by independent
+Python references in tests/test_staging_r10.py.
+
+Families this batch:
+* privacy trio completion: ``t_closeness_audit`` (variational-distance
+  t-closeness next to k-anonymity / l-diversity);
+* stratified + ordered experimentation: ``mantel_haenszel_stratified_ab``
+  (CMH pooled test + MH odds ratio), ``cochran_armitage_trend``
+  (dose-response across ordered buckets), ``cochran_q_three_raters``
+  (matched binary outcomes, exact integer Q with the closed-form df=2
+  p = exp(-Q/2)), ``quantile_treatment_effects`` (per-decile A/B shift);
+* survival family completion: ``logrank_test_session_survival`` (two-arm
+  log-rank over the reference's session semantics),
+  ``intersession_return_km`` (KM on user RETURN times);
+* reference-domain analytics: ``session_bot_signals`` (gap-regularity /
+  rate / depth bands — the classic access-log bot triage sessionize
+  feeds).
+
+Exactness discipline unchanged (staging_r8 header): integer or
+quantized-integer corpus sums, single shared double expressions, 6dp
+rounds, erfc p-values on rounded statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+STAGED_QUERIES: dict[str, QueryFn] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged(name: str, oracle: str | None = None):
+    """Round-10 staging: holds the pair OUT of the live registry until
+    the promotion round (see module docstring)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED_QUERIES:
+            raise ValueError(f"duplicate staged name {name!r}")
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _as_erfc_poly() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _AS_ERFC_POLY,
+    )
+
+    return _AS_ERFC_POLY
+
+
+# --- t-closeness audit -------------------------------------------------------
+
+# Per-(group, lang) variational-distance contribution |c/gs - nl/N|,
+# e9-quantized through shared text: the cross-multiplied integer
+# |c*N - nl*gs| over the exact double product gs*N. Absent languages are
+# folded in closed form (see the query docstring), so no group x lang
+# grid is ever materialized.
+_TC_PRESENT_E9 = (
+    "CAST(round(1000000000 * abs(1e0 * c * nn - 1e0 * nl * gs)"
+    " / (1e0 * gs * nn)) AS BIGINT)"
+)
+
+_TC_BANDS = (
+    "CASE WHEN t_e9 >= 500000000 THEN 't>=0.50'"
+    " WHEN t_e9 >= 330000000 THEN 't>=0.33'"
+    " WHEN t_e9 >= 200000000 THEN 't>=0.20'"
+    " ELSE 't<0.20' END"
+)
+
+
+def _tc_oracle() -> str:
+    return f"""
+WITH cell AS (
+  SELECT source, n_chars // 200 AS len_band, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, len_band, lang
+),
+grp AS (
+  SELECT source, len_band, sum(c)::BIGINT AS gs
+  FROM cell GROUP BY source, len_band
+),
+ml AS (SELECT lang, sum(c)::BIGINT AS nl FROM cell GROUP BY lang),
+tot AS (SELECT sum(c)::BIGINT AS nn FROM cell),
+pres AS (
+  SELECT cell.source, cell.len_band,
+         CAST(sum({_TC_PRESENT_E9}) AS BIGINT) AS pres_e9,
+         CAST(sum(ml.nl) AS BIGINT) AS nl_pres
+  FROM cell
+  JOIN grp ON grp.source = cell.source AND grp.len_band = cell.len_band
+  JOIN ml ON ml.lang = cell.lang
+  CROSS JOIN tot
+  GROUP BY cell.source, cell.len_band
+),
+tg AS (
+  SELECT p.source, p.len_band, g.gs,
+         CAST((p.pres_e9
+               + CAST(round(1000000000 * (1e0 * (t.nn - p.nl_pres)) / t.nn)
+                      AS BIGINT)) // 2 AS BIGINT) AS t_e9
+  FROM pres p
+  JOIN grp g ON g.source = p.source AND g.len_band = p.len_band
+  CROSS JOIN tot t
+),
+agg AS (
+  SELECT {_TC_BANDS} AS t_band, count(*)::BIGINT AS n_groups,
+         sum(gs)::BIGINT AS n_docs
+  FROM tg GROUP BY t_band
+),
+mx AS (
+  SELECT max(t_e9)::BIGINT AS max_e9, sum(gs)::BIGINT AS nn2 FROM tg
+)
+SELECT a.t_band, a.n_groups, a.n_docs,
+       round(CAST(a.n_docs AS DOUBLE) / m.nn2, 6) + 0.0 AS doc_share,
+       round(m.max_e9 / 1e9, 6) + 0.0 AS max_t
+FROM agg a CROSS JOIN mx m
+"""
+
+
+@staged("t_closeness_audit", oracle=_tc_oracle())
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the release-governance privacy trio
+    (k_anonymity_audit / l_diversity_audit / this): for each
+    quasi-identifier group (source, length-band), the VARIATIONAL
+    DISTANCE between the group's sensitive-attribute distribution
+    (lang — nominal, so EMD reduces to 0.5 * L1) and the corpus-global
+    distribution. A group can be large (k-anonymous) AND diverse
+    (l-diverse) yet still leak via a skewed distribution
+    (a 95%-one-language group reveals its members' language with high
+    confidence); t-closeness is the audit that catches it. Output:
+    group counts and document shares per t band, plus the dataset max t
+    (the release number).
+
+    Exactness: each PRESENT (group, lang) contribution quantizes to an
+    e9 integer via the shared cross-multiplied expression; languages
+    ABSENT from a group contribute sum(nl)/N, folded in CLOSED FORM as
+    (N - sum_present nl)/N from the present rows' integer sums — no
+    group x lang grid, no missing-cell special cases; the halving is
+    integer (e9 keeps parity — all terms even-safe at 6dp). Bands
+    compare integers against e9 literals.
+
+    Scale shape: one corpus scan to the bounded QI x lang cell frame;
+    margins are re-aggregates of cells; the per-group fold is a
+    group-keyed aggregate of the cell frame (bounded by the QI domain,
+    never corpus-sized); broadcast 1-row total."""
+    cell = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", F.expr("n_chars div 200").alias("len_band"), "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cell = cell.localCheckpoint()  # feeds grp/ml/tot/pres
+    grp = cell.groupBy("source", "len_band").agg(
+        F.sum("c").cast("long").alias("gs")
+    )
+    ml = cell.groupBy("lang").agg(F.sum("c").cast("long").alias("nl"))
+    tot = cell.agg(F.sum("c").cast("long").alias("nn"))
+    pres = (
+        cell.join(grp, ["source", "len_band"])
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "len_band")
+        .agg(
+            F.sum(F.expr(_TC_PRESENT_E9)).cast("long").alias("pres_e9"),
+            F.sum("nl").cast("long").alias("nl_pres"),
+        )
+    )
+    tg = (
+        pres.join(grp, ["source", "len_band"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "len_band",
+            "gs",
+            # Integer floor division (// in DuckDB, div here): plain /
+            # would be float-and-ROUND in DuckDB vs truncate in Spark
+            # (the round-9 OBF phantom-look trap).
+            F.expr(
+                "CAST((pres_e9"
+                " + CAST(round(1000000000 * (1e0 * (nn - nl_pres)) / nn)"
+                "        AS BIGINT)) div 2 AS BIGINT)"
+            ).alias("t_e9"),
+        )
+    )
+    tg = tg.localCheckpoint()  # feeds the band aggregate and the max
+    agg = tg.groupBy(F.expr(_TC_BANDS).alias("t_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gs").cast("long").alias("n_docs"),
+    )
+    mx = tg.agg(
+        F.max("t_e9").cast("long").alias("max_e9"),
+        F.sum("gs").cast("long").alias("nn2"),
+    )
+    return agg.crossJoin(F.broadcast(mx)).select(
+        "t_band",
+        "n_groups",
+        "n_docs",
+        (F.round(F.col("n_docs").cast("double") / F.col("nn2"), 6) + F.lit(0.0)).alias(
+            "doc_share"
+        ),
+        (F.round(F.col("max_e9") / 1e9, 6) + F.lit(0.0)).alias("max_t"),
+    )
+
+
+# --- Cochran-Mantel-Haenszel stratified A/B ---------------------------------
+
+# Per-stratum expectation and variance of the treated-converted cell a_i
+# under the margins: E_i = n1*m1/n, V_i = n1*n0*m1*m0 / (n^2 (n-1)).
+# Both are rationals of exact integers — e9-quantized through shared text
+# so the cross-stratum sums are exact integer sums.
+_MH_E_E9 = "CAST(round(1000000000 * (1e0 * n1 * m1) / nt) AS BIGINT)"
+_MH_V_E9 = (
+    "CAST(round(1000000000 * (1e0 * n1 * n0 * m1 * m0)"
+    " / (1e0 * nt * nt * (nt - 1))) AS BIGINT)"
+)
+# MH pooled odds-ratio terms: a*d/n and b*c/n per stratum, e9-quantized.
+_MH_AD_E9 = "CAST(round(1000000000 * (1e0 * a * d) / nt) AS BIGINT)"
+_MH_BC_E9 = "CAST(round(1000000000 * (1e0 * b * c) / nt) AS BIGINT)"
+
+_MH_Z = (
+    "CASE WHEN v_e9 <= 0 THEN 0.0"
+    " ELSE round((1e0 * a_sum * 1000000000 - e_e9_sum)"
+    "      / (1000000 * sqrt(1e0 * v_e9 * 1000000000)), 6) + 0.0 END"
+)
+
+
+def _mh_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    return f"""
+WITH e AS (
+  SELECT event_type AS stratum, {arm} % 2 AS g,
+         CASE WHEN value > 60 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+s AS (
+  SELECT stratum,
+         CAST(sum(g * y) AS BIGINT) AS a,
+         CAST(sum(g * (1 - y)) AS BIGINT) AS b,
+         CAST(sum((1 - g) * y) AS BIGINT) AS c,
+         CAST(sum((1 - g) * (1 - y)) AS BIGINT) AS d
+  FROM e GROUP BY stratum
+),
+m AS (
+  SELECT stratum, a, b, c, d,
+         a + b AS n1, c + d AS n0, a + c AS m1, b + d AS m0,
+         a + b + c + d AS nt
+  FROM s WHERE (a + b) > 0 AND (c + d) > 0 AND (a + b + c + d) > 1
+),
+t AS (
+  SELECT count(*)::BIGINT AS n_strata,
+         CAST(sum(a) AS BIGINT) AS a_sum,
+         CAST(sum({_MH_E_E9}) AS BIGINT) AS e_e9_sum,
+         CAST(sum({_MH_V_E9}) AS BIGINT) AS v_e9,
+         CAST(sum({_MH_AD_E9}) AS BIGINT) AS ad_e9,
+         CAST(sum({_MH_BC_E9}) AS BIGINT) AS bc_e9
+  FROM m
+),
+zz AS (
+  SELECT n_strata, a_sum, round(e_e9_sum / 1e9, 6) + 0.0 AS e_sum,
+         CASE WHEN bc_e9 = 0 THEN NULL
+              ELSE round((1e0 * ad_e9) / bc_e9, 6) + 0.0 END AS or_mh,
+         {_MH_Z} AS z_stat
+  FROM t
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_strata, a_sum, e_sum, or_mh, z_stat,
+       round({poly}, 6) + 0.0 AS p_normal
+FROM xt
+"""
+
+
+@staged("mantel_haenszel_stratified_ab", oracle=_mh_oracle())
+def mantel_haenszel_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified A/B test + Mantel-Haenszel
+    pooled odds ratio: does the treatment arm convert better CONTROLLING
+    for event type? The stratified test every experimentation platform
+    needs when traffic mix differs by arm (Simpson's-paradox insurance:
+    a pooled two-proportion test can show the REVERSED sign when strata
+    are imbalanced — ``ab_test_two_proportions`` pools,
+    ``ab_segment_bh_fdr`` tests strata separately; CMH combines
+    correctly). Degenerate strata (one-arm or size <= 1) drop, as in
+    the standard estimator.
+
+    Exactness: the 2x2 cells per stratum are exact int64 from one
+    conditional aggregate; per-stratum E_i and V_i quantize to e9
+    integers through shared text so cross-stratum sums are exact; z's
+    numerator is the exact integer a_sum*1e9 - e_e9_sum (the only
+    subtraction happens in integer space); OR_MH is one 6dp division
+    of two e9 integer sums (NULL when no discordant mass); p is the
+    shared erfc polynomial on rounded z.
+
+    Scale shape: one corpus scan -> bounded |strata| frame; everything
+    after is bounded re-aggregation. The arm is the portable 48-bit md5
+    of user_id (unit of randomization = user)."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    poly = _as_erfc_poly()
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stratum"),
+        arm.alias("g"),
+        F.when(F.col("value") > 60, 1).otherwise(0).alias("y"),
+    )
+    s = e.groupBy("stratum").agg(
+        F.sum(F.expr("g * y")).cast("long").alias("a"),
+        F.sum(F.expr("g * (1 - y)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - g) * y")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - g) * (1 - y)")).cast("long").alias("d"),
+    )
+    m = s.filter(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("b") + F.col("c") + F.col("d")) > 1)
+    ).select(
+        "*",
+        (F.col("a") + F.col("b")).alias("n1"),
+        (F.col("c") + F.col("d")).alias("n0"),
+        (F.col("a") + F.col("c")).alias("m1"),
+        (F.col("b") + F.col("d")).alias("m0"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("nt"),
+    )
+    t = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("a_sum"),
+        F.sum(F.expr(_MH_E_E9)).cast("long").alias("e_e9_sum"),
+        F.sum(F.expr(_MH_V_E9)).cast("long").alias("v_e9"),
+        F.sum(F.expr(_MH_AD_E9)).cast("long").alias("ad_e9"),
+        F.sum(F.expr(_MH_BC_E9)).cast("long").alias("bc_e9"),
+    )
+    zz = t.select(
+        "n_strata",
+        "a_sum",
+        (F.round(F.col("e_e9_sum") / 1e9, 6) + F.lit(0.0)).alias("e_sum"),
+        F.expr(
+            "CASE WHEN bc_e9 = 0 THEN NULL"
+            " ELSE round((1e0 * ad_e9) / bc_e9, 6) + 0.0 END"
+        ).alias("or_mh"),
+        F.expr(_MH_Z).alias("z_stat"),
+    )
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        "n_strata",
+        "a_sum",
+        "e_sum",
+        "or_mh",
+        "z_stat",
+        (F.round(F.expr(poly), 6) + F.lit(0.0)).alias("p_normal"),
+    )
+
+
+# --- Cochran-Armitage trend test --------------------------------------------
+
+# Exact integer core: with weights w_i = bucket index, A = total
+# successes, n = total, the numerator is n*sum(w*a) - A*sum(w*n_i) and
+# the variance core is A*(n-A)*(n*sum(w^2*n_i) - sum(w*n_i)^2) / n.
+# z = num / sqrt(var) — one shared e6-quantized expression; the triple
+# products promote to double per-term.
+_CA_Z_MICRO = (
+    "CASE WHEN ba <= 0 OR ba >= bn OR (1e0 * bn * sw2n - 1e0 * swn * swn) <= 0"
+    "     THEN 0"
+    "     ELSE CAST(round(1000000 * (1e0 * bn * swa - 1e0 * ba * swn)"
+    "          / sqrt((1e0 * ba * (bn - ba) / bn)"
+    "                 * (1e0 * bn * sw2n - 1e0 * swn * swn))) AS BIGINT) END"
+)
+
+
+def _ca_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH d AS (
+  SELECT least(n_chars // 250, 7) AS w,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT w, count(*)::BIGINT AS ni, sum(y)::BIGINT AS ai
+  FROM d GROUP BY w
+),
+s AS (
+  SELECT CAST(sum(ni) AS BIGINT) AS bn, CAST(sum(ai) AS BIGINT) AS ba,
+         CAST(sum(w * ai) AS BIGINT) AS swa,
+         CAST(sum(w * ni) AS BIGINT) AS swn,
+         CAST(sum(w * w * ni) AS BIGINT) AS sw2n,
+         count(*)::BIGINT AS n_buckets
+  FROM g
+),
+zs AS (SELECT *, {_CA_Z_MICRO} AS z_micro FROM s),
+zz AS (SELECT *, round(z_micro / 1e6, 6) + 0.0 AS z_stat FROM zs),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_buckets, bn AS n_docs, ba AS n_en, z_stat,
+       round({poly}, 6) + 0.0 AS p_normal
+FROM xt
+"""
+
+
+@staged("cochran_armitage_trend", oracle=_ca_oracle())
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for TREND: does the proportion of English
+    documents rise or fall MONOTONICALLY with document length (ordered
+    length buckets as the dose)? The chi-square family
+    (``chisq_source_language``, ``doc_source_contingency_chi2``) tests
+    ANY dependence; Cochran-Armitage spends its single degree of
+    freedom on the ordered alternative, which is what a corpus
+    engineer usually suspects ("longer docs skew English") and what a
+    2-dof omnibus test dilutes.
+
+    Exactness: per-bucket counts are exact int64; the z numerator
+    n*sum(w*a) - A*sum(w*n) and the variance core are shared
+    expressions whose triple products promote to double per-term; z
+    quantizes to e6 and p is the shared erfc polynomial on the rounded
+    z. Degenerate inputs (all or no successes, zero weight variance)
+    guard to z = 0.
+
+    Scale shape: one corpus scan to the bounded 8-bucket frame; one
+    1-row reduce. No joins, no windows."""
+    poly = _as_erfc_poly()
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("least(n_chars div 250, 7)").alias("w"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    g = d.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum("y").cast("long").alias("ai"),
+    )
+    s = g.agg(
+        F.sum("ni").cast("long").alias("bn"),
+        F.sum("ai").cast("long").alias("ba"),
+        F.sum(F.expr("w * ai")).cast("long").alias("swa"),
+        F.sum(F.expr("w * ni")).cast("long").alias("swn"),
+        F.sum(F.expr("w * w * ni")).cast("long").alias("sw2n"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    zz = s.withColumn("z_micro", F.expr(_CA_Z_MICRO)).withColumn(
+        "z_stat", F.round(F.col("z_micro") / 1e6, 6) + F.lit(0.0)
+    )
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        "n_buckets",
+        F.col("bn").alias("n_docs"),
+        F.col("ba").alias("n_en"),
+        "z_stat",
+        (F.round(F.expr(poly), 6) + F.lit(0.0)).alias("p_normal"),
+    )
+
+
+# --- Cochran's Q over three matched binary raters ---------------------------
+
+# Exact integer Q: with k treatments, column totals G_j and row sums L_i,
+# Q = (k-1) * (k * sum(G_j^2) - (sum G)^2) / (k * sum(L) - sum(L^2)).
+# For df = k-1 = 2 the chi-square upper tail has the CLOSED FORM
+# p = exp(-Q/2) — one deterministic exp on the e6-rounded Q, no
+# polynomial approximation needed.
+_CQ_Q_MICRO = (
+    "CASE WHEN (3 * sl - sl2) <= 0 THEN 0"
+    " ELSE CAST(round(1000000 * 2e0 * (3e0 * (g1 * g1 + g2 * g2 + g3 * g3)"
+    "                                  - 1e0 * (g1 + g2 + g3) * (g1 + g2 + g3))"
+    "      / (3e0 * sl - 1e0 * sl2)) AS BIGINT) END"
+)
+
+
+def _cq_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _NB_PRED_CTES,
+    )
+
+    toks_d = T.tokens_duck("text")
+    case = _langid_case(
+        "men", "mde", "mfr", "mes", f"regexp_matches(text, '{_CJK}')"
+    )
+    return (
+        _NB_PRED_CTES
+        + f"""
+, toks2 AS (
+  SELECT doc_id, lang, text, {toks_d} AS t FROM documents WHERE doc_id % 2 = 1
+),
+hs AS (
+  SELECT doc_id, lang, text,
+         {T.marker_score_duck('t', 'en')} AS men, {T.marker_score_duck('t', 'de')} AS mde,
+         {T.marker_score_duck('t', 'fr')} AS mfr, {T.marker_score_duck('t', 'es')} AS mes
+  FROM toks2
+),
+r AS (
+  SELECT p.doc_id,
+         (p.pred_lang = p.true_lang)::INT AS x1,
+         (({case}) = h.lang)::INT AS x2,
+         (h.lang = 'en')::INT AS x3
+  FROM pred p JOIN hs h USING (doc_id)
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(x1)::BIGINT AS g1, sum(x2)::BIGINT AS g2, sum(x3)::BIGINT AS g3,
+         CAST(sum(x1 + x2 + x3) AS BIGINT) AS sl,
+         CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sl2
+  FROM r
+),
+q AS (SELECT *, {_CQ_Q_MICRO} AS q_micro FROM s)
+SELECT n_docs, g1 AS nb_correct, g2 AS heuristic_correct,
+       g3 AS baseline_correct, round(q_micro / 1e6, 6) + 0.0 AS q_stat,
+       round(exp(-(round(q_micro / 1e6, 6) + 0.0) / 2), 6) + 0.0 AS p_chi2_df2
+FROM q
+"""
+    )
+
+
+@staged("cochran_q_three_raters", oracle=_cq_oracle())
+def cochran_q_three_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE matched binary classifiers on the same
+    held-out documents — naive Bayes, the marker-word heuristic, and
+    the predict-majority-class baseline: are their accuracies all
+    equal? The k-classifier generalization of
+    ``mcnemar_nb_vs_heuristic`` (McNemar IS Cochran's Q at k = 2), run
+    before pairwise comparisons to control the first-stage error of
+    "which of my k labelers differ at all".
+
+    Exactness: every term of Q is an exact int64 (column totals,
+    matched row sums and their squares from ONE conditional aggregate);
+    Q quantizes to e6 through one shared expression, and — because
+    df = k-1 = 2 — the chi-square p-value is the CLOSED FORM exp(-Q/2)
+    evaluated on the rounded Q: no approximation polynomial at all.
+    The degenerate all-rows-tied case (denominator 0) guards to Q = 0.
+
+    Scale shape: the three label pipelines are the registry's verified
+    per-row plans; one doc_id equi-join pairs them, one
+    map-side-combined scalar aggregate ends it."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _CJK,
+        _langid_case,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _nb_prediction_frame,
+    )
+
+    toks_s = T.tokens_spark("text")
+    pred = _nb_prediction_frame(spark, sf_dir).select(
+        "doc_id",
+        (F.col("pred_lang") == F.col("true_lang")).cast("int").alias("x1"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("t", F.expr(toks_s))
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.expr(T.marker_score_spark("t", "en")).alias("men"),
+            F.expr(T.marker_score_spark("t", "de")).alias("mde"),
+            F.expr(T.marker_score_spark("t", "fr")).alias("mfr"),
+            F.expr(T.marker_score_spark("t", "es")).alias("mes"),
+        )
+    )
+    h = hs.select(
+        "doc_id",
+        (
+            F.expr(_langid_case("men", "mde", "mfr", "mes", f"text rlike '{_CJK}'"))
+            == F.col("lang")
+        )
+        .cast("int")
+        .alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("x3"),
+    )
+    r = pred.join(h, "doc_id")
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x1").cast("long").alias("g1"),
+        F.sum("x2").cast("long").alias("g2"),
+        F.sum("x3").cast("long").alias("g3"),
+        F.sum(F.expr("x1 + x2 + x3")).cast("long").alias("sl"),
+        F.sum(F.expr("(x1 + x2 + x3) * (x1 + x2 + x3)")).cast("long").alias("sl2"),
+    )
+    q = s.withColumn("q_micro", F.expr(_CQ_Q_MICRO)).withColumn(
+        "q_stat", F.round(F.col("q_micro") / 1e6, 6) + F.lit(0.0)
+    )
+    return q.select(
+        "n_docs",
+        F.col("g1").alias("nb_correct"),
+        F.col("g2").alias("heuristic_correct"),
+        F.col("g3").alias("baseline_correct"),
+        "q_stat",
+        (F.round(F.exp(-F.col("q_stat") / 2), 6) + F.lit(0.0)).alias("p_chi2_df2"),
+    )
+
+
+# --- quantile treatment effects ---------------------------------------------
+
+
+def _qte_oracle() -> str:
+    arm = T.h48_duck("doc_id::VARCHAR")
+    return f"""
+WITH d AS (
+  SELECT {arm} % 2 AS g, n_chars AS y, doc_id FROM documents
+),
+rk AS (
+  SELECT g, y,
+         row_number() OVER (PARTITION BY g ORDER BY y, doc_id) AS r,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM d
+),
+qs AS (SELECT unnest(range(1, 10)) AS q),
+hit AS (
+  SELECT q.q, rk.g, rk.y
+  FROM rk JOIN qs q ON rk.r = (q.q * rk.n + 9) // 10
+)
+SELECT a.q,
+       CAST(a.y AS BIGINT) AS q_control,
+       CAST(b.y AS BIGINT) AS q_treated,
+       CAST(b.y - a.y AS BIGINT) AS qte
+FROM hit a JOIN hit b ON a.q = b.q AND a.g = 0 AND b.g = 1
+"""
+
+
+@staged("quantile_treatment_effects", oracle=_qte_oracle())
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile quantile treatment effects of the hash A/B split on
+    document length: the decile-by-decile shift between the two arms'
+    length distributions. Mean tests (``welch_t_chars_ab``) can read
+    zero while the treatment reshapes the TAILS — QTE is the standard
+    distributional readout (Doksum 1974), and on an A/A hash split
+    every decile difference should sit near zero, making this the
+    distribution-level splitter audit next to the mean-level Welch A/A.
+
+    Exactness: each arm's decile is the EXACT order statistic at rank
+    ceil(q*n/10) — integer floor-division rank arithmetic (// vs div,
+    the round-9 dialect rule), ranks from the deterministic-banded
+    global-rank pass over (y, doc_id) per arm (a total order), and the
+    QTE is an integer difference. No interpolation, no floats anywhere.
+
+    Scale shape: per arm one banded rank pass (no single-partition
+    sort); the 9-row decile grid joins by broadcast; the final join is
+    9x9-row. The oracle's plain windowed row_number is the
+    single-node semantic mirror."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(doc_id as string)')}, 2)")
+    d = load_table(spark, sf_dir, "documents").select(
+        arm.alias("g"), F.col("n_chars").alias("y"), "doc_id"
+    )
+    qs = spark.range(1, 10).select(F.col("id").cast("long").alias("q"))
+
+    def _deciles(gval: int) -> DataFrame:
+        rk = with_global_rank(
+            d.filter(F.col("g") == gval).select("y", "doc_id"),
+            ["y", "doc_id"],
+            rank_col="r",
+            total_col="n",
+        )
+        return rk.join(
+            F.broadcast(qs), F.col("r") == F.expr("(q * n + 9) div 10")
+        ).select("q", F.col("y"))
+
+    a = _deciles(0).select("q", F.col("y").cast("long").alias("q_control"))
+    b = _deciles(1).select("q", F.col("y").cast("long").alias("q_treated"))
+    return a.join(b, "q").select(
+        "q",
+        "q_control",
+        "q_treated",
+        (F.col("q_treated") - F.col("q_control")).cast("long").alias("qte"),
+    )
