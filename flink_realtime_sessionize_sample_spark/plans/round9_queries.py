@@ -1152,6 +1152,35 @@ _KM_SURV = (
 )
 
 
+def _session_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, t, censored) per session under the reference's exact
+    session semantics: t = final session duration (sec), censored =
+    session still open at batch end (last event within the 30-min gap
+    of the corpus's final timestamp). Shared by the KM estimator here
+    and the staged two-arm log-rank test (plans/staging_r10.py)."""
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _events_sessionized,
+    )
+
+    sz = _events_sessionized(spark, sf_dir).select(
+        "session_id",
+        "user_id",
+        F.col("duration").cast("long").alias("duration"),
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    sess_end = sz.groupBy("session_id").agg(
+        F.max("user_id").cast("long").alias("user_id"),
+        F.max("duration").cast("long").alias("dur"),
+        F.max("sec").cast("long").alias("last_sec"),
+    )
+    gmx = sz.agg(F.max("sec").cast("long").alias("mx"))
+    return sess_end.crossJoin(F.broadcast(gmx)).select(
+        "user_id",
+        F.col("dur").alias("t"),
+        ((F.col("mx") - F.col("last_sec")) <= 1800).alias("censored"),
+    )
+
+
 def _km_oracle() -> str:
     from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
         _SESSIONIZE_CTE,
@@ -1230,24 +1259,7 @@ def kaplan_meier_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame
     survival table rides the bounded |distinct durations| frame
     (duration domain <= 43200 s by the reference's own 12-h cap —
     bounded-global-window pattern, independent of corpus size)."""
-    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
-        _events_sessionized,
-    )
-
-    sz = _events_sessionized(spark, sf_dir).select(
-        "session_id",
-        F.col("duration").cast("long").alias("duration"),
-        F.expr("unix_micros(ts) div 1000000").alias("sec"),
-    )
-    sess_end = sz.groupBy("session_id").agg(
-        F.max("duration").cast("long").alias("dur"),
-        F.max("sec").cast("long").alias("last_sec"),
-    )
-    gmx = sz.agg(F.max("sec").cast("long").alias("mx"))
-    obs = sess_end.crossJoin(F.broadcast(gmx)).select(
-        F.col("dur").alias("t"),
-        ((F.col("mx") - F.col("last_sec")) <= 1800).alias("censored"),
-    )
+    obs = _session_obs(spark, sf_dir).select("t", "censored")
     tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     bytime = obs.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),

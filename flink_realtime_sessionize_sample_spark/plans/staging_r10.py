@@ -232,10 +232,16 @@ _MH_V_E9 = (
 _MH_AD_E9 = "CAST(round(1000000000 * (1e0 * a * d) / nt) AS BIGINT)"
 _MH_BC_E9 = "CAST(round(1000000000 * (1e0 * b * c) / nt) AS BIGINT)"
 
+# z = (sum a - sum E) / sqrt(sum V): with E and V carried as e9
+# integers, (a*1e9 - e_e9)/1e9 over sqrt(v_e9/1e9) reduces to
+# (a*1e9 - e_e9) / sqrt(v_e9 * 1e9). (The first draft multiplied the
+# denominator by a spurious 1e6 — BOTH engines shared the wrong text,
+# so only the independent Python reference in tests/test_staging_r10.py
+# caught it: cross-engine parity proves agreement, not intent.)
 _MH_Z = (
     "CASE WHEN v_e9 <= 0 THEN 0.0"
     " ELSE round((1e0 * a_sum * 1000000000 - e_e9_sum)"
-    "      / (1000000 * sqrt(1e0 * v_e9 * 1000000000)), 6) + 0.0 END"
+    "      / sqrt(1e0 * v_e9 * 1000000000), 6) + 0.0 END"
 )
 
 
@@ -687,4 +693,448 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_control",
         "q_treated",
         (F.col("q_treated") - F.col("q_control")).cast("long").alias("qte"),
+    )
+
+
+# --- two-arm log-rank test over session survival ----------------------------
+
+# Per-death-time hypergeometric moments of the arm-1 death count:
+# E1 = d * n1 / n, V = d * (n1/n) * (1 - n1/n) * (n - d) / (n - 1),
+# e9-quantized through shared text; z mirrors the CMH shape (the only
+# subtraction is integer o1*1e9 - e_e9).
+_LR_E_E9 = "CAST(round(1000000000 * (1e0 * d * n1r) / nr) AS BIGINT)"
+_LR_V_E9 = (
+    "CASE WHEN nr <= 1 THEN 0"
+    " ELSE CAST(round(1000000000 * (1e0 * d * n1r * (nr - n1r) * (nr - d))"
+    "      / (1e0 * nr * nr * (nr - 1))) AS BIGINT) END"
+)
+_LR_Z = (
+    "CASE WHEN v_e9 <= 0 THEN 0.0"
+    " ELSE round((1e0 * o1 * 1000000000 - e_e9)"
+    "      / sqrt(1e0 * v_e9 * 1000000000), 6) + 0.0 END"
+)
+
+
+def _lr_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _SESSIONIZE_CTE,
+    )
+
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    return (
+        _SESSIONIZE_CTE
+        + f""",
+sess_end AS (
+  SELECT user_id, start_us,
+         max(sec - start_sec)::BIGINT AS dur,
+         max(sec)::BIGINT AS last_sec
+  FROM sess GROUP BY user_id, start_us
+),
+gmx AS (SELECT max(sec)::BIGINT AS mx FROM ev),
+obs AS (
+  SELECT dur AS t, (mx - last_sec) <= 1800 AS censored,
+         {arm} % 2 AS g
+  FROM sess_end CROSS JOIN gmx
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_all,
+         CAST(sum(g) AS BIGINT) AS n_arm1
+  FROM obs
+),
+bytime AS (
+  SELECT t, count(*)::BIGINT AS removed,
+         CAST(sum(g) AS BIGINT) AS removed1,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE g END) AS BIGINT) AS d1
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d, d1,
+         n_all - coalesce(sum(removed) OVER w, 0) AS nr,
+         n_arm1 - coalesce(sum(removed1) OVER w, 0) AS n1r
+  FROM bytime CROSS JOIN tot
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+terms AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum({_LR_E_E9}) AS BIGINT) AS e_e9,
+         CAST(sum({_LR_V_E9}) AS BIGINT) AS v_e9,
+         count(*)::BIGINT AS n_death_times
+  FROM risk WHERE d > 0 AND nr > 0
+),
+zz AS (
+  SELECT n_death_times, o1, round(e_e9 / 1e9, 6) + 0.0 AS e1, {_LR_Z} AS z_stat
+  FROM terms
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_death_times, o1, e1, z_stat,
+       round({poly}, 6) + 0.0 AS p_normal
+FROM xt
+"""
+    )
+
+
+@staged("logrank_test_session_survival", oracle=_lr_oracle())
+def logrank_test_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm log-rank (Mantel-Cox) test on session lifetime under the
+    reference's session semantics: do the two user hash-arms' sessions
+    draw from the same survival curve? The censoring-correct companion
+    to ``kaplan_meier_session_survival`` (the KM answers "what is the
+    curve"; log-rank answers "are two curves different") and, on a hash
+    A/A split, the survival-level splitter audit next to the mean-level
+    ``welch_t_chars_ab``. Log-rank IS the CMH test applied to the
+    per-death-time 2x2 tables — the same per-stratum hypergeometric
+    moments as ``mantel_haenszel_stratified_ab``, stratified by time.
+
+    Exactness: risk sets and death counts per time are exact integer
+    window arithmetic; per-time E and V quantize to e9 via shared text
+    so their sums are exact; z's numerator is the integer
+    o1*1e9 - e_e9, p the shared erfc polynomial on rounded z.
+
+    Scale shape: sessionize's one-shuffle pass; the per-time frame is
+    bounded by the 12-h duration cap (43201 values, independent of
+    corpus size) so the risk-set windows ride the documented
+    bounded-global-window pattern; one scalar reduce ends it."""
+    from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
+        _session_obs,
+    )
+
+    poly = _as_erfc_poly()
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    obs = _session_obs(spark, sf_dir).select(
+        "t", "censored", arm.alias("g")
+    )
+    tot = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("g").cast("long").alias("n_arm1"),
+    )
+    bytime = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("removed"),
+        F.sum("g").cast("long").alias("removed1"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(F.col("g")))
+        .cast("long")
+        .alias("d1"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = bytime.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        (F.col("n_all") - F.coalesce(F.sum("removed").over(w), F.lit(0)))
+        .cast("long")
+        .alias("nr"),
+        (F.col("n_arm1") - F.coalesce(F.sum("removed1").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n1r"),
+    )
+    terms = risk.filter((F.col("d") > 0) & (F.col("nr") > 0)).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.expr(_LR_E_E9)).cast("long").alias("e_e9"),
+        F.sum(F.expr(_LR_V_E9)).cast("long").alias("v_e9"),
+        F.count(F.lit(1)).cast("long").alias("n_death_times"),
+    )
+    zz = terms.select(
+        "n_death_times",
+        "o1",
+        (F.round(F.col("e_e9") / 1e9, 6) + F.lit(0.0)).alias("e1"),
+        F.expr(_LR_Z).alias("z_stat"),
+    )
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        "n_death_times",
+        "o1",
+        "e1",
+        "z_stat",
+        (F.round(F.expr(poly), 6) + F.lit(0.0)).alias("p_normal"),
+    )
+
+
+# --- session bot signals -----------------------------------------------------
+
+# Band predicate over exact integer gap moments: s = sum of gaps (sec),
+# q = sum of squared gaps, ng = gap count. Coefficient-of-variation^2 of
+# gaps <= 0.01 <=> 100 * ng * (ng*q - s*s) <= (ng - 1) * s * s — pure
+# integer cross-multiplication (sample variance; metronome-regular
+# timing). Burst = mean gap <= 2 s <=> s <= 2 * ng.
+_BOT_BAND = (
+    "CASE WHEN ng < 1 THEN 'single'"
+    " WHEN s <= 2 * ng THEN 'burst'"
+    " WHEN ng < 5 THEN 'short'"
+    " WHEN 100 * ng * (ng * q - s * s) <= (ng - 1) * s * s THEN 'metronome'"
+    " ELSE 'organic' END"
+)
+
+
+def _bot_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _SESSIONIZE_CTE,
+    )
+
+    return (
+        _SESSIONIZE_CTE
+        + f""",
+gaps AS (
+  SELECT session_id,
+         ts_us // 1000000
+           - lag(ts_us // 1000000) OVER (PARTITION BY session_id
+                                         ORDER BY ts_us, event_id) AS gap
+  FROM sessionized
+),
+per AS (
+  SELECT session_id, count(gap)::BIGINT AS ng,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(gap * gap) AS BIGINT) AS q
+  FROM gaps GROUP BY session_id
+),
+tot AS (SELECT count(*)::BIGINT AS n_sessions FROM per),
+b AS (
+  SELECT {_BOT_BAND} AS band, count(*)::BIGINT AS n,
+         CAST(sum(ng + 1) AS BIGINT) AS n_events,
+         CAST(coalesce(sum(s), 0) AS BIGINT) AS total_sec
+  FROM per GROUP BY band
+)
+SELECT b.band, b.n AS n_sessions, b.n_events, b.total_sec,
+       round(CAST(b.n AS DOUBLE) / t.n_sessions, 6) + 0.0 AS session_share
+FROM b CROSS JOIN tot t
+"""
+    )
+
+
+@staged("session_bot_signals", oracle=_bot_oracle())
+def session_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-vs-organic triage of sessionized traffic — THE classic
+    downstream of access-log sessionization (the reference's own
+    domain): per session, the inter-event gap moments classify timing
+    into ``single`` (one event — no timing signal), ``burst`` (mean
+    gap <= 2 s — scripted hammering, any depth), ``short`` (< 5 gaps —
+    too little signal for regularity), ``metronome`` (>= 5 gaps with
+    coefficient of variation <= 0.1 — scheduler-regular polling no
+    human produces), and ``organic``. Output: session/event/time share
+    per band, the readout a traffic-quality gate consumes before
+    sessions feed analytics or training data.
+
+    Exactness: gaps are integer seconds from the verified sessionize
+    plan; per-session moment sums are exact int64; BOTH band
+    predicates are integer cross-multiplications (no division, no
+    floats — the CV^2 <= 0.01 test is 100*ng*(ng*q - s*s) <=
+    (ng-1)*s*s); shares are final 6dp divisions.
+
+    Scale shape: sessionize's one-shuffle pass; the gap window rides
+    the same session key (no extra exchange); one session-keyed
+    aggregate, one bounded band aggregate."""
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _events_sessionized,
+    )
+
+    sz = _events_sessionized(spark, sf_dir).select(
+        "session_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        "event_id",
+    )
+    wg = Window.partitionBy("session_id").orderBy("sec", "event_id")
+    gaps = sz.select(
+        "session_id", (F.col("sec") - F.lag("sec").over(wg)).alias("gap")
+    )
+    per = gaps.groupBy("session_id").agg(
+        F.count("gap").cast("long").alias("ng"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.expr("gap * gap")).cast("long").alias("q"),
+    )
+    per = per.localCheckpoint()  # feeds the total and the band aggregate
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    b = per.groupBy(F.expr(_BOT_BAND).alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions_b"),
+        F.sum(F.expr("ng + 1")).cast("long").alias("n_events"),
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("total_sec"),
+    )
+    return b.crossJoin(F.broadcast(tot)).select(
+        "band",
+        F.col("n_sessions_b").alias("n_sessions"),
+        "n_events",
+        "total_sec",
+        (
+            F.round(F.col("n_sessions_b").cast("double") / F.col("n_sessions"), 6)
+            + F.lit(0.0)
+        ).alias("session_share"),
+    )
+
+
+# --- Kaplan-Meier on user RETURN times (banded, unbounded domain) -----------
+
+
+def _ret_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
+        _KM_FACTOR_E6,
+        _KM_SURV,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _SESSIONIZE_CTE,
+    )
+
+    return (
+        _SESSIONIZE_CTE
+        + f""",
+se AS (
+  SELECT user_id, start_us, min(sec)::BIGINT AS start_sec2,
+         max(sec)::BIGINT AS end_sec
+  FROM sess GROUP BY user_id, start_us
+),
+gmx AS (SELECT max(sec)::BIGINT AS mx FROM ev),
+nxt AS (
+  SELECT user_id, end_sec,
+         lead(start_sec2) OVER (PARTITION BY user_id ORDER BY start_us)
+           AS next_start
+  FROM se
+),
+obs AS (
+  SELECT CASE WHEN next_start IS NULL THEN mx - end_sec
+              ELSE next_start - end_sec END AS t,
+         (next_start IS NULL) AS censored
+  FROM nxt CROSS JOIN gmx
+),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM obs),
+bytime AS (
+  SELECT t, CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         count(*)::BIGINT AS removed
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         n_total - coalesce(sum(removed) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM bytime CROSS JOIN tot
+),
+death AS (
+  SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, {_KM_FACTOR_E6} AS f_e6,
+         CASE WHEN n_risk <= d THEN 1 ELSE 0 END AS zflag
+  FROM risk WHERE d > 0
+),
+cum AS (
+  SELECT t, n_risk, d,
+         CAST(sum(f_e6) OVER w AS BIGINT) AS cum_e6,
+         CAST(sum(zflag) OVER w AS BIGINT) AS zcum
+  FROM death WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT t AS t_sec, n_risk, d AS n_events, {_KM_SURV} AS survival
+FROM cum
+"""
+    )
+
+
+@staged("intersession_return_km", oracle=_ret_oracle())
+def intersession_return_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of user RETURN time — the gap from a
+    session's last event to the user's NEXT session start, with each
+    user's open-ended wait after their final session RIGHT-CENSORED at
+    batch end: S(t) = P(user stays away longer than t). The churn-side
+    complement of ``kaplan_meier_session_survival`` (how long do
+    sessions live vs how long until users come back) — computing mean
+    return naively over observed gaps only is biased low exactly
+    because the longest waits are the censored ones; KM is the fix.
+    Cap-split sessions (1499-event / 12-h) produce near-zero returns
+    by construction — part of the defined semantics, visible as the
+    t=~0 head of the curve.
+
+    Exactness: session ends/starts and gaps are exact integer seconds
+    from the verified sessionize plan; KM factors are the shared
+    e6-quantized ln text from the round-9 estimator; survival is one
+    exp per row over exact integer cumulative sums.
+
+    Scale shape — the reason this variant exists: unlike session
+    DURATIONS (domain bounded by the 12-h cap), return times are
+    bounded only by the corpus time range, so the per-time frame is
+    corpus-proportional and a single-partition cumulative window would
+    be the classic scale pinch. BOTH cumulative passes (risk-set
+    depletion over all times, survival product over death times) ride
+    the deterministic-banded ``with_global_rank`` operator
+    (``extra_cums`` — one balanced exchange each, no global sort
+    anywhere). The per-user lead() window is user-keyed, never
+    global."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
+        _KM_FACTOR_E6,
+        _KM_SURV,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _events_sessionized,
+    )
+
+    sz = _events_sessionized(spark, sf_dir).select(
+        "session_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+    )
+    se = sz.groupBy("session_id").agg(
+        F.max("user_id").alias("user_id"),
+        F.min("sec").cast("long").alias("start_sec2"),
+        F.max("sec").cast("long").alias("end_sec"),
+    )
+    gmx = sz.agg(F.max("sec").cast("long").alias("mx"))
+    wu = Window.partitionBy("user_id").orderBy("start_sec2")
+    nxt = se.select(
+        "user_id",
+        "end_sec",
+        F.lead("start_sec2").over(wu).alias("next_start"),
+    )
+    obs = nxt.crossJoin(F.broadcast(gmx)).select(
+        F.when(
+            F.col("next_start").isNull(), F.col("mx") - F.col("end_sec")
+        )
+        .otherwise(F.col("next_start") - F.col("end_sec"))
+        .cast("long")
+        .alias("t"),
+        F.col("next_start").isNull().alias("censored"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    bytime = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("removed"),
+    )
+    # Banded pass 1: inclusive cumulative removals in t order -> exact
+    # risk sets, no single-partition window over the unbounded t domain.
+    r1 = with_global_rank(
+        bytime,
+        ["t"],
+        rank_col="_rk1",
+        sum_col="removed",
+        cum_col="_cum_removed",
+    )
+    risk = r1.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total") - (F.col("_cum_removed") - F.col("removed"))
+        ).cast("long").alias("n_risk"),
+    )
+    death = risk.filter(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        "d",
+        F.expr(_KM_FACTOR_E6).alias("f_e6"),
+        F.expr("CASE WHEN n_risk <= d THEN 1 ELSE 0 END").alias("zflag"),
+    )
+    # Banded pass 2: cumulative log-factors + zero flags over death times.
+    cum = with_global_rank(
+        death,
+        ["t"],
+        rank_col="_rk2",
+        sum_col="f_e6",
+        cum_col="cum_e6",
+        extra_cums=[("zflag", "zcum")],
+    )
+    return cum.select(
+        F.col("t").alias("t_sec"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.expr(_KM_SURV).alias("survival"),
     )

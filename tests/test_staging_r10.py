@@ -1,0 +1,380 @@
+"""Round-10 staged queries (plans/staging_r10.py): staging invariants,
+plan lint, and independent Python brute-force references (the
+staging_r8/round9 discipline — cross-engine parity proves the engines
+AGREE, these pin the statistics against INTENT)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from flink_realtime_sessionize_sample_spark import plans
+from flink_realtime_sessionize_sample_spark.plans import staging_r10 as S
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _docs_pdf(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return df.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def _events_pdf(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def _write_tables(tmp_path, **tables) -> str:
+    for name, df in tables.items():
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+    return str(tmp_path)
+
+
+# --- staging invariants ------------------------------------------------------
+
+
+def test_staged_names_not_registered_live():
+    # The round-9 window is full: staging must NOT leak into the live
+    # registry until the promotion round.
+    leaked = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
+    assert not leaked, f"staged names registered live behind a full window: {leaked}"
+
+
+def test_every_staged_query_is_oracle_paired():
+    missing = [n for n in S.STAGED_QUERIES if n not in S.STAGED_ORACLES]
+    assert not missing, f"staged queries without oracles: {missing}"
+
+
+def _explain(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jqe.explainString(mode.fromString("extended"))
+
+
+def test_staged_plan_lint(spark, sf_small):
+    offenders = {}
+    for name, fn in S.STAGED_QUERIES.items():
+        p = _explain(fn(spark, sf_small))
+        bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"staged plan lint failed: {offenders}"
+
+
+def test_return_km_cumulatives_are_banded(spark, sf_small):
+    # The unbounded-domain KM must ride the banded rank operator, never
+    # a range exchange / global sort.
+    p = _explain(S.STAGED_QUERIES["intersession_return_km"](spark, sf_small))
+    assert "rangepartitioning" not in p.lower()
+    assert "_pid" in p
+
+
+# --- t-closeness -------------------------------------------------------------
+
+
+def test_t_closeness_matches_python(spark, tmp_path):
+    """Per-group variational distances and the max against a plain
+    Python computation over engineered skewed groups."""
+    rows, i = [], 0
+    # Group (s1, band0): all-en (skewed); (s2, band0): 50/50.
+    for src, lang, k in [("s1", "en", 10), ("s2", "en", 5), ("s2", "de", 5)]:
+        for _ in range(k):
+            i += 1
+            rows.append((i, "x", lang, src, 50))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    cells = Counter((r[3], r[2]) for r in rows)
+    N = sum(cells.values())
+    nl = Counter(r[2] for r in rows)
+    groups = sorted({r[3] for r in rows})
+    tvals = {}
+    for g in groups:
+        gs = sum(c for (s, _), c in cells.items() if s == g)
+        t = 0.5 * sum(
+            abs(cells.get((g, lab), 0) / gs - nl[lab] / N) for lab in nl
+        )
+        tvals[g] = t
+    out = S.STAGED_QUERIES["t_closeness_audit"](spark, sf).collect()
+    max_t = max(tvals.values())
+    for r in out:
+        assert abs(r["max_t"] - max_t) < 2e-9 * 1e9 / 1e9 + 1e-6
+    shares = {r["t_band"]: r["n_groups"] for r in out}
+    # s1 (all-en vs 75/25 global): t = 0.25 -> 't>=0.20'; s2: t = 0.25
+    # ... compute expected bands directly:
+    def band(t):
+        if t >= 0.50:
+            return "t>=0.50"
+        if t >= 0.33:
+            return "t>=0.33"
+        if t >= 0.20:
+            return "t>=0.20"
+        return "t<0.20"
+
+    want = Counter(band(t) for t in tvals.values())
+    assert shares == dict(want)
+
+
+# --- Mantel-Haenszel ---------------------------------------------------------
+
+
+def test_mantel_haenszel_matches_python(spark, tmp_path):
+    """CMH z and MH odds ratio against a plain Python replication over
+    engineered strata with known 2x2 tables."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")
+    for uid in range(1, 61):
+        g = _h48(str(uid)) % 2
+        for stratum in ("view", "click"):
+            eid += 1
+            # Engineered conversion: treated converts more in both strata.
+            conv = (uid + (7 if stratum == "view" else 3)) % 4 < (2 if g else 1)
+            val = 100.0 if conv else 10.0
+            rows.append(
+                (eid, (base + pd.Timedelta(minutes=eid)).isoformat(), uid, stratum, val, "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    tables = {}
+    for r in rows:
+        g = _h48(str(r[2])) % 2
+        y = 1 if r[4] > 60 else 0
+        key = r[3]
+        a, b, c, d = tables.get(key, (0, 0, 0, 0))
+        if g and y:
+            a += 1
+        elif g:
+            b += 1
+        elif y:
+            c += 1
+        else:
+            d += 1
+        tables[key] = (a, b, c, d)
+    a_sum = e_sum = v_sum = ad = bc = 0.0
+    for a, b, c, d in tables.values():
+        n1, n0, m1, m0 = a + b, c + d, a + c, b + d
+        nt = a + b + c + d
+        if n1 == 0 or n0 == 0 or nt <= 1:
+            continue
+        a_sum += a
+        e_sum += round(1e9 * n1 * m1 / nt) / 1e9
+        v_sum += round(1e9 * n1 * n0 * m1 * m0 / (nt * nt * (nt - 1))) / 1e9
+        ad += round(1e9 * a * d / nt) / 1e9
+        bc += round(1e9 * b * c / nt) / 1e9
+    z = (a_sum - e_sum) / math.sqrt(v_sum)
+    out = S.STAGED_QUERIES["mantel_haenszel_stratified_ab"](spark, sf).collect()[0]
+    assert out["n_strata"] == len(tables)
+    assert out["a_sum"] == int(a_sum)
+    assert abs(out["z_stat"] - z) < 2e-6
+    assert abs(out["or_mh"] - ad / bc) < 2e-6
+
+
+# --- Cochran-Armitage --------------------------------------------------------
+
+
+def test_cochran_armitage_matches_python(spark, tmp_path):
+    """CA trend z against a plain Python replication over engineered
+    length buckets with a monotone en-share trend."""
+    rows, i = [], 0
+    for w in range(5):
+        for j in range(20):
+            i += 1
+            lang = "en" if j < 4 + 3 * w else "de"  # p(en) rises with w
+            rows.append((i, "x", lang, "s", 250 * w + 10))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    buckets = Counter()
+    succ = Counter()
+    for r in rows:
+        w = min(r[4] // 250, 7)
+        buckets[w] += 1
+        succ[w] += r[2] == "en"
+    n = sum(buckets.values())
+    A = sum(succ.values())
+    swa = sum(w * succ[w] for w in buckets)
+    swn = sum(w * buckets[w] for w in buckets)
+    sw2n = sum(w * w * buckets[w] for w in buckets)
+    num = n * swa - A * swn
+    var = (A * (n - A) / n) * (n * sw2n - swn * swn)
+    z = num / math.sqrt(var)
+    out = S.STAGED_QUERIES["cochran_armitage_trend"](spark, sf).collect()[0]
+    assert out["n_docs"] == n and out["n_en"] == A
+    assert abs(out["z_stat"] - z) < 2e-6
+    assert out["z_stat"] > 2  # the engineered trend must be detected
+
+
+# --- Cochran's Q formula -----------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_cochran_q_formula_equals_definition(seed):
+    """The integer Q used by the query equals the textbook definition
+    Q = k(k-1) sum_j (G_j - T/k)^2 / (k*sum L - sum L^2) on random
+    binary matrices."""
+    k, n = 3, 30
+    x = [[(_h48(f"{seed}:{i}:{j}") % 5 < 2 + j) for j in range(k)] for i in range(n)]
+    G = [sum(x[i][j] for i in range(n)) for j in range(k)]
+    L = [sum(x[i]) for i in range(n)]
+    T = sum(G)
+    den = k * sum(L) - sum(v * v for v in L)
+    if den == 0:
+        pytest.skip("degenerate draw")
+    q_def = k * (k - 1) * sum((g - T / k) ** 2 for g in G) / den
+    q_closed = (k - 1) * (k * sum(g * g for g in G) - T * T) / den
+    assert abs(q_def - q_closed) < 1e-9
+
+
+def test_cochran_q_output_bounds(spark, sf_small):
+    out = S.STAGED_QUERIES["cochran_q_three_raters"](spark, sf_small).collect()[0]
+    assert out["n_docs"] > 0 and out["q_stat"] >= 0
+    assert 0.0 <= out["p_chi2_df2"] <= 1.0
+    assert abs(out["p_chi2_df2"] - math.exp(-out["q_stat"] / 2)) < 2e-6
+
+
+# --- quantile treatment effects ----------------------------------------------
+
+
+def test_qte_matches_python_order_stats(spark, tmp_path):
+    """Per-arm deciles equal the exact Python order statistics under the
+    same md5 arm split."""
+    rows = [(i, "x", "en", "s", 40 + (i * 13) % 211) for i in range(1, 101)]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    arms = {0: [], 1: []}
+    for r in rows:
+        arms[_h48(str(r[0])) % 2].append((r[4], r[0]))
+    for g in arms:
+        arms[g].sort()
+    out = sorted(
+        S.STAGED_QUERIES["quantile_treatment_effects"](spark, sf).collect(),
+        key=lambda r: r["q"],
+    )
+    assert [r["q"] for r in out] == list(range(1, 10))
+    for r in out:
+        qa = arms[0][(r["q"] * len(arms[0]) + 9) // 10 - 1][0]
+        qb = arms[1][(r["q"] * len(arms[1]) + 9) // 10 - 1][0]
+        assert (r["q_control"], r["q_treated"], r["qte"]) == (qa, qb, qb - qa)
+
+
+# --- log-rank ----------------------------------------------------------------
+
+
+def test_logrank_matches_python(spark, tmp_path):
+    """O1/E1/z against a plain Python log-rank over engineered sessions
+    (far from batch end -> all uncensored except the sentinel)."""
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+
+    def session(uid, start_sec, dur):
+        nonlocal eid
+        for s in (start_sec, start_sec + dur):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(seconds=s)).isoformat(), uid, "view", 1.0, "{}")
+            )
+
+    # Users with one session each; durations differ by arm.
+    durs = {}
+    for uid in range(1, 25):
+        dur = 100 + 50 * (uid % 4)
+        session(uid, 5000 * uid, dur)
+        durs[uid] = dur
+    eid += 1
+    ev.append((eid, (base + pd.Timedelta(seconds=500000)).isoformat(), 99, "view", 1.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    # Python log-rank. Sentinel user 99: dur 0, censored (at batch end).
+    obs = [(durs[u], False, _h48(str(u)) % 2) for u in durs]
+    obs.append((0, True, _h48("99") % 2))
+    times = sorted({t for t, c, g in obs if not c})
+    o1 = e1 = v = 0.0
+    for t in times:
+        at_risk = [(tt, c, g) for tt, c, g in obs if tt >= t]
+        n = len(at_risk)
+        n1 = sum(1 for tt, c, g in at_risk if g == 1)
+        d = sum(1 for tt, c, g in at_risk if tt == t and not c)
+        d1 = sum(1 for tt, c, g in at_risk if tt == t and not c and g == 1)
+        o1 += d1
+        e1 += round(1e9 * d * n1 / n) / 1e9
+        if n > 1:
+            v += round(1e9 * d * n1 * (n - n1) * (n - d) / (n * n * (n - 1))) / 1e9
+    z = (o1 - e1) / math.sqrt(v)
+    out = S.STAGED_QUERIES["logrank_test_session_survival"](spark, sf).collect()[0]
+    assert out["o1"] == int(o1)
+    assert abs(out["e1"] - e1) < 1e-6
+    assert abs(out["z_stat"] - z) < 2e-6
+
+
+# --- bot signals -------------------------------------------------------------
+
+
+def test_bot_bands_on_engineered_sessions(spark, tmp_path):
+    """One engineered session per band; the classifier must hit all
+    five."""
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+
+    def add(uid, secs):
+        nonlocal eid
+        for s in secs:
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(seconds=s)).isoformat(), uid, "view", 1.0, "{}")
+            )
+
+    add(1, [0])  # single (no gaps)
+    add(2, [0, 1, 2, 3, 4, 5])  # burst: mean gap 1s
+    add(3, [0, 600, 1200])  # short: 2 gaps, mean 600
+    add(4, [0, 600, 1200, 1800, 2400, 3000])  # metronome: 5 equal gaps
+    add(5, [0, 100, 800, 1500, 1510, 2800])  # organic: irregular
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = {r["band"]: r for r in S.STAGED_QUERIES["session_bot_signals"](spark, sf).collect()}
+    assert set(out) == {"single", "burst", "short", "metronome", "organic"}
+    assert all(r["n_sessions"] == 1 for r in out.values())
+    assert out["burst"]["n_events"] == 6 and out["burst"]["total_sec"] == 5
+    assert out["metronome"]["total_sec"] == 3000
+    assert out["single"]["total_sec"] == 0
+
+
+# --- intersession return KM --------------------------------------------------
+
+
+def test_return_km_matches_hand_curve(spark, tmp_path):
+    """Return-time KM on engineered users: known gaps and censored
+    waits."""
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+
+    def add(uid, secs):
+        nonlocal eid
+        for s in secs:
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(seconds=s)).isoformat(), uid, "view", 1.0, "{}")
+            )
+
+    # u1: sessions [0..100], [10100..10200] -> return 10000; then wait
+    #     to batch end 100000 - 10200 = 89800 (censored).
+    add(1, [0, 100, 10100, 10200])
+    # u2: sessions [0..0], [5000..5000] -> return 5000; censored wait 95000.
+    add(2, [0, 5000])
+    # u3: single session at 100000 (defines batch end): censored wait 0.
+    add(3, [100000])
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    # obs: deaths 10000, 5000; censored 89800, 95000, 0.
+    # times asc: deaths at 5000 (n_risk: all with t>=5000 -> 10000,5000,
+    # 89800,95000 = 4), then 10000 (n_risk 3).
+    out = sorted(
+        S.STAGED_QUERIES["intersession_return_km"](spark, sf).collect(),
+        key=lambda r: r["t_sec"],
+    )
+    got = [(r["t_sec"], r["n_risk"], r["n_events"]) for r in out]
+    assert got == [(5000, 4, 1), (10000, 3, 1)]
+    s1 = round(math.exp(round(1e6 * math.log(3 / 4)) / 1e6), 6)
+    s2 = round(
+        math.exp((round(1e6 * math.log(3 / 4)) + round(1e6 * math.log(2 / 3))) / 1e6), 6
+    )
+    assert [r["survival"] for r in out] == [s1, s2]
