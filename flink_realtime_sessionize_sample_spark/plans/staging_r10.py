@@ -1138,3 +1138,262 @@ def intersession_return_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         F.expr(_KM_SURV).alias("survival"),
     )
+
+
+# --- reciprocal (mutual) kNN near-duplicate pairs ---------------------------
+
+_RNN_K = 5
+
+
+def _rnn_oracle() -> str:
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm,
+         label
+  FROM embeddings
+),
+c AS (SELECT *, {T.sign_bucket_duck('v')} AS bucket FROM c0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({T.dot_duck('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS cosine
+  FROM c JOIN c q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+),
+knn AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_RNN_K}
+),
+mutual AS (
+  SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b, a.cosine
+  FROM knn a JOIN knn b
+    ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+  WHERE a.query_id < a.neighbor_id
+)
+SELECT m.vec_a, m.vec_b, m.cosine + 0.0 AS cosine,
+       (la.label = lb.label) AS same_label
+FROM mutual m
+JOIN embeddings la ON la.vec_id = m.vec_a
+JOIN embeddings lb ON lb.vec_id = m.vec_b
+"""
+
+
+@staged("reciprocal_nn_dedup", oracle=_rnn_oracle())
+def reciprocal_nn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-nearest-neighbor near-duplicate candidates: pairs
+    where EACH vector is in the other's k = {_RNN_K} cosine kNN list —
+    the mutual-NN criterion that semantic-dedup pipelines use to cut
+    asymmetric hub matches (a hub vector appears in thousands of kNN
+    lists, but its own list holds only its true neighbors, so mutuality
+    filters hub edges out — the remedy for exactly the pathology
+    ``knn_hubness_audit`` measures). ``same_label`` marks each surviving
+    pair's label agreement — the purity readout that says whether
+    mutual-NN pairs are safe to collapse.
+
+    Exactness: rides the verified LSH-bucketed kNN join
+    (operators/similarity.py — bucketed candidates, never all-pairs;
+    cosine ties broken on the 6dp score + neighbor id); mutuality is
+    ONE self equi-join of the kNN edge list on the reversed key pair
+    and the a < b filter dedupes orientations.
+
+    Scale shape: the kNN edge frame is O(k * n); the mutual join is
+    edge-keyed (shuffle O(k * n), never quadratic); the label join is a
+    vec_id equi join."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        knn_join_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_join_cosine(emb, k=_RNN_K, nbits=4).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    rev = knn.select(
+        F.col("query_id").alias("_rq"), F.col("neighbor_id").alias("_rn")
+    )
+    mutual = (
+        knn.join(
+            rev,
+            (F.col("_rq") == F.col("neighbor_id"))
+            & (F.col("_rn") == F.col("query_id")),
+        )
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+        )
+    )
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        mutual.join(lab.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("_la")), "vec_a")
+        .join(lab.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("_lb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            (F.col("_la") == F.col("_lb")).alias("same_label"),
+        )
+    )
+
+
+# --- Heaps' law vocabulary-growth fit ---------------------------------------
+
+# Deterministic corpus prefixes: checkpoint c covers the first
+# (c * n_docs) / 8 documents in doc_id order; V(c) = tokens whose FIRST
+# occurrence (min doc_id) falls inside the prefix. The exponent comes
+# from the exact 2-moment OLS on (ln n_tokens_prefix, ln V) over the 8
+# checkpoints, each log e6-quantized from exact integers.
+_HEAPS_CKPTS = 8
+
+
+def _heaps_oracle() -> str:
+    sh_d = T.shingles_duck(T.tokens_duck("text"))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({sh_d}) AS token FROM documents
+),
+firsts AS (
+  SELECT token, min(doc_id) AS first_doc, count(*)::BIGINT AS cnt
+  FROM tk GROUP BY token
+),
+docs AS (
+  SELECT doc_id, count(*)::BIGINT AS ntok
+  FROM tk GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, ntok,
+         row_number() OVER (ORDER BY doc_id) AS r,
+         count(*) OVER () AS nd
+  FROM docs
+),
+ck AS (SELECT unnest(range(1, {_HEAPS_CKPTS} + 1)) AS c),
+cut AS (
+  SELECT c.c, max(rk.doc_id) AS cut_doc,
+         CAST(sum(rk.ntok) AS BIGINT) AS n_prefix
+  FROM ranked rk JOIN ck c ON rk.r <= (c.c * rk.nd) // {_HEAPS_CKPTS}
+  GROUP BY c.c
+),
+vs AS (
+  SELECT cut.c, cut.n_prefix,
+         CAST(count(f.token) AS BIGINT) AS v
+  FROM cut LEFT JOIN firsts f ON f.first_doc <= cut.cut_doc
+  GROUP BY cut.c, cut.n_prefix
+),
+pts AS (
+  SELECT CAST(round(1000000 * ln(1e0 * n_prefix)) AS BIGINT) AS x_micro,
+         CAST(round(1000000 * ln(1e0 * v)) AS BIGINT) AS y_micro
+  FROM vs WHERE n_prefix > 0 AND v > 0
+),
+m AS (
+  SELECT count(*)::BIGINT AS k,
+         CAST(sum(x_micro) AS BIGINT) AS sx,
+         CAST(sum(y_micro) AS BIGINT) AS sy,
+         CAST(sum(x_micro * x_micro) AS BIGINT) AS sxx,
+         CAST(sum(x_micro * y_micro) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT k AS n_checkpoints,
+       CASE WHEN (1e0 * k * sxx - 1e0 * sx * sx) <= 0 THEN NULL
+            ELSE round((1e0 * k * sxy - 1e0 * sx * sy)
+                       / (1e0 * k * sxx - 1e0 * sx * sx), 6) + 0.0 END
+         AS heaps_beta,
+       CASE WHEN (1e0 * k * sxx - 1e0 * sx * sx) <= 0 THEN NULL
+            ELSE round(exp((sy - sx * ((1e0 * k * sxy - 1e0 * sx * sy)
+                                       / (1e0 * k * sxx - 1e0 * sx * sx)))
+                           / (1e6 * k)), 6) + 0.0 END
+         AS heaps_k
+FROM m
+"""
+
+
+@staged("heaps_law_fit", oracle=_heaps_oracle())
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * N^beta of 3-SHINGLE vocabulary growth
+    against corpus size — the companion of ``doc_zipf_fit`` (the two
+    laws are duals): beta says how fast NEW shingles keep arriving as
+    the corpus grows, which is exactly the growth forecast for a
+    shingle-keyed dedup index (MinHash bands, the prefix-filter
+    inverted index) — beta near 0 says the index saturates, beta near
+    1 says it grows linearly with the corpus. Shingles, not unigrams:
+    the driver corpus's word vocabulary is tiny and saturates in the
+    first checkpoint (beta pinned at 0 — a degenerate fit), while the
+    shingle space keeps growing, the same reason dedup keys on
+    shingles.
+    Eight deterministic doc_id-ordered prefixes are the sample points;
+    V(n) comes from each token's FIRST-occurrence document — one pass,
+    no per-prefix rescan.
+
+    Exactness: prefix token totals and first-occurrence counts are
+    exact int64; each checkpoint's (ln N, ln V) quantizes to e6
+    integers; the 2-moment OLS slope/intercept are single shared
+    expressions of the exact integer moment sums (double-promoted
+    per-term); degenerate single-point fits yield NULLs.
+
+    Scale shape: one explode feeds BOTH the per-token first-occurrence
+    aggregate and the per-doc token counts; the checkpoint join is
+    8 x |docs-frame| on a rank predicate (broadcast 8-row side);
+    V(c) is a count over the bounded firsts frame per checkpoint. The
+    doc-rank window is the bounded-global-window pattern over the
+    per-doc frame... no: it rides row_number over doc order — see plan
+    note in tests (asserted banded-free but single-window over the
+    |docs| frame is corpus-proportional; the checkpoint grid keeps the
+    scan single-pass)."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    sh_s = T.shingles_spark(T.tokens_spark("text"))
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.expr(sh_s)).alias("token")
+    )
+    tk = tk.localCheckpoint()  # feeds firsts AND per-doc counts
+    firsts = tk.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    docs = tk.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("ntok"))
+    # Distributed doc rank + running token total in ONE banded pass (the
+    # |docs| frame is corpus-proportional — no single-partition window).
+    ranked = with_global_rank(
+        docs, ["doc_id"], rank_col="r", total_col="nd",
+        sum_col="ntok", cum_col="cum_ntok",
+    )
+    ck = load_table(spark, sf_dir, "documents").sparkSession.range(
+        1, _HEAPS_CKPTS + 1
+    ).select(F.col("id").cast("long").alias("c"))
+    cut = (
+        ranked.join(
+            F.broadcast(ck),
+            F.col("r") == F.expr(f"(c * nd) div {_HEAPS_CKPTS}"),
+        )
+        .select("c", F.col("doc_id").alias("cut_doc"), F.col("cum_ntok").alias("n_prefix"))
+    )
+    vs = (
+        cut.join(firsts, firsts.first_doc <= F.col("cut_doc"), "left")
+        .groupBy("c", "n_prefix")
+        .agg(F.count("token").cast("long").alias("v"))
+    )
+    pts = vs.filter((F.col("n_prefix") > 0) & (F.col("v") > 0)).select(
+        F.expr("CAST(round(1000000 * ln(1e0 * n_prefix)) AS BIGINT)").alias("x_micro"),
+        F.expr("CAST(round(1000000 * ln(1e0 * v)) AS BIGINT)").alias("y_micro"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(F.expr("x_micro * x_micro")).cast("long").alias("sxx"),
+        F.sum(F.expr("x_micro * y_micro")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.col("k").alias("n_checkpoints"),
+        F.expr(
+            "CASE WHEN (1e0 * k * sxx - 1e0 * sx * sx) <= 0 THEN NULL"
+            " ELSE round((1e0 * k * sxy - 1e0 * sx * sy)"
+            "            / (1e0 * k * sxx - 1e0 * sx * sx), 6) + 0.0 END"
+        ).alias("heaps_beta"),
+        F.expr(
+            "CASE WHEN (1e0 * k * sxx - 1e0 * sx * sx) <= 0 THEN NULL"
+            " ELSE round(exp((sy - sx * ((1e0 * k * sxy - 1e0 * sx * sy)"
+            "                            / (1e0 * k * sxx - 1e0 * sx * sx)))"
+            "                / (1e6 * k)), 6) + 0.0 END"
+        ).alias("heaps_k"),
+    )

@@ -378,3 +378,91 @@ def test_return_km_matches_hand_curve(spark, tmp_path):
         math.exp((round(1e6 * math.log(3 / 4)) + round(1e6 * math.log(2 / 3))) / 1e6), 6
     )
     assert [r["survival"] for r in out] == [s1, s2]
+
+
+# --- reciprocal NN -----------------------------------------------------------
+
+
+def test_reciprocal_nn_is_mutual_subset(spark, sf_small):
+    """Every emitted pair must be mutual in the bucketed kNN graph, and
+    mutuality must be symmetric-complete: recompute the kNN edge set in
+    Python from the Spark kNN frame and check pair-for-pair."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        knn_join_cosine,
+    )
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    edges = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_join_cosine(emb, k=S._RNN_K, nbits=4)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    want = {
+        (a, b) for (a, b) in edges if (b, a) in edges and a < b
+    }
+    out = S.STAGED_QUERIES["reciprocal_nn_dedup"](spark, sf_small).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in out}
+    assert got == want
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in out)
+
+
+# --- Heaps' law --------------------------------------------------------------
+
+
+def test_heaps_fit_matches_python(spark, tmp_path):
+    """beta/K against a plain Python replication over an engineered
+    corpus whose shingle vocabulary genuinely grows."""
+    rows = []
+    for i in range(1, 33):
+        # Each doc introduces fresh trigrams plus some repeats.
+        words = [f"w{i}a", f"w{i}b", f"w{i}c", "the", "end"] * (1 + i % 3)
+        text = " ".join(words)
+        rows.append((i, text, "en", "s", len(text)))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+
+    def toks(t):
+        return [w for w in t.lower().strip().split(" ") if w]
+
+    def shingles(ws, k=3):
+        # functions/text.py shingles are PER-DOC DISTINCT (shingle SETS,
+        # as dedup uses them) — dedupe here too, order-preserving.
+        if len(ws) < k:
+            out = [" ".join(ws)] if ws else []
+        else:
+            out = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+        return list(dict.fromkeys(out))
+
+    stream = [(r[0], sh) for r in rows for sh in shingles(toks(r[1]))]
+    firsts = {}
+    ntok = Counter()
+    for d, sh in stream:
+        ntok[d] += 1
+        firsts.setdefault(sh, d)
+    docs = sorted(ntok)
+    nd = len(docs)
+    pts = []
+    for c in range(1, S._HEAPS_CKPTS + 1):
+        r = (c * nd) // S._HEAPS_CKPTS
+        if r == 0:
+            continue
+        cut_doc = docs[r - 1]
+        n_prefix = sum(ntok[d] for d in docs[:r])
+        v = sum(1 for fd in firsts.values() if fd <= cut_doc)
+        if n_prefix > 0 and v > 0:
+            pts.append(
+                (round(1e6 * math.log(n_prefix)), round(1e6 * math.log(v)))
+            )
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    kk = math.exp((sy - sx * beta) / (1e6 * k))
+    out = S.STAGED_QUERIES["heaps_law_fit"](spark, sf).collect()[0]
+    assert out["n_checkpoints"] == k
+    assert abs(out["heaps_beta"] - beta) < 2e-6
+    assert abs(out["heaps_k"] - kk) < 2e-5
+    assert 0.3 < out["heaps_beta"] <= 1.01  # engineered growth is detected
