@@ -1397,3 +1397,226 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "                / (1e6 * k)), 6) + 0.0 END"
         ).alias("heaps_k"),
     )
+
+
+# --- Cramer's V effect size ---------------------------------------------------
+
+# Per-cell chi-square contribution (obs - exp)^2 / exp with exp =
+# ns*nl/N, e9-quantized through shared text (double-promoted products
+# inside — same recipe as chisq_source_language's cells).
+_CV_CELL_E9 = (
+    "CAST(round(1000000000"
+    " * (1e0 * nsl * nn - 1e0 * ns * nl) * (1e0 * nsl * nn - 1e0 * ns * nl)"
+    " / (1e0 * ns * nl * nn)) AS BIGINT)"
+)
+
+
+def _cv_oracle() -> str:
+    return f"""
+WITH cell AS (
+  SELECT source, lang, count(*)::BIGINT AS nsl
+  FROM documents GROUP BY source, lang
+),
+ms AS (SELECT source, sum(nsl)::BIGINT AS ns FROM cell GROUP BY source),
+ml AS (SELECT lang, sum(nsl)::BIGINT AS nl FROM cell GROUP BY lang),
+tot AS (SELECT sum(nsl)::BIGINT AS nn FROM cell),
+dims AS (
+  SELECT (SELECT count(*) FROM ms)::BIGINT AS r,
+         (SELECT count(*) FROM ml)::BIGINT AS c
+),
+grid AS (
+  -- FULL margin grid (bounded |S| x |L|): absent cells contribute their
+  -- expected mass ns*nl/N to the textbook chi-square — the established
+  -- chisq_source_language sums PRESENT cells only (flagged for its own
+  -- round-10 rotation); this query does it right from the start.
+  SELECT ms.source, ml.lang, ms.ns, ml.nl,
+         coalesce(cell.nsl, 0) AS nsl
+  FROM ms CROSS JOIN ml
+  LEFT JOIN cell ON cell.source = ms.source AND cell.lang = ml.lang
+),
+chi AS (
+  SELECT CAST(sum({_CV_CELL_E9}) AS BIGINT) AS chi2_e9
+  FROM grid CROSS JOIN tot
+)
+SELECT d.r AS n_sources, d.c AS n_langs,
+       round(chi.chi2_e9 / 1e9, 6) + 0.0 AS chi2,
+       CASE WHEN least(d.r, d.c) < 2 OR chi.chi2_e9 < 0 THEN NULL
+            ELSE round(sqrt((chi.chi2_e9 / 1e9)
+                            / (1e0 * t.nn * (least(d.r, d.c) - 1))), 6) + 0.0
+       END AS cramers_v
+FROM chi CROSS JOIN dims d CROSS JOIN tot t
+"""
+
+
+@staged("cramers_v_source_lang", oracle=_cv_oracle())
+def cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V of the source x language contingency — the [0, 1]
+    NORMALIZED effect size that completes the dependence triple:
+    ``chisq_source_language`` answers "is there dependence" (but its
+    statistic grows with N — any dependence is 'significant' at corpus
+    scale), ``mutual_info_source_lang`` measures it in nats, and V =
+    sqrt(chi2 / (N * (min(r,c) - 1))) normalizes to a scale-free [0,1]
+    a threshold can live on ("rebalance the mixture when V > 0.3").
+
+    Exactness: per-cell chi-square contributions quantize to e9
+    integers through shared expression text (the cross-multiplied
+    (obs*N - ns*nl)^2 form — the chisq family's proven recipe) over the
+    FULL bounded margin grid, so ABSENT cells contribute their expected
+    mass ns*nl/N as the textbook statistic requires (the registered
+    chisq_source_language sums present cells only — noted for its own
+    round-10 rotation); the cell sum is exact and order-independent; V
+    is one 6dp expression. Single-row/column tables yield NULL.
+
+    Scale shape: identical to mutual_info_source_lang — one scan to
+    the bounded cell frame, bounded re-aggregates, broadcast totals."""
+    cell = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("nsl"))
+    )
+    cell = cell.localCheckpoint()
+    ms = cell.groupBy("source").agg(F.sum("nsl").cast("long").alias("ns"))
+    ml = cell.groupBy("lang").agg(F.sum("nsl").cast("long").alias("nl"))
+    tot = cell.agg(F.sum("nsl").cast("long").alias("nn"))
+    dims = ms.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        ml.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        ms.crossJoin(F.broadcast(ml))
+        .join(cell, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "ns",
+            "nl",
+            F.coalesce(F.col("nsl"), F.lit(0)).alias("nsl"),
+        )
+    )
+    chi = grid.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(_CV_CELL_E9)).cast("long").alias("chi2_e9")
+    )
+    return (
+        chi.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias("n_sources"),
+            F.col("c").alias("n_langs"),
+            (F.round(F.col("chi2_e9") / 1e9, 6) + F.lit(0.0)).alias("chi2"),
+            F.expr(
+                "CASE WHEN least(r, c) < 2 OR chi2_e9 < 0 THEN NULL"
+                " ELSE round(sqrt((chi2_e9 / 1e9)"
+                "                 / (1e0 * nn * (least(r, c) - 1))), 6) + 0.0"
+                " END"
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --- standardized-mean-difference covariate balance ---------------------------
+
+# Pooled-SD standardized mean difference per covariate, from the six
+# exact integer moments: smd = (m1 - m0) / sqrt((v1 + v0) / 2) with
+# v_i the sample variances. One shared expression; degenerate arms
+# guard to NULL.
+_SMD = (
+    "CASE WHEN n0 < 2 OR n1 < 2"
+    "          OR ((1e0 * n1 * q1 - 1e0 * s1 * s1) / (1e0 * n1 * (n1 - 1))"
+    "            + (1e0 * n0 * q0 - 1e0 * s0 * s0) / (1e0 * n0 * (n0 - 1))) <= 0"
+    "     THEN NULL"
+    "     ELSE round((1e0 * s1 / n1 - 1e0 * s0 / n0)"
+    "          / sqrt(((1e0 * n1 * q1 - 1e0 * s1 * s1) / (1e0 * n1 * (n1 - 1))"
+    "                + (1e0 * n0 * q0 - 1e0 * s0 * s0) / (1e0 * n0 * (n0 - 1)))"
+    "                 / 2), 6) + 0.0 END"
+)
+
+
+def _smd_oracle() -> str:
+    arm = T.h48_duck("doc_id::VARCHAR")
+    toks_d = T.tokens_duck("text")
+    return f"""
+WITH d AS (
+  SELECT {arm} % 2 AS g,
+         n_chars AS c1,
+         CAST(length({toks_d}) AS BIGINT) AS c2,
+         CAST(length(list_distinct({toks_d})) AS BIGINT) AS c3
+  FROM documents
+),
+u AS (
+  SELECT 'n_chars' AS covariate, g, c1 AS y FROM d
+  UNION ALL SELECT 'n_words', g, c2 FROM d
+  UNION ALL SELECT 'n_distinct_words', g, c3 FROM d
+),
+m AS (
+  SELECT covariate,
+         CAST(sum(1 - g) AS BIGINT) AS n0, CAST(sum(g) AS BIGINT) AS n1,
+         CAST(sum((1 - g) * y) AS BIGINT) AS s0,
+         CAST(sum(g * y) AS BIGINT) AS s1,
+         CAST(sum((1 - g) * y * y) AS BIGINT) AS q0,
+         CAST(sum(g * y * y) AS BIGINT) AS q1
+  FROM u GROUP BY covariate
+)
+SELECT covariate, n0, n1, {_SMD} AS smd,
+       CASE WHEN {_SMD} IS NULL THEN NULL ELSE abs({_SMD}) > 0.1 END
+         AS imbalanced_at_0_1
+FROM m
+"""
+
+
+@staged("smd_covariate_balance", oracle=_smd_oracle())
+def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference balance table of the hash A/B split
+    across the document covariates (chars, words, distinct words) — the
+    FIRST table any experiment readout or observational analysis
+    prints: |SMD| > 0.1 on any covariate means the split is imbalanced
+    and downstream effect estimates need adjustment
+    (``welch_t_chars_ab`` tests ONE covariate for significance; SMD is
+    the scale-free multi-covariate screening convention, and on a hash
+    A/A split every row should sit well under 0.1).
+
+    Exactness: the six per-covariate moments are exact int64 from one
+    conditional aggregate over a 3-covariate unpivot; SMD is ONE
+    shared 6dp expression of those integers (degenerate arms -> NULL);
+    the 0.1 flag compares the ROUNDED smd, so both engines flag
+    identically.
+
+    Scale shape: one corpus scan -> 3-row unpivoted moment frame (the
+    unpivot triples rows before the map-side combine but adds no
+    shuffle width); no joins, no windows."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(doc_id as string)')}, 2)")
+    toks_s = T.tokens_spark("text")
+    d = load_table(spark, sf_dir, "documents").select(
+        arm.alias("g"),
+        F.col("n_chars").alias("c1"),
+        F.expr(f"cast(size({toks_s}) as bigint)").alias("c2"),
+        F.expr(f"cast(size(array_distinct({toks_s})) as bigint)").alias("c3"),
+    )
+    u = d.select(
+        "g",
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_chars").alias("covariate"), F.col("c1").alias("y")),
+                F.struct(F.lit("n_words").alias("covariate"), F.col("c2").alias("y")),
+                F.struct(
+                    F.lit("n_distinct_words").alias("covariate"),
+                    F.col("c3").alias("y"),
+                ),
+            )
+        ).alias("t"),
+    ).select("g", "t.covariate", "t.y")
+    m = u.groupBy("covariate").agg(
+        F.sum(F.expr("1 - g")).cast("long").alias("n0"),
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.expr("(1 - g) * y")).cast("long").alias("s0"),
+        F.sum(F.expr("g * y")).cast("long").alias("s1"),
+        F.sum(F.expr("(1 - g) * y * y")).cast("long").alias("q0"),
+        F.sum(F.expr("g * y * y")).cast("long").alias("q1"),
+    )
+    return m.select(
+        "covariate",
+        "n0",
+        "n1",
+        F.expr(_SMD).alias("smd"),
+        F.expr(
+            f"CASE WHEN {_SMD} IS NULL THEN NULL ELSE abs({_SMD}) > 0.1 END"
+        ).alias("imbalanced_at_0_1"),
+    )

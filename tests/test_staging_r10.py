@@ -466,3 +466,100 @@ def test_heaps_fit_matches_python(spark, tmp_path):
     assert abs(out["heaps_beta"] - beta) < 2e-6
     assert abs(out["heaps_k"] - kk) < 2e-5
     assert 0.3 < out["heaps_beta"] <= 1.01  # engineered growth is detected
+
+
+# --- Cramer's V --------------------------------------------------------------
+
+
+def test_cramers_v_matches_python(spark, tmp_path):
+    """chi2 and V against plain Python over an engineered contingency."""
+    rows, i = [], 0
+    for src, lang, k in [
+        ("s1", "en", 12), ("s1", "de", 4), ("s2", "en", 5), ("s2", "de", 9),
+        ("s3", "en", 7), ("s3", "fr", 7),
+    ]:
+        for _ in range(k):
+            i += 1
+            rows.append((i, "x", lang, src, 1))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    cells = Counter((r[3], r[2]) for r in rows)
+    ns = Counter(r[3] for r in rows)
+    nl = Counter(r[2] for r in rows)
+    N = sum(cells.values())
+    # Full margin grid: absent cells contribute their expected mass.
+    chi2 = sum(
+        round(
+            1e9 * (cells.get((s, l), 0) * N - ns[s] * nl[l]) ** 2
+            / (ns[s] * nl[l] * N)
+        )
+        / 1e9
+        for s in ns
+        for l in nl
+    )
+    v = math.sqrt(chi2 / (N * (min(len(ns), len(nl)) - 1)))
+    out = S.STAGED_QUERIES["cramers_v_source_lang"](spark, sf).collect()[0]
+    assert out["n_sources"] == len(ns) and out["n_langs"] == len(nl)
+    assert abs(out["chi2"] - chi2) < 2e-6
+    assert abs(out["cramers_v"] - v) < 2e-6
+    assert 0.0 <= out["cramers_v"] <= 1.0
+
+
+def test_cramers_v_includes_absent_cell_mass(spark, tmp_path):
+    """Textbook chi2 on a table WITH an absent cell: the (s1, de) cell
+    is unobserved and must still contribute its expected mass
+    ns*nl/N = 5 (the full-grid formulation; the registered
+    chisq_source_language sums present cells only — flagged for its
+    own round-10 rotation)."""
+    rows, i = [], 0
+    for src, lang, k in [("s1", "en", 10), ("s2", "en", 5), ("s2", "de", 5)]:
+        for _ in range(k):
+            i += 1
+            rows.append((i, "x", lang, src, 1))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = S.STAGED_QUERIES["cramers_v_source_lang"](spark, sf).collect()[0]
+    cells = {("s1", "en"): 10, ("s2", "en"): 5, ("s2", "de"): 5}
+    ns = {"s1": 10, "s2": 10}
+    nl = {"en": 15, "de": 10}
+    N = 20
+    full = sum(
+        round(1e9 * (cells.get((s, l), 0) * N - ns[s] * nl[l]) ** 2
+              / (ns[s] * nl[l] * N)) / 1e9
+        for s in ns for l in nl
+    )
+    assert abs(out["chi2"] - full) < 2e-6
+    assert abs(out["cramers_v"]
+               - math.sqrt(full / (N * (min(len(ns), len(nl)) - 1)))) < 2e-6
+
+
+# --- SMD balance -------------------------------------------------------------
+
+
+def test_smd_matches_python(spark, tmp_path):
+    """Per-covariate SMD against plain Python under the same md5 split."""
+    rows = []
+    for i in range(1, 61):
+        nw = 4 + (i * 7) % 19
+        text = " ".join(f"w{j % 7}" for j in range(nw))
+        rows.append((i, text, "en", "s", 30 + (i * 13) % 170))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+
+    def toks(t):
+        return [w for w in t.lower().strip().split(" ") if w]
+
+    covs = {"n_chars": {}, "n_words": {}, "n_distinct_words": {}}
+    for r in rows:
+        g = _h48(str(r[0])) % 2
+        covs["n_chars"].setdefault(g, []).append(r[4])
+        covs["n_words"].setdefault(g, []).append(len(toks(r[1])))
+        covs["n_distinct_words"].setdefault(g, []).append(len(set(toks(r[1]))))
+    out = {r["covariate"]: r for r in S.STAGED_QUERIES["smd_covariate_balance"](spark, sf).collect()}
+    for name, arms in covs.items():
+        a0, a1 = arms[0], arms[1]
+        m0, m1 = sum(a0) / len(a0), sum(a1) / len(a1)
+        v0 = sum((x - m0) ** 2 for x in a0) / (len(a0) - 1)
+        v1 = sum((x - m1) ** 2 for x in a1) / (len(a1) - 1)
+        smd = (m1 - m0) / math.sqrt((v1 + v0) / 2)
+        r = out[name]
+        assert r["n0"] == len(a0) and r["n1"] == len(a1)
+        assert abs(r["smd"] - smd) < 2e-6
+        assert r["imbalanced_at_0_1"] == (abs(round(smd, 6)) > 0.1)
