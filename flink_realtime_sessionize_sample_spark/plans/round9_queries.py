@@ -51,8 +51,8 @@ _TOKS_D = T.tokens_duck("text")
 
 
 # --- AllPairs/PPJoin prefix-filtered Jaccard join --------------------------
-
-_PF_TAU = 0.6  # Jaccard threshold (rational 3/5 — exact in the filters)
+# Jaccard threshold tau = 3/5, carried everywhere as the exact rational
+# (5*inter >= 3*union) — no float tau constant exists on purpose.
 
 
 def _pf_oracle() -> str:

@@ -1357,9 +1357,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["doc_id"], rank_col="r", total_col="nd",
         sum_col="ntok", cum_col="cum_ntok",
     )
-    ck = load_table(spark, sf_dir, "documents").sparkSession.range(
-        1, _HEAPS_CKPTS + 1
-    ).select(F.col("id").cast("long").alias("c"))
+    ck = spark.range(1, _HEAPS_CKPTS + 1).select(
+        F.col("id").cast("long").alias("c")
+    )
     cut = (
         ranked.join(
             F.broadcast(ck),

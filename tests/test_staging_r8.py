@@ -16,13 +16,20 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r8 as S
 
 
 def test_promoted_names_are_registered_live():
-    # Round-8 promotion invariant: every staged query registers into the
-    # live registry (same function object) and sits in the driver window.
+    # Round-8 promotion invariant, durable form: every staged query
+    # registers into the live registry (same function object) and — now
+    # that CORRECTNESS_r08 went 50/50 green — carries a green external
+    # row (_EXTERNALLY_GREEN_THROUGH_R8 membership). The original
+    # round-8 assertion that the promotions sit INSIDE the first-50
+    # window was window-rotation-specific and retired when the round-9
+    # rotation reclaimed those slots.
     missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
     assert not missing, f"staged names not registered live: {missing}"
-    window = set(list(plans.QUERIES)[:50])
-    out = [n for n in S.STAGED_QUERIES if n not in window]
-    assert not out, f"promoted queries outside the first-50 window: {out}"
+    ungreen = [
+        n for n in S.STAGED_QUERIES
+        if n not in plans._EXTERNALLY_GREEN_THROUGH_R8
+    ]
+    assert not ungreen, f"promoted queries without a green external row: {ungreen}"
     assert set(S.STAGED_QUERIES) == set(plans._ROUND8_PROMOTIONS)
 
 
