@@ -1620,3 +1620,380 @@ def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {_SMD} IS NULL THEN NULL ELSE abs({_SMD}) > 0.1 END"
         ).alias("imbalanced_at_0_1"),
     )
+
+
+# --- Chao1 vocabulary richness ----------------------------------------------
+
+
+def _chao1_oracle() -> str:
+    sh_d = T.shingles_duck(T.tokens_duck("text"))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({sh_d}) AS token FROM documents
+),
+cnt AS (SELECT token, count(*)::BIGINT AS c FROM tk GROUP BY token),
+s AS (
+  SELECT count(*)::BIGINT AS v_obs,
+         CAST(sum(c) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM cnt
+)
+SELECT v_obs, n_total, f1, f2,
+       round(v_obs + (1e0 * f1 * (f1 - 1)) / (2e0 * (f2 + 1)), 6) + 0.0
+         AS chao1,
+       round(1e0 - (1e0 * f1) / n_total, 6) + 0.0 AS turing_coverage
+FROM s
+"""
+
+
+@staged("chao1_vocab_richness", oracle=_chao1_oracle())
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 lower-bound estimate of TOTAL 3-shingle vocabulary richness
+    (bias-corrected form V + f1(f1-1)/(2(f2+1)), defined even with no
+    doubletons) plus Turing sample coverage 1 - f1/N — the abundance
+    view that completes the vocabulary triple: ``good_turing_unseen_mass``
+    estimates the PROBABILITY mass of unseen types,
+    ``heaps_law_fit`` the GROWTH LAW, and Chao1 the DESTINATION (how
+    many types exist at all) — i.e. the saturation size of a
+    shingle-keyed dedup index. Singletons/doubletons come from the same
+    count-of-counts spine as Good-Turing.
+
+    Exactness: count-of-counts are exact int64 from one per-shingle
+    aggregate + one scalar reduce; the estimator and coverage are
+    single 6dp-rounded expressions of four exact integers.
+
+    Scale shape: one explode -> per-shingle hash aggregate (the only
+    corpus-sized shuffle) -> 1-row reduce."""
+    sh_s = T.shingles_spark(T.tokens_spark("text"))
+    tk = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(sh_s)).alias("token")
+    )
+    cnt = tk.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return s.select(
+        "v_obs",
+        "n_total",
+        "f1",
+        "f2",
+        F.expr(
+            "round(v_obs + (1e0 * f1 * (f1 - 1)) / (2e0 * (f2 + 1)), 6) + 0.0"
+        ).alias("chao1"),
+        F.expr("round(1e0 - (1e0 * f1) / n_total, 6) + 0.0").alias(
+            "turing_coverage"
+        ),
+    )
+
+
+# --- jackknife source sensitivity -------------------------------------------
+
+
+def _jk_oracle() -> str:
+    return """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_s,
+         CAST(sum(n_chars) AS BIGINT) AS s_chars,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s_en
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n,
+         CAST(sum(s_chars) AS BIGINT) AS sc,
+         CAST(sum(s_en) AS BIGINT) AS se
+  FROM per
+)
+SELECT p.source, p.n_s AS n_docs,
+       round((1e0 * t.sc) / t.n, 6) + 0.0 AS mean_chars_full,
+       CASE WHEN t.n - p.n_s = 0 THEN NULL
+            ELSE round((1e0 * (t.sc - p.s_chars)) / (t.n - p.n_s), 6) + 0.0
+       END AS mean_chars_loo,
+       CASE WHEN t.n - p.n_s = 0 THEN NULL
+            ELSE round((1e0 * (t.sc - p.s_chars)) / (t.n - p.n_s)
+                       - (1e0 * t.sc) / t.n, 6) + 0.0 END AS delta_mean_chars,
+       CASE WHEN t.n - p.n_s = 0 THEN NULL
+            ELSE round((1e0 * (t.se - p.s_en)) / (t.n - p.n_s)
+                       - (1e0 * t.se) / t.n, 6) + 0.0 END AS delta_en_share
+FROM per p CROSS JOIN tot t
+"""
+
+
+@staged("jackknife_source_sensitivity", oracle=_jk_oracle())
+def jackknife_source_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out sensitivity of the corpus-level statistics
+    (mean document length, English share): for each source, the metric
+    recomputed WITHOUT that source, in closed form from per-source
+    moment sums — no per-source rescans. The data-mixture triage view:
+    a source whose removal moves the corpus mean by more than the next
+    ten combined is the one to investigate before reweighting
+    (complements ``mixture_temperature_weights`` /
+    ``neyman_allocation_by_source``, which decide weights; this says
+    which source DOMINATES the current statistics).
+
+    Exactness: per-source and total moments are exact int64; every LOO
+    metric is one 6dp expression of those integers; a single-source
+    corpus yields NULL LOO values (nothing left out).
+
+    Scale shape: one corpus scan -> |sources| moment rows -> broadcast
+    1-row total; closed-form LOO means no O(|sources|) rescans — the
+    jackknife trick that makes influence audits free at 100 TB."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+            F.sum("n_chars").cast("long").alias("s_chars"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("s_en"),
+        )
+    )
+    per = per.localCheckpoint()
+    tot = per.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("s_chars").cast("long").alias("sc"),
+        F.sum("s_en").cast("long").alias("se"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.expr("round((1e0 * sc) / n, 6) + 0.0").alias("mean_chars_full"),
+        F.expr(
+            "CASE WHEN n - n_s = 0 THEN NULL"
+            " ELSE round((1e0 * (sc - s_chars)) / (n - n_s), 6) + 0.0 END"
+        ).alias("mean_chars_loo"),
+        F.expr(
+            "CASE WHEN n - n_s = 0 THEN NULL"
+            " ELSE round((1e0 * (sc - s_chars)) / (n - n_s)"
+            "            - (1e0 * sc) / n, 6) + 0.0 END"
+        ).alias("delta_mean_chars"),
+        F.expr(
+            "CASE WHEN n - n_s = 0 THEN NULL"
+            " ELSE round((1e0 * (se - s_en)) / (n - n_s)"
+            "            - (1e0 * se) / n, 6) + 0.0 END"
+        ).alias("delta_en_share"),
+    )
+
+
+# --- capture-recapture estimate of total near-dup pairs ---------------------
+
+
+def _cr_oracle() -> str:
+    # Method A = the registered dedup_minhash_lsh oracle (exact-Jaccard
+    # >= 0.5 verified LSH pairs); method B = the registered dedup_simhash
+    # oracle (hamming <= 3 block pairs). Both are full SELECTs — embed as
+    # FROM-subqueries so this oracle can never drift from theirs.
+    from flink_realtime_sessionize_sample_spark.plans.registry import ORACLES
+
+    ma = ORACLES["dedup_minhash_lsh"].strip().rstrip(";")
+    mb = ORACLES["dedup_simhash"].strip().rstrip(";")
+    return f"""
+WITH pa AS (SELECT doc_a, doc_b FROM ({ma}) _a),
+pb AS (SELECT doc_a, doc_b FROM ({mb}) _b),
+m AS (
+  SELECT (SELECT count(*) FROM pa)::BIGINT AS n1,
+         (SELECT count(*) FROM pb)::BIGINT AS n2,
+         (SELECT count(*) FROM pa JOIN pb USING (doc_a, doc_b))::BIGINT
+           AS n_both
+)
+SELECT n1 AS n_minhash_pairs, n2 AS n_simhash_pairs, n_both,
+       round((1e0 * (n1 + 1) * (n2 + 1)) / (n_both + 1) - 1e0, 6) + 0.0
+         AS chapman_total_est,
+       CASE WHEN (1e0 * (n1 + 1) * (n2 + 1)) / (n_both + 1) - 1e0 <= 0
+            THEN NULL
+            ELSE round((1e0 * n1)
+                 / ((1e0 * (n1 + 1) * (n2 + 1)) / (n_both + 1) - 1e0), 6)
+                 + 0.0 END AS minhash_coverage_est
+FROM m
+"""
+
+
+@staged("capture_recapture_dedup_estimate", oracle=_cr_oracle())
+def capture_recapture_dedup_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL near-duplicate
+    pair population from two independent-ish detectors — the verified
+    MinHash-LSH pairs (Jaccard >= 0.5) as capture 1, the SimHash
+    hamming <= 3 pairs as capture 2: N-hat = (n1+1)(n2+1)/(m+1) - 1
+    from the overlap m. The dedup-governance number no single detector
+    gives: "how many near-dup pairs do we estimate EXIST (and what
+    fraction does each method catch)". Caveat stated, not hidden: the
+    two detectors share the token stream, so captures are positively
+    correlated and Chapman UNDERESTIMATES the total — the estimate is
+    read as a lower bound, exactly as ``minhash_recall_audit`` reads
+    its measured recall.
+
+    Exactness: pair sets come from the registry's two verified dedup
+    plans (operators/dedup.py); n1/n2/m are exact int64 (the overlap
+    is ONE pair-keyed equi join); Chapman and the coverage are single
+    6dp expressions. The oracle embeds the two REGISTERED oracles as
+    subqueries, so the three oracles can never drift apart.
+
+    Scale shape: both detectors are the established bucketed candidate
+    generators (never all-pairs); the overlap join and the two counts
+    shuffle O(pairs)."""
+    from flink_realtime_sessionize_sample_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pa = D.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pb = D.simhash_pairs(docs).select("doc_a", "doc_b")
+    n1 = pa.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = pb.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    nb = (
+        pa.join(pb, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n1").alias("n_minhash_pairs"),
+            F.col("n2").alias("n_simhash_pairs"),
+            "n_both",
+            F.expr(
+                "round((1e0 * (n1 + 1) * (n2 + 1)) / (n_both + 1) - 1e0, 6)"
+                " + 0.0"
+            ).alias("chapman_total_est"),
+            F.expr(
+                "CASE WHEN (1e0 * (n1 + 1) * (n2 + 1)) / (n_both + 1) - 1e0 <= 0"
+                " THEN NULL"
+                " ELSE round((1e0 * n1)"
+                "      / ((1e0 * (n1 + 1) * (n2 + 1)) / (n_both + 1) - 1e0), 6)"
+                "      + 0.0 END"
+            ).alias("minhash_coverage_est"),
+        )
+    )
+
+
+# --- quality-filter disparity audit -----------------------------------------
+
+# Two-proportion z of a language's Gopher pass rate vs the REST of the
+# corpus (pooled variance), e6-quantized through shared text.
+_FD_Z_MICRO = (
+    "CASE WHEN n_l < 1 OR (n - n_l) < 1 OR k = 0 OR k = n THEN 0"
+    " ELSE CAST(round(1000000 * ((1e0 * k_l / n_l) - (1e0 * (k - k_l) / (n - n_l)))"
+    "      / sqrt((1e0 * k / n) * (1e0 - 1e0 * k / n)"
+    "             * (1e0 / n_l + 1e0 / (n - n_l)))) AS BIGINT) END"
+)
+
+
+def _fd_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _GOPHER_RULES,
+        _gopher_doc_ctes,
+    )
+
+    poly = _as_erfc_poly()
+    keep = " * ".join(f"b{i:02d}" for i in range(1, len(_GOPHER_RULES) + 1))
+    return (
+        _gopher_doc_ctes(carry="lang")
+        + f""",
+kept AS (SELECT lang, ({keep})::BIGINT AS keep FROM p),
+per AS (
+  SELECT lang, count(*)::BIGINT AS n_l, CAST(sum(keep) AS BIGINT) AS k_l
+  FROM kept GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(n_l) AS BIGINT) AS n, CAST(sum(k_l) AS BIGINT) AS k
+  FROM per
+),
+u AS (SELECT p.lang, p.n_l, p.k_l, t.n, t.k FROM per p CROSS JOIN tot t),
+zz AS (
+  SELECT lang, n_l, k_l,
+         round((1e0 * k_l) / n_l, 6) + 0.0 AS pass_rate,
+         round((1e0 * k) / n, 6) + 0.0 AS overall_rate,
+         CASE WHEN k = 0 OR n_l = 0 THEN NULL
+              ELSE round(((1e0 * k_l) / n_l) / ((1e0 * k) / n), 6)
+                   + 0.0 END AS risk_ratio,
+         {_FD_Z_MICRO} AS z_micro
+  FROM u
+),
+zs AS (SELECT *, round(z_micro / 1e6, 6) + 0.0 AS z_stat FROM zz),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zs
+)
+SELECT lang, n_l AS n_docs, k_l AS n_kept, pass_rate, overall_rate,
+       risk_ratio, z_stat, round({poly}, 6) + 0.0 AS p_normal,
+       (round({poly}, 6) + 0.0) <= 0.05 AND (risk_ratio < 0.8 OR risk_ratio > 1.25)
+         AS disparity_flag
+FROM xt
+"""
+    )
+
+
+@staged("filter_disparity_audit", oracle=_fd_oracle())
+def filter_disparity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language disparity audit of the Gopher quality filter: pass
+    rate by language vs the rest of the corpus, risk ratio against the
+    overall rate, and a two-proportion z with the four-fifths-style
+    band (flag when p <= 0.05 AND the risk ratio leaves [0.8, 1.25]) —
+    the responsible-curation readout that catches an English-tuned rule
+    battery silently filtering out other languages
+    (``gopher_quality_by_source`` slices by source; language is the
+    axis fairness reviews actually ask about).
+
+    Exactness: per-language kept/total counts are exact int64 over the
+    verified Gopher rule booleans (llm_queries scaffolding — identical
+    predicate text both dialects); rates/ratios are single 6dp
+    expressions; z quantizes to e6 through shared text and p is the
+    shared erfc polynomial on the rounded z; the flag compares ROUNDED
+    values only.
+
+    Scale shape: the rule battery is the established single-scan
+    projection; one |langs| aggregate + broadcast total ends it."""
+    from flink_realtime_sessionize_sample_spark.plans.llm_queries import (
+        _GOPHER_RULES,
+        _gopher_flag_frame,
+    )
+
+    poly = _as_erfc_poly()
+    keep = " * ".join(f"b{i:02d}" for i in range(1, len(_GOPHER_RULES) + 1))
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _gopher_flag_frame(docs, carry=("lang",)).select(
+        "lang", F.expr(f"cast({keep} as bigint)").alias("keep")
+    )
+    per = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.sum("keep").cast("long").alias("k_l"),
+    )
+    tot = per.agg(
+        F.sum("n_l").cast("long").alias("n"), F.sum("k_l").cast("long").alias("k")
+    )
+    zz = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        "k_l",
+        F.expr("round((1e0 * k_l) / n_l, 6) + 0.0").alias("pass_rate"),
+        F.expr("round((1e0 * k) / n, 6) + 0.0").alias("overall_rate"),
+        F.expr(
+            "CASE WHEN k = 0 OR n_l = 0 THEN NULL"
+            " ELSE round(((1e0 * k_l) / n_l) / ((1e0 * k) / n), 6) + 0.0 END"
+        ).alias("risk_ratio"),
+        F.expr(_FD_Z_MICRO).alias("z_micro"),
+    )
+    zs = zz.withColumn("z_stat", F.round(F.col("z_micro") / 1e6, 6) + F.lit(0.0))
+    xt = zs.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    pv = F.round(F.expr(poly), 6) + F.lit(0.0)
+    return xt.select(
+        "lang",
+        F.col("n_l").alias("n_docs"),
+        F.col("k_l").alias("n_kept"),
+        "pass_rate",
+        "overall_rate",
+        "risk_ratio",
+        "z_stat",
+        pv.alias("p_normal"),
+        (
+            (pv <= 0.05)
+            & ((F.col("risk_ratio") < 0.8) | (F.col("risk_ratio") > 1.25))
+        ).alias("disparity_flag"),
+    )

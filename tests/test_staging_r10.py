@@ -563,3 +563,119 @@ def test_smd_matches_python(spark, tmp_path):
         assert r["n0"] == len(a0) and r["n1"] == len(a1)
         assert abs(r["smd"] - smd) < 2e-6
         assert r["imbalanced_at_0_1"] == (abs(round(smd, 6)) > 0.1)
+
+
+# --- Chao1 -------------------------------------------------------------------
+
+
+def test_chao1_matches_counter(spark, tmp_path):
+    """f1/f2/V/Chao1 against a Counter over engineered shingle counts
+    (fresh trigrams + controlled repeats)."""
+    rows = []
+    for i in range(1, 25):
+        words = [f"u{i}a", f"u{i}b", f"u{i}c"] + (["the", "common", "tail"] * (i % 3))
+        text = " ".join(words)
+        rows.append((i, text, "en", "s", len(text)))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+
+    def toks(t):
+        return [w for w in t.lower().strip().split(" ") if w]
+
+    def shingles(ws, k=3):
+        if len(ws) < k:
+            out = [" ".join(ws)] if ws else []
+        else:
+            out = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+        return list(dict.fromkeys(out))
+
+    c = Counter(sh for r in rows for sh in shingles(toks(r[1])))
+    v, n = len(c), sum(c.values())
+    f1 = sum(1 for x in c.values() if x == 1)
+    f2 = sum(1 for x in c.values() if x == 2)
+    chao1 = v + f1 * (f1 - 1) / (2 * (f2 + 1))
+    out = S.STAGED_QUERIES["chao1_vocab_richness"](spark, sf).collect()[0]
+    assert (out["v_obs"], out["n_total"], out["f1"], out["f2"]) == (v, n, f1, f2)
+    assert abs(out["chao1"] - chao1) < 1e-6
+    assert abs(out["turing_coverage"] - (1 - f1 / n)) < 1e-6
+
+
+# --- jackknife ---------------------------------------------------------------
+
+
+def test_jackknife_matches_python(spark, tmp_path):
+    rows, i = [], 0
+    for src, lang, nc, k in [
+        ("s1", "en", 100, 10), ("s2", "de", 300, 5), ("s3", "en", 50, 15),
+    ]:
+        for _ in range(k):
+            i += 1
+            rows.append((i, "x", lang, src, nc))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    N = len(rows)
+    SC = sum(r[4] for r in rows)
+    SE = sum(1 for r in rows if r[2] == "en")
+    out = {r["source"]: r for r in S.STAGED_QUERIES["jackknife_source_sensitivity"](spark, sf).collect()}
+    for src in ("s1", "s2", "s3"):
+        sub = [r for r in rows if r[3] == src]
+        ns, sc = len(sub), sum(r[4] for r in sub)
+        se = sum(1 for r in sub if r[2] == "en")
+        r = out[src]
+        assert r["n_docs"] == ns
+        assert abs(r["mean_chars_loo"] - (SC - sc) / (N - ns)) < 1e-6
+        assert abs(r["delta_mean_chars"] - ((SC - sc) / (N - ns) - SC / N)) < 1e-6
+        assert abs(r["delta_en_share"] - ((SE - se) / (N - ns) - SE / N)) < 1e-6
+
+
+# --- capture-recapture -------------------------------------------------------
+
+
+def test_capture_recapture_chapman_formula(spark, sf_small):
+    """Chapman estimate recomputed from the emitted counts, and the
+    overlap bounded by both captures."""
+    out = S.STAGED_QUERIES["capture_recapture_dedup_estimate"](spark, sf_small).collect()[0]
+    n1, n2, m = out["n_minhash_pairs"], out["n_simhash_pairs"], out["n_both"]
+    assert 0 <= m <= min(n1, n2)
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert abs(out["chapman_total_est"] - round(chapman, 6)) < 1e-9
+    if chapman > 0:
+        assert abs(out["minhash_coverage_est"] - round(n1 / chapman, 6)) < 1e-6
+
+
+def test_capture_recapture_oracle_embeds_registered_oracles():
+    # Anti-drift: the CR oracle must literally contain both registered
+    # dedup oracles as subqueries.
+    from flink_realtime_sessionize_sample_spark.plans.registry import ORACLES
+
+    cr = S.STAGED_ORACLES["capture_recapture_dedup_estimate"]
+    assert ORACLES["dedup_minhash_lsh"].strip().rstrip(";") in cr
+    assert ORACLES["dedup_simhash"].strip().rstrip(";") in cr
+
+
+# --- filter disparity --------------------------------------------------------
+
+
+def test_filter_disparity_rates_and_flags(spark, sf_small):
+    """Rates, risk ratios, and the flag recomputed from the emitted
+    integer counts; z against Python two-proportion arithmetic."""
+    out = S.STAGED_QUERIES["filter_disparity_audit"](spark, sf_small).collect()
+    N = sum(r["n_docs"] for r in out)
+    K = sum(r["n_kept"] for r in out)
+    for r in out:
+        assert abs(r["pass_rate"] - round(r["n_kept"] / r["n_docs"], 6)) < 1e-9
+        assert abs(r["overall_rate"] - round(K / N, 6)) < 1e-9
+        if r["risk_ratio"] is not None and K > 0:
+            assert abs(
+                r["risk_ratio"]
+                - round((r["n_kept"] / r["n_docs"]) / (K / N), 6)
+            ) < 1e-9
+        nl, kl = r["n_docs"], r["n_kept"]
+        if nl >= 1 and (N - nl) >= 1 and 0 < K < N:
+            p = K / N
+            z = (kl / nl - (K - kl) / (N - nl)) / math.sqrt(
+                p * (1 - p) * (1 / nl + 1 / (N - nl))
+            )
+            assert abs(r["z_stat"] - round(round(1e6 * z) / 1e6, 6)) < 2e-6
+        flagged = (r["p_normal"] <= 0.05) and (
+            r["risk_ratio"] < 0.8 or r["risk_ratio"] > 1.25
+        )
+        assert r["disparity_flag"] == flagged
