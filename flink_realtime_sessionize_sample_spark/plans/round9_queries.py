@@ -116,6 +116,11 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(sh_arr)).alias("sh"))
         .distinct()
     )
+    # The shingle frame feeds SEVEN plan branches (sizes, df, prefix,
+    # both candidate sides, both intersection re-joins): without a
+    # materialization each branch re-scans + re-explodes + re-distincts
+    # the corpus (measured 20 parquet scans in the lazy plan).
+    s = s.localCheckpoint()
     n = s.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     df = s.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # Rarest-first total order (df, shingle) per doc; prefix keeps the
