@@ -419,3 +419,120 @@ def test_kaplan_meier_matches_hand_computed_curve(spark, tmp_path):
     )
     got = [(r["t_sec"], r["n_risk"], r["n_events"], r["survival"]) for r in out]
     assert got == [(0, 5, 2, 0.6), (200, 2, 1, 0.3), (1000, 1, 1, 0.0)]
+
+
+# --- hypothesis property tests ----------------------------------------------
+
+import tempfile
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+
+def _tmp_sf(**tables) -> str:
+    d = tempfile.mkdtemp(prefix="r9_prop_")
+    for name, df in tables.items():
+        df.to_parquet(f"{d}/{name}.parquet", index=False)
+    return d
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=50000),  # daily cents
+        min_size=5,
+        max_size=25,
+    )
+)
+def test_runs_test_property_random_daily_cents(spark, cents):
+    signs = []
+    for prev, cur in zip(cents, cents[1:]):
+        if cur != prev:
+            signs.append(1 if cur > prev else -1)
+    n1, n2 = signs.count(1), signs.count(-1)
+    assume(n1 >= 1 and n2 >= 1)
+    rows = [
+        (i + 1, 1, "O", c / 100.0, f"2024-03-{i + 1:02d}", "1-URGENT")
+        for i, c in enumerate(cents)
+    ]
+    sf = _tmp_sf(orders=_orders_pdf(rows))
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n = n1 + n2
+    out = plans.QUERIES["runs_test_daily_revenue"](spark, sf).collect()[0]
+    assert (out["n1"], out["n2"], out["runs"]) == (n1, n2, runs)
+    if n >= 2 and 2 * n1 * n2 * (2 * n1 * n2 - n) > 0:
+        mean = 1 + 2 * n1 * n2 / n
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        assert abs(out["z_stat"] - (runs - mean) / math.sqrt(var)) < 2e-6
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_mutual_info_property_random_contingency(spark, pairs):
+    rows = [
+        (i + 1, "x", lang, src, 1) for i, (src, lang) in enumerate(pairs)
+    ]
+    sf = _tmp_sf(documents=_docs_pdf(rows))
+    cells = Counter((src, lang) for src, lang in pairs)
+    N = len(pairs)
+    ns = Counter(src for src, _ in pairs)
+    nl = Counter(lang for _, lang in pairs)
+    mi = sum(
+        (c / N) * math.log(c * N / (ns[s] * nl[l]))
+        for (s, l), c in cells.items()
+    )
+    out = plans.QUERIES["mutual_info_source_lang"](spark, sf).collect()[0]
+    assert out["n_cells"] == len(cells)
+    assert abs(out["mi_nats"] - mi) < 1e-5
+    assert out["mi_nats"] >= -1e-9  # MI is nonnegative
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=10, max_value=500),  # n_chars values
+        min_size=20,
+        max_size=60,
+    )
+)
+def test_kaplan_meier_property_monotone_and_risk_consistent(spark, vals):
+    """On random single-event sessions far from batch end (plus one
+    censored sentinel), KM survival must be non-increasing, start below
+    1, and risk sets must deplete consistently."""
+    base = pd.Timestamp("2024-01-01")
+    ev = []
+    eid = 0
+    for i, v in enumerate(vals):
+        uid = i + 1
+        # Two events per user: duration v, long before batch end.
+        for s in (10000 * uid, 10000 * uid + v):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(seconds=s)).isoformat(), uid, "view", 1.0, "{}")
+            )
+    eid += 1
+    far = 10000 * (len(vals) + 2)
+    ev.append((eid, (base + pd.Timedelta(seconds=far)).isoformat(), 9999, "view", 1.0, "{}"))
+    sf = _tmp_sf(events=_events_pdf(ev))
+    out = sorted(
+        plans.QUERIES["kaplan_meier_session_survival"](spark, sf).collect(),
+        key=lambda r: r["t_sec"],
+    )
+    assume(out)
+    total = len(vals) + 1  # + censored sentinel
+    prev_s = 1.0
+    removed = 0
+    for r in out:
+        assert r["n_risk"] <= total - removed
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9
+        prev_s = r["survival"]
+        removed += r["n_events"]
