@@ -1997,3 +1997,146 @@ def filter_disparity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("risk_ratio") < 0.8) | (F.col("risk_ratio") > 1.25))
         ).alias("disparity_flag"),
     )
+
+
+# --- rank-biased overlap between the two retrieval legs ---------------------
+
+_RBO_P = 0.9
+_RBO_K = 10
+
+# C[m] = (1-p) * sum_{d=m..k} p^(d-1)/d — the truncated-RBO mass a common
+# document at max-rank m contributes. Computed ONCE here and embedded as
+# e9 integer literals in both dialects, so the per-doc contributions and
+# their sum are exact integers.
+_RBO_C_E9 = [
+    round(
+        1_000_000_000
+        * (1 - _RBO_P)
+        * sum(_RBO_P ** (d - 1) / d for d in range(m, _RBO_K + 1))
+    )
+    for m in range(1, _RBO_K + 1)
+]
+_RBO_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN greatest(sr, dr) = {m} THEN {c}"
+        for m, c in enumerate(_RBO_C_E9, start=1)
+    )
+    + " ELSE 0 END"
+)
+
+
+def _rbo_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _RRF_DEPTH,
+    )
+
+    toks_d = T.tokens_duck("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks_d} AS t FROM documents
+),
+lens AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM lens),
+hits AS (SELECT doc_id, unnest(t) AS term, len(t)::BIGINT AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+  FROM hits WHERE term IN ('spark', 'join', 'stream', 'window')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))), 4) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+sparse AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS sr
+  FROM bm ORDER BY score DESC, doc_id ASC LIMIT {_RBO_K}
+),
+e AS (
+  SELECT vec_id, embedding AS v, {T.norm_duck('embedding')} AS nrm FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id = 0),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round({T.dot_duck('e.v', 'q.v')} / (e.nrm * q.nrm), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS dr
+  FROM cos ORDER BY cosine DESC, doc_id ASC LIMIT {_RBO_K}
+),
+common AS (
+  SELECT s.doc_id, s.sr, d.dr, {_RBO_CASE} AS c_e9
+  FROM sparse s JOIN dense d USING (doc_id)
+)
+SELECT (SELECT count(*) FROM common)::BIGINT AS overlap_at_{_RBO_K},
+       round(coalesce((SELECT sum(c_e9) FROM common), 0) / 1e9, 6) + 0.0
+         AS rbo_p9
+"""
+
+
+@staged("rbo_sparse_vs_dense", oracle=_rbo_oracle())
+def rbo_sparse_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010; p = {_RBO_P}, truncated
+    at depth {_RBO_K}, no extrapolation) between the BM25 lexical and
+    dense-cosine rankings that ``hybrid_rrf_retrieval`` fuses — the
+    principled TOP-WEIGHTED rank-similarity answer to "do my two
+    retrieval legs even agree, and where": plain overlap@k weighs rank
+    1 and rank 10 equally, Spearman/Kendall need conjoint lists, while
+    RBO's geometric weighting handles non-conjoint top-k lists exactly
+    as retrieval evaluation requires. Low RBO with good fused quality
+    is the signature of complementary legs (the reason to fuse);
+    high RBO says the second leg is redundant.
+
+    Exactness: both rankings are the registry's verified leg
+    definitions (rounded scores + doc_id tiebreaks — total orders);
+    each common document contributes C[max(sr, dr)] where the C table
+    is precomputed ONCE in Python and embedded as e9 integer literals
+    in BOTH dialects, so the RBO sum is an exact integer sum; the
+    readout is one 6dp division. Truncated form — no p^k
+    extrapolation term — documented in the column name's p9.
+
+    Scale shape: both legs are the established index patterns (BM25
+    term-filter before any shuffle; dense is a 1-query broadcast
+    cosine); everything after the two top-{_RBO_K}s is
+    bounded-row arithmetic."""
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        bm25_scored_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scored_frame(docs)
+    sparse = (
+        bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_RBO_K)
+        .withColumn(
+            "sr",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", "sr")
+    )
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RBO_K).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dr")
+    )
+    common = sparse.join(dense, "doc_id").select(
+        "doc_id", "sr", "dr", F.expr(_RBO_CASE).alias("c_e9")
+    )
+    agg = common.agg(
+        F.count(F.lit(1)).cast("long").alias(f"overlap_at_{_RBO_K}"),
+        F.coalesce(F.sum("c_e9"), F.lit(0)).cast("long").alias("_s"),
+    )
+    return agg.select(
+        f"overlap_at_{_RBO_K}",
+        (F.round(F.col("_s") / 1e9, 6) + F.lit(0.0)).alias("rbo_p9"),
+    )

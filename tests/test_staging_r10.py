@@ -679,3 +679,58 @@ def test_filter_disparity_rates_and_flags(spark, sf_small):
             r["risk_ratio"] < 0.8 or r["risk_ratio"] > 1.25
         )
         assert r["disparity_flag"] == flagged
+
+
+# --- RBO ---------------------------------------------------------------------
+
+
+def test_rbo_c_table_matches_formula():
+    p, k = S._RBO_P, S._RBO_K
+    for m in range(1, k + 1):
+        want = (1 - p) * sum(p ** (d - 1) / d for d in range(m, k + 1))
+        assert S._RBO_C_E9[m - 1] == round(1e9 * want)
+    # Identical lists => truncated RBO = (1-p) * sum_d p^{d-1} * 1 ... with
+    # overlap d at every depth: sum over docs of C[rank] telescopes to
+    # (1-p) * sum_{d} p^{d-1} (each depth contributes overlap/d = 1).
+    full = sum(S._RBO_C_E9[m - 1] for m in range(1, k + 1)) / 1e9
+    want_full = (1 - p) * sum(p ** (d - 1) for d in range(1, k + 1))
+    assert abs(full - want_full) < 1e-6
+
+
+def test_rbo_matches_python_from_leg_frames(spark, sf_small):
+    """Recompute truncated RBO in Python from the query's own two leg
+    frames (the reciprocal-NN test pattern)."""
+    from pyspark.sql import Window, functions as F
+    from flink_realtime_sessionize_sample_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        bm25_scored_frame,
+    )
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_small, "embeddings")
+    sparse = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            bm25_scored_frame(docs)
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(S._RBO_K)
+            .collect()
+        )
+    }
+    dense = {
+        r["neighbor_id"]: r["rank"]
+        for r in cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=S._RBO_K).collect()
+    }
+    common = set(sparse) & set(dense)
+    rbo_e9 = sum(S._RBO_C_E9[max(sparse[d], dense[d]) - 1] for d in common)
+    out = plans_or_staged("rbo_sparse_vs_dense")(spark, sf_small).collect()[0]
+    assert out[f"overlap_at_{S._RBO_K}"] == len(common)
+    assert abs(out["rbo_p9"] - round(rbo_e9 / 1e9, 6)) < 1e-9
+    assert 0.0 <= out["rbo_p9"] <= 1.0
+
+
+def plans_or_staged(name):
+    return S.STAGED_QUERIES.get(name) or plans.QUERIES[name]
