@@ -24,7 +24,16 @@ Families this batch:
   ``intersession_return_km`` (KM on user RETURN times);
 * reference-domain analytics: ``session_bot_signals`` (gap-regularity /
   rate / depth bands — the classic access-log bot triage sessionize
-  feeds).
+  feeds);
+* retrieval diagnostics: ``rbo_sparse_vs_dense`` (rank-biased overlap
+  between the BM25 and dense legs of the hybrid retriever);
+* governance / eval / monitoring completions:
+  ``pii_cooccurrence_audit`` (doc-level PII types x the privacy trio's
+  quasi-identifier groups), ``mcc_nb_classifier`` (Gorodkin multiclass
+  Matthews correlation of the NB classifier),
+  ``friedman_test_event_mix`` (tie-corrected matched-design rank test,
+  the ordinal generalization of Cochran Q), ``page_hinkley_drift``
+  (self-calibrating sequential drift detector next to the CUSUM pair).
 
 Exactness discipline unchanged (staging_r8 header): integer or
 quantized-integer corpus sums, single shared double expressions, 6dp
@@ -2139,4 +2148,562 @@ def rbo_sparse_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         f"overlap_at_{_RBO_K}",
         (F.round(F.col("_s") / 1e9, 6) + F.lit(0.0)).alias("rbo_p9"),
+    )
+
+
+# --- doc-level PII x quasi-identifier co-occurrence audit --------------------
+
+# The release-governance gap the privacy trio leaves open: k-anonymity /
+# l-diversity / t-closeness grade the QI GROUPS, pii_redact grades the
+# TEXT — neither says where the two risks meet. A document carrying PII
+# inside a small QI group is the re-identification case (the PII string
+# plus three quasi-identifiers picks out a person); a document carrying
+# BOTH PII types is the content-risk case regardless of group size.
+# pii_redact's augmentation (pipeline_queries.py) is an either/or CASE —
+# a doc never carries both types — so this audit uses its own TWO
+# INDEPENDENT branches (same detectors, same constants): doc_id % 7
+# appends an email AND doc_id % 11 appends a long numeric ref, so the
+# both-types cell is non-empty (doc_id % 77) and CRT independence makes
+# the expected lift ~1.
+
+_PII_AUG = (
+    "concat(text,"
+    " CASE WHEN doc_id % 7 = 0"
+    " THEN concat(' contact user', cast(doc_id AS VARCHAR), '@example.com')"
+    " ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0"
+    " THEN concat(' ref ', cast(doc_id * 9999991 AS VARCHAR))"
+    " ELSE '' END)"
+)
+
+_PII_TIER = (
+    "CASE WHEN gs < 10 AND (ne > 0 OR nn > 0) THEN 'small_group_pii'"
+    " WHEN nb > 0 THEN 'cooccurring_pii'"
+    " WHEN ne > 0 OR nn > 0 THEN 'single_type_pii'"
+    " ELSE 'no_pii' END"
+)
+
+# Corpus-wide email x number lift P(both) / (P(email) P(num)); the counts
+# are exact int64, the readout is one shared double expression.
+_PII_LIFT = (
+    "round((1e0 * n_docs * nb_t) / nullif((1e0 * ne_t) * nn_t, 0e0), 6)"
+    " + 0.0"
+)
+
+
+def _pii_co_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.pipeline_queries import (
+        _EMAIL_RE,
+        _NUM_RE,
+    )
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang, source, n_chars // 200 AS len_band, {_PII_AUG} AS s
+  FROM documents
+),
+flag AS (
+  SELECT lang, source, len_band,
+         CASE WHEN len(regexp_extract_all(s, '{_EMAIL_RE}')) > 0
+              THEN 1 ELSE 0 END AS he,
+         CASE WHEN len(regexp_extract_all(
+                regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                '{_NUM_RE}')) > 0
+              THEN 1 ELSE 0 END AS hn
+  FROM aug
+),
+g AS (
+  SELECT lang, source, len_band, count(*)::BIGINT AS gs,
+         sum(he)::BIGINT AS ne, sum(hn)::BIGINT AS nn,
+         sum(he * hn)::BIGINT AS nb
+  FROM flag GROUP BY lang, source, len_band
+),
+t AS (
+  SELECT sum(gs)::BIGINT AS n_docs, sum(ne)::BIGINT AS ne_t,
+         sum(nn)::BIGINT AS nn_t, sum(nb)::BIGINT AS nb_t
+  FROM g
+),
+b AS (
+  SELECT {_PII_TIER} AS risk_tier, count(*)::BIGINT AS n_groups,
+         sum(gs)::BIGINT AS n_docs_tier, sum(ne)::BIGINT AS n_email_docs,
+         sum(nn)::BIGINT AS n_num_docs, sum(nb)::BIGINT AS n_both_docs
+  FROM g GROUP BY risk_tier
+)
+SELECT b.risk_tier, b.n_groups, b.n_docs_tier, b.n_email_docs,
+       b.n_num_docs, b.n_both_docs,
+       round(CAST(b.n_docs_tier AS DOUBLE) / t.n_docs, 6) + 0.0 AS doc_share,
+       {_PII_LIFT} AS cooccur_lift
+FROM b CROSS JOIN t
+"""
+
+
+@staged("pii_cooccurrence_audit", oracle=_pii_co_oracle())
+def pii_cooccurrence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level PII co-occurrence audit joining the content-risk scan
+    (``pii_redact``'s email / long-number detectors over an
+    INDEPENDENT two-branch variant of its deterministic augmentation,
+    so both-types documents exist) to the privacy trio's quasi-identifier
+    groups (lang, source, length-band — ``k_anonymity_audit``'s exact
+    QI tuple): every QI group lands in one of four ordered risk tiers —
+    ``small_group_pii`` (PII inside a group of size < 10: the
+    re-identification case k-anonymity alone can't flag, because it
+    doesn't know which small groups carry PII), ``cooccurring_pii``
+    (some document carries BOTH types: joint-content risk),
+    ``single_type_pii``, ``no_pii`` — plus the corpus-wide lift
+    P(both)/(P(email)·P(num)) that says whether the two PII types
+    cluster in the same documents (lift >> 1 means a redaction pass
+    must treat them as one leak channel, not two).
+
+    Exactness: flags, group sizes, tier counts and the four totals are
+    exact int64; the only doubles are the final 6dp share and lift, each
+    ONE shared expression over identical integers. Scale shape: a
+    regex-flag map over the corpus (JVM codegen, no UDF), one hash
+    aggregate to the QI-group frame (bounded by the QI domain), one
+    re-aggregation to <= 4 tier rows, one 1-row broadcast total — the
+    ``k_anonymity_audit`` shape with the PII flags riding the same
+    single scan."""
+    from flink_realtime_sessionize_sample_spark.plans.pipeline_queries import (
+        _EMAIL_RE,
+        _NUM_RE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "lang",
+        "source",
+        F.expr("n_chars div 200").alias("len_band"),
+        F.expr(_PII_AUG.replace("AS VARCHAR", "AS STRING")).alias("s"),
+    )
+    no_email = F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>")
+    flag = aug.select(
+        "lang",
+        "source",
+        "len_band",
+        (F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)) > 0)
+        .cast("int")
+        .alias("he"),
+        (F.regexp_count(no_email, F.lit(_NUM_RE)) > 0).cast("int").alias("hn"),
+    )
+    g = flag.groupBy("lang", "source", "len_band").agg(
+        F.count(F.lit(1)).cast("long").alias("gs"),
+        F.sum("he").cast("long").alias("ne"),
+        F.sum("hn").cast("long").alias("nn"),
+        F.sum(F.col("he") * F.col("hn")).cast("long").alias("nb"),
+    )
+    g = g.localCheckpoint()  # QI-group frame feeds the total and the tiers
+    t = g.agg(
+        F.sum("gs").cast("long").alias("n_docs"),
+        F.sum("ne").cast("long").alias("ne_t"),
+        F.sum("nn").cast("long").alias("nn_t"),
+        F.sum("nb").cast("long").alias("nb_t"),
+    )
+    b = g.groupBy(F.expr(_PII_TIER).alias("risk_tier")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gs").cast("long").alias("n_docs_tier"),
+        F.sum("ne").cast("long").alias("n_email_docs"),
+        F.sum("nn").cast("long").alias("n_num_docs"),
+        F.sum("nb").cast("long").alias("n_both_docs"),
+    )
+    return b.crossJoin(F.broadcast(t)).select(
+        "risk_tier",
+        "n_groups",
+        "n_docs_tier",
+        "n_email_docs",
+        "n_num_docs",
+        "n_both_docs",
+        (
+            F.round(F.col("n_docs_tier").cast("double") / F.col("n_docs"), 6)
+            + F.lit(0.0)
+        ).alias("doc_share"),
+        F.expr(_PII_LIFT).alias("cooccur_lift"),
+    )
+
+
+# --- multiclass Matthews correlation of the NB classifier --------------------
+
+# Gorodkin (2004) R_K over the confusion of the registry's hashed
+# naive-Bayes language classifier: with s = test docs, c = correct,
+# t_k / p_k the true / predicted class counts,
+#   R_K = (c*s - sum_k p_k t_k) / sqrt((s^2 - sum p_k^2)(s^2 - sum t_k^2)).
+# Every moment is an exact int64 (ceiling: s <= ~3e9 held-out docs before
+# c*s / s*s overflow — ANSI/DuckDB fail loud, not silent); the two
+# variance factors multiply in DOUBLE (their int64 product would cap s at
+# ~55k) inside ONE shared expression, so both engines run the identical
+# IEEE sequence.
+_MCC_EXPR = (
+    "round((1e0 * (c * s - spt))"
+    " / nullif(sqrt((1e0 * (s * s - sp2)) * (1e0 * (s * s - st2))), 0e0), 6)"
+    " + 0.0"
+)
+_ACC_EXPR = "round((1e0 * c) / s, 6) + 0.0"
+
+
+def _mcc_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _NB_PRED_CTES,
+    )
+
+    return (
+        _NB_PRED_CTES
+        + f"""
+, tk AS (SELECT true_lang AS cls, count(*)::BIGINT AS t_n FROM pred
+         GROUP BY true_lang),
+pk AS (SELECT pred_lang AS cls, count(*)::BIGINT AS p_n FROM pred
+       GROUP BY pred_lang),
+cl AS (SELECT cls FROM tk UNION SELECT cls FROM pk),
+mm AS (
+  SELECT cl.cls, coalesce(tk.t_n, 0)::BIGINT AS t_n,
+         coalesce(pk.p_n, 0)::BIGINT AS p_n
+  FROM cl LEFT JOIN tk ON tk.cls = cl.cls LEFT JOIN pk ON pk.cls = cl.cls
+),
+ag AS (
+  SELECT count(*)::BIGINT AS n_classes, sum(t_n * p_n)::BIGINT AS spt,
+         sum(p_n * p_n)::BIGINT AS sp2, sum(t_n * t_n)::BIGINT AS st2
+  FROM mm
+),
+tot AS (
+  SELECT count(*)::BIGINT AS s,
+         sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM pred
+)
+SELECT s AS n_test, c AS n_correct, n_classes,
+       {_ACC_EXPR} AS accuracy,
+       {_MCC_EXPR} AS mcc_rk
+FROM tot CROSS JOIN ag
+"""
+    )
+
+
+@staged("mcc_nb_classifier", oracle=_mcc_oracle())
+def mcc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation (Gorodkin 2004 R_K) of the
+    held-out naive-Bayes language predictions — the single-number
+    confusion summary that, unlike accuracy or macro-F1, is PREVALENCE-
+    ROBUST: a classifier that just predicts the majority language scores
+    high accuracy on a skewed corpus but R_K ~ 0, which is exactly the
+    failure mode of language-ID on web corpora (one dominant language).
+    Completes the eval family next to ``naive_bayes_eval_f1`` (per-class
+    view), ``roc_auc_exact`` and ``cohen_kappa``: kappa corrects
+    agreement for chance, R_K is the correlation-coefficient analogue
+    generalized to K classes (reduces to binary MCC at K = 2).
+
+    Exactness: the confusion moments (c, s, Σp_k·t_k, Σp_k², Σt_k²) are
+    exact int64 over the shared integer-quantized prediction frame
+    (argmax of micro-unit integer scores — ``_NB_PRED_CTES`` /
+    ``_nb_prediction_frame`` are the verified pair); R_K and accuracy
+    are each ONE shared double expression, 6dp. Degenerate single-class
+    predictions make a variance factor 0 -> NULL via nullif (not a
+    division error). Scale shape: three tiny aggregates over the
+    prediction frame + a |classes|-row outer join — the corpus is
+    touched once by the verified NB scoring pipeline itself."""
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _nb_prediction_frame,
+    )
+
+    pred = _nb_prediction_frame(spark, sf_dir)
+    tk = pred.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("t_n")
+    )
+    pk = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("p_n")
+    )
+    cl = tk.select("cls").union(pk.select("cls")).distinct()
+    mm = (
+        cl.join(tk, "cls", "left")
+        .join(pk, "cls", "left")
+        .select(
+            F.coalesce("t_n", F.lit(0)).cast("long").alias("t_n"),
+            F.coalesce("p_n", F.lit(0)).cast("long").alias("p_n"),
+        )
+    )
+    ag = mm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.col("t_n") * F.col("p_n")).cast("long").alias("spt"),
+        F.sum(F.col("p_n") * F.col("p_n")).cast("long").alias("sp2"),
+        F.sum(F.col("t_n") * F.col("t_n")).cast("long").alias("st2"),
+    )
+    tot = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum((F.col("pred_lang") == F.col("true_lang")).cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    return tot.crossJoin(F.broadcast(ag)).select(
+        F.col("s").alias("n_test"),
+        F.col("c").alias("n_correct"),
+        "n_classes",
+        F.expr(_ACC_EXPR).alias("accuracy"),
+        F.expr(_MCC_EXPR).alias("mcc_rk"),
+    )
+
+
+# --- Friedman test on the per-user event mix ---------------------------------
+
+# Tie-corrected Friedman (k = 3 matched treatments, blocks = users): with
+# double-ranks r2 = 2*rank (average ranks at ties are half-integers, so
+# doubling keeps everything int64), column sums R2_j, and the tie term
+# T = sum over blocks of sum(t^3 - t) per tie group,
+#   Q = 6 * (sum_j R2_j^2 - 48 n^2) / (24 n - T)
+# — the exact rational form of Conover's tie-corrected statistic at
+# k = 3 (derivation: Q_uncorr = (sum R_j^2)/n - 12n, correction factor
+# C = 1 - T/(24n)). df = k-1 = 2, so the chi-square upper tail is the
+# CLOSED FORM p = exp(-Q/2) (the cochran_q_three_raters trick — no
+# incomplete-gamma approximation enters).
+#
+# With only k = 3 values per block, average ranks need no window: the
+# double-rank of a against {b, c} is 2 + 2*#less + #equal, a pure
+# integer CASE expression after the per-user pivot.
+
+
+def _fried_r2(x: str, y: str, z: str) -> str:
+    """Double-rank (2x average ascending rank) of column ``x`` among the
+    block's three values {x, y, z} — shared dialect text."""
+    return (
+        f"2 + 2 * ((CASE WHEN {y} < {x} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {z} < {x} THEN 1 ELSE 0 END))"
+        f" + (CASE WHEN {y} = {x} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {z} = {x} THEN 1 ELSE 0 END)"
+    )
+
+
+_FRIED_TIE = (
+    "CASE WHEN a = b AND b = c THEN 24"
+    " WHEN a = b OR b = c OR a = c THEN 6 ELSE 0 END"
+)
+
+# R2_j <= 6n, so R2_j^2 caps n at ~5e8 blocks in int64 (ANSI/DuckDB fail
+# loud past it — document, don't silently lose precision); the division
+# runs in double via 6e0. Fully-tied-everywhere input makes 24n - T = 0
+# -> NULL via nullif (Q undefined, not an error).
+_FRIED_Q_E6 = (
+    "CAST(round(1000000 * 6e0"
+    " * ((r2v * r2v + r2c * r2c + r2p * r2p) - 48e0 * n * n)"
+    " / nullif(24 * n - tt, 0)) AS BIGINT)"
+)
+
+
+def _fried_oracle() -> str:
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT {_fried_r2('a', 'b', 'c')} AS ra,
+         {_fried_r2('b', 'a', 'c')} AS rb,
+         {_fried_r2('c', 'a', 'b')} AS rc,
+         {_FRIED_TIE} AS tie
+  FROM pu
+),
+z AS (
+  SELECT count(*)::BIGINT AS n, sum(ra)::BIGINT AS r2v,
+         sum(rb)::BIGINT AS r2c, sum(rc)::BIGINT AS r2p,
+         sum(tie)::BIGINT AS tt
+  FROM r
+),
+q AS (SELECT n, r2v, r2c, r2p, tt, {_FRIED_Q_E6} AS q_e6 FROM z)
+SELECT n AS n_users, r2v AS r2_view, r2c AS r2_click, r2p AS r2_purchase,
+       tt AS tie_t,
+       round(q_e6 / 1e6, 6) + 0.0 AS q_stat,
+       round(exp(-(q_e6 / 1e6) / 2), 6) + 0.0 AS p_value
+FROM q
+"""
+
+
+@staged("friedman_test_event_mix", oracle=_fried_oracle())
+def friedman_test_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Friedman test (Friedman 1937; Conover's tie
+    correction) of whether users engage with the three funnel actions
+    (view / click / purchase) at systematically different rates — the
+    nonparametric repeated-measures ANOVA: each user is a BLOCK, the
+    three per-user counts are ranked WITHIN the user, and the test asks
+    whether the three column rank-sums differ more than chance. The
+    within-block ranking removes per-user activity level entirely (a
+    10x-more-active user contributes exactly the same ranks), which is
+    why this beats three pairwise sign tests or a count ANOVA on this
+    kind of heavy-tailed engagement data. Completes the matched-design
+    family: ``cochran_q_three_raters`` is the binary-outcome special
+    case; this is its ordinal/count generalization.
+
+    Exactness: ranks are k=3 CASE arithmetic on exact counts (average
+    ranks carried as integer DOUBLE-ranks; per-block identity
+    sum_j r2_j = 12 pins the implementation in tests); rank sums and the
+    tie term are exact int64 (ceiling documented at ``_FRIED_Q_E6``); Q
+    quantizes to an e6 integer through ONE shared expression, and p is
+    the closed-form df=2 tail exp(-Q/2) on the ROUNDED statistic. Scale
+    shape: one map-side-combined pivot aggregate to the per-user frame
+    (the corpus's only shuffle), pure per-row rank arithmetic, one 1-row
+    reduce — no window, no join."""
+    pu = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    r = pu.select(
+        F.expr(_fried_r2("a", "b", "c")).alias("ra"),
+        F.expr(_fried_r2("b", "a", "c")).alias("rb"),
+        F.expr(_fried_r2("c", "a", "b")).alias("rc"),
+        F.expr(_FRIED_TIE).alias("tie"),
+    )
+    z = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("r2v"),
+        F.sum("rb").cast("long").alias("r2c"),
+        F.sum("rc").cast("long").alias("r2p"),
+        F.sum("tie").cast("long").alias("tt"),
+    )
+    q = z.withColumn("q_e6", F.expr(_FRIED_Q_E6))
+    return q.select(
+        F.col("n").alias("n_users"),
+        F.col("r2v").alias("r2_view"),
+        F.col("r2c").alias("r2_click"),
+        F.col("r2p").alias("r2_purchase"),
+        F.col("tt").alias("tie_t"),
+        (F.round(F.col("q_e6") / 1e6, 6) + F.lit(0.0)).alias("q_stat"),
+        (F.round(F.exp(-(F.col("q_e6") / 1e6) / 2), 6) + F.lit(0.0)).alias(
+            "p_value"
+        ),
+    )
+
+
+# --- Page-Hinkley drift monitor on daily mean event value --------------------
+
+# PH sequential change detector (Page 1954; Hinkley 1971, increase
+# variant): over the ordered day sequence of mean event values,
+#   m_t = sum_{s<=t} (x_s - xbar_s - delta),  PH_t = m_t - min_{s<=t} m_s,
+# alarm when PH_t > lambda. The running mean xbar_s (mean of the day
+# means up to s) makes the detector self-calibrating — no training
+# window. delta = 0.5 / lambda = 5.0 value units (~0.17 / ~1.7 sd of the
+# synthetic daily means), the standard "margin small, threshold several
+# sigma" setting.
+_PH_DELTA_E9 = 500_000_000
+_PH_LAMBDA_E9 = 5_000_000_000
+
+# Day mean -> e9 integer through shared text BEFORE any cumulative sum
+# (sv_e6 is an exact integer cents-style sum; the 1e3 product is exact in
+# double far past this domain).
+_PH_X_E9 = "CAST(round((1e3 * sv_e6) / n) AS BIGINT)"
+# Running mean of the day means, rounded back to e9 through shared text.
+_PH_XBAR_E9 = "CAST(round((1e0 * sx) / t) AS BIGINT)"
+
+
+def _ph_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', ts) AS day,
+         count(*)::BIGINT AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sv_e6
+  FROM events GROUP BY 1
+),
+x AS (SELECT day, n, {_PH_X_E9} AS x_e9 FROM d),
+c1 AS (
+  SELECT day, x_e9,
+         row_number() OVER (ORDER BY day) AS t,
+         CAST(sum(x_e9) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sx
+  FROM x
+),
+dev AS (
+  SELECT day, x_e9 - {_PH_XBAR_E9} - {_PH_DELTA_E9} AS dv FROM c1
+),
+cum AS (
+  SELECT day,
+         CAST(sum(dv) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS m
+  FROM dev
+),
+ph AS (
+  SELECT day,
+         m - CAST(min(m) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS p
+  FROM cum
+)
+SELECT count(*)::BIGINT AS n_days,
+       round(max(p) / 1e9, 6) + 0.0 AS ph_max,
+       min(CASE WHEN p > {_PH_LAMBDA_E9} THEN day END) AS alarm_day,
+       (max(p) > {_PH_LAMBDA_E9}) AS drift_detected
+FROM ph
+"""
+
+
+@staged("page_hinkley_drift", oracle=_ph_oracle())
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector on the daily mean event
+    value — the third change-detection lens next to
+    ``cusum_changepoint_hourly`` (retrospective single-shift localizer)
+    and ``stream_cusum_hourly_monitor`` (known-target online monitor):
+    PH tracks the cumulative deviation of each day's mean from the
+    RUNNING mean of all days so far (minus a small margin delta) and
+    alarms when that sum climbs lambda above its own running minimum —
+    self-calibrating (no reference period to choose) and the standard
+    concept-drift trigger in streaming-ML monitoring (Gama et al. 2014
+    survey usage). Reports the max PH excursion, the first alarm day
+    (epoch-day integer, NULL when the sequence never alarms), and the
+    boolean verdict. Because lambda is in VALUE units (standard PH — no
+    variance normalization), the stationary synthetic corpus alarms at
+    small scale factors (day-mean sampling noise ~ 1/sqrt(events/day)
+    exceeds lambda) and goes quiet at sf0.1+ — both alarm branches are
+    exercised across the test scales.
+
+    Exactness: per-day sums are exact e6 integers; each day mean and
+    each running mean quantizes to an e9 integer through ONE shared
+    expression BEFORE entering any cumulative sum, so the PH path is
+    pure int64 end-to-end and the readout is one 6dp division. Scale
+    shape: one map-side-combined aggregate to the calendar-bounded
+    |days| frame; the three cumulative windows ride that bounded frame
+    (the documented bounded-global-window pattern — |days| is
+    time-horizon-bounded, independent of corpus row count); then a
+    1-row reduce."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("datediff(cast(ts as date), date '1970-01-01')").alias(
+                "day"
+            ),
+            F.round(F.col("value") * 1000000).cast("long").alias("v_e6"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_e6").cast("long").alias("sv_e6"),
+        )
+    )
+    x = d.select("day", "n", F.expr(_PH_X_E9).alias("x_e9"))
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c1 = x.select(
+        "day",
+        "x_e9",
+        F.row_number().over(wd).alias("t"),
+        F.sum("x_e9").over(wcum).cast("long").alias("sx"),
+    )
+    dev = c1.select(
+        "day",
+        (
+            F.col("x_e9") - F.expr(_PH_XBAR_E9) - F.lit(_PH_DELTA_E9)
+        ).alias("dv"),
+    )
+    cum = dev.select("day", F.sum("dv").over(wcum).cast("long").alias("m"))
+    ph = cum.select(
+        "day", (F.col("m") - F.min("m").over(wcum).cast("long")).alias("p")
+    )
+    return ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.round(F.max("p") / 1e9, 6) + F.lit(0.0)).alias("ph_max"),
+        F.min(F.when(F.col("p") > _PH_LAMBDA_E9, F.col("day"))).alias(
+            "alarm_day"
+        ),
+        (F.max("p") > _PH_LAMBDA_E9).alias("drift_detected"),
     )

@@ -734,3 +734,346 @@ def test_rbo_matches_python_from_leg_frames(spark, sf_small):
 
 def plans_or_staged(name):
     return S.STAGED_QUERIES.get(name) or plans.QUERIES[name]
+
+
+# --- PII x QI co-occurrence audit ---------------------------------------------
+
+
+def test_pii_cooccurrence_tiers_match_python(spark, tmp_path):
+    """Engineered doc_ids hit every tier; the Python reference recomputes
+    flags (same regexes via ``re``), tiers and lift from scratch."""
+    import re as _re
+
+    from flink_realtime_sessionize_sample_spark.plans.pipeline_queries import (
+        _EMAIL_RE,
+        _NUM_RE,
+    )
+
+    rows = []
+    # Group A (en, web, >=10 docs): contains the both-types doc 77 plus
+    # email-only 7/14 and num-only 11/22 -> cooccurring_pii. (doc 0 would
+    # NOT work: 0 % 77 == 0 but 0 * 9999991 = '0' has no 6-digit run.)
+    for i in [77, 7, 14, 11, 22, 1, 2, 3, 4, 5]:
+        rows.append((i, "plain text alpha", "en", "web", 100))
+    # Group B (de, web, 2 docs, one email) -> small_group_pii.
+    for i in [21, 8]:
+        rows.append((i, "kleiner text", "de", "web", 100))
+    # Group C (fr, web, clean) -> no_pii.
+    for i in [9, 10, 12]:
+        rows.append((i, "texte propre", "fr", "web", 100))
+    # Group D (es, web, >=10 docs, email-only ids: %7 but not %11).
+    for i in [28, 35, 42, 49, 56, 63, 91, 98, 105, 112]:
+        rows.append((i, "texto normal", "es", "web", 100))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+
+    # Python reference over the SAME augmentation.
+    groups = {}
+    tot = Counter()
+    for doc_id, text, lang, source, n_chars in rows:
+        s = text
+        if doc_id % 7 == 0:
+            s += f" contact user{doc_id}@example.com"
+        if doc_id % 11 == 0:
+            s += f" ref {doc_id * 9999991}"
+        he = 1 if _re.search(_EMAIL_RE, s) else 0
+        hn = 1 if _re.search(_NUM_RE, _re.sub(_EMAIL_RE, "<EMAIL>", s)) else 0
+        g = groups.setdefault((lang, source, n_chars // 200), Counter())
+        g.update(gs=1, ne=he, nn=hn, nb=he * hn)
+        tot.update(n=1, ne=he, nn=hn, nb=he * hn)
+    tiers = {}
+    for g in groups.values():
+        if g["gs"] < 10 and (g["ne"] > 0 or g["nn"] > 0):
+            t = "small_group_pii"
+        elif g["nb"] > 0:
+            t = "cooccurring_pii"
+        elif g["ne"] > 0 or g["nn"] > 0:
+            t = "single_type_pii"
+        else:
+            t = "no_pii"
+        tr = tiers.setdefault(t, Counter())
+        tr.update(n_groups=1, gs=g["gs"], ne=g["ne"], nn=g["nn"], nb=g["nb"])
+    lift = round(tot["n"] * tot["nb"] / (tot["ne"] * tot["nn"]), 6)
+
+    out = {r["risk_tier"]: r for r in S.STAGED_QUERIES["pii_cooccurrence_audit"](spark, sf).collect()}
+    assert set(out) == set(tiers) == {
+        "cooccurring_pii", "small_group_pii", "single_type_pii", "no_pii",
+    }
+    for t, r in tiers.items():
+        o = out[t]
+        assert o["n_groups"] == r["n_groups"]
+        assert o["n_docs_tier"] == r["gs"]
+        assert o["n_email_docs"] == r["ne"]
+        assert o["n_num_docs"] == r["nn"]
+        assert o["n_both_docs"] == r["nb"]
+        assert abs(o["doc_share"] - round(r["gs"] / tot["n"], 6)) < 1e-9
+        assert abs(o["cooccur_lift"] - lift) < 1e-6
+
+
+# --- multiclass MCC (Gorodkin R_K) --------------------------------------------
+
+
+def test_mcc_matches_python_gorodkin(spark, sf_small):
+    """R_K recomputed in Python from the registry's own prediction
+    frame — the formula is pinned independently of the shared SQL."""
+    pred = [
+        (r["true_lang"], r["pred_lang"])
+        for r in plans.QUERIES["naive_bayes_lang_classify"](spark, sf_small).collect()
+    ]
+    s = len(pred)
+    c = sum(1 for t, p in pred if t == p)
+    tc = Counter(t for t, _ in pred)
+    pc = Counter(p for _, p in pred)
+    classes = set(tc) | set(pc)
+    spt = sum(tc[k] * pc[k] for k in classes)
+    den = (s * s - sum(v * v for v in pc.values())) * (
+        s * s - sum(v * v for v in tc.values())
+    )
+    mcc = (c * s - spt) / math.sqrt(den)
+    out = S.STAGED_QUERIES["mcc_nb_classifier"](spark, sf_small).collect()[0]
+    assert out["n_test"] == s
+    assert out["n_correct"] == c
+    assert out["n_classes"] == len(classes)
+    assert abs(out["accuracy"] - round(c / s, 6)) < 1e-9
+    assert abs(out["mcc_rk"] - mcc) < 2e-6
+    assert -1.0 <= out["mcc_rk"] <= 1.0
+
+
+def test_mcc_reduces_to_binary_mcc():
+    """At K = 2 the Gorodkin form must equal the textbook binary MCC."""
+    tp, fp, fn, tn = 37, 11, 5, 47
+    s = tp + fp + fn + tn
+    c = tp + tn
+    tc = {"pos": tp + fn, "neg": tn + fp}
+    pc = {"pos": tp + fp, "neg": tn + fn}
+    spt = sum(tc[k] * pc[k] for k in tc)
+    rk = (c * s - spt) / math.sqrt(
+        (s * s - sum(v * v for v in pc.values()))
+        * (s * s - sum(v * v for v in tc.values()))
+    )
+    binary = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(rk - binary) < 1e-12
+
+
+# --- Friedman test -------------------------------------------------------------
+
+
+def _friedman_python(blocks):
+    """Definition-form tie-corrected Friedman over k=3 blocks: average
+    ranks from sorting, Conover correction, df=2 closed-form p."""
+    n = len(blocks)
+    rsums = [0.0, 0.0, 0.0]
+    tie_t = 0
+    for vals in blocks:
+        order = sorted(range(3), key=lambda j: vals[j])
+        ranks = [0.0] * 3
+        i = 0
+        while i < 3:
+            j = i
+            while j + 1 < 3 and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for m in range(i, j + 1):
+                ranks[order[m]] = avg
+            t = j - i + 1
+            tie_t += t**3 - t
+            i = j + 1
+        for j in range(3):
+            rsums[j] += ranks[j]
+    q_unc = 12 / (n * 3 * 4) * sum(r * r for r in rsums) - 3 * n * 4
+    corr = 1 - tie_t / (n * 3 * 8)
+    if corr == 0:
+        return n, rsums, tie_t, None, None
+    q_e6 = round(1e6 * q_unc / corr)
+    return n, rsums, tie_t, q_e6 / 1e6, round(math.exp(-(q_e6 / 1e6) / 2), 6)
+
+
+def test_friedman_matches_python_definition(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    counts = {
+        1: (5, 3, 1),
+        2: (2, 2, 2),   # full tie -> t-term 24
+        3: (0, 4, 4),   # pair tie -> 6
+        4: (1, 0, 3),
+        5: (3, 1, 0),
+        6: (0, 0, 0),   # error-only user: all-zero block, full tie
+    }
+    ev, eid = [], 0
+    for uid, (a, b, c) in counts.items():
+        for typ, k in (("view", a), ("click", b), ("purchase", c)):
+            for _ in range(k):
+                eid += 1
+                ev.append((eid, (base + pd.Timedelta(seconds=eid)).isoformat(), uid, typ, 1.0, "{}"))
+    eid += 1
+    ev.append((eid, base.isoformat(), 6, "error", 1.0, "{}"))
+    eid += 1
+    ev.append((eid, base.isoformat(), 6, "error", 1.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    n, rsums, tie_t, q, p = _friedman_python(list(counts.values()))
+    out = S.STAGED_QUERIES["friedman_test_event_mix"](spark, sf).collect()[0]
+    assert out["n_users"] == n == 6
+    # Column double-rank sums and per-block identity sum_j r2_j = 12.
+    assert (out["r2_view"], out["r2_click"], out["r2_purchase"]) == tuple(
+        int(2 * r) for r in rsums
+    )
+    assert out["r2_view"] + out["r2_click"] + out["r2_purchase"] == 12 * n
+    assert out["tie_t"] == tie_t
+    assert abs(out["q_stat"] - q) < 1e-6
+    assert abs(out["p_value"] - p) < 1e-6
+
+
+def test_friedman_all_tied_is_null(spark, tmp_path):
+    """Every block fully tied -> correction factor 0 -> NULL q/p, not an
+    error (the nullif guard)."""
+    base = pd.Timestamp("2024-01-01")
+    ev = []
+    for uid in (1, 2):
+        for i, typ in enumerate(("view", "click", "purchase")):
+            ev.append((uid * 10 + i, (base + pd.Timedelta(seconds=uid * 10 + i)).isoformat(), uid, typ, 1.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = S.STAGED_QUERIES["friedman_test_event_mix"](spark, sf).collect()[0]
+    assert out["n_users"] == 2
+    assert out["tie_t"] == 48
+    assert out["q_stat"] is None and out["p_value"] is None
+
+
+# --- Page-Hinkley --------------------------------------------------------------
+
+
+def _ph_python(day_means):
+    """Integer-path PH reference mirroring the e9-quantized recursion."""
+    sx = m = 0
+    mn = None
+    ph_max = 0
+    alarm = None
+    for t, (day, mean) in enumerate(day_means, start=1):
+        x = math.floor(1e9 * mean + 0.5)  # half-up, the engines' round
+        sx += x
+        xbar = math.floor(sx / t + 0.5)
+        m += x - xbar - S._PH_DELTA_E9
+        mn = m if mn is None or m < mn else mn
+        p = m - mn
+        ph_max = max(ph_max, p)
+        if alarm is None and p > S._PH_LAMBDA_E9:
+            alarm = day
+    return round(ph_max / 1e9, 6), alarm
+
+
+def test_page_hinkley_detects_injected_shift(spark, tmp_path):
+    """20 stationary days at mean 50 then 10 days at 58: the detector
+    must alarm shortly after the shift, matching the integer-path
+    Python reference exactly."""
+    base = pd.Timestamp("2024-01-01")
+    epoch = pd.Timestamp("1970-01-01")
+    ev, eid = [], 0
+    day_means = []
+    for d in range(30):
+        mean = 50.0 if d < 20 else 58.0
+        day_means.append(((base + pd.Timedelta(days=d) - epoch).days, mean))
+        for i in range(4):
+            eid += 1
+            ev.append((eid, (base + pd.Timedelta(days=d, hours=i)).isoformat(), 1, "view", mean, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    ph_ref, alarm_ref = _ph_python(day_means)
+    out = S.STAGED_QUERIES["page_hinkley_drift"](spark, sf).collect()[0]
+    assert out["n_days"] == 30
+    assert out["drift_detected"] is True
+    assert alarm_ref is not None and out["alarm_day"] == alarm_ref
+    # Alarm fires after the shift day (epoch day of d=20), never before.
+    assert out["alarm_day"] >= day_means[20][0]
+    assert abs(out["ph_max"] - ph_ref) < 1e-9
+
+
+def test_page_hinkley_quiet_on_constant_series(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for d in range(15):
+        for i in range(3):
+            eid += 1
+            ev.append((eid, (base + pd.Timedelta(days=d, hours=i)).isoformat(), 1, "view", 42.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = S.STAGED_QUERIES["page_hinkley_drift"](spark, sf).collect()[0]
+    # Constant means: every deviation is exactly -delta, m decreases
+    # monotonically, PH stays 0.
+    assert out["ph_max"] == 0.0
+    assert out["alarm_day"] is None
+    assert out["drift_detected"] is False
+
+
+# --- hypothesis property tests (friedman / page-hinkley) -----------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_friedman_property_random_blocks(spark, tmp_path_factory, blocks):
+    """The integer-form Q (6*(sum R2^2 - 48n^2)/(24n - T)) must equal the
+    DEFINITION-form tie-corrected Friedman on arbitrary count blocks."""
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for uid, (a, b, c) in enumerate(blocks, start=1):
+        for typ, k in (("view", a), ("click", b), ("purchase", c)):
+            for _ in range(k):
+                eid += 1
+                ev.append((eid, (base + pd.Timedelta(seconds=eid)).isoformat(), uid, typ, 1.0, "{}"))
+        # Anchor every user with one out-of-scope event so all-zero
+        # blocks still appear as blocks.
+        eid += 1
+        ev.append((eid, (base + pd.Timedelta(seconds=eid)).isoformat(), uid, "error", 1.0, "{}"))
+    sf = _write_tables(tmp_path_factory.mktemp("fried"), events=_events_pdf(ev))
+    n, rsums, tie_t, q, p = _friedman_python(blocks)
+    out = S.STAGED_QUERIES["friedman_test_event_mix"](spark, sf).collect()[0]
+    assert out["n_users"] == n
+    assert (out["r2_view"], out["r2_click"], out["r2_purchase"]) == tuple(
+        int(2 * r) for r in rsums
+    )
+    assert out["tie_t"] == tie_t
+    if q is None:
+        assert out["q_stat"] is None and out["p_value"] is None
+    else:
+        assert abs(out["q_stat"] - q) < 1e-6
+        assert abs(out["p_value"] - p) < 1e-6
+        assert out["q_stat"] >= -1e-9
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=200),  # integer day means
+        min_size=3,
+        max_size=20,
+    )
+)
+def test_page_hinkley_property_random_series(spark, tmp_path_factory, means):
+    """PH path on arbitrary integer day-mean series matches the
+    integer-quantized Python recursion exactly (half-up rounding, the
+    engines' round semantics)."""
+    base = pd.Timestamp("2024-01-01")
+    epoch = pd.Timestamp("1970-01-01")
+    ev, eid = [], 0
+    day_means = []
+    for d, mean in enumerate(means):
+        day_means.append(((base + pd.Timedelta(days=d) - epoch).days, float(mean)))
+        for i in range(2):
+            eid += 1
+            ev.append((eid, (base + pd.Timedelta(days=d, hours=i)).isoformat(), 1, "view", float(mean), "{}"))
+    sf = _write_tables(tmp_path_factory.mktemp("ph"), events=_events_pdf(ev))
+    ph_ref, alarm_ref = _ph_python(day_means)
+    out = S.STAGED_QUERIES["page_hinkley_drift"](spark, sf).collect()[0]
+    assert out["n_days"] == len(means)
+    assert abs(out["ph_max"] - ph_ref) < 1e-9
+    assert out["alarm_day"] == alarm_ref
+    assert out["drift_detected"] is (alarm_ref is not None)
