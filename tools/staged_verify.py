@@ -1,0 +1,90 @@
+"""Staged-query verify: run plans/staging_r10.py STAGED_QUERIES vs their
+DuckDB oracles — the staging-gate twin of tools/verify_drive.py (which
+covers only the LIVE registry exposed through __spark_entry__).
+
+Usage: copy to /tmp and run `python /tmp/staged_verify.py [sf_dir] [name ...]`
+Defaults: sf_dir=/root/testdata/sf0.01, names = all staged queries.
+Honors ADV_CONF ("k=v;k=v") exactly like verify_drive.py. Run from a cwd
+OUTSIDE the repo (worker-pickle gotcha — see .claude/skills/verify/SKILL.md).
+
+The staging discipline this enforces (promotion gate): every staged query
+green at sf0.001 AND sf0.01 under the default config, plus 21/21 under
+each of the four adversarial configs at sf0.01.
+"""
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession
+
+_spec = importlib.util.spec_from_file_location(
+    "oracle_util", f"{REPO}/tests/oracle_util.py"
+)
+_ou = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_ou)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    builder = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        # Per-process warehouse: see verify_drive.py (concurrent sweeps
+        # race fixed managed-table names otherwise).
+        .config("spark.sql.warehouse.dir", f"/tmp/sparkwh_{os.getpid()}")
+    )
+    for kv in filter(None, os.environ.get("ADV_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        print(f"ADV_CONF: {k}={v}", flush=True)
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
+
+    from flink_realtime_sessionize_sample_spark.plans import staging_r10 as S
+
+    names = sys.argv[2:] or list(S.STAGED_QUERIES)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name in names:
+        try:
+            sdf = S.STAGED_QUERIES[name](spark, sf_dir).toPandas()
+            odf = con.execute(S.STAGED_ORACLES[name]).fetchdf()
+            sc, oc = sorted(sdf.columns), sorted(odf.columns)
+            sr, orr = _ou._canon(sdf), _ou._canon(odf)
+            ok = (len(sr) == len(orr)) and (sc == oc) and (sr == orr)
+            print(
+                f"{name}: {'OK' if ok else 'MISMATCH'}"
+                f" spark={len(sr)} oracle={len(orr)}",
+                flush=True,
+            )
+            if not ok:
+                bad.append(name)
+                if sc != oc:
+                    print(f"  cols spark={sc} oracle={oc}")
+                else:
+                    diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+                    for a, b in diff:
+                        print(f"  spark={a[:220]}\n  duck ={b[:220]}")
+        except Exception as e:  # noqa: BLE001
+            bad.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
+    print(f"done: {len(names) - len(bad)}/{len(names)} green; bad={bad}", flush=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
