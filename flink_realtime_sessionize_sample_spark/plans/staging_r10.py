@@ -2596,13 +2596,13 @@ _PH_X_E9 = "CAST(round((1e3 * sv_e6) / n) AS BIGINT)"
 _PH_XBAR_E9 = "CAST(round((1e0 * sx) / t) AS BIGINT)"
 
 
-def _ph_oracle() -> str:
+def _ph_oracle(where: str = "") -> str:
     return f"""
 WITH d AS (
   SELECT datediff('day', TIMESTAMP '1970-01-01', ts) AS day,
          count(*)::BIGINT AS n,
          CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sv_e6
-  FROM events GROUP BY 1
+  FROM events {where} GROUP BY 1
 ),
 x AS (SELECT day, n, {_PH_X_E9} AS x_e9 FROM d),
 c1 AS (
@@ -2636,6 +2636,37 @@ SELECT count(*)::BIGINT AS n_days,
        (max(p) > {_PH_LAMBDA_E9}) AS drift_detected
 FROM ph
 """
+
+
+def _ph_readout(d: DataFrame) -> DataFrame:
+    """The PH scan over a (day, n, sv_e6) frame — shared verbatim by the
+    batch query and the streaming twin (bounded-global-window pattern:
+    |days| is calendar-bounded, independent of corpus row count)."""
+    x = d.select("day", "n", F.expr(_PH_X_E9).alias("x_e9"))
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c1 = x.select(
+        "day",
+        "x_e9",
+        F.row_number().over(wd).alias("t"),
+        F.sum("x_e9").over(wcum).cast("long").alias("sx"),
+    )
+    dev = c1.select(
+        "day",
+        (F.col("x_e9") - F.expr(_PH_XBAR_E9) - F.lit(_PH_DELTA_E9)).alias("dv"),
+    )
+    cum = dev.select("day", F.sum("dv").over(wcum).cast("long").alias("m"))
+    ph = cum.select(
+        "day", (F.col("m") - F.min("m").over(wcum).cast("long")).alias("p")
+    )
+    return ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.round(F.max("p") / 1e9, 6) + F.lit(0.0)).alias("ph_max"),
+        F.min(F.when(F.col("p") > _PH_LAMBDA_E9, F.col("day"))).alias(
+            "alarm_day"
+        ),
+        (F.max("p") > _PH_LAMBDA_E9).alias("drift_detected"),
+    )
 
 
 @staged("page_hinkley_drift", oracle=_ph_oracle())
@@ -2680,30 +2711,66 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_e6").cast("long").alias("sv_e6"),
         )
     )
-    x = d.select("day", "n", F.expr(_PH_X_E9).alias("x_e9"))
-    wd = Window.orderBy("day")
-    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c1 = x.select(
-        "day",
-        "x_e9",
-        F.row_number().over(wd).alias("t"),
-        F.sum("x_e9").over(wcum).cast("long").alias("sx"),
+    return _ph_readout(d)
+
+
+@staged(
+    "stream_page_hinkley_monitor",
+    oracle=_ph_oracle("WHERE event_id % 2 = 1"),
+)
+def stream_page_hinkley_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift monitor computed ON THE INGEST PATH — the
+    streaming twin of ``page_hinkley_drift`` (the
+    ``stream_cusum_hourly_monitor`` pattern): the odd-event_id half of
+    the event stream replays as 2 micro-batches; each batch appends its
+    per-DAY partials (event count + exact e6 value sum) to a managed
+    table; the readout merges the partials by plain per-day summation
+    and runs the IDENTICAL e9-quantized PH scan as the batch query.
+    Proof obligation: (n, sv_e6) per day are mergeable integer sums, so
+    streaming-then-merge is bit-identical to the batch scan over the
+    same half — certified end to end by the oracle (the batch PH SQL
+    restricted to the replayed half). This is the live-monitoring shape:
+    partial day aggregates land continuously, and the detector re-scans
+    the bounded |days| frame on demand.
+
+    Scale shape: per micro-batch one map-side-combined hash aggregate to
+    its |days| rows (raw events never shuffle beyond the aggregate); the
+    managed table holds batches x days rows; the merge is one bounded
+    groupBy and the scan is the documented bounded-global-window
+    pattern."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
     )
-    dev = c1.select(
-        "day",
-        (
-            F.col("x_e9") - F.expr(_PH_XBAR_E9) - F.lit(_PH_DELTA_E9)
-        ).alias("dv"),
+
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            F.expr("datediff(cast(ts as date), date '1970-01-01')").alias(
+                "day"
+            ),
+            F.round(F.col("value") * 1000000).cast("long").alias("v_e6"),
+        )
     )
-    cum = dev.select("day", F.sum("dv").over(wcum).cast("long").alias("m"))
-    ph = cum.select(
-        "day", (F.col("m") - F.min("m").over(wcum).cast("long")).alias("p")
+
+    def _daily_batch(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_e6").cast("long").alias("sv_e6"),
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, day int, v_e6 long",
+        _daily_batch,
+        "ph_daily_partials",
+        split_col="event_id",
+        src_prefix="ph_monitor_src_",
     )
-    return ph.agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        (F.round(F.max("p") / 1e9, 6) + F.lit(0.0)).alias("ph_max"),
-        F.min(F.when(F.col("p") > _PH_LAMBDA_E9, F.col("day"))).alias(
-            "alarm_day"
-        ),
-        (F.max("p") > _PH_LAMBDA_E9).alias("drift_detected"),
+    merged = partials.groupBy("day").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sv_e6").cast("long").alias("sv_e6"),
     )
+    return _ph_readout(merged)

@@ -1077,3 +1077,27 @@ def test_page_hinkley_property_random_series(spark, tmp_path_factory, means):
     assert abs(out["ph_max"] - ph_ref) < 1e-9
     assert out["alarm_day"] == alarm_ref
     assert out["drift_detected"] is (alarm_ref is not None)
+
+
+def test_stream_ph_twin_equals_batch_path(spark, tmp_path):
+    """The streaming twin's merged partials must reproduce the batch PH
+    scan exactly: every event in a day carries the same value, so the
+    odd-event_id half has the same day means as the full series and the
+    twin must match the integer-path reference on them."""
+    base = pd.Timestamp("2024-01-01")
+    epoch = pd.Timestamp("1970-01-01")
+    ev, eid = [], 0
+    day_means = []
+    for d in range(30):
+        mean = 50.0 if d < 20 else 58.0
+        day_means.append(((base + pd.Timedelta(days=d) - epoch).days, mean))
+        for i in range(4):
+            eid += 1
+            ev.append((eid, (base + pd.Timedelta(days=d, hours=i)).isoformat(), 1, "view", mean, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    ph_ref, alarm_ref = _ph_python(day_means)
+    out = S.STAGED_QUERIES["stream_page_hinkley_monitor"](spark, sf).collect()[0]
+    assert out["n_days"] == 30
+    assert abs(out["ph_max"] - ph_ref) < 1e-9
+    assert out["alarm_day"] == alarm_ref
+    assert out["drift_detected"] is True
