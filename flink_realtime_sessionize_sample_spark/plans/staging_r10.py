@@ -2346,9 +2346,13 @@ def _mcc_oracle() -> str:
     return (
         _NB_PRED_CTES
         + f"""
-, tk AS (SELECT true_lang AS cls, count(*)::BIGINT AS t_n FROM pred
-         GROUP BY true_lang),
-pk AS (SELECT pred_lang AS cls, count(*)::BIGINT AS p_n FROM pred
+, conf AS (
+  SELECT true_lang, pred_lang, count(*)::BIGINT AS n
+  FROM pred GROUP BY true_lang, pred_lang
+),
+tk AS (SELECT true_lang AS cls, sum(n)::BIGINT AS t_n FROM conf
+       GROUP BY true_lang),
+pk AS (SELECT pred_lang AS cls, sum(n)::BIGINT AS p_n FROM conf
        GROUP BY pred_lang),
 cl AS (SELECT cls FROM tk UNION SELECT cls FROM pk),
 mm AS (
@@ -2362,9 +2366,9 @@ ag AS (
   FROM mm
 ),
 tot AS (
-  SELECT count(*)::BIGINT AS s,
-         sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)::BIGINT AS c
-  FROM pred
+  SELECT sum(n)::BIGINT AS s,
+         sum(CASE WHEN pred_lang = true_lang THEN n ELSE 0 END)::BIGINT AS c
+  FROM conf
 )
 SELECT s AS n_test, c AS n_correct, n_classes,
        {_ACC_EXPR} AS accuracy,
@@ -2393,19 +2397,27 @@ def mcc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_nb_prediction_frame`` are the verified pair); R_K and accuracy
     are each ONE shared double expression, 6dp. Degenerate single-class
     predictions make a variance factor 0 -> NULL via nullif (not a
-    division error). Scale shape: three tiny aggregates over the
-    prediction frame + a |classes|-row outer join — the corpus is
-    touched once by the verified NB scoring pipeline itself."""
+    division error). Scale shape: the corpus is touched ONCE — one
+    aggregation of the NB prediction frame to the |classes|^2 confusion
+    frame, which is checkpointed (bounded by the label domain, the
+    ``k_anonymity_audit`` pattern) so the class marginals, the moment
+    aggregate and the totals all derive from it without re-running the
+    scoring DAG; everything downstream is |classes|-row arithmetic."""
     from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
         _nb_prediction_frame,
     )
 
-    pred = _nb_prediction_frame(spark, sf_dir)
-    tk = pred.groupBy(F.col("true_lang").alias("cls")).agg(
-        F.count(F.lit(1)).cast("long").alias("t_n")
+    conf = (
+        _nb_prediction_frame(spark, sf_dir)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    pk = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
-        F.count(F.lit(1)).cast("long").alias("p_n")
+    conf = conf.localCheckpoint()  # |classes|^2 frame feeds 3 readouts
+    tk = conf.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("t_n")
+    )
+    pk = conf.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").cast("long").alias("p_n")
     )
     cl = tk.select("cls").union(pk.select("cls")).distinct()
     mm = (
@@ -2422,9 +2434,11 @@ def mcc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_n") * F.col("p_n")).cast("long").alias("sp2"),
         F.sum(F.col("t_n") * F.col("t_n")).cast("long").alias("st2"),
     )
-    tot = pred.agg(
-        F.count(F.lit(1)).cast("long").alias("s"),
-        F.sum((F.col("pred_lang") == F.col("true_lang")).cast("int"))
+    tot = conf.agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("true_lang"), F.col("n")).otherwise(0)
+        )
         .cast("long")
         .alias("c"),
     )
