@@ -1065,8 +1065,14 @@ def intersession_return_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     depletion over all times, survival product over death times) ride
     the deterministic-banded ``with_global_rank`` operator
     (``extra_cums`` — one balanced exchange each, no global sort
-    anywhere). The per-user lead() window is user-keyed, never
-    global."""
+    anywhere). The per-user lead() window is user-keyed, never global.
+    The sessionize kernel runs ONCE: the per-session frame is
+    checkpointed before fanning out to the batch-end scalar, the lead
+    window and both banded passes (each of which self-references its
+    input for cut sampling), and the per-time / death-time frames are
+    checkpointed ahead of their banding — without these the upstream
+    Arrow kernel re-expands ~10x (measured 40 corpus scans in the
+    un-checkpointed plan tree)."""
     from flink_realtime_sessionize_sample_spark.operators.global_order import (
         with_global_rank,
     )
@@ -1088,7 +1094,15 @@ def intersession_return_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").cast("long").alias("start_sec2"),
         F.max("sec").cast("long").alias("end_sec"),
     )
-    gmx = sz.agg(F.max("sec").cast("long").alias("mx"))
+    # ONE sessionize execution: the per-session frame (corpus/≈20 rows,
+    # 4 thin columns) feeds the batch-end scalar, the per-user lead
+    # window AND both banded passes' upstream — without this checkpoint
+    # the Arrow sessionize kernel re-expands ~10x through the banding
+    # self-references (measured 40 corpus scans in the plan tree).
+    se = se.localCheckpoint()
+    # Batch end = max session end (every event's sec <= its session's
+    # max, so the global max survives the per-session aggregation).
+    gmx = se.agg(F.max("end_sec").cast("long").alias("mx"))
     wu = Window.partitionBy("user_id").orderBy("start_sec2")
     nxt = se.select(
         "user_id",
@@ -1104,11 +1118,15 @@ def intersession_return_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("next_start").isNull().alias("censored"),
     )
-    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     bytime = obs.groupBy("t").agg(
         F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("removed"),
     )
+    bytime = bytime.localCheckpoint()  # |distinct t| frame; feeds the
+    # total AND the banding's sample/main self-references.
+    # n_total = sum of removals (every observation leaves the risk set
+    # exactly once) — no separate corpus pass.
+    tot = bytime.agg(F.sum("removed").cast("long").alias("n_total"))
     # Banded pass 1: inclusive cumulative removals in t order -> exact
     # risk sets, no single-partition window over the unbounded t domain.
     r1 = with_global_rank(
@@ -1132,6 +1150,8 @@ def intersession_return_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_KM_FACTOR_E6).alias("f_e6"),
         F.expr("CASE WHEN n_risk <= d THEN 1 ELSE 0 END").alias("zflag"),
     )
+    death = death.localCheckpoint()  # death-time frame; pass 2's
+    # banding self-references would otherwise re-run pass 1.
     # Banded pass 2: cumulative log-factors + zero flags over death times.
     cum = with_global_rank(
         death,
