@@ -818,10 +818,6 @@ def logrank_test_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame
     obs = _session_obs(spark, sf_dir).select(
         "t", "censored", arm.alias("g")
     )
-    tot = obs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum("g").cast("long").alias("n_arm1"),
-    )
     bytime = obs.groupBy("t").agg(
         F.count(F.lit(1)).cast("long").alias("removed"),
         F.sum("g").cast("long").alias("removed1"),
@@ -829,6 +825,15 @@ def logrank_test_session_survival(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("censored"), 0).otherwise(F.col("g")))
         .cast("long")
         .alias("d1"),
+    )
+    # ONE sessionize execution: the bounded per-time frame (<= 43201
+    # rows) is checkpointed, and the arm totals derive from it (every
+    # observation leaves the risk set exactly once) instead of from a
+    # second pass over the corpus-sized observation frame.
+    bytime = bytime.localCheckpoint()
+    tot = bytime.agg(
+        F.sum("removed").cast("long").alias("n_all"),
+        F.sum("removed1").cast("long").alias("n_arm1"),
     )
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     risk = bytime.crossJoin(F.broadcast(tot)).select(
@@ -1869,8 +1874,16 @@ def capture_recapture_dedup_estimate(
     from flink_realtime_sessionize_sample_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    pa = D.minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    pb = D.simhash_pairs(docs).select("doc_a", "doc_b")
+    # Each detector runs ONCE: the pair frames (bounded by the near-dup
+    # pair count, far below corpus size) are checkpointed before feeding
+    # both their marginal count and the intersection join — otherwise
+    # the shingle+MinHash and SimHash pipelines each re-expand twice.
+    pa = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    pb = D.simhash_pairs(docs).select("doc_a", "doc_b").localCheckpoint()
     n1 = pa.agg(F.count(F.lit(1)).cast("long").alias("n1"))
     n2 = pb.agg(F.count(F.lit(1)).cast("long").alias("n2"))
     nb = (
