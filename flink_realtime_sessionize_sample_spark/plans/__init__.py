@@ -19,6 +19,7 @@ from flink_realtime_sessionize_sample_spark.plans import feature_queries  # noqa
 from flink_realtime_sessionize_sample_spark.plans import ml_eval_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import staging_r8  # noqa: F401  (promoted round 8)
 from flink_realtime_sessionize_sample_spark.plans import round9_queries  # noqa: F401
+from flink_realtime_sessionize_sample_spark.plans import staging_r10  # noqa: F401  (promoted round 10)
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
@@ -37,17 +38,20 @@ from flink_realtime_sessionize_sample_spark.plans import round9_queries  # noqa:
 # asserts every name in it sits inside the first-50 window, alongside
 # every query not yet externally green (new registrations).
 #
-# ROUND-9 ROTATION (this edit): round 8 closed 50/50 green at HEAD with
-# zero verification-stale rows — all 275 registered queries carry a
-# cumulative green external row. Round 9 lands the two deferred judge
-# items on operators/global_order.py (Connect-safe ``_primary_key`` via
-# ``repr`` parsing + the opt-in ``checkpoint_banded`` materialization),
-# which rotates the operator's 24 consumers, plus ccnet's call-site
-# wiring (already among the 24) and a docstring-only touch on
-# ``neyman_allocation_by_source``.
+# ROUND-10 ROTATION (this edit): round 9 closed 50/50 green at HEAD with
+# zero verification-stale rows — all 285 registered queries carry a
+# cumulative green external row. Round 10 is the staged-promotion round
+# (the 22 staging_r10 queries go live, registry 285 → 307) plus four
+# query-local code fixes, each rotating exactly its own name: the
+# ``chisq_source_language`` full-grid correction (judge r9 "What's
+# wrong" #1 — the repo's only wrong-answer-class defect) and the three
+# defensive checkpoint debts 1b/1c/1d (``naive_bayes_eval_f1`` single
+# checkpointed confusion frame, ``kaplan_meier_session_survival``
+# checkpointed per-time frame, ``label_prop_neardup_communities``
+# checkpointed near-dup edge frame).
 #
-# MECHANIZED as of this round (judge r7 item 3, completed r9): the list
-# below is the output of
+# MECHANIZED (judge r7 item 3, completed r9): the list below is the
+# output of
 #   python tools/rotation_map.py --since <round-open commit>
 # at SYMBOL granularity (only consumers of the top-level symbols whose
 # AST actually changed rotate; comment-only edits are invisible,
@@ -55,38 +59,20 @@ from flink_realtime_sessionize_sample_spark.plans import round9_queries  # noqa:
 # the round-open ref, and ``tests/test_registry_window.py::
 # test_mechanized_rotation_inside_window`` re-derives the rotation at
 # test time and asserts every name sits inside the first-50 window — the
-# hand-maintained list can no longer silently under-rotate.
-_ROUND_OPEN_COMMIT = "e6518e7"
+# hand-maintained list can no longer silently under-rotate. (The 22
+# staging_r10 promotions also appear in the mechanized output — flipping
+# ``staged`` to delegate to ``registry.query`` touches their shared
+# decorator symbol — but they are windowed as promotions, not rotations.)
+_ROUND_OPEN_COMMIT = "e26360e"
 
 # Queries whose implementation changed after their latest green external
-# row (tools/rotation_map.py --since e6518e7; see the mechanization note
-# above). 24 global-order consumers + neyman's docstring touch.
+# row (tools/rotation_map.py --since e26360e; see the mechanization note
+# above). The four query-local round-10 fixes.
 _CHANGED_SINCE_EXTERNAL: list[str] = [
-    "brown_forsythe_length_variance",
-    "calibration_reliability_brier",
-    "ccnet_perplexity_buckets",
-    "conformal_interval_coverage",
-    "curriculum_pacing_stages",
-    "customer_pareto_abc",
-    "customer_rfm_segments",
-    "doc_zipf_fit",
-    "equi_depth_histogram",
-    "expected_calibration_error",
-    "hill_tail_doc_length",
-    "ks_drift_detection",
-    "late_data_accounting",
-    "mann_whitney_en_tokens",
-    "neyman_allocation_by_source",
-    "pareto_skyline_parts",
-    "psi_value_drift",
-    "quantile_normalize_lengths",
-    "roc_auc_token_count",
-    "spearman_chars_tokens",
-    "theil_sen_daily_trend",
-    "token_budget_waterfill",
-    "token_gini_concentration",
-    "vocab_coverage_curve",
-    "wasserstein_split_drift",
+    "chisq_source_language",
+    "kaplan_meier_session_survival",
+    "label_prop_neardup_communities",
+    "naive_bayes_eval_f1",
 ]
 
 # The 34 queries built + oracle-paired + locally swept during round 7 in
@@ -129,15 +115,10 @@ _ROUND8_PROMOTIONS: list[str] = [
     "linear_multitouch_attribution",
 ]
 
-_DRIVER_WINDOW: list[str] = [
-    # Anchors — kept in-window every round for continuity.
-    "sessionize_events",
-    "user_total_durations",
-    "parse_access_logs",
-    # Changed-code re-checks (standing rule above; mechanized list).
-    *_CHANGED_SINCE_EXTERNAL,
-    # Round-9 new registrations (plans/round9_queries.py; each verified
-    # at sf0.01 AND sf0.1 before registration).
+# The 10 queries registered live in round 9 (plans/round9_queries.py) —
+# all 10 went green in CORRECTNESS_r09 (kept as a list: it feeds
+# _EXTERNALLY_GREEN_THROUGH_R9).
+_ROUND9_REGISTRATIONS: list[str] = [
     "prefix_filter_jaccard_join",
     "runs_test_daily_revenue",
     "ols_chars_model",
@@ -148,21 +129,74 @@ _DRIVER_WINDOW: list[str] = [
     "krippendorff_alpha_agreement",
     "js_divergence_source_matrix",
     "kaplan_meier_session_survival",
-    # Oldest-green fill-ins: 36 queries' NEWEST external row still dates
-    # to round 2 (CORRECTNESS_r02); these 12 are the alphabetical first
-    # of that set — freshness rotation, code unchanged since their rows.
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "approx_distinct_users",
-    "approx_price_quantiles",
-    "balance_band_reconciliation",
-    "conditional_agg",
-    "cube_part_stats",
-    "customer_order_distribution",
-    "customer_running_total",
-    "customers_without_orders",
-    "dedup_exact",
-    "doc_fingerprint",
+]
+
+# The 22 queries built + oracle-paired + both-scale swept + adversarial-
+# config verified during round 9 in plans/staging_r10.py, registered live
+# in round 10 (promotion pattern identical to _ROUND8_PROMOTIONS).
+_ROUND10_PROMOTIONS: list[str] = [
+    "t_closeness_audit",
+    "mantel_haenszel_stratified_ab",
+    "cochran_armitage_trend",
+    "cochran_q_three_raters",
+    "quantile_treatment_effects",
+    "logrank_test_session_survival",
+    "session_bot_signals",
+    "intersession_return_km",
+    "reciprocal_nn_dedup",
+    "heaps_law_fit",
+    "cramers_v_source_lang",
+    "smd_covariate_balance",
+    "chao1_vocab_richness",
+    "jackknife_source_sensitivity",
+    "capture_recapture_dedup_estimate",
+    "filter_disparity_audit",
+    "rbo_sparse_vs_dense",
+    "pii_cooccurrence_audit",
+    "mcc_nb_classifier",
+    "friedman_test_event_mix",
+    "page_hinkley_drift",
+    "stream_page_hinkley_monitor",
+]
+
+_DRIVER_WINDOW: list[str] = [
+    # Anchors — kept in-window every round for continuity.
+    "sessionize_events",
+    "user_total_durations",
+    "parse_access_logs",
+    # Changed-code re-checks (standing rule above; mechanized list).
+    *_CHANGED_SINCE_EXTERNAL,
+    # Round-10 promotions (plans/staging_r10.py; each verified at
+    # sf0.001 AND sf0.01 — the stream/PH family also sf0.1 — plus five
+    # adversarial configs before promotion).
+    *_ROUND10_PROMOTIONS,
+    # Oldest-green fill-ins: after round 9's 12, 24 queries' NEWEST
+    # external row still dates to round 2 (CORRECTNESS_r02); these 21
+    # are the alphabetical first of that set — freshness rotation, code
+    # unchanged since their rows. The last 3 (top_orders_per_customer,
+    # top_revenue_orders, top_supplier_revenue) spill to round 11: the
+    # four rotation slots above displaced them.
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_token_count_bpe",
+    "doc_token_stats",
+    "event_lag_lead",
+    "events_hourly_windows",
+    "global_topk_orders",
+    "important_parts",
+    "json_extract_events",
+    "large_quantity_orders",
+    "nation_revenue",
+    "order_priority_count",
+    "pricing_summary",
+    "rollup_revenue",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "supplier_customer_same_nation",
 ]
 
 
@@ -455,6 +489,18 @@ _EXTERNALLY_GREEN_THROUGH_R7: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R6 | fr
 # set, forces their re-check.
 _EXTERNALLY_GREEN_THROUGH_R8: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R7 | frozenset(
     _ROUND8_PROMOTIONS
+)
+
+
+# Round 9 window: 50/50 green at post-HEAD mtime (CORRECTNESS_r09) — 3
+# anchors, the 25 mechanized changed-code re-checks, all 10 round9_queries
+# registrations, 12 fill-ins. Union = every query with a green external
+# row through round 9 — the whole 285-query registry, with ZERO
+# verification-stale rows at the round-9 close. Queries in
+# ``_CHANGED_SINCE_EXTERNAL`` are still members (their *older* code was
+# green); the standing rule, not this set, forces their re-check.
+_EXTERNALLY_GREEN_THROUGH_R9: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R8 | frozenset(
+    _ROUND9_REGISTRATIONS
 )
 
 

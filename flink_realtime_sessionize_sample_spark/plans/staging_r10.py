@@ -1,15 +1,19 @@
-"""Round-10 capability queries — STAGED during round 9, promoted when the
-round-10 window opens (the r7→r8 staging pattern: the round-9 driver
-window closed at exactly 50/50, and the standing no-new-backlog rule in
-tests/test_registry_window.py forbids live registration the driver can't
-verify this round).
+"""Round-10 capability queries: staged during round 9, PROMOTED round 10.
 
-``STAGED_QUERIES``/``STAGED_ORACLES`` hold the pairs; nothing here
-touches ``plans.QUERIES`` until the promotion round flips ``staged`` to
-delegate to ``registry.query`` (exactly how ``plans/staging_r8.py:47-57``
-did it). Each query is verified by the staged driver-replica sweep at
-sf0.001 AND sf0.01 before it lands here, and pinned by independent
-Python references in tests/test_staging_r10.py.
+The round-9 driver window closed at exactly 50/50, and the standing
+no-new-backlog rule in tests/test_registry_window.py forbids live
+registration the driver can't verify within the round — so these 22
+operators were built, oracle-paired, both-scale swept (sf0.001 + sf0.01,
+the stream/PH family also sf0.1) and adversarial-config verified during
+round 9 while held in a staging dict the driver never saw. At round-10
+open the promotion landed exactly as planned (the r7→r8 pattern,
+``plans/staging_r8.py:47-57``): ``staged`` below now delegates to
+``registry.query`` (identical signature), ``plans/__init__`` imports this
+module, and every name sits inside ``_DRIVER_WINDOW`` for an external
+correctness row this round. ``STAGED_QUERIES``/``STAGED_ORACLES`` remain
+as the record of the promoted set (tests/test_staging_r10.py pins each
+query's semantics against independent Python brute-force references
+through them).
 
 Families this batch:
 * privacy trio completion: ``t_closeness_audit`` (variational-distance
@@ -46,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.functions import text as T
-from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn, query
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 
 STAGED_QUERIES: dict[str, QueryFn] = {}
@@ -54,12 +58,11 @@ STAGED_ORACLES: dict[str, str] = {}
 
 
 def staged(name: str, oracle: str | None = None):
-    """Round-10 staging: holds the pair OUT of the live registry until
-    the promotion round (see module docstring)."""
+    """Round-10 promotion: registers LIVE via ``registry.query`` and keeps
+    the staging dicts as the promoted-set record for the semantics tests."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged name {name!r}")
+        fn = query(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLES[name] = oracle

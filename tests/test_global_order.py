@@ -346,6 +346,14 @@ def test_primary_key_parses_classic_and_connect_reprs():
     # _primary_key reads repr(col) — the wrapper and SortOrder grammar are
     # identical on classic and Spark Connect columns (module comment), so
     # a connect-shaped repr must parse without any _jc access.
+    #
+    # ASSUMPTION (ADVICE r9): FakeConnectColumn encodes the Connect repr
+    # grammar as read from pyspark/sql/connect/expressions.py:673 at
+    # pyspark 4.1.2 — this test restates that assumption rather than
+    # exercising a live Connect session (none exists in this sandbox). A
+    # future Connect repr change surfaces as a loud ValueError at runtime
+    # (fail-closed), not silent corruption; if a Connect-enabled
+    # environment ever joins CI, add a live-Connect parametrization here.
     from flink_realtime_sessionize_sample_spark.operators.global_order import (
         _primary_key,
     )

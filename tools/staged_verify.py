@@ -8,8 +8,16 @@ Honors ADV_CONF ("k=v;k=v") exactly like verify_drive.py. Run from a cwd
 OUTSIDE the repo (worker-pickle gotcha — see .claude/skills/verify/SKILL.md).
 
 The staging discipline this enforces (promotion gate): every staged query
-green at sf0.001 AND sf0.01 under the default config, plus 21/21 under
-each of the four adversarial configs at sf0.01.
+green at sf0.001 AND sf0.01 under the default config, plus the FULL
+staged set — len(STAGED_QUERIES), whatever it currently is, never a
+hard-coded count — green under each adversarial config at sf0.01.
+(ADVICE r9: a literal count here went stale the same session a query was
+added; the sweep itself covers whatever the module exports.)
+
+After a promotion round flips staging_r10's ``staged`` to register live,
+this script still runs (STAGED_QUERIES remains as the promoted-set
+record) but verify_drive.py is then the canonical path — the promoted
+names are in the live registry it sweeps.
 """
 
 import importlib.util

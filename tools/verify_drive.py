@@ -53,8 +53,6 @@ def main():
     #   ADV_CONF="spark.sql.adaptive.enabled=false" python verify_drive.py
     # The r5 generate-inlining and r6 range-partitioner bugs were both
     # default-green and wrong under a legal config.
-    import os
-
     adv = os.environ.get("ADV_CONF", "")
     for kv in filter(None, adv.split(";")):
         k, _, v = kv.partition("=")
