@@ -1,7 +1,9 @@
-"""Round-10 staged queries (plans/staging_r10.py): staging invariants,
-plan lint, and independent Python brute-force references (the
-staging_r8/round9 discipline — cross-engine parity proves the engines
-AGREE, these pin the statistics against INTENT)."""
+"""Round-10 queries (plans/staging_r10.py, staged r9 → promoted r10):
+promotion invariants, plan lint, and independent Python brute-force
+references (the staging_r8/round9 discipline — cross-engine parity
+proves the engines AGREE, these pin the statistics against INTENT).
+Oracle parity for the promoted set now runs through the registry-wide
+``tests/test_oracle_parity.py`` (they register live since round 10)."""
 
 from __future__ import annotations
 
@@ -42,11 +44,21 @@ def _write_tables(tmp_path, **tables) -> str:
 # --- staging invariants ------------------------------------------------------
 
 
-def test_staged_names_not_registered_live():
-    # The round-9 window is full: staging must NOT leak into the live
-    # registry until the promotion round.
-    leaked = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
-    assert not leaked, f"staged names registered live behind a full window: {leaked}"
+def test_promoted_names_are_registered_live():
+    # Round-10 promotion invariant (the test_staging_r8 durable form —
+    # the original "must NOT leak while staged" assertion inverted at the
+    # round-10 open): every staged query registers into the live registry
+    # (same function object), every name sits inside the round-10 driver
+    # window (all 22 are this round's new registrations), and the
+    # promotion list in plans/__init__ matches the staged set exactly.
+    missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
+    assert not missing, f"promoted queries missing from the live registry: {missing}"
+    same = [n for n in S.STAGED_QUERIES if plans.QUERIES[n] is S.STAGED_QUERIES[n]]
+    assert len(same) == len(S.STAGED_QUERIES)
+    window = set(list(plans.QUERIES)[:50])
+    out = [n for n in S.STAGED_QUERIES if n not in window]
+    assert not out, f"promoted queries outside the round-10 window: {out}"
+    assert set(S.STAGED_QUERIES) == set(plans._ROUND10_PROMOTIONS)
 
 
 def test_every_staged_query_is_oracle_paired():

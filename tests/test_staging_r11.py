@@ -1,0 +1,492 @@
+"""Round-11 staged queries (plans/staging_r11.py): staging invariants,
+plan lint, and independent Python brute-force references (the
+staging_r8/r10 discipline — cross-engine parity proves the engines
+AGREE, these pin the statistics against INTENT)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pandas as pd
+
+from flink_realtime_sessionize_sample_spark import plans
+from flink_realtime_sessionize_sample_spark.plans import staging_r11 as S
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _round_away(x: float) -> int:
+    """Spark/DuckDB round(): HALF UP = half away from zero (Python's
+    round() is banker's — the PH gotcha, extended to negatives here
+    because e-process increments are negative under H0)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _docs_pdf(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return df.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def _events_pdf(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def _write_tables(tmp_path, **tables) -> str:
+    for name, df in tables.items():
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+    return str(tmp_path)
+
+
+def _explain(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jqe.explainString(mode.fromString("extended"))
+
+
+# --- staging invariants ------------------------------------------------------
+
+
+def test_staged_names_not_registered_live():
+    # The round-10 window is full: staging must NOT leak into the live
+    # registry until the round-11 promotion.
+    leaked = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
+    assert not leaked, f"staged names registered live behind a full window: {leaked}"
+
+
+def test_every_staged_query_is_oracle_paired():
+    missing = [n for n in S.STAGED_QUERIES if n not in S.STAGED_ORACLES]
+    assert not missing, f"staged queries without oracles: {missing}"
+
+
+def test_staged_plan_lint(spark, sf_small):
+    offenders = {}
+    for name, fn in S.STAGED_QUERIES.items():
+        if name.startswith("stream_"):
+            continue  # executes a stream replay on construction
+        p = _explain(fn(spark, sf_small))
+        bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"staged plan lint failed: {offenders}"
+
+
+# --- Goodman-Kruskal lambda ----------------------------------------------------
+
+
+def _gk_python(cells: Counter) -> tuple[float | None, float | None, int]:
+    rtot, ctot = Counter(), Counter()
+    rmax, cmax = Counter(), Counter()
+    for (s, l), c in cells.items():
+        rtot[s] += c
+        ctot[l] += c
+        rmax[s] = max(rmax[s], c)
+        cmax[l] = max(cmax[l], c)
+    n = sum(cells.values())
+
+    def lam(sum_rowmax, modal):
+        if n - modal <= 0:
+            return None
+        return round((1.0 * sum_rowmax - modal) / (1.0 * n - modal), 6)
+
+    return (
+        lam(sum(rmax.values()), max(ctot.values())),
+        lam(sum(cmax.values()), max(rtot.values())),
+        n,
+    )
+
+
+def test_gk_lambda_perfect_association(spark, tmp_path):
+    rows = []
+    for i in range(10):
+        rows.append((i, "t", "lx", "src_a", 5))
+    for i in range(10, 20):
+        rows.append((i, "t", "ly", "src_b", 5))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = S.STAGED_QUERIES["goodman_kruskal_lambda_source_lang"](spark, sf).collect()[0]
+    assert out["n_docs"] == 20
+    assert out["lambda_lang_given_source"] == 1.0
+    assert out["lambda_source_given_lang"] == 1.0
+
+
+def test_gk_lambda_matches_python(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = load_table(spark, sf_small, "documents").select("source", "lang").collect()
+    cells = Counter((r["source"], r["lang"]) for r in rows)
+    l_ls, l_sl, n = _gk_python(cells)
+    out = S.STAGED_QUERIES["goodman_kruskal_lambda_source_lang"](
+        spark, sf_small
+    ).collect()[0]
+    assert out["n_docs"] == n
+    assert abs(out["lambda_lang_given_source"] - l_ls) < 1e-9
+    assert abs(out["lambda_source_given_lang"] - l_sl) < 1e-9
+
+
+# --- Kruskal-Wallis ------------------------------------------------------------
+
+
+def _kw_python(pairs) -> tuple[float, int, int]:
+    """Plain-float tie-corrected KW (textbook form, midranks via sort) —
+    independent of the engine's integer-quantized path."""
+    vals = sorted(v for _, v in pairs)
+    n = len(vals)
+    # midrank per value
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    groups = {}
+    for g, v in pairs:
+        groups.setdefault(g, []).append(rank[v])
+    h = 12.0 / (n * (n + 1)) * sum(
+        (sum(rs)) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    ties = Counter(vals)
+    c = 1 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    return h / c, len(groups), n
+
+
+def test_kruskal_wallis_matches_python(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = (
+        load_table(spark, sf_small, "documents").select("source", "n_chars").collect()
+    )
+    pairs = [(r["source"], r["n_chars"]) for r in rows]
+    h_ref, k_ref, n_ref = _kw_python(pairs)
+    out = S.STAGED_QUERIES["kruskal_wallis_length_by_source"](
+        spark, sf_small
+    ).collect()[0]
+    assert out["n_docs"] == n_ref
+    assert out["n_groups"] == k_ref
+    assert out["dof"] == k_ref - 1
+    # e6 per-group quantization: tolerance well above it, far below H.
+    assert abs(out["h_stat"] - h_ref) < 1e-4
+    assert abs(out["z_stat"] - (math.sqrt(2 * out["h_stat"]) - math.sqrt(
+        2.0 * out["dof"] - 1
+    ))) < 2e-6
+
+
+def test_kruskal_wallis_detects_shifted_group(spark, tmp_path):
+    # Two sources at the same length distribution, one shifted +1000:
+    # H must be large (p ~ 0) and dof = 2.
+    rows = []
+    did = 0
+    for s, shift in (("a", 0), ("b", 0), ("c", 1000)):
+        for i in range(40):
+            rows.append((did, "t", "en", s, 100 + (i % 7) + shift))
+            did += 1
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = S.STAGED_QUERIES["kruskal_wallis_length_by_source"](spark, sf).collect()[0]
+    h_ref, k_ref, _ = _kw_python(
+        [(r[3], r[4]) for r in rows]
+    )
+    assert out["n_groups"] == 3 and out["dof"] == 2
+    assert abs(out["h_stat"] - h_ref) < 1e-4
+    assert out["p_value"] < 1e-6
+
+
+# --- Mann-Kendall ---------------------------------------------------------------
+
+
+def _mk_python(counts: list[int]) -> tuple[int, int, float | None]:
+    n = len(counts)
+    s = sum(
+        (1 if counts[j] > counts[i] else -1 if counts[j] < counts[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(counts)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    if var18 <= 0:
+        return s, var18, None
+    if s > 0:
+        z = round((s - 1) / math.sqrt(var18 / 18.0), 6)
+    elif s < 0:
+        z = round((s + 1) / math.sqrt(var18 / 18.0), 6)
+    else:
+        z = 0.0
+    return s, var18, z
+
+
+def test_mann_kendall_matches_python(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .count()
+        .orderBy("day")
+        .collect()
+    )
+    counts = [r["count"] for r in rows]
+    s_ref, var18_ref, z_ref = _mk_python(counts)
+    out = S.STAGED_QUERIES["mann_kendall_daily_trend"](spark, sf_small).collect()[0]
+    assert out["n_days"] == len(counts)
+    assert out["s_stat"] == s_ref
+    assert out["var18"] == var18_ref
+    assert abs(out["z_stat"] - z_ref) < 1e-9
+
+
+def test_mann_kendall_monotone_series(spark, tmp_path):
+    # Strictly increasing daily volume: S = n(n-1)/2, tiny p.
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    n_days = 12
+    for d in range(n_days):
+        for i in range(d + 1):  # d+1 events on day d -> strictly increasing
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, "view", 1.0, "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = S.STAGED_QUERIES["mann_kendall_daily_trend"](spark, sf).collect()[0]
+    assert out["s_stat"] == n_days * (n_days - 1) // 2
+    assert out["z_stat"] > 4
+    assert out["p_two_sided"] < 1e-4
+
+
+def test_mann_kendall_constant_series_is_null(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for d in range(8):
+        for i in range(3):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, "view", 1.0, "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = S.STAGED_QUERIES["mann_kendall_daily_trend"](spark, sf).collect()[0]
+    # All days tied: the tie term exhausts the variance -> NULL z/p.
+    assert out["s_stat"] == 0 and out["var18"] == 0
+    assert out["z_stat"] is None and out["p_two_sided"] is None
+
+
+# --- stratified CUPED -----------------------------------------------------------
+
+
+def _cuped_python(per_user):
+    """Mirror of the shared-dialect expressions over exact integers:
+    per_user = list of (arm, x, y, npre)."""
+    strata = {}
+    for arm, x, y, npre in per_user:
+        st = "low" if npre <= 28 else ("mid" if npre <= 37 else "high")
+        strata.setdefault(st, []).append((arm, x, y))
+    out = {}
+    for st, rows in strata.items():
+        n = len(rows)
+        sx = sum(x for _, x, _ in rows)
+        sy = sum(y for _, _, y in rows)
+        sxx = sum(x * x for _, x, _ in rows)
+        sxy = sum(x * y for _, x, y in rows)
+        if n < 2 or (1e0 * n * sxx - 1e0 * sx * sx) <= 0:
+            theta = 0.0
+        else:
+            theta = (1e0 * n * sxy - 1e0 * sx * sy) / (1e0 * n * sxx - 1e0 * sx * sx)
+        xbar = 0.0 if n < 1 else (1e0 * sx) / n
+        n0 = sum(1 for a, _, _ in rows if a == 0)
+        n1 = n - n0
+        sy0 = sum(y for a, _, y in rows if a == 0)
+        sy1 = sum(y for a, _, y in rows if a == 1)
+        yqs = [(a, _round_away(y - theta * (x - xbar))) for a, x, y in rows]
+        syq0 = sum(y for a, y in yqs if a == 0)
+        syq1 = sum(y for a, y in yqs if a == 1)
+        diff_raw = (
+            None
+            if n0 < 1 or n1 < 1
+            else round((1e0 * sy1) / n1 - (1e0 * sy0) / n0, 6)
+        )
+        diff_adj = (
+            None
+            if n0 < 1 or n1 < 1
+            else round((1e0 * syq1) / n1 - (1e0 * syq0) / n0, 6)
+        )
+        out[st] = {
+            "n_a": n0,
+            "n_b": n1,
+            "theta_micro": _round_away(theta * 1000000),
+            "diff_raw_cents": diff_raw,
+            "diff_adj_cents": diff_adj,
+        }
+    return out
+
+
+def test_cuped_stratified_matches_python(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    ev = [
+        (r["user_id"], int(r["ts"].timestamp() * 1_000_000),
+         _round_away(r["value"] * 100))
+        for r in rows
+    ]
+    mid = (min(u for _, u, _ in ev) + max(u for _, u, _ in ev)) // 2
+    per = {}
+    for uid, us, cents in ev:
+        x, y, npre = per.get(uid, (0, 0, 0))
+        if us < mid:
+            per[uid] = (x + cents, y, npre + 1)
+        else:
+            per[uid] = (x, y + cents, npre)
+    pu = [(_h48(str(u)) % 2, x, y, npre) for u, (x, y, npre) in per.items()]
+    ref = _cuped_python(pu)
+    out = {
+        r["stratum"]: r
+        for r in S.STAGED_QUERIES["cuped_stratified_ab"](spark, sf_small).collect()
+    }
+    assert set(out) == set(ref)
+    for st, e in ref.items():
+        r = out[st]
+        assert (r["n_a"], r["n_b"]) == (e["n_a"], e["n_b"])
+        assert r["theta_micro"] == e["theta_micro"]
+        assert abs(r["diff_raw_cents"] - e["diff_raw_cents"]) < 1e-9
+        assert abs(r["diff_adj_cents"] - e["diff_adj_cents"]) < 1e-9
+
+
+def test_cuped_stratified_reduces_variance_on_correlated_users(spark, tmp_path):
+    """Users with stable spend levels (y ~ x): every stratum's CUPED
+    adjustment must remove most outcome variance."""
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for uid in range(40):
+        level = 10.0 + 5.0 * (uid % 8)  # stable per-user spend level
+        n_ev = 40 + (uid % 3) * 24  # npre 20/32/44 -> low/mid/high bands
+        step = 1440 // n_ev  # integer minutes, all events inside one day
+        for i in range(n_ev):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(minutes=i * step)).isoformat(),
+                 uid, "purchase", level, "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    rows = S.STAGED_QUERIES["cuped_stratified_ab"](spark, sf).collect()
+    assert {r["stratum"] for r in rows} == {"low", "mid", "high"}
+    for r in rows:
+        if r["var_reduction"] is not None:
+            assert r["var_reduction"] > 0.8
+
+
+# --- e-value monitor ------------------------------------------------------------
+
+
+def _ev_python(days):
+    """Quantized e-process mirror over (day, n, k) tuples."""
+    days = sorted(days)
+    nd = len(days)
+    half = nd // 2
+    n1 = sum(n for _, n, _ in days[:half])
+    s1 = sum(k for _, _, k in days[:half])
+    assert s1 > 0 and 5 * s1 < 4 * n1
+    cum, cmax, alarm, cur = [], None, None, 0
+    for day, n, k in days[half:]:
+        term = _round_away(
+            1000000
+            * (k * math.log(1.25) + (n - k) * math.log(
+                (1e0 * n1 - 1.25 * s1) / (1e0 * n1 - s1)
+            ))
+        )
+        cur += term
+        cum.append((day, cur))
+        if alarm is None and cur > 2_995_732:
+            alarm = day
+    cmax = max(c for _, c in cum)
+    return {
+        "n_ref_days": half,
+        "n_mon_days": nd - half,
+        "ref_events": n1,
+        "ref_purchases": s1,
+        "log_e_final": round(cum[-1][1] / 1e6, 6),
+        "log_e_max": round(cmax / 1e6, 6),
+        "alarm_day": alarm,
+        "rejected": cmax > 2_995_732,
+    }
+
+
+def _rate_events(day_specs):
+    """day_specs: list of (n_events, n_purchases) per consecutive day."""
+    base = pd.Timestamp("2024-01-01")
+    epoch = pd.Timestamp("1970-01-01")
+    ev, eid, days = [], 0, []
+    for d, (n, k) in enumerate(day_specs):
+        day_int = (base + pd.Timedelta(days=d) - epoch).days
+        days.append((day_int, n, k))
+        for i in range(n):
+            eid += 1
+            et = "purchase" if i < k else "view"
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, et, 1.0, "{}")
+            )
+    return ev, days
+
+
+def test_e_value_alarms_on_lifted_rate(spark, tmp_path):
+    # ref: 20 days at 2/10; monitor: 20 days at 5/10 (x2.5 lift) ->
+    # ~0.793 log-e per day, alarm on the 4th monitored day.
+    ev, days = _rate_events([(10, 2)] * 20 + [(10, 5)] * 20)
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    ref = _ev_python(days)
+    out = S.STAGED_QUERIES["e_value_rate_monitor"](spark, sf).collect()[0]
+    for kk in ref:
+        got = out[kk]
+        if isinstance(ref[kk], float):
+            assert abs(got - ref[kk]) < 1e-9, (kk, got, ref[kk])
+        else:
+            assert got == ref[kk], (kk, got, ref[kk])
+    assert out["rejected"] is True
+    assert out["alarm_day"] == days[20 + 3][0]
+
+
+def test_e_value_quiet_on_stationary_rate(spark, tmp_path):
+    ev, days = _rate_events([(10, 2)] * 30)
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    ref = _ev_python(days)
+    out = S.STAGED_QUERIES["e_value_rate_monitor"](spark, sf).collect()[0]
+    assert out["rejected"] is False and out["alarm_day"] is None
+    assert abs(out["log_e_final"] - ref["log_e_final"]) < 1e-9
+    # The martingale loses money betting on an absent lift.
+    assert out["log_e_final"] < 0
+
+
+def test_stream_e_value_twin_equals_batch_half(spark, tmp_path):
+    """The streaming twin's merged partials must reproduce the batch
+    e-process exactly on the replayed (odd event_id) half."""
+    ev, _ = _rate_events([(10, 2)] * 20 + [(10, 5)] * 20)
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    # Independent reference: recompute (day, n, k) from the odd half.
+    epoch = pd.Timestamp("1970-01-01")
+    per_day = {}
+    for eid, ts, _, et, _, _ in ev:
+        if eid % 2 != 1:
+            continue
+        day = (pd.Timestamp(ts) - epoch).days
+        n, k = per_day.get(day, (0, 0))
+        per_day[day] = (n + 1, k + (1 if et == "purchase" else 0))
+    days = [(d, n, k) for d, (n, k) in per_day.items()]
+    ref = _ev_python(days)
+    out = S.STAGED_QUERIES["stream_e_value_monitor"](spark, sf).collect()[0]
+    for kk in ref:
+        got = out[kk]
+        if isinstance(ref[kk], float):
+            assert abs(got - ref[kk]) < 1e-9, (kk, got, ref[kk])
+        else:
+            assert got == ref[kk], (kk, got, ref[kk])

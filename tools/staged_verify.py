@@ -20,6 +20,7 @@ record) but verify_drive.py is then the canonical path — the promoted
 names are in the live registry it sweeps.
 """
 
+import importlib
 import importlib.util
 import os
 import sys
@@ -58,7 +59,13 @@ def main():
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
 
-    from flink_realtime_sessionize_sample_spark.plans import staging_r10 as S
+    # Which staging module to sweep: STAGED_MODULE=staging_r10 etc.
+    # Default = the CURRENT (driver-invisible) staging generation; promoted
+    # generations are covered by verify_drive.py through the live registry.
+    mod = os.environ.get("STAGED_MODULE", "staging_r11")
+    S = importlib.import_module(
+        f"flink_realtime_sessionize_sample_spark.plans.{mod}"
+    )
 
     names = sys.argv[2:] or list(S.STAGED_QUERIES)
     con = duckdb.connect()
