@@ -490,3 +490,93 @@ def test_stream_e_value_twin_equals_batch_half(spark, tmp_path):
             assert abs(got - ref[kk]) < 1e-9, (kk, got, ref[kk])
         else:
             assert got == ref[kk], (kk, got, ref[kk])
+
+
+# --- winnowing contamination ------------------------------------------------------
+
+
+def _winnow_python(text: str) -> dict[int, int]:
+    """fp -> earliest 1-based window position, mirroring the staged
+    K=5/W=4 winnowing pipeline."""
+    t = text.lower().strip().split(" ")
+    K, W = 5, 4
+    if len(t) < K:
+        return {}
+    hh = [_h48(" ".join(t[i : i + K])) for i in range(len(t) - K + 1)]
+    if len(hh) < W:
+        return {}
+    first: dict[int, int] = {}
+    for pos in range(1, len(hh) - W + 2):
+        fp = min(hh[pos - 1 : pos - 1 + W])
+        if fp not in first:
+            first[fp] = pos
+    return first
+
+
+def _winnow_ref_rows(docs: list[tuple[int, str]]):
+    fps = {d: _winnow_python(txt) for d, txt in docs}
+    bench = set()
+    for d, f in fps.items():
+        if d % 97 == 0:
+            bench |= set(f)
+    rows = {}
+    for d, f in fps.items():
+        if d % 97 == 0 or not f:
+            continue
+        hits = {fp: pos for fp, pos in f.items() if fp in bench}
+        if hits:
+            rows[d] = {
+                "n_fp": len(f),
+                "n_hit": len(hits),
+                "first_hit_pos": min(hits.values()),
+                "coverage": round(len(hits) / len(f), 6),
+            }
+    return rows
+
+
+def test_winnow_guarantee_catches_8_token_overlap(spark, tmp_path):
+    """The winnowing guarantee: a shared run of >= W+K-1 = 8 tokens MUST
+    share a fingerprint; a fully disjoint-vocabulary doc must not hit."""
+    phrase = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    bench_doc = (0, f"start {phrase} end of the benchmark document text")
+    hit_doc = (1, f"unrelated words before {phrase} and some trailing tokens")
+    clean_doc = (2, "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa")
+    docs = [bench_doc, hit_doc, clean_doc]
+    rows = [(d, txt, "en", "src", len(txt)) for d, txt in docs]
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = {
+        r["doc_id"]: r
+        for r in S.STAGED_QUERIES["contamination_winnow_spans"](spark, sf).collect()
+    }
+    ref = _winnow_ref_rows(docs)
+    assert 1 in out and 1 in ref  # the guarantee
+    assert 2 not in out and 0 not in out
+    for d, e in ref.items():
+        r = out[d]
+        assert r["n_fp"] == e["n_fp"] and r["n_hit"] == e["n_hit"]
+        assert r["first_hit_pos"] == e["first_hit_pos"]
+        assert abs(r["coverage"] - e["coverage"]) < 1e-9
+
+
+def test_winnow_matches_python_on_corpus(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    ref = _winnow_ref_rows(docs)
+    out = {
+        r["doc_id"]: r
+        for r in S.STAGED_QUERIES["contamination_winnow_spans"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(out) == set(ref)
+    for d, e in ref.items():
+        r = out[d]
+        assert r["n_fp"] == e["n_fp"] and r["n_hit"] == e["n_hit"]
+        assert r["first_hit_pos"] == e["first_hit_pos"]
+        assert abs(r["coverage"] - e["coverage"]) < 1e-9
