@@ -1081,3 +1081,179 @@ def contamination_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# --- Dunn's post-hoc pairwise test (follow-up to Kruskal-Wallis) ---------------
+
+# Tie-corrected Dunn (1964) z for a pair (a, b) over DOUBLED rank sums:
+# z = (Rbar_a - Rbar_b) / sigma_ab with
+# sigma_ab^2 = [N(N+1)/12 - T/(12(N-1))] (1/n_a + 1/n_b); doubled means
+# divide by 2*sigma. One shared expression over six exact integers.
+_DUNN_SIG2 = (
+    "(((1e0 * nn * (nn + 1)) / 12 - (1e0 * tt) / (12e0 * (nn - 1)))"
+    " * (1e0 / na + 1e0 / nb))"
+)
+_DUNN_Z = (
+    f"CASE WHEN nn < 2 OR {_DUNN_SIG2} <= 0 THEN NULL"
+    f" ELSE round((1e0 * r2a / na - 1e0 * r2b / nb)"
+    f" / (2 * sqrt({_DUNN_SIG2})), 6) + 0.0 END"
+)
+
+
+def _dunn_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH sg AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, n_chars
+),
+g AS (SELECT v, sum(c)::BIGINT AS cnt FROM sg GROUP BY v),
+rk AS (
+  SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum_all FROM g
+),
+a2 AS (SELECT v, 2 * (cum_all - cnt) + cnt + 1 AS r2 FROM rk),
+per AS (
+  SELECT sg.source, sum(sg.c)::BIGINT AS nj,
+         CAST(sum(sg.c * a2.r2) AS BIGINT) AS r2j
+  FROM sg JOIN a2 ON sg.v = a2.v GROUP BY sg.source
+),
+tot AS (
+  SELECT sum(cnt)::BIGINT AS nn,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tt
+  FROM g
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.nj AS na, b.nj AS nb, a.r2j AS r2a, b.r2j AS r2b, t.nn, t.tt
+  FROM per a JOIN per b ON a.source < b.source CROSS JOIN tot t
+),
+zz AS (
+  SELECT source_a, source_b, na, nb, {_DUNN_Z} AS z_stat FROM pairs
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+            1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+),
+pv AS (
+  SELECT source_a, source_b, na, nb, z_stat,
+         round(({poly}), 6) + 0.0 AS p_value
+  FROM xt
+),
+rk2 AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p_value ASC, source_a ASC, source_b ASC)
+           AS p_rank,
+         count(*) OVER ()::BIGINT AS m
+  FROM pv
+),
+bh AS (SELECT *, (p_value * m <= p_rank * 0.05) AS _ok FROM rk2),
+kk AS (SELECT *, max(CASE WHEN _ok THEN p_rank ELSE 0 END) OVER () AS _k FROM bh)
+SELECT source_a, source_b, na AS n_a, nb AS n_b, z_stat, p_value,
+       p_rank::BIGINT AS p_rank, (p_rank <= _k) AS rejected
+FROM kk
+"""
+
+
+@staged("dunn_posthoc_length_pairs", oracle=_dunn_oracle())
+def dunn_posthoc_length_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's (1964) tie-corrected post-hoc test: WHICH source pairs
+    differ in document-length location, after the omnibus
+    ``kruskal_wallis_length_by_source`` says "some do" — the standard
+    follow-up (pairwise mean-rank z over the POOLED ranks, not pairwise
+    Mann-Whitneys, which would re-rank each pair and break the omnibus
+    coupling), with Benjamini-Hochberg control across the k(k-1)/2 = 190
+    pairs (the house ``ab_segment_bh_fdr`` step-up device — Dunn's
+    classic Bonferroni is needlessly conservative at 190 tests).
+
+    Exactness: the pooled doubled-rank moments are the KW query's exact
+    integers; each pair's z is ONE shared double expression over six
+    int64 operands (degenerate pooled variance yields NULL); two-sided
+    p via the shared erfc polynomial on the ROUNDED z; the BH rank walk
+    orders by (p, source_a, source_b) — fully deterministic because p is
+    6dp-rounded identically in both engines.
+
+    Scale shape: identical to KW up to the per-source frame (one corpus
+    aggregate to the checkpointed (source x value) frame, banded global
+    cumulative for ranks), then a |k|x|k| self-join and the BH windows
+    on the bounded 190-row pair frame (documented bounded-global-window
+    exception)."""
+    sg = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sg = sg.localCheckpoint()  # bounded |S| x |values|; feeds g + the join
+    g = sg.groupBy("v").agg(F.sum("c").cast("long").alias("cnt"))
+    rk = with_global_rank(g, ["v"], rank_col="_rk", sum_col="cnt", cum_col="cum_all")
+    a2 = rk.select(
+        "v", (2 * (F.col("cum_all") - F.col("cnt")) + F.col("cnt") + 1).alias("r2")
+    )
+    per = (
+        sg.join(a2, "v")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("r2j"),
+        )
+    )
+    per = per.localCheckpoint()  # k rows; feeds both sides of the pair join
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("nn"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tt"),
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"),
+        F.col("nj").alias("na"),
+        F.col("r2j").alias("r2a"),
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"),
+        F.col("nj").alias("nb"),
+        F.col("r2j").alias("r2b"),
+    )
+    pairs = (
+        pa.join(F.broadcast(pb), F.col("source_a") < F.col("source_b"))
+        .crossJoin(F.broadcast(tot))
+    )
+    zz = pairs.select(
+        "source_a", "source_b", "na", "nb", F.expr(_DUNN_Z).alias("z_stat")
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    pv = xt.select(
+        "source_a",
+        "source_b",
+        "na",
+        "nb",
+        "z_stat",
+        (F.round(F.expr(poly), 6) + F.lit(0.0)).alias("p_value"),
+    )
+    w_rank = Window.orderBy(
+        F.col("p_value").asc(), F.col("source_a").asc(), F.col("source_b").asc()
+    )
+    w_all = Window.partitionBy()  # bounded 190-row pair frame
+    rk2 = (
+        pv.withColumn("p_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("m", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("_ok", F.col("p_value") * F.col("m") <= F.col("p_rank") * 0.05)
+        .withColumn(
+            "_k", F.max(F.when(F.col("_ok"), F.col("p_rank")).otherwise(0)).over(w_all)
+        )
+    )
+    return rk2.select(
+        "source_a",
+        "source_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "z_stat",
+        "p_value",
+        "p_rank",
+        (F.col("p_rank") <= F.col("_k")).alias("rejected"),
+    )

@@ -580,3 +580,80 @@ def test_winnow_matches_python_on_corpus(spark, sf_small):
         assert r["n_fp"] == e["n_fp"] and r["n_hit"] == e["n_hit"]
         assert r["first_hit_pos"] == e["first_hit_pos"]
         assert abs(r["coverage"] - e["coverage"]) < 1e-9
+
+
+# --- Dunn post-hoc -----------------------------------------------------------------
+
+
+def _dunn_python(pairs_data):
+    """(source -> list of values) -> {(a, b): z} via textbook midranks,
+    tie-corrected pooled variance — independent of the doubled-integer
+    path."""
+    vals = sorted(v for vs in pairs_data.values() for v in vs)
+    n = len(vals)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    ties = Counter(vals)
+    tcorr = sum(t**3 - t for t in ties.values())
+    base = n * (n + 1) / 12.0 - tcorr / (12.0 * (n - 1))
+    out = {}
+    srcs = sorted(pairs_data)
+    for ai in range(len(srcs)):
+        for bi in range(ai + 1, len(srcs)):
+            a, b = srcs[ai], srcs[bi]
+            ra = sum(rank[v] for v in pairs_data[a]) / len(pairs_data[a])
+            rb = sum(rank[v] for v in pairs_data[b]) / len(pairs_data[b])
+            sig = math.sqrt(base * (1.0 / len(pairs_data[a]) + 1.0 / len(pairs_data[b])))
+            out[(a, b)] = (ra - rb) / sig
+    return out
+
+
+def test_dunn_matches_python(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = (
+        load_table(spark, sf_small, "documents").select("source", "n_chars").collect()
+    )
+    data = {}
+    for r in rows:
+        data.setdefault(r["source"], []).append(r["n_chars"])
+    ref = _dunn_python(data)
+    out = S.STAGED_QUERIES["dunn_posthoc_length_pairs"](spark, sf_small).collect()
+    assert len(out) == len(ref)
+    for r in out:
+        z_ref = ref[(r["source_a"], r["source_b"])]
+        assert abs(r["z_stat"] - z_ref) < 1e-6
+        assert (r["n_a"], r["n_b"]) == (
+            len(data[r["source_a"]]),
+            len(data[r["source_b"]]),
+        )
+    # BH step-up sanity: rejections form a prefix of the p-rank order.
+    ranks = sorted(out, key=lambda r: r["p_rank"])
+    rej = [r["rejected"] for r in ranks]
+    assert rej == sorted(rej, reverse=True)
+
+
+def test_dunn_separates_shifted_group(spark, tmp_path):
+    # Sources a, b identical; c shifted far: (a,c) and (b,c) must reject,
+    # (a,b) must not.
+    rows = []
+    did = 0
+    for s, shift in (("a", 0), ("b", 0), ("c", 1000)):
+        for i in range(60):
+            rows.append((did, "t", "en", s, 100 + (i % 9) + shift))
+            did += 1
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in S.STAGED_QUERIES["dunn_posthoc_length_pairs"](spark, sf).collect()
+    }
+    assert out[("a", "c")]["rejected"] is True
+    assert out[("b", "c")]["rejected"] is True
+    assert out[("a", "b")]["rejected"] is False
+    assert abs(out[("a", "b")]["z_stat"]) < 0.5
