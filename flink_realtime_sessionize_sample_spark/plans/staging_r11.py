@@ -1257,3 +1257,141 @@ def dunn_posthoc_length_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_rank",
         (F.col("p_rank") <= F.col("_k")).alias("rejected"),
     )
+
+
+# --- two-sample Cramer-von Mises drift statistic --------------------------------
+
+# Tie-collapsed two-sample CvM over the pooled distinct-value grid:
+#   T = n1*n2/N^2 * sum_j l_j * (F1(v_j) - F2(v_j))^2
+# with right-continuous ECDFs; per distinct value the integer core is
+# diff_num = cum1*N - cum_all*n1 (= (F1-F2)*n1*n2), so each value's
+# contribution quantizes to an e6 integer through ONE shared expression
+# (double-promoted products — cum*N reaches 1e10 at sf0.1 and its square
+# exceeds int64). The null moments standardizing T are Anderson &
+# Darling's (1952/1962) exact finite-N forms for the untied case:
+#   E[T] = (1 + 1/N)/6,
+#   Var[T] = (1/45) * (N+1)/N^2 * (4*n1*n2*N - 3*(n1^2+n2^2) - 2*n1*n2)
+#            / (4*n1*n2).
+_CVM_TERM_E6 = (
+    "CAST(round(1000000 * c_all"
+    " * ((1e0 * cum1 * nn - 1e0 * cum_all * n1)"
+    "    * (1e0 * cum1 * nn - 1e0 * cum_all * n1))"
+    " / ((1e0 * nn * nn) * (1e0 * n1 * n2))) AS BIGINT)"
+)
+_CVM_MEAN = "((1 + 1e0 / nn) / 6)"
+_CVM_VAR = (
+    "((1e0 / 45) * ((nn + 1e0) / (1e0 * nn * nn))"
+    " * (4e0 * n1 * n2 * nn - 3e0 * (1e0 * n1 * n1 + 1e0 * n2 * n2)"
+    "    - 2e0 * n1 * n2) / (4e0 * n1 * n2))"
+)
+_CVM_Z = (
+    f"CASE WHEN n1 < 1 OR n2 < 1 OR {_CVM_VAR} <= 0 THEN NULL"
+    f" ELSE round((t_e6 / 1e6 - {_CVM_MEAN}) / sqrt({_CVM_VAR}), 6) + 0.0 END"
+)
+
+
+def _cvm_oracle() -> str:
+    return f"""
+WITH ev AS (
+  SELECT value, epoch_us(ts) AS us FROM events
+),
+bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+tagged AS (
+  SELECT value,
+         CASE WHEN us < (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS early
+  FROM ev
+),
+grouped AS (
+  SELECT value, sum(early)::BIGINT AS c1, count(*)::BIGINT AS c_all
+  FROM tagged GROUP BY value
+),
+tot AS (
+  SELECT sum(c1)::BIGINT AS n1,
+         (sum(c_all) - sum(c1))::BIGINT AS n2,
+         sum(c_all)::BIGINT AS nn
+  FROM grouped
+),
+cdf AS (
+  SELECT value, c_all,
+         sum(c1) OVER (ORDER BY value)::BIGINT AS cum1,
+         sum(c_all) OVER (ORDER BY value)::BIGINT AS cum_all
+  FROM grouped
+),
+s AS (
+  SELECT t.n1, t.n2, t.nn,
+         CAST(sum({_CVM_TERM_E6}) AS BIGINT) AS t_e6
+  FROM cdf CROSS JOIN tot t
+  GROUP BY t.n1, t.n2, t.nn
+)
+SELECT n1 AS n_early, n2 AS n_late,
+       round(t_e6 / 1e6, 6) + 0.0 AS t_stat,
+       round({_CVM_MEAN}, 6) + 0.0 AS t_null_mean,
+       {_CVM_Z} AS z_score,
+       coalesce(({_CVM_Z}) > 3, FALSE) AS drift_at_3sd
+FROM s
+"""
+
+
+@staged("cvm_drift_two_sample", oracle=_cvm_oracle())
+def cvm_drift_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises drift statistic between the first and
+    second half of the event stream's time range — the INTEGRAL (L2)
+    companion to the registered sup-norm ``ks_drift_detection`` over the
+    identical split and value column, completing the two-sample drift
+    family (KS = worst single gap, CvM = accumulated squared gap across
+    the whole distribution, Wasserstein = transport cost, PSI = binned):
+    CvM catches many-small-deviations drift that KS's single supremum
+    dilutes. Standardized against Anderson & Darling's exact finite-N
+    null moments; the readout is the z-score a monitor thresholds (the
+    3-sd flag is deliberately conservative — T's limiting law is not
+    normal, and at 3 sd the one-sided Cantelli bound alone gives
+    p <= 1/10).
+
+    Exactness: per-distinct-value ECDF gaps reduce to the integer core
+    cum1*N − cum_all*n1; each value's contribution e6-quantizes through
+    shared text (products double-promoted — the squared core exceeds
+    int64 at sf0.1 already) before the exact integer sum; mean, variance
+    and z are single shared double expressions over (n1, n2, N, t_e6);
+    a degenerate split yields NULL via the shared guard.
+
+    Scale shape: identical to ks_drift_detection — one hash aggregate to
+    the |distinct values| frame, BOTH cumulative counts ride one banded
+    ``with_global_rank`` pass (no single-partition window), broadcast
+    totals, scalar reduce."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value", F.when(F.col("us") < F.col("mid"), 1).otherwise(0).alias("early")
+    )
+    grouped = tagged.groupBy("value").agg(
+        F.sum("early").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+    )
+    tot = grouped.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        (F.sum("c_all") - F.sum("c1")).cast("long").alias("n2"),
+        F.sum("c_all").cast("long").alias("nn"),
+    )
+    cdf = with_global_rank(
+        grouped,
+        ["value"],
+        rank_col="_rk",
+        sum_col="c1",
+        cum_col="cum1",
+        extra_cums=[("c_all", "cum_all")],
+    )
+    s = (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2", "nn")
+        .agg(F.sum(F.expr(_CVM_TERM_E6)).cast("long").alias("t_e6"))
+    )
+    return s.select(
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        (F.round(F.col("t_e6") / 1e6, 6) + F.lit(0.0)).alias("t_stat"),
+        (F.round(F.expr(_CVM_MEAN), 6) + F.lit(0.0)).alias("t_null_mean"),
+        F.expr(_CVM_Z).alias("z_score"),
+        F.coalesce(F.expr(_CVM_Z) > 3, F.lit(False)).alias("drift_at_3sd"),
+    )

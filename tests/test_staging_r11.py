@@ -657,3 +657,89 @@ def test_dunn_separates_shifted_group(spark, tmp_path):
     assert out[("b", "c")]["rejected"] is True
     assert out[("a", "b")]["rejected"] is False
     assert abs(out[("a", "b")]["z_stat"]) < 0.5
+
+
+# --- Cramer-von Mises drift ---------------------------------------------------------
+
+
+def _cvm_python(sample1, sample2):
+    """Textbook tie-collapsed two-sample CvM T plus Anderson-Darling's
+    finite-N null moments — plain floats, independent of the e6 path."""
+    n1, n2 = len(sample1), len(sample2)
+    nn = n1 + n2
+    vals = sorted(set(sample1) | set(sample2))
+    from collections import Counter as C
+
+    c1, call = C(sample1), C(sample1) + C(sample2)
+    t = 0.0
+    cum1 = cumall = 0
+    for v in vals:
+        cum1 += c1.get(v, 0)
+        cumall += call[v]
+        f1 = cum1 / n1
+        f2 = (cumall - cum1) / n2
+        t += call[v] * (f1 - f2) ** 2
+    t *= n1 * n2 / nn**2
+    mean = (1 + 1 / nn) / 6
+    var = (
+        (1 / 45)
+        * ((nn + 1) / nn**2)
+        * (4 * n1 * n2 * nn - 3 * (n1**2 + n2**2) - 2 * n1 * n2)
+        / (4 * n1 * n2)
+    )
+    return t, mean, var
+
+
+def test_cvm_matches_python(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = load_table(spark, sf_small, "events").select("value", "ts").collect()
+    us = [(int(r["ts"].timestamp() * 1_000_000), r["value"]) for r in rows]
+    mid = (min(u for u, _ in us) + max(u for u, _ in us)) // 2
+    s1 = [v for u, v in us if u < mid]
+    s2 = [v for u, v in us if u >= mid]
+    t_ref, mean_ref, var_ref = _cvm_python(s1, s2)
+    out = S.STAGED_QUERIES["cvm_drift_two_sample"](spark, sf_small).collect()[0]
+    assert (out["n_early"], out["n_late"]) == (len(s1), len(s2))
+    assert abs(out["t_stat"] - t_ref) < 1e-4  # e6 per-value quantization
+    assert abs(out["t_null_mean"] - mean_ref) < 1e-6
+    z_ref = (out["t_stat"] - mean_ref) / math.sqrt(var_ref)
+    assert abs(out["z_score"] - z_ref) < 1e-4
+
+
+def test_cvm_detects_shifted_half(spark, tmp_path):
+    # First half values ~ U{0..9}, second half shifted +5: strong drift.
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for d in range(20):
+        shift = 0 if d < 10 else 5
+        for i in range(30):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, "view", float((i % 10) + shift), "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = S.STAGED_QUERIES["cvm_drift_two_sample"](spark, sf).collect()[0]
+    s1 = [float(i % 10) for _ in range(10) for i in range(30)]
+    s2 = [float((i % 10) + 5) for _ in range(10) for i in range(30)]
+    t_ref, _, _ = _cvm_python(s1, s2)
+    assert abs(out["t_stat"] - t_ref) < 1e-4
+    assert out["drift_at_3sd"] is True and out["z_score"] > 3
+
+
+def test_cvm_quiet_on_identical_halves(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for d in range(20):
+        for i in range(30):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, "view", float(i % 10), "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = S.STAGED_QUERIES["cvm_drift_two_sample"](spark, sf).collect()[0]
+    # Identical halves: T = 0 exactly, far below the null mean.
+    assert out["t_stat"] == 0.0
+    assert out["drift_at_3sd"] is False and out["z_score"] < 0
