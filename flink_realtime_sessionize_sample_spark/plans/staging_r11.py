@@ -1395,3 +1395,179 @@ def cvm_drift_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CVM_Z).alias("z_score"),
         F.coalesce(F.expr(_CVM_Z) > 3, F.lit(False)).alias("drift_at_3sd"),
     )
+
+
+# --- Matryoshka truncation audit -------------------------------------------------
+
+# Prefix-truncation retrieval audit (Kusupati et al. 2022, Matryoshka
+# representation learning): how much top-k retrieval and raw cosine
+# fidelity survive keeping only the first d of 64 dims? Everything
+# derives from ONE query x corpus pair frame carrying the full-dim and
+# all truncated cosines (each 6dp-rounded before ranking, ties broken by
+# neighbor_id — the ann_cosine_topk device), so the four rank windows
+# and the single readout aggregate share one scan. Per-pair |cos_d -
+# cos_full| quantizes to an e6 integer over the ROUNDED operands before
+# the sum.
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_oracle() -> str:
+    full = T.cosine_duck("c.v", "q.v")
+    cols = ", ".join(
+        f"round({T.cosine_duck(f'c.v[1:{d}]', f'q.v[1:{d}]')}, 6) AS cos{d}"
+        for d in _MRL_DIMS
+    )
+    rns = ", ".join(
+        f"row_number() OVER (PARTITION BY query_id ORDER BY cos{d} DESC,"
+        f" neighbor_id ASC) AS rn{d}"
+        for d in _MRL_DIMS
+    )
+    aggs = ", ".join(
+        f"sum(CASE WHEN rnf <= 5 AND rn{d} <= 5 THEN 1 ELSE 0 END)::BIGINT"
+        f" AS hit{d},"
+        f" CAST(sum(CAST(round(1000000 * abs(cos{d} - cosf)) AS BIGINT))"
+        f" AS BIGINT) AS delta{d}_e6"
+        for d in _MRL_DIMS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS trunc_dim, n_queries, n_expected,"
+        f" hit{d} AS n_hit,"
+        f" round((1e0 * hit{d}) / n_expected, 6) + 0.0 AS recall,"
+        f" round(delta{d}_e6 / (1e6 * n_pairs), 6) + 0.0 AS mean_abs_cos_delta"
+        f" FROM a"
+        for d in _MRL_DIMS
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT * FROM c WHERE vec_id % 100 = 0),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({full}, 6) AS cosf, {cols}
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC,
+                               neighbor_id ASC) AS rnf, {rns}
+  FROM p
+),
+a AS (
+  SELECT count(DISTINCT query_id)::BIGINT AS n_queries,
+         count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN rnf <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_expected,
+         {aggs}
+  FROM r
+)
+{rows}
+"""
+
+
+@staged("matryoshka_truncation_audit", oracle=_mrl_oracle())
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-truncation audit of the embedding space
+    (Kusupati et al. 2022): for d in {8, 16, 32} of 64 dims, recall@5 of
+    truncated-cosine retrieval against the exact full-dim top-5, plus the
+    mean absolute cosine error over every (query, candidate) pair — the
+    measurement that prices the d/64 index-cost reduction before adopting
+    it, the PREFIX sibling of ``ann_jl_recall_audit`` (random projection)
+    and the adaptive-retrieval decision input (coarse search at small d,
+    re-rank the shortlist at full d). On THIS near-isotropic synthetic
+    corpus the honest expectation is low recall at small d (the same
+    near-tie degeneracy documented for ann_jl_recall_audit) with
+    mean_abs_cos_delta shrinking as d grows — the monotone fidelity curve
+    is the audit's signal.
+
+    Exactness: every cosine (full and truncated) is the shared
+    sequential-fold dot expression rounded at 6dp BEFORE ranking (ties by
+    neighbor_id); per-pair |cos_d − cos_full| quantizes to an e6 integer
+    over the rounded operands before the exact sum; recalls and means are
+    single shared 6dp ratios of exact integers.
+
+    Scale shape: queries are a bounded %100 subset and BROADCAST against
+    the corpus scan (the ann_cosine_topk shape); the full-dim and all
+    truncated cosines ride ONE pair frame, the four rank passes are
+    windows partitioned by query_id (balanced), and the readout is a
+    single aggregate unpivoted to |dims| rows — the corpus is scanned
+    once regardless of how many truncation tiers are audited."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos_cols = [
+        (F.round(F.expr(T.cosine_spark("v", "qv")), 6)).alias("cosf"),
+        *[
+            (
+                F.round(
+                    F.expr(
+                        T.cosine_spark(f"slice(v, 1, {d})", f"slice(qv, 1, {d})")
+                    ),
+                    6,
+                )
+            ).alias(f"cos{d}")
+            for d in _MRL_DIMS
+        ],
+    ]
+    p = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), *cos_cols
+        )
+    )
+    r = p
+    for name, col in [("rnf", "cosf")] + [(f"rn{d}", f"cos{d}") for d in _MRL_DIMS]:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(col).desc(), F.col("neighbor_id").asc()
+        )
+        r = r.withColumn(name, F.row_number().over(w))
+    agg_cols = [
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("rnf") <= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_expected"),
+    ]
+    for d in _MRL_DIMS:
+        agg_cols.append(
+            F.sum(
+                F.when((F.col("rnf") <= 5) & (F.col(f"rn{d}") <= 5), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"hit{d}")
+        )
+        agg_cols.append(
+            F.sum(
+                F.expr(
+                    f"CAST(round(1000000 * abs(cos{d} - cosf)) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias(f"delta{d}_e6")
+        )
+    a = r.agg(*agg_cols)
+    stack_args = ", ".join(
+        f"{d}, hit{d}, delta{d}_e6" for d in _MRL_DIMS
+    )
+    return a.select(
+        F.expr(
+            f"stack({len(_MRL_DIMS)}, {stack_args})"
+            " AS (trunc_dim, n_hit, delta_e6)"
+        ),
+        "n_queries",
+        "n_expected",
+        "n_pairs",
+    ).select(
+        F.col("trunc_dim").cast("int").alias("trunc_dim"),
+        "n_queries",
+        "n_expected",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        (
+            F.round((F.lit(1e0) * F.col("n_hit")) / F.col("n_expected"), 6)
+            + F.lit(0.0)
+        ).alias("recall"),
+        (
+            F.round(F.col("delta_e6") / (F.lit(1e6) * F.col("n_pairs")), 6)
+            + F.lit(0.0)
+        ).alias("mean_abs_cos_delta"),
+    )

@@ -743,3 +743,70 @@ def test_cvm_quiet_on_identical_halves(spark, tmp_path):
     # Identical halves: T = 0 exactly, far below the null mean.
     assert out["t_stat"] == 0.0
     assert out["drift_at_3sd"] is False and out["z_score"] < 0
+
+
+# --- Matryoshka truncation audit ----------------------------------------------------
+
+
+def _mrl_python(vecs):
+    """vecs: {vec_id: list[float]} -> {dim: (n_hit, recall, mean_delta)}
+    via plain-float cosines, mirroring the 6dp-round-before-rank rule."""
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    queries = sorted(v for v in vecs if v % 100 == 0)
+    out = {}
+    for d in (8, 16, 32):
+        n_hit = n_exp = n_pairs = 0
+        delta_e6 = 0
+        for qid in queries:
+            scored = []
+            for cid, cv in vecs.items():
+                if cid == qid:
+                    continue
+                cf = cos(cv, vecs[qid])
+                cd = cos(cv[:d], vecs[qid][:d])
+                scored.append((cid, cf, cd))
+                delta_e6 += _round_away(1_000_000 * abs(cd - cf))
+                n_pairs += 1
+            topf = {c for c, _, _ in sorted(scored, key=lambda t: (-t[1], t[0]))[:5]}
+            topd = {c for c, _, _ in sorted(scored, key=lambda t: (-t[2], t[0]))[:5]}
+            n_exp += len(topf)
+            n_hit += len(topf & topd)
+        out[d] = (n_hit, round(1e0 * n_hit / n_exp, 6),
+                  round(delta_e6 / (1e6 * n_pairs), 6))
+    return out
+
+
+def test_matryoshka_matches_python(spark, sf_small):
+    from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+    rows = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    ref = _mrl_python(vecs)
+    out = {
+        r["trunc_dim"]: r
+        for r in S.STAGED_QUERIES["matryoshka_truncation_audit"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(out) == {8, 16, 32}
+    for d, (n_hit, recall, delta) in ref.items():
+        r = out[d]
+        assert r["n_hit"] == n_hit, (d, r["n_hit"], n_hit)
+        assert abs(r["recall"] - recall) < 1e-9
+        # float32->float64 cosine noise at the 6dp rounding boundary can
+        # flip individual e6 deltas by 1; allow 1e-5 on the mean.
+        assert abs(r["mean_abs_cos_delta"] - delta) < 1e-5
+    # The fidelity curve must be monotone: more dims, less cosine error.
+    assert (
+        out[8]["mean_abs_cos_delta"]
+        > out[16]["mean_abs_cos_delta"]
+        > out[32]["mean_abs_cos_delta"]
+    )
