@@ -1571,3 +1571,197 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_abs_cos_delta"),
     )
+
+
+# --- streaming distribution-drift monitor (KS + CvM on the ingest path) --------
+
+# Day-split two-sample compare: reference = first half of observed days,
+# monitor = second half (integer day-rank split, recomputed on every
+# re-scan so late partials re-split correctly). From the same pooled
+# per-value cumulative pass: KS D = sup |F1 - F2| (the ks_drift gap
+# text) and the CvM statistic/z (the _CVM_* shared texts — identical
+# column names by construction).
+_KSD_GAP = (
+    "abs((1e0 * cum1) / n1 - (1e0 * (cum_all - cum1)) / n2)"
+)
+
+
+def _sdd_oracle(where: str = "WHERE event_id % 2 = 1") -> str:
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, value FROM events {where}
+),
+d AS (SELECT day, value, count(*)::BIGINT AS n FROM ev GROUP BY day, value),
+dd AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER ()::BIGINT AS nd
+  FROM (SELECT DISTINCT day FROM d)
+),
+tagged AS (
+  SELECT d.value, d.n, CASE WHEN dd.t <= dd.nd // 2 THEN 1 ELSE 0 END AS early
+  FROM d JOIN dd ON d.day = dd.day
+),
+grouped AS (
+  SELECT value, CAST(sum(early * n) AS BIGINT) AS c1,
+         CAST(sum(n) AS BIGINT) AS c_all
+  FROM tagged GROUP BY value
+),
+tot AS (
+  SELECT sum(c1)::BIGINT AS n1, (sum(c_all) - sum(c1))::BIGINT AS n2,
+         sum(c_all)::BIGINT AS nn
+  FROM grouped
+),
+cdf AS (
+  SELECT value, c_all,
+         sum(c1) OVER (ORDER BY value)::BIGINT AS cum1,
+         sum(c_all) OVER (ORDER BY value)::BIGINT AS cum_all
+  FROM grouped
+),
+s AS (
+  SELECT t.n1, t.n2, t.nn,
+         round(max({_KSD_GAP}), 6) + 0.0 AS ks_stat,
+         max({_KSD_GAP}) > 1.36 * sqrt((1e0 * t.nn) / (1e0 * t.n1 * t.n2))
+           AS ks_drift_at_95,
+         CAST(sum({_CVM_TERM_E6}) AS BIGINT) AS t_e6
+  FROM cdf CROSS JOIN tot t
+  GROUP BY t.n1, t.n2, t.nn
+)
+SELECT n1 AS n_early, n2 AS n_late, ks_stat, ks_drift_at_95,
+       round(t_e6 / 1e6, 6) + 0.0 AS t_stat,
+       {_CVM_Z} AS z_score,
+       coalesce(({_CVM_Z}) > 3, FALSE) AS drift_at_3sd
+FROM s
+"""
+
+
+def _sdd_readout(d: DataFrame) -> DataFrame:
+    """KS + CvM day-split scan over a (day, value, n) frame — shared by
+    the streaming twin and any batch caller. The merged frame is
+    checkpointed (bounded |days x distinct values|): the day-rank tagging
+    and the value grouping are two branches over it."""
+    d = d.localCheckpoint()
+    wd = Window.orderBy("day")
+    dd = (
+        d.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.row_number().over(wd).alias("t"),
+            F.count(F.lit(1))
+            .over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias("nd"),
+        )
+    )
+    tagged = d.join(F.broadcast(dd), "day").select(
+        "value",
+        "n",
+        F.when(F.col("t") <= F.expr("nd div 2"), 1).otherwise(0).alias("early"),
+    )
+    grouped = tagged.groupBy("value").agg(
+        F.sum(F.col("early") * F.col("n")).cast("long").alias("c1"),
+        F.sum("n").cast("long").alias("c_all"),
+    )
+    tot = grouped.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        (F.sum("c_all") - F.sum("c1")).cast("long").alias("n2"),
+        F.sum("c_all").cast("long").alias("nn"),
+    )
+    cdf = with_global_rank(
+        grouped,
+        ["value"],
+        rank_col="_rk",
+        sum_col="c1",
+        cum_col="cum1",
+        extra_cums=[("c_all", "cum_all")],
+    )
+    s = (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2", "nn")
+        .agg(
+            (F.round(F.max(F.expr(_KSD_GAP)), 6) + F.lit(0.0)).alias("ks_stat"),
+            (
+                F.max(F.expr(_KSD_GAP))
+                > F.expr("1.36 * sqrt((1e0 * nn) / (1e0 * n1 * n2))")
+            ).alias("ks_drift_at_95"),
+            F.sum(F.expr(_CVM_TERM_E6)).cast("long").alias("t_e6"),
+        )
+    )
+    return s.select(
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        "ks_stat",
+        "ks_drift_at_95",
+        (F.round(F.col("t_e6") / 1e6, 6) + F.lit(0.0)).alias("t_stat"),
+        F.expr(_CVM_Z).alias("z_score"),
+        F.coalesce(F.expr(_CVM_Z) > 3, F.lit(False)).alias("drift_at_3sd"),
+    )
+
+
+@staged("stream_dist_drift_monitor", oracle=_sdd_oracle())
+def stream_dist_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (two-sample KS + CvM over a day-rank
+    split) computed ON THE INGEST PATH — the 8th streaming twin: the
+    odd-event_id half of the event stream replays as 2 micro-batches;
+    each batch appends its per-(day, value) counts to a managed table;
+    the readout merges partials by plain summation and runs the IDENTICAL
+    banded two-sample scan the batch family uses (``ks_drift_detection``
+    gap text; ``cvm_drift_two_sample``'s shared _CVM_* expressions).
+    Proof obligations: (day, value, n) partials are mergeable integer
+    sums, and the first-half/second-half DAY split is recomputed from the
+    merged day ranks on every re-scan — so late-arriving partials re-split
+    correctly and streaming-then-merge is bit-identical to the batch scan
+    over the same half (certified by the oracle, the batch SQL restricted
+    to the replayed half). This is the live serving-skew shape: per-value
+    histograms land continuously, the monitor re-reads the bounded
+    distribution table on demand and flags when EITHER the sup-norm (KS
+    at 95%) or the integral statistic (CvM z > 3 sd) trips — the
+    two-lens rule that catches both one-big-gap and many-small-gaps
+    drift.
+
+    Exactness: all counts exact int64; the KS gap and bound follow the
+    registered ks_drift_detection recipe; CvM reuses the staged
+    cvm_drift_two_sample expressions verbatim over identical column
+    names; both cumulatives ride one banded ``with_global_rank`` pass.
+
+    Scale shape: per micro-batch one map-side-combined hash aggregate to
+    its |days × values| rows; the managed table holds batches × that; the
+    merged frame is checkpointed (it feeds the day-rank and value
+    groupings), the day frame is calendar-bounded, and the distinct-value
+    CDF pass is banded — no single-partition sort anywhere."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            "value",
+        )
+    )
+
+    def _hist_batch(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("day", "value").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, day long, value double",
+        _hist_batch,
+        "dist_drift_partials",
+        split_col="event_id",
+        src_prefix="dist_drift_src_",
+    )
+    merged = partials.groupBy("day", "value").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    return _sdd_readout(merged)

@@ -810,3 +810,78 @@ def test_matryoshka_matches_python(spark, sf_small):
         > out[16]["mean_abs_cos_delta"]
         > out[32]["mean_abs_cos_delta"]
     )
+
+
+# --- streaming distribution-drift monitor ---------------------------------------
+
+
+def _sdd_python(day_values):
+    """day_values: list of (day, value) observations -> (n1, n2, ks, t)
+    via the day-rank split and textbook two-sample statistics."""
+    days = sorted({d for d, _ in day_values})
+    half = {d for d in days[: len(days) // 2]}
+    s1 = sorted(v for d, v in day_values if d in half)
+    s2 = sorted(v for d, v in day_values if d not in half)
+    n1, n2 = len(s1), len(s2)
+    vals = sorted(set(s1) | set(s2))
+    from collections import Counter as C
+
+    c1, c2 = C(s1), C(s2)
+    ks = 0.0
+    cum1 = cum2 = 0
+    t = 0.0
+    for v in vals:
+        cum1 += c1.get(v, 0)
+        cum2 += c2.get(v, 0)
+        gap = abs(cum1 / n1 - cum2 / n2)
+        ks = max(ks, gap)
+        t += (c1.get(v, 0) + c2.get(v, 0)) * gap**2
+    t *= n1 * n2 / (n1 + n2) ** 2
+    return n1, n2, round(ks, 6), t
+
+
+def test_stream_dist_drift_detects_shifted_days(spark, tmp_path):
+    """Second half of days shifted +5 in value: both lenses must trip,
+    and the twin must match the Python reference computed from the
+    replayed (odd event_id) half."""
+    base = pd.Timestamp("2024-01-01")
+    epoch = pd.Timestamp("1970-01-01")
+    ev, eid = [], 0
+    for d in range(20):
+        shift = 0 if d < 10 else 5
+        for i in range(40):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, "view", float((i % 10) + shift), "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    held = [
+        ((pd.Timestamp(ts) - epoch).days, val)
+        for eid_, ts, _, _, val, _ in ev
+        if eid_ % 2 == 1
+    ]
+    n1, n2, ks_ref, t_ref = _sdd_python(held)
+    out = S.STAGED_QUERIES["stream_dist_drift_monitor"](spark, sf).collect()[0]
+    assert (out["n_early"], out["n_late"]) == (n1, n2)
+    assert abs(out["ks_stat"] - ks_ref) < 1e-9
+    assert abs(out["t_stat"] - t_ref) < 1e-4
+    assert out["ks_drift_at_95"] is True
+    assert out["drift_at_3sd"] is True and out["z_score"] > 3
+
+
+def test_stream_dist_drift_quiet_on_stationary_days(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for d in range(20):
+        for i in range(40):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, "view", float(i % 10), "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(ev))
+    out = S.STAGED_QUERIES["stream_dist_drift_monitor"](spark, sf).collect()[0]
+    # Identical day distributions: KS = 0 exactly, CvM T = 0 exactly.
+    assert out["ks_stat"] == 0.0 and out["t_stat"] == 0.0
+    assert out["ks_drift_at_95"] is False and out["drift_at_3sd"] is False
