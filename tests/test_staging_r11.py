@@ -885,3 +885,72 @@ def test_stream_dist_drift_quiet_on_stationary_days(spark, tmp_path):
     # Identical day distributions: KS = 0 exactly, CvM T = 0 exactly.
     assert out["ks_stat"] == 0.0 and out["t_stat"] == 0.0
     assert out["ks_drift_at_95"] is False and out["drift_at_3sd"] is False
+
+
+# --- hypothesis property tests (mann-kendall / e-value) ---------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=1, max_value=6), min_size=4, max_size=14)
+)
+def test_mann_kendall_property_random_series(spark, tmp_path_factory, counts):
+    """Exact S / tie-corrected var18 / z on arbitrary small daily-count
+    series must match the O(n^2) Python reference exactly (heavy ties by
+    construction: counts drawn from {1..6})."""
+    base = pd.Timestamp("2024-01-01")
+    ev, eid = [], 0
+    for d, c in enumerate(counts):
+        for i in range(c):
+            eid += 1
+            ev.append(
+                (eid, (base + pd.Timedelta(days=d, minutes=i)).isoformat(),
+                 1, "view", 1.0, "{}")
+            )
+    sf = _write_tables(tmp_path_factory.mktemp("mk"), events=_events_pdf(ev))
+    s_ref, var18_ref, z_ref = _mk_python(counts)
+    out = S.STAGED_QUERIES["mann_kendall_daily_trend"](spark, sf).collect()[0]
+    assert out["n_days"] == len(counts)
+    assert out["s_stat"] == s_ref
+    assert out["var18"] == var18_ref
+    if z_ref is None:
+        assert out["z_stat"] is None
+    else:
+        assert abs(out["z_stat"] - z_ref) < 1e-9
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=4, max_value=12),  # events per day
+            st.integers(min_value=1, max_value=3),  # purchases per day
+        ),
+        min_size=6,
+        max_size=16,
+    )
+)
+def test_e_value_property_random_days(spark, tmp_path_factory, specs):
+    """The quantized e-process path on arbitrary (n, k) day series must
+    match the half-away-from-zero Python recursion exactly — increments
+    here are routinely negative, the rounding direction this batch's
+    reference helper exists for."""
+    ev, days = _rate_events([(n, min(k, n)) for n, k in specs])
+    # Guard: the alternative must be well-defined on the first half.
+    half = len(days) // 2
+    s1 = sum(k for _, _, k in sorted(days)[:half])
+    n1 = sum(n for _, n, _ in sorted(days)[:half])
+    if s1 <= 0 or 5 * s1 >= 4 * n1:
+        return
+    sf = _write_tables(tmp_path_factory.mktemp("ev"), events=_events_pdf(ev))
+    ref = _ev_python(days)
+    out = S.STAGED_QUERIES["e_value_rate_monitor"](spark, sf).collect()[0]
+    for kk in ref:
+        got = out[kk]
+        if isinstance(ref[kk], float):
+            assert abs(got - ref[kk]) < 1e-9, (kk, got, ref[kk])
+        else:
+            assert got == ref[kk], (kk, got, ref[kk])
