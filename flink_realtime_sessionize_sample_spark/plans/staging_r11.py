@@ -1425,6 +1425,8 @@ def _mrl_oracle() -> str:
     aggs = ", ".join(
         f"sum(CASE WHEN rnf <= 5 AND rn{d} <= 5 THEN 1 ELSE 0 END)::BIGINT"
         f" AS hit{d},"
+        f" sum(CASE WHEN rnf <= 5 AND rn{d} <= 50 THEN 1 ELSE 0 END)::BIGINT"
+        f" AS fun{d},"
         f" CAST(sum(CAST(round(1000000 * abs(cos{d} - cosf)) AS BIGINT))"
         f" AS BIGINT) AS delta{d}_e6"
         for d in _MRL_DIMS
@@ -1433,6 +1435,8 @@ def _mrl_oracle() -> str:
         f"SELECT {d} AS trunc_dim, n_queries, n_expected,"
         f" hit{d} AS n_hit,"
         f" round((1e0 * hit{d}) / n_expected, 6) + 0.0 AS recall,"
+        f" fun{d} AS n_hit_funnel50,"
+        f" round((1e0 * fun{d}) / n_expected, 6) + 0.0 AS recall_funnel50,"
         f" round(delta{d}_e6 / (1e6 * n_pairs), 6) + 0.0 AS mean_abs_cos_delta"
         f" FROM a"
         for d in _MRL_DIMS
@@ -1468,11 +1472,17 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated-cosine retrieval against the exact full-dim top-5, plus the
     mean absolute cosine error over every (query, candidate) pair — the
     measurement that prices the d/64 index-cost reduction before adopting
-    it, the PREFIX sibling of ``ann_jl_recall_audit`` (random projection)
-    and the adaptive-retrieval decision input (coarse search at small d,
-    re-rank the shortlist at full d). On THIS near-isotropic synthetic
-    corpus the honest expectation is low recall at small d (the same
-    near-tie degeneracy documented for ann_jl_recall_audit) with
+    it, the PREFIX sibling of ``ann_jl_recall_audit`` (random projection).
+    The ``recall_funnel50`` column measures the ADAPTIVE-RETRIEVAL funnel
+    (Kusupati et al. 2022 §5: shortlist at truncated d, re-rank the
+    shortlist at full dimension): since the full-dim re-rank of a
+    shortlist keeps exactly the exact-top-5 members the shortlist
+    captured, funnel recall@5 = the fraction of exact top-5 with
+    truncated rank <= 50 — the number that decides whether "coarse at
+    d, exact re-rank at 64" replaces full-dim search. On THIS
+    near-isotropic synthetic corpus the honest expectation is low direct
+    recall at small d (the same near-tie degeneracy documented for
+    ann_jl_recall_audit), substantially higher funnel recall, and
     mean_abs_cos_delta shrinking as d grows — the monotone fidelity curve
     is the audit's signal.
 
@@ -1538,6 +1548,13 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg_cols.append(
             F.sum(
+                F.when((F.col("rnf") <= 5) & (F.col(f"rn{d}") <= 50), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"fun{d}")
+        )
+        agg_cols.append(
+            F.sum(
                 F.expr(
                     f"CAST(round(1000000 * abs(cos{d} - cosf)) AS BIGINT)"
                 )
@@ -1547,12 +1564,12 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a = r.agg(*agg_cols)
     stack_args = ", ".join(
-        f"{d}, hit{d}, delta{d}_e6" for d in _MRL_DIMS
+        f"{d}, hit{d}, fun{d}, delta{d}_e6" for d in _MRL_DIMS
     )
     return a.select(
         F.expr(
             f"stack({len(_MRL_DIMS)}, {stack_args})"
-            " AS (trunc_dim, n_hit, delta_e6)"
+            " AS (trunc_dim, n_hit, n_hit_funnel50, delta_e6)"
         ),
         "n_queries",
         "n_expected",
@@ -1566,6 +1583,13 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.lit(1e0) * F.col("n_hit")) / F.col("n_expected"), 6)
             + F.lit(0.0)
         ).alias("recall"),
+        F.col("n_hit_funnel50").cast("long").alias("n_hit_funnel50"),
+        (
+            F.round(
+                (F.lit(1e0) * F.col("n_hit_funnel50")) / F.col("n_expected"), 6
+            )
+            + F.lit(0.0)
+        ).alias("recall_funnel50"),
         (
             F.round(F.col("delta_e6") / (F.lit(1e6) * F.col("n_pairs")), 6)
             + F.lit(0.0)

@@ -761,7 +761,7 @@ def _mrl_python(vecs):
     queries = sorted(v for v in vecs if v % 100 == 0)
     out = {}
     for d in (8, 16, 32):
-        n_hit = n_exp = n_pairs = 0
+        n_hit = n_fun = n_exp = n_pairs = 0
         delta_e6 = 0
         for qid in queries:
             scored = []
@@ -774,10 +774,14 @@ def _mrl_python(vecs):
                 delta_e6 += _round_away(1_000_000 * abs(cd - cf))
                 n_pairs += 1
             topf = {c for c, _, _ in sorted(scored, key=lambda t: (-t[1], t[0]))[:5]}
-            topd = {c for c, _, _ in sorted(scored, key=lambda t: (-t[2], t[0]))[:5]}
+            byd = sorted(scored, key=lambda t: (-t[2], t[0]))
+            topd = {c for c, _, _ in byd[:5]}
+            short50 = {c for c, _, _ in byd[:50]}
             n_exp += len(topf)
             n_hit += len(topf & topd)
+            n_fun += len(topf & short50)
         out[d] = (n_hit, round(1e0 * n_hit / n_exp, 6),
+                  n_fun, round(1e0 * n_fun / n_exp, 6),
                   round(delta_e6 / (1e6 * n_pairs), 6))
     return out
 
@@ -797,10 +801,14 @@ def test_matryoshka_matches_python(spark, sf_small):
         ).collect()
     }
     assert set(out) == {8, 16, 32}
-    for d, (n_hit, recall, delta) in ref.items():
+    for d, (n_hit, recall, n_fun, recall_fun, delta) in ref.items():
         r = out[d]
         assert r["n_hit"] == n_hit, (d, r["n_hit"], n_hit)
         assert abs(r["recall"] - recall) < 1e-9
+        assert r["n_hit_funnel50"] == n_fun, (d, r["n_hit_funnel50"], n_fun)
+        assert abs(r["recall_funnel50"] - recall_fun) < 1e-9
+        # The shortlist-then-rerank funnel can only help.
+        assert r["recall_funnel50"] >= r["recall"]
         # float32->float64 cosine noise at the 6dp rounding boundary can
         # flip individual e6 deltas by 1; allow 1e-5 on the mean.
         assert abs(r["mean_abs_cos_delta"] - delta) < 1e-5
