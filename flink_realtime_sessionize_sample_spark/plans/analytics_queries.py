@@ -3017,9 +3017,15 @@ def ab_segment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subtract — every one correctly rounded, so both engines produce the
 # bit-identical double BEFORE rounding. The expression is written ONCE and
 # pasted verbatim into both dialects over the same two integer columns
-# (``chi2_e9``: the e9-quantized chi-square sum; ``dof``).
+# (``chi2_e9``: the e9-quantized chi-square sum; ``dof``). The chi2_e9 < 0
+# guard is the int64-wrap tripwire: at e9 quantization the statistic sum
+# overflows int64 once chi2 exceeds ~9.2e9 (strong association at ~1e12
+# docs) — Spark's non-ANSI cast would wrap negative, so fail loud to NULL
+# instead of shipping a garbage z (the cramers_v_source_lang guard).
 _CHISQ_Z = (
-    "round(sqrt(2 * (chi2_e9 / 1000000000.0)) - sqrt(2.0 * dof - 1), 6) + 0.0"
+    "CASE WHEN chi2_e9 < 0 THEN NULL"
+    " ELSE round(sqrt(2 * (chi2_e9 / 1000000000.0))"
+    " - sqrt(2.0 * dof - 1), 6) + 0.0 END"
 )
 
 # Per-cell chi-square contribution (obs - exp)^2 / exp with exp = ns*nl/N,
@@ -3027,8 +3033,10 @@ _CHISQ_Z = (
 # cells (obs = 0) reduce exactly to their expected mass ns*nl/N,
 # e9-quantized through shared text (double-promoted products inside —
 # int64 ns*nl overflows near 1e12 docs; the double product is correctly
-# rounded in both engines). Same recipe as cramers_v_source_lang
-# (staging_r10), where the full-grid form was first proven.
+# rounded in both engines). SINGLE SOURCE OF TRUTH: cramers_v_source_lang
+# (plans/staging_r10.py, where the full-grid form was first proven)
+# imports this constant, so the two queries' statistics can never
+# desynchronize.
 _CHISQ_CELL_E9 = (
     "CAST(round(1000000000"
     " * (1e0 * nsl * nn - 1e0 * ns * nl) * (1e0 * nsl * nn - 1e0 * ns * nl)"
@@ -3076,14 +3084,20 @@ xt AS (
   FROM zz
 )
 SELECT n_docs, n_sources, n_langs, dof,
-       round(chi2_e9 / 1000000000.0, 6) + 0.0 AS chi2,
-       round(sqrt(chi2_e9
+       -- 1e9 not 1000000000.0: inside CASE Spark parses the latter as a
+       -- DECIMAL literal and the whole branch (hence the column) comes
+       -- out DecimalType; 1e9 is a double literal in both dialects.
+       CASE WHEN chi2_e9 < 0 THEN NULL
+            ELSE round(chi2_e9 / 1e9, 6) + 0.0 END AS chi2,
+       CASE WHEN chi2_e9 < 0 THEN NULL
+            ELSE round(sqrt(chi2_e9
                   / (1000000000.0 * n_docs
                      * (CASE WHEN n_sources < n_langs THEN n_sources
-                             ELSE n_langs END - 1))), 6) + 0.0 AS cramers_v,
+                             ELSE n_langs END - 1))), 6) + 0.0 END AS cramers_v,
        z_stat,
-       round(CASE WHEN z_stat >= 0 THEN ({_AS_ERFC_POLY}) / 2
-                  ELSE 1 - ({_AS_ERFC_POLY}) / 2 END, 6) + 0.0 AS p_value
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(CASE WHEN z_stat >= 0 THEN ({_AS_ERFC_POLY}) / 2
+                  ELSE 1 - ({_AS_ERFC_POLY}) / 2 END, 6) + 0.0 END AS p_value
 FROM xt
 """,
 )
@@ -3183,22 +3197,29 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         "n_langs",
         "dof",
-        (F.round(F.col("chi2_e9") / 1000000000.0, 6) + F.lit(0.0)).alias("chi2"),
+        # 1e9 not 1000000000.0 — see the oracle comment (decimal-literal
+        # type trap inside CASE).
+        F.expr(
+            "CASE WHEN chi2_e9 < 0 THEN NULL"
+            " ELSE round(chi2_e9 / 1e9, 6) + 0.0 END"
+        ).alias("chi2"),
         # Identical text to the oracle: every op correctly rounded over
         # exact operands, so the double matches bit-for-bit.
         F.expr(
-            "round(sqrt(chi2_e9 / (1000000000.0 * n_docs"
+            "CASE WHEN chi2_e9 < 0 THEN NULL"
+            " ELSE round(sqrt(chi2_e9 / (1000000000.0 * n_docs"
             " * (CASE WHEN n_sources < n_langs THEN n_sources"
-            " ELSE n_langs END - 1))), 6) + 0.0"
+            " ELSE n_langs END - 1))), 6) + 0.0 END"
         ).alias("cramers_v"),
         "z_stat",
-        (
+        F.when(
+            F.col("z_stat").isNotNull(),
             F.round(
                 F.when(F.col("z_stat") >= 0, F.expr(_AS_ERFC_POLY) / 2).otherwise(
                     1 - F.expr(_AS_ERFC_POLY) / 2
                 ),
                 6,
             )
-            + F.lit(0.0)
+            + F.lit(0.0),
         ).alias("p_value"),
     )

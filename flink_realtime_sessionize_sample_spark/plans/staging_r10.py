@@ -1440,11 +1440,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-cell chi-square contribution (obs - exp)^2 / exp with exp =
 # ns*nl/N, e9-quantized through shared text (double-promoted products
-# inside — same recipe as chisq_source_language's cells).
-_CV_CELL_E9 = (
-    "CAST(round(1000000000"
-    " * (1e0 * nsl * nn - 1e0 * ns * nl) * (1e0 * nsl * nn - 1e0 * ns * nl)"
-    " / (1e0 * ns * nl * nn)) AS BIGINT)"
+# inside). The full-grid form was first proven here during round-9
+# staging; at the round-10 promotion chisq_source_language adopted it and
+# now owns the constant — imported (not copied) so the two queries'
+# statistics can never desynchronize (round-10 review finding).
+from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (  # noqa: E402
+    _CHISQ_CELL_E9 as _CV_CELL_E9,
 )
 
 
@@ -1463,9 +1464,9 @@ dims AS (
 ),
 grid AS (
   -- FULL margin grid (bounded |S| x |L|): absent cells contribute their
-  -- expected mass ns*nl/N to the textbook chi-square — the established
-  -- chisq_source_language sums PRESENT cells only (flagged for its own
-  -- round-10 rotation); this query does it right from the start.
+  -- expected mass ns*nl/N to the textbook chi-square. (This query did it
+  -- right from the start; chisq_source_language adopted the same form at
+  -- its round-10 rotation and now owns the shared cell expression.)
   SELECT ms.source, ml.lang, ms.ns, ml.nl,
          coalesce(cell.nsl, 0) AS nsl
   FROM ms CROSS JOIN ml
@@ -1497,12 +1498,13 @@ def cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-cell chi-square contributions quantize to e9
     integers through shared expression text (the cross-multiplied
-    (obs*N - ns*nl)^2 form — the chisq family's proven recipe) over the
-    FULL bounded margin grid, so ABSENT cells contribute their expected
-    mass ns*nl/N as the textbook statistic requires (the registered
-    chisq_source_language sums present cells only — noted for its own
-    round-10 rotation); the cell sum is exact and order-independent; V
-    is one 6dp expression. Single-row/column tables yield NULL.
+    (obs*N - ns*nl)^2 form, first proven here and — as of the round-10
+    rotation — shared with chisq_source_language via the imported
+    ``_CHISQ_CELL_E9`` constant) over the FULL bounded margin grid, so
+    ABSENT cells contribute their expected mass ns*nl/N as the textbook
+    statistic requires; the cell sum is exact and order-independent; V
+    is one 6dp expression. Single-row/column tables, and an int64-
+    wrapped (negative) chi2 sum, yield NULL.
 
     Scale shape: identical to mutual_info_source_lang — one scan to
     the bounded cell frame, bounded re-aggregates, broadcast totals."""

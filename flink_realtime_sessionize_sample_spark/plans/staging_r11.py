@@ -592,7 +592,14 @@ def cuped_stratified_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 1-row midpoint; the stratum moment frame is <= 3 rows and
     broadcasts back onto the user frame for the adjustment pass (the
     ``ab_test_cuped`` shape, plus one bounded join); readout is a
-    3-row groupBy."""
+    3-row groupBy. DELIBERATE: the per-user frame feeds the stratum
+    moments and the adjustment pass as two branches WITHOUT a
+    checkpoint — unlike the bounded day/cell frames this batch
+    checkpoints, the user frame is corpus-cardinality (every user), and
+    the plan-scan discipline forbids checkpointing corpus-sized frames
+    to save thin column-pruned re-aggregates; exchange reuse collapses
+    the pair at runtime, and under exchange.reuse=false the cost is one
+    extra 3-column aggregate, matching the registered ab_test_cuped."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("us"),
@@ -1369,6 +1376,11 @@ def cvm_drift_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("early").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("c_all"),
     )
+    # Bounded |distinct values| frame with two downstream branches (the
+    # totals and the banded CDF pass) — checkpoint so the corpus
+    # aggregate runs once under every config, incl. exchange.reuse=false
+    # (round-10 review finding; the chisq/GK/KW pattern).
+    grouped = grouped.localCheckpoint()
     tot = grouped.agg(
         F.sum("c1").cast("long").alias("n1"),
         (F.sum("c_all") - F.sum("c1")).cast("long").alias("n2"),

@@ -1,6 +1,8 @@
-"""Staged-query verify: run plans/staging_r10.py STAGED_QUERIES vs their
+"""Staged-query verify: run a staging module's STAGED_QUERIES vs their
 DuckDB oracles — the staging-gate twin of tools/verify_drive.py (which
-covers only the LIVE registry exposed through __spark_entry__).
+covers only the LIVE registry exposed through __spark_entry__). The
+module is selected by the STAGED_MODULE env var (default: the CURRENT
+driver-invisible generation, plans/staging_r11.py).
 
 Usage: copy to /tmp and run `python /tmp/staged_verify.py [sf_dir] [name ...]`
 Defaults: sf_dir=/root/testdata/sf0.01, names = all staged queries.
