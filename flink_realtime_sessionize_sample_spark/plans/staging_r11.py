@@ -1,15 +1,18 @@
-"""Round-11 capability queries — STAGED during round 10, promoted when the
-round-11 window opens (the r7→r8→r10 staging pattern: the round-10 driver
-window closed at 50/50, and the standing no-new-backlog rule in
-tests/test_registry_window.py forbids live registration the driver can't
-verify within the round).
+"""Round-11 capability queries: staged during round 10, PROMOTED round 11.
 
-``STAGED_QUERIES``/``STAGED_ORACLES`` hold the pairs; nothing here touches
-``plans.QUERIES`` until the promotion round flips ``staged`` to delegate
-to ``registry.query`` (exactly how ``plans/staging_r10.py`` did it at the
-round-10 open). Each query is verified by tools/staged_verify.py at
-sf0.001 AND sf0.01 (plus the adversarial configs) before promotion, and
-pinned by independent Python references in tests/test_staging_r11.py.
+The round-10 driver window closed at exactly 50/50, and the standing
+no-new-backlog rule in tests/test_registry_window.py forbids live
+registration the driver can't verify within the round — so these 11
+operators were built, oracle-paired, three-scale swept (sf0.001 + sf0.01
++ sf0.1) and adversarial-config verified during round 10 while held in a
+staging dict the driver never saw. At round-11 open the promotion landed
+exactly as planned (the r7→r8→r10 pattern, ``plans/staging_r10.py:60-70``):
+``staged`` below now delegates to ``registry.query`` (identical
+signature), ``plans/__init__`` imports this module, and every name sits
+inside ``_DRIVER_WINDOW`` for an external correctness row this round.
+``STAGED_QUERIES``/``STAGED_ORACLES`` remain as the record of the
+promoted set (tests/test_staging_r11.py pins each query's semantics
+against independent Python brute-force references through them).
 
 Families this batch (continuing the measured-needs pattern — judge r9
 item 8 named always-valid inference and stratified CUPED; the rest
@@ -49,7 +52,7 @@ from flink_realtime_sessionize_sample_spark.functions import text as T
 from flink_realtime_sessionize_sample_spark.operators.global_order import (
     with_global_rank,
 )
-from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn, query
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 
 STAGED_QUERIES: dict[str, QueryFn] = {}
@@ -57,12 +60,11 @@ STAGED_ORACLES: dict[str, str] = {}
 
 
 def staged(name: str, oracle: str | None = None):
-    """Round-11 staging: holds the pair OUT of the live registry until
-    the promotion round (see module docstring)."""
+    """Round-11 promotion: registers LIVE via ``registry.query`` and keeps
+    the staging dicts as the promoted-set record for the semantics tests."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged name {name!r}")
+        fn = query(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLES[name] = oracle
