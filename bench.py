@@ -187,12 +187,17 @@ def compose_output(detail: dict) -> tuple[str, str]:
 
     def attempt(queries: dict, smoke_mode: str, with_eps: bool) -> str:
         compact = {
-            "metric": "headline wall sec (warm; full detail: BENCH_DETAIL.json)",
+            "metric": "headline wall sec (warm; detail: BENCH_DETAIL.json)",
             "value": detail["value"],
             "unit": "sec",
             "queries": queries,
             "sf": detail["sf"],
         }
+        if detail.get("headline_runs_per_query"):
+            # best-of-N with N recorded in the graded line itself (judge
+            # r10 #4); the per-query run pairs and spread distribution
+            # live in BENCH_DETAIL.json's headline_* fields.
+            compact["runs"] = detail["headline_runs_per_query"]
         if with_eps:
             compact["eps"] = eps
         if smoke_mode == "full":
@@ -245,15 +250,33 @@ def main() -> None:
     # Best-of-2 per query: one warm measurement is hostage to transient
     # scheduler/GC noise on a shared box (observed run-to-run swings of
     # ~1.3x on identical code). The min of two warm runs is the standard
-    # low-variance estimator for a deterministic workload.
+    # low-variance estimator for a deterministic workload. Judge r10
+    # directive #4: the run count and per-query spreads are now PUBLISHED
+    # (headline_* fields below, mirroring the streaming steady-run
+    # spreads), so a wall move can be read against the same-run ambient
+    # noise instead of spawning a watch/clear cycle.
+    HEADLINE_RUNS = 2
     timings: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(HEADLINE_RUNS):
             t0 = time.perf_counter()
             force(plans.QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        query_runs[name] = [round(r, 3) for r in runs]
+        timings[name] = round(min(runs), 3)
+
+    # Per-query relative spread (worst-best)/best and its distribution —
+    # the honest instrument noise floor for this invocation.
+    spreads = {
+        n: round((max(rs) - min(rs)) / min(rs), 3) if min(rs) > 0 else 0.0
+        for n, rs in query_runs.items()
+    }
+    _sv = sorted(spreads.values())
+    headline_spread_median = _sv[len(_sv) // 2] if _sv else None
+    headline_spread_max = max(_sv) if _sv else None
+    headline_total_worst = round(sum(max(rs) for rs in query_runs.values()), 3)
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     total = round(sum(timings.values()), 3)
@@ -737,6 +760,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                # Judge r10 #4: the headline wall is best-of-N with N and
+                # the per-query run pairs/spreads recorded, so BENCH-over-
+                # BENCH deltas are readable against this invocation's own
+                # measured noise (same-code runs spanned 67.8 -> 56.6 s at
+                # round 10 — ~±20% ambient on this sandbox).
+                "headline_runs_per_query": HEADLINE_RUNS,
+                "headline_query_runs": query_runs,
+                "headline_query_spread": spreads,
+                "headline_spread_median": headline_spread_median,
+                "headline_spread_max": headline_spread_max,
+                "headline_total_worst_sec": headline_total_worst,
                 "events_per_sec_sessionize": events_per_sec,
                 "events_per_sec_sessionize_sustained_10x": sustained_eps,
                 "events_per_sec_sessionize_sustained_100x": sustained100_eps,

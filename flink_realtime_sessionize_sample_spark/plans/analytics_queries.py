@@ -3017,14 +3017,17 @@ def ab_segment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subtract — every one correctly rounded, so both engines produce the
 # bit-identical double BEFORE rounding. The expression is written ONCE and
 # pasted verbatim into both dialects over the same two integer columns
-# (``chi2_e9``: the e9-quantized chi-square sum; ``dof``). The chi2_e9 < 0
-# guard is the int64-wrap tripwire: at e9 quantization the statistic sum
-# overflows int64 once chi2 exceeds ~9.2e9 (strong association at ~1e12
-# docs) — Spark's non-ANSI cast would wrap negative, so fail loud to NULL
-# instead of shipping a garbage z (the cramers_v_source_lang guard).
+# (``chi2_e9``: the e9-quantized chi-square sum; ``dof``). chi2_e9 is NULL
+# once the statistic leaves int64 range (the symmetric ``_CHISQ_SUM_E9``
+# guard below), and NULL propagates through every branch here; the
+# chi2_e9 < 0 branch is retained as belt-and-braces against any future
+# producer that skips the guarded sum. 1e9 not 1000000000.0 (here AND in
+# every sibling expression): inside CASE text Spark parses the latter as
+# a DECIMAL literal — harmless under sqrt() which coerces to double, but
+# a refactor trap the moment the quotient is reused bare (ADVICE r10).
 _CHISQ_Z = (
     "CASE WHEN chi2_e9 < 0 THEN NULL"
-    " ELSE round(sqrt(2 * (chi2_e9 / 1000000000.0))"
+    " ELSE round(sqrt(2 * (chi2_e9 / 1e9))"
     " - sqrt(2.0 * dof - 1), 6) + 0.0 END"
 )
 
@@ -3041,6 +3044,29 @@ _CHISQ_CELL_E9 = (
     "CAST(round(1000000000"
     " * (1e0 * nsl * nn - 1e0 * ns * nl) * (1e0 * nsl * nn - 1e0 * ns * nl)"
     " / (1e0 * ns * nl * nn)) AS BIGINT)"
+)
+
+# Bounded-grid chi-square total with the SYMMETRIC int64-overflow guard
+# (ADVICE r10 #1). The old form summed BIGINT cells and cast the total:
+# Spark's non-ANSI sum(BIGINT) wraps silently (sometimes positive, so the
+# chi2_e9 < 0 tripwire could miss), while DuckDB's sum(BIGINT) promotes
+# to HUGEINT and the CAST raised out-of-range instead of going NULL — the
+# engines diverged exactly where the guard was supposed to fire. Both
+# engines now sum the e9 cells in DECIMAL(38,0) (exact integer
+# arithmetic; 38 digits is unreachable — chi2 <= N*(min(r,c)-1) keeps
+# chi2_e9 under ~1e24 even at 1e12 docs) and fail loud to NULL TOGETHER
+# the moment the total leaves int64 range. Shared text: Spark sums
+# decimal(38,0) natively, DuckDB sums DECIMAL(38,0) exactly, and
+# abs()/comparison/CAST behave identically over the guarded branch.
+# Remaining documented boundary (unchanged by this guard): each CELL's
+# own CAST(round(double) AS BIGINT) clamps (Spark) or errors (DuckDB)
+# once a SINGLE cell's contribution exceeds ~9.2e9 chi2 — but the total
+# crosses int64 no later than the worst cell does, so the sum guard
+# fires first or simultaneously in any gradual-growth regime.
+_CHISQ_SUM_E9 = (
+    f"CASE WHEN abs(sum(CAST({_CHISQ_CELL_E9} AS DECIMAL(38,0))))"
+    " > 9223372036854775807 THEN CAST(NULL AS BIGINT)"
+    f" ELSE CAST(sum(CAST({_CHISQ_CELL_E9} AS DECIMAL(38,0))) AS BIGINT) END"
 )
 
 
@@ -3066,7 +3092,7 @@ grid AS (
   LEFT JOIN cell ON cell.source = ms.source AND cell.lang = ml.lang
 ),
 chi AS (
-  SELECT CAST(sum({_CHISQ_CELL_E9}) AS BIGINT) AS chi2_e9
+  SELECT {_CHISQ_SUM_E9} AS chi2_e9
   FROM grid CROSS JOIN tot
 ),
 st AS (
@@ -3091,7 +3117,7 @@ SELECT n_docs, n_sources, n_langs, dof,
             ELSE round(chi2_e9 / 1e9, 6) + 0.0 END AS chi2,
        CASE WHEN chi2_e9 < 0 THEN NULL
             ELSE round(sqrt(chi2_e9
-                  / (1000000000.0 * n_docs
+                  / (1e9 * n_docs
                      * (CASE WHEN n_sources < n_langs THEN n_sources
                              ELSE n_langs END - 1))), 6) + 0.0 END AS cramers_v,
        z_stat,
@@ -3144,8 +3170,12 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     term promotes the products to double BEFORE multiplying (int64 ns*nl
     overflows near 1e12 docs; the double product is correctly rounded in
     both engines, so cross-engine bit-identity survives the promotion),
-    e9-quantized BEFORE the (bounded) sum; z is 6dp-rounded before the
-    polynomial (the ``_AS_ERFC_POLY`` contract). Scale shape: ONE
+    e9-quantized BEFORE the (bounded) sum, which runs in DECIMAL(38,0)
+    with the symmetric int64-overflow guard (``_CHISQ_SUM_E9`` — NULL in
+    BOTH engines once the total leaves int64 range; the round-11 ADVICE
+    fix for the Spark-wraps/DuckDB-raises asymmetry of the old cast); z
+    is 6dp-rounded before the polynomial (the ``_AS_ERFC_POLY``
+    contract). Scale shape: ONE
     map-side-combined hash aggregate over the corpus scan collapses to the
     bounded n_sources × n_langs cell table (localCheckpointed — it feeds
     four bounded re-aggregates); the margin grid, broadcast totals and
@@ -3173,7 +3203,7 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ns", "nl", F.coalesce(F.col("nsl"), F.lit(0)).alias("nsl"))
     )
     chi = grid.crossJoin(F.broadcast(tot)).agg(
-        F.sum(F.expr(_CHISQ_CELL_E9)).cast("long").alias("chi2_e9")
+        F.expr(_CHISQ_SUM_E9).alias("chi2_e9")
     )
     st = (
         chi.crossJoin(F.broadcast(dims))
@@ -3207,7 +3237,7 @@ def chisq_source_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact operands, so the double matches bit-for-bit.
         F.expr(
             "CASE WHEN chi2_e9 < 0 THEN NULL"
-            " ELSE round(sqrt(chi2_e9 / (1000000000.0 * n_docs"
+            " ELSE round(sqrt(chi2_e9 / (1e9 * n_docs"
             " * (CASE WHEN n_sources < n_langs THEN n_sources"
             " ELSE n_langs END - 1))), 6) + 0.0 END"
         ).alias("cramers_v"),

@@ -1446,6 +1446,7 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistics can never desynchronize (round-10 review finding).
 from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (  # noqa: E402
     _CHISQ_CELL_E9 as _CV_CELL_E9,
+    _CHISQ_SUM_E9 as _CV_SUM_E9,
 )
 
 
@@ -1473,7 +1474,10 @@ grid AS (
   LEFT JOIN cell ON cell.source = ms.source AND cell.lang = ml.lang
 ),
 chi AS (
-  SELECT CAST(sum({_CV_CELL_E9}) AS BIGINT) AS chi2_e9
+  -- Symmetric int64-overflow guard (ADVICE r10): both engines sum the
+  -- e9 cells in DECIMAL(38,0) and fail loud to NULL together once the
+  -- total leaves int64 range — see _CHISQ_SUM_E9 in analytics_queries.
+  SELECT {_CV_SUM_E9} AS chi2_e9
   FROM grid CROSS JOIN tot
 )
 SELECT d.r AS n_sources, d.c AS n_langs,
@@ -1503,8 +1507,9 @@ def cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_CHISQ_CELL_E9`` constant) over the FULL bounded margin grid, so
     ABSENT cells contribute their expected mass ns*nl/N as the textbook
     statistic requires; the cell sum is exact and order-independent; V
-    is one 6dp expression. Single-row/column tables, and an int64-
-    wrapped (negative) chi2 sum, yield NULL.
+    is one 6dp expression. Single-row/column tables yield NULL, and the
+    cell sum carries the symmetric int64-overflow guard (NULL in BOTH
+    engines once the total leaves int64 range — ``_CHISQ_SUM_E9``).
 
     Scale shape: identical to mutual_info_source_lang — one scan to
     the bounded cell frame, bounded re-aggregates, broadcast totals."""
@@ -1532,7 +1537,7 @@ def cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     chi = grid.crossJoin(F.broadcast(tot)).agg(
-        F.sum(F.expr(_CV_CELL_E9)).cast("long").alias("chi2_e9")
+        F.expr(_CV_SUM_E9).alias("chi2_e9")
     )
     return (
         chi.crossJoin(F.broadcast(dims))

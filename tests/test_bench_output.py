@@ -15,6 +15,17 @@ def _detail(query_names) -> dict:
         "unit": "sec",
         "queries": {n: round(0.123 + i * 0.017, 3) for i, n in enumerate(query_names)},
         "sf": "/root/testdata/sf0.1",
+        "headline_runs_per_query": 2,
+        "headline_query_runs": {
+            n: [round(0.123 + i * 0.017, 3), round(0.145 + i * 0.019, 3)]
+            for i, n in enumerate(query_names)
+        },
+        "headline_query_spread": {
+            n: round(0.02 + (i % 7) * 0.013, 3) for i, n in enumerate(query_names)
+        },
+        "headline_spread_median": 0.059,
+        "headline_spread_max": 0.43,
+        "headline_total_worst_sec": 139.017,
         "events_per_sec_sessionize": 237530,
         "events_per_sec_sessionize_sustained_10x": 1409752,
         "events_per_sec_sessionize_sustained_100x": 1387001,

@@ -700,6 +700,47 @@ def test_chisq_incomplete_grid(spark, tmp_path):
     _assert_chisq_row_matches(row, exp)
 
 
+def test_chisq_sum_guard_symmetric(spark):
+    """ADVICE r10 #1 pin: the e9-quantized chi-square SUM must take the
+    NULL path in BOTH engines once the total leaves int64 range. The old
+    ``CAST(sum(cell) AS BIGINT)`` diverged exactly there — Spark's
+    non-ANSI BIGINT sum wrapped (sometimes positive, past the < 0
+    tripwire) while DuckDB's sum promoted to HUGEINT and the cast RAISED
+    out-of-range. ``_CHISQ_SUM_E9`` sums in DECIMAL(38,0) and guards
+    explicitly; this test runs the identical expression text in both
+    engines on a frame whose per-cell terms are in range but whose total
+    is not (→ NULL twice), and on an in-range control (→ the exact
+    integer twice)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _CHISQ_SUM_E9,
+    )
+
+    # With ns = nl = nn = 1 the cell term reduces to 1e9 * (nsl - 1)^2:
+    # nsl = 70712 gives ~5.0000455e18 per cell (inside int64), so two
+    # cells total ~1.0000009e19 — past int64 but far inside DECIMAL(38,0).
+    over = [(70712, 1, 1, 1), (70712, 1, 1, 1)]
+    under = [(1001, 1, 1, 1), (2001, 1, 1, 1)]  # 1e15 + 4e15
+    for rows, want in ((over, None), (under, 5 * 10**15)):
+        pdf = pd.DataFrame(rows, columns=["nsl", "ns", "nl", "nn"]).astype("int64")
+        got_spark = (
+            spark.createDataFrame(pdf)
+            .agg(F.expr(_CHISQ_SUM_E9).alias("s"))
+            .collect()[0]["s"]
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        got_duck = con.execute(f"SELECT {_CHISQ_SUM_E9} AS s FROM t").fetchone()[0]
+        con.close()
+        assert got_spark == want, (rows, got_spark)
+        assert got_duck == want, (rows, got_duck)
+        if want is not None:
+            assert isinstance(got_spark, int) and isinstance(got_duck, int)
+
+
 def test_spearman_matches_python_reference(spark, sf_small):
     """Third-implementation check: tie-corrected Spearman recomputed in
     plain Python (sort → midranks → Pearson over midranks) must match the

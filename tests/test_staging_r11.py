@@ -88,6 +88,37 @@ def test_staged_plan_lint(spark, sf_small):
     assert not offenders, f"staged plan lint failed: {offenders}"
 
 
+def test_stream_twin_readout_plan_lint(spark):
+    """ADVICE r10 #4: test_staged_plan_lint skips stream_* names (their
+    construction executes a replay), which left the two streaming twins'
+    shared readouts unlinted. Build the readouts directly over small
+    static frames — the exact post-merge shapes the twins feed them
+    ((day, n, k) for the e-value monitor, (day, value, n) for the
+    distribution-drift monitor) — and lint those plans."""
+    from flink_realtime_sessionize_sample_spark.plans.staging_r11 import (
+        _ev_readout,
+        _sdd_readout,
+    )
+
+    ev = spark.createDataFrame(
+        [(d, 100 + d, 5 + (d % 3)) for d in range(8)], "day long, n long, k long"
+    )
+    sdd = spark.createDataFrame(
+        [(d, v, 3 + ((d + v) % 4)) for d in range(8) for v in (10, 20, 30)],
+        "day long, value long, n long",
+    )
+    offenders = {}
+    for name, df in (
+        ("_ev_readout", _ev_readout(ev)),
+        ("_sdd_readout", _sdd_readout(sdd)),
+    ):
+        p = _explain(df)
+        bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"stream-twin readout lint failed: {offenders}"
+
+
 # --- Goodman-Kruskal lambda ----------------------------------------------------
 
 
