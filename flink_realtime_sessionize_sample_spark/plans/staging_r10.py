@@ -1446,11 +1446,18 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statistics can never desynchronize (round-10 review finding).
 from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (  # noqa: E402
     _CHISQ_CELL_E9 as _CV_CELL_E9,
-    _CHISQ_SUM_E9 as _CV_SUM_E9,
 )
 
 
 def _cv_oracle() -> str:
+    # Local import (not module-level): the guarded-sum constant arrived in
+    # round 11, and widening the module's import-binding table would make
+    # tools/rotation_map.py fall back to whole-module rotation — a local
+    # import keeps the blast radius at exactly this query's two symbols.
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _CHISQ_SUM_E9 as _CV_SUM_E9,
+    )
+
     return f"""
 WITH cell AS (
   SELECT source, lang, count(*)::BIGINT AS nsl
@@ -1536,6 +1543,10 @@ def cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("nsl"), F.lit(0)).alias("nsl"),
         )
     )
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _CHISQ_SUM_E9 as _CV_SUM_E9,
+    )
+
     chi = grid.crossJoin(F.broadcast(tot)).agg(
         F.expr(_CV_SUM_E9).alias("chi2_e9")
     )
