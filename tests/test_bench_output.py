@@ -47,7 +47,7 @@ def _detail(query_names) -> dict:
     }
     for fam in (
         "minhash", "minhash_linear", "cc", "containment", "global_rank",
-        "line_dedup", "novelty", "substring", "incremental_probe",
+        "line_dedup", "novelty", "substring", "winnow", "incremental_probe",
     ):
         d[f"scale_smoke_{fam}_1x_sec"] = 0.887
         d[f"scale_smoke_{fam}_10x_sec"] = 3.473

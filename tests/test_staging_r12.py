@@ -1,0 +1,588 @@
+"""Round-12 staged queries (plans/staging_r12.py): staging invariants,
+plan lint, and independent Python brute-force references (the
+staging_r8/r10/r11 discipline — cross-engine parity proves the engines
+AGREE, these pin the statistics against INTENT)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from flink_realtime_sessionize_sample_spark import plans
+from flink_realtime_sessionize_sample_spark.plans import staging_r12 as S
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _round_away(x: float) -> int:
+    """Spark/DuckDB round(): half AWAY from zero (Python round() is
+    banker's; negative statistics need the ceil branch — the r10
+    e-process lesson)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _rnd6(x: float) -> float:
+    return _round_away(x * 1e6) / 1e6
+
+
+def _erfc_poly(z_abs_over_sqrt2: float) -> float:
+    """The shared Abramowitz-Stegun 7.1.26 polynomial exactly as both
+    engines evaluate it (mirrors tests/test_plans._chisq_fullgrid_ref)."""
+    x = z_abs_over_sqrt2
+    t = 1 / (1 + 0.3275911 * x)
+    return (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736) * t
+        + 0.254829592
+    ) * t * math.exp(-x * x)
+
+
+def _events_pdf(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def _write_tables(tmp_path, **tables) -> str:
+    for name, df in tables.items():
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+    return str(tmp_path)
+
+
+def _explain(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jqe.explainString(mode.fromString("extended"))
+
+
+def _load_events(sf_dir: str) -> pd.DataFrame:
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf
+
+
+def _sessions_py(pdf: pd.DataFrame):
+    """Independent replication of the reference session semantics
+    (30-min gap strict / 1499-event / 12-h strict —
+    SessionizeGroupMapFunction.scala:90-130 as encoded in
+    sessionize_queries._SESSIONIZE_CTE): returns
+    (user_id, start_sec, last_sec) per session."""
+    out = []
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    secs_all = pdf["ts"].astype("int64") // 10**6
+    for uid, idx in pdf.groupby("user_id").groups.items():
+        start = prev = None
+        cnt = 0
+        for s in secs_all.loc[idx].tolist():
+            if start is None:
+                start, prev, cnt = s, s, 1
+            elif (s - prev > 1800) or (cnt + 1 >= 1500) or (s - start > 43200):
+                out.append((uid, start, prev))
+                start, prev, cnt = s, s, 1
+            else:
+                prev, cnt = s, cnt + 1
+        if start is not None:
+            out.append((uid, start, prev))
+    return out
+
+
+# --- staging invariants ------------------------------------------------------
+
+
+def test_staged_names_not_registered_live():
+    # The round-11 window is full: staging must NOT leak into the live
+    # registry until the round-12 promotion.
+    leaked = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
+    assert not leaked, f"staged names registered live behind a full window: {leaked}"
+
+
+def test_every_staged_query_is_oracle_paired():
+    missing = [n for n in S.STAGED_QUERIES if n not in S.STAGED_ORACLES]
+    assert not missing, f"staged queries without oracles: {missing}"
+
+
+def test_staged_plan_lint(spark, sf_small):
+    offenders = {}
+    for name, fn in S.STAGED_QUERIES.items():
+        p = _explain(fn(spark, sf_small))
+        bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"staged plan lint failed: {offenders}"
+
+
+# --- cluster-robust A/B --------------------------------------------------------
+
+
+def _crab_py(pdf: pd.DataFrame) -> dict:
+    per = defaultdict(lambda: [0, 0, 0])  # user -> [nc, sc, d2c]
+    for uid, start, last in _sessions_py(pdf):
+        d = last - start
+        per[uid][0] += 1
+        per[uid][1] += d
+        per[uid][2] += d * d
+    m = Counter()
+    for uid, (nc, sc, d2c) in per.items():
+        g = _h48(str(uid)) % 2
+        m[f"nu{g}"] += 1
+        m[f"n{g}"] += nc
+        m[f"s{g}"] += sc
+        m[f"qn{g}"] += nc * nc
+        m[f"qs{g}"] += sc * sc
+        m[f"x{g}"] += nc * sc
+        m[f"d2{g}"] += d2c
+
+    def vcl(a):
+        mn = 1.0 * m[f"s{a}"] / m[f"n{a}"]
+        return (
+            1.0 * m[f"qs{a}"] - 2.0 * mn * m[f"x{a}"] + mn * mn * m[f"qn{a}"]
+        ) / (1.0 * m[f"n{a}"] * m[f"n{a}"])
+
+    def viid(a):
+        n, s, d2 = m[f"n{a}"], m[f"s{a}"], m[f"d2{a}"]
+        return ((1.0 * n * d2 - 1.0 * s * s) / (1.0 * n * (n - 1))) / (1.0 * n)
+
+    diff = 1.0 * m["s1"] / m["n1"] - 1.0 * m["s0"] / m["n0"]
+    se_cl = math.sqrt(vcl(0) + vcl(1))
+    se_iid = math.sqrt(viid(0) + viid(1))
+    z = _rnd6(diff / se_cl)
+    return {
+        "n_users0": m["nu0"],
+        "n_users1": m["nu1"],
+        "n_sessions0": m["n0"],
+        "n_sessions1": m["n1"],
+        "mean0": _rnd6(1.0 * m["s0"] / m["n0"]),
+        "mean1": _rnd6(1.0 * m["s1"] / m["n1"]),
+        "diff": _rnd6(diff),
+        "se_naive": _rnd6(se_iid),
+        "se_cluster": _rnd6(se_cl),
+        "design_effect": _rnd6((vcl(0) + vcl(1)) / (viid(0) + viid(1))),
+        "z_stat": z,
+        "p_value": _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    }
+
+
+def test_cluster_robust_matches_python(spark, sf_small):
+    exp = _crab_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["cluster_robust_ab_readout"](spark, sf_small).collect()[0]
+    for k in ("n_users0", "n_users1", "n_sessions0", "n_sessions1"):
+        assert row[k] == exp[k], k
+    for k in (
+        "mean0", "mean1", "diff", "se_naive", "se_cluster",
+        "design_effect", "z_stat", "p_value",
+    ):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_cluster_robust_deff_exceeds_one_on_heavy_users(spark, tmp_path):
+    """Constant within-user durations that differ ACROSS users = maximal
+    intra-cluster correlation: the cluster-robust SE must exceed the
+    naive SE (design effect > 1) — the exact failure the query exists to
+    expose."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")
+    for uid in range(1, 13):
+        dur = 60 * uid  # seconds; <= 1800 so each pair is one session
+        for j in range(6):  # 6 sessions per user, 2 h apart
+            t0 = base + pd.Timedelta(hours=2 * j, seconds=uid)
+            rows.append((eid, t0, uid, "view", 1.0, "{}")); eid += 1
+            rows.append((eid, t0 + pd.Timedelta(seconds=dur), uid, "view", 1.0, "{}"))
+            eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    exp = _crab_py(_load_events(sf))
+    row = S.STAGED_QUERIES["cluster_robust_ab_readout"](spark, sf).collect()[0]
+    assert row["design_effect"] is not None and row["design_effect"] > 1.0
+    assert abs(row["design_effect"] - exp["design_effect"]) < 2e-6
+    assert row["se_cluster"] > row["se_naive"]
+
+
+# --- delta-method ratio A/B ----------------------------------------------------
+
+
+def _dmr_py(pdf: pd.DataFrame) -> dict:
+    per = defaultdict(lambda: [0, 0])  # user -> [x purchases, y events]
+    for uid, et in zip(pdf["user_id"], pdf["event_type"]):
+        per[uid][1] += 1
+        if et == "purchase":
+            per[uid][0] += 1
+    m = Counter()
+    for uid, (x, y) in per.items():
+        g = _h48(str(uid)) % 2
+        m[f"nu{g}"] += 1
+        m[f"sx{g}"] += x
+        m[f"sy{g}"] += y
+        m[f"sxx{g}"] += x * x
+        m[f"syy{g}"] += y * y
+        m[f"sxy{g}"] += x * y
+
+    def r(a):
+        return 1.0 * m[f"sx{a}"] / m[f"sy{a}"]
+
+    def v(a):
+        nu, sx, sy = m[f"nu{a}"], m[f"sx{a}"], m[f"sy{a}"]
+        sxx, syy, sxy = m[f"sxx{a}"], m[f"syy{a}"], m[f"sxy{a}"]
+        ra = r(a)
+        return (
+            (
+                (1.0 * nu * sxx - 1.0 * sx * sx)
+                - 2.0 * ra * (1.0 * nu * sxy - 1.0 * sx * sy)
+                + ra * ra * (1.0 * nu * syy - 1.0 * sy * sy)
+            )
+            / (1.0 * nu * (nu - 1))
+        ) / (1.0 * nu * (1.0 * sy / nu) * (1.0 * sy / nu))
+
+    def vb(a):
+        return r(a) * (1 - r(a)) / (1.0 * m[f"sy{a}"])
+
+    diff = r(1) - r(0)
+    se = math.sqrt(v(0) + v(1))
+    z = _rnd6(diff / se)
+    return {
+        "n_users0": m["nu0"], "n_users1": m["nu1"],
+        "events0": m["sy0"], "events1": m["sy1"],
+        "purchases0": m["sx0"], "purchases1": m["sx1"],
+        "rate0": _rnd6(r(0)), "rate1": _rnd6(r(1)),
+        "diff": _rnd6(diff),
+        "se_naive": _rnd6(math.sqrt(vb(0) + vb(1))),
+        "se_delta": _rnd6(se),
+        "design_effect": _rnd6((v(0) + v(1)) / (vb(0) + vb(1))),
+        "z_stat": z,
+        "p_value": _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    }
+
+
+def test_delta_method_matches_python(spark, sf_small):
+    exp = _dmr_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["delta_method_ratio_ab"](spark, sf_small).collect()[0]
+    for k in ("n_users0", "n_users1", "events0", "events1",
+              "purchases0", "purchases1"):
+        assert row[k] == exp[k], k
+    for k in ("rate0", "rate1", "diff", "se_naive", "se_delta",
+              "design_effect", "z_stat", "p_value"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+# --- stratified log-rank -------------------------------------------------------
+
+
+def _slr_py(pdf: pd.DataFrame) -> dict:
+    sess = _sessions_py(pdf)
+    gmx = int(pdf["ts"].astype("int64").max() // 10**6)
+    strata = defaultdict(list)  # st -> [(t, dead, g)]
+    for uid, start, last in sess:
+        t = last - start
+        censored = (gmx - last) <= 1800
+        g = _h48(str(uid)) % 2
+        st = (start // 21600) % 4
+        strata[st].append((t, 0 if censored else 1, g))
+    o1 = e_e9 = v_e9 = ndt = 0
+    for st, obs in strata.items():
+        bytime = defaultdict(lambda: [0, 0, 0, 0])  # t -> [rm, rm1, d, d1]
+        for t, dead, g in obs:
+            bytime[t][0] += 1
+            bytime[t][1] += g
+            bytime[t][2] += dead
+            bytime[t][3] += dead * g
+        nr = len(obs)
+        n1r = sum(g for _, _, g in obs)
+        for t in sorted(bytime):
+            rm, rm1, d, d1 = bytime[t]
+            if d > 0 and nr > 0:
+                ndt += 1
+                o1 += d1
+                e_e9 += _round_away(1000000000 * (1.0 * d * n1r) / nr)
+                if nr > 1:
+                    v_e9 += _round_away(
+                        1000000000 * (1.0 * d * n1r * (nr - n1r) * (nr - d))
+                        / (1.0 * nr * nr * (nr - 1))
+                    )
+            nr -= rm
+            n1r -= rm1
+    if v_e9 <= 0:
+        z = 0.0
+    else:
+        z = _rnd6((1.0 * o1 * 1000000000 - e_e9) / math.sqrt(1.0 * v_e9 * 1e9))
+    return {
+        "n_strata": len(strata),
+        "n_death_times": ndt,
+        "o1": o1,
+        "e1": _rnd6(e_e9 / 1e9),
+        "z_stat": z,
+        "p_normal": _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    }
+
+
+def test_stratified_logrank_matches_python(spark, sf_small):
+    exp = _slr_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["stratified_logrank_survival"](spark, sf_small).collect()[0]
+    assert row["n_strata"] == exp["n_strata"]
+    assert row["n_death_times"] == exp["n_death_times"]
+    assert row["o1"] == exp["o1"]
+    for k in ("e1", "z_stat", "p_normal"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_stratified_logrank_single_stratum_reduces_to_twoarm(spark, tmp_path):
+    """All sessions starting inside ONE 6-hour band = one stratum: the
+    stratified test must reduce exactly to the registered two-arm
+    log-rank on the same corpus (same o1/e1/z)."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")  # hours 0-5 => stratum 0 only
+    for uid in range(1, 21):
+        for j in range(3):
+            t0 = base + pd.Timedelta(minutes=50 * j, seconds=7 * uid)
+            rows.append((eid, t0, uid, "view", 1.0, "{}")); eid += 1
+            rows.append(
+                (eid, t0 + pd.Timedelta(seconds=30 + 11 * uid + 13 * j),
+                 uid, "view", 1.0, "{}")
+            )
+            eid += 1
+    # A late sentinel event pushes batch end far past every session, so
+    # censoring is uniform FALSE (still within stratum 0's day window).
+    rows.append((eid, base + pd.Timedelta(hours=4), 999, "view", 1.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    strat = S.STAGED_QUERIES["stratified_logrank_survival"](spark, sf).collect()[0]
+    assert strat["n_strata"] == 1
+    two = plans.QUERIES["logrank_test_session_survival"](spark, sf).collect()[0]
+    assert strat["o1"] == two["o1"]
+    assert abs(strat["e1"] - two["e1"]) < 1e-9
+    assert abs(strat["z_stat"] - two["z_stat"]) < 1e-9
+
+
+# --- Nelson-Aalen --------------------------------------------------------------
+
+
+def _na_py(pdf: pd.DataFrame) -> list[dict]:
+    sess = _sessions_py(pdf)
+    gmx = int(pdf["ts"].astype("int64").max() // 10**6)
+    bytime = defaultdict(lambda: [0, 0])  # t -> [d, removed]
+    for uid, start, last in sess:
+        t = last - start
+        censored = (gmx - last) <= 1800
+        bytime[t][0] += 0 if censored else 1
+        bytime[t][1] += 1
+    nr = len(sess)
+    cum_e9 = cum_v = 0
+    out = []
+    for t in sorted(bytime):
+        d, rm = bytime[t]
+        if d > 0:
+            cum_e9 += _round_away(1000000000 * (1.0 * d) / nr)
+            cum_v += _round_away(1000000000000 * (1.0 * d) / (1.0 * nr * nr))
+            out.append(
+                {
+                    "t_sec": t,
+                    "n_risk": nr,
+                    "n_events": d,
+                    "cum_hazard": _rnd6(cum_e9 / 1e9),
+                    "se_hazard": _rnd6(math.sqrt(cum_v / 1e12)),
+                    "breslow_survival": _rnd6(math.exp(-(cum_e9 / 1e9))),
+                }
+            )
+        nr -= rm
+    return out
+
+
+def test_nelson_aalen_matches_python(spark, sf_small):
+    exp = _na_py(_load_events(sf_small))
+    rows = sorted(
+        S.STAGED_QUERIES["nelson_aalen_cumhaz"](spark, sf_small).collect(),
+        key=lambda r: r["t_sec"],
+    )
+    assert len(rows) == len(exp)
+    for row, e in zip(rows, exp):
+        assert row["t_sec"] == e["t_sec"]
+        assert row["n_risk"] == e["n_risk"]
+        assert row["n_events"] == e["n_events"]
+        for k in ("cum_hazard", "se_hazard", "breslow_survival"):
+            assert abs(row[k] - e[k]) < 2e-6, (k, row["t_sec"])
+
+
+def test_nelson_aalen_breslow_dominates_km(spark, sf_small):
+    """1 - x <= exp(-x): the Breslow survival exp(-H) must dominate the
+    KM product-limit curve at every shared death time — the classic
+    cross-estimator sanity relation."""
+    na = {
+        r["t_sec"]: r["breslow_survival"]
+        for r in S.STAGED_QUERIES["nelson_aalen_cumhaz"](spark, sf_small).collect()
+    }
+    km = {
+        r["t_sec"]: r["survival"]
+        for r in plans.QUERIES["kaplan_meier_session_survival"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(na) == set(km)
+    assert all(na[t] >= km[t] - 1e-9 for t in na)
+
+
+# --- Jonckheere-Terpstra -------------------------------------------------------
+
+
+def _jt_py(pdf: pd.DataFrame) -> dict:
+    groups = defaultdict(list)
+    secs = pdf["ts"].astype("int64") // 10**6
+    for s, val in zip(secs, pdf["value"]):
+        b = ((int(s) // 3600) % 24) // 6
+        groups[b].append(_round_away(val * 100))
+    bs = sorted(groups)
+    j2 = 0
+    for ii in range(len(bs)):
+        xi = sorted(groups[bs[ii]])
+        for jj in range(ii + 1, len(bs)):
+            for y in groups[bs[jj]]:
+                import bisect
+
+                lt = bisect.bisect_left(xi, y)
+                eq = bisect.bisect_right(xi, y) - lt
+                j2 += 2 * lt + eq
+    n_i = [len(groups[b]) for b in bs]
+    nn = sum(n_i)
+    ties = Counter()
+    for b in bs:
+        for v in groups[b]:
+            ties[v] += 1
+    sum_n2 = sum(n * n for n in n_i)
+    b1 = sum(n * (n - 1) * (2 * n + 5) for n in n_i)
+    b2 = sum(n * (n - 1) * (n - 2) for n in n_i)
+    b3 = sum(n * (n - 1) for n in n_i)
+    t1 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    t2 = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    t3 = sum(t * (t - 1) for t in ties.values())
+    var = (
+        (1.0 * nn * (nn - 1) * (2 * nn + 5) - 1.0 * b1 - 1.0 * t1) / 72.0
+        + (1.0 * b2 * t2) / (36.0 * nn * (nn - 1) * (nn - 2))
+        + (1.0 * b3 * t3) / (8.0 * nn * (nn - 1))
+    )
+    z = _rnd6((2.0 * j2 - (1.0 * nn * nn - 1.0 * sum_n2)) / (4.0 * math.sqrt(var)))
+    poly = _erfc_poly(abs(z) / math.sqrt(2.0))
+    return {
+        "n_events": nn,
+        "n_bands": len(bs),
+        "jt_u2": j2,
+        "z_stat": z,
+        "p_value": _rnd6(poly / 2) if z >= 0 else _rnd6(1 - poly / 2),
+    }
+
+
+def test_jt_matches_python(spark, sf_small):
+    exp = _jt_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["jonckheere_terpstra_daily_trend"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_events"] == exp["n_events"]
+    assert row["n_bands"] == exp["n_bands"]
+    assert row["jt_u2"] == exp["jt_u2"]
+    assert abs(row["z_stat"] - exp["z_stat"]) < 2e-6
+    assert abs(row["p_value"] - exp["p_value"]) < 2e-6
+
+
+def test_jt_perfect_increasing_trend(spark, tmp_path):
+    """Values strictly increasing with band order: 2J must hit its
+    maximum 2 * sum_{i<j} n_i n_j and the one-sided p must be small."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")
+    for b in range(4):
+        for k in range(8):
+            t = base + pd.Timedelta(hours=6 * b + 1, minutes=k)
+            rows.append((eid, t, 1 + eid, "view", float(b + 1), "{}"))
+            eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["jonckheere_terpstra_daily_trend"](spark, sf).collect()[0]
+    n = [8, 8, 8, 8]
+    jmax2 = 2 * sum(n[i] * n[j] for i in range(4) for j in range(i + 1, 4))
+    assert row["jt_u2"] == jmax2
+    assert row["z_stat"] > 0
+    assert row["p_value"] < 0.01
+    assert row == S.STAGED_QUERIES["jonckheere_terpstra_daily_trend"](
+        spark, sf
+    ).collect()[0]  # deterministic
+
+
+# --- energy distance -----------------------------------------------------------
+
+
+def _ed_py(pdf: pd.DataFrame) -> dict:
+    us = pdf["ts"].astype("int64")
+    mid = (int(us.min()) + int(us.max())) // 2
+    early = [
+        _round_away(v * 100) for u, v in zip(us, pdf["value"]) if int(u) < mid
+    ]
+    late = [
+        _round_away(v * 100) for u, v in zip(us, pdf["value"]) if int(u) >= mid
+    ]
+
+    def pairs_within(vals):
+        vals = sorted(vals)
+        s = tot = cnt = 0
+        for i, v in enumerate(vals):
+            s += v * i - tot
+            tot += v
+            cnt += 1
+        return s
+
+    def pairs_cross(a, b):
+        import bisect
+
+        a_sorted = sorted(a)
+        pre = [0]
+        for v in a_sorted:
+            pre.append(pre[-1] + v)
+        total = pre[-1]
+        s = 0
+        for y in b:
+            k = bisect.bisect_left(a_sorted, y)
+            s += y * k - pre[k] + (total - pre[k]) - y * (len(a_sorted) - k)
+        return s
+
+    sxx, syy, sxy = pairs_within(early), pairs_within(late), pairs_cross(early, late)
+    n1, n2 = len(early), len(late)
+    eps = (
+        2.0 * sxy / (1.0 * n1 * n2)
+        - 2.0 * sxx / (1.0 * n1 * n1)
+        - 2.0 * syy / (1.0 * n2 * n2)
+    )
+    return {
+        "n_early": n1,
+        "n_late": n2,
+        "sxx": sxx,
+        "syy": syy,
+        "sxy": sxy,
+        "energy_dist": _rnd6(eps / 10000.0),
+        "t_stat": _rnd6(((1.0 * n1 * n2 / (n1 + n2)) * eps) / 10000.0),
+    }
+
+
+def test_energy_distance_matches_python(spark, sf_small):
+    exp = _ed_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["energy_distance_drift"](spark, sf_small).collect()[0]
+    for k in ("n_early", "n_late", "sxx", "syy", "sxy"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    assert abs(row["energy_dist"] - exp["energy_dist"]) < 2e-6
+    assert abs(row["t_stat"] - exp["t_stat"]) < 2e-6
+
+
+def test_energy_distance_zero_on_identical_halves(spark, tmp_path):
+    """Identical value multisets in the two halves: the energy distance
+    is exactly 0 (it is a metric — zero iff equal distributions)."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")
+    for hour in (0, 48):  # midpoint (hour 24) splits them cleanly
+        for k, v in enumerate((1.0, 2.0, 3.0, 5.0, 8.0) * 4):
+            rows.append(
+                (eid, base + pd.Timedelta(hours=hour, minutes=k), 1 + k,
+                 "view", v, "{}")
+            )
+            eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["energy_distance_drift"](spark, sf).collect()[0]
+    assert row["n_early"] == row["n_late"] == 20
+    assert row["sxx"] == row["syy"]
+    assert row["energy_dist"] == 0.0
+    assert row["t_stat"] == 0.0
