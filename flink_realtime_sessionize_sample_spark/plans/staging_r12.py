@@ -243,9 +243,22 @@ def cluster_robust_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass, no window, no join. Reference provenance: sessions per
     SessionizeGroupMapFunction.scala:90-130 session semantics."""
     arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    # Direct session_end build (NOT _session_obs): the metric needs no
+    # censor flag, and _session_obs's batch-end scalar would add a second
+    # (gmx) corpus scan for a column this query never reads — measured 2
+    # "Scan parquet" via _session_obs, 1 this way.
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _events_sessionized,
+    )
+
     sess = (
-        _session_obs(spark, sf_dir)
-        .select("user_id", F.col("t").alias("dur"))
+        _events_sessionized(spark, sf_dir)
+        .select("session_id", "user_id", F.col("duration").cast("long").alias("d"))
+        .groupBy("session_id")
+        .agg(
+            F.max("user_id").cast("long").alias("user_id"),
+            F.max("d").cast("long").alias("dur"),
+        )
     )
     peruser = (
         sess.groupBy("user_id")
@@ -1176,6 +1189,13 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") * F.col("c1")).cast("long").alias("w1"),
         (F.col("v") * (F.col("c_all") - F.col("c1"))).cast("long").alias("w2"),
     )
+    # Bounded |distinct cent values| frame with FIVE consumers (the
+    # banded rank pass reads its input along three plan branches, plus
+    # tot and the final join): checkpoint so the corpus scan + bounds
+    # cross join run once under every config — measured 10 "Scan
+    # parquet" nodes in the executed plan before, 0 after (the cvm
+    # round-10 review finding, same shape).
+    grouped = grouped.localCheckpoint()
     cdf = with_global_rank(
         grouped,
         ["v"],
