@@ -45,19 +45,23 @@ def _write_tables(tmp_path, **tables) -> str:
 
 
 def test_promoted_names_are_registered_live():
-    # Round-10 promotion invariant (the test_staging_r8 durable form —
-    # the original "must NOT leak while staged" assertion inverted at the
-    # round-10 open): every staged query registers into the live registry
-    # (same function object), every name sits inside the round-10 driver
-    # window (all 22 are this round's new registrations), and the
-    # promotion list in plans/__init__ matches the staged set exactly.
+    # Round-10 promotion invariant, durable form (the test_staging_r8
+    # precedent): every staged query registers into the live registry
+    # (same function object) and — now that CORRECTNESS_r10 went 50/50
+    # green — carries a green external row. The original round-10
+    # assertion that the promotions sit INSIDE the first-50 window was
+    # window-rotation-specific and retired when the round-11 rotation
+    # reclaimed those slots.
     missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
     assert not missing, f"promoted queries missing from the live registry: {missing}"
     same = [n for n in S.STAGED_QUERIES if plans.QUERIES[n] is S.STAGED_QUERIES[n]]
     assert len(same) == len(S.STAGED_QUERIES)
-    window = set(list(plans.QUERIES)[:50])
-    out = [n for n in S.STAGED_QUERIES if n not in window]
-    assert not out, f"promoted queries outside the round-10 window: {out}"
+    ungreen = [
+        n for n in S.STAGED_QUERIES
+        if n not in plans._EXTERNALLY_GREEN_THROUGH_R10
+    ]
+    assert not ungreen, f"promoted queries without a green external row: {ungreen}"
+    assert set(S.STAGED_QUERIES) == set(plans._ROUND10_PROMOTIONS)
     assert set(S.STAGED_QUERIES) == set(plans._ROUND10_PROMOTIONS)
 
 
