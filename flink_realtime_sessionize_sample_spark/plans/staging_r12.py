@@ -567,7 +567,7 @@ _DM_DEFF = (
 )
 
 
-def _dmr_oracle() -> str:
+def _dmr_oracle(where: str = "") -> str:
     arm = T.h48_duck("user_id::VARCHAR")
     poly = _as_erfc_poly()
     return f"""
@@ -576,7 +576,7 @@ WITH peruser AS (
          count(*)::BIGINT AS y,
          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
               AS BIGINT) AS x
-  FROM events GROUP BY user_id
+  FROM events {where} GROUP BY user_id
 ),
 m AS (
   SELECT CAST(sum(1 - g) AS BIGINT) AS nu0, CAST(sum(g) AS BIGINT) AS nu1,
@@ -652,7 +652,6 @@ def delta_method_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass. The delta formula keeps the readout a scalar pipeline
     at any corpus size (the alternative — user-level bootstrap — is a
     1000x scan multiplier)."""
-    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
     peruser = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -662,8 +661,18 @@ def delta_method_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("x"),
         )
-        .select(arm.alias("g"), "x", "y")
     )
+    return _dmr_readout(peruser)
+
+
+def _dmr_readout(peruser: DataFrame) -> DataFrame:
+    """The delta-method scan over a (user_id, x, y) per-user frame —
+    shared verbatim by the batch query and the streaming twin (the
+    ``_ev_readout`` pattern): the arm hash derives HERE from user_id, so
+    late-arriving partials re-arm correctly on every re-scan of the
+    merged frame."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    peruser = peruser.select(arm.alias("g"), "x", "y")
     g = F.col("g")
     m = peruser.agg(
         F.sum(1 - g).cast("long").alias("nu0"),
@@ -1257,4 +1266,578 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN n1 < 1 OR n2 < 1 THEN NULL"
             f" ELSE round({_ED_T} / 10000e0, 6) + 0.0 END"
         ).alias("t_stat"),
+    )
+
+
+@staged(
+    "stream_delta_ratio_guardrail",
+    oracle=_dmr_oracle("WHERE event_id % 2 = 1"),
+)
+def stream_delta_ratio_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-method ratio guardrail computed ON THE INGEST PATH — the
+    9th streaming twin (the ``stream_e_value_monitor`` pattern): the
+    odd-event_id half of the event stream replays as 2 micro-batches;
+    each batch appends its PER-USER partials (event count, purchase
+    count) to a managed table; the readout merges partials by plain
+    per-user summation and runs the IDENTICAL delta-method scan as the
+    batch query. Proof obligation: (x_u, y_u) are mergeable integer sums
+    per user — and the arm hash derives INSIDE the shared readout from
+    user_id, so a user whose events straddle micro-batches lands in one
+    arm with correctly merged totals on every re-scan. Certified end to
+    end by the oracle (the batch delta SQL restricted to the replayed
+    half). This is the guardrail shape a live experiment dashboard
+    needs: per-user partials stream in, the honest clustered SE is
+    recomputed on read.
+
+    Scale shape: per micro-batch one map-side-combined hash aggregate to
+    its |users| rows; the managed table holds batches x users rows; the
+    merge is one user-keyed groupBy and the readout is the batch query's
+    scalar pipeline."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("p"),
+        )
+    )
+
+    def _user_batch(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("y"),
+            F.sum("p").cast("long").alias("x"),
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, user_id long, p int",
+        _user_batch,
+        "delta_user_partials",
+        split_col="event_id",
+        src_prefix="delta_guard_src_",
+    )
+    merged = partials.groupBy("user_id").agg(
+        F.sum("y").cast("long").alias("y"),
+        F.sum("x").cast("long").alias("x"),
+    )
+    return _dmr_readout(merged)
+
+
+# --- Mood's median test --------------------------------------------------------
+
+
+def _mood_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _CHISQ_SUM_E9,
+        _CHISQ_Z,
+    )
+
+    poly = _as_erfc_poly()
+    return f"""
+WITH sg AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, n_chars
+),
+g AS (SELECT v, sum(c)::BIGINT AS cnt FROM sg GROUP BY v),
+tot0 AS (SELECT sum(cnt)::BIGINT AS nn FROM g),
+rk AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM g),
+med AS (
+  -- LOW median: the ceil(N/2)-th order statistic (cum*2 >= N picks the
+  -- N/2-th value on even N, the middle one on odd N) — matches the
+  -- Python reference's vals[(n+1)//2 - 1].
+  SELECT min(v)::BIGINT AS m
+  FROM rk CROSS JOIN tot0 WHERE cum * 2 >= nn
+),
+cell AS (
+  SELECT source,
+         CASE WHEN v > (SELECT m FROM med) THEN 1 ELSE 0 END AS side,
+         sum(c)::BIGINT AS nsl
+  FROM sg GROUP BY 1, 2
+),
+ms AS (SELECT source, sum(nsl)::BIGINT AS ns FROM cell GROUP BY source),
+ml AS (SELECT side, sum(nsl)::BIGINT AS nl FROM cell GROUP BY side),
+dims AS (
+  SELECT (SELECT count(*) FROM ms)::BIGINT AS r,
+         (SELECT count(*) FROM ml)::BIGINT AS c
+),
+grid AS (
+  SELECT ms.ns, ml.nl, coalesce(cell.nsl, 0) AS nsl
+  FROM ms CROSS JOIN ml
+  LEFT JOIN cell ON cell.source = ms.source AND cell.side = ml.side
+),
+chi AS (
+  SELECT {_CHISQ_SUM_E9} AS chi2_e9 FROM grid CROSS JOIN tot0
+),
+st AS (
+  SELECT t.nn AS n_docs, d.r AS n_groups,
+         (SELECT m FROM med) AS grand_median,
+         coalesce((SELECT nl FROM ml WHERE side = 1), 0) AS n_above,
+         CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+         chi.chi2_e9 AS chi2_e9
+  FROM chi CROSS JOIN dims d CROSS JOIN tot0 t
+),
+zz AS (
+  SELECT *, CASE WHEN dof < 1 THEN NULL ELSE ({_CHISQ_Z}) END AS z_stat
+  FROM st
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_docs, n_groups, grand_median, n_above, dof,
+       CASE WHEN dof < 1 OR chi2_e9 < 0 THEN NULL
+            ELSE round(chi2_e9 / 1e9, 6) + 0.0 END AS chi2,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("mood_median_test", oracle=_mood_oracle())
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the k = |sources| document-length
+    groups: compute the GRAND (pooled low) median, classify every
+    document above/at-or-below it, and chi-square the resulting k x 2
+    contingency — the crudest but most outlier-immune member of the
+    k-group location family (Kruskal-Wallis uses full rank information;
+    Mood's only the sign against the pooled median, so a corpus where
+    one source has a pathological tail cannot move any other source's
+    contribution). The classic triage test a mixture dashboard runs
+    FIRST, before the rank machinery.
+
+    Exactness: the pooled median comes from exact integer cumulative
+    counts over the bounded length domain (cum * 2 >= N — the low
+    median, integer-only predicate); the k x 2 cells, margins and
+    totals are exact int64; the statistic REUSES the full-grid
+    chi-square machinery verbatim — ``_CHISQ_SUM_E9`` (the symmetric
+    DECIMAL(38,0) overflow guard) over ``_CHISQ_CELL_E9`` cells and
+    ``_CHISQ_Z`` for Fisher's z — so Mood, chi-square-independence and
+    Cramer's V can never desynchronize; p is the shared erfc polynomial
+    (upper tail). A degenerate side split (every value at or below the
+    median, dof = 0) yields NULL statistics, identically in both
+    engines (the side margin frame is built from PRESENT cells only,
+    shared construction).
+
+    Scale shape: one map-side-combined aggregate to the bounded
+    (source x length) frame (checkpointed — it feeds the value frame
+    and the cell classification); the median rides the banded
+    global-rank cumulative over the |length domain| frame; cells,
+    margins, grid and the statistic are dimension-sized with broadcast
+    scalars."""
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _CHISQ_SUM_E9,
+        _CHISQ_Z,
+    )
+
+    sg = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sg = sg.localCheckpoint()
+    g = sg.groupBy("v").agg(F.sum("c").cast("long").alias("cnt"))
+    tot = g.agg(F.sum("cnt").cast("long").alias("nn"))
+    rk = with_global_rank(g, ["v"], rank_col="_rk", sum_col="cnt", cum_col="cum")
+    med = (
+        rk.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("nn"), F.col("v")))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    cell = (
+        sg.crossJoin(F.broadcast(med))
+        .select(
+            "source",
+            F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("side"),
+            "c",
+        )
+        .groupBy("source", "side")
+        .agg(F.sum("c").cast("long").alias("nsl"))
+    )
+    cell = cell.localCheckpoint()  # bounded k x 2; feeds ms/ml/grid
+    ms = cell.groupBy("source").agg(F.sum("nsl").cast("long").alias("ns"))
+    ml = cell.groupBy("side").agg(F.sum("nsl").cast("long").alias("nl"))
+    dims = ms.agg(F.count(F.lit(1)).cast("long").alias("r")).crossJoin(
+        ml.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        ms.crossJoin(F.broadcast(ml))
+        .join(cell, ["source", "side"], "left")
+        .select("ns", "nl", F.coalesce(F.col("nsl"), F.lit(0)).alias("nsl"))
+    )
+    chi = grid.crossJoin(F.broadcast(tot)).agg(
+        F.expr(_CHISQ_SUM_E9).alias("chi2_e9")
+    )
+    above = ml.filter(F.col("side") == 1).agg(
+        F.coalesce(F.sum("nl"), F.lit(0)).cast("long").alias("n_above")
+    )
+    st = (
+        chi.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(above))
+        .select(
+            F.col("nn").alias("n_docs"),
+            F.col("r").alias("n_groups"),
+            F.col("m").alias("grand_median"),
+            "n_above",
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+            "chi2_e9",
+        )
+    )
+    zz = st.withColumn(
+        "z_stat",
+        F.expr(f"CASE WHEN dof < 1 THEN NULL ELSE ({_CHISQ_Z}) END"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        "n_docs",
+        "n_groups",
+        "grand_median",
+        "n_above",
+        "dof",
+        F.expr(
+            "CASE WHEN dof < 1 OR chi2_e9 < 0 THEN NULL"
+            " ELSE round(chi2_e9 / 1e9, 6) + 0.0 END"
+        ).alias("chi2"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+# --- restricted mean survival time (RMST) difference ---------------------------
+
+# RMST(tau) = integral of the KM step curve on [0, tau]: the initial
+# all-alive segment [0, min(first death, tau)) at S = 1 plus, per death
+# time t_k < tau, S(t_k) * (min(next death, tau) - t_k). Each segment
+# area e6-quantizes through shared text (S = exp of the exact e6 log-KM
+# integer — the _KM_FACTOR_E6 chain — times the exact integer width), so
+# the per-arm area sum is exact and order-independent. Variance per
+# Klein & Moeschberger / Royston-Parmar: sum over deaths of
+# A_k^2 * d_k / (n_k (n_k - d_k)) with A_k the SUFFIX area from t_k to
+# tau — an exact suffix window sum of the same quantized segments; a
+# risk-set-exhausting death contributes 0 (its suffix area is 0 anyway).
+_RMST_TAU = 1800  # seconds — the session-gap scale, a meaningful horizon
+_RMST_S = "(CASE WHEN zcum > 0 THEN 0e0 ELSE exp(cum_e6 / 1e6) END)"
+_RMST_TERM_E6 = f"CAST(round(1000000 * {_RMST_S} * dt) AS BIGINT)"
+_RMST_VTERM_E6 = (
+    "CASE WHEN n_risk <= d THEN 0"
+    " ELSE CAST(round(1000000 * (a_e6 / 1e6) * (a_e6 / 1e6)"
+    " * (1e0 * d) / (1e0 * n_risk * (n_risk - d))) AS BIGINT) END"
+)
+_RMST_GUARD = "r0_e6 IS NULL OR r1_e6 IS NULL OR (1e0 * v0_e6 + 1e0 * v1_e6) <= 0"
+_RMST_Z = (
+    f"CASE WHEN {_RMST_GUARD} THEN NULL"
+    " ELSE round(((1e0 * r1_e6 - 1e0 * r0_e6) / 1e6)"
+    " / sqrt((1e0 * v0_e6 + 1e0 * v1_e6) / 1e6), 6) + 0.0 END"
+)
+
+
+def _rmst_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
+        _KM_FACTOR_E6,
+    )
+
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    tau = _RMST_TAU
+    return (
+        _sessionize_cte()
+        + f""",
+sess_end AS (
+  SELECT user_id, start_us,
+         max(sec - start_sec)::BIGINT AS dur,
+         max(sec)::BIGINT AS last_sec
+  FROM sess GROUP BY user_id, start_us
+),
+gmx AS (SELECT max(sec)::BIGINT AS mx FROM ev),
+obs AS (
+  SELECT dur AS t, (mx - last_sec) <= 1800 AS censored,
+         {arm} % 2 AS g
+  FROM sess_end CROSS JOIN gmx
+),
+bytime AS (
+  SELECT g, t, count(*)::BIGINT AS removed,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d
+  FROM obs GROUP BY g, t
+),
+tot AS (SELECT g, sum(removed)::BIGINT AS n_all FROM bytime GROUP BY g),
+risk AS (
+  SELECT b.g, b.t, b.d,
+         CAST(tot.n_all - coalesce(sum(b.removed) OVER w, 0) AS BIGINT)
+           AS n_risk
+  FROM bytime b JOIN tot ON tot.g = b.g
+  WINDOW w AS (PARTITION BY b.g ORDER BY b.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+death AS (
+  SELECT g, t, n_risk, d, {_KM_FACTOR_E6} AS f_e6,
+         CASE WHEN n_risk <= d THEN 1 ELSE 0 END AS zflag
+  FROM risk WHERE d > 0
+),
+cum AS (
+  SELECT g, t, n_risk, d,
+         CAST(sum(f_e6) OVER wc AS BIGINT) AS cum_e6,
+         CAST(sum(zflag) OVER wc AS BIGINT) AS zcum,
+         lead(t) OVER (PARTITION BY g ORDER BY t) AS next_t
+  FROM death
+  WINDOW wc AS (PARTITION BY g ORDER BY t ROWS UNBOUNDED PRECEDING)
+),
+iv AS (
+  SELECT *, least(coalesce(next_t, {tau}), {tau}) - t AS dt
+  FROM cum WHERE t < {tau}
+),
+terms AS (
+  SELECT g, t, n_risk, d, {_RMST_TERM_E6} AS term_e6 FROM iv
+),
+suff AS (
+  SELECT g, t, n_risk, d, term_e6,
+         CAST(sum(term_e6) OVER (PARTITION BY g ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS a_e6
+  FROM terms
+),
+tagg AS (
+  SELECT g, CAST(sum(term_e6) AS BIGINT) AS area_e6,
+         CAST(sum({_RMST_VTERM_E6}) AS BIGINT) AS varr_e6
+  FROM suff GROUP BY g
+),
+dper AS (SELECT g, min(t)::BIGINT AS t_first FROM death GROUP BY g),
+per AS (
+  SELECT tot.g, tot.n_all,
+         least(coalesce(dper.t_first, {tau}), {tau}) * 1000000
+           + coalesce(tagg.area_e6, 0) AS rmst_e6,
+         coalesce(tagg.varr_e6, 0) AS var_e6
+  FROM tot LEFT JOIN dper ON dper.g = tot.g LEFT JOIN tagg ON tagg.g = tot.g
+),
+piv AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN n_all END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN g = 1 THEN n_all END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g = 0 THEN rmst_e6 END) AS BIGINT) AS r0_e6,
+         CAST(sum(CASE WHEN g = 1 THEN rmst_e6 END) AS BIGINT) AS r1_e6,
+         CAST(sum(CASE WHEN g = 0 THEN var_e6 END) AS BIGINT) AS v0_e6,
+         CAST(sum(CASE WHEN g = 1 THEN var_e6 END) AS BIGINT) AS v1_e6
+  FROM per
+),
+zz AS (
+  SELECT n0 AS n_sessions0, n1 AS n_sessions1,
+         CASE WHEN r0_e6 IS NULL THEN NULL
+              ELSE round(r0_e6 / 1e6, 6) + 0.0 END AS rmst0,
+         CASE WHEN r1_e6 IS NULL THEN NULL
+              ELSE round(r1_e6 / 1e6, 6) + 0.0 END AS rmst1,
+         CASE WHEN r0_e6 IS NULL OR r1_e6 IS NULL THEN NULL
+              ELSE round((1e0 * r1_e6 - 1e0 * r0_e6) / 1e6, 6) + 0.0
+         END AS rmst_diff,
+         CASE WHEN {_RMST_GUARD} THEN NULL
+              ELSE round(sqrt((1e0 * v0_e6 + 1e0 * v1_e6) / 1e6), 6) + 0.0
+         END AS se_diff,
+         {_RMST_Z} AS z_stat
+  FROM piv
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_sessions0, n_sessions1, rmst0, rmst1, rmst_diff, se_diff, z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round({poly}, 6) + 0.0 END AS p_value
+FROM xt
+"""
+    )
+
+
+@staged("rmst_survival_difference", oracle=_rmst_oracle())
+def rmst_survival_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted-mean-survival-time difference at tau = 30 min between
+    the two user hash-arms, under the reference's session semantics —
+    the survival family's EFFECT SIZE in time units: the log-rank pair
+    answers "are the curves different", KM/NA answer "what is the
+    curve", and RMST(tau) = integral of S on [0, tau] answers "how many
+    seconds of session lifetime does an arm gain per session within the
+    first tau" — the estimand modern clinical/AB practice reports when
+    proportional hazards is dubious (Royston & Parmar 2013), with a
+    closed-form SE (Klein & Moeschberger §4.5's area-weighted Greenwood
+    sum), so the readout ships rmst per arm, the difference, its SE,
+    and z/p — no hazard-proportionality assumption anywhere.
+
+    Exactness: the KM log-survival chain reuses ``_KM_FACTOR_E6``
+    (imported, not copied); each step-curve segment area e6-quantizes
+    through shared text (exp over the exact cumulative integer times
+    the exact integer width, capped at tau); the suffix areas A_k for
+    the variance are exact integer suffix-window sums of those same
+    segments; z/SE/p are single shared double expressions over the six
+    pivoted per-arm integers. An arm with no deaths before tau gets
+    RMST = tau exactly (the all-alive segment); a missing arm or a zero
+    variance sum guards to NULL.
+
+    Scale shape: sessionize is the established one-shuffle pass; one
+    aggregate to the (arm x duration) frame — bounded by 2 x 43201 by
+    the 12-h cap — which is checkpointed and feeds per-arm totals and
+    all four PARTITIONED windows (risk, cumulative, lead, suffix area);
+    the pivot and readout are scalar."""
+    from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
+        _KM_FACTOR_E6,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    tau = _RMST_TAU
+    obs = _session_obs(spark, sf_dir).select(
+        arm.alias("g"), "t", "censored"
+    )
+    bytime = obs.groupBy("g", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("removed"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),
+    )
+    bytime = bytime.localCheckpoint()  # bounded 2 x 43201
+    tot = bytime.groupBy("g").agg(F.sum("removed").cast("long").alias("n_all"))
+    w_before = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = bytime.join(F.broadcast(tot), "g").select(
+        "g",
+        "t",
+        "d",
+        (F.col("n_all") - F.coalesce(F.sum("removed").over(w_before), F.lit(0)))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    death = risk.filter(F.col("d") > 0).select(
+        "g",
+        "t",
+        "n_risk",
+        "d",
+        F.expr(_KM_FACTOR_E6).alias("f_e6"),
+        F.expr("CASE WHEN n_risk <= d THEN 1 ELSE 0 END").alias("zflag"),
+    )
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("g").orderBy("t")
+    cum = death.select(
+        "g",
+        "t",
+        "n_risk",
+        "d",
+        F.sum("f_e6").over(w_cum).cast("long").alias("cum_e6"),
+        F.sum("zflag").over(w_cum).cast("long").alias("zcum"),
+        F.lead("t").over(w_lead).alias("next_t"),
+    )
+    iv = cum.filter(F.col("t") < tau).withColumn(
+        "dt",
+        F.expr(f"least(coalesce(next_t, {tau}), {tau}) - t"),
+    )
+    terms = iv.select(
+        "g", "t", "n_risk", "d", F.expr(_RMST_TERM_E6).alias("term_e6")
+    )
+    w_suff = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    suff = terms.select(
+        "g",
+        "t",
+        "n_risk",
+        "d",
+        "term_e6",
+        F.sum("term_e6").over(w_suff).cast("long").alias("a_e6"),
+    )
+    tagg = suff.groupBy("g").agg(
+        F.sum("term_e6").cast("long").alias("area_e6"),
+        F.sum(F.expr(_RMST_VTERM_E6)).cast("long").alias("varr_e6"),
+    )
+    dper = death.groupBy("g").agg(F.min("t").cast("long").alias("t_first"))
+    per = (
+        tot.join(dper, "g", "left")
+        .join(tagg, "g", "left")
+        .select(
+            "g",
+            "n_all",
+            (
+                F.expr(f"least(coalesce(t_first, {tau}), {tau}) * 1000000")
+                + F.coalesce(F.col("area_e6"), F.lit(0))
+            ).cast("long").alias("rmst_e6"),
+            F.coalesce(F.col("varr_e6"), F.lit(0)).cast("long").alias("var_e6"),
+        )
+    )
+    g = F.col("g")
+    piv = per.agg(
+        F.sum(F.when(g == 0, F.col("n_all"))).cast("long").alias("n0"),
+        F.sum(F.when(g == 1, F.col("n_all"))).cast("long").alias("n1"),
+        F.sum(F.when(g == 0, F.col("rmst_e6"))).cast("long").alias("r0_e6"),
+        F.sum(F.when(g == 1, F.col("rmst_e6"))).cast("long").alias("r1_e6"),
+        F.sum(F.when(g == 0, F.col("var_e6"))).cast("long").alias("v0_e6"),
+        F.sum(F.when(g == 1, F.col("var_e6"))).cast("long").alias("v1_e6"),
+    )
+    zz = piv.select(
+        F.col("n0").alias("n_sessions0"),
+        F.col("n1").alias("n_sessions1"),
+        F.expr(
+            "CASE WHEN r0_e6 IS NULL THEN NULL"
+            " ELSE round(r0_e6 / 1e6, 6) + 0.0 END"
+        ).alias("rmst0"),
+        F.expr(
+            "CASE WHEN r1_e6 IS NULL THEN NULL"
+            " ELSE round(r1_e6 / 1e6, 6) + 0.0 END"
+        ).alias("rmst1"),
+        F.expr(
+            "CASE WHEN r0_e6 IS NULL OR r1_e6 IS NULL THEN NULL"
+            " ELSE round((1e0 * r1_e6 - 1e0 * r0_e6) / 1e6, 6) + 0.0 END"
+        ).alias("rmst_diff"),
+        F.expr(
+            f"CASE WHEN {_RMST_GUARD} THEN NULL"
+            " ELSE round(sqrt((1e0 * v0_e6 + 1e0 * v1_e6) / 1e6), 6) + 0.0 END"
+        ).alias("se_diff"),
+        F.expr(_RMST_Z).alias("z_stat"),
+        F.col("r0_e6"),
+        F.col("r1_e6"),
+        F.col("v0_e6"),
+        F.col("v1_e6"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        "n_sessions0",
+        "n_sessions1",
+        "rmst0",
+        "rmst1",
+        "rmst_diff",
+        "se_diff",
+        "z_stat",
+        F.when(
+            F.col("z_stat").isNotNull(),
+            F.round(F.expr(poly), 6) + F.lit(0.0),
+        ).alias("p_value"),
     )

@@ -110,11 +110,27 @@ def test_every_staged_query_is_oracle_paired():
 def test_staged_plan_lint(spark, sf_small):
     offenders = {}
     for name, fn in S.STAGED_QUERIES.items():
+        if name.startswith("stream_"):
+            continue  # executes a replay on construction; readout linted below
         p = _explain(fn(spark, sf_small))
         bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
         if bad:
             offenders[name] = bad
     assert not offenders, f"staged plan lint failed: {offenders}"
+
+
+def test_stream_twin_readout_plan_lint(spark):
+    # The ADVICE r10 #4 rule applied from birth: the streaming twin's
+    # shared readout lints directly over a static (user_id, x, y) frame.
+    df = S._dmr_readout(
+        spark.createDataFrame(
+            [(u, 2 + u % 5, 20 + u % 7) for u in range(40)],
+            "user_id long, x long, y long",
+        )
+    )
+    p = _explain(df)
+    bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+    assert not bad, f"_dmr_readout lint failed: {bad}"
 
 
 # --- cluster-robust A/B --------------------------------------------------------
@@ -586,3 +602,205 @@ def test_energy_distance_zero_on_identical_halves(spark, tmp_path):
     assert row["sxx"] == row["syy"]
     assert row["energy_dist"] == 0.0
     assert row["t_stat"] == 0.0
+
+
+# --- streaming delta twin ------------------------------------------------------
+
+
+def test_stream_delta_matches_batch_python_on_half(spark, sf_small):
+    """The twin's contract: per-user partials merged across micro-batches
+    must reproduce the batch delta readout on the replayed (odd
+    event_id) half exactly — pinned against the Python reference on the
+    filtered corpus, not against the Spark batch query."""
+    pdf = _load_events(sf_small)
+    exp = _dmr_py(pdf[pdf["event_id"] % 2 == 1])
+    row = S.STAGED_QUERIES["stream_delta_ratio_guardrail"](
+        spark, sf_small
+    ).collect()[0]
+    for k in ("n_users0", "n_users1", "events0", "events1",
+              "purchases0", "purchases1"):
+        assert row[k] == exp[k], k
+    for k in ("rate0", "rate1", "diff", "se_naive", "se_delta",
+              "design_effect", "z_stat", "p_value"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+# --- Mood's median test --------------------------------------------------------
+
+
+def _mood_py(pdf) -> dict:
+    vals = sorted(pdf["n_chars"].astype(int).tolist())
+    n = len(vals)
+    m = vals[(n + 1) // 2 - 1]  # low median: min v with 2*cum >= n+1
+    cells = Counter()
+    for src, v in zip(pdf["source"], pdf["n_chars"]):
+        cells[(src, 1 if int(v) > m else 0)] += 1
+    ns = Counter()
+    nl = Counter()
+    for (src, side), c in cells.items():
+        ns[src] += c
+        nl[side] += c
+    chi2_e9 = 0
+    for src in ns:
+        for side in nl:
+            nsl = cells.get((src, side), 0)
+            a = 1e0 * nsl * n - 1e0 * ns[src] * nl[side]
+            chi2_e9 += _round_away(
+                1000000000 * a * a / (1e0 * ns[src] * nl[side] * n)
+            )
+    dof = (len(ns) - 1) * (len(nl) - 1)
+    if dof < 1:
+        z = None
+    else:
+        z = _rnd6(math.sqrt(2 * (chi2_e9 / 1e9)) - math.sqrt(2.0 * dof - 1))
+    out = {
+        "n_docs": n,
+        "n_groups": len(ns),
+        "grand_median": m,
+        "n_above": nl.get(1, 0),
+        "dof": dof,
+        "chi2": None if dof < 1 else _rnd6(chi2_e9 / 1e9),
+        "z_stat": z,
+    }
+    if z is None:
+        out["p_value"] = None
+    else:
+        poly = _erfc_poly(abs(z) / math.sqrt(2.0))
+        out["p_value"] = _rnd6(poly / 2) if z >= 0 else _rnd6(1 - poly / 2)
+    return out
+
+
+def test_mood_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/documents.parquet")
+    exp = _mood_py(pdf)
+    row = S.STAGED_QUERIES["mood_median_test"](spark, sf_small).collect()[0]
+    for k in ("n_docs", "n_groups", "grand_median", "n_above", "dof"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    for k in ("chi2", "z_stat", "p_value"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_mood_separated_groups(spark, tmp_path):
+    """Two sources with fully separated length distributions: every
+    src_a doc below the pooled median, every src_b doc above — the
+    2x2 table is diagonal and chi2 approaches n."""
+    rows = []
+    for i in range(40):
+        rows.append((i, "t", "en", "src_a", 100 + (i % 5)))
+    for i in range(40, 80):
+        rows.append((i, "t", "en", "src_b", 900 + (i % 5)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    sf = _write_tables(tmp_path, documents=pdf)
+    row = S.STAGED_QUERIES["mood_median_test"](spark, sf).collect()[0]
+    exp = _mood_py(pdf)
+    assert row["grand_median"] == exp["grand_median"]
+    assert row["n_above"] == 40
+    assert row["chi2"] == exp["chi2"] and row["chi2"] > 70
+    assert row["p_value"] < 1e-6
+
+
+# --- RMST ----------------------------------------------------------------------
+
+_TAU = 1800
+
+
+def _rmst_py(pdf) -> dict:
+    sess = _sessions_py(pdf)
+    gmx = int(pdf["ts"].astype("int64").max() // 10**6)
+    arms = defaultdict(list)
+    for uid, start, last in sess:
+        t = last - start
+        censored = (gmx - last) <= 1800
+        arms[_h48(str(uid)) % 2].append((t, 0 if censored else 1))
+    out = {}
+    for g in (0, 1):
+        obs = arms.get(g)
+        if not obs:
+            out[g] = None
+            continue
+        bytime = defaultdict(lambda: [0, 0])
+        for t, dead in obs:
+            bytime[t][0] += 1
+            bytime[t][1] += dead
+        nr = len(obs)
+        deaths = []
+        cum_e6 = zcum = 0
+        for t in sorted(bytime):
+            rm, d = bytime[t]
+            if d > 0:
+                if nr <= d:
+                    zcum += 1
+                else:
+                    cum_e6 += _round_away(
+                        1000000 * math.log((1e0 * (nr - d)) / nr)
+                    )
+                deaths.append((t, nr, d, cum_e6, zcum))
+            nr -= rm
+        terms = []
+        for i, (t, n_risk, d, ce6, zc) in enumerate(deaths):
+            if t >= _TAU:
+                continue
+            nxt = deaths[i + 1][0] if i + 1 < len(deaths) else _TAU
+            dt = min(nxt, _TAU) - t
+            s = 0.0 if zc > 0 else math.exp(ce6 / 1e6)
+            terms.append((t, n_risk, d, _round_away(1000000 * s * dt)))
+        area = sum(te for _, _, _, te in terms)
+        var_e6 = 0
+        for i, (t, n_risk, d, te) in enumerate(terms):
+            a_e6 = sum(te2 for _, _, _, te2 in terms[i:])
+            if n_risk > d:
+                var_e6 += _round_away(
+                    1000000 * (a_e6 / 1e6) * (a_e6 / 1e6)
+                    * (1e0 * d) / (1e0 * n_risk * (n_risk - d))
+                )
+        t_first = deaths[0][0] if deaths else _TAU
+        rmst_e6 = min(t_first, _TAU) * 1000000 + area
+        out[g] = (len(obs), rmst_e6, var_e6)
+    res = {
+        "n_sessions0": out[0][0] if out.get(0) else None,
+        "n_sessions1": out[1][0] if out.get(1) else None,
+    }
+    if out.get(0) and out.get(1):
+        r0, v0 = out[0][1], out[0][2]
+        r1, v1 = out[1][1], out[1][2]
+        res["rmst0"] = _rnd6(r0 / 1e6)
+        res["rmst1"] = _rnd6(r1 / 1e6)
+        res["rmst_diff"] = _rnd6((1e0 * r1 - 1e0 * r0) / 1e6)
+        if (1e0 * v0 + 1e0 * v1) <= 0:
+            res["se_diff"] = None
+            res["z_stat"] = None
+            res["p_value"] = None
+        else:
+            res["se_diff"] = _rnd6(math.sqrt((1e0 * v0 + 1e0 * v1) / 1e6))
+            z = _rnd6(((1e0 * r1 - 1e0 * r0) / 1e6)
+                      / math.sqrt((1e0 * v0 + 1e0 * v1) / 1e6))
+            res["z_stat"] = z
+            res["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return res
+
+
+def test_rmst_matches_python(spark, sf_small):
+    exp = _rmst_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["rmst_survival_difference"](spark, sf_small).collect()[0]
+    assert row["n_sessions0"] == exp["n_sessions0"]
+    assert row["n_sessions1"] == exp["n_sessions1"]
+    for k in ("rmst0", "rmst1", "rmst_diff", "se_diff", "z_stat", "p_value"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_rmst_all_censored_gives_tau(spark, tmp_path):
+    """No deaths anywhere (every session still open at batch end): the
+    KM curve is flat 1 to tau in both arms, so RMST = tau exactly and
+    the variance-guarded z is NULL."""
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for uid in range(1, 11):
+        rows.append((uid, base + pd.Timedelta(seconds=uid), uid, "view", 1.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["rmst_survival_difference"](spark, sf).collect()[0]
+    assert row["rmst0"] == float(_TAU)
+    assert row["rmst1"] == float(_TAU)
+    assert row["rmst_diff"] == 0.0
+    assert row["z_stat"] is None and row["p_value"] is None
