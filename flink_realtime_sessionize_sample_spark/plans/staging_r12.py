@@ -1841,3 +1841,398 @@ def rmst_survival_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(poly), 6) + F.lit(0.0),
         ).alias("p_value"),
     )
+
+
+# --- Brunner-Munzel robust rank test -------------------------------------------
+
+# Brunner & Munzel (2000): the Behrens-Fisher RANK problem. Per
+# (group, value) cell every observation shares the same deviation
+#   dev = R_pool - R_within - rbar_i + (n_i + 1)/2
+#       = (D2 * n_i - T2_i + n_i * (n_i + 1)) / (2 n_i)
+# with D2 = doubled-pooled minus doubled-within midrank (exact int),
+# T2_i = sum of c * doubled-pooled midranks in group i (exact int). The
+# variance contribution c * dev^2 rounds to INTEGER rank^2 units per
+# cell through shared text (the statistic is O(1) while dev^2 ~ N^2, so
+# the <= 0.5-per-cell quantization sits ~1e-14 relative — far below the
+# 6dp output round; e6 scaling would overflow int64 at sf0.1 instead).
+_BM_E = "(1e0 * d2 * ni - 1e0 * t2i + 1e0 * ni * (ni + 1))"
+_BM_TERM = (
+    f"CAST(round((1e0 * c) * {_BM_E} * {_BM_E}"
+    " / (4e0 * ni * ni)) AS BIGINT)"
+)
+_BM_V = "(1e0 * s{a} / (n{a} - 1))"
+
+
+def _bm(text: str, a: str) -> str:
+    return text.replace("{a}", a)
+
+
+_BM_DEN = f"sqrt(1e0 * n0 * {_bm(_BM_V, '0')} + 1e0 * n1 * {_bm(_BM_V, '1')})"
+_BM_GUARD = f"n0 < 2 OR n1 < 2 OR ({_BM_DEN}) <= 0"
+_BM_W = (
+    f"CASE WHEN {_BM_GUARD} THEN NULL"
+    f" ELSE round((1e0 * n0 * n1 * (1e0 * t21 / (2e0 * n1) - 1e0 * t20 / (2e0 * n0)))"
+    f" / ((n0 + n1) * ({_BM_DEN})), 6) + 0.0 END"
+)
+_BM_DF = (
+    f"CASE WHEN {_BM_GUARD} THEN NULL"
+    f" ELSE round((1e0 * n0 * {_bm(_BM_V, '0')} + 1e0 * n1 * {_bm(_BM_V, '1')})"
+    f" * (1e0 * n0 * {_bm(_BM_V, '0')} + 1e0 * n1 * {_bm(_BM_V, '1')})"
+    f" / ((1e0 * n0 * {_bm(_BM_V, '0')}) * (1e0 * n0 * {_bm(_BM_V, '0')}) / (n0 - 1)"
+    f"  + (1e0 * n1 * {_bm(_BM_V, '1')}) * (1e0 * n1 * {_bm(_BM_V, '1')}) / (n1 - 1)), 6)"
+    " + 0.0 END"
+)
+_BM_PHAT = (
+    "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+    " ELSE round((1e0 * t21 / (2e0 * n1) - (n1 + 1) / 2e0) / n0, 6) + 0.0 END"
+)
+
+
+def _bm_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH sg AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+         n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+p AS (SELECT v, sum(c)::BIGINT AS cnt FROM sg GROUP BY v),
+rk AS (
+  SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM p
+),
+a2 AS (SELECT v, 2 * (cum - cnt) + cnt + 1 AS r2p FROM rk),
+wn AS (
+  SELECT g, v, c,
+         2 * (CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - c)
+           + c + 1 AS r2w
+  FROM sg
+),
+gt AS (
+  SELECT wn.g, sum(wn.c)::BIGINT AS ni,
+         CAST(sum(wn.c * a2.r2p) AS BIGINT) AS t2i
+  FROM wn JOIN a2 ON a2.v = wn.v GROUP BY wn.g
+),
+cells AS (
+  SELECT wn.g, wn.c, a2.r2p - wn.r2w AS d2, gt.ni, gt.t2i
+  FROM wn JOIN a2 ON a2.v = wn.v JOIN gt ON gt.g = wn.g
+),
+sums AS (
+  SELECT g, max(ni)::BIGINT AS ni, max(t2i)::BIGINT AS t2i,
+         CAST(sum({_BM_TERM}) AS BIGINT) AS s
+  FROM cells GROUP BY g
+),
+piv AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN ni END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN g = 1 THEN ni END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g = 0 THEN t2i END) AS BIGINT) AS t20,
+         CAST(sum(CASE WHEN g = 1 THEN t2i END) AS BIGINT) AS t21,
+         CAST(sum(CASE WHEN g = 0 THEN s END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN g = 1 THEN s END) AS BIGINT) AS s1
+  FROM sums
+),
+zz AS (
+  SELECT n0 AS n_rest, n1 AS n_en, {_BM_PHAT} AS p_hat,
+         {_BM_W} AS w_stat, {_BM_DF} AS df_welch
+  FROM piv
+),
+xt AS (
+  SELECT *, abs(w_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(w_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_rest, n_en, p_hat, w_stat, df_welch,
+       CASE WHEN w_stat IS NULL THEN NULL
+            ELSE round({poly}, 6) + 0.0 END AS p_normal
+FROM xt
+"""
+
+
+@staged("brunner_munzel_en_vs_rest", oracle=_bm_oracle())
+def brunner_munzel_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test of stochastic equality between English and
+    non-English document lengths — the Behrens-Fisher completion of the
+    rank family: the registered ``mann_whitney_en_tokens`` assumes the
+    two shapes differ only by shift (its variance is pooled), which is
+    exactly wrong when one language family has heavier length tails; BM
+    (Brunner & Munzel 2000, the modern recommended default over MW —
+    e.g. lawstat) estimates the relative effect p = P(X < Y) + P(X = Y)/2
+    directly and studentizes with SEPARATE within-group rank variances
+    (the rank Welch), so unequal spreads cannot masquerade as location
+    shifts. Ships the relative effect, the studentized statistic, the
+    Welch-Satterthwaite df, and the normal-approximation p (at corpus n
+    the t(df) and normal tails agree far beyond 6dp; documented, not
+    smuggled).
+
+    Exactness: doubled pooled and within-group midranks keep ties
+    int64-exact (the MW/KW device); per-cell deviations collapse to the
+    shared integer core (D2*n_i − T2_i + n_i(n_i+1))/(2n_i) — every
+    observation in a (group, value) cell shares one deviation — and the
+    variance contribution rounds to integer rank² units per cell
+    through shared text before the exact sum (e6 scaling would overflow
+    int64 at sf0.1; the ≤0.5-per-cell error is ~1e-14 relative on an
+    O(N²) sum). Effect, statistic, df are single shared double
+    expressions over the six pivoted integers; degenerate groups guard
+    to NULL.
+
+    Scale shape: one map-side-combined aggregate to the bounded
+    (group × length domain) frame (checkpointed); pooled midranks ride
+    the banded global-rank pass, within-group midranks a PARTITIONED
+    window over the same bounded frame; everything after is
+    dimension-sized with a 2-row pivot."""
+    sg = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
+            F.col("n_chars").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sg = sg.localCheckpoint()
+    p = sg.groupBy("v").agg(F.sum("c").cast("long").alias("cnt"))
+    rk = with_global_rank(p, ["v"], rank_col="_rk", sum_col="cnt", cum_col="cum")
+    a2 = rk.select(
+        "v", (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias("r2p")
+    )
+    w_in = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = sg.select(
+        "g",
+        "v",
+        "c",
+        (2 * (F.sum("c").over(w_in) - F.col("c")) + F.col("c") + 1)
+        .cast("long")
+        .alias("r2w"),
+    )
+    gt = (
+        wn.join(a2, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("ni"),
+            F.sum(F.col("c") * F.col("r2p")).cast("long").alias("t2i"),
+        )
+    )
+    cells = (
+        wn.join(a2, "v")
+        .join(F.broadcast(gt), "g")
+        .select(
+            "g",
+            "c",
+            (F.col("r2p") - F.col("r2w")).cast("long").alias("d2"),
+            "ni",
+            "t2i",
+        )
+    )
+    sums = cells.groupBy("g").agg(
+        F.max("ni").cast("long").alias("ni"),
+        F.max("t2i").cast("long").alias("t2i"),
+        F.sum(F.expr(_BM_TERM)).cast("long").alias("s"),
+    )
+    g = F.col("g")
+    piv = sums.agg(
+        F.sum(F.when(g == 0, F.col("ni"))).cast("long").alias("n0"),
+        F.sum(F.when(g == 1, F.col("ni"))).cast("long").alias("n1"),
+        F.sum(F.when(g == 0, F.col("t2i"))).cast("long").alias("t20"),
+        F.sum(F.when(g == 1, F.col("t2i"))).cast("long").alias("t21"),
+        F.sum(F.when(g == 0, F.col("s"))).cast("long").alias("s0"),
+        F.sum(F.when(g == 1, F.col("s"))).cast("long").alias("s1"),
+    )
+    zz = piv.select(
+        F.col("n0").alias("n_rest"),
+        F.col("n1").alias("n_en"),
+        F.expr(_BM_PHAT).alias("p_hat"),
+        F.expr(_BM_W).alias("w_stat"),
+        F.expr(_BM_DF).alias("df_welch"),
+        "n0",
+        "n1",
+        "t20",
+        "t21",
+        "s0",
+        "s1",
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("w_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("w_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        "n_rest",
+        "n_en",
+        "p_hat",
+        "w_stat",
+        "df_welch",
+        F.when(
+            F.col("w_stat").isNotNull(),
+            F.round(F.expr(poly), 6) + F.lit(0.0),
+        ).alias("p_normal"),
+    )
+
+
+# --- Hosmer-Lemeshow calibration test ------------------------------------------
+
+# Per-bin HL contribution (O - E)^2 / (E (1 - E/n)) in exact micro-units:
+# with O = n_pos, Emu = sum of per-doc scores in integer micro-units and
+# nb = bin size, the term rewrites to
+#   (O*1e6 - Emu)^2 * nb / (Emu * (nb*1e6 - Emu))
+# — numerator/denominator promote to double inside the shared text (the
+# integer cores pass int64 at every tested scale; promotion keeps the
+# product correctly rounded identically in both engines), e9-quantized
+# per bin before the exact 10-row sum. A saturated bin (Emu = 0 or
+# Emu = nb*1e6) flags degenerate instead of dividing by zero.
+_HL_DEGEN = "CASE WHEN emu <= 0 OR emu >= nb * 1000000 THEN 1 ELSE 0 END"
+_HL_TERM_E9 = (
+    "CAST(round(1000000000"
+    " * (1e0 * np * 1000000 - emu) * (1e0 * np * 1000000 - emu) * nb"
+    " / ((1e0 * emu) * (1e0 * nb * 1000000 - emu))) AS BIGINT)"
+)
+
+
+def _hl_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _CHISQ_Z,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _RELIABILITY_CTES,
+    )
+
+    poly = _as_erfc_poly()
+    return (
+        _RELIABILITY_CTES
+        + f""",
+bins AS (
+  SELECT bin, count(*)::BIGINT AS nb, sum(pos)::BIGINT AS np,
+         sum(sm)::BIGINT AS emu
+  FROM b GROUP BY bin
+),
+terms AS (
+  SELECT bin, nb, np, emu, {_HL_DEGEN} AS degen,
+         CASE WHEN {_HL_DEGEN} = 1 THEN 0 ELSE {_HL_TERM_E9} END AS t_e9
+  FROM bins
+),
+hs AS (
+  SELECT count(*)::BIGINT AS n_bins, CAST(sum(nb) AS BIGINT) AS n_docs,
+         CAST(sum(t_e9) AS BIGINT) AS chi2_e9,
+         CAST(max(degen) AS BIGINT) AS any_degen,
+         (count(*) - 2)::BIGINT AS dof
+  FROM terms
+),
+zz AS (
+  SELECT n_bins, n_docs, dof, any_degen,
+         CASE WHEN any_degen = 1 OR dof < 1 THEN NULL
+              ELSE round(chi2_e9 / 1e9, 6) + 0.0 END AS hl_chi2,
+         CASE WHEN any_degen = 1 OR dof < 1 THEN NULL
+              ELSE ({_CHISQ_Z}) END AS z_stat
+  FROM hs
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_bins, n_docs, dof, any_degen = 1 AS degenerate_bins, hl_chi2, z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_value
+FROM xt
+"""
+    )
+
+
+@staged("hosmer_lemeshow_calibration", oracle=_hl_oracle())
+def hosmer_lemeshow_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-calibration TEST over the house
+    calibration score — the hypothesis-test completion of the
+    calibration family: ``calibration_reliability_brier`` draws the
+    reliability diagram, ``expected_calibration_error`` summarizes the
+    gap, and HL (Hosmer & Lemeshow 1980) asks whether the observed
+    per-bin positives are consistent with the claimed probabilities at
+    all — sum over bins of (O−E)²/(E(1−E/n)), chi-square with
+    bins−2 dof under the null. Same ten equal-width score bins, same
+    per-doc score (ECDF percentile of token count as P(lang = en)),
+    REUSING ``_reliability_bin_agg`` / ``_RELIABILITY_CTES`` verbatim so
+    the three calibration queries can never disagree about binning.
+
+    Exactness: per-bin O/E come from the shared integer micro-unit
+    aggregate; each HL term e9-quantizes through shared text (the
+    cross-multiplied micro-unit form — no intermediate double E); the
+    10-row sum is exact; z reuses the house Fisher ``_CHISQ_Z`` device
+    over (chi2_e9, dof) and p the shared erfc polynomial (upper tail).
+    A saturated bin (all-positive or all-zero expected mass) flags
+    ``degenerate_bins`` and NULLs the inference rather than dividing by
+    zero — identically in both engines.
+
+    Scale shape: inherited from the shared bin aggregate — one corpus
+    aggregate to |distinct lengths|, the banded global-rank CDF pass, a
+    broadcast join back, one 10-bin hash aggregate; the HL layer is a
+    10-row scalar pipeline on top."""
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _CHISQ_Z,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _reliability_bin_agg,
+    )
+
+    bins = _reliability_bin_agg(spark, sf_dir).select(
+        "bin",
+        F.col("n_docs").cast("long").alias("nb"),
+        F.col("n_pos").cast("long").alias("np"),
+        F.col("sum_score_micro").cast("long").alias("emu"),
+    )
+    # 10-row frame over the shared calibration aggregate's multi-branch
+    # lineage (corpus scan + CDF rank pass + join-back): checkpoint so
+    # that pipeline runs exactly once under every config — measured 5
+    # "Scan parquet" nodes in the executed plan before, 0 after.
+    bins = bins.localCheckpoint()
+    terms = bins.select(
+        "bin",
+        "nb",
+        "np",
+        "emu",
+        F.expr(_HL_DEGEN).alias("degen"),
+        F.expr(
+            f"CASE WHEN {_HL_DEGEN} = 1 THEN 0 ELSE {_HL_TERM_E9} END"
+        ).alias("t_e9"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("nb").cast("long").alias("n_docs"),
+        F.sum("t_e9").cast("long").alias("chi2_e9"),
+        F.max("degen").cast("long").alias("any_degen"),
+        (F.count(F.lit(1)) - 2).cast("long").alias("dof"),
+    )
+    zz = s.select(
+        "n_bins",
+        "n_docs",
+        "dof",
+        "any_degen",
+        F.expr(
+            "CASE WHEN any_degen = 1 OR dof < 1 THEN NULL"
+            " ELSE round(chi2_e9 / 1e9, 6) + 0.0 END"
+        ).alias("hl_chi2"),
+        F.expr(
+            f"CASE WHEN any_degen = 1 OR dof < 1 THEN NULL"
+            f" ELSE ({_CHISQ_Z}) END"
+        ).alias("z_stat"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        "n_bins",
+        "n_docs",
+        "dof",
+        (F.col("any_degen") == 1).alias("degenerate_bins"),
+        "hl_chi2",
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_value"),
+    )

@@ -804,3 +804,170 @@ def test_rmst_all_censored_gives_tau(spark, tmp_path):
     assert row["rmst1"] == float(_TAU)
     assert row["rmst_diff"] == 0.0
     assert row["z_stat"] is None and row["p_value"] is None
+
+
+# --- Brunner-Munzel ------------------------------------------------------------
+
+
+def _bm_py(xs, ys) -> dict:
+    """lawstat-form Brunner-Munzel over plain lists (x = rest, y = en),
+    with the query's per-cell integer quantization of the variance
+    contributions replicated exactly."""
+    n0, n1 = len(xs), len(ys)
+    pooled = sorted(xs + ys)
+
+    def midrank_map(vals):
+        mr = {}
+        i = 0
+        svals = sorted(vals)
+        while i < len(svals):
+            j = i
+            while j < len(svals) and svals[j] == svals[i]:
+                j += 1
+            mr[svals[i]] = (i + 1 + j) / 2.0
+            i = j
+        return mr
+
+    mp = midrank_map(pooled)
+    m0 = midrank_map(xs)
+    m1 = midrank_map(ys)
+    r0 = [mp[v] for v in xs]
+    r1 = [mp[v] for v in ys]
+    mean0, mean1 = sum(r0) / n0, sum(r1) / n1
+    # per-cell quantized variance contributions (the _BM_TERM text)
+    t20 = int(round(2 * sum(r0)))
+    t21 = int(round(2 * sum(r1)))
+
+    def s_int(vals, mw, ni, t2i):
+        cells = Counter(vals)
+        s = 0
+        for v, c in cells.items():
+            d2 = int(round(2 * mp[v])) - int(round(2 * mw[v]))
+            e = 1e0 * d2 * ni - 1e0 * t2i + 1e0 * ni * (ni + 1)
+            s += _round_away((1e0 * c) * e * e / (4e0 * ni * ni))
+        return s
+
+    s0 = s_int(xs, m0, n0, t20)
+    s1 = s_int(ys, m1, n1, t21)
+    v0 = 1e0 * s0 / (n0 - 1)
+    v1 = 1e0 * s1 / (n1 - 1)
+    den = math.sqrt(1e0 * n0 * v0 + 1e0 * n1 * v1)
+    w = _rnd6(
+        (1e0 * n0 * n1 * (1e0 * t21 / (2e0 * n1) - 1e0 * t20 / (2e0 * n0)))
+        / ((n0 + n1) * den)
+    )
+    df = _rnd6(
+        (1e0 * n0 * v0 + 1e0 * n1 * v1) * (1e0 * n0 * v0 + 1e0 * n1 * v1)
+        / ((1e0 * n0 * v0) * (1e0 * n0 * v0) / (n0 - 1)
+           + (1e0 * n1 * v1) * (1e0 * n1 * v1) / (n1 - 1))
+    )
+    return {
+        "n_rest": n0,
+        "n_en": n1,
+        "p_hat": _rnd6((1e0 * t21 / (2e0 * n1) - (n1 + 1) / 2e0) / n0),
+        "w_stat": w,
+        "df_welch": df,
+        "p_normal": _rnd6(_erfc_poly(abs(w) / math.sqrt(2.0))),
+        "_mean_check": (mean0, mean1),
+    }
+
+
+def test_brunner_munzel_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/documents.parquet")
+    xs = [int(v) for v, l in zip(pdf["n_chars"], pdf["lang"]) if l != "en"]
+    ys = [int(v) for v, l in zip(pdf["n_chars"], pdf["lang"]) if l == "en"]
+    exp = _bm_py(xs, ys)
+    row = S.STAGED_QUERIES["brunner_munzel_en_vs_rest"](spark, sf_small).collect()[0]
+    assert row["n_rest"] == exp["n_rest"] and row["n_en"] == exp["n_en"]
+    for k in ("p_hat", "w_stat", "df_welch", "p_normal"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_brunner_munzel_stochastic_dominance(spark, tmp_path):
+    """Every 'en' length above every non-'en' length: the relative
+    effect P(X<Y)+P(X=Y)/2 must be exactly 1 and W large positive."""
+    rows = []
+    for i in range(30):
+        rows.append((i, "t", "de", "src_a", 100 + i % 7))
+    for i in range(30, 60):
+        rows.append((i, "t", "en", "src_b", 500 + i % 9))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    sf = _write_tables(tmp_path, documents=pdf)
+    row = S.STAGED_QUERIES["brunner_munzel_en_vs_rest"](spark, sf).collect()[0]
+    assert row["p_hat"] == 1.0
+    # Fully separated samples have ZERO within-group deviation variance
+    # (pooled rank - within rank is constant inside each group), so the
+    # studentized W guards to NULL — the documented BM degenerate case.
+    assert row["w_stat"] is None
+
+
+# --- Hosmer-Lemeshow -----------------------------------------------------------
+
+
+def _hl_py(pdf) -> dict:
+    # Replicates _RELIABILITY_CTES scoring: ECDF percentile (micro-units)
+    # of whitespace token count, 10 equal-width bins capped at 9.
+    dls = [len(t.lower().strip().split(" ")) for t in pdf["text"]]
+    pos = [1 if l == "en" else 0 for l in pdf["lang"]]
+    n_all = len(dls)
+    cnt = Counter(dls)
+    cum = {}
+    acc = 0
+    for v in sorted(cnt):
+        acc += cnt[v]
+        cum[v] = acc
+    bins = defaultdict(lambda: [0, 0, 0])  # bin -> [nb, np, emu]
+    for dl, p in zip(dls, pos):
+        sm = _round_away(cum[dl] * 1000000.0 / n_all)
+        b = min(sm // 100000, 9)
+        bins[b][0] += 1
+        bins[b][1] += p
+        bins[b][2] += sm
+    chi2_e9 = 0
+    degen = False
+    for b, (nb, np_, emu) in bins.items():
+        if emu <= 0 or emu >= nb * 1000000:
+            degen = True
+            continue
+        chi2_e9 += _round_away(
+            1000000000
+            * (1e0 * np_ * 1000000 - emu) * (1e0 * np_ * 1000000 - emu) * nb
+            / ((1e0 * emu) * (1e0 * nb * 1000000 - emu))
+        )
+    n_bins = len(bins)
+    dof = n_bins - 2
+    if degen or dof < 1:
+        z = None
+    else:
+        z = _rnd6(math.sqrt(2 * (chi2_e9 / 1e9)) - math.sqrt(2.0 * dof - 1))
+    out = {
+        "n_bins": n_bins,
+        "n_docs": n_all,
+        "dof": dof,
+        "degenerate_bins": degen,
+        "hl_chi2": None if degen or dof < 1 else _rnd6(chi2_e9 / 1e9),
+        "z_stat": z,
+    }
+    if z is None:
+        out["p_value"] = None
+    else:
+        poly = _erfc_poly(abs(z) / math.sqrt(2.0))
+        out["p_value"] = _rnd6(poly / 2) if z >= 0 else _rnd6(1 - poly / 2)
+    return out
+
+
+def test_hosmer_lemeshow_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/documents.parquet")
+    exp = _hl_py(pdf)
+    row = S.STAGED_QUERIES["hosmer_lemeshow_calibration"](
+        spark, sf_small
+    ).collect()[0]
+    for k in ("n_bins", "n_docs", "dof", "degenerate_bins"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    for k in ("hl_chi2", "z_stat", "p_value"):
+        if exp[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
