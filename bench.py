@@ -151,7 +151,6 @@ _SMOKE_ABBREV = {
     "line_dedup": "ldedup",
     "novelty": "novel",
     "substring": "substr",
-    "winnow": "winnow",
     "incremental_probe": "iprobe",
 }
 

@@ -429,7 +429,11 @@ def stratified_logrank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     desynchronize; the pooled z reuses ``_LR_Z`` over the summed
     integers; p is the shared erfc polynomial on the rounded z. The
     stratum key ((last_sec − dur) // 21600) % 4 is pure integer
-    arithmetic on the epoch-aligned session start.
+    arithmetic on the epoch-aligned session start. ``n_strata``
+    counts the strata that CONTRIBUTE death-time terms (count DISTINCT
+    over the d > 0, nr > 0 rows — an all-censored stratum adds nothing
+    to the statistic and is not counted; pinned by the all-censored-
+    stratum test).
 
     Scale shape: sessionize is the established one-shuffle pass; one
     aggregate to the (stratum × duration) frame — bounded by 4 × 43201
@@ -885,16 +889,26 @@ def nelson_aalen_cumhaz(spark: SparkSession, sf_dir: str) -> DataFrame:
 #           + (sum n(n-1)(n-2)) * (sum t(t-1)(t-2)) / (36 N(N-1)(N-2))
 #           + (sum n(n-1)) * (sum t(t-1)) / (8 N(N-1))
 # — every component an exact integer sum over the bounded band/value
-# frames, promoted to double ONLY inside this shared expression (the
-# int64 cores overflow near 3e9 events; the promoted products are
-# correctly rounded identically in both engines).
+# frames, promoted to double ONLY inside this shared expression. Two
+# integer-core boundaries, handled differently (round-11 review fix):
+# the QUADRATIC cores (j2, sum_n2, b3, t3) leave int64 near 3e9 events;
+# the CUBIC band/tie moment sums (b1/b2/t1/t2 ~ 2*n^3) leave int64 as
+# early as ~1.7e6 rows in ONE band or tie group — and there Spark's
+# non-ANSI multiply would wrap while DuckDB raises (the chi-square
+# ADVICE r10 asymmetry). So the z carries an explicit tripwire on the
+# exact INPUTS (2*max^2*N bounds each cubic sum from above, evaluated
+# in double — conservative, identical in both engines): past it, fail
+# loud to NULL together instead of shipping a wrapped statistic.
+_JT_CUBIC_GUARD = (
+    "(2e0 * mxb * mxb * nn) > 9e18 OR (2e0 * mxt * mxt * nn) > 9e18"
+)
 _JT_VAR = (
     "((1e0 * nn * (nn - 1) * (2 * nn + 5) - 1e0 * b1 - 1e0 * t1) / 72e0"
     " + (1e0 * b2 * t2) / (36e0 * nn * (nn - 1) * (nn - 2))"
     " + (1e0 * b3 * t3) / (8e0 * nn * (nn - 1)))"
 )
 _JT_Z = (
-    f"CASE WHEN nn < 3 OR ({_JT_VAR}) <= 0 THEN NULL"
+    f"CASE WHEN nn < 3 OR {_JT_CUBIC_GUARD} OR ({_JT_VAR}) <= 0 THEN NULL"
     f" ELSE round((2e0 * j2 - (1e0 * nn * nn - 1e0 * sum_n2))"
     f" / (4e0 * sqrt({_JT_VAR})), 6) + 0.0 END"
 )
@@ -934,6 +948,8 @@ moms AS (
          (SELECT CAST(sum(nb * (nb - 1) * (nb - 2)) AS BIGINT)
           FROM bands) AS b2,
          (SELECT CAST(sum(nb * (nb - 1)) AS BIGINT) FROM bands) AS b3,
+         (SELECT max(nb)::BIGINT FROM bands) AS mxb,
+         (SELECT max(tv)::BIGINT FROM vals) AS mxt,
          (SELECT CAST(sum(tv * (tv - 1) * (2 * tv + 5)) AS BIGINT)
           FROM vals) AS t1,
          (SELECT CAST(sum(tv * (tv - 1) * (tv - 2)) AS BIGINT)
@@ -1038,6 +1054,7 @@ def jonckheere_terpstra_daily_trend(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("b2"),
         F.sum(F.col("nb") * (F.col("nb") - 1)).cast("long").alias("b3"),
+        F.max("nb").cast("long").alias("mxb"),
     )
     tmom = vals.agg(
         F.sum(F.col("tv") * (F.col("tv") - 1) * (2 * F.col("tv") + 5))
@@ -1047,6 +1064,7 @@ def jonckheere_terpstra_daily_trend(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("t2"),
         F.sum(F.col("tv") * (F.col("tv") - 1)).cast("long").alias("t3"),
+        F.max("tv").cast("long").alias("mxt"),
     )
     zz = (
         j.crossJoin(F.broadcast(bmom))
@@ -1137,9 +1155,9 @@ sums AS (
 )
 SELECT t.n1 AS n_early, t.n2 AS n_late, s.sxx, s.syy, s.sxy,
        CASE WHEN t.n1 < 1 OR t.n2 < 1 THEN NULL
-            ELSE round({_ED_EPS} / 10000e0, 6) + 0.0 END AS energy_dist,
+            ELSE round({_ED_EPS} / 100e0, 6) + 0.0 END AS energy_dist,
        CASE WHEN t.n1 < 1 OR t.n2 < 1 THEN NULL
-            ELSE round({_ED_T} / 10000e0, 6) + 0.0 END AS t_stat
+            ELSE round({_ED_T} / 100e0, 6) + 0.0 END AS t_stat
 FROM sums s CROSS JOIN tot t
 """
 
@@ -1169,7 +1187,9 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (counts + value-weighted sums for both halves — the
     ``with_global_rank`` extra_cums device), so sxx/syy/sxy are exact
     int64; eps and T are single shared double expressions over those
-    integers, de-cent-scaled by 1e4 (two cent factors) at the end.
+    integers, de-cent-scaled by 1e2 at the end (the energy statistic is
+    LINEAR in the values — one cent factor, not two; round-11 review
+    fix: the original /1e4 shipped value-unit readouts 100x small).
 
     Scale shape: one hash aggregate to the |distinct cent values| frame
     (bounded by the 2dp value domain), one banded global-order pass (no
@@ -1181,8 +1201,12 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
         F.unix_micros("ts").alias("us"),
     )
+    # Integer floor-division midpoint (round-11 review fix): the oracle's
+    # `//` floors, so the Spark side must too — `div` on exact longs, not
+    # a double divide + truncating cast (which disagrees on negative
+    # epochs and loses exactness past 2^53 us).
     bounds = ev.agg(
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid")
+        F.expr("CAST((min(us) + max(us)) div 2 AS BIGINT)").alias("mid")
     )
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "v", F.when(F.col("us") < F.col("mid"), 1).otherwise(0).alias("early")
@@ -1260,11 +1284,11 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxy",
         F.expr(
             f"CASE WHEN n1 < 1 OR n2 < 1 THEN NULL"
-            f" ELSE round({_ED_EPS} / 10000e0, 6) + 0.0 END"
+            f" ELSE round({_ED_EPS} / 100e0, 6) + 0.0 END"
         ).alias("energy_dist"),
         F.expr(
             f"CASE WHEN n1 < 1 OR n2 < 1 THEN NULL"
-            f" ELSE round({_ED_T} / 10000e0, 6) + 0.0 END"
+            f" ELSE round({_ED_T} / 100e0, 6) + 0.0 END"
         ).alias("t_stat"),
     )
 

@@ -62,7 +62,6 @@ def test_promoted_names_are_registered_live():
     ]
     assert not ungreen, f"promoted queries without a green external row: {ungreen}"
     assert set(S.STAGED_QUERIES) == set(plans._ROUND10_PROMOTIONS)
-    assert set(S.STAGED_QUERIES) == set(plans._ROUND10_PROMOTIONS)
 
 
 def test_every_staged_query_is_oracle_paired():

@@ -298,7 +298,8 @@ def _slr_py(pdf: pd.DataFrame) -> dict:
         st = (start // 21600) % 4
         strata[st].append((t, 0 if censored else 1, g))
     o1 = e_e9 = v_e9 = ndt = 0
-    for st, obs in strata.items():
+    contributing = set()  # n_strata counts strata with >= 1 death-time
+    for st, obs in strata.items():  # term — matching count(DISTINCT st)
         bytime = defaultdict(lambda: [0, 0, 0, 0])  # t -> [rm, rm1, d, d1]
         for t, dead, g in obs:
             bytime[t][0] += 1
@@ -311,6 +312,7 @@ def _slr_py(pdf: pd.DataFrame) -> dict:
             rm, rm1, d, d1 = bytime[t]
             if d > 0 and nr > 0:
                 ndt += 1
+                contributing.add(st)
                 o1 += d1
                 e_e9 += _round_away(1000000000 * (1.0 * d * n1r) / nr)
                 if nr > 1:
@@ -325,7 +327,7 @@ def _slr_py(pdf: pd.DataFrame) -> dict:
     else:
         z = _rnd6((1.0 * o1 * 1000000000 - e_e9) / math.sqrt(1.0 * v_e9 * 1e9))
     return {
-        "n_strata": len(strata),
+        "n_strata": len(contributing),
         "n_death_times": ndt,
         "o1": o1,
         "e1": _rnd6(e_e9 / 1e9),
@@ -570,8 +572,8 @@ def _ed_py(pdf: pd.DataFrame) -> dict:
         "sxx": sxx,
         "syy": syy,
         "sxy": sxy,
-        "energy_dist": _rnd6(eps / 10000.0),
-        "t_stat": _rnd6(((1.0 * n1 * n2 / (n1 + n2)) * eps) / 10000.0),
+        "energy_dist": _rnd6(eps / 100.0),
+        "t_stat": _rnd6(((1.0 * n1 * n2 / (n1 + n2)) * eps) / 100.0),
     }
 
 
@@ -971,3 +973,52 @@ def test_hosmer_lemeshow_matches_python(spark, sf_small):
             assert row[k] is None, k
         else:
             assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_energy_distance_unit_calibration(spark, tmp_path):
+    """One early event at 1.00 and one late at 2.00: eps = 2E|X-Y| =
+    2.0 VALUE units and T = (1*1/2)*eps = 1.0 — pins the cent de-scale
+    factor (the round-11 review caught a /1e4 that shipped these 100x
+    small; the statistic is linear in the values, so one cent factor)."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + pd.Timedelta(hours=48), 2, "view", 2.0, "{}"),
+    ]
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["energy_distance_drift"](spark, sf).collect()[0]
+    assert row["n_early"] == 1 and row["n_late"] == 1
+    assert row["sxy"] == 100  # |100 - 200| cents, one cross pair
+    assert row["energy_dist"] == 2.0
+    assert row["t_stat"] == 1.0
+
+
+def test_stratified_logrank_all_censored_stratum_not_counted(spark, tmp_path):
+    """A stratum whose sessions are ALL censored contributes no
+    death-time terms: n_strata counts contributing strata only
+    (round-11 review pin — the sf0.01 corpus happens to have deaths in
+    every band, so the parity test alone cannot pin this)."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")
+    # Band 0: sessions with real deaths (end hours before batch end).
+    for uid in range(1, 9):
+        t0 = base + pd.Timedelta(hours=1, seconds=uid)
+        rows.append((eid, t0, uid, "view", 1.0, "{}")); eid += 1
+        rows.append(
+            (eid, t0 + pd.Timedelta(seconds=60 * uid), uid, "view", 1.0, "{}")
+        )
+        eid += 1
+    # Band 1 (hour 7 starts): single-event sessions at batch end — all
+    # censored (gmx - last <= 1800).
+    for uid in range(101, 105):
+        rows.append(
+            (eid, base + pd.Timedelta(hours=7, seconds=uid), uid, "view",
+             1.0, "{}")
+        )
+        eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["stratified_logrank_survival"](spark, sf).collect()[0]
+    assert row["n_strata"] == 1
+    exp = _slr_py(_load_events(sf))
+    assert row["n_strata"] == exp["n_strata"]
+    assert row["o1"] == exp["o1"]
