@@ -718,16 +718,23 @@ def main() -> None:
     # per-clone alphabet), and the bench set (doc_id % 97) scales with
     # the clones, so the ratio measures the plan: explode + one
     # fingerprint exchange + broadcast bench join.
+    from flink_realtime_sessionize_sample_spark.operators.dedup import fan_out
     from flink_realtime_sessionize_sample_spark.plans.staging_r11 import (
         _winnow_contamination_frame,
     )
 
-    force(_winnow_contamination_frame(docs))  # warm
+    # fan_out mirrors the query wrapper: the frame builder itself does
+    # not repartition, and without it the 10x corpus's per-gram
+    # translate+md5 runs on ONE parquet split's task (caught live: a
+    # single 700 s CPU-bound task in the first round-11 bench run).
+    wn_1x = _winnow_contamination_frame(fan_out(docs))
+    wn_10x = _winnow_contamination_frame(fan_out(docs_10x_lin))
+    force(wn_1x)  # warm
     t0 = time.perf_counter()
-    force(_winnow_contamination_frame(docs))
+    force(wn_1x)
     t_wn_1x = time.perf_counter() - t0
     t0 = time.perf_counter()
-    force(_winnow_contamination_frame(docs_10x_lin))
+    force(wn_10x)
     t_wn_10x = time.perf_counter() - t0
 
     # Incremental-probe scale smoke (round 6): the production-repeated op
