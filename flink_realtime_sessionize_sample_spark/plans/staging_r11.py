@@ -953,27 +953,6 @@ _WINNOW_W = 4  # gram hashes per window
 _WBENCH_PRED = "doc_id % 97 = 0"  # the contamination_ngram_overlap stand-in
 
 
-def _winnow_spark_fp() -> tuple[str, str]:
-    """(ordered gram-hash array expr over ``t``, fingerprint array expr
-    over ``hh``) — Spark dialect. Guards mirror shingles_spark: Spark's
-    sequence(1, n) turns DESCENDING for n < 1, so short inputs need an
-    explicit empty-array branch (never rely on an upstream filter the
-    optimizer may reorder)."""
-    k, w = _WINNOW_K, _WINNOW_W
-    parts = ", ".join(f"element_at(t, i + {j})" for j in range(k))
-    gram = T.h48_spark(f"concat_ws(' ', {parts})")
-    hh = (
-        f"(case when size(t) < {k} then array() else "
-        f"transform(sequence(1, size(t) - {k - 1}), i -> {gram}) end)"
-    )
-    fpw = (
-        f"(case when size(hh) < {w} then array() else "
-        f"transform(sequence(1, size(hh) - {w - 1}),"
-        f" j -> array_min(slice(hh, j, {w}))) end)"
-    )
-    return hh, fpw
-
-
 def _winnow_oracle() -> str:
     k, w = _WINNOW_K, _WINNOW_W
     toks_d = T.tokens_duck("text")
@@ -1058,17 +1037,47 @@ def _winnow_contamination_frame(docs: DataFrame) -> DataFrame:
     """The winnowing contamination pipeline over an arbitrary
     (doc_id, text) frame — factored out of the query so bench.py's 10x
     scale smoke (judge r10 item 6: every other dedup-family operator has
-    one in BENCH_DETAIL) can drive it over the permuted-clone corpus."""
-    hh_expr, fpw_expr = _winnow_spark_fp()
-    fw = (
-        docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t"))
-        .select("doc_id", F.expr(hh_expr).alias("hh"))
-        .filter(F.size("hh") >= _WINNOW_W)
-        .select("doc_id", F.expr(fpw_expr).alias("fpw"))
+    one in BENCH_DETAIL) can drive it over the permuted-clone corpus.
+
+    ROW-BASED window minima (round-11 rewrite, caught live by that very
+    smoke): the original nested array form — a fingerprint ``transform``
+    taking ``array_min(slice(hh, j, W))`` over a gram-hash ``transform``
+    — re-evaluates the ENTIRE gram array per window element whenever the
+    expression falls out of whole-stage codegen into interpreted eval
+    (the bench clone corpus's 10-branch translate pushed it over, and a
+    single task burned 700+ s CPU on ~60k docs; O(grams²·K) hidden
+    work). Now grams explode to (doc_id, pos, h) rows — the
+    ``_duplicated_windows`` pattern, CASE-gated explode_outer included —
+    and each window's minimum is ONE partitioned window function
+    (rowsBetween 0..W-1), which no optimizer mode can re-inline. Costs
+    one narrow doc_id exchange; kills the quadratic cliff in every
+    evaluation mode."""
+    k, w = _WINNOW_K, _WINNOW_W
+    gram_hash = T.h48_spark(f"concat_ws(' ', slice(t, i, {k}))")
+    gram_expr = (
+        f"case when size(t) >= {k} then "
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> struct(i as pos, {gram_hash} as h)) "
+        f"else cast(null as array<struct<pos:int,h:bigint>>) end"
     )
-    pf = fw.select(
-        "doc_id", F.posexplode("fpw").alias("pos0", "fp")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "fp")
+    grams = (
+        docs.select("doc_id", F.expr(T.tokens_spark("text")).alias("t"))
+        .select("doc_id", F.explode_outer(F.expr(gram_expr)).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    pf = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wmin).alias("fp"),
+            F.count(F.lit(1)).over(wdoc).alias("_ng"),
+        )
+        .filter(F.col("pos") <= F.col("_ng") - (w - 1))
+        .select("doc_id", "pos", "fp")
+    )
     p = pf.groupBy("doc_id", "fp").agg(
         F.min("pos").cast("long").alias("first_pos")
     )
