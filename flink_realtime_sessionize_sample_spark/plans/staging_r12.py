@@ -2260,3 +2260,841 @@ def hosmer_lemeshow_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
         ).alias("p_value"),
     )
+
+
+# --- Spiegelhalter calibration Z ------------------------------------------------
+
+# Unbinned calibration test (Spiegelhalter 1986): with per-doc claimed
+# probability p and outcome y, Z = sum (y-p)(1-2p) / sqrt(sum (1-2p)^2
+# p(1-p)). In integer micro-units (pmu = p*1e6, y in {0,1}) the
+# numerator term (y*1e6 - pmu)(1e6 - 2*pmu) is an EXACT int64 per doc
+# (|term| <= 1e12) and the denominator term promotes to double through
+# one shared text and e9-quantizes ((1-2p)^2 p(1-p) <= 1/4, so the
+# quantized term is <= 2.5e8). Corpus sums go through the DECIMAL(38,0)
+# guard below, so past int64 both engines fail loud to NULL TOGETHER
+# (the ADVICE-r10 symmetric-overflow discipline).
+_SPZ_NUM_TERM = "(pos * 1000000 - sm) * (1000000 - 2 * sm)"
+_SPZ_DEN_TERM_E9 = (
+    "CAST(round(1e9 * ((1e0 * (1000000 - 2 * sm)) * (1000000 - 2 * sm))"
+    " * ((1e0 * sm) * (1000000 - sm)) / 1e24) AS BIGINT)"
+)
+_SPZ_Z = (
+    "CASE WHEN num_e12 IS NULL OR den_e9 IS NULL OR den_e9 <= 0 THEN NULL"
+    " ELSE round((num_e12 / 1e12) / sqrt(den_e9 / 1e9), 6) + 0.0 END"
+)
+
+
+def _dec_sum_bigint(term: str) -> str:
+    """Exact integer sum with the symmetric int64-overflow guard: both
+    engines sum in DECIMAL(38,0) (exact — 38 digits unreachable) and
+    fail loud to NULL together once the total leaves int64 range (the
+    ``_CHISQ_SUM_E9`` pattern from analytics_queries, generalized)."""
+    return (
+        f"CASE WHEN abs(sum(CAST({term} AS DECIMAL(38,0))))"
+        " > 9223372036854775807 THEN CAST(NULL AS BIGINT)"
+        f" ELSE CAST(sum(CAST({term} AS DECIMAL(38,0))) AS BIGINT) END"
+    )
+
+
+def _spz_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _RELIABILITY_CTES,
+    )
+
+    poly = _as_erfc_poly()
+    return (
+        _RELIABILITY_CTES
+        + f""",
+sp AS (SELECT {_SPZ_NUM_TERM} AS tnum, {_SPZ_DEN_TERM_E9} AS tden FROM s),
+t AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         {_dec_sum_bigint("tnum")} AS num_e12,
+         {_dec_sum_bigint("tden")} AS den_e9
+  FROM sp
+),
+zz AS (SELECT n_docs, num_e12, den_e9, {_SPZ_Z} AS z_stat FROM t),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_docs, num_e12 AS sum_dev_e12, den_e9 AS var_e9, z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_two_sided
+FROM xt
+"""
+    )
+
+
+@staged("spiegelhalter_z_calibration", oracle=_spz_oracle())
+def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's Z calibration test (Spiegelhalter 1986) over the
+    house calibration score — the UNBINNED completion of the calibration
+    family: ``calibration_reliability_brier`` draws the binned diagram,
+    ``expected_calibration_error`` summarizes the binned gap,
+    ``hosmer_lemeshow_calibration`` tests the binned counts, and
+    Spiegelhalter's Z tests calibration with NO binning choice at all —
+    it is the calibration component of the Brier score standardized by
+    its exact null variance, so it detects miscalibration that a lucky
+    bin layout can hide. Same per-doc score (ECDF percentile of token
+    count as P(lang = 'en'), integer micro-units) REUSED verbatim from
+    ``_RELIABILITY_CTES`` so the four calibration queries can never
+    disagree about the score.
+
+    Exactness: the numerator term is an exact int64 product per doc; the
+    denominator term e9-quantizes one shared double text; BOTH corpus
+    sums go through the shared DECIMAL(38,0) int64 guard, so past int64
+    the engines fail loud to NULL together; z is one shared double
+    expression over the guarded sums and p the shared erfc polynomial on
+    rounded |z| (two-sided).
+
+    Scale shape: identical to the registered calibration pair — one
+    corpus aggregate to |distinct lengths|, the distributed
+    ``with_global_rank`` CDF pass, a broadcast join back, then ONE
+    corpus-sum aggregate (no 10-bin detour). The per-doc frame feeds the
+    length aggregate and the score join as two thin column-pruned
+    branches (the documented ab_test_cuped-class shape — corpus-sized,
+    so deliberately NOT checkpointed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.size(F.expr(T.tokens_spark("text"))).cast("long").alias("dl"),
+    )
+    g = d.groupBy("dl").agg(F.count(F.lit(1)).alias("cnt"))
+    cdf = with_global_rank(
+        g,
+        ["dl"],
+        rank_col="_rk",
+        sum_col="cnt",
+        cum_col="cum_all",
+        sum_total_col="n_all",
+    ).select("dl", "cum_all", "n_all")
+    s = d.join(F.broadcast(cdf), "dl").select(
+        "pos",
+        F.round(F.col("cum_all") * 1000000.0 / F.col("n_all"))
+        .cast("long")
+        .alias("sm"),
+    )
+    sp = s.select(
+        F.expr(_SPZ_NUM_TERM).alias("tnum"),
+        F.expr(_SPZ_DEN_TERM_E9).alias("tden"),
+    )
+    t = sp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(_dec_sum_bigint("tnum")).alias("num_e12"),
+        F.expr(_dec_sum_bigint("tden")).alias("den_e9"),
+    )
+    zz = t.select("n_docs", "num_e12", "den_e9", F.expr(_SPZ_Z).alias("z_stat"))
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        "n_docs",
+        F.col("num_e12").alias("sum_dev_e12"),
+        F.col("den_e9").alias("var_e9"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_two_sided"),
+    )
+
+
+# --- Kuiper two-sample drift on time-of-day -------------------------------------
+
+# Kuiper's V = D+ + D- (signed sup-gaps of the two ECDFs) — the
+# rotation-invariant KS variant, THE two-sample test for CIRCULAR data
+# (Kuiper 1960; NR §14.3): on time-of-day, KS's sensitivity depends on
+# where midnight cuts the circle, Kuiper's does not. Asymptotic tail
+# (first four series terms, even j's sign pattern per NR probks-style
+# truncation): p = 2 * sum_j (4 j^2 L^2 - 1) exp(-2 j^2 L^2) at
+# L = (sqrt(ne) + 0.155 + 0.24/sqrt(ne)) * V, ne = n1*n2/(n1+n2),
+# clamped to [0,1]; below L = 0.4 the series is degenerate and p = 1
+# (the standard small-lambda guard).
+_KP_LAM = (
+    "(sqrt((1e0 * n1 * n2) / (n1 + n2)) + 0.155"
+    " + 0.24 / sqrt((1e0 * n1 * n2) / (n1 + n2))) * (v_e6 / 1e6)"
+)
+_KP_P = (
+    "CASE WHEN lam < 0.4 THEN 1.0 ELSE least(1.0, greatest(0.0,"
+    " 2 * ((4 * lam * lam - 1) * exp(-2 * lam * lam)"
+    " + (16 * lam * lam - 1) * exp(-8 * lam * lam)"
+    " + (36 * lam * lam - 1) * exp(-18 * lam * lam)"
+    " + (64 * lam * lam - 1) * exp(-32 * lam * lam)))) END"
+)
+
+
+def _kp_oracle() -> str:
+    return f"""
+WITH ev AS (
+  SELECT ((epoch_us(ts) // 1000000) % 86400) AS tod, epoch_us(ts) AS us
+  FROM events
+), bounds AS (
+  SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+), tagged AS (
+  SELECT tod, CASE WHEN us < (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS early
+  FROM ev
+), grouped AS (
+  SELECT tod, sum(early)::BIGINT AS c1, count(*)::BIGINT AS c_all
+  FROM tagged GROUP BY tod
+), tot AS (
+  SELECT sum(c1)::BIGINT AS n1, (sum(c_all) - sum(c1))::BIGINT AS n2 FROM grouped
+), cdf AS (
+  SELECT tod,
+         sum(c1) OVER (ORDER BY tod)::BIGINT AS cum1,
+         sum(c_all) OVER (ORDER BY tod)::BIGINT AS cum_all
+  FROM grouped
+), d AS (
+  SELECT t.n1, t.n2,
+         max(c.cum1 / (1e0 * t.n1)
+             - (c.cum_all - c.cum1) / (1e0 * t.n2)) AS dplus,
+         max((c.cum_all - c.cum1) / (1e0 * t.n2)
+             - c.cum1 / (1e0 * t.n1)) AS dminus
+  FROM cdf c, tot t
+  GROUP BY t.n1, t.n2
+), v AS (
+  SELECT n1, n2, dplus, dminus,
+         CAST(round(1000000 * (dplus + dminus)) AS BIGINT) AS v_e6
+  FROM d
+), lamt AS (SELECT *, {_KP_LAM} AS lam FROM v)
+SELECT n1 AS n_early, n2 AS n_late,
+       round(dplus, 6) + 0.0 AS d_plus,
+       round(dminus, 6) + 0.0 AS d_minus,
+       v_e6 / 1e6 + 0.0 AS kuiper_v,
+       round({_KP_P}, 6) + 0.0 AS p_value,
+       ({_KP_P}) < 0.05 AS drift_at_95
+FROM lamt
+"""
+
+
+@staged("kuiper_tod_drift", oracle=_kp_oracle())
+def kuiper_tod_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper two-sample drift test on event TIME-OF-DAY between the
+    first and second half of the stream's time range — the CIRCULAR-data
+    completion of the drift family (KS / CvM / PSI / energy are all
+    origin-sensitive: a diurnal shift that moves mass across midnight
+    can halve the KS statistic depending on where the 0h cut falls;
+    Kuiper's V = D+ + D- is invariant to rotating the circle, which is
+    exactly the guarantee a time-of-day serving-skew monitor needs).
+
+    Exactness: time-of-day is pure integer arithmetic on epoch micros
+    (identical in both engines); both cumulative counts ride one
+    ``with_global_rank`` pass over the bounded (<= 86400-row) tod grid;
+    D+ / D- are order-insensitive maxima of one shared double gap text;
+    V e6-quantizes before the tail evaluation so lambda and p derive
+    from the same integer in both engines; the four-term asymptotic
+    tail is one shared text with the standard lambda < 0.4 guard.
+
+    Scale shape: one corpus scan -> hash aggregate onto the BOUNDED tod
+    grid (86400 rows max at any corpus size); everything downstream is
+    bounded re-aggregation, exactly the registered ks_drift_detection
+    shape with a domain that cannot grow."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("pmod(unix_micros(ts) div 1000000, 86400)").alias("tod"),
+        F.unix_micros("ts").alias("us"),
+    )
+    bounds = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "tod", F.when(F.col("us") < F.col("mid"), 1).otherwise(0).alias("early")
+    )
+    grouped = tagged.groupBy("tod").agg(
+        F.sum("early").cast("long").alias("c1"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    tot = grouped.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        (F.sum("c_all") - F.sum("c1")).cast("long").alias("n2"),
+    )
+    cdf = with_global_rank(
+        grouped,
+        ["tod"],
+        rank_col="_rk",
+        sum_col="c1",
+        cum_col="cum1",
+        extra_cums=[("c_all", "cum_all")],
+    )
+    gap = F.col("cum1") / F.col("n1") - (F.col("cum_all") - F.col("cum1")) / F.col(
+        "n2"
+    )
+    d = (
+        cdf.crossJoin(F.broadcast(tot))
+        .select("n1", "n2", gap.alias("g"))
+        .groupBy("n1", "n2")
+        .agg(F.max("g").alias("dplus"), F.max(-F.col("g")).alias("dminus"))
+    )
+    v = d.select(
+        "n1",
+        "n2",
+        "dplus",
+        "dminus",
+        F.round(1000000 * (F.col("dplus") + F.col("dminus")))
+        .cast("long")
+        .alias("v_e6"),
+    )
+    lamt = v.withColumn("lam", F.expr(_KP_LAM))
+    return lamt.select(
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        (F.round("dplus", 6) + F.lit(0.0)).alias("d_plus"),
+        (F.round("dminus", 6) + F.lit(0.0)).alias("d_minus"),
+        (F.col("v_e6") / 1e6 + F.lit(0.0)).alias("kuiper_v"),
+        (F.round(F.expr(_KP_P), 6) + F.lit(0.0)).alias("p_value"),
+        (F.expr(_KP_P) < 0.05).alias("drift_at_95"),
+    )
+
+
+# --- Lin (2013) regression-adjusted ATE ------------------------------------------
+
+# Per-arm OLS slope on the pre-period covariate (the CUPED covariate),
+# from the five exact integer moments — degenerate arms (n < 2 or zero
+# covariate variance) contribute slope 0, i.e. the adjustment is a
+# no-op there (the _CUPED_THETA convention). {a} is the arm suffix.
+_LIN_BETA = (
+    "CASE WHEN n{a} < 2 OR (1e0 * n{a} * sxx{a} - (1e0 * sx{a}) * sx{a}) <= 0"
+    " THEN 0.0"
+    " ELSE (1e0 * n{a} * sxy{a} - (1e0 * sx{a}) * sy{a})"
+    " / (1e0 * n{a} * sxx{a} - (1e0 * sx{a}) * sx{a}) END"
+)
+# Centered second moments (doubles over exact int64 sums; the squared
+# integer sums promote BEFORE multiplying — sy*sy would leave int64).
+_LIN_SYY = "(1e0 * syy{a} - (1e0 * sy{a}) * sy{a} / n{a})"
+_LIN_SXX = "(1e0 * sxx{a} - (1e0 * sx{a}) * sx{a} / n{a})"
+_LIN_SXY = "(1e0 * sxy{a} - (1e0 * sx{a}) * sy{a} / n{a})"
+# Residual sum of squares after the per-arm fit: Syy - Sxy^2/Sxx (= Syy
+# when the arm is degenerate and beta = 0).
+_LIN_RSS = (
+    f"CASE WHEN ({_LIN_SXX}) <= 0 THEN ({_LIN_SYY})"
+    f" ELSE ({_LIN_SYY}) - ({_LIN_SXY}) * ({_LIN_SXY}) / ({_LIN_SXX}) END"
+)
+
+
+def _lin_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    b0 = _LIN_BETA.format(a="0")
+    b1 = _LIN_BETA.format(a="1")
+    rss0 = _LIN_RSS.format(a="0")
+    rss1 = _LIN_RSS.format(a="1")
+    syy0 = _LIN_SYY.format(a="0")
+    syy1 = _LIN_SYY.format(a="1")
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+per_user AS (
+  SELECT user_id, {arm} % 2 AS arm,
+         sum(CASE WHEN us < (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN us >= (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT AS y
+  FROM ev GROUP BY user_id
+),
+m AS (
+  SELECT
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::BIGINT AS sx0,
+    sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sx1,
+    sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sy0,
+    sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS sy1,
+    CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx0,
+    CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
+    CAST(sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy0,
+    CAST(sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxy1,
+    CAST(sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy0,
+    CAST(sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy1
+  FROM per_user
+),
+bt AS (SELECT *, {b0} AS beta0, {b1} AS beta1,
+              CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+                   ELSE (1e0 * (sx0 + sx1)) / (n0 + n1) END AS xbp
+       FROM m),
+mu AS (
+  SELECT *,
+         (1e0 * sy0) / n0 + beta0 * (xbp - (1e0 * sx0) / n0) AS mu0,
+         (1e0 * sy1) / n1 + beta1 * (xbp - (1e0 * sx1) / n1) AS mu1,
+         CASE WHEN n0 < 3 OR n1 < 3 THEN NULL
+              ELSE ({rss0}) / (n0 - 2) / n0 + ({rss1}) / (n1 - 2) / n1 END
+           AS var_adj,
+         CASE WHEN n0 < 2 OR n1 < 2 THEN NULL
+              ELSE ({syy0}) / (n0 - 1) / n0 + ({syy1}) / (n1 - 1) / n1 END
+           AS var_raw
+  FROM bt
+),
+zz AS (
+  SELECT n0, n1,
+         CAST(round(beta0 * 1000000) AS BIGINT) AS beta0_micro,
+         CAST(round(beta1 * 1000000) AS BIGINT) AS beta1_micro,
+         CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+              ELSE round((1e0 * sy1) / n1 - (1e0 * sy0) / n0, 6) + 0.0 END
+           AS ate_raw_cents,
+         CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+              ELSE round(mu1 - mu0, 6) + 0.0 END AS ate_adj_cents,
+         CASE WHEN var_raw IS NULL OR var_raw <= 0 THEN NULL
+              ELSE round(sqrt(var_raw), 6) + 0.0 END AS se_raw,
+         CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL
+              ELSE round(sqrt(var_adj), 6) + 0.0 END AS se_adj,
+         CASE WHEN var_raw IS NULL OR var_adj IS NULL OR var_raw <= 0 THEN NULL
+              ELSE round(1 - var_adj / var_raw, 6) + 0.0 END AS var_reduction,
+         CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL
+              ELSE round((mu1 - mu0) / sqrt(var_adj), 6) + 0.0 END AS z_stat
+  FROM mu
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n0 AS n_users0, n1 AS n_users1, beta0_micro, beta1_micro,
+       ate_raw_cents, ate_adj_cents, se_raw, se_adj, var_reduction, z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_two_sided
+FROM xt
+"""
+
+
+@staged("lin_regression_adjusted_ab", oracle=_lin_oracle())
+def lin_regression_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-adjusted ATE with per-arm slopes (Lin 2013, "Agnostic
+    notes on regression adjustments to experimental data") — the
+    interaction-term upgrade over the registered ``ab_test_cuped``: CUPED
+    fits ONE pooled slope on the pre-period covariate, which Freedman
+    (2008) showed can HURT precision when the covariate-outcome slope
+    differs by arm; Lin's estimator fits each arm its own slope and
+    evaluates both fits at the POOLED covariate mean, which is never
+    worse asymptotically than either the unadjusted or the pooled-slope
+    estimator. Same per-user (pre-period spend x, post-period spend y)
+    cent frame as the CUPED pair, same user-hash arms.
+
+    Exactness: per-user x/y are integer cent sums; per-arm slopes,
+    adjusted means, residual variances all derive from twelve exact
+    int64 moments through shared CASE texts (degenerate arms give slope
+    0 — the _CUPED_THETA convention); the Welch-style SE uses per-arm
+    residual mean squares (n-2 dof); z and two-sided p (shared erfc
+    polynomial) evaluate on rounded values. Envelope matches the
+    registered CUPED family: per-user cent sums keep x*y within int64
+    to ~9.2e18 cent^2 per user — quantize to decicents past that.
+
+    Scale shape: one corpus aggregate to the per-user frame with a
+    broadcast 1-row midpoint, then ONE conditional aggregate straight to
+    a 14-column single row — no per-stratum frames, no second corpus
+    pass (strictly cheaper than the stratified CUPED sibling)."""
+    arm = F.pmod(F.expr(T.h48_spark("cast(user_id as string)")), F.lit(2))
+    poly = _as_erfc_poly()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(arm.alias("arm"), "x", "y")
+    )
+    sums = []
+    for a in ("0", "1"):
+        cond = F.col("arm") == int(a)
+        sums += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{a}"),
+            F.sum(F.when(cond, F.col("x")).otherwise(0)).cast("long").alias(f"sx{a}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(0)).cast("long").alias(f"sy{a}"),
+            F.sum(F.when(cond, F.col("x") * F.col("x")).otherwise(0))
+            .cast("long")
+            .alias(f"sxx{a}"),
+            F.sum(F.when(cond, F.col("x") * F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"sxy{a}"),
+            F.sum(F.when(cond, F.col("y") * F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"syy{a}"),
+        ]
+    m = per_user.agg(*sums)
+    bt = m.select(
+        "*",
+        F.expr(_LIN_BETA.format(a="0")).alias("beta0"),
+        F.expr(_LIN_BETA.format(a="1")).alias("beta1"),
+        F.expr(
+            "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            " ELSE (1e0 * (sx0 + sx1)) / (n0 + n1) END"
+        ).alias("xbp"),
+    )
+    rss0 = _LIN_RSS.format(a="0")
+    rss1 = _LIN_RSS.format(a="1")
+    syy0 = _LIN_SYY.format(a="0")
+    syy1 = _LIN_SYY.format(a="1")
+    mu = bt.select(
+        "*",
+        F.expr("(1e0 * sy0) / n0 + beta0 * (xbp - (1e0 * sx0) / n0)").alias("mu0"),
+        F.expr("(1e0 * sy1) / n1 + beta1 * (xbp - (1e0 * sx1) / n1)").alias("mu1"),
+        F.expr(
+            f"CASE WHEN n0 < 3 OR n1 < 3 THEN NULL"
+            f" ELSE ({rss0}) / (n0 - 2) / n0 + ({rss1}) / (n1 - 2) / n1 END"
+        ).alias("var_adj"),
+        F.expr(
+            f"CASE WHEN n0 < 2 OR n1 < 2 THEN NULL"
+            f" ELSE ({syy0}) / (n0 - 1) / n0 + ({syy1}) / (n1 - 1) / n1 END"
+        ).alias("var_raw"),
+    )
+    zz = mu.select(
+        "n0",
+        "n1",
+        F.round(F.col("beta0") * 1000000).cast("long").alias("beta0_micro"),
+        F.round(F.col("beta1") * 1000000).cast("long").alias("beta1_micro"),
+        F.expr(
+            "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            " ELSE round((1e0 * sy1) / n1 - (1e0 * sy0) / n0, 6) + 0.0 END"
+        ).alias("ate_raw_cents"),
+        F.expr(
+            "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            " ELSE round(mu1 - mu0, 6) + 0.0 END"
+        ).alias("ate_adj_cents"),
+        F.expr(
+            "CASE WHEN var_raw IS NULL OR var_raw <= 0 THEN NULL"
+            " ELSE round(sqrt(var_raw), 6) + 0.0 END"
+        ).alias("se_raw"),
+        F.expr(
+            "CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL"
+            " ELSE round(sqrt(var_adj), 6) + 0.0 END"
+        ).alias("se_adj"),
+        F.expr(
+            "CASE WHEN var_raw IS NULL OR var_adj IS NULL OR var_raw <= 0 THEN NULL"
+            " ELSE round(1 - var_adj / var_raw, 6) + 0.0 END"
+        ).alias("var_reduction"),
+        F.expr(
+            "CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL"
+            " ELSE round((mu1 - mu0) / sqrt(var_adj), 6) + 0.0 END"
+        ).alias("z_stat"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("n0").alias("n_users0"),
+        F.col("n1").alias("n_users1"),
+        "beta0_micro",
+        "beta1_micro",
+        "ate_raw_cents",
+        "ate_adj_cents",
+        "se_raw",
+        "se_adj",
+        "var_reduction",
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_two_sided"),
+    )
+
+
+# --- DerSimonian-Laird random-effects pooled A/B ---------------------------------
+
+# Per-day 2x2 risk difference and its within-day variance, from the
+# exact integer cells (MH conventions: a/b treated successes/failures,
+# c/d control): rd = a/n1 - c/n0, v = p1(1-p1)/n1 + p0(1-p0)/n0 =
+# a*b/n1^3 + c*d/n0^3 — one shared double text over exact int64 cells.
+_DL_V = (
+    "((1e0 * a) * b / ((1e0 * n1) * n1 * n1)"
+    " + (1e0 * c) * d / ((1e0 * n0) * n0 * n0))"
+)
+_DL_RD = "((1e0 * a) / n1 - (1e0 * c) / n0)"
+# Weights are MAX-NORMALIZED before quantization: wq = round(1e6*vmin/v)
+# in [0, 1e6] (the minimum-variance day gets exactly 1e6), so wq^2 <=
+# 1e12 and every cross-day sum stays comfortably inside int64 at any
+# number of days — the true inverse-variance weight 1/v is unbounded
+# (w ~ n_day^2) and CANNOT be absolutely quantized without overflow.
+# The true scale re-enters once, as the single shared factor
+# 1/(1e6*vmin), in Q and the C denominator. Tripwire: a day with
+# v < 4e-10 (>~10^10 effective samples in ONE day) flags the readout
+# degenerate and NULLs the inference — fail loud, never wrap.
+_DL_TRIP = f"CASE WHEN ({_DL_V}) < 4e-10 THEN 1 ELSE 0 END"
+_DL_WQ = f"CAST(round(1000000 * vmin / ({_DL_V})) AS BIGINT)"
+_DL_WQ2 = (
+    f"CAST(round(1000000 * (vmin + tau2) / (({_DL_V}) + tau2)) AS BIGINT)"
+)
+# Scalar layer over the quantized sums (shared text, one row):
+_DL_Q = (
+    "CASE WHEN k < 1 OR sw < 1 THEN NULL"
+    " ELSE ((swrd2_e6 / 1e6) - (swrd_e6 / 1e6) * (swrd_e6 / 1e6) / sw)"
+    " / (1000000 * vmin) END"
+)
+_DL_CDEN = (
+    "CASE WHEN k < 1 OR sw < 1 THEN NULL"
+    " ELSE (sw - (1e0 * sw2) / sw) / (1000000 * vmin) END"
+)
+_DL_TAU2 = (
+    f"CASE WHEN ({_DL_Q}) IS NULL OR ({_DL_CDEN}) IS NULL"
+    f" OR ({_DL_CDEN}) <= 0 THEN 0.0"
+    f" ELSE greatest(0.0, (({_DL_Q}) - (k - 1)) / ({_DL_CDEN})) END"
+)
+
+
+def _dl_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, {arm} % 2 AS g,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+cells_all AS (
+  SELECT day,
+         CAST(sum(g * y) AS BIGINT) AS a,
+         CAST(sum(g * (1 - y)) AS BIGINT) AS b,
+         CAST(sum((1 - g) * y) AS BIGINT) AS c,
+         CAST(sum((1 - g) * (1 - y)) AS BIGINT) AS d
+  FROM e GROUP BY day
+),
+cells AS (
+  SELECT day, a, b, c, d, a + b AS n1, c + d AS n0
+  FROM cells_all
+  WHERE (a + b) > 0 AND (c + d) > 0
+    AND ((a > 0 AND b > 0) OR (c > 0 AND d > 0))
+),
+ka AS (SELECT count(*)::BIGINT AS k_all FROM cells_all),
+vr AS (
+  SELECT count(*)::BIGINT AS k, min({_DL_V}) AS vmin,
+         CAST(max({_DL_TRIP}) AS BIGINT) AS any_trip
+  FROM cells
+),
+pa AS (
+  SELECT c.day, {_DL_WQ} AS wq, {_DL_RD} AS rd
+  FROM cells c, vr
+),
+ta AS (
+  SELECT v.k, v.vmin, v.any_trip,
+         CAST(sum(p.wq) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(1000000 * p.wq * p.rd) AS BIGINT)) AS BIGINT)
+           AS swrd_e6,
+         CAST(sum(CAST(round(1000000 * p.wq * p.rd * p.rd) AS BIGINT)) AS BIGINT)
+           AS swrd2_e6,
+         CAST(sum(p.wq * p.wq) AS BIGINT) AS sw2
+  FROM pa p, vr v
+  GROUP BY v.k, v.vmin, v.any_trip
+),
+tb AS (SELECT *, {_DL_TAU2} AS tau2 FROM ta),
+pb AS (
+  SELECT {_DL_WQ2.replace("vmin", "t.vmin").replace("tau2", "t.tau2")} AS wq2,
+         {_DL_RD} AS rd, t.*
+  FROM cells c, tb t
+),
+tc AS (
+  SELECT k, vmin, any_trip, tau2, sw, swrd_e6, swrd2_e6, sw2,
+         CAST(sum(wq2) AS BIGINT) AS swb,
+         CAST(sum(CAST(round(1000000 * wq2 * rd) AS BIGINT)) AS BIGINT)
+           AS swbrd_e6
+  FROM pb GROUP BY k, vmin, any_trip, tau2, sw, swrd_e6, swrd2_e6, sw2
+),
+zz AS (
+  SELECT t.k AS k_strata, (ka.k_all - t.k)::BIGINT AS k_dropped,
+         t.any_trip = 1 AS degenerate,
+         CASE WHEN t.any_trip = 1 THEN NULL
+              ELSE round(({_DL_Q}), 6) + 0.0 END AS q_stat,
+         CASE WHEN t.any_trip = 1 OR ({_DL_Q}) IS NULL OR ({_DL_Q}) <= 0 THEN NULL
+              ELSE round(greatest(0.0, (({_DL_Q}) - (k - 1)) / ({_DL_Q})), 6) + 0.0
+              END AS i2,
+         CASE WHEN t.any_trip = 1 THEN NULL
+              ELSE CAST(round(t.tau2 * 1e9) AS BIGINT) END AS tau2_e9,
+         CASE WHEN t.any_trip = 1 OR t.sw < 1 THEN NULL
+              ELSE round((t.swrd_e6 / 1e6) / t.sw, 6) + 0.0 END AS rd_fixed,
+         CASE WHEN t.any_trip = 1 OR t.swb < 1 THEN NULL
+              ELSE round((t.swbrd_e6 / 1e6) / t.swb, 6) + 0.0 END AS rd_random,
+         CASE WHEN t.any_trip = 1 OR t.swb < 1 THEN NULL
+              ELSE round(sqrt(1000000 * (t.vmin + t.tau2) / t.swb), 6) + 0.0 END
+           AS se_random,
+         CASE WHEN t.any_trip = 1 OR t.swb < 1 THEN NULL
+              ELSE round(((t.swbrd_e6 / 1e6) / t.swb)
+                   / sqrt(1000000 * (t.vmin + t.tau2) / t.swb), 6) + 0.0 END
+           AS z_stat
+  FROM tc t, ka
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT k_strata, k_dropped, degenerate, q_stat, i2, tau2_e9, rd_fixed,
+       rd_random, se_random, z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_two_sided
+FROM xt
+"""
+
+
+@staged("dersimonian_laird_daily_ab", oracle=_dl_oracle())
+def dersimonian_laird_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DerSimonian-Laird random-effects pooled A/B across day strata —
+    the heterogeneity-aware counterpart of the registered
+    ``mantel_haenszel_stratified_ab``: CMH pools per-stratum 2x2s
+    assuming ONE common effect; DL (DerSimonian & Laird 1986, THE
+    standard random-effects meta-analysis estimator) first measures the
+    between-day heterogeneity (Cochran's Q, I^2, tau^2 by the DL moment
+    estimator) and then re-pools with weights 1/(v_i + tau^2), so a
+    treatment whose daily effect genuinely varies gets honest — wider —
+    intervals instead of the fixed-effect overconfidence. Each day is
+    one "study": treated/control purchase-rate difference with its
+    within-day binomial variance; days with an empty arm or zero
+    variance drop (complete-case meta rule, counted in ``k_dropped``).
+
+    Exactness: the per-day 2x2 cells are exact int64 from one
+    conditional aggregate; weights are max-normalized THEN e6-quantized
+    (see ``_DL_WQ`` — the unbounded 1/v weight cannot be absolutely
+    quantized without overflow), making every cross-day sum an exact
+    integer sum; vmin is an order-insensitive double min over one shared
+    text; Q, C, tau^2, both pooled effects and the z all derive from the
+    quantized sums through shared texts; the random-effects re-weighting
+    runs as a SECOND pass over the checkpointed bounded day frame
+    (the e-value-monitor re-split pattern); p is the shared erfc
+    polynomial on rounded |z| (two-sided). A day with v < 4e-10 flags
+    the readout degenerate and NULLs the inference (fail loud — the
+    tripwire discipline of ``_JT_CUBIC_GUARD``).
+
+    Scale shape: ONE corpus scan to the bounded per-day frame
+    (checkpointed — |days| rows, ~366/year); everything downstream is
+    bounded re-aggregation over that frame, twice (pass A for tau^2,
+    pass B for the re-weighted pool)."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    poly = _as_erfc_poly()
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        arm.alias("g"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cells_all = e.groupBy("day").agg(
+        F.sum(F.expr("g * y")).cast("long").alias("a"),
+        F.sum(F.expr("g * (1 - y)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - g) * y")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - g) * (1 - y)")).cast("long").alias("d"),
+    )
+    # Bounded frame (|days| rows) feeding four downstream branches (k_all
+    # count, vmin pass, weight pass A, weight pass B): checkpoint so the
+    # corpus scans exactly once under every config.
+    cells_all = cells_all.localCheckpoint()
+    cells = cells_all.filter(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & (((F.col("a") > 0) & (F.col("b") > 0)) | ((F.col("c") > 0) & (F.col("d") > 0)))
+    ).select(
+        "day",
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b")).alias("n1"),
+        (F.col("c") + F.col("d")).alias("n0"),
+    )
+    ka = cells_all.agg(F.count(F.lit(1)).cast("long").alias("k_all"))
+    vr = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min(F.expr(_DL_V)).alias("vmin"),
+        F.max(F.expr(_DL_TRIP)).cast("long").alias("any_trip"),
+    )
+    pa = cells.crossJoin(F.broadcast(vr)).select(
+        "k",
+        "vmin",
+        "any_trip",
+        F.expr(_DL_WQ).alias("wq"),
+        F.expr(_DL_RD).alias("rd"),
+    )
+    ta = pa.groupBy("k", "vmin", "any_trip").agg(
+        F.sum("wq").cast("long").alias("sw"),
+        F.sum(F.expr("CAST(round(1000000 * wq * rd) AS BIGINT)"))
+        .cast("long")
+        .alias("swrd_e6"),
+        F.sum(F.expr("CAST(round(1000000 * wq * rd * rd) AS BIGINT)"))
+        .cast("long")
+        .alias("swrd2_e6"),
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("sw2"),
+    )
+    tb = ta.withColumn("tau2", F.expr(_DL_TAU2))
+    pb = cells.crossJoin(F.broadcast(tb)).select(
+        F.expr(_DL_WQ2).alias("wq2"),
+        F.expr(_DL_RD).alias("rd"),
+        "k",
+        "vmin",
+        "any_trip",
+        "tau2",
+        "sw",
+        "swrd_e6",
+        "swrd2_e6",
+        "sw2",
+    )
+    tc = pb.groupBy(
+        "k", "vmin", "any_trip", "tau2", "sw", "swrd_e6", "swrd2_e6", "sw2"
+    ).agg(
+        F.sum("wq2").cast("long").alias("swb"),
+        F.sum(F.expr("CAST(round(1000000 * wq2 * rd) AS BIGINT)"))
+        .cast("long")
+        .alias("swbrd_e6"),
+    )
+    zz = tc.crossJoin(F.broadcast(ka)).select(
+        F.col("k").alias("k_strata"),
+        (F.col("k_all") - F.col("k")).cast("long").alias("k_dropped"),
+        (F.col("any_trip") == 1).alias("degenerate"),
+        F.expr(
+            f"CASE WHEN any_trip = 1 THEN NULL"
+            f" ELSE round(({_DL_Q}), 6) + 0.0 END"
+        ).alias("q_stat"),
+        F.expr(
+            f"CASE WHEN any_trip = 1 OR ({_DL_Q}) IS NULL OR ({_DL_Q}) <= 0"
+            f" THEN NULL"
+            f" ELSE round(greatest(0.0, (({_DL_Q}) - (k - 1)) / ({_DL_Q})), 6)"
+            f" + 0.0 END"
+        ).alias("i2"),
+        F.expr(
+            "CASE WHEN any_trip = 1 THEN NULL"
+            " ELSE CAST(round(tau2 * 1e9) AS BIGINT) END"
+        ).alias("tau2_e9"),
+        F.expr(
+            "CASE WHEN any_trip = 1 OR sw < 1 THEN NULL"
+            " ELSE round((swrd_e6 / 1e6) / sw, 6) + 0.0 END"
+        ).alias("rd_fixed"),
+        F.expr(
+            "CASE WHEN any_trip = 1 OR swb < 1 THEN NULL"
+            " ELSE round((swbrd_e6 / 1e6) / swb, 6) + 0.0 END"
+        ).alias("rd_random"),
+        F.expr(
+            "CASE WHEN any_trip = 1 OR swb < 1 THEN NULL"
+            " ELSE round(sqrt(1000000 * (vmin + tau2) / swb), 6) + 0.0 END"
+        ).alias("se_random"),
+        F.expr(
+            "CASE WHEN any_trip = 1 OR swb < 1 THEN NULL"
+            " ELSE round(((swbrd_e6 / 1e6) / swb)"
+            " / sqrt(1000000 * (vmin + tau2) / swb), 6) + 0.0 END"
+        ).alias("z_stat"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        "k_strata",
+        "k_dropped",
+        "degenerate",
+        "q_stat",
+        "i2",
+        "tau2_e9",
+        "rd_fixed",
+        "rd_random",
+        "se_random",
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_two_sided"),
+    )

@@ -1022,3 +1022,389 @@ def test_stratified_logrank_all_censored_stratum_not_counted(spark, tmp_path):
     exp = _slr_py(_load_events(sf))
     assert row["n_strata"] == exp["n_strata"]
     assert row["o1"] == exp["o1"]
+
+
+# --- Spiegelhalter calibration Z -------------------------------------------------
+
+
+def _spz_py(pdf) -> dict:
+    dls = [len(t.lower().strip().split(" ")) for t in pdf["text"]]
+    pos = [1 if l == "en" else 0 for l in pdf["lang"]]
+    n_all = len(dls)
+    cnt = Counter(dls)
+    cum, acc = {}, 0
+    for v in sorted(cnt):
+        acc += cnt[v]
+        cum[v] = acc
+    num = den = 0
+    for dl, p in zip(dls, pos):
+        sm = _round_away(cum[dl] * 1000000.0 / n_all)
+        num += (p * 1000000 - sm) * (1000000 - 2 * sm)
+        den += _round_away(
+            1e9
+            * ((1e0 * (1000000 - 2 * sm)) * (1000000 - 2 * sm))
+            * ((1e0 * sm) * (1000000 - sm))
+            / 1e24
+        )
+    if den <= 0:
+        z = None
+    else:
+        z = _rnd6((num / 1e12) / math.sqrt(den / 1e9))
+    return {
+        "n_docs": n_all,
+        "sum_dev_e12": num,
+        "var_e9": den,
+        "z_stat": z,
+        "p_two_sided": None if z is None else _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    }
+
+
+def test_spiegelhalter_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/documents.parquet")
+    exp = _spz_py(pdf)
+    row = S.STAGED_QUERIES["spiegelhalter_z_calibration"](spark, sf_small).collect()[0]
+    assert row["n_docs"] == exp["n_docs"]
+    assert row["sum_dev_e12"] == exp["sum_dev_e12"]
+    assert row["var_e9"] == exp["var_e9"]
+    for k in ("z_stat", "p_two_sided"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_spiegelhalter_degenerate_constant_score(spark, tmp_path):
+    """All docs the same length -> every ECDF score is exactly 1.0
+    (sm = 1e6), so the null variance sum is 0 and the test guards to
+    NULL instead of dividing by zero."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["alpha beta gamma"] * 6,
+            "lang": ["en", "de", "en", "fr", "en", "de"],
+            "source": ["s"] * 6,
+            "n_chars": [16] * 6,
+        }
+    )
+    sf = _write_tables(tmp_path, documents=docs)
+    row = S.STAGED_QUERIES["spiegelhalter_z_calibration"](spark, sf).collect()[0]
+    assert row["var_e9"] == 0
+    assert row["z_stat"] is None and row["p_two_sided"] is None
+
+
+# --- Kuiper time-of-day drift ----------------------------------------------------
+
+
+def _kp_py(pdf) -> dict:
+    us = (pdf["ts"].astype("int64") // 10**6 * 10**6).tolist()
+    us = (pdf["ts"].astype("int64")).tolist()
+    mid = (min(us) + max(us)) // 2
+    tods = [(u // 1000000) % 86400 for u in us]
+    early = [1 if u < mid else 0 for u in us]
+    n1 = sum(early)
+    n2 = len(us) - n1
+    c1, call = Counter(), Counter()
+    for t, e in zip(tods, early):
+        c1[t] += e
+        call[t] += 1
+    cum1 = cuma = 0
+    dplus = dminus = -1e18
+    for t in sorted(call):
+        cum1 += c1[t]
+        cuma += call[t]
+        g = cum1 / (1.0 * n1) - (cuma - cum1) / (1.0 * n2)
+        dplus = max(dplus, g)
+        dminus = max(dminus, -g)
+    v_e6 = _round_away(1000000 * (dplus + dminus))
+    ne = (1.0 * n1 * n2) / (n1 + n2)
+    lam = (math.sqrt(ne) + 0.155 + 0.24 / math.sqrt(ne)) * (v_e6 / 1e6)
+    if lam < 0.4:
+        p = 1.0
+    else:
+        p = min(
+            1.0,
+            max(
+                0.0,
+                2
+                * sum(
+                    (4 * j * j * lam * lam - 1) * math.exp(-2 * j * j * lam * lam)
+                    for j in (1, 2, 3, 4)
+                ),
+            ),
+        )
+    return {
+        "n_early": n1,
+        "n_late": n2,
+        "d_plus": _rnd6(dplus),
+        "d_minus": _rnd6(dminus),
+        "kuiper_v": v_e6 / 1e6,
+        "p_value": _rnd6(p),
+        "drift_at_95": p < 0.05,
+    }
+
+
+def test_kuiper_matches_python(spark, sf_small):
+    exp = _kp_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["kuiper_tod_drift"](spark, sf_small).collect()[0]
+    assert row["n_early"] == exp["n_early"] and row["n_late"] == exp["n_late"]
+    assert row["drift_at_95"] == exp["drift_at_95"]
+    for k in ("d_plus", "d_minus", "kuiper_v", "p_value"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_kuiper_rotation_invariant(spark, tmp_path):
+    """THE Kuiper property: rotating every time-of-day by the same
+    offset (mod 24h) leaves V unchanged — a KS statistic on the same
+    data moves with the cut point. Early sample on day 0, late on day
+    4, so a +7h rotation cannot push an event across the split."""
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(shift_s: int) -> str:
+        rows, eid = [], 0
+        for day, tods in ((0, [3600, 7200, 30000, 50000, 81000]),
+                          (4, [2000, 40000, 45000, 52000, 86000])):
+            for tod in tods:
+                t = base + pd.Timedelta(days=day, seconds=(tod + shift_s) % 86400)
+                rows.append((eid, t, eid, "view", 1.0, "{}"))
+                eid += 1
+        d = tmp_path / f"shift{shift_s}"
+        d.mkdir()
+        return _write_tables(d, events=_events_pdf(rows))
+
+    r0 = S.STAGED_QUERIES["kuiper_tod_drift"](spark, mk(0)).collect()[0]
+    r7 = S.STAGED_QUERIES["kuiper_tod_drift"](spark, mk(7 * 3600)).collect()[0]
+    assert r0["kuiper_v"] == r7["kuiper_v"]
+    assert r0["p_value"] == r7["p_value"]
+
+
+# --- Lin regression-adjusted ATE -------------------------------------------------
+
+
+def _lin_py(pdf) -> dict:
+    us = pdf["ts"].astype("int64").tolist()
+    mid = (min(us) + max(us)) // 2
+    per = defaultdict(lambda: [0, 0])
+    for u, uid, v in zip(us, pdf["user_id"], pdf["value"]):
+        cents = _round_away(v * 100)
+        per[uid][0 if u < mid else 1] += cents
+    m = Counter()
+    for uid, (x, y) in per.items():
+        a = _h48(str(uid)) % 2
+        m[f"n{a}"] += 1
+        m[f"sx{a}"] += x
+        m[f"sy{a}"] += y
+        m[f"sxx{a}"] += x * x
+        m[f"sxy{a}"] += x * y
+        m[f"syy{a}"] += y * y
+
+    def beta(a):
+        n, sx, sy, sxx, sxy = (
+            m[f"n{a}"], m[f"sx{a}"], m[f"sy{a}"], m[f"sxx{a}"], m[f"sxy{a}"]
+        )
+        if n < 2 or (1.0 * n * sxx - (1.0 * sx) * sx) <= 0:
+            return 0.0
+        return (1.0 * n * sxy - (1.0 * sx) * sy) / (1.0 * n * sxx - (1.0 * sx) * sx)
+
+    def syy_c(a):
+        n, sy, syy = m[f"n{a}"], m[f"sy{a}"], m[f"syy{a}"]
+        return 1.0 * syy - (1.0 * sy) * sy / n
+
+    def rss(a):
+        n, sx, sy, sxx, sxy = (
+            m[f"n{a}"], m[f"sx{a}"], m[f"sy{a}"], m[f"sxx{a}"], m[f"sxy{a}"]
+        )
+        sxx_c = 1.0 * sxx - (1.0 * sx) * sx / n
+        if sxx_c <= 0:
+            return syy_c(a)
+        sxy_c = 1.0 * sxy - (1.0 * sx) * sy / n
+        return syy_c(a) - sxy_c * sxy_c / sxx_c
+
+    n0, n1 = m["n0"], m["n1"]
+    b0, b1 = beta(0), beta(1)
+    xbp = (1.0 * (m["sx0"] + m["sx1"])) / (n0 + n1)
+    mu0 = 1.0 * m["sy0"] / n0 + b0 * (xbp - 1.0 * m["sx0"] / n0)
+    mu1 = 1.0 * m["sy1"] / n1 + b1 * (xbp - 1.0 * m["sx1"] / n1)
+    var_adj = (
+        None
+        if n0 < 3 or n1 < 3
+        else rss(0) / (n0 - 2) / n0 + rss(1) / (n1 - 2) / n1
+    )
+    var_raw = (
+        None
+        if n0 < 2 or n1 < 2
+        else syy_c(0) / (n0 - 1) / n0 + syy_c(1) / (n1 - 1) / n1
+    )
+    z = (
+        None
+        if var_adj is None or var_adj <= 0
+        else _rnd6((mu1 - mu0) / math.sqrt(var_adj))
+    )
+    return {
+        "n_users0": n0,
+        "n_users1": n1,
+        "beta0_micro": _round_away(b0 * 1000000),
+        "beta1_micro": _round_away(b1 * 1000000),
+        "ate_raw_cents": _rnd6(1.0 * m["sy1"] / n1 - 1.0 * m["sy0"] / n0),
+        "ate_adj_cents": _rnd6(mu1 - mu0),
+        "se_raw": None if var_raw is None or var_raw <= 0 else _rnd6(math.sqrt(var_raw)),
+        "se_adj": None if var_adj is None or var_adj <= 0 else _rnd6(math.sqrt(var_adj)),
+        "var_reduction": (
+            None
+            if var_raw is None or var_adj is None or var_raw <= 0
+            else _rnd6(1 - var_adj / var_raw)
+        ),
+        "z_stat": z,
+        "p_two_sided": None if z is None else _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    }
+
+
+def test_lin_matches_python(spark, sf_small):
+    exp = _lin_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["lin_regression_adjusted_ab"](spark, sf_small).collect()[0]
+    for k in ("n_users0", "n_users1", "beta0_micro", "beta1_micro"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    for k in (
+        "ate_raw_cents", "ate_adj_cents", "se_raw", "se_adj",
+        "var_reduction", "z_stat", "p_two_sided",
+    ):
+        if exp[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_lin_recovers_per_arm_slopes(spark, tmp_path):
+    """Arm 1's post spend is exactly 2x pre, arm 0's exactly 3x: Lin
+    fits each arm its own slope (beta0 = 3, beta1 = 2 — a pooled CUPED
+    theta would land in between and adjust BOTH arms wrong), and on a
+    perfect fit the residual SE guards to NULL (documented degenerate
+    case)."""
+    arm1 = [u for u in range(1, 200) if _h48(str(u)) % 2 == 1][:4]
+    arm0 = [u for u in range(1, 200) if _h48(str(u)) % 2 == 0][:4]
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for i, uid in enumerate(arm1):
+        x = 100 + 50 * i
+        rows.append((eid, base + pd.Timedelta(hours=1, seconds=eid), uid, "view", x / 100, "{}")); eid += 1
+        rows.append((eid, base + pd.Timedelta(days=4, seconds=eid), uid, "view", 2 * x / 100, "{}")); eid += 1
+    for i, uid in enumerate(arm0):
+        x = 120 + 40 * i
+        rows.append((eid, base + pd.Timedelta(hours=1, seconds=eid), uid, "view", x / 100, "{}")); eid += 1
+        rows.append((eid, base + pd.Timedelta(days=4, seconds=eid), uid, "view", 3 * x / 100, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["lin_regression_adjusted_ab"](spark, sf).collect()[0]
+    assert row["beta1_micro"] == 2000000
+    assert row["beta0_micro"] == 3000000
+    exp = _lin_py(_load_events(sf))
+    assert abs(row["ate_adj_cents"] - exp["ate_adj_cents"]) < 2e-6
+    assert row["se_adj"] is None and row["z_stat"] is None
+
+
+# --- DerSimonian-Laird random-effects pooled A/B ----------------------------------
+
+
+def _dl_py(pdf) -> dict:
+    us = pdf["ts"].astype("int64").tolist()
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for u, uid, et in zip(us, pdf["user_id"], pdf["event_type"]):
+        day = u // 86400000000
+        g = _h48(str(uid)) % 2
+        y = 1 if et == "purchase" else 0
+        c = cells[day]
+        if g == 1:
+            c[0] += y
+            c[1] += 1 - y
+        else:
+            c[2] += y
+            c[3] += 1 - y
+    k_all = len(cells)
+    kept = []
+    for a, b, c, d in cells.values():
+        n1, n0 = a + b, c + d
+        if n1 > 0 and n0 > 0 and ((a > 0 and b > 0) or (c > 0 and d > 0)):
+            kept.append((a, b, c, d, n1, n0))
+
+    def vfn(a, b, c, d, n1, n0):
+        return (1.0 * a) * b / ((1.0 * n1) * n1 * n1) + (1.0 * c) * d / (
+            (1.0 * n0) * n0 * n0
+        )
+
+    def rdfn(a, b, c, d, n1, n0):
+        return (1.0 * a) / n1 - (1.0 * c) / n0
+
+    k = len(kept)
+    vmin = min(vfn(*t) for t in kept)
+    any_trip = any(vfn(*t) < 4e-10 for t in kept)
+    sw = swrd = swrd2 = sw2 = 0
+    for t in kept:
+        v, rd = vfn(*t), rdfn(*t)
+        wq = _round_away(1000000 * vmin / v)
+        sw += wq
+        swrd += _round_away(1000000 * wq * rd)
+        swrd2 += _round_away(1000000 * wq * rd * rd)
+        sw2 += wq * wq
+    q = None if k < 1 or sw < 1 else (
+        (swrd2 / 1e6 - (swrd / 1e6) * (swrd / 1e6) / sw) / (1000000 * vmin)
+    )
+    cden = None if k < 1 or sw < 1 else (sw - (1.0 * sw2) / sw) / (1000000 * vmin)
+    tau2 = (
+        0.0
+        if q is None or cden is None or cden <= 0
+        else max(0.0, (q - (k - 1)) / cden)
+    )
+    swb = swbrd = 0
+    for t in kept:
+        v, rd = vfn(*t), rdfn(*t)
+        wq2 = _round_away(1000000 * (vmin + tau2) / (v + tau2))
+        swb += wq2
+        swbrd += _round_away(1000000 * wq2 * rd)
+    rd_random = None if swb < 1 else (swbrd / 1e6) / swb
+    se_random = None if swb < 1 else math.sqrt(1000000 * (vmin + tau2) / swb)
+    z = None if rd_random is None else _rnd6(rd_random / se_random)
+    return {
+        "k_strata": k,
+        "k_dropped": k_all - k,
+        "degenerate": any_trip,
+        "q_stat": None if q is None else _rnd6(q),
+        "i2": None if q is None or q <= 0 else _rnd6(max(0.0, (q - (k - 1)) / q)),
+        "tau2_e9": _round_away(tau2 * 1e9),
+        "rd_fixed": None if sw < 1 else _rnd6((swrd / 1e6) / sw),
+        "rd_random": None if rd_random is None else _rnd6(rd_random),
+        "se_random": None if se_random is None else _rnd6(se_random),
+        "z_stat": z,
+        "p_two_sided": None if z is None else _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    }
+
+
+def test_dersimonian_laird_matches_python(spark, sf_small):
+    exp = _dl_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["dersimonian_laird_daily_ab"](spark, sf_small).collect()[0]
+    for k in ("k_strata", "k_dropped", "degenerate", "tau2_e9"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    for k in (
+        "q_stat", "i2", "rd_fixed", "rd_random", "se_random",
+        "z_stat", "p_two_sided",
+    ):
+        if exp[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_dersimonian_laird_homogeneous_days(spark, tmp_path):
+    """Identical per-day 2x2s = zero between-day heterogeneity: tau^2
+    estimates 0 exactly, and the random-effects pool REDUCES to the
+    fixed-effect pool (wq2 == wq when tau2 = 0) — the DL sanity
+    property a heterogeneous corpus cannot pin."""
+    arm1 = [u for u in range(1, 200) if _h48(str(u)) % 2 == 1][0]
+    arm0 = [u for u in range(1, 200) if _h48(str(u)) % 2 == 0][0]
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for day in range(5):
+        for et in ("purchase", "purchase", "view", "view"):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=eid % 800), arm1, et, 1.0, "{}")); eid += 1
+        for et in ("purchase", "view", "view", "view"):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=eid % 800), arm0, et, 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["dersimonian_laird_daily_ab"](spark, sf).collect()[0]
+    assert row["k_strata"] == 5 and row["k_dropped"] == 0
+    assert row["tau2_e9"] == 0
+    assert row["rd_random"] == row["rd_fixed"] == 0.25
+    assert row["q_stat"] is not None and row["q_stat"] < 1e-3
