@@ -34,7 +34,20 @@ complete started families):
 * distributional drift completion: ``energy_distance_drift`` (Szekely-
   Rizzo energy statistic on the ks/cvm time split — the O(N^2)-by-
   definition statistic computed exactly in one banded global-order pass
-  via the 1-D order-statistic reduction).
+  via the 1-D order-statistic reduction) and ``kuiper_tod_drift``
+  (Kuiper's V on event time-of-day — the rotation-invariant KS variant,
+  THE two-sample test for circular data, which a diurnal serving-skew
+  monitor needs because KS's sensitivity depends on where midnight cuts
+  the circle);
+* calibration family completion: ``spiegelhalter_z_calibration``
+  (Spiegelhalter 1986 — the UNBINNED calibration test next to the
+  binned Brier/ECE/Hosmer-Lemeshow trio, sharing their per-doc score);
+* experimentation estimators: ``lin_regression_adjusted_ab`` (Lin 2013
+  per-arm-slope regression adjustment — the interaction-term upgrade
+  over the pooled-slope CUPED pair) and ``dersimonian_laird_daily_ab``
+  (random-effects meta-analytic pooling of per-day 2x2s with Cochran's
+  Q / I^2 / tau^2 — the heterogeneity-aware counterpart of the
+  registered Mantel-Haenszel fixed-effect pool).
 
 Exactness discipline unchanged (staging_r8 header): integer or
 quantized-integer corpus sums, single shared double expressions over
