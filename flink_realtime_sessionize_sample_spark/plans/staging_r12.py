@@ -2368,6 +2368,14 @@ def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     length aggregate and the score join as two thin column-pruned
     branches (the documented ab_test_cuped-class shape — corpus-sized,
     so deliberately NOT checkpointed)."""
+    # Spark-side score frame mirrors ml_eval_queries._reliability_bin_agg
+    # lines ~886-905 (the oracle REUSES _RELIABILITY_CTES, so any drift
+    # here fails the cross-engine parity check loudly). Planned r12-open
+    # refactor: factor an unbinned _reliability_score_frame helper in
+    # ml_eval_queries shared by both — deferred because editing that
+    # module NOW would rotate its registered consumers (brier/ECE) into
+    # the already-full round-11 window (the function-local-import lesson,
+    # SURVEY round-11 notes).
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         (F.col("lang") == "en").cast("int").alias("pos"),
@@ -2517,6 +2525,12 @@ def kuiper_tod_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("early").cast("long").alias("c1"),
         F.count(F.lit(1)).alias("c_all"),
     )
+    # Bounded frame (<= 86400 rows) feeding tot plus the global-rank
+    # pass's internal branches: checkpoint so the corpus scans exactly
+    # once under every config (exchange-reuse-independent — the
+    # registered ks_drift_detection predates this discipline and leans
+    # on runtime exchange reuse instead).
+    grouped = grouped.localCheckpoint()
     tot = grouped.agg(
         F.sum("c1").cast("long").alias("n1"),
         (F.sum("c_all") - F.sum("c1")).cast("long").alias("n2"),
@@ -2881,37 +2895,36 @@ cells AS (
 ka AS (SELECT count(*)::BIGINT AS k_all FROM cells_all),
 vr AS (
   SELECT count(*)::BIGINT AS k, min({_DL_V}) AS vmin,
-         CAST(max({_DL_TRIP}) AS BIGINT) AS any_trip
+         CAST(coalesce(max({_DL_TRIP}), 0) AS BIGINT) AS any_trip
   FROM cells
 ),
 pa AS (
   SELECT c.day, {_DL_WQ} AS wq, {_DL_RD} AS rd
   FROM cells c, vr
 ),
-ta AS (
-  SELECT v.k, v.vmin, v.any_trip,
-         CAST(sum(p.wq) AS BIGINT) AS sw,
-         CAST(sum(CAST(round(1000000 * p.wq * p.rd) AS BIGINT)) AS BIGINT)
+taa AS (
+  SELECT CAST(sum(wq) AS BIGINT) AS sw,
+         CAST(sum(CAST(round(1000000 * wq * rd) AS BIGINT)) AS BIGINT)
            AS swrd_e6,
-         CAST(sum(CAST(round(1000000 * p.wq * p.rd * p.rd) AS BIGINT)) AS BIGINT)
+         CAST(sum(CAST(round(1000000 * wq * rd * rd) AS BIGINT)) AS BIGINT)
            AS swrd2_e6,
-         CAST(sum(p.wq * p.wq) AS BIGINT) AS sw2
-  FROM pa p, vr v
-  GROUP BY v.k, v.vmin, v.any_trip
+         CAST(sum(wq * wq) AS BIGINT) AS sw2
+  FROM pa
 ),
+ta AS (SELECT v.k, v.vmin, v.any_trip, a.* FROM vr v, taa a),
 tb AS (SELECT *, {_DL_TAU2} AS tau2 FROM ta),
 pb AS (
   SELECT {_DL_WQ2.replace("vmin", "t.vmin").replace("tau2", "t.tau2")} AS wq2,
-         {_DL_RD} AS rd, t.*
+         {_DL_RD} AS rd
   FROM cells c, tb t
 ),
-tc AS (
-  SELECT k, vmin, any_trip, tau2, sw, swrd_e6, swrd2_e6, sw2,
-         CAST(sum(wq2) AS BIGINT) AS swb,
+tca AS (
+  SELECT CAST(sum(wq2) AS BIGINT) AS swb,
          CAST(sum(CAST(round(1000000 * wq2 * rd) AS BIGINT)) AS BIGINT)
            AS swbrd_e6
-  FROM pb GROUP BY k, vmin, any_trip, tau2, sw, swrd_e6, swrd2_e6, sw2
+  FROM pb
 ),
+tc AS (SELECT b.*, a.* FROM tb b, tca a),
 zz AS (
   SELECT t.k AS k_strata, (ka.k_all - t.k)::BIGINT AS k_dropped,
          t.any_trip = 1 AS degenerate,
@@ -3011,19 +3024,20 @@ def dersimonian_laird_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") + F.col("d")).alias("n0"),
     )
     ka = cells_all.agg(F.count(F.lit(1)).cast("long").alias("k_all"))
+    # Every aggregate below is GLOBAL (no grouping keys), so the readout
+    # is one row even when the complete-case filter drops every day (a
+    # grouped agg over the empty weight frame would emit ZERO rows and
+    # silently lose the k_all/k_dropped accounting — review finding).
     vr = cells.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.min(F.expr(_DL_V)).alias("vmin"),
-        F.max(F.expr(_DL_TRIP)).cast("long").alias("any_trip"),
+        F.coalesce(F.max(F.expr(_DL_TRIP)), F.lit(0)).cast("long").alias("any_trip"),
     )
     pa = cells.crossJoin(F.broadcast(vr)).select(
-        "k",
-        "vmin",
-        "any_trip",
         F.expr(_DL_WQ).alias("wq"),
         F.expr(_DL_RD).alias("rd"),
     )
-    ta = pa.groupBy("k", "vmin", "any_trip").agg(
+    taa = pa.agg(
         F.sum("wq").cast("long").alias("sw"),
         F.sum(F.expr("CAST(round(1000000 * wq * rd) AS BIGINT)"))
         .cast("long")
@@ -3033,27 +3047,19 @@ def dersimonian_laird_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("swrd2_e6"),
         F.sum(F.col("wq") * F.col("wq")).cast("long").alias("sw2"),
     )
+    ta = vr.crossJoin(F.broadcast(taa))
     tb = ta.withColumn("tau2", F.expr(_DL_TAU2))
     pb = cells.crossJoin(F.broadcast(tb)).select(
         F.expr(_DL_WQ2).alias("wq2"),
         F.expr(_DL_RD).alias("rd"),
-        "k",
-        "vmin",
-        "any_trip",
-        "tau2",
-        "sw",
-        "swrd_e6",
-        "swrd2_e6",
-        "sw2",
     )
-    tc = pb.groupBy(
-        "k", "vmin", "any_trip", "tau2", "sw", "swrd_e6", "swrd2_e6", "sw2"
-    ).agg(
+    tca = pb.agg(
         F.sum("wq2").cast("long").alias("swb"),
         F.sum(F.expr("CAST(round(1000000 * wq2 * rd) AS BIGINT)"))
         .cast("long")
         .alias("swbrd_e6"),
     )
+    tc = tb.crossJoin(F.broadcast(tca))
     zz = tc.crossJoin(F.broadcast(ka)).select(
         F.col("k").alias("k_strata"),
         (F.col("k_all") - F.col("k")).cast("long").alias("k_dropped"),

@@ -1093,7 +1093,6 @@ def test_spiegelhalter_degenerate_constant_score(spark, tmp_path):
 
 
 def _kp_py(pdf) -> dict:
-    us = (pdf["ts"].astype("int64") // 10**6 * 10**6).tolist()
     us = (pdf["ts"].astype("int64")).tolist()
     mid = (min(us) + max(us)) // 2
     tods = [(u // 1000000) % 86400 for u in us]
@@ -1330,8 +1329,26 @@ def _dl_py(pdf) -> dict:
         return (1.0 * a) / n1 - (1.0 * c) / n0
 
     k = len(kept)
+    # Mirror the engine's degenerate paths (review finding): every day
+    # dropped -> one all-NULL-inference row; a tripwire day -> NULLs.
+    if k == 0 or any(vfn(*t) < 4e-10 for t in kept):
+        return {
+            "k_strata": k,
+            "k_dropped": k_all - k,
+            "degenerate": k > 0,
+            "q_stat": None,
+            "i2": None,
+            # k = 0 takes the else branch with tau2 = 0.0 (any_trip is
+            # coalesced to 0); only a tripwire day NULLs tau2_e9.
+            "tau2_e9": None if k > 0 else 0,
+            "rd_fixed": None,
+            "rd_random": None,
+            "se_random": None,
+            "z_stat": None,
+            "p_two_sided": None,
+        }
     vmin = min(vfn(*t) for t in kept)
-    any_trip = any(vfn(*t) < 4e-10 for t in kept)
+    any_trip = False
     sw = swrd = swrd2 = sw2 = 0
     for t in kept:
         v, rd = vfn(*t), rdfn(*t)
@@ -1408,3 +1425,30 @@ def test_dersimonian_laird_homogeneous_days(spark, tmp_path):
     assert row["tau2_e9"] == 0
     assert row["rd_random"] == row["rd_fixed"] == 0.25
     assert row["q_stat"] is not None and row["q_stat"] < 1e-3
+
+
+def test_dersimonian_laird_all_days_dropped(spark, tmp_path):
+    """Every day has traffic in only ONE hash arm -> the complete-case
+    filter drops all strata, and the readout still emits ONE row with
+    the k_all/k_dropped accounting and NULL inference (a grouped agg
+    over the empty weight frame would emit zero rows — review pin)."""
+    arm1 = [u for u in range(1, 200) if _h48(str(u)) % 2 == 1][0]
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for day in range(3):
+        for i, et in enumerate(("purchase", "view", "view")):
+            rows.append(
+                (day * 10 + i, base + pd.Timedelta(days=day, seconds=i),
+                 arm1, et, 1.0, "{}")
+            )
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    out = S.STAGED_QUERIES["dersimonian_laird_daily_ab"](spark, sf).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["k_strata"] == 0 and row["k_dropped"] == 3
+    assert row["degenerate"] is False
+    for kcol in ("q_stat", "i2", "rd_fixed", "rd_random", "se_random",
+                 "z_stat", "p_two_sided"):
+        assert row[kcol] is None, kcol
+    exp = _dl_py(_load_events(sf))
+    assert exp["k_strata"] == 0 and exp["k_dropped"] == 3
