@@ -47,7 +47,11 @@ complete started families):
   over the pooled-slope CUPED pair) and ``dersimonian_laird_daily_ab``
   (random-effects meta-analytic pooling of per-day 2x2s with Cochran's
   Q / I^2 / tau^2 — the heterogeneity-aware counterpart of the
-  registered Mantel-Haenszel fixed-effect pool).
+  registered Mantel-Haenszel fixed-effect pool);
+* eval inference: ``delong_auc_ci`` (DeLong 1988 — the standard
+  nonparametric AUC variance / 95% CI / z-vs-chance, completing the
+  registered roc_auc_token_count point estimate with the interval
+  every model-eval report quotes).
 
 Exactness discipline unchanged (staging_r8 header): integer or
 quantized-integer corpus sums, single shared double expressions over
@@ -3114,6 +3118,203 @@ def dersimonian_laird_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_stat",
         F.expr(
             f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_two_sided"),
+    )
+
+
+# --- DeLong AUC variance / CI ----------------------------------------------------
+
+# DeLong, DeLong & Clarke-Pearson (1988): the nonparametric AUC variance
+# from the structural components V10 (per positive: fraction of
+# negatives it outranks, ties half) and V01 (per negative, vice versa).
+# On the tie-collapsed score grid both components are integer-exact when
+# DOUBLED (the roc_auc_token_count device): u10 = 2*neg_below + neg_eq,
+# u01 = 2*pos_below + pos_eq, so V10 = u10/(2*nn), V01 = u01/(2*np),
+# and the four weighted grid sums (sp1, sp2, sn1, sn2) are exact
+# integers. S10 = var(V10)/1, S01 likewise; Var(AUC) = S10/np + S01/nn.
+# sp2 <= np*(2*nn)^2 can leave int64 near ~3e9 balanced docs — all four
+# sums go through the DECIMAL(38,0) guard and fail loud to NULL
+# together past int64.
+_DLG_VAR = (
+    "CASE WHEN np < 2 OR nn < 2 OR sp1 IS NULL OR sp2 IS NULL"
+    " OR sn1 IS NULL OR sn2 IS NULL THEN NULL"
+    " ELSE (1e0 * sp2 - (1e0 * sp1) * sp1 / np) / (np - 1)"
+    " / ((2e0 * nn) * (2e0 * nn)) / np"
+    " + (1e0 * sn2 - (1e0 * sn1) * sn1 / nn) / (nn - 1)"
+    " / ((2e0 * np) * (2e0 * np)) / nn END"
+)
+_DLG_AUC = "((1e0 * sp1) / ((2e0 * np) * nn))"
+
+
+def _dlg_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _TOKS_D,
+    )
+
+    poly = _as_erfc_poly()
+    return f"""
+WITH d AS (
+  SELECT (lang = 'en')::INT AS pos, len({_TOKS_D})::BIGINT AS dl
+  FROM documents
+),
+g AS (SELECT dl, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS p FROM d GROUP BY dl),
+cdf AS (
+  SELECT dl, cnt, p,
+         sum(cnt) OVER (ORDER BY dl)::BIGINT AS cum_all,
+         sum(p) OVER (ORDER BY dl)::BIGINT AS cum_p
+  FROM g
+),
+tot AS (SELECT sum(p)::BIGINT AS np, (sum(cnt) - sum(p))::BIGINT AS nn FROM g),
+comps AS (
+  SELECT p, cnt - p AS neg,
+         2 * ((cum_all - cnt) - (cum_p - p)) + (cnt - p) AS u10,
+         2 * (cum_p - p) + p AS u01
+  FROM cdf
+),
+s AS (
+  SELECT {_dec_sum_bigint("p * u10")} AS sp1,
+         {_dec_sum_bigint("p * u10 * u10")} AS sp2,
+         {_dec_sum_bigint("neg * u01")} AS sn1,
+         {_dec_sum_bigint("neg * u01 * u01")} AS sn2
+  FROM comps
+),
+zz AS (
+  SELECT t.np AS n_pos, t.nn AS n_neg,
+         CASE WHEN sp1 IS NULL THEN NULL
+              ELSE CAST(round({_DLG_AUC} * 1000000) AS BIGINT) END AS auc_micro,
+         CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL
+              ELSE round(sqrt({_DLG_VAR}), 6) + 0.0 END AS se_delong,
+         CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL
+              ELSE round(greatest(0e0, {_DLG_AUC} - 1.96e0 * sqrt({_DLG_VAR})), 6)
+                   + 0.0 END AS ci95_lo,
+         CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL
+              ELSE round(least(1e0, {_DLG_AUC} + 1.96e0 * sqrt({_DLG_VAR})), 6)
+                   + 0.0 END AS ci95_hi,
+         CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL
+              ELSE round(({_DLG_AUC} - 0.5e0) / sqrt({_DLG_VAR}), 6) + 0.0 END
+           AS z_vs_chance
+  FROM s, tot t
+),
+xt AS (
+  SELECT *, abs(z_vs_chance) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_vs_chance) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_pos, n_neg, auc_micro, se_delong, ci95_lo, ci95_hi, z_vs_chance,
+       CASE WHEN z_vs_chance IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_two_sided
+FROM xt
+"""
+
+
+@staged("delong_auc_ci", oracle=_dlg_oracle())
+def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong AUC variance and 95% CI (DeLong et al. 1988) for the house
+    ROC-AUC (token count predicting ``lang = 'en'``) — the INFERENCE
+    completion of the eval family: ``roc_auc_token_count`` gives the
+    point estimate, this gives the standard nonparametric CI and the
+    z-test against chance (0.5) every model-eval report quotes. The
+    structural components V10/V01 are per-doc means of the tie-averaged
+    Mann-Whitney kernel; their sample variances, NOT the naive binomial
+    formula, are what make the interval valid under ties and arbitrary
+    score distributions.
+
+    Exactness: components are DOUBLED on the tie-collapsed grid so they
+    stay integers (u10 = 2*neg_below + neg_eq — the registered AUC
+    query's doubled-rank device); the four weighted grid sums go through
+    the shared DECIMAL(38,0) int64 guard (sp2 ~ np*(2nn)^2 leaves int64
+    near ~3e9 balanced docs — both engines then fail loud to NULL
+    together); AUC/variance/CI/z derive from the guarded sums through
+    shared texts (1.96e0 — never a bare decimal literal in expr text);
+    p is the shared erfc polynomial on rounded |z|.
+
+    Scale shape: identical to roc_auc_token_count — one hash aggregate
+    to |distinct scores| rows, ONE ``with_global_rank`` pass carrying
+    both cumulative counts (extra_cums), scalar aggregates after; the
+    grid is bounded by |distinct token counts|, not the corpus."""
+    from flink_realtime_sessionize_sample_spark.plans.ml_eval_queries import (
+        _TOKS_S,
+    )
+
+    poly = _as_erfc_poly()
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.size(F.expr(_TOKS_S)).cast("long").alias("dl"),
+    )
+    g = d.groupBy("dl").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").cast("long").alias("p")
+    )
+    cdf = with_global_rank(
+        g,
+        ["dl"],
+        rank_col="_rk",
+        sum_col="cnt",
+        cum_col="cum_all",
+        extra_cums=[("p", "cum_p")],
+    )
+    tot = g.agg(
+        F.sum("p").cast("long").alias("np"),
+        (F.sum("cnt") - F.sum("p")).cast("long").alias("nn"),
+    )
+    comps = cdf.select(
+        "p",
+        (F.col("cnt") - F.col("p")).alias("neg"),
+        (
+            2 * ((F.col("cum_all") - F.col("cnt")) - (F.col("cum_p") - F.col("p")))
+            + (F.col("cnt") - F.col("p"))
+        ).alias("u10"),
+        (2 * (F.col("cum_p") - F.col("p")) + F.col("p")).alias("u01"),
+    )
+    s = comps.agg(
+        F.expr(_dec_sum_bigint("p * u10")).alias("sp1"),
+        F.expr(_dec_sum_bigint("p * u10 * u10")).alias("sp2"),
+        F.expr(_dec_sum_bigint("neg * u01")).alias("sn1"),
+        F.expr(_dec_sum_bigint("neg * u01 * u01")).alias("sn2"),
+    )
+    zz = s.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.expr(
+            f"CASE WHEN sp1 IS NULL THEN NULL"
+            f" ELSE CAST(round({_DLG_AUC} * 1000000) AS BIGINT) END"
+        ).alias("auc_micro"),
+        F.expr(
+            f"CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL"
+            f" ELSE round(sqrt({_DLG_VAR}), 6) + 0.0 END"
+        ).alias("se_delong"),
+        F.expr(
+            f"CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL"
+            f" ELSE round(greatest(0e0, {_DLG_AUC} - 1.96e0 * sqrt({_DLG_VAR})), 6)"
+            f" + 0.0 END"
+        ).alias("ci95_lo"),
+        F.expr(
+            f"CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL"
+            f" ELSE round(least(1e0, {_DLG_AUC} + 1.96e0 * sqrt({_DLG_VAR})), 6)"
+            f" + 0.0 END"
+        ).alias("ci95_hi"),
+        F.expr(
+            f"CASE WHEN ({_DLG_VAR}) IS NULL OR ({_DLG_VAR}) <= 0 THEN NULL"
+            f" ELSE round(({_DLG_AUC} - 0.5e0) / sqrt({_DLG_VAR}), 6) + 0.0 END"
+        ).alias("z_vs_chance"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_vs_chance")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t",
+        1 / (1 + 0.3275911 * (F.abs(F.col("z_vs_chance")) / F.sqrt(F.lit(2.0)))),
+    )
+    return xt.select(
+        "n_pos",
+        "n_neg",
+        "auc_micro",
+        "se_delong",
+        "ci95_lo",
+        "ci95_hi",
+        "z_vs_chance",
+        F.expr(
+            f"CASE WHEN z_vs_chance IS NULL THEN NULL"
             f" ELSE round(({poly}), 6) + 0.0 END"
         ).alias("p_two_sided"),
     )

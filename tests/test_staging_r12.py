@@ -1452,3 +1452,101 @@ def test_dersimonian_laird_all_days_dropped(spark, tmp_path):
         assert row[kcol] is None, kcol
     exp = _dl_py(_load_events(sf))
     assert exp["k_strata"] == 0 and exp["k_dropped"] == 3
+
+
+# --- DeLong AUC CI ---------------------------------------------------------------
+
+
+def _dlg_py(pdf) -> dict:
+    dls = [len(t.lower().strip().split(" ")) for t in pdf["text"]]
+    pos = [1 if l == "en" else 0 for l in pdf["lang"]]
+    grid = defaultdict(lambda: [0, 0])  # dl -> [cnt, p]
+    for dl, p in zip(dls, pos):
+        grid[dl][0] += 1
+        grid[dl][1] += p
+    cum_all = cum_p = 0
+    sp1 = sp2 = sn1 = sn2 = 0
+    np_ = sum(p for _, p in grid.values())
+    nn = len(dls) - np_
+    for dl in sorted(grid):
+        cnt, p = grid[dl]
+        neg = cnt - p
+        u10 = 2 * ((cum_all) - (cum_p)) + neg  # negatives strictly below + ties
+        u01 = 2 * cum_p + p
+        sp1 += p * u10
+        sp2 += p * u10 * u10
+        sn1 += neg * u01
+        sn2 += neg * u01 * u01
+        cum_all += cnt
+        cum_p += p
+    auc = (1.0 * sp1) / ((2.0 * np_) * nn)
+    var = (
+        None
+        if np_ < 2 or nn < 2
+        else (1.0 * sp2 - (1.0 * sp1) * sp1 / np_) / (np_ - 1)
+        / ((2.0 * nn) * (2.0 * nn)) / np_
+        + (1.0 * sn2 - (1.0 * sn1) * sn1 / nn) / (nn - 1)
+        / ((2.0 * np_) * (2.0 * np_)) / nn
+    )
+    out = {
+        "n_pos": np_,
+        "n_neg": nn,
+        "auc_micro": _round_away(auc * 1000000),
+    }
+    if var is None or var <= 0:
+        out.update(se_delong=None, ci95_lo=None, ci95_hi=None,
+                   z_vs_chance=None, p_two_sided=None)
+    else:
+        se = math.sqrt(var)
+        z = _rnd6((auc - 0.5) / se)
+        out.update(
+            se_delong=_rnd6(se),
+            ci95_lo=_rnd6(max(0.0, auc - 1.96 * se)),
+            ci95_hi=_rnd6(min(1.0, auc + 1.96 * se)),
+            z_vs_chance=z,
+            p_two_sided=_rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+        )
+    return out
+
+
+def test_delong_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/documents.parquet")
+    exp = _dlg_py(pdf)
+    row = S.STAGED_QUERIES["delong_auc_ci"](spark, sf_small).collect()[0]
+    for k in ("n_pos", "n_neg", "auc_micro"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    for k in ("se_delong", "ci95_lo", "ci95_hi", "z_vs_chance", "p_two_sided"):
+        if exp[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_delong_point_estimate_equals_registered_auc(spark, sf_small):
+    """The CI query's point estimate must equal roc_auc_token_count's
+    auc_micro exactly — same score, same label, same tie handling (the
+    two eval readouts can never disagree)."""
+    a = plans.QUERIES["roc_auc_token_count"](spark, sf_small).collect()[0]
+    b = S.STAGED_QUERIES["delong_auc_ci"](spark, sf_small).collect()[0]
+    assert b["auc_micro"] == a["auc_micro"]
+    assert b["n_pos"] == a["n_pos"] and b["n_neg"] == a["n_neg"]
+
+
+def test_delong_perfect_separation_guards_null(spark, tmp_path):
+    """Perfect separation (every en doc longer than every non-en doc):
+    AUC = 1 and BOTH structural-component variances are exactly 0, so
+    the interval guards to NULL instead of claiming an impossible
+    zero-width CI (the documented degenerate case)."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["w " * (10 + i * 2) if i < 4 else "w " * (50 + i) for i in range(8)],
+            "lang": ["de", "de", "fr", "de", "en", "en", "en", "en"],
+            "source": ["s"] * 8,
+            "n_chars": [1] * 8,
+        }
+    )
+    sf = _write_tables(tmp_path, documents=docs)
+    row = S.STAGED_QUERIES["delong_auc_ci"](spark, sf).collect()[0]
+    assert row["auc_micro"] == 1000000
+    assert row["se_delong"] is None and row["z_vs_chance"] is None
