@@ -1550,3 +1550,174 @@ def test_delong_perfect_separation_guards_null(spark, tmp_path):
     row = S.STAGED_QUERIES["delong_auc_ci"](spark, sf).collect()[0]
     assert row["auc_micro"] == 1000000
     assert row["se_delong"] is None and row["z_vs_chance"] is None
+
+
+# --- hypothesis property tests (kuiper / lin / DL / delong) ------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=86399), min_size=3, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=86399), min_size=3, max_size=10),
+    st.integers(min_value=1, max_value=86399),
+)
+def test_kuiper_property_rotation_and_dominance(
+    spark, tmp_path_factory, early_tods, late_tods, shift
+):
+    """Two Kuiper properties on arbitrary tod samples: (1) rotating
+    every tod by the same offset (mod 24h) leaves V and p exactly
+    unchanged; (2) V = D+ + D- dominates the one-sided sups, so
+    V >= max(D+, D-) on the unrotated data."""
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(tmp, s):
+        rows, eid = [], 0
+        for day, tods in ((0, early_tods), (4, late_tods)):
+            for tod in tods:
+                rows.append(
+                    (eid, base + pd.Timedelta(days=day, seconds=(tod + s) % 86400),
+                     eid, "view", 1.0, "{}")
+                )
+                eid += 1
+        return _write_tables(tmp, events=_events_pdf(rows))
+
+    q = S.STAGED_QUERIES["kuiper_tod_drift"]
+    r0 = q(spark, mk(tmp_path_factory.mktemp("k0"), 0)).collect()[0]
+    rs = q(spark, mk(tmp_path_factory.mktemp("ks"), shift)).collect()[0]
+    assert r0["kuiper_v"] == rs["kuiper_v"]
+    assert r0["p_value"] == rs["p_value"]
+    assert r0["kuiper_v"] >= max(r0["d_plus"], r0["d_minus"]) - 1e-9
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),   # pre cents
+            st.integers(min_value=0, max_value=500),   # post cents
+        ),
+        min_size=8,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=300),            # translation, cents
+)
+def test_lin_property_translation_invariance(spark, tmp_path_factory, xy, c):
+    """Lin's adjusted ATE is invariant to adding the same constant to
+    every user's POST outcome in both arms differing only through the
+    raw means: ate_adj(y + c) = ate_adj(y) + (c - c) = ate_adj(y) —
+    slopes and the pooled-mean evaluation point are unchanged, so the
+    constant cancels in mu1 - mu0. Checked against the Python reference
+    on both the original and translated corpora."""
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(tmp, add):
+        rows, eid = [], 0
+        for uid0, (x, y) in enumerate(xy):
+            uid = uid0 + 1
+            rows.append((eid, base + pd.Timedelta(hours=1, seconds=eid),
+                         uid, "view", x / 100, "{}")); eid += 1
+            rows.append((eid, base + pd.Timedelta(days=4, seconds=eid),
+                         uid, "view", (y + add) / 100, "{}")); eid += 1
+        return _write_tables(tmp, events=_events_pdf(rows))
+
+    q = S.STAGED_QUERIES["lin_regression_adjusted_ab"]
+    r0 = q(spark, mk(tmp_path_factory.mktemp("l0"), 0)).collect()[0]
+    rc = q(spark, mk(tmp_path_factory.mktemp("lc"), c)).collect()[0]
+    exp0 = _lin_py(_load_events(mk(tmp_path_factory.mktemp("p0"), 0)))
+    if exp0["ate_adj_cents"] is None:
+        assert r0["ate_adj_cents"] is None
+    else:
+        assert abs(r0["ate_adj_cents"] - exp0["ate_adj_cents"]) < 2e-6
+    if r0["ate_adj_cents"] is not None and rc["ate_adj_cents"] is not None:
+        assert abs(r0["ate_adj_cents"] - rc["ate_adj_cents"]) < 1e-4
+        assert r0["beta0_micro"] == rc["beta0_micro"]
+        assert r0["beta1_micro"] == rc["beta1_micro"]
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # arm1 purchases
+            st.integers(min_value=1, max_value=6),   # arm1 views
+            st.integers(min_value=1, max_value=6),   # arm0 purchases
+            st.integers(min_value=1, max_value=6),   # arm0 views
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_dl_property_random_days(spark, tmp_path_factory, days):
+    """The full quantized DL pipeline (max-normalized weights, Q, tau^2,
+    two-pass re-pool) on arbitrary small day series must match the
+    Python reference exactly — heavy heterogeneity by construction."""
+    arm1 = [u for u in range(1, 300) if _h48(str(u)) % 2 == 1][0]
+    arm0 = [u for u in range(1, 300) if _h48(str(u)) % 2 == 0][0]
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for day, (a, b, c, d) in enumerate(days):
+        for _ in range(a):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=eid % 999),
+                         arm1, "purchase", 1.0, "{}")); eid += 1
+        for _ in range(b):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=eid % 999),
+                         arm1, "view", 1.0, "{}")); eid += 1
+        for _ in range(c):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=eid % 999),
+                         arm0, "purchase", 1.0, "{}")); eid += 1
+        for _ in range(d):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=eid % 999),
+                         arm0, "view", 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path_factory.mktemp("dl"), events=_events_pdf(rows))
+    exp = _dl_py(_load_events(sf))
+    row = S.STAGED_QUERIES["dersimonian_laird_daily_ab"](spark, sf).collect()[0]
+    for k in ("k_strata", "k_dropped", "degenerate", "tau2_e9"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    for k in ("q_stat", "i2", "rd_fixed", "rd_random", "se_random",
+              "z_stat", "p_two_sided"):
+        if exp[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),   # token count
+            st.booleans(),                             # is_en
+        ),
+        min_size=6,
+        max_size=24,
+    )
+)
+def test_delong_property_random_corpus(spark, tmp_path_factory, docs_spec):
+    """DeLong variance on arbitrary tied corpora must match the Python
+    reference exactly, and the CI must bracket the point estimate."""
+    # Need both classes present.
+    if not any(e for _, e in docs_spec) or all(e for _, e in docs_spec):
+        return
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(docs_spec)),
+            "text": [" ".join(["w"] * n) for n, _ in docs_spec],
+            "lang": ["en" if e else "de" for _, e in docs_spec],
+            "source": ["s"] * len(docs_spec),
+            "n_chars": [1] * len(docs_spec),
+        }
+    )
+    sf = _write_tables(tmp_path_factory.mktemp("dlg"), documents=docs)
+    exp = _dlg_py(docs)
+    row = S.STAGED_QUERIES["delong_auc_ci"](spark, sf).collect()[0]
+    assert row["auc_micro"] == exp["auc_micro"]
+    for k in ("se_delong", "ci95_lo", "ci95_hi", "z_vs_chance", "p_two_sided"):
+        if exp[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+    if row["se_delong"] is not None:
+        assert row["ci95_lo"] - 1e-9 <= row["auc_micro"] / 1e6 <= row["ci95_hi"] + 1e-9
