@@ -51,7 +51,10 @@ complete started families):
 * eval inference: ``delong_auc_ci`` (DeLong 1988 — the standard
   nonparametric AUC variance / 95% CI / z-vs-chance, completing the
   registered roc_auc_token_count point estimate with the interval
-  every model-eval report quotes).
+  every model-eval report quotes);
+* 10th streaming twin: ``stream_dersimonian_laird_monitor`` (the DL
+  readout on the ingest path from mergeable bounded (day, arm) integer
+  partials — the live experiment-heterogeneity dashboard shape).
 
 Exactness discipline unchanged (staging_r8 header): integer or
 quantized-integer corpus sums, single shared double expressions over
@@ -2873,14 +2876,14 @@ _DL_TAU2 = (
 )
 
 
-def _dl_oracle() -> str:
+def _dl_oracle(where: str = "") -> str:
     arm = T.h48_duck("user_id::VARCHAR")
     poly = _as_erfc_poly()
     return f"""
 WITH e AS (
   SELECT epoch_us(ts) // 86400000000 AS day, {arm} % 2 AS g,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-  FROM events
+  FROM events {where}
 ),
 cells_all AS (
   SELECT day,
@@ -2998,7 +3001,6 @@ def dersimonian_laird_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded re-aggregation over that frame, twice (pass A for tau^2,
     pass B for the re-weighted pool)."""
     arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
-    poly = _as_erfc_poly()
     e = load_table(spark, sf_dir, "events").select(
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
         arm.alias("g"),
@@ -3010,9 +3012,18 @@ def dersimonian_laird_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("(1 - g) * y")).cast("long").alias("c"),
         F.sum(F.expr("(1 - g) * (1 - y)")).cast("long").alias("d"),
     )
+    return _dl_readout(cells_all)
+
+
+def _dl_readout(cells_all: DataFrame) -> DataFrame:
+    """The DL pipeline over an arbitrary per-day 2x2 cell frame
+    (day, a, b, c, d) — shared by the batch query, the ingest-path
+    streaming twin, and the direct readout plan-lint test (the ADVICE
+    r10 #4 rule applied from birth)."""
+    poly = _as_erfc_poly()
     # Bounded frame (|days| rows) feeding four downstream branches (k_all
     # count, vmin pass, weight pass A, weight pass B): checkpoint so the
-    # corpus scans exactly once under every config.
+    # upstream pipeline runs exactly once under every config.
     cells_all = cells_all.localCheckpoint()
     cells = cells_all.filter(
         ((F.col("a") + F.col("b")) > 0)
@@ -3318,3 +3329,86 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE round(({poly}), 6) + 0.0 END"
         ).alias("p_two_sided"),
     )
+
+
+@staged(
+    "stream_dersimonian_laird_monitor",
+    oracle=_dl_oracle("WHERE event_id % 2 = 1"),
+)
+def stream_dersimonian_laird_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DerSimonian-Laird random-effects A/B readout computed ON THE
+    INGEST PATH — the 10th streaming twin (the ``stream_e_value_monitor``
+    pattern): the odd-event_id half of the event stream replays as 2
+    micro-batches; each batch appends its PER-(day, arm) partials (event
+    count, purchase count) to a managed table; the readout merges
+    partials by plain summation, rebuilds the per-day 2x2 cells, and
+    runs the IDENTICAL DL pipeline as the batch query. Proof obligation:
+    the (day, arm) cell counts are mergeable integer sums, and the arm
+    hash is a PURE function of user_id (same user hashes identically in
+    every micro-batch), so events of one user straddling batches land in
+    the same (day, arm) cell and merge exactly — unlike the per-user
+    delta twin, no readout-side re-derivation is needed. Certified end
+    to end by the oracle (the batch DL SQL restricted to the replayed
+    half). This is the shape a live experiment-heterogeneity dashboard
+    needs: bounded per-day partials stream in, Q / I^2 / tau^2 and the
+    honest random-effects interval are recomputed on read.
+
+    Scale shape: per micro-batch one map-side-combined hash aggregate to
+    its <= |days|*2 rows; the managed table holds batches x cells rows
+    (bounded); the merge is one (day, g)-keyed groupBy and the readout
+    is the batch query's bounded two-pass pipeline."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            arm.cast("int").alias("g"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("p"),
+        )
+    )
+
+    def _cell_batch(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("day", "g").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("long").alias("k"),
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, day long, g int, p int",
+        _cell_batch,
+        "dl_cell_partials",
+        split_col="event_id",
+        src_prefix="dl_monitor_src_",
+    )
+    merged = partials.groupBy("day", "g").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k"),
+    )
+    cells_all = merged.groupBy("day").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("g") == 1, F.col("n") - F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("g") == 0, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("g") == 0, F.col("n") - F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    return _dl_readout(cells_all)

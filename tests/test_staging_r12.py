@@ -1721,3 +1721,41 @@ def test_delong_property_random_corpus(spark, tmp_path_factory, docs_spec):
             assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
     if row["se_delong"] is not None:
         assert row["ci95_lo"] - 1e-9 <= row["auc_micro"] / 1e6 <= row["ci95_hi"] + 1e-9
+
+
+# --- DL streaming twin -------------------------------------------------------------
+
+
+def test_dl_readout_plan_lint(spark):
+    """ADVICE r10 #4 from birth: the DL twin's shared readout lints
+    directly over a small static (day, a, b, c, d) cell frame (the
+    stream_* skip in the staged lint would otherwise leave it
+    uncovered)."""
+    df = S._dl_readout(
+        spark.createDataFrame(
+            [(d, 2 + d % 3, 3, 1 + d % 2, 4) for d in range(6)],
+            "day long, a long, b long, c long, d long",
+        )
+    )
+    p = _explain(df)
+    bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+    assert not bad, f"_dl_readout lint failed: {bad}"
+
+
+def test_stream_dl_matches_batch_python_on_half(spark, sf_small):
+    """The ingest-path twin's merged (day, arm) partials must reproduce
+    the batch DL readout EXACTLY on the replayed odd-event_id half —
+    including the day straddling the two micro-batches."""
+    pdf = _load_events(sf_small)
+    exp = _dl_py(pdf[pdf["event_id"] % 2 == 1])
+    row = S.STAGED_QUERIES["stream_dersimonian_laird_monitor"](
+        spark, sf_small
+    ).collect()[0]
+    for k in ("k_strata", "k_dropped", "degenerate", "tau2_e9"):
+        assert row[k] == exp[k], (k, row[k], exp[k])
+    for k in ("q_stat", "i2", "rd_fixed", "rd_random", "se_random",
+              "z_stat", "p_two_sided"):
+        if exp[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
