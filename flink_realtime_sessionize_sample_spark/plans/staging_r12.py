@@ -54,7 +54,12 @@ complete started families):
   every model-eval report quotes);
 * 10th streaming twin: ``stream_dersimonian_laird_monitor`` (the DL
   readout on the ingest path from mergeable bounded (day, arm) integer
-  partials — the live experiment-heterogeneity dashboard shape).
+  partials — the live experiment-heterogeneity dashboard shape);
+* survival inference completion: ``weighted_logrank_family`` (log-rank
+  / Gehan-Breslow / Tarone-Ware in one readout — early-vs-late
+  survival-difference sensitivity over the registered test's exact
+  per-death-time frame, with max-normalized weights so the e9 terms
+  stay in the registered envelope).
 
 Exactness discipline unchanged (staging_r8 header): integer or
 quantized-integer corpus sums, single shared double expressions over
@@ -3412,3 +3417,198 @@ def stream_dersimonian_laird_monitor(
         .alias("d"),
     )
     return _dl_readout(cells_all)
+
+
+# --- weighted log-rank family (Gehan-Breslow / Tarone-Ware) -----------------------
+
+# Weighted log-rank: Z_w = sum_t w_t (d1_t - E_t) / sqrt(sum_t w_t^2 V_t)
+# with the SAME per-death-time hypergeometric E/V as the registered
+# two-arm test. Weights are normalized to (0, 1] by n_all (Z is
+# invariant to scaling w, and the raw Gehan weight nr would blow the
+# e9-quantized variance terms out of int64 at corpus scale):
+# log-rank w = 1, Gehan-Breslow w = nr/n_all (early-difference
+# sensitive), Tarone-Ware w = sqrt(nr/n_all) (the compromise). With
+# integer d1 and w = 1, round(1e9*(d1 - E)) = 1e9*d1 - round(1e9*E)
+# exactly, so the w = 1 column REPRODUCES the registered
+# logrank_test_session_survival z bit-for-bit (pinned in tests).
+_WLR_E = "((1e0 * d * n1r) / nr)"
+_WLR_V = (
+    "(CASE WHEN nr <= 1 THEN 0e0"
+    " ELSE (1e0 * d * n1r * (nr - n1r) * (nr - d))"
+    " / ((1e0 * nr) * nr * (nr - 1)) END)"
+)
+
+
+def _wlr_num_e9(w: str) -> str:
+    return f"CAST(round(1000000000 * ({w}) * (d1 - {_WLR_E})) AS BIGINT)"
+
+
+def _wlr_den_e9(w: str) -> str:
+    return f"CAST(round(1000000000 * ({w}) * ({w}) * {_WLR_V}) AS BIGINT)"
+
+
+_WLR_Z = (
+    "CASE WHEN den_{s} <= 0 THEN 0.0"
+    " ELSE round((1e0 * num_{s}) / sqrt(1e0 * den_{s} * 1000000000), 6)"
+    " + 0.0 END"
+)
+_WLR_W = {"lr": "1e0", "ge": "(1e0 * nr) / n_all", "tw": "sqrt((1e0 * nr) / n_all)"}
+
+
+def _wlr_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    term_cols = ",\n         ".join(
+        f"CAST(sum({_wlr_num_e9(w)}) AS BIGINT) AS num_{s},"
+        f" CAST(sum({_wlr_den_e9(w)}) AS BIGINT) AS den_{s}"
+        for s, w in _WLR_W.items()
+    )
+    z_cols = ", ".join(_WLR_Z.format(s=s) + f" AS z_{s}" for s in _WLR_W)
+    p_cols = ", ".join(
+        f"""CASE WHEN z_{s} IS NULL THEN NULL ELSE round(
+        ((((1.061405429 * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
+        - 1.453152027) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
+        + 1.421413741) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
+        - 0.284496736) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
+        + 0.254829592) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
+        * exp(-(abs(z_{s}) / sqrt(2.0)) * (abs(z_{s}) / sqrt(2.0))), 6) + 0.0 END
+        AS p_{s}"""
+        for s in _WLR_W
+    )
+    _ = poly
+    return (
+        _sessionize_cte()
+        + f""",
+sess_end AS (
+  SELECT user_id, start_us,
+         max(sec - start_sec)::BIGINT AS dur,
+         max(sec)::BIGINT AS last_sec
+  FROM sess GROUP BY user_id, start_us
+),
+gmx AS (SELECT max(sec)::BIGINT AS mx FROM ev),
+obs AS (
+  SELECT dur AS t, (mx - last_sec) <= 1800 AS censored,
+         {arm} % 2 AS g
+  FROM sess_end CROSS JOIN gmx
+),
+bytime AS (
+  SELECT t, count(*)::BIGINT AS removed,
+         CAST(sum(g) AS BIGINT) AS removed1,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN censored THEN 0 ELSE g END) AS BIGINT) AS d1
+  FROM obs GROUP BY t
+),
+tot AS (
+  SELECT CAST(sum(removed) AS BIGINT) AS n_all,
+         CAST(sum(removed1) AS BIGINT) AS n_arm1
+  FROM bytime
+),
+risk AS (
+  SELECT t, d, d1, n_all,
+         n_all - coalesce(sum(removed) OVER w, 0) AS nr,
+         n_arm1 - coalesce(sum(removed1) OVER w, 0) AS n1r
+  FROM bytime CROSS JOIN tot
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+terms AS (
+  SELECT count(*)::BIGINT AS n_death_times,
+         CAST(sum(d1) AS BIGINT) AS o1,
+         {term_cols}
+  FROM risk WHERE d > 0 AND nr > 0
+),
+zz AS (SELECT n_death_times, o1, {z_cols} FROM terms)
+SELECT n_death_times, o1, z_lr AS z_logrank, z_ge AS z_gehan,
+       z_tw AS z_tarone_ware, {p_cols.replace("AS p_lr", "AS p_logrank").replace("AS p_ge", "AS p_gehan").replace("AS p_tw", "AS p_tarone_ware")}
+FROM zz
+"""
+    )
+
+
+@staged("weighted_logrank_family", oracle=_wlr_oracle())
+def weighted_logrank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted log-rank family over session survival — log-rank
+    (w = 1), Gehan-Breslow (w proportional to the risk-set size: most
+    sensitive to EARLY survival differences, where short-session churn
+    lives) and Tarone-Ware (w = sqrt(risk set), the standard
+    compromise) in one readout. Completes the survival family's
+    inference side the way Dunn completed Kruskal-Wallis: the
+    registered logrank_test_session_survival answers "do the curves
+    differ anywhere", the weighted variants answer "do they differ
+    EARLY vs LATE" — a treatment that shortens long sessions but not
+    short ones is invisible to Gehan and loud in plain log-rank.
+
+    Exactness: the per-death-time frame is the registered test's exact
+    integer risk-set arithmetic; weights normalize to (0, 1] by n_all
+    (Z is scale-invariant in w; the raw Gehan weight nr would leave
+    int64 after e9 quantization at corpus scale); per-time numerator
+    and variance terms e9-quantize through shared texts so the sums
+    are exact integer sums; with w = 1 the quantized numerator equals
+    the registered test's integer form exactly, so z_logrank is pinned
+    bit-for-bit to the registered query (test) and the weighted
+    columns inherit the same envelope.
+
+    Scale shape: identical to the registered test — sessionize's one
+    shuffle, the bounded (<= 43201-row) per-time frame checkpointed,
+    risk sets on the documented bounded-global-window pattern, one
+    scalar reduce emitting all six statistics."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    obs = _session_obs(spark, sf_dir).select("t", "censored", arm.alias("g"))
+    bytime = obs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("removed"),
+        F.sum("g").cast("long").alias("removed1"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).cast("long").alias("d"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(F.col("g")))
+        .cast("long")
+        .alias("d1"),
+    )
+    # ONE sessionize execution feeding totals + risk windows (the
+    # registered test's checkpoint discipline).
+    bytime = bytime.localCheckpoint()
+    tot = bytime.agg(
+        F.sum("removed").cast("long").alias("n_all"),
+        F.sum("removed1").cast("long").alias("n_arm1"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = bytime.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "d1",
+        "n_all",
+        (F.col("n_all") - F.coalesce(F.sum("removed").over(w), F.lit(0)))
+        .cast("long")
+        .alias("nr"),
+        (F.col("n_arm1") - F.coalesce(F.sum("removed1").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n1r"),
+    )
+    sums = [
+        F.count(F.lit(1)).cast("long").alias("n_death_times"),
+        F.sum("d1").cast("long").alias("o1"),
+    ]
+    for s, wexpr in _WLR_W.items():
+        sums.append(F.sum(F.expr(_wlr_num_e9(wexpr))).cast("long").alias(f"num_{s}"))
+        sums.append(F.sum(F.expr(_wlr_den_e9(wexpr))).cast("long").alias(f"den_{s}"))
+    terms = risk.filter((F.col("d") > 0) & (F.col("nr") > 0)).agg(*sums)
+    zz = terms.select(
+        "n_death_times",
+        "o1",
+        *[F.expr(_WLR_Z.format(s=s)).alias(f"z_{s}") for s in _WLR_W],
+    )
+    poly = _as_erfc_poly()
+    out_names = {"lr": "logrank", "ge": "gehan", "tw": "tarone_ware"}
+    cols = ["n_death_times", "o1"]
+    cols += [F.col(f"z_{s}").alias(f"z_{n}") for s, n in out_names.items()]
+    for s, n in out_names.items():
+        # Replace _t BEFORE _x: the substituted text contains z_tw,
+        # whose "_t" a later _t-pass would mangle (single-pass replace
+        # never rescans its own output, so _t-first is safe).
+        ptext = poly.replace(
+            "_t", f"(1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))"
+        ).replace("_x", f"(abs(z_{s}) / sqrt(2.0))")
+        cols.append(
+            F.expr(
+                f"CASE WHEN z_{s} IS NULL THEN NULL"
+                f" ELSE round({ptext}, 6) + 0.0 END"
+            ).alias(f"p_{n}")
+        )
+    return zz.select(*cols)

@@ -1759,3 +1759,103 @@ def test_stream_dl_matches_batch_python_on_half(spark, sf_small):
             assert row[k] is None, k
         else:
             assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+# --- weighted log-rank family ------------------------------------------------------
+
+
+def _wlr_py(pdf) -> dict:
+    sess = _sessions_py(pdf)
+    gmx = max(pdf["ts"].astype("int64") // 10**6)
+    obs = [
+        (last - start, (gmx - last) <= 1800, _h48(str(uid)) % 2)
+        for uid, start, last in sess
+    ]
+    bytime = defaultdict(lambda: [0, 0, 0, 0])  # t -> removed, removed1, d, d1
+    for t, cens, g in obs:
+        r = bytime[t]
+        r[0] += 1
+        r[1] += g
+        if not cens:
+            r[2] += 1
+            r[3] += g
+    n_all = len(obs)
+    n1 = sum(g for _, _, g in obs)
+    cum = cum1 = 0
+    nt = o1 = 0
+    sums = {s: [0, 0] for s in ("lr", "ge", "tw")}
+    for t in sorted(bytime):
+        removed, removed1, d, d1 = bytime[t]
+        nr = n_all - cum
+        n1r = n1 - cum1
+        cum += removed
+        cum1 += removed1
+        if d <= 0 or nr <= 0:
+            continue
+        nt += 1
+        o1 += d1
+        e = (1.0 * d * n1r) / nr
+        v = (
+            0.0
+            if nr <= 1
+            else (1.0 * d * n1r * (nr - n1r) * (nr - d))
+            / ((1.0 * nr) * nr * (nr - 1))
+        )
+        for s, w in (("lr", 1.0), ("ge", (1.0 * nr) / n_all),
+                     ("tw", math.sqrt((1.0 * nr) / n_all))):
+            sums[s][0] += _round_away(1e9 * w * (d1 - e))
+            sums[s][1] += _round_away(1e9 * w * w * v)
+    out = {"n_death_times": nt, "o1": o1}
+    for s, n in (("lr", "logrank"), ("ge", "gehan"), ("tw", "tarone_ware")):
+        num, den = sums[s]
+        z = 0.0 if den <= 0 else _rnd6((1.0 * num) / math.sqrt(1.0 * den * 1e9))
+        out[f"z_{n}"] = z
+        out[f"p_{n}"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return out
+
+
+def test_weighted_logrank_matches_python(spark, sf_small):
+    exp = _wlr_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["weighted_logrank_family"](spark, sf_small).collect()[0]
+    assert row["n_death_times"] == exp["n_death_times"]
+    assert row["o1"] == exp["o1"]
+    for k in ("z_logrank", "z_gehan", "z_tarone_ware",
+              "p_logrank", "p_gehan", "p_tarone_ware"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_weighted_logrank_w1_equals_registered_logrank(spark, sf_small):
+    """With w = 1 the quantized numerator reduces to the registered
+    test's integer form exactly, so z_logrank must reproduce
+    logrank_test_session_survival's z_stat bit-for-bit (the two
+    survival inferences can never disagree)."""
+    a = plans.QUERIES["logrank_test_session_survival"](spark, sf_small).collect()[0]
+    b = S.STAGED_QUERIES["weighted_logrank_family"](spark, sf_small).collect()[0]
+    assert b["z_logrank"] == a["z_stat"]
+    assert b["n_death_times"] == a["n_death_times"]
+    assert b["o1"] == a["o1"]
+
+
+def test_weighted_logrank_identical_arms_zero(spark, tmp_path):
+    """Mirror-paired arms (one user per arm with IDENTICAL session
+    patterns): at every death time d1 = d/2 and n1r = nr/2, so every
+    weighted numerator term is exactly 0 and all three z are 0."""
+    arm1 = [u for u in range(1, 300) if _h48(str(u)) % 2 == 1][:3]
+    arm0 = [u for u in range(1, 300) if _h48(str(u)) % 2 == 0][:3]
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for i, (u1, u0) in enumerate(zip(arm1, arm0)):
+        # Spread pairs across hours so the early pairs end > 1800 s
+        # before the corpus max and register as real deaths.
+        t0 = base + pd.Timedelta(hours=1 + 2 * i)
+        for uid in (u1, u0):
+            rows.append((eid, t0, uid, "view", 1.0, "{}")); eid += 1
+            rows.append(
+                (eid, t0 + pd.Timedelta(seconds=120 * (i + 1)), uid, "view",
+                 1.0, "{}")
+            ); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["weighted_logrank_family"](spark, sf).collect()[0]
+    assert row["z_logrank"] == 0.0
+    assert row["z_gehan"] == 0.0
+    assert row["z_tarone_ware"] == 0.0
