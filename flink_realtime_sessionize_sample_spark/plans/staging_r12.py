@@ -59,7 +59,11 @@ complete started families):
   / Gehan-Breslow / Tarone-Ware in one readout — early-vs-late
   survival-difference sensitivity over the registered test's exact
   per-death-time frame, with max-normalized weights so the e9 terms
-  stay in the registered envelope).
+  stay in the registered envelope);
+* p-value combination: ``combined_pvalue_daily_ab`` (Fisher 1932 +
+  Stouffer 1949 over the per-day two-proportion tests — the third leg
+  of the multi-day inference triangle next to the CMH fixed-effect and
+  DL random-effect pools).
 
 Exactness discipline unchanged (staging_r8 header): integer or
 quantized-integer corpus sums, single shared double expressions over
@@ -3612,3 +3616,219 @@ def weighted_logrank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p_{n}")
         )
     return zz.select(*cols)
+
+
+# --- combined p-values across days (Fisher / Stouffer) ----------------------------
+
+# Per-day two-proportion z from the exact integer 2x2 cells (pooled
+# variance), e6-quantized; the per-day two-sided p comes from the shared
+# erfc polynomial ON THE QUANTIZED z (both engines read the same
+# integer), and -2 ln p e6-quantizes for Fisher's exact integer sum.
+# Degenerate days (one-arm, all-success, or all-failure pooled) drop.
+_PC_ZD = (
+    "((1e0 * a) / n1 - (1e0 * c) / n0)"
+    " / sqrt(((1e0 * (a + c)) / (n1 + n0)) * (1 - (1e0 * (a + c)) / (n1 + n0))"
+    " * (1e0 / n1 + 1e0 / n0))"
+)
+_PC_ZQ = f"CAST(round(1000000 * {_PC_ZD}) AS BIGINT)"
+# p_day from the quantized z: zr = zq/1e6; the A&S polynomial spliced
+# with _x/_t replaced on zr (built in _pc_pday below).
+
+
+def _pc_pday() -> str:
+    poly = _as_erfc_poly()
+    zr = "(abs(zq / 1e6) / sqrt(2.0))"
+    return poly.replace("_t", f"(1 / (1 + 0.3275911 * {zr}))").replace("_x", zr)
+
+
+def _pc_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    pday = _pc_pday()
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, {arm} % 2 AS g,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+cells AS (
+  SELECT day,
+         CAST(sum(g * y) AS BIGINT) AS a,
+         CAST(sum(g * (1 - y)) AS BIGINT) AS b,
+         CAST(sum((1 - g) * y) AS BIGINT) AS c,
+         CAST(sum((1 - g) * (1 - y)) AS BIGINT) AS d
+  FROM e GROUP BY day
+),
+kept AS (
+  SELECT day, a, b, c, d, a + b AS n1, c + d AS n0
+  FROM cells
+  WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+),
+pd AS (SELECT day, {_PC_ZQ} AS zq FROM kept),
+fd AS (
+  SELECT day, zq,
+         CAST(round(-2000000 * ln(greatest({pday}, 1e-300))) AS BIGINT) AS f_e6
+  FROM pd
+),
+t AS (
+  SELECT count(*)::BIGINT AS k,
+         CAST(sum(zq) AS BIGINT) AS sz_e6,
+         CAST(sum(f_e6) AS BIGINT) AS sf_e6
+  FROM fd
+),
+zz AS (
+  SELECT k,
+         CASE WHEN k < 1 THEN NULL
+              ELSE round((sz_e6 / 1e6) / sqrt(1e0 * k), 6) + 0.0 END
+           AS stouffer_z,
+         CASE WHEN k < 1 THEN NULL
+              ELSE round(sf_e6 / 1e6, 6) + 0.0 END AS fisher_chi2,
+         (2 * k)::BIGINT AS fisher_dof,
+         CASE WHEN k < 1 THEN NULL
+              ELSE round(sqrt(2 * (sf_e6 / 1e6)) - sqrt(2e0 * (2 * k) - 1), 6)
+                   + 0.0 END AS fisher_z
+  FROM t
+),
+xt AS (
+  SELECT *, abs(stouffer_z) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(stouffer_z) / sqrt(2.0))) AS _t
+  FROM zz
+),
+ps AS (
+  SELECT k, stouffer_z, fisher_chi2, fisher_dof, fisher_z,
+         CASE WHEN stouffer_z IS NULL THEN NULL
+              ELSE round(({poly}), 6) + 0.0 END AS p_stouffer
+  FROM xt
+),
+xf AS (
+  SELECT *, abs(fisher_z) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(fisher_z) / sqrt(2.0))) AS _t
+  FROM ps
+)
+SELECT k AS k_days, stouffer_z, p_stouffer, fisher_chi2, fisher_dof, fisher_z,
+       CASE WHEN fisher_z IS NULL THEN NULL
+            WHEN fisher_z >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_fisher
+FROM xf
+"""
+
+
+@staged("combined_pvalue_daily_ab", oracle=_pc_oracle())
+def combined_pvalue_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's and Stouffer's combined p-values across day strata — the
+    p-COMBINATION leg of the multi-day inference triangle this batch
+    completes: ``mantel_haenszel_stratified_ab`` pools the 2x2 cells
+    (fixed effect), ``dersimonian_laird_daily_ab`` pools effects with
+    heterogeneity (random effects), and Fisher (1932) / Stouffer (1949)
+    combine only the per-day EVIDENCE — the method of record when the
+    daily readouts are the unit of meta-analysis (and the only option
+    when per-shard tests differ in form). Stouffer is signed
+    (direction-aware, equal weights); Fisher is direction-blind and
+    most sensitive to one very small p; reporting both is standard.
+
+    Exactness: per-day two-proportion z from exact integer cells
+    through one shared text, e6-quantized; the per-day p evaluates the
+    shared erfc polynomial ON the quantized integer (so both engines
+    read identical doubles); -2 ln p e6-quantizes (floored at 1e-300
+    before the log — the polynomial underflows to 0 for |z| ~ 38+);
+    the cross-day sums are exact integer sums; Stouffer z, Fisher
+    chi-square (2k dof) and its Fisher-approximation z derive through
+    shared texts; both final p-values use the shared polynomial on the
+    rounded statistics (Stouffer two-sided; Fisher upper-tail).
+
+    Scale shape: ONE corpus scan to the bounded per-day frame;
+    everything after is bounded re-aggregation (the day frame feeds a
+    single linear pipeline here — no multi-branch fan-out, so no
+    checkpoint is needed; census 1 scan)."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    poly = _as_erfc_poly()
+    pday = _pc_pday()
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        arm.alias("g"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cells = e.groupBy("day").agg(
+        F.sum(F.expr("g * y")).cast("long").alias("a"),
+        F.sum(F.expr("g * (1 - y)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - g) * y")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - g) * (1 - y)")).cast("long").alias("d"),
+    )
+    kept = cells.filter(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("c")) > 0)
+        & ((F.col("b") + F.col("d")) > 0)
+    ).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b")).alias("n1"),
+        (F.col("c") + F.col("d")).alias("n0"),
+    )
+    pd_ = kept.select(F.expr(_PC_ZQ).alias("zq"))
+    fd = pd_.select(
+        "zq",
+        F.expr(
+            f"CAST(round(-2000000 * ln(greatest({pday}, 1e-300))) AS BIGINT)"
+        ).alias("f_e6"),
+    )
+    t = fd.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("zq").cast("long").alias("sz_e6"),
+        F.sum("f_e6").cast("long").alias("sf_e6"),
+    )
+    zz = t.select(
+        "k",
+        F.expr(
+            "CASE WHEN k < 1 THEN NULL"
+            " ELSE round((sz_e6 / 1e6) / sqrt(1e0 * k), 6) + 0.0 END"
+        ).alias("stouffer_z"),
+        F.expr(
+            "CASE WHEN k < 1 THEN NULL"
+            " ELSE round(sf_e6 / 1e6, 6) + 0.0 END"
+        ).alias("fisher_chi2"),
+        (2 * F.col("k")).cast("long").alias("fisher_dof"),
+        F.expr(
+            "CASE WHEN k < 1 THEN NULL"
+            " ELSE round(sqrt(2 * (sf_e6 / 1e6)) - sqrt(2e0 * (2 * k) - 1), 6)"
+            " + 0.0 END"
+        ).alias("fisher_z"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("stouffer_z")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t",
+        1 / (1 + 0.3275911 * (F.abs(F.col("stouffer_z")) / F.sqrt(F.lit(2.0)))),
+    )
+    ps = xt.select(
+        "k",
+        "stouffer_z",
+        "fisher_chi2",
+        "fisher_dof",
+        "fisher_z",
+        F.expr(
+            f"CASE WHEN stouffer_z IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_stouffer"),
+    )
+    xf = ps.withColumn(
+        "_x", F.abs(F.col("fisher_z")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t",
+        1 / (1 + 0.3275911 * (F.abs(F.col("fisher_z")) / F.sqrt(F.lit(2.0)))),
+    )
+    return xf.select(
+        F.col("k").alias("k_days"),
+        "stouffer_z",
+        "p_stouffer",
+        "fisher_chi2",
+        "fisher_dof",
+        "fisher_z",
+        F.expr(
+            f"CASE WHEN fisher_z IS NULL THEN NULL"
+            f" WHEN fisher_z >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_fisher"),
+    )

@@ -1859,3 +1859,85 @@ def test_weighted_logrank_identical_arms_zero(spark, tmp_path):
     assert row["z_logrank"] == 0.0
     assert row["z_gehan"] == 0.0
     assert row["z_tarone_ware"] == 0.0
+
+
+# --- combined p-values (Fisher / Stouffer) ------------------------------------------
+
+
+def _pc_py(pdf) -> dict:
+    us = pdf["ts"].astype("int64").tolist()
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for u, uid, et in zip(us, pdf["user_id"], pdf["event_type"]):
+        day = u // 86400000000
+        g = _h48(str(uid)) % 2
+        y = 1 if et == "purchase" else 0
+        c = cells[day]
+        if g == 1:
+            c[0] += y
+            c[1] += 1 - y
+        else:
+            c[2] += y
+            c[3] += 1 - y
+    k = 0
+    sz = sf = 0
+    for a, b, c, d in cells.values():
+        n1, n0 = a + b, c + d
+        if n1 < 1 or n0 < 1 or (a + c) < 1 or (b + d) < 1:
+            continue
+        k += 1
+        pooled = (1.0 * (a + c)) / (n1 + n0)
+        zd = ((1.0 * a) / n1 - (1.0 * c) / n0) / math.sqrt(
+            pooled * (1 - pooled) * (1.0 / n1 + 1.0 / n0)
+        )
+        zq = _round_away(1000000 * zd)
+        p_day = _erfc_poly(abs(zq / 1e6) / math.sqrt(2.0))
+        sz += zq
+        sf += _round_away(-2000000 * math.log(max(p_day, 1e-300)))
+    if k < 1:
+        return {"k_days": 0}
+    stz = _rnd6((sz / 1e6) / math.sqrt(1.0 * k))
+    fz = _rnd6(math.sqrt(2 * (sf / 1e6)) - math.sqrt(2.0 * (2 * k) - 1))
+    pf_poly = _erfc_poly(abs(fz) / math.sqrt(2.0))
+    return {
+        "k_days": k,
+        "stouffer_z": stz,
+        "p_stouffer": _rnd6(_erfc_poly(abs(stz) / math.sqrt(2.0))),
+        "fisher_chi2": _rnd6(sf / 1e6),
+        "fisher_dof": 2 * k,
+        "fisher_z": fz,
+        "p_fisher": _rnd6(pf_poly / 2) if fz >= 0 else _rnd6(1 - pf_poly / 2),
+    }
+
+
+def test_combined_pvalue_matches_python(spark, sf_small):
+    exp = _pc_py(_load_events(sf_small))
+    row = S.STAGED_QUERIES["combined_pvalue_daily_ab"](spark, sf_small).collect()[0]
+    assert row["k_days"] == exp["k_days"]
+    assert row["fisher_dof"] == exp["fisher_dof"]
+    for k in ("stouffer_z", "p_stouffer", "fisher_chi2", "fisher_z", "p_fisher"):
+        assert abs(row[k] - exp[k]) < 2e-6, (k, row[k], exp[k])
+
+
+def test_combined_pvalue_null_days_near_one(spark, tmp_path):
+    """Mirror-paired arms on every day (identical per-day 2x2s in both
+    arms): every per-day z is exactly 0, so Stouffer z = 0 with
+    two-sided p = 1, and each Fisher term is -2 ln(1) = 0 giving
+    chi-square exactly 0 — the no-evidence fixed point of both
+    combiners."""
+    arm1 = [u for u in range(1, 300) if _h48(str(u)) % 2 == 1][0]
+    arm0 = [u for u in range(1, 300) if _h48(str(u)) % 2 == 0][0]
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for day in range(4):
+        for uid in (arm1, arm0):
+            for et in ("purchase", "view", "view"):
+                rows.append(
+                    (eid, base + pd.Timedelta(days=day, seconds=eid % 500),
+                     uid, et, 1.0, "{}")
+                ); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["combined_pvalue_daily_ab"](spark, sf).collect()[0]
+    assert row["k_days"] == 4
+    assert row["stouffer_z"] == 0.0
+    assert row["p_stouffer"] == 1.0
+    assert row["fisher_chi2"] == 0.0
