@@ -3153,9 +3153,11 @@ def _dl_readout(cells_all: DataFrame) -> DataFrame:
 # u01 = 2*pos_below + pos_eq, so V10 = u10/(2*nn), V01 = u01/(2*np),
 # and the four weighted grid sums (sp1, sp2, sn1, sn2) are exact
 # integers. S10 = var(V10)/1, S01 likewise; Var(AUC) = S10/np + S01/nn.
-# sp2 <= np*(2*nn)^2 can leave int64 near ~3e9 balanced docs — all four
-# sums go through the DECIMAL(38,0) guard and fail loud to NULL
-# together past int64.
+# sp2 <= np*(2*nn)^2 can leave int64 near ~3e9 balanced docs — the
+# per-row products promote to DECIMAL(38,0) BEFORE multiplying (int64
+# products would wrap in Spark / raise in DuckDB) and all four sums go
+# through the DECIMAL(38,0) guard, failing loud to NULL together past
+# int64.
 _DLG_VAR = (
     "CASE WHEN np < 2 OR nn < 2 OR sp1 IS NULL OR sp2 IS NULL"
     " OR sn1 IS NULL OR sn2 IS NULL THEN NULL"
@@ -3193,10 +3195,10 @@ comps AS (
   FROM cdf
 ),
 s AS (
-  SELECT {_dec_sum_bigint("p * u10")} AS sp1,
-         {_dec_sum_bigint("p * u10 * u10")} AS sp2,
-         {_dec_sum_bigint("neg * u01")} AS sn1,
-         {_dec_sum_bigint("neg * u01 * u01")} AS sn2
+  SELECT {_dec_sum_bigint("CAST(p AS DECIMAL(38,0)) * u10")} AS sp1,
+         {_dec_sum_bigint("CAST(p AS DECIMAL(38,0)) * u10 * u10")} AS sp2,
+         {_dec_sum_bigint("CAST(neg AS DECIMAL(38,0)) * u01")} AS sn1,
+         {_dec_sum_bigint("CAST(neg AS DECIMAL(38,0)) * u01 * u01")} AS sn2
   FROM comps
 ),
 zz AS (
@@ -3266,6 +3268,11 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.groupBy("dl").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("pos").cast("long").alias("p")
     )
+    # Bounded frame (|distinct token counts| rows) feeding tot plus the
+    # global-rank pass's branches: checkpoint so the corpus scans once
+    # under every config (the kuiper_tod_drift discipline; the
+    # registered roc_auc_token_count predates it).
+    g = g.localCheckpoint()
     cdf = with_global_rank(
         g,
         ["dl"],
@@ -3287,11 +3294,15 @@ def delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u10"),
         (2 * (F.col("cum_p") - F.col("p")) + F.col("p")).alias("u01"),
     )
+    # The first factor promotes to DECIMAL(38,0) BEFORE the multiply:
+    # p*u10*u10 in int64 would wrap (Spark) / raise (DuckDB) near ~3e9
+    # balanced docs — the per-row product must already be exact for the
+    # guarded sum's loud-NULL contract to hold (review finding).
     s = comps.agg(
-        F.expr(_dec_sum_bigint("p * u10")).alias("sp1"),
-        F.expr(_dec_sum_bigint("p * u10 * u10")).alias("sp2"),
-        F.expr(_dec_sum_bigint("neg * u01")).alias("sn1"),
-        F.expr(_dec_sum_bigint("neg * u01 * u01")).alias("sn2"),
+        F.expr(_dec_sum_bigint("CAST(p AS DECIMAL(38,0)) * u10")).alias("sp1"),
+        F.expr(_dec_sum_bigint("CAST(p AS DECIMAL(38,0)) * u10 * u10")).alias("sp2"),
+        F.expr(_dec_sum_bigint("CAST(neg AS DECIMAL(38,0)) * u01")).alias("sn1"),
+        F.expr(_dec_sum_bigint("CAST(neg AS DECIMAL(38,0)) * u01 * u01")).alias("sn2"),
     )
     zz = s.crossJoin(F.broadcast(tot)).select(
         F.col("np").alias("n_pos"),
@@ -3444,7 +3455,16 @@ _WLR_V = (
 
 
 def _wlr_num_e9(w: str) -> str:
-    return f"CAST(round(1000000000 * ({w}) * (d1 - {_WLR_E})) AS BIGINT)"
+    # Two separate quantizations, NOT round(1e9*w*(d1-E)): with w = 1
+    # the first term is the exact integer 1e9*d1 and the second the
+    # registered test's round(1e9*E), so z_logrank reproduces
+    # logrank_test_session_survival bit-for-bit INCLUDING exact-half
+    # fractions of 1e9*E (power-of-two risk sets), where the
+    # single-rounding form differs by 1 (review finding).
+    return (
+        f"(CAST(round(1000000000 * ({w}) * d1) AS BIGINT)"
+        f" - CAST(round(1000000000 * ({w}) * {_WLR_E}) AS BIGINT))"
+    )
 
 
 def _wlr_den_e9(w: str) -> str:
@@ -3468,18 +3488,19 @@ def _wlr_oracle() -> str:
         for s, w in _WLR_W.items()
     )
     z_cols = ", ".join(_WLR_Z.format(s=s) + f" AS z_{s}" for s in _WLR_W)
+    # The shared polynomial with _t/_x spliced per weighting (_t FIRST —
+    # the substituted text contains z_tw, whose "_t" a later pass would
+    # mangle; single-pass replace never rescans its own output).
+    def _p_of(sfx: str) -> str:
+        return poly.replace(
+            "_t", f"(1 / (1 + 0.3275911 * (abs(z_{sfx}) / sqrt(2.0))))"
+        ).replace("_x", f"(abs(z_{sfx}) / sqrt(2.0))")
+
     p_cols = ", ".join(
-        f"""CASE WHEN z_{s} IS NULL THEN NULL ELSE round(
-        ((((1.061405429 * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
-        - 1.453152027) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
-        + 1.421413741) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
-        - 0.284496736) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
-        + 0.254829592) * (1 / (1 + 0.3275911 * (abs(z_{s}) / sqrt(2.0))))
-        * exp(-(abs(z_{s}) / sqrt(2.0)) * (abs(z_{s}) / sqrt(2.0))), 6) + 0.0 END
-        AS p_{s}"""
-        for s in _WLR_W
+        f"CASE WHEN z_{sfx} IS NULL THEN NULL"
+        f" ELSE round({_p_of(sfx)}, 6) + 0.0 END AS p_{sfx}"
+        for sfx in _WLR_W
     )
-    _ = poly
     return (
         _sessionize_cte()
         + f""",
@@ -3739,7 +3760,8 @@ def combined_pvalue_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE corpus scan to the bounded per-day frame;
     everything after is bounded re-aggregation (the day frame feeds a
     single linear pipeline here — no multi-branch fan-out, so no
-    checkpoint is needed; census 1 scan)."""
+    checkpoint is needed; executed-plan census matches the single-scan
+    baseline, e.g. pricing_summary / mantel_haenszel)."""
     arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
     poly = _as_erfc_poly()
     pday = _pc_pday()

@@ -1698,9 +1698,11 @@ def test_dl_property_random_days(spark, tmp_path_factory, days):
 def test_delong_property_random_corpus(spark, tmp_path_factory, docs_spec):
     """DeLong variance on arbitrary tied corpora must match the Python
     reference exactly, and the CI must bracket the point estimate."""
-    # Need both classes present.
-    if not any(e for _, e in docs_spec) or all(e for _, e in docs_spec):
-        return
+    from hypothesis import assume
+
+    # Both classes must be present; assume() makes hypothesis replace
+    # degenerate draws instead of counting them as passed examples.
+    assume(any(e for _, e in docs_spec) and not all(e for _, e in docs_spec))
     docs = pd.DataFrame(
         {
             "doc_id": range(len(docs_spec)),
@@ -1803,7 +1805,9 @@ def _wlr_py(pdf) -> dict:
         )
         for s, w in (("lr", 1.0), ("ge", (1.0 * nr) / n_all),
                      ("tw", math.sqrt((1.0 * nr) / n_all))):
-            sums[s][0] += _round_away(1e9 * w * (d1 - e))
+            # Two-rounding form mirroring _wlr_num_e9 (w = 1 reduces to
+            # the registered test's exact integer numerator).
+            sums[s][0] += _round_away(1e9 * w * d1) - _round_away(1e9 * w * e)
             sums[s][1] += _round_away(1e9 * w * w * v)
     out = {"n_death_times": nt, "o1": o1}
     for s, n in (("lr", "logrank"), ("ge", "gehan"), ("tw", "tarone_ware")):
@@ -1941,3 +1945,31 @@ def test_combined_pvalue_null_days_near_one(spark, tmp_path):
     assert row["stouffer_z"] == 0.0
     assert row["p_stouffer"] == 1.0
     assert row["fisher_chi2"] == 0.0
+
+
+def test_delong_decimal_product_guard_symmetric(spark):
+    """The per-row DECIMAL(38,0)-promoted product must take the loud
+    NULL path IDENTICALLY in both engines past int64 (an int64 product
+    would wrap in Spark and raise in DuckDB — the chi-square ADVICE
+    r10 asymmetry class), and stay exact integer in range."""
+    import duckdb
+
+    term = "CAST(p AS DECIMAL(38,0)) * u10 * u10"
+    expr = S._dec_sum_bigint(term)
+    df = spark.createDataFrame(
+        [(3_000_000_000, 6_000_000_000)], "p long, u10 long"
+    )
+    df.createOrReplaceTempView("_dlg_guard_t")
+    s_over = spark.sql(f"SELECT {expr} AS s FROM _dlg_guard_t").collect()[0]["s"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 3000000000::BIGINT AS p, 6000000000::BIGINT AS u10"
+    )
+    d_over = con.execute(f"SELECT {expr} AS s FROM t").fetchone()[0]
+    assert s_over is None and d_over is None
+    df2 = spark.createDataFrame([(3, 7)], "p long, u10 long")
+    df2.createOrReplaceTempView("_dlg_guard_t2")
+    s_in = spark.sql(f"SELECT {expr} AS s FROM _dlg_guard_t2").collect()[0]["s"]
+    con.execute("CREATE TABLE t2 AS SELECT 3::BIGINT AS p, 7::BIGINT AS u10")
+    d_in = con.execute(f"SELECT {expr} AS s FROM t2").fetchone()[0]
+    assert s_in == d_in == 147
