@@ -21,6 +21,7 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r8  # noqa: F40
 from flink_realtime_sessionize_sample_spark.plans import round9_queries  # noqa: F401
 from flink_realtime_sessionize_sample_spark.plans import staging_r10  # noqa: F401  (promoted round 10)
 from flink_realtime_sessionize_sample_spark.plans import staging_r11  # noqa: F401  (promoted round 11)
+from flink_realtime_sessionize_sample_spark.plans import staging_r12  # noqa: F401  (promoted round 12)
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
@@ -39,17 +40,15 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r11  # noqa: F4
 # asserts every name in it sits inside the first-50 window, alongside
 # every query not yet externally green (new registrations).
 #
-# ROUND-11 ROTATION (this edit): round 10 closed 50/50 green at
-# post-HEAD mtime — every one of the 307 registered queries carries a
-# cumulative green external row (judge-verified union over r01–r10).
-# Round 11 is the staged-promotion round (the 11 staging_r11 queries go
-# live, registry 307 → 318) plus one query-local code fix rotating
-# exactly two names: the symmetric int64-overflow guard on the
-# e9-quantized chi-square sum (ADVICE r10 #1 — DuckDB's BIGINT sum
-# promotes to HUGEINT so the old oracle CAST raised out-of-range where
-# Spark wrapped; both engines now sum in DECIMAL(38,0) and fail loud to
-# NULL together) shared by ``chisq_source_language`` and
-# ``cramers_v_source_lang`` via the new ``_CHISQ_SUM_E9`` constant.
+# ROUND-12 ROTATION (this edit): round 11 closed 50/50 green — every
+# one of the 318 registered queries carries a cumulative green external
+# row (judge-verified union over r01–r11). Round 12 is the staged-
+# promotion round (the 19 staging_r12 queries go live, registry
+# 318 → 337). The only non-staging query-code change this round is the
+# in-place ADVICE r11 fix set inside plans/staging_r12.py itself (lin
+# DECIMAL(38,0) moment guard, true-floor bucketing on both engines,
+# kuiper degenerate-split NULL guard) — its entire blast radius is the
+# 19 promotions, which are windowed as promotions.
 #
 # MECHANIZED (judge r7 item 3, completed r9): the list below is the
 # output of
@@ -64,15 +63,14 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r11  # noqa: F4
 # staging_r11 promotions also appear in the mechanized output — flipping
 # ``staged`` to delegate to ``registry.query`` touches their shared
 # decorator symbol — but they are windowed as promotions, not rotations.)
-_ROUND_OPEN_COMMIT = "9d65faf"
+_ROUND_OPEN_COMMIT = "031d20a"
 
 # Queries whose implementation changed after their latest green external
-# row (tools/rotation_map.py --since 9d65faf; see the mechanization note
-# above). The round-11 symmetric chi-square overflow-guard fix.
-_CHANGED_SINCE_EXTERNAL: list[str] = [
-    "chisq_source_language",
-    "cramers_v_source_lang",
-]
+# row (tools/rotation_map.py --since 031d20a; see the mechanization note
+# above). Round 12's only changed-code names are the 19 staging_r12
+# promotions themselves (the ADVICE r11 fixes live inside that module),
+# which are windowed below as promotions — so this list is empty.
+_CHANGED_SINCE_EXTERNAL: list[str] = []
 
 # The 34 queries built + oracle-paired + locally swept during round 7 in
 # plans/staging_r8.py, registered live in round 8 — all 34 went green in
@@ -176,57 +174,81 @@ _ROUND11_PROMOTIONS: list[str] = [
     "stream_dist_drift_monitor",
 ]
 
+# The 19 queries built + oracle-paired + three-scale swept (sf0.001 +
+# sf0.01 + sf0.1) + adversarial-config verified during round 11 in
+# plans/staging_r12.py, registered live in round 12 (promotion pattern
+# identical to _ROUND8/10/11_PROMOTIONS). The round-11 ADVICE fixes
+# (lin moment guard, true-floor bucketing, kuiper degenerate guard)
+# landed in the same module immediately before this promotion and were
+# re-swept at all scales/configs.
+_ROUND12_PROMOTIONS: list[str] = [
+    "cluster_robust_ab_readout",
+    "stratified_logrank_survival",
+    "delta_method_ratio_ab",
+    "nelson_aalen_cumhaz",
+    "jonckheere_terpstra_daily_trend",
+    "energy_distance_drift",
+    "stream_delta_ratio_guardrail",
+    "mood_median_test",
+    "rmst_survival_difference",
+    "brunner_munzel_en_vs_rest",
+    "hosmer_lemeshow_calibration",
+    "spiegelhalter_z_calibration",
+    "kuiper_tod_drift",
+    "lin_regression_adjusted_ab",
+    "dersimonian_laird_daily_ab",
+    "delong_auc_ci",
+    "stream_dersimonian_laird_monitor",
+    "weighted_logrank_family",
+    "combined_pvalue_daily_ab",
+]
+
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Changed-code re-checks (standing rule above; mechanized list).
+    # Changed-code re-checks (standing rule above; mechanized list —
+    # empty this round, see the rotation note).
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-11 promotions (plans/staging_r11.py; each verified at
+    # Round-12 promotions (plans/staging_r12.py; each verified at
     # sf0.001 + sf0.01 + sf0.1 plus five adversarial configs before
-    # promotion).
-    *_ROUND11_PROMOTIONS,
-    # Oldest-green fill-ins: the 3 round-2-dated rows that spilled from
-    # the round-10 rotation (after these, no green row predates round
-    # 3), then the alphabetical first 31 of the 43 queries whose NEWEST
-    # external row dates to round 3 (CORRECTNESS_r03) — freshness
-    # rotation, code unchanged since their rows. The remaining 12
-    # r3-dated rows spill to round 12.
-    "top_orders_per_customer",
-    "top_revenue_orders",
-    "top_supplier_revenue",
-    "asof_clicks_views",
-    "bilateral_shipping_volume",
-    "contamination_ngram_overlap",
-    "debug_ts_shift",
-    "disjunctive_brand_revenue",
-    "doc_boilerplate_overlap",
-    "doc_chunk_tokens",
-    "doc_repetition_signals",
-    "doc_tfidf_topk",
-    "doc_top_token_ratio",
-    "doc_unigram_entropy",
-    "doc_unigram_logprob",
-    "embedding_array_stats",
-    "embedding_knn_join",
-    "embedding_mean_pool",
-    "gap_fill_hourly",
-    "grouping_sets_revenue",
-    "latest_event_per_user",
-    "multimodal_byte_features",
-    "multimodal_decode",
-    "multimodal_decode_real",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "orders_with_heavy_items_semi",
-    "pack_sequences",
-    "pii_redact",
-    "pivot_event_type_counts",
-    "price_percentiles",
-    "quality_filter_pipeline",
-    "range_join_error_windows",
-    "ranking_family",
+    # promotion, re-swept after the ADVICE r11 fixes).
+    *_ROUND12_PROMOTIONS,
+    # Oldest-green fill-ins: the 12 remaining rows whose NEWEST external
+    # row dates to round 3 (the r11 spill — after these, no green row
+    # predates round 4), then the alphabetical first 16 of the 36 rows
+    # whose newest row dates to round 4 — freshness rotation, code
+    # unchanged since their rows. The remaining 20 r4-dated rows spill
+    # to round 13.
+    "rolling_30d_customer_spend",
+    "salted_skew_join",
+    "salted_user_event_totals",
+    "sample_k_per_group",
+    "sample_stratified_docs",
+    "scan_csv_lines",
+    "scan_json_lines",
+    "small_quantity_revenue",
+    "time_bucket_rollup",
+    "token_frequency_topk",
+    "train_val_test_split",
+    "unpivot_user_value_stats",
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_topk",
+    "anomaly_rolling_zscore",
+    "basket_part_associations",
+    "bloom_pruned_join",
+    "cms_point_frequency",
+    "data_quality_report",
+    "dedup_stream_events",
+    "doc_bigram_logprob",
+    "doc_winnowing_fingerprint",
+    "domain_mixture_sample",
+    "embedding_covariance",
+    "embedding_quantize_int8",
+    "event_gap_percentiles",
+    "event_sequence_trigrams",
+    "funnel_stage_conversion",
 ]
 
 
@@ -542,6 +564,17 @@ _EXTERNALLY_GREEN_THROUGH_R9: frozenset[str] = _EXTERNALLY_GREEN_THROUGH_R8 | fr
 # over CORRECTNESS_r01–r10).
 _EXTERNALLY_GREEN_THROUGH_R10: frozenset[str] = (
     _EXTERNALLY_GREEN_THROUGH_R9 | frozenset(_ROUND10_PROMOTIONS)
+)
+
+
+# Round 11 window: 50/50 green at post-HEAD mtime (CORRECTNESS_r11) — 3
+# anchors, the 2 mechanized changed-code re-checks, all 11 staging_r11
+# promotions, 34 fill-ins. Union = every query with a green external row
+# through round 11 — the whole 318-query registry, with zero
+# verification-stale rows at the round-11 close (judge-verified union
+# over CORRECTNESS_r01–r11).
+_EXTERNALLY_GREEN_THROUGH_R11: frozenset[str] = (
+    _EXTERNALLY_GREEN_THROUGH_R10 | frozenset(_ROUND11_PROMOTIONS)
 )
 
 

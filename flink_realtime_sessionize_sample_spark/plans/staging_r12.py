@@ -1,16 +1,22 @@
-"""Round-12 capability queries — STAGED during round 11, promoted when the
-round-12 window opens (the r7→r8→r10→r11 staging pattern: the round-11
-driver window closed at 50/50, and the standing no-new-backlog rule in
+"""Round-12 capability queries — STAGED during round 11, PROMOTED at the
+round-12 open (the r7→r8→r10→r11 staging pattern: the round-11 driver
+window closed at 50/50, and the standing no-new-backlog rule in
 tests/test_registry_window.py forbids live registration the driver can't
 verify within the round).
 
-``STAGED_QUERIES``/``STAGED_ORACLES`` hold the pairs; nothing here touches
-``plans.QUERIES`` until the promotion round flips ``staged`` to delegate
-to ``registry.query`` (exactly how ``plans/staging_r11.py`` did it at the
-round-11 open). Each query is verified by tools/staged_verify.py
-(STAGED_MODULE=staging_r12) at sf0.001 AND sf0.01 (plus the adversarial
-configs) before promotion, and pinned by independent Python references in
-tests/test_staging_r12.py.
+``staged`` now registers LIVE via ``registry.query`` (exactly how
+``plans/staging_r11.py`` flipped at the round-11 open);
+``STAGED_QUERIES``/``STAGED_ORACLES`` remain as the promoted-set record
+for the semantics tests. Before promotion each query was verified by
+tools/staged_verify.py (STAGED_MODULE=staging_r12) at sf0.001 + sf0.01 +
+sf0.1 (plus the five adversarial configs), and is pinned by independent
+Python references in tests/test_staging_r12.py. At the promotion the
+three round-11 ADVICE items were fixed in-place (all three land with the
+promotion rotation): the lin second-order moments ride the DECIMAL(38,0)
+symmetric-overflow guard, every local bucketing pair is TRUE-floor on
+both engines (measured: Spark ``div`` AND DuckDB integer ``//`` both
+truncate — see ``_fdiv_spark``), and the kuiper degenerate split NULLs
+loud in both engines instead of Spark-NULL-vs-DuckDB-NaN.
 
 Families this batch (judge r10 item 6 named the first two; the rest
 complete started families):
@@ -84,7 +90,7 @@ from flink_realtime_sessionize_sample_spark.functions import text as T
 from flink_realtime_sessionize_sample_spark.operators.global_order import (
     with_global_rank,
 )
-from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn, query
 from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
     _session_obs,
 )
@@ -100,12 +106,12 @@ STAGED_ORACLES: dict[str, str] = {}
 
 
 def staged(name: str, oracle: str | None = None):
-    """Round-12 staging: holds the pair OUT of the live registry until
-    the promotion round (see module docstring)."""
+    """Round-12 promotion: registers LIVE via ``registry.query`` and keeps
+    the staging dicts as the promoted-set record for the semantics tests
+    (the r8/r10/r11 pattern)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged name {name!r}")
+        fn = query(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLES[name] = oracle
@@ -128,6 +134,39 @@ def _sessionize_cte() -> str:
     )
 
     return _SESSIONIZE_CTE
+
+
+def _fdiv_spark(x: str, d: int) -> str:
+    """FLOOR-division text for Spark SQL over a positive constant divisor.
+
+    ADVICE r11 #2 (the pre-1970 bucketing dialect trap). Measured
+    semantics (pinned by ``test_bucketing_floor_consistent_pre_epoch``):
+    Spark ``div`` and DuckDB integer ``//`` BOTH truncate toward zero
+    (DuckDB's ``-1 // 2`` is 0, despite the operator's floor-division
+    name), and both ``%`` carry the dividend's sign — so the historical
+    ``//``/``div`` pairs agreed with each other but not with the Python
+    floor-semantics references, and a ``%``-vs-``pmod`` pair (the old
+    kuiper tod) genuinely diverged pre-epoch. Truncate-then-correct
+    (subtract 1 exactly when the remainder is negative) gives TRUE floor
+    division in pure integer arithmetic; :func:`_fdiv_duck` is the
+    oracle-side twin and :func:`_pmod_duck` pairs with Spark's ``pmod``,
+    so engine pairs AND the Python brute-force references now share one
+    semantics on every dividend sign."""
+    return f"(({x}) div {d} - (CASE WHEN (({x}) % {d}) < 0 THEN 1 ELSE 0 END))"
+
+
+def _fdiv_duck(x: str, d: int) -> str:
+    """FLOOR-division text for DuckDB — see :func:`_fdiv_spark`: DuckDB
+    integer ``//`` truncates toward zero exactly like Spark ``div``, so
+    the same remainder correction applies."""
+    return f"(({x}) // {d} - (CASE WHEN (({x}) % {d}) < 0 THEN 1 ELSE 0 END))"
+
+
+def _pmod_duck(x: str, m: int) -> str:
+    """Non-negative modulo text for DuckDB (its ``%`` carries the
+    dividend's sign and there is no ``pmod`` builtin) — the add-then-
+    re-mod form, pairing with Spark's ``pmod`` (ADVICE r11 #2)."""
+    return f"(((({x}) % {m}) + {m}) % {m})"
 
 
 # --- cluster-robust A/B readout ------------------------------------------------
@@ -387,7 +426,7 @@ gmx AS (SELECT max(sec)::BIGINT AS mx FROM ev),
 obs AS (
   SELECT dur AS t, (mx - last_sec) <= 1800 AS censored,
          {arm} % 2 AS g,
-         ((last_sec - dur) // 21600) % 4 AS st
+         {_pmod_duck(_fdiv_duck("last_sec - dur", 21600), 4)} AS st
   FROM sess_end CROSS JOIN gmx
 ),
 bytime AS (
@@ -457,8 +496,12 @@ def stratified_logrank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     not copied, from plans/staging_r10.py) so the two tests can never
     desynchronize; the pooled z reuses ``_LR_Z`` over the summed
     integers; p is the shared erfc polynomial on the rounded z. The
-    stratum key ((last_sec − dur) // 21600) % 4 is pure integer
-    arithmetic on the epoch-aligned session start. ``n_strata``
+    stratum key pmod(floor((last_sec − dur) / 21600), 4) is pure integer
+    arithmetic on the epoch-aligned session start, floor-div +
+    non-negative-mod on BOTH engines (ADVICE r11 #2 — Spark ``div``
+    truncates where DuckDB ``//`` floors, so the pre-1970 dividend is
+    corrected explicitly; the upstream sessionize ``sec`` itself keeps
+    the registered machinery's ts >= epoch envelope). ``n_strata``
     counts the strata that CONTRIBUTE death-time terms (count DISTINCT
     over the d > 0, nr > 0 rows — an all-censored stratum adds nothing
     to the statistic and is not counted; pinned by the all-censored-
@@ -493,7 +536,7 @@ def stratified_logrank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dur").alias("t"),
         ((F.col("mx") - F.col("last_sec")) <= 1800).alias("censored"),
         arm.alias("g"),
-        F.expr("((last_sec - dur) div 21600) % 4").alias("st"),
+        F.expr(f"pmod({_fdiv_spark('last_sec - dur', 21600)}, 4)").alias("st"),
     )
     bytime = obs.groupBy("st", "t").agg(
         F.count(F.lit(1)).cast("long").alias("removed"),
@@ -947,7 +990,7 @@ def _jt_oracle() -> str:
     poly = _as_erfc_poly()
     return f"""
 WITH e AS (
-  SELECT (((epoch_us(ts) // 1000000) // 3600) % 24) // 6 AS b,
+  SELECT {_pmod_duck(_fdiv_duck(_fdiv_duck("epoch_us(ts)", 1000000), 3600), 24)} // 6 AS b,
          CAST(round(value * 100) AS BIGINT) AS v
   FROM events
 ),
@@ -1035,7 +1078,10 @@ def jonckheere_terpstra_daily_trend(spark: SparkSession, sf_dir: str) -> DataFra
     reduces for the moments. No corpus-sized shuffle after the first
     aggregate."""
     e = load_table(spark, sf_dir, "events").select(
-        F.expr("(((unix_micros(ts) div 1000000) div 3600) % 24) div 6").alias("b"),
+        F.expr(
+            f"pmod({_fdiv_spark(_fdiv_spark('unix_micros(ts)', 1000000), 3600)}, 24)"
+            " div 6"
+        ).alias("b"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
     )
     gv = e.groupBy("b", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1150,7 +1196,7 @@ WITH ev AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS us
   FROM events
 ),
-bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+bounds AS (SELECT {_fdiv_duck("min(us) + max(us)", 2)} AS mid FROM ev),
 tagged AS (
   SELECT v, CASE WHEN us < (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS early
   FROM ev
@@ -1235,7 +1281,9 @@ def energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a double divide + truncating cast (which disagrees on negative
     # epochs and loses exactness past 2^53 us).
     bounds = ev.agg(
-        F.expr("CAST((min(us) + max(us)) div 2 AS BIGINT)").alias("mid")
+        F.expr(
+            f"CAST({_fdiv_spark('min(us) + max(us)', 2)} AS BIGINT)"
+        ).alias("mid")
     )
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "v", F.when(F.col("us") < F.col("mid"), 1).otherwise(0).alias("early")
@@ -2452,11 +2500,20 @@ def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clamped to [0,1]; below L = 0.4 the series is degenerate and p = 1
 # (the standard small-lambda guard).
 _KP_LAM = (
-    "(sqrt((1e0 * n1 * n2) / (n1 + n2)) + 0.155"
-    " + 0.24 / sqrt((1e0 * n1 * n2) / (n1 + n2))) * (v_e6 / 1e6)"
+    # Degenerate-split guard (ADVICE r11 #3): with an empty half the
+    # effective-n is 0 and 0.24/sqrt(0) would RAISE under Spark's ANSI
+    # divide-by-zero (and go inf under DuckDB's IEEE floats) — the CASE
+    # short-circuits both engines to NULL together.
+    "CASE WHEN n1 < 1 OR n2 < 1 THEN NULL"
+    " ELSE (sqrt((1e0 * n1 * n2) / (n1 + n2)) + 0.155"
+    " + 0.24 / sqrt((1e0 * n1 * n2) / (n1 + n2))) * (v_e6 / 1e6) END"
 )
 _KP_P = (
-    "CASE WHEN lam < 0.4 THEN 1.0 ELSE least(1.0, greatest(0.0,"
+    # lam IS NULL must short-circuit FIRST: greatest/least IGNORE NULL
+    # arguments in both engines, so the ELSE branch would manufacture
+    # p = 0.0 ("infinitely significant") out of a degenerate split.
+    "CASE WHEN lam IS NULL THEN NULL"
+    " WHEN lam < 0.4 THEN 1.0 ELSE least(1.0, greatest(0.0,"
     " 2 * ((4 * lam * lam - 1) * exp(-2 * lam * lam)"
     " + (16 * lam * lam - 1) * exp(-8 * lam * lam)"
     " + (36 * lam * lam - 1) * exp(-18 * lam * lam)"
@@ -2467,10 +2524,10 @@ _KP_P = (
 def _kp_oracle() -> str:
     return f"""
 WITH ev AS (
-  SELECT ((epoch_us(ts) // 1000000) % 86400) AS tod, epoch_us(ts) AS us
+  SELECT {_pmod_duck(_fdiv_duck("epoch_us(ts)", 1000000), 86400)} AS tod, epoch_us(ts) AS us
   FROM events
 ), bounds AS (
-  SELECT (min(us) + max(us)) // 2 AS mid FROM ev
+  SELECT {_fdiv_duck("min(us) + max(us)", 2)} AS mid FROM ev
 ), tagged AS (
   SELECT tod, CASE WHEN us < (SELECT mid FROM bounds) THEN 1 ELSE 0 END AS early
   FROM ev
@@ -2486,10 +2543,12 @@ WITH ev AS (
   FROM grouped
 ), d AS (
   SELECT t.n1, t.n2,
-         max(c.cum1 / (1e0 * t.n1)
-             - (c.cum_all - c.cum1) / (1e0 * t.n2)) AS dplus,
-         max((c.cum_all - c.cum1) / (1e0 * t.n2)
-             - c.cum1 / (1e0 * t.n1)) AS dminus
+         max(CASE WHEN t.n1 < 1 OR t.n2 < 1 THEN NULL
+             ELSE c.cum1 / (1e0 * t.n1)
+                  - (c.cum_all - c.cum1) / (1e0 * t.n2) END) AS dplus,
+         max(CASE WHEN t.n1 < 1 OR t.n2 < 1 THEN NULL
+             ELSE (c.cum_all - c.cum1) / (1e0 * t.n2)
+                  - c.cum1 / (1e0 * t.n1) END) AS dminus
   FROM cdf c, tot t
   GROUP BY t.n1, t.n2
 ), v AS (
@@ -2517,8 +2576,15 @@ def kuiper_tod_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kuiper's V = D+ + D- is invariant to rotating the circle, which is
     exactly the guarantee a time-of-day serving-skew monitor needs).
 
-    Exactness: time-of-day is pure integer arithmetic on epoch micros
-    (identical in both engines); both cumulative counts ride one
+    Exactness: time-of-day is pure integer arithmetic on epoch micros,
+    floor-div + non-negative-mod on BOTH engines (ADVICE r11 #2: Spark
+    ``div``/DuckDB ``//`` disagree on negative-epoch dividends, so the
+    Spark side floor-corrects and the oracle pmod-wraps explicitly — a
+    pre-1970 timestamp buckets identically now); a degenerate split
+    (n1 = 0 or n2 = 0, e.g. every event at one timestamp) NULLs the
+    ECDF gaps in BOTH engines instead of Spark-NULL-vs-DuckDB-NaN
+    (ADVICE r11 #3), and the NULL propagates through V/lambda/p
+    identically; both cumulative counts ride one
     ``with_global_rank`` pass over the bounded (<= 86400-row) tod grid;
     D+ / D- are order-insensitive maxima of one shared double gap text;
     V e6-quantizes before the tail evaluation so lambda and p derive
@@ -2530,10 +2596,14 @@ def kuiper_tod_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded re-aggregation, exactly the registered ks_drift_detection
     shape with a domain that cannot grow."""
     ev = load_table(spark, sf_dir, "events").select(
-        F.expr("pmod(unix_micros(ts) div 1000000, 86400)").alias("tod"),
+        F.expr(
+            f"pmod({_fdiv_spark('unix_micros(ts)', 1000000)}, 86400)"
+        ).alias("tod"),
         F.unix_micros("ts").alias("us"),
     )
-    bounds = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    bounds = ev.agg(
+        F.expr(_fdiv_spark("min(us) + max(us)", 2)).alias("mid")
+    )
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "tod", F.when(F.col("us") < F.col("mid"), 1).otherwise(0).alias("early")
     )
@@ -2559,8 +2629,17 @@ def kuiper_tod_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_col="cum1",
         extra_cums=[("c_all", "cum_all")],
     )
-    gap = F.col("cum1") / F.col("n1") - (F.col("cum_all") - F.col("cum1")) / F.col(
-        "n2"
+    # Empty-half guard (ADVICE r11 #3): when every event shares one
+    # timestamp nothing is 'early' (n1 = 0) and the ECDF gap divides by
+    # zero — NULL in Spark but NaN under DuckDB's IEEE float division.
+    # Guard the gap to NULL in BOTH engines so the degenerate split
+    # fails loud together (the lin/DL degenerate-arm convention); the
+    # NULL then propagates through v_e6/lam/p identically.
+    gap = F.when(
+        (F.col("n1") < 1) | (F.col("n2") < 1), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("cum1") / F.col("n1")
+        - (F.col("cum_all") - F.col("cum1")) / F.col("n2")
     )
     d = (
         cdf.crossJoin(F.broadcast(tot))
@@ -2612,6 +2691,14 @@ _LIN_RSS = (
     f"CASE WHEN ({_LIN_SXX}) <= 0 THEN ({_LIN_SYY})"
     f" ELSE ({_LIN_SYY}) - ({_LIN_SXY}) * ({_LIN_SXY}) / ({_LIN_SXX}) END"
 )
+# Second-order moment term (ADVICE r11 #1): the per-row product promotes
+# to DECIMAL(38,0) BEFORE multiplying (int64 x*x wraps in Spark and
+# raises in DuckDB — the DeLong per-row-product lesson), and the corpus
+# sums ride the shared ``_dec_sum_bigint`` guard below so past int64
+# both engines fail loud to NULL together (which NULLs the slopes,
+# variances, and inference downstream — never a silent wrap). ``{a}`` is
+# the arm, ``{u}``/``{v}`` the two factors (x/y per-user cent sums).
+_LIN_MOM = "CASE WHEN arm = {a} THEN CAST({u} AS DECIMAL(38,0)) * {v} ELSE 0 END"
 
 
 def _lin_oracle() -> str:
@@ -2628,7 +2715,7 @@ WITH ev AS (
   SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 ),
-bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+bounds AS (SELECT {_fdiv_duck("min(us) + max(us)", 2)} AS mid FROM ev),
 per_user AS (
   SELECT user_id, {arm} % 2 AS arm,
          sum(CASE WHEN us < (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT AS x,
@@ -2643,12 +2730,12 @@ m AS (
     sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::BIGINT AS sx1,
     sum(CASE WHEN arm = 0 THEN y ELSE 0 END)::BIGINT AS sy0,
     sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::BIGINT AS sy1,
-    CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx0,
-    CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
-    CAST(sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy0,
-    CAST(sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxy1,
-    CAST(sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy0,
-    CAST(sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy1
+    {_dec_sum_bigint(_LIN_MOM.format(a="0", u="x", v="x"))} AS sxx0,
+    {_dec_sum_bigint(_LIN_MOM.format(a="1", u="x", v="x"))} AS sxx1,
+    {_dec_sum_bigint(_LIN_MOM.format(a="0", u="x", v="y"))} AS sxy0,
+    {_dec_sum_bigint(_LIN_MOM.format(a="1", u="x", v="y"))} AS sxy1,
+    {_dec_sum_bigint(_LIN_MOM.format(a="0", u="y", v="y"))} AS syy0,
+    {_dec_sum_bigint(_LIN_MOM.format(a="1", u="y", v="y"))} AS syy1
   FROM per_user
 ),
 bt AS (SELECT *, {b0} AS beta0, {b1} AS beta1,
@@ -2717,9 +2804,13 @@ def lin_regression_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 moments through shared CASE texts (degenerate arms give slope
     0 — the _CUPED_THETA convention); the Welch-style SE uses per-arm
     residual mean squares (n-2 dof); z and two-sided p (shared erfc
-    polynomial) evaluate on rounded values. Envelope matches the
-    registered CUPED family: per-user cent sums keep x*y within int64
-    to ~9.2e18 cent^2 per user — quantize to decicents past that.
+    polynomial) evaluate on rounded values. The six second-order moment
+    sums (sxx/sxy/syy per arm) promote each per-row product to
+    DECIMAL(38,0) and ride the shared ``_dec_sum_bigint`` guard, so past
+    int64 BOTH engines fail loud to NULL together — the same symmetric-
+    overflow contract this batch gives the Spiegelhalter and DeLong sums
+    (ADVICE r11 #1); the first-order cent sums keep the registered CUPED
+    family's corpus-cents envelope.
 
     Scale shape: one corpus aggregate to the per-user frame with a
     broadcast 1-row midpoint, then ONE conditional aggregate straight to
@@ -2732,7 +2823,9 @@ def lin_regression_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    bounds = ev.agg(F.expr("(min(us) + max(us)) div 2").alias("mid"))
+    bounds = ev.agg(
+        F.expr(_fdiv_spark("min(us) + max(us)", 2)).alias("mid")
+    )
     per_user = (
         ev.crossJoin(F.broadcast(bounds))
         .groupBy("user_id")
@@ -2753,15 +2846,15 @@ def lin_regression_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{a}"),
             F.sum(F.when(cond, F.col("x")).otherwise(0)).cast("long").alias(f"sx{a}"),
             F.sum(F.when(cond, F.col("y")).otherwise(0)).cast("long").alias(f"sy{a}"),
-            F.sum(F.when(cond, F.col("x") * F.col("x")).otherwise(0))
-            .cast("long")
-            .alias(f"sxx{a}"),
-            F.sum(F.when(cond, F.col("x") * F.col("y")).otherwise(0))
-            .cast("long")
-            .alias(f"sxy{a}"),
-            F.sum(F.when(cond, F.col("y") * F.col("y")).otherwise(0))
-            .cast("long")
-            .alias(f"syy{a}"),
+            F.expr(
+                _dec_sum_bigint(_LIN_MOM.format(a=a, u="x", v="x"))
+            ).alias(f"sxx{a}"),
+            F.expr(
+                _dec_sum_bigint(_LIN_MOM.format(a=a, u="x", v="y"))
+            ).alias(f"sxy{a}"),
+            F.expr(
+                _dec_sum_bigint(_LIN_MOM.format(a=a, u="y", v="y"))
+            ).alias(f"syy{a}"),
         ]
     m = per_user.agg(*sums)
     bt = m.select(
@@ -2890,7 +2983,7 @@ def _dl_oracle(where: str = "") -> str:
     poly = _as_erfc_poly()
     return f"""
 WITH e AS (
-  SELECT epoch_us(ts) // 86400000000 AS day, {arm} % 2 AS g,
+  SELECT {_fdiv_duck("epoch_us(ts)", 86400000000)} AS day, {arm} % 2 AS g,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events {where}
 ),
@@ -3011,7 +3104,7 @@ def dersimonian_laird_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass B for the re-weighted pool)."""
     arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
     e = load_table(spark, sf_dir, "events").select(
-        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr(_fdiv_spark("unix_micros(ts)", 86400000000)).alias("day"),
         arm.alias("g"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
@@ -3389,7 +3482,7 @@ def stream_dersimonian_laird_monitor(
         .filter(F.col("event_id") % 2 == 1)
         .select(
             "event_id",
-            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.expr(_fdiv_spark("unix_micros(ts)", 86400000000)).alias("day"),
             arm.cast("int").alias("g"),
             F.when(F.col("event_type") == "purchase", 1)
             .otherwise(0)
@@ -3668,7 +3761,7 @@ def _pc_oracle() -> str:
     pday = _pc_pday()
     return f"""
 WITH e AS (
-  SELECT epoch_us(ts) // 86400000000 AS day, {arm} % 2 AS g,
+  SELECT {_fdiv_duck("epoch_us(ts)", 86400000000)} AS day, {arm} % 2 AS g,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
 ),
@@ -3766,7 +3859,7 @@ def combined_pvalue_daily_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     poly = _as_erfc_poly()
     pday = _pc_pday()
     e = load_table(spark, sf_dir, "events").select(
-        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr(_fdiv_spark("unix_micros(ts)", 86400000000)).alias("day"),
         arm.alias("g"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )

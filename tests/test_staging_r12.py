@@ -95,11 +95,22 @@ def _sessions_py(pdf: pd.DataFrame):
 # --- staging invariants ------------------------------------------------------
 
 
-def test_staged_names_not_registered_live():
-    # The round-11 window is full: staging must NOT leak into the live
-    # registry until the round-12 promotion.
-    leaked = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
-    assert not leaked, f"staged names registered live behind a full window: {leaked}"
+def test_promoted_names_are_registered_live():
+    # Round-12 promotion invariant (the test_staging_r8/r10/r11 durable
+    # form — the original "must NOT leak while staged" assertion inverted
+    # at the round-12 open): every staged query registers into the live
+    # registry (same function object), every name sits inside the
+    # round-12 driver window (all 19 are this round's new registrations),
+    # and the promotion list in plans/__init__ matches the staged set
+    # exactly.
+    missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
+    assert not missing, f"promoted queries missing from the live registry: {missing}"
+    same = [n for n in S.STAGED_QUERIES if plans.QUERIES[n] is S.STAGED_QUERIES[n]]
+    assert len(same) == len(S.STAGED_QUERIES)
+    window = set(list(plans.QUERIES)[:50])
+    out = [n for n in S.STAGED_QUERIES if n not in window]
+    assert not out, f"promoted queries outside the round-12 window: {out}"
+    assert set(plans._ROUND12_PROMOTIONS) == set(S.STAGED_QUERIES)
 
 
 def test_every_staged_query_is_oracle_paired():
@@ -1973,3 +1984,91 @@ def test_delong_decimal_product_guard_symmetric(spark):
     con.execute("CREATE TABLE t2 AS SELECT 3::BIGINT AS p, 7::BIGINT AS u10")
     d_in = con.execute(f"SELECT {expr} AS s FROM t2").fetchone()[0]
     assert s_in == d_in == 147
+
+
+def test_lin_moment_guard_symmetric(spark):
+    """ADVICE r11 #1: the six lin second-order moment sums must take the
+    loud NULL path IDENTICALLY in both engines past int64 (x*x for a
+    per-user cent sum x ~ 6e9 leaves int64 at 3.6e19 — Spark would wrap,
+    DuckDB would raise) and stay exact integer in range."""
+    import duckdb
+
+    expr = S._dec_sum_bigint(S._LIN_MOM.format(a="0", u="x", v="x"))
+    df = spark.createDataFrame([(0, 6_000_000_000, 0)], "arm long, x long, y long")
+    df.createOrReplaceTempView("_lin_guard_t")
+    s_over = spark.sql(f"SELECT {expr} AS s FROM _lin_guard_t").collect()[0]["s"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 0::BIGINT AS arm,"
+        " 6000000000::BIGINT AS x, 0::BIGINT AS y"
+    )
+    d_over = con.execute(f"SELECT {expr} AS s FROM t").fetchone()[0]
+    assert s_over is None and d_over is None
+    df2 = spark.createDataFrame(
+        [(0, 12, 5), (1, 100, 1)], "arm long, x long, y long"
+    )
+    df2.createOrReplaceTempView("_lin_guard_t2")
+    s_in = spark.sql(f"SELECT {expr} AS s FROM _lin_guard_t2").collect()[0]["s"]
+    con.execute(
+        "CREATE TABLE t2 AS SELECT * FROM (VALUES (0::BIGINT, 12::BIGINT,"
+        " 5::BIGINT), (1::BIGINT, 100::BIGINT, 1::BIGINT)) v(arm, x, y)"
+    )
+    d_in = con.execute(f"SELECT {expr} AS s FROM t2").fetchone()[0]
+    assert s_in == d_in == 144  # arm-0 row only: 12*12
+
+
+def test_bucketing_floor_consistent_pre_epoch(spark):
+    """ADVICE r11 #2: the tod/day bucketing pairs must agree on
+    NEGATIVE-epoch micros too, and match the Python references' floor
+    semantics. Measured ground truth this fix is built on: Spark ``div``
+    AND DuckDB integer ``//`` both TRUNCATE toward zero (DuckDB's
+    ``-1 // 2`` is 0 despite the floor-division name) and both ``%``
+    sign-follow — so both sides take the truncate-then-correct floor
+    form, and non-negative buckets pair Spark ``pmod`` with the DuckDB
+    add-then-re-mod."""
+    import duckdb
+
+    us_vals = [-86400000001, -86400000000, -999999, -1, 0, 1, 999999,
+               86399999999, 1700000000123456]
+    tod_spark = f"pmod({S._fdiv_spark('us', 1000000)}, 86400)"
+    tod_duck = S._pmod_duck(S._fdiv_duck("us", 1000000), 86400)
+    day_spark = S._fdiv_spark("us", 86400000000)
+    day_duck = S._fdiv_duck("us", 86400000000)
+    df = spark.createDataFrame([(u,) for u in us_vals], "us long")
+    df.createOrReplaceTempView("_bkt_t")
+    s_rows = spark.sql(
+        f"SELECT {tod_spark} AS tod, {day_spark} AS day FROM _bkt_t ORDER BY us"
+    ).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({u}::BIGINT)" for u in us_vals)
+        + ") v(us)"
+    )
+    d_rows = con.execute(
+        f"SELECT {tod_duck} AS tod, {day_duck} AS day FROM t ORDER BY us"
+    ).fetchall()
+    py = [((u // 10**6) % 86400, u // 86400000000) for u in sorted(us_vals)]
+    assert [(r["tod"], r["day"]) for r in s_rows] == d_rows == py
+
+
+def test_kuiper_degenerate_single_timestamp_nulls(spark, tmp_path):
+    """ADVICE r11 #3: every event at ONE timestamp makes the early half
+    empty (us < mid is never true when mid == us), so the ECDF gaps must
+    NULL in both engines — not Spark-NULL-vs-DuckDB-NaN."""
+    import duckdb
+
+    ts = pd.Timestamp("2024-03-01 12:00:00")
+    rows = [(i, ts, i % 5, "view", 1.0, "{}") for i in range(20)]
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["kuiper_tod_drift"](spark, sf).collect()[0]
+    assert row["n_early"] == 0 and row["n_late"] == 20
+    for c in ("d_plus", "d_minus", "kuiper_v", "p_value", "drift_at_95"):
+        assert row[c] is None, c
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    orow = con.execute(S.STAGED_ORACLES["kuiper_tod_drift"]).fetchone()
+    assert orow[0] == 0 and orow[1] == 20
+    assert all(v is None for v in orow[2:])
