@@ -1,0 +1,1508 @@
+"""Round-13 capability queries — STAGED during round 12, promoted when the
+round-13 window opens (the r7→r8→r10→r11→r12 staging pattern: the
+round-12 driver window is full, and the standing no-new-backlog rule in
+tests/test_registry_window.py forbids live registration the driver can't
+verify within the round).
+
+``STAGED_QUERIES``/``STAGED_ORACLES`` hold the pairs; nothing here touches
+``plans.QUERIES`` until the promotion round flips ``staged`` to delegate
+to ``registry.query`` (exactly how ``plans/staging_r12.py`` did it at the
+round-12 open). Each query is verified by tools/staged_verify.py
+(STAGED_MODULE=staging_r13) at sf0.001 + sf0.01 + sf0.1 (plus the five
+adversarial configs) before promotion, and pinned by independent Python
+references in tests/test_staging_r13.py.
+
+The batch (the three round-11 verdict "next round #6" picks, each a
+measured-need family completion):
+
+* ``bca_bootstrap_mean_ci`` — Efron's (1987) bias-corrected-and-
+  accelerated bootstrap interval over the registered Poisson-bootstrap
+  replicate machinery: the percentile interval in ``bootstrap_mean_ci``
+  is first-order accurate and visibly off-center exactly when the
+  statistic's distribution is skewed — which session/order values are —
+  while BCa corrects both the median bias (z0, from the replicate
+  distribution itself) and the skew (the acceleration a, from the exact
+  third central moment);
+* ``lin_ancova_two_cov_ab`` — Lin (2013) regression-adjusted ATE with
+  TWO covariates (pre-period spend AND pre-period activity) via closed-
+  form 2x2 normal equations over exact integer moments — the multi-
+  covariate generalization of the registered single-covariate
+  ``lin_regression_adjusted_ab``, the experimentation family's last
+  inference gap;
+* ``alpha_spending_gst_ab`` — Lan–DeMets (1983) style alpha-SPENDING
+  group-sequential readout with both canonical spending families
+  (O'Brien-Fleming-like and Pocock-like) over the registered
+  ``obrien_fleming_ab_looks`` cumulative-look frame — the registered
+  query fixes K=4 equally-spaced looks with tabulated boundaries, while
+  spending functions give a boundary at ANY observed information
+  fraction, which is how every production experiment monitor actually
+  runs.
+
+New shared machinery: an Acklam (2003) inverse-normal-CDF (probit)
+rational approximation as ONE shared expression text (max relative
+error ~1.15e-9, far below the 6dp output rounding; evaluated on
+identically-derived doubles in both engines so cross-engine parity is
+exact, and pinned against an independent Python implementation plus
+round-trip checks in the tests).
+
+Exactness discipline unchanged (staging_r8 header, the dialect-trap
+register): integer or quantized-integer corpus sums through the shared
+DECIMAL(38,0) symmetric-overflow guard where a sum or per-row product
+can leave int64, single shared double expressions over identical exact
+operands, e-notation double literals inside expression text (never bare
+decimals — Spark parses them as DECIMAL), 6dp rounds with ``+ 0.0``,
+floor(x+0.5)/ceil(x-0.5) half-away-from-zero rounding in the Python
+references, no raw TIMESTAMP outputs, floor-consistent bucketing via
+the staging_r12 ``_fdiv_spark``/``_fdiv_duck`` pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
+    _OBF_Z_MICRO,
+)
+from flink_realtime_sessionize_sample_spark.plans.staging_r12 import (
+    _dec_sum_bigint,
+    _fdiv_duck,
+    _fdiv_spark,
+    _LIN_MOM,
+)
+from flink_realtime_sessionize_sample_spark.sources.registry import load_table
+
+STAGED_QUERIES: dict[str, QueryFn] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged(name: str, oracle: str | None = None):
+    """Round-13 staging: holds the pair OUT of the live registry until
+    the promotion round (see module docstring)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in STAGED_QUERIES:
+            raise ValueError(f"duplicate staged name {name!r}")
+        STAGED_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _as_erfc_poly() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _AS_ERFC_POLY,
+    )
+
+    return _AS_ERFC_POLY
+
+
+# --- shared probit (inverse normal CDF) ------------------------------------------
+
+# Acklam's rational approximation (P. J. Acklam, 2003 — the public
+# standard when erfinv is unavailable; also the basis of many database
+# UDF implementations). Three regions: a central rational in
+# r = (p - 1/2)^2 and two tail rationals in q = sqrt(-2 ln p_tail).
+# Max relative error ~1.15e-9 over (0, 1) — five orders below the 6dp
+# output rounding — and because both engines evaluate the IDENTICAL
+# text on identically-derived doubles, cross-engine parity is exact
+# regardless of the approximation error. All literals e-notation (the
+# bare-decimal DECIMAL trap).
+_PB_A = (
+    "(((((-3.969683028665376e+01 * {r} + 2.209460984245205e+02) * {r}"
+    " + -2.759285104469687e+02) * {r} + 1.383577518672690e+02) * {r}"
+    " + -3.066479806614716e+01) * {r} + 2.506628277459239e+00)"
+)
+_PB_B = (
+    "(((((-5.447609879822406e+01 * {r} + 1.615858368580409e+02) * {r}"
+    " + -1.556989798598866e+02) * {r} + 6.680131188771972e+01) * {r}"
+    " + -1.328068155288572e+01) * {r} + 1e0)"
+)
+_PB_C = (
+    "(((((-7.784894002430293e-03 * {q} + -3.223964580411365e-01) * {q}"
+    " + -2.400758277161838e+00) * {q} + -2.549732539343734e+00) * {q}"
+    " + 4.374664141464968e+00) * {q} + 2.938163982698783e+00)"
+)
+_PB_D = (
+    "((((7.784695709041462e-03 * {q} + 3.224671290700398e-01) * {q}"
+    " + 2.445134137142996e+00) * {q} + 3.754408661907416e+00) * {q} + 1e0)"
+)
+
+
+def _probit(pq: str) -> str:
+    """Probit (Phi^-1) expression text over the double expression ``pq``.
+
+    NULL outside (0, 1) — the loud degenerate path, consistent with the
+    staging_r12 guard conventions. The lower tail's C/D rational is
+    negative by construction; the upper tail negates it (symmetry)."""
+    ql = f"sqrt(-2e0 * ln({pq}))"
+    qu = f"sqrt(-2e0 * ln(1e0 - ({pq})))"
+    qc = f"(({pq}) - 0.5e0)"
+    rc = f"({qc} * {qc})"
+    return (
+        f"CASE WHEN ({pq}) IS NULL OR ({pq}) <= 0e0 OR ({pq}) >= 1e0 THEN NULL"
+        f" WHEN ({pq}) < 0.02425e0"
+        f" THEN ({_PB_C.format(q=ql)}) / ({_PB_D.format(q=ql)})"
+        f" WHEN ({pq}) > 0.97575e0"
+        f" THEN -(({_PB_C.format(q=qu)}) / ({_PB_D.format(q=qu)}))"
+        f" ELSE ({_PB_A.format(r=rc)}) * {qc} / ({_PB_B.format(r=rc)}) END"
+    )
+
+
+def _phi(z: str, xcol: str, tcol: str) -> str:
+    """Normal CDF text over the column ``z`` via the house erfc
+    polynomial, whose helper columns ``xcol`` = |z|/sqrt(2) and ``tcol``
+    = 1/(1 + 0.3275911 * xcol) must already exist on the frame (the
+    established _x/_t pattern, renamed per evaluation site — ``_t``
+    replaced before ``_x`` per the string-splice lesson)."""
+    poly = _as_erfc_poly().replace("_t", tcol).replace("_x", xcol)
+    return (
+        f"CASE WHEN {z} IS NULL THEN NULL"
+        f" WHEN {z} >= 0e0 THEN 1e0 - 0.5e0 * ({poly})"
+        f" ELSE 0.5e0 * ({poly}) END"
+    )
+
+
+# --- BCa bootstrap CI for mean order value ---------------------------------------
+
+# Acceleration from the jackknife closed form for the mean: with
+# d_i = x_i - xbar, a = sum d^3 / (6 * (sum d^2)^{3/2}) — the (n-1)
+# powers of the leave-one-out influence values cancel exactly (Efron
+# 1987 eq. 6.6 specialized to the mean). The center is quantized to the
+# integer-cent floor mean xbarq = S1 div n so both engines (and the
+# Python reference) share EXACT integer deviations; the induced center
+# offset is < 1 cent and perturbs a at O(skew * cent/sd) — documented
+# spec, identical everywhere, and the symmetric-data intent pin (a = 0)
+# holds exactly. Per-row d^2/d^3 promote to DECIMAL(38,0) BEFORE
+# multiplying (d^3 ~ 1.25e23 at max cents — far past int64; the
+# DECIMAL sums stay exact to 38 digits, unreachable even at 1e10
+# orders) and convert to DOUBLE once through one shared text.
+_BCA_D2 = (
+    "CAST(sum(CAST(cents - xbarq AS DECIMAL(38,0))"
+    " * (cents - xbarq)) AS DOUBLE)"
+)
+_BCA_D3 = (
+    "CAST(sum(CAST(cents - xbarq AS DECIMAL(38,0))"
+    " * (cents - xbarq) * (cents - xbarq)) AS DOUBLE)"
+)
+_BCA_ACC = (
+    "CASE WHEN sd2 <= 0e0 THEN 0e0"
+    " ELSE sd3 / (6e0 * sd2 * sqrt(sd2)) END"
+)
+# z0 = probit of the fraction of replicate means below the point
+# estimate (ties counted half — the standard mid-p convention, and the
+# only convention under which the all-means-equal degenerate gives the
+# exact fixed point z0 = 0). The fraction is an exact small rational
+# from integer counts, so both engines feed probit the same double.
+_BCA_PQ = "(2e0 * less + eq) / 200e0"
+# BCa endpoint alphas (Efron 1987 eq. 2.3): alpha_lo/hi =
+# Phi(z0 + (z0 -+ z_{a/2}) / (1 - a (z0 -+ z_{a/2}))), z_{a/2} =
+# 1.959964. The denominator tripwire NULLs the interval loud when the
+# acceleration geometry degenerates (|1 - a w| ~ 0).
+_BCA_ZARG = (
+    "CASE WHEN z0 IS NULL THEN NULL"
+    " WHEN abs(1e0 - acc * (z0 {s} 1.959964e0)) < 1e-12 THEN NULL"
+    " ELSE z0 + (z0 {s} 1.959964e0) / (1e0 - acc * (z0 {s} 1.959964e0)) END"
+)
+# Percentile ranks from the alphas over the R=100 ranked replicate
+# means: lo = floor(alpha*R) + 1, hi = ceil(alpha*R), both clamped to
+# [1, R] — the registered bootstrap_mean_ci's rank-3/rank-98 convention
+# generalized (alpha = 0.025/0.975 reproduce exactly ranks 3 and 98,
+# the a = 0, z0 = 0 fixed-point intent pin).
+_BCA_LO_RK = (
+    "CASE WHEN alo IS NULL THEN NULL"
+    " ELSE least(100, greatest(1, CAST(floor(alo * 100e0) AS BIGINT) + 1)) END"
+)
+_BCA_HI_RK = (
+    "CASE WHEN ahi IS NULL THEN NULL"
+    " ELSE least(100, greatest(1, CAST(ceil(ahi * 100e0) AS BIGINT))) END"
+)
+
+
+def _bca_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _pois_case,
+    )
+
+    u = T.h48_duck("concat(o.o_orderkey::VARCHAR, ':', r.i::VARCHAR)")
+    phi_lo = _phi("zlo", "_xl", "_tl")
+    phi_hi = _phi("zhi", "_xh", "_th")
+    return f"""
+WITH reps AS (
+  SELECT o.o_orderkey, round(o.o_totalprice * 100)::BIGINT AS cents, r.i AS rep,
+         {u} / 281474976710656.0 AS u
+  FROM orders o, range(0, 100) r(i)
+), weighted AS (
+  SELECT rep, cents, {_pois_case('u')} AS w FROM reps
+), means AS (
+  SELECT rep,
+         round(sum(w * cents)::BIGINT / sum(w)::BIGINT / 100.0, 4) + 0.0
+           AS mean_rep
+  FROM weighted GROUP BY rep
+), ranked AS (
+  SELECT mean_rep, row_number() OVER (ORDER BY mean_rep, rep) AS rk FROM means
+), base AS (
+  SELECT count(*)::BIGINT AS n_orders,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS s1
+  FROM orders
+), point AS (
+  SELECT n_orders, s1,
+         round((1e0 * s1) / n_orders / 100.0, 4) + 0.0 AS point_mean,
+         s1 // n_orders AS xbarq
+  FROM base
+), mom AS (
+  SELECT {_BCA_D2} AS sd2, {_BCA_D3} AS sd3
+  FROM (SELECT round(o_totalprice * 100)::BIGINT AS cents FROM orders) oc,
+       point
+), cnt AS (
+  SELECT sum(CASE WHEN m.mean_rep < p.point_mean THEN 1 ELSE 0 END)::BIGINT
+           AS less,
+         sum(CASE WHEN m.mean_rep = p.point_mean THEN 1 ELSE 0 END)::BIGINT
+           AS eq
+  FROM means m, point p
+), zc AS (
+  SELECT less, eq, {_BCA_PQ} AS pq, (SELECT {_BCA_ACC} FROM mom) AS acc
+  FROM cnt
+), z0t AS (SELECT *, {_probit("pq")} AS z0 FROM zc),
+args AS (
+  SELECT *, {_BCA_ZARG.replace("{s}", "-")} AS zlo,
+            {_BCA_ZARG.replace("{s}", "+")} AS zhi
+  FROM z0t
+), hlp AS (
+  SELECT *, abs(zlo) / sqrt(2e0) AS _xl,
+         1e0 / (1e0 + 0.3275911 * (abs(zlo) / sqrt(2e0))) AS _tl,
+         abs(zhi) / sqrt(2e0) AS _xh,
+         1e0 / (1e0 + 0.3275911 * (abs(zhi) / sqrt(2e0))) AS _th
+  FROM args
+), al AS (
+  SELECT *, {phi_lo} AS alo, {phi_hi} AS ahi FROM hlp
+), rks AS (
+  SELECT *, {_BCA_LO_RK} AS lo_rk, {_BCA_HI_RK} AS hi_rk FROM al
+), sel AS (
+  SELECT max(CASE WHEN k.rk = r.lo_rk THEN k.mean_rep END) AS bca_lo,
+         max(CASE WHEN k.rk = r.hi_rk THEN k.mean_rep END) AS bca_hi
+  FROM ranked k, rks r
+), stats AS (
+  SELECT count(*)::BIGINT AS n_replicas,
+         max(CASE WHEN rk = 3 THEN mean_rep END) AS ci_lo,
+         max(CASE WHEN rk = 98 THEN mean_rep END) AS ci_hi
+  FROM ranked
+)
+SELECT s.n_replicas, p.point_mean, s.ci_lo, s.ci_hi,
+       CASE WHEN r.z0 IS NULL THEN NULL ELSE round(r.z0, 6) + 0.0 END AS z0_bc,
+       round(r.acc, 6) + 0.0 AS accel,
+       e.bca_lo, e.bca_hi
+FROM point p, rks r, stats s, sel e
+"""
+
+
+@staged("bca_bootstrap_mean_ci", oracle=_bca_oracle())
+def bca_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCa (bias-corrected and accelerated) bootstrap 95% interval for
+    mean order value — Efron (1987), "Better bootstrap confidence
+    intervals": the second-order-accurate upgrade of the registered
+    percentile interval (``bootstrap_mean_ci``, whose Poisson-replicate
+    machinery — Chamandy et al. 2012 — this query REUSES verbatim, hash
+    stream included, so the two intervals are computed over the
+    identical 100 replicate means and are directly comparable).
+
+    Percentile intervals under-cover on skewed statistics; order values
+    are strongly right-skewed, so the BCa endpoints shift both interval
+    ends toward the long tail. z0 (median-bias correction) is the probit
+    of the fraction of replicate means below the point estimate (ties
+    half-counted; probit = the shared Acklam text, see module header);
+    the acceleration uses the jackknife closed form for the mean —
+    sum d^3 / (6 (sum d^2)^1.5) over EXACT integer cent deviations from
+    the floor-mean xbarq = S1 div n (cents are positive so truncating
+    and floor division coincide; the sub-cent center offset is part of
+    the documented spec and identical in both engines and the Python
+    reference). The adjusted alphas map back to replicate ranks with
+    the registered query's floor/ceil convention, so a = 0, z0 = 0
+    reproduces ranks 3/98 — the percentile interval — EXACTLY (intent
+    pin). Degenerate paths are loud NULLs: all replicate means on one
+    side of the point estimate (pq outside (0,1)) or an acceleration
+    denominator near zero NULL the BCa bounds while the percentile
+    bounds and point estimate remain.
+
+    Exactness: d^2/d^3 per-row products promote to DECIMAL(38,0) before
+    multiplying (d^3 ~ 1.25e23 at max cents — the staging_r12 DeLong
+    per-row-product lesson; 38 digits unreachable even at 1e10 orders),
+    the two sums stay exact decimals and convert to DOUBLE through one
+    shared text; every alpha/rank derivation is one shared text over
+    identical doubles.
+
+    Scale shape: the replicate frame is the registered single-pass
+    map-side-combinable (row x 100) aggregate; the moment pass is ONE
+    additional orders aggregate with a broadcast 1-row center (2 corpus
+    scans total, census-documented); everything downstream operates on
+    the bounded 100-row replicate frame."""
+    from flink_realtime_sessionize_sample_spark.plans.analytics_queries import (
+        _cents,
+        _pois_case,
+    )
+
+    R = 100
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    reps = orders.select(
+        F.col("o_orderkey"),
+        _cents("o_totalprice").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(R - 1))).alias("rep"),
+    ).withColumn(
+        "u",
+        F.expr(
+            T.h48_spark(
+                "concat(cast(o_orderkey as string), ':', cast(rep as string))"
+            )
+        )
+        / F.lit(281474976710656.0),
+    )
+    weighted = reps.withColumn("w", F.expr(_pois_case("u")))
+    means = (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "rep",
+            (
+                F.round(F.col("swc") / F.col("sw") / F.lit(100.0), 4) + F.lit(0.0)
+            ).alias("mean_rep"),
+        )
+    )
+    # Bounded 100-row frame with three consumers (ranked, cnt, sel):
+    # checkpoint so the corpus-sized replicate aggregate runs once under
+    # every config (exchange.reuse=false included).
+    means = means.localCheckpoint()
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean_rep", "rep"))
+    )
+    base = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).cast("long").alias("s1"),
+    )
+    point = base.select(
+        "n_orders",
+        "s1",
+        (
+            F.round(F.col("s1") * 1e0 / F.col("n_orders") / F.lit(100.0), 4)
+            + F.lit(0.0)
+        ).alias("point_mean"),
+        F.expr("s1 div n_orders").alias("xbarq"),
+    ).localCheckpoint()
+    mom = (
+        orders.select(_cents("o_totalprice").alias("cents"))
+        .crossJoin(F.broadcast(point.select("xbarq")))
+        .agg(F.expr(_BCA_D2).alias("sd2"), F.expr(_BCA_D3).alias("sd3"))
+    )
+    cnt = means.crossJoin(F.broadcast(point.select("point_mean"))).agg(
+        F.sum(F.when(F.col("mean_rep") < F.col("point_mean"), 1).otherwise(0))
+        .cast("long")
+        .alias("less"),
+        F.sum(F.when(F.col("mean_rep") == F.col("point_mean"), 1).otherwise(0))
+        .cast("long")
+        .alias("eq"),
+    )
+    zc = cnt.crossJoin(F.broadcast(mom)).select(
+        "less", "eq", F.expr(_BCA_PQ).alias("pq"), F.expr(_BCA_ACC).alias("acc")
+    )
+    z0t = zc.withColumn("z0", F.expr(_probit("pq")))
+    args = z0t.select(
+        "*",
+        F.expr(_BCA_ZARG.replace("{s}", "-")).alias("zlo"),
+        F.expr(_BCA_ZARG.replace("{s}", "+")).alias("zhi"),
+    )
+    hlp = args.select(
+        "*",
+        (F.abs(F.col("zlo")) / F.sqrt(F.lit(2.0))).alias("_xl"),
+        (1 / (1 + 0.3275911 * (F.abs(F.col("zlo")) / F.sqrt(F.lit(2.0))))).alias(
+            "_tl"
+        ),
+        (F.abs(F.col("zhi")) / F.sqrt(F.lit(2.0))).alias("_xh"),
+        (1 / (1 + 0.3275911 * (F.abs(F.col("zhi")) / F.sqrt(F.lit(2.0))))).alias(
+            "_th"
+        ),
+    )
+    al = hlp.select(
+        "*",
+        F.expr(_phi("zlo", "_xl", "_tl")).alias("alo"),
+        F.expr(_phi("zhi", "_xh", "_th")).alias("ahi"),
+    )
+    rks = al.select(
+        "*",
+        F.expr(_BCA_LO_RK).alias("lo_rk"),
+        F.expr(_BCA_HI_RK).alias("hi_rk"),
+    )
+    sel = ranked.crossJoin(F.broadcast(rks.select("lo_rk", "hi_rk"))).agg(
+        F.max(F.when(F.col("rk") == F.col("lo_rk"), F.col("mean_rep"))).alias(
+            "bca_lo"
+        ),
+        F.max(F.when(F.col("rk") == F.col("hi_rk"), F.col("mean_rep"))).alias(
+            "bca_hi"
+        ),
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.max(F.when(F.col("rk") == 3, F.col("mean_rep"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 98, F.col("mean_rep"))).alias("ci_hi"),
+    )
+    return (
+        point.select("point_mean")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(rks.select("z0", "acc")))
+        .crossJoin(F.broadcast(sel))
+        .select(
+            "n_replicas",
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+            F.expr(
+                "CASE WHEN z0 IS NULL THEN NULL"
+                " ELSE round(z0, 6) + 0.0 END"
+            ).alias("z0_bc"),
+            (F.round(F.col("acc"), 6) + F.lit(0.0)).alias("accel"),
+            "bca_lo",
+            "bca_hi",
+        )
+    )
+
+
+# --- Lin (2013) two-covariate ANCOVA ATE ------------------------------------------
+
+# Centered second moments per arm over the ten exact integer moments
+# (doubles over exact int64/guarded sums; squared integer sums promote
+# BEFORE multiplying — the _LIN_SYY pattern). ``{a}`` is the arm suffix,
+# substituted via .replace (not .format — the texts nest braces).
+_A2_C11 = "(1e0 * s11{a} - (1e0 * sx1{a}) * sx1{a} / n{a})"
+_A2_C12 = "(1e0 * s12{a} - (1e0 * sx1{a}) * sx2{a} / n{a})"
+_A2_C22 = "(1e0 * s22{a} - (1e0 * sx2{a}) * sx2{a} / n{a})"
+_A2_C1Y = "(1e0 * s1y{a} - (1e0 * sx1{a}) * sy{a} / n{a})"
+_A2_C2Y = "(1e0 * s2y{a} - (1e0 * sx2{a}) * sy{a} / n{a})"
+_A2_CYY = "(1e0 * syy{a} - (1e0 * sy{a}) * sy{a} / n{a})"
+_A2_DET = f"({_A2_C11} * {_A2_C22} - {_A2_C12} * {_A2_C12})"
+# Per-arm slopes by Cramer's rule on the 2x2 normal equations;
+# degenerate arms (n < 4 for the n-3 residual dof, or a non-positive
+# determinant — exactly-collinear covariates give det exactly 0 on
+# integer inputs) contribute slope (0, 0): the adjustment is a no-op
+# there (the _CUPED_THETA / lin_regression_adjusted_ab convention).
+_A2_B1 = (
+    f"CASE WHEN n{{a}} < 4 OR {_A2_DET} <= 0e0 THEN 0e0"
+    f" ELSE ({_A2_C1Y} * {_A2_C22} - {_A2_C2Y} * {_A2_C12}) / {_A2_DET} END"
+)
+_A2_B2 = (
+    f"CASE WHEN n{{a}} < 4 OR {_A2_DET} <= 0e0 THEN 0e0"
+    f" ELSE ({_A2_C2Y} * {_A2_C11} - {_A2_C1Y} * {_A2_C12}) / {_A2_DET} END"
+)
+# RSS after the per-arm fit: Cyy - b1*C1y - b2*C2y (reduces to Cyy when
+# the arm fell back to slope 0 — no extra CASE needed).
+_A2_RSS = (
+    f"(({_A2_CYY}) - beta1{{a}} * ({_A2_C1Y}) - beta2{{a}} * ({_A2_C2Y}))"
+)
+
+
+def _a2(text: str, a: str) -> str:
+    return text.replace("{a}", a)
+
+
+def _a2_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly = _as_erfc_poly()
+    mom = []
+    for a in ("0", "1"):
+        mom.append(
+            f"sum(CASE WHEN arm = {a} THEN 1 ELSE 0 END)::BIGINT AS n{a},\n"
+            f"    sum(CASE WHEN arm = {a} THEN x1 ELSE 0 END)::BIGINT AS sx1{a},\n"
+            f"    sum(CASE WHEN arm = {a} THEN x2 ELSE 0 END)::BIGINT AS sx2{a},\n"
+            f"    sum(CASE WHEN arm = {a} THEN y ELSE 0 END)::BIGINT AS sy{a},\n"
+            f"    {_dec_sum_bigint(_LIN_MOM.format(a=a, u='x1', v='x1'))} AS s11{a},\n"
+            f"    {_dec_sum_bigint(_LIN_MOM.format(a=a, u='x1', v='x2'))} AS s12{a},\n"
+            f"    {_dec_sum_bigint(_LIN_MOM.format(a=a, u='x2', v='x2'))} AS s22{a},\n"
+            f"    {_dec_sum_bigint(_LIN_MOM.format(a=a, u='x1', v='y'))} AS s1y{a},\n"
+            f"    {_dec_sum_bigint(_LIN_MOM.format(a=a, u='x2', v='y'))} AS s2y{a},\n"
+            f"    {_dec_sum_bigint(_LIN_MOM.format(a=a, u='y', v='y'))} AS syy{a}"
+        )
+    moms = ",\n    ".join(mom)
+    rss0 = _a2(_A2_RSS, "0")
+    rss1 = _a2(_A2_RSS, "1")
+    cyy0 = _a2(_A2_CYY, "0")
+    cyy1 = _a2(_A2_CYY, "1")
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT {_fdiv_duck("min(us) + max(us)", 2)} AS mid FROM ev),
+per_user AS (
+  SELECT user_id, {arm} % 2 AS arm,
+         sum(CASE WHEN us < (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT AS x1,
+         sum(CASE WHEN us < (SELECT mid FROM bounds) THEN 1 ELSE 0 END)::BIGINT AS x2,
+         sum(CASE WHEN us >= (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT AS y
+  FROM ev GROUP BY user_id
+),
+m AS (
+  SELECT
+    {moms}
+  FROM per_user
+),
+bt AS (
+  SELECT *, {_a2(_A2_B1, "0")} AS beta10, {_a2(_A2_B2, "0")} AS beta20,
+         {_a2(_A2_B1, "1")} AS beta11, {_a2(_A2_B2, "1")} AS beta21,
+         CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+              ELSE (1e0 * (sx10 + sx11)) / (n0 + n1) END AS x1bp,
+         CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+              ELSE (1e0 * (sx20 + sx21)) / (n0 + n1) END AS x2bp
+  FROM m
+),
+mu AS (
+  SELECT *,
+         (1e0 * sy0) / n0 + beta10 * (x1bp - (1e0 * sx10) / n0)
+           + beta20 * (x2bp - (1e0 * sx20) / n0) AS mu0,
+         (1e0 * sy1) / n1 + beta11 * (x1bp - (1e0 * sx11) / n1)
+           + beta21 * (x2bp - (1e0 * sx21) / n1) AS mu1,
+         CASE WHEN n0 < 4 OR n1 < 4 THEN NULL
+              ELSE ({rss0}) / (n0 - 3) / n0 + ({rss1}) / (n1 - 3) / n1 END
+           AS var_adj,
+         CASE WHEN n0 < 2 OR n1 < 2 THEN NULL
+              ELSE ({cyy0}) / (n0 - 1) / n0 + ({cyy1}) / (n1 - 1) / n1 END
+           AS var_raw
+  FROM bt
+),
+zz AS (
+  SELECT n0, n1,
+         CAST(round(beta10 * 1000000) AS BIGINT) AS beta_spend0_micro,
+         CAST(round(beta20 * 1000000) AS BIGINT) AS beta_count0_micro,
+         CAST(round(beta11 * 1000000) AS BIGINT) AS beta_spend1_micro,
+         CAST(round(beta21 * 1000000) AS BIGINT) AS beta_count1_micro,
+         CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+              ELSE round((1e0 * sy1) / n1 - (1e0 * sy0) / n0, 6) + 0.0 END
+           AS ate_raw_cents,
+         CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+              ELSE round(mu1 - mu0, 6) + 0.0 END AS ate_adj_cents,
+         CASE WHEN var_raw IS NULL OR var_raw <= 0 THEN NULL
+              ELSE round(sqrt(var_raw), 6) + 0.0 END AS se_raw,
+         CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL
+              ELSE round(sqrt(var_adj), 6) + 0.0 END AS se_adj,
+         CASE WHEN var_raw IS NULL OR var_adj IS NULL OR var_raw <= 0 THEN NULL
+              ELSE round(1 - var_adj / var_raw, 6) + 0.0 END AS var_reduction,
+         CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL
+              ELSE round((mu1 - mu0) / sqrt(var_adj), 6) + 0.0 END AS z_stat
+  FROM mu
+),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n0 AS n_users0, n1 AS n_users1,
+       beta_spend0_micro, beta_count0_micro,
+       beta_spend1_micro, beta_count1_micro,
+       ate_raw_cents, ate_adj_cents, se_raw, se_adj, var_reduction, z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_two_sided
+FROM xt
+"""
+
+
+@staged("lin_ancova_two_cov_ab", oracle=_a2_oracle())
+def lin_ancova_two_cov_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-adjusted ATE with per-arm fits on TWO covariates —
+    Lin (2013) / classical ANCOVA with full treatment interactions: the
+    registered ``lin_regression_adjusted_ab`` adjusts on the pre-period
+    spend alone; real experiments adjust on several pre-period
+    covariates at once (here pre-period spend x1 AND pre-period
+    activity count x2), which is never worse asymptotically and
+    strictly better whenever the second covariate carries independent
+    outcome signal. Per-arm OLS on (1, x1, x2) solved in CLOSED FORM by
+    Cramer's rule on the 2x2 centered normal equations — no iterative
+    solver, no matrix library: just ten exact integer moments per arm.
+
+    Exactness: per-user (x1, x2, y) are exact integer aggregates with
+    the broadcast floor-division midpoint (``_fdiv`` pair — the ADVICE
+    r11 #2 discipline from birth); the six second-order moment sums per
+    arm promote per-row products to DECIMAL(38,0) and ride the shared
+    ``_dec_sum_bigint`` guard (loud symmetric NULL past int64 — which
+    NULLs slopes and inference downstream); centered moments, slopes,
+    adjusted means, residual variances are shared CASE texts over the
+    guarded sums; degenerate arms (n < 4 or exactly-collinear
+    covariates, det <= 0) fall back to slope (0, 0) — the adjustment
+    becomes a documented no-op, ``ate_adj == ate_raw``. The Welch-style
+    SE uses per-arm residual mean squares with n - 3 dof; z and the
+    two-sided p (shared erfc polynomial) evaluate on rounded values.
+
+    Scale shape: identical to the single-covariate sibling — one corpus
+    aggregate to the per-user frame (broadcast 1-row midpoint), then
+    ONE conditional aggregate straight to a single 20-moment row; no
+    per-stratum frames, no second corpus pass."""
+    arm = F.pmod(F.expr(T.h48_spark("cast(user_id as string)")), F.lit(2))
+    poly = _as_erfc_poly()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.expr(_fdiv_spark("min(us) + max(us)", 2)).alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x1"),
+            F.sum(F.when(F.col("us") < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x2"),
+            F.sum(F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(arm.alias("arm"), "x1", "x2", "y")
+    )
+    sums = []
+    for a in ("0", "1"):
+        cond = F.col("arm") == int(a)
+        sums += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{a}"),
+            F.sum(F.when(cond, F.col("x1")).otherwise(0))
+            .cast("long")
+            .alias(f"sx1{a}"),
+            F.sum(F.when(cond, F.col("x2")).otherwise(0))
+            .cast("long")
+            .alias(f"sx2{a}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"sy{a}"),
+            F.expr(_dec_sum_bigint(_LIN_MOM.format(a=a, u="x1", v="x1"))).alias(
+                f"s11{a}"
+            ),
+            F.expr(_dec_sum_bigint(_LIN_MOM.format(a=a, u="x1", v="x2"))).alias(
+                f"s12{a}"
+            ),
+            F.expr(_dec_sum_bigint(_LIN_MOM.format(a=a, u="x2", v="x2"))).alias(
+                f"s22{a}"
+            ),
+            F.expr(_dec_sum_bigint(_LIN_MOM.format(a=a, u="x1", v="y"))).alias(
+                f"s1y{a}"
+            ),
+            F.expr(_dec_sum_bigint(_LIN_MOM.format(a=a, u="x2", v="y"))).alias(
+                f"s2y{a}"
+            ),
+            F.expr(_dec_sum_bigint(_LIN_MOM.format(a=a, u="y", v="y"))).alias(
+                f"syy{a}"
+            ),
+        ]
+    m = per_user.agg(*sums)
+    bt = m.select(
+        "*",
+        F.expr(_a2(_A2_B1, "0")).alias("beta10"),
+        F.expr(_a2(_A2_B2, "0")).alias("beta20"),
+        F.expr(_a2(_A2_B1, "1")).alias("beta11"),
+        F.expr(_a2(_A2_B2, "1")).alias("beta21"),
+        F.expr(
+            "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            " ELSE (1e0 * (sx10 + sx11)) / (n0 + n1) END"
+        ).alias("x1bp"),
+        F.expr(
+            "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            " ELSE (1e0 * (sx20 + sx21)) / (n0 + n1) END"
+        ).alias("x2bp"),
+    )
+    rss0 = _a2(_A2_RSS, "0")
+    rss1 = _a2(_A2_RSS, "1")
+    cyy0 = _a2(_A2_CYY, "0")
+    cyy1 = _a2(_A2_CYY, "1")
+    mu = bt.select(
+        "*",
+        F.expr(
+            "(1e0 * sy0) / n0 + beta10 * (x1bp - (1e0 * sx10) / n0)"
+            " + beta20 * (x2bp - (1e0 * sx20) / n0)"
+        ).alias("mu0"),
+        F.expr(
+            "(1e0 * sy1) / n1 + beta11 * (x1bp - (1e0 * sx11) / n1)"
+            " + beta21 * (x2bp - (1e0 * sx21) / n1)"
+        ).alias("mu1"),
+        F.expr(
+            f"CASE WHEN n0 < 4 OR n1 < 4 THEN NULL"
+            f" ELSE ({rss0}) / (n0 - 3) / n0 + ({rss1}) / (n1 - 3) / n1 END"
+        ).alias("var_adj"),
+        F.expr(
+            f"CASE WHEN n0 < 2 OR n1 < 2 THEN NULL"
+            f" ELSE ({cyy0}) / (n0 - 1) / n0 + ({cyy1}) / (n1 - 1) / n1 END"
+        ).alias("var_raw"),
+    )
+    zz = mu.select(
+        "n0",
+        "n1",
+        F.round(F.col("beta10") * 1000000).cast("long").alias("beta_spend0_micro"),
+        F.round(F.col("beta20") * 1000000).cast("long").alias("beta_count0_micro"),
+        F.round(F.col("beta11") * 1000000).cast("long").alias("beta_spend1_micro"),
+        F.round(F.col("beta21") * 1000000).cast("long").alias("beta_count1_micro"),
+        F.expr(
+            "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            " ELSE round((1e0 * sy1) / n1 - (1e0 * sy0) / n0, 6) + 0.0 END"
+        ).alias("ate_raw_cents"),
+        F.expr(
+            "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            " ELSE round(mu1 - mu0, 6) + 0.0 END"
+        ).alias("ate_adj_cents"),
+        F.expr(
+            "CASE WHEN var_raw IS NULL OR var_raw <= 0 THEN NULL"
+            " ELSE round(sqrt(var_raw), 6) + 0.0 END"
+        ).alias("se_raw"),
+        F.expr(
+            "CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL"
+            " ELSE round(sqrt(var_adj), 6) + 0.0 END"
+        ).alias("se_adj"),
+        F.expr(
+            "CASE WHEN var_raw IS NULL OR var_adj IS NULL OR var_raw <= 0 THEN NULL"
+            " ELSE round(1 - var_adj / var_raw, 6) + 0.0 END"
+        ).alias("var_reduction"),
+        F.expr(
+            "CASE WHEN var_adj IS NULL OR var_adj <= 0 THEN NULL"
+            " ELSE round((mu1 - mu0) / sqrt(var_adj), 6) + 0.0 END"
+        ).alias("z_stat"),
+    )
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("n0").alias("n_users0"),
+        F.col("n1").alias("n_users1"),
+        "beta_spend0_micro",
+        "beta_count0_micro",
+        "beta_spend1_micro",
+        "beta_count1_micro",
+        "ate_raw_cents",
+        "ate_adj_cents",
+        "se_raw",
+        "se_adj",
+        "var_reduction",
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_two_sided"),
+    )
+
+
+# --- Lan-DeMets alpha-spending group-sequential readout ---------------------------
+
+# Spending families at two-sided alpha = 0.05 (Lan & DeMets 1983;
+# DeMets & Lan 1994 survey):
+#   OBF-like:    f(t) = 2 * (1 - Phi(z_{a/2} / sqrt(t)))  [= erfc(z_{a/2}/sqrt(2t))]
+#   Pocock-like: f(t) = alpha * ln(1 + (e - 1) * t)
+# Both satisfy f(0+) ~ 0 and f(1) = alpha. Both texts PIN t >= 1 to
+# exactly 5e-2: the erfc polynomial lands ~1.4e-7 below alpha at t = 1
+# (and ln(1 + (e-1)) is one ulp under 1), so without the pin the final
+# look would under-spend by the approximation error and the K = 1
+# fixed-point intent pin (boundary = 1.959964) would drift to
+# 1.959965. The per-look boundary converts each spending INCREMENT to a
+# two-sided z through the shared probit: z_k = probit(1 - inc_k / 2) —
+# the independent-increments approximation (it ignores the correlation
+# between looks, so boundaries are mildly conservative vs the exact
+# multivariate-normal recursion; the K = 1 fixed point is exact:
+# inc = alpha -> z = 1.959964 — the intent pin). Documented spec,
+# identical in both engines and the Python reference.
+_GS_F_OBF = "CASE WHEN tf >= 1e0 THEN 5e-2 ELSE least(5e-2, ({poly})) END"
+_GS_F_POC = (
+    "CASE WHEN tf >= 1e0 THEN 5e-2"
+    " ELSE least(5e-2, 5e-2 * ln(1e0 + 1.718281828459045e0 * tf)) END"
+)
+_GS_PQ = "CASE WHEN {i} <= 0e0 THEN NULL ELSE 1e0 - ({i}) / 2e0 END"
+_GS_CROSS = (
+    "CASE WHEN {zb} IS NULL THEN NULL"
+    " ELSE abs(z_micro) >= CAST(round(({zb}) * 1000000e0) AS BIGINT) END"
+)
+
+
+def _gs_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    poly_o = _as_erfc_poly().replace("_t", "_to").replace("_x", "_xo")
+    return f"""
+WITH e AS (
+  SELECT {arm} % 2 AS arm, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+rng AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+lk AS (
+  SELECT ((4 * (us - mn)) // (mx - mn + 1)) + 1 AS look,
+         arm, cents
+  FROM e CROSS JOIN rng
+),
+g AS (
+  SELECT look,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn1,
+         CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS ds0,
+         CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS ds1,
+         CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT)
+           AS dq0,
+         CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT)
+           AS dq1
+  FROM lk GROUP BY look
+),
+c AS (
+  SELECT look,
+         CAST(sum(dn0) OVER w AS BIGINT) AS n0,
+         CAST(sum(dn1) OVER w AS BIGINT) AS n1,
+         CAST(sum(ds0) OVER w AS BIGINT) AS s0,
+         CAST(sum(ds1) OVER w AS BIGINT) AS s1,
+         CAST(sum(dq0) OVER w AS BIGINT) AS q0,
+         CAST(sum(dq1) OVER w AS BIGINT) AS q1
+  FROM g WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)
+),
+tot AS (SELECT max(n0 + n1) AS ntot FROM c),
+ti AS (
+  SELECT c.*, CAST(round(1000000e0 * (c.n0 + c.n1) / t.ntot) AS BIGINT) AS t_e6
+  FROM c, tot t
+),
+tf AS (SELECT *, t_e6 / 1e6 AS tf FROM ti),
+hx AS (
+  SELECT *, 1.959964e0 / sqrt(2e0 * tf) AS _xo,
+         1e0 / (1e0 + 0.3275911 * (1.959964e0 / sqrt(2e0 * tf))) AS _to
+  FROM tf
+),
+fs AS (
+  SELECT *, {_GS_F_OBF.format(poly=poly_o)} AS f_obf, {_GS_F_POC} AS f_poc
+  FROM hx
+),
+inc AS (
+  SELECT *, f_obf - coalesce(lag(f_obf) OVER (ORDER BY look), 0e0) AS i_obf,
+         f_poc - coalesce(lag(f_poc) OVER (ORDER BY look), 0e0) AS i_poc
+  FROM fs
+),
+pq AS (
+  SELECT *, {_GS_PQ.format(i="i_obf")} AS pq_obf,
+         {_GS_PQ.format(i="i_poc")} AS pq_poc
+  FROM inc
+),
+zb AS (
+  SELECT *, {_probit("pq_obf")} AS zb_obf, {_probit("pq_poc")} AS zb_poc
+  FROM pq
+),
+zz AS (SELECT *, {_OBF_Z_MICRO} AS z_micro FROM zb)
+SELECT look, n0, n1, t_e6 / 1e6 + 0.0 AS t_info,
+       round(f_obf, 6) + 0.0 AS alpha_spent_obf,
+       round(f_poc, 6) + 0.0 AS alpha_spent_pocock,
+       CASE WHEN zb_obf IS NULL THEN NULL
+            ELSE round(zb_obf, 6) + 0.0 END AS z_bound_obf,
+       CASE WHEN zb_poc IS NULL THEN NULL
+            ELSE round(zb_poc, 6) + 0.0 END AS z_bound_pocock,
+       round(z_micro / 1e6, 6) + 0.0 AS z_stat,
+       {_GS_CROSS.format(zb="zb_obf")} AS crossed_obf,
+       {_GS_CROSS.format(zb="zb_poc")} AS crossed_pocock
+FROM zz
+"""
+
+
+@staged("alpha_spending_gst_ab", oracle=_gs_oracle())
+def alpha_spending_gst_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B readout with Lan–DeMets ALPHA-SPENDING
+    boundaries (Lan & DeMets 1983) in both canonical families —
+    O'Brien-Fleming-like and Pocock-like spending — over the exact
+    cumulative-look frame of the registered ``obrien_fleming_ab_looks``
+    (same look assignment, same cumulative Welch z via the imported
+    ``_OBF_Z_MICRO``, so the two monitors can never disagree about the
+    observed statistic). The registered query needs its K=4 boundary
+    table known in advance; spending functions allocate the two-sided
+    alpha = 0.05 budget continuously in OBSERVED information time
+    t_k = (n0+n1)_k / (n0+n1)_K, which is how production monitors
+    handle unequal/unplanned looks.
+
+    Boundary construction: per-look spending increments convert to
+    two-sided z-bounds through the shared Acklam probit,
+    z_k = probit(1 - inc_k/2) — the independent-increments
+    approximation (mildly conservative vs the exact multivariate-normal
+    recursion; at K = 1 it is exact and the boundary is exactly
+    probit(1 - alpha/2) = 1.959964, the intent pin). The OBF-like
+    spending function evaluates through the shared erfc polynomial
+    (f(t) = erfc(1.959964/sqrt(2t))), and BOTH families pin t >= 1 to
+    exactly alpha so the budget is spent in full at the final look
+    despite the polynomial's ~1e-7 shortfall there.
+
+    Exactness: information fractions e6-quantize from exact integer
+    cumulative counts through one shared text; both spending functions,
+    increments, probits, and crossing comparisons are shared texts over
+    those identical doubles; the crossing test compares INTEGERS
+    (|z_micro| vs the e6-quantized boundary — the registered OBF
+    pattern); a non-positive increment (impossible for strictly
+    increasing t, the defensive guard) NULLs that look's boundary loud.
+
+    Scale shape: identical to the registered sibling — one scan + 1-row
+    min/max broadcast to assign looks, one map-side-combined aggregate
+    to the <=4-row look frame, then bounded-frame windows only."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rng = e.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    lk = e.crossJoin(F.broadcast(rng)).select(
+        (F.expr("(4 * (us - mn)) div (mx - mn + 1)") + 1).alias("look"),
+        "arm",
+        "cents",
+    )
+    g = lk.groupBy("look").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("dn0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("dn1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("ds0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("ds1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("dq0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("dq1"),
+    )
+    w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "look",
+        F.sum("dn0").over(w).cast("long").alias("n0"),
+        F.sum("dn1").over(w).cast("long").alias("n1"),
+        F.sum("ds0").over(w).cast("long").alias("s0"),
+        F.sum("ds1").over(w).cast("long").alias("s1"),
+        F.sum("dq0").over(w).cast("long").alias("q0"),
+        F.sum("dq1").over(w).cast("long").alias("q1"),
+    )
+    # Bounded <=4-row frame with two consumers (the total row and the
+    # per-look spending chain): checkpoint so the corpus scans once
+    # under every config.
+    c = c.localCheckpoint()
+    tot = c.agg(F.max(F.col("n0") + F.col("n1")).alias("ntot"))
+    ti = c.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(
+            "CAST(round(1000000e0 * (n0 + n1) / ntot) AS BIGINT)"
+        ).alias("t_e6"),
+    )
+    tf = ti.withColumn("tf", F.col("t_e6") / F.lit(1e6))
+    hx = tf.select(
+        "*",
+        F.expr("1.959964e0 / sqrt(2e0 * tf)").alias("_xo"),
+        F.expr(
+            "1e0 / (1e0 + 0.3275911 * (1.959964e0 / sqrt(2e0 * tf)))"
+        ).alias("_to"),
+    )
+    poly_o = _as_erfc_poly().replace("_t", "_to").replace("_x", "_xo")
+    fs = hx.select(
+        "*",
+        F.expr(_GS_F_OBF.format(poly=poly_o)).alias("f_obf"),
+        F.expr(_GS_F_POC).alias("f_poc"),
+    )
+    lw = Window.orderBy("look")
+    inc = fs.select(
+        "*",
+        (
+            F.col("f_obf")
+            - F.coalesce(F.lag("f_obf").over(lw), F.lit(0.0))
+        ).alias("i_obf"),
+        (
+            F.col("f_poc")
+            - F.coalesce(F.lag("f_poc").over(lw), F.lit(0.0))
+        ).alias("i_poc"),
+    )
+    pq = inc.select(
+        "*",
+        F.expr(_GS_PQ.format(i="i_obf")).alias("pq_obf"),
+        F.expr(_GS_PQ.format(i="i_poc")).alias("pq_poc"),
+    )
+    zb = pq.select(
+        "*",
+        F.expr(_probit("pq_obf")).alias("zb_obf"),
+        F.expr(_probit("pq_poc")).alias("zb_poc"),
+    )
+    zz = zb.withColumn("z_micro", F.expr(_OBF_Z_MICRO))
+    return zz.select(
+        "look",
+        "n0",
+        "n1",
+        (F.col("t_e6") / F.lit(1e6) + F.lit(0.0)).alias("t_info"),
+        (F.round(F.col("f_obf"), 6) + F.lit(0.0)).alias("alpha_spent_obf"),
+        (F.round(F.col("f_poc"), 6) + F.lit(0.0)).alias("alpha_spent_pocock"),
+        F.expr(
+            "CASE WHEN zb_obf IS NULL THEN NULL"
+            " ELSE round(zb_obf, 6) + 0.0 END"
+        ).alias("z_bound_obf"),
+        F.expr(
+            "CASE WHEN zb_poc IS NULL THEN NULL"
+            " ELSE round(zb_poc, 6) + 0.0 END"
+        ).alias("z_bound_pocock"),
+        (F.round(F.col("z_micro") / 1e6, 6) + F.lit(0.0)).alias("z_stat"),
+        F.expr(_GS_CROSS.format(zb="zb_obf")).alias("crossed_obf"),
+        F.expr(_GS_CROSS.format(zb="zb_poc")).alias("crossed_pocock"),
+    )
+
+
+# --- TOST equivalence test --------------------------------------------------------
+
+# Two One-Sided Tests (Schuirmann 1987) on the event-value metric between
+# the user-hash arms: H0 "the arms DIFFER by more than the margin" is
+# rejected — equivalence demonstrated — only when BOTH one-sided tests
+# reject. The margin is RELATIVE: delta = 5% of the pooled mean (the
+# standard relative-equivalence convention; self-scaling, no
+# dataset-specific constant). Welch moments are the registered
+# obrien_fleming/welch shape; z's e6-quantize through shared texts.
+_TOST_SE = (
+    "sqrt((1e0 * n1 * q1 - 1e0 * s1 * s1) / (1e0 * n1 * n1 * (n1 - 1))"
+    " + (1e0 * n0 * q0 - 1e0 * s0 * s0) / (1e0 * n0 * n0 * (n0 - 1)))"
+)
+_TOST_GUARD = (
+    "n0 < 2 OR n1 < 2 OR q0 IS NULL OR q1 IS NULL"
+    " OR (1e0 * n0 * q0 - 1e0 * s0 * s0) <= 0"
+    " OR (1e0 * n1 * q1 - 1e0 * s1 * s1) <= 0"
+)
+_TOST_DIFF = "(1e0 * s1 / n1 - 1e0 * s0 / n0)"
+_TOST_DELTA = "(5e-2 * abs(1e0 * (s0 + s1)) / (n0 + n1))"
+_TOST_ZL_MICRO = (
+    f"CASE WHEN {_TOST_GUARD} THEN NULL"
+    f" ELSE CAST(round(1000000 * ({_TOST_DIFF} + {_TOST_DELTA}) / ({_TOST_SE}))"
+    f" AS BIGINT) END"
+)
+_TOST_ZU_MICRO = (
+    f"CASE WHEN {_TOST_GUARD} THEN NULL"
+    f" ELSE CAST(round(1000000 * ({_TOST_DELTA} - {_TOST_DIFF}) / ({_TOST_SE}))"
+    f" AS BIGINT) END"
+)
+# One-sided upper p of a signed z (reject for LARGE z): the kruskal-
+# wallis poly/2 convention, over renamed helper columns.
+def _p_upper(z: str, xcol: str, tcol: str) -> str:
+    poly = _as_erfc_poly().replace("_t", tcol).replace("_x", xcol)
+    return (
+        f"CASE WHEN {z} IS NULL THEN NULL"
+        f" WHEN {z} >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+        f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+    )
+
+
+def _tost_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    pl = _p_upper("zl", "_xl", "_tl")
+    pu = _p_upper("zu", "_xh", "_th")
+    return f"""
+WITH e AS (
+  SELECT {arm} % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN arm = 0 THEN cents ELSE 0 END)::BIGINT AS s0,
+    sum(CASE WHEN arm = 1 THEN cents ELSE 0 END)::BIGINT AS s1,
+    {_dec_sum_bigint("CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END")} AS q0,
+    {_dec_sum_bigint("CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END")} AS q1
+  FROM e
+),
+zm AS (
+  SELECT *, {_TOST_ZL_MICRO} AS zl_micro, {_TOST_ZU_MICRO} AS zu_micro FROM m
+),
+zz AS (
+  SELECT *, zl_micro / 1e6 AS zl, zu_micro / 1e6 AS zu FROM zm
+),
+hlp AS (
+  SELECT *, abs(zl) / sqrt(2.0) AS _xl,
+         1 / (1 + 0.3275911 * (abs(zl) / sqrt(2.0))) AS _tl,
+         abs(zu) / sqrt(2.0) AS _xh,
+         1 / (1 + 0.3275911 * (abs(zu) / sqrt(2.0))) AS _th
+  FROM zz
+),
+ps AS (SELECT *, {pl} AS p_lower, {pu} AS p_upper FROM hlp)
+SELECT n0, n1,
+       CASE WHEN n0 < 1 THEN NULL
+            ELSE round((1e0 * s0) / n0, 6) + 0.0 END AS mean0_cents,
+       CASE WHEN n1 < 1 THEN NULL
+            ELSE round((1e0 * s1) / n1, 6) + 0.0 END AS mean1_cents,
+       CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+            ELSE round({_TOST_DIFF}, 6) + 0.0 END AS diff_cents,
+       CASE WHEN n0 < 1 OR n1 < 1 THEN NULL
+            ELSE round({_TOST_DELTA}, 6) + 0.0 END AS margin_cents,
+       CASE WHEN zl IS NULL THEN NULL ELSE round(zl, 6) + 0.0 END AS z_lower,
+       CASE WHEN zu IS NULL THEN NULL ELSE round(zu, 6) + 0.0 END AS z_upper,
+       CASE WHEN p_lower IS NULL OR p_upper IS NULL THEN NULL
+            ELSE greatest(p_lower, p_upper) END AS p_tost,
+       CASE WHEN p_lower IS NULL OR p_upper IS NULL THEN NULL
+            ELSE greatest(p_lower, p_upper) < 5e-2 END AS equivalent_at_95
+FROM ps
+"""
+
+
+@staged("tost_equivalence_ab", oracle=_tost_oracle())
+def tost_equivalence_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987, "two one-sided tests") on
+    the event-value metric between the user-hash arms — the inference the
+    registered significance tests CANNOT provide: a non-significant
+    Welch p never demonstrates the arms are the SAME, while TOST rejects
+    "they differ by more than the margin" only when BOTH one-sided tests
+    reject, which is the standard non-inferiority/parity readout for
+    launch reviews ("the new path is provably within 5% of control").
+    Margin: 5% of the pooled mean (relative equivalence, self-scaling).
+
+    Exactness: the four first moments are exact int64 cent sums; the two
+    squared-cent sums promote per-row to DECIMAL(38,0) and ride the
+    shared ``_dec_sum_bigint`` guard (loud symmetric NULL past int64 —
+    which NULLs both z's and the verdict); diff/margin/SE/z are shared
+    texts over the exact moments, both z's e6-quantized before the p
+    evaluation; one-sided p's use the erfc polynomial poly/2 convention
+    (the kruskal_wallis precedent); p_tost = max(p_lower, p_upper).
+
+    Scale shape: ONE conditional aggregate straight from the scan to a
+    single 6-moment row — no joins, no windows, nothing bounded by more
+    than one output row."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = e.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.expr(
+            _dec_sum_bigint(
+                "CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) * cents"
+                " ELSE 0 END"
+            )
+        ).alias("q0"),
+        F.expr(
+            _dec_sum_bigint(
+                "CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) * cents"
+                " ELSE 0 END"
+            )
+        ).alias("q1"),
+    )
+    zm = m.select(
+        "*",
+        F.expr(_TOST_ZL_MICRO).alias("zl_micro"),
+        F.expr(_TOST_ZU_MICRO).alias("zu_micro"),
+    )
+    zz = zm.select(
+        "*",
+        (F.col("zl_micro") / F.lit(1e6)).alias("zl"),
+        (F.col("zu_micro") / F.lit(1e6)).alias("zu"),
+    )
+    hlp = zz.select(
+        "*",
+        (F.abs(F.col("zl")) / F.sqrt(F.lit(2.0))).alias("_xl"),
+        (1 / (1 + 0.3275911 * (F.abs(F.col("zl")) / F.sqrt(F.lit(2.0))))).alias(
+            "_tl"
+        ),
+        (F.abs(F.col("zu")) / F.sqrt(F.lit(2.0))).alias("_xh"),
+        (1 / (1 + 0.3275911 * (F.abs(F.col("zu")) / F.sqrt(F.lit(2.0))))).alias(
+            "_th"
+        ),
+    )
+    ps = hlp.select(
+        "*",
+        F.expr(_p_upper("zl", "_xl", "_tl")).alias("p_lower"),
+        F.expr(_p_upper("zu", "_xh", "_th")).alias("p_upper"),
+    )
+    return ps.select(
+        "n0",
+        "n1",
+        F.expr(
+            "CASE WHEN n0 < 1 THEN NULL"
+            " ELSE round((1e0 * s0) / n0, 6) + 0.0 END"
+        ).alias("mean0_cents"),
+        F.expr(
+            "CASE WHEN n1 < 1 THEN NULL"
+            " ELSE round((1e0 * s1) / n1, 6) + 0.0 END"
+        ).alias("mean1_cents"),
+        F.expr(
+            f"CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            f" ELSE round({_TOST_DIFF}, 6) + 0.0 END"
+        ).alias("diff_cents"),
+        F.expr(
+            f"CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+            f" ELSE round({_TOST_DELTA}, 6) + 0.0 END"
+        ).alias("margin_cents"),
+        F.expr(
+            "CASE WHEN zl IS NULL THEN NULL ELSE round(zl, 6) + 0.0 END"
+        ).alias("z_lower"),
+        F.expr(
+            "CASE WHEN zu IS NULL THEN NULL ELSE round(zu, 6) + 0.0 END"
+        ).alias("z_upper"),
+        F.expr(
+            "CASE WHEN p_lower IS NULL OR p_upper IS NULL THEN NULL"
+            " ELSE greatest(p_lower, p_upper) END"
+        ).alias("p_tost"),
+        F.expr(
+            "CASE WHEN p_lower IS NULL OR p_upper IS NULL THEN NULL"
+            " ELSE greatest(p_lower, p_upper) < 5e-2 END"
+        ).alias("equivalent_at_95"),
+    )
+
+
+# --- Fligner-Killeen k-group scale test -------------------------------------------
+
+# Fligner-Killeen (1976; Conover, Johnson & Johnson 1981 form): rank the
+# pooled ABSOLUTE DEVIATIONS from each group's own median, transform the
+# mid-ranks through normal scores a(r) = probit(1/2 + r/(2(N+1))), and
+# test equality of the per-group mean scores with
+#   X^2 = sum_j n_j (Abar_j - abar)^2 / V,   V = sum (a - abar)^2 / (N-1).
+# The robust k-group SCALE test — rank-based where the registered
+# brown_forsythe_length_variance is moment-based — and the second
+# consumer of the shared Acklam probit. Scores e6-quantize (aq) so every
+# corpus sum is EXACT (DECIMAL(38,0) accumulation, double conversion
+# once); the aq scale cancels between numerator and V, so the statistic
+# is computed in quantized-score units exactly. Mid-ranks are kept
+# DOUBLED (r2) so ties stay integer (the KW device); the probit argument
+# 1/2 + r2/(4(N+1)) is an exact-rational double in (0.5, 1).
+_FK_PQ = "0.5e0 + r2 / (4e0 * (nn + 1))"
+_FK_TERM_E6 = (
+    "CAST(round((1e0 * devj * devj) / (1e0 * nj * 1000000)) AS BIGINT)"
+)
+_FK_VV = "(((sq - sat * sat / nn) / (nn - 1)) / 1e12)"
+_FK_X2 = (
+    f"CASE WHEN nn < 3 OR k < 2 OR sum_e6 IS NULL"
+    f" OR ({_FK_VV}) <= 0e0 THEN NULL"
+    f" ELSE (sum_e6 / 1e6) / ({_FK_VV}) END"
+)
+_FK_Z = (
+    f"CASE WHEN ({_FK_X2}) IS NULL THEN NULL"
+    f" ELSE round(sqrt(2 * ({_FK_X2})) - sqrt(2.0 * dof - 1), 6) + 0.0 END"
+)
+
+
+def _fk_oracle() -> str:
+    poly = _as_erfc_poly()
+    aq_expr = f"CAST(round(1000000 * ({_probit(_FK_PQ)})) AS BIGINT)"
+    return f"""
+WITH sg AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, n_chars
+),
+njf AS (SELECT source, sum(c)::BIGINT AS nj FROM sg GROUP BY source),
+cums AS (
+  SELECT source, v, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM sg
+),
+med AS (
+  SELECT cums.source, min(cums.v) AS med
+  FROM cums JOIN njf ON cums.source = njf.source
+  WHERE 2 * cums.cum >= njf.nj
+  GROUP BY cums.source
+),
+sd AS (
+  SELECT sg.source, abs(sg.v - med.med) AS d, sum(sg.c)::BIGINT AS c
+  FROM sg JOIN med ON sg.source = med.source
+  GROUP BY sg.source, abs(sg.v - med.med)
+),
+g AS (SELECT d, sum(c)::BIGINT AS cnt FROM sd GROUP BY d),
+rk AS (
+  SELECT d, cnt,
+         CAST(sum(cnt) OVER (ORDER BY d) AS BIGINT) AS cum_all
+  FROM g
+),
+a2 AS (SELECT d, cnt, 2 * (cum_all - cnt) + cnt + 1 AS r2 FROM rk),
+tot AS (SELECT sum(cnt)::BIGINT AS nn FROM g),
+aqt AS (
+  SELECT a2.d, a2.cnt, t.nn, {aq_expr} AS aq
+  FROM a2 CROSS JOIN tot t
+),
+pool AS (
+  SELECT CAST(sum(CAST(cnt AS DECIMAL(38,0)) * aq) AS DOUBLE) AS sat,
+         CAST(sum(CAST(cnt AS DECIMAL(38,0)) * aq * aq) AS DOUBLE) AS sq,
+         max(nn)::BIGINT AS nn
+  FROM aqt
+),
+per AS (
+  SELECT sd.source, sum(sd.c)::BIGINT AS nj,
+         CAST(sum(CAST(sd.c AS DECIMAL(38,0)) * aqt.aq) AS DOUBLE) AS saj
+  FROM sd JOIN aqt ON sd.d = aqt.d
+  GROUP BY sd.source
+),
+terms AS (
+  SELECT per.nj, per.saj - per.nj * (pool.sat / pool.nn) AS devj,
+         pool.sat, pool.sq, pool.nn
+  FROM per CROSS JOIN pool
+),
+s AS (
+  SELECT count(*)::BIGINT AS k,
+         {_dec_sum_bigint(_FK_TERM_E6)} AS sum_e6,
+         max(sat) AS sat, max(sq) AS sq, max(nn)::BIGINT AS nn
+  FROM terms
+),
+st AS (SELECT nn AS n_docs, k AS n_groups, k - 1 AS dof, sum_e6, sat, sq, nn, k
+       FROM s),
+zz AS (SELECT *, {_FK_Z} AS z_stat FROM st),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_docs, n_groups, dof,
+       CASE WHEN ({_FK_X2}) IS NULL THEN NULL
+            ELSE round(({_FK_X2}), 6) + 0.0 END AS x2_stat,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("fligner_killeen_scale_by_source", oracle=_fk_oracle())
+def fligner_killeen_scale_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen test: do the k = |sources| document-length
+    distributions share one SCALE? The rank-based robust completion of
+    the variance-homogeneity family — the registered
+    ``brown_forsythe_length_variance`` tests the same hypothesis through
+    moment ratios (an F statistic sensitive to heavy tails), while
+    Fligner-Killeen ranks absolute deviations from each group's own
+    median and normal-scores them, which keeps its level under ANY
+    continuous parent (the standard recommendation — Conover, Johnson &
+    Johnson 1981's power study — and R's default ``fligner.test``).
+    Second consumer of the shared Acklam probit machinery.
+
+    Exactness: per-group LOW medians from exact integer cumulative
+    counts (partitioned window over the bounded (source x length) grid);
+    pooled deviation mid-ranks kept DOUBLED (the KW/roc_auc device);
+    normal scores evaluate the shared probit on exact-rational doubles
+    and e6-quantize, so every corpus accumulation is an EXACT
+    DECIMAL(38,0) integer sum (double conversion happens once, on the
+    three pooled scalars); the per-group X^2 terms e6-quantize through
+    shared text before the k-row guarded sum (``_dec_sum_bigint`` — loud
+    symmetric NULL); X^2, Fisher's z (the house large-dof chi-square
+    tail device) and the one-sided erfc p are single shared double
+    expressions. Degenerate corpora (every deviation equal -> V = 0)
+    yield NULL via the shared guard.
+
+    Scale shape: ONE corpus aggregate to the (source x distinct-length)
+    frame (checkpointed, bounded by |S| x |length domain|); medians ride
+    a PARTITIONED cumulative window over that grid; deviation ranks ride
+    the banded global-rank pass over the bounded deviation grid; the
+    per-group frame is k rows and the statistic is a scalar reduce. No
+    corpus-sized shuffle after the first aggregate."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sg = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sg = sg.localCheckpoint()  # bounded |S| x |values|; 3 consumers
+    njf = sg.groupBy("source").agg(F.sum("c").cast("long").alias("nj"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = sg.select(
+        "source", "v", "c", F.sum("c").over(wsrc).cast("long").alias("cum")
+    )
+    med = (
+        cums.join(njf, "source")
+        .filter(2 * F.col("cum") >= F.col("nj"))
+        .groupBy("source")
+        .agg(F.min("v").alias("med"))
+    )
+    sd = (
+        sg.join(F.broadcast(med), "source")
+        .select("source", F.abs(F.col("v") - F.col("med")).alias("d"), "c")
+        .groupBy("source", "d")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    sd = sd.localCheckpoint()  # bounded deviation grid; 2 consumers
+    g = sd.groupBy("d").agg(F.sum("c").cast("long").alias("cnt"))
+    rk = with_global_rank(
+        g, ["d"], rank_col="_rk", sum_col="cnt", cum_col="cum_all"
+    )
+    a2 = rk.select(
+        "d", "cnt",
+        (2 * (F.col("cum_all") - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
+    )
+    tot = g.agg(F.sum("cnt").cast("long").alias("nn"))
+    aq_expr = f"CAST(round(1000000 * ({_probit(_FK_PQ)})) AS BIGINT)"
+    aqt = a2.crossJoin(F.broadcast(tot)).select(
+        "d", "cnt", "nn", F.expr(aq_expr).alias("aq")
+    )
+    aqt = aqt.localCheckpoint()  # bounded; feeds pool + the per-group join
+    pool = aqt.agg(
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * aq) AS DOUBLE)"
+        ).alias("sat"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * aq * aq) AS DOUBLE)"
+        ).alias("sq"),
+        F.max("nn").cast("long").alias("nn"),
+    )
+    per = (
+        sd.join(aqt.select("d", "aq"), "d")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * aq) AS DOUBLE)"
+            ).alias("saj"),
+        )
+    )
+    terms = per.crossJoin(F.broadcast(pool)).select(
+        "nj",
+        (F.col("saj") - F.col("nj") * (F.col("sat") / F.col("nn"))).alias("devj"),
+        "sat",
+        "sq",
+        "nn",
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(_dec_sum_bigint(_FK_TERM_E6)).alias("sum_e6"),
+        F.max("sat").alias("sat"),
+        F.max("sq").alias("sq"),
+        F.max("nn").cast("long").alias("nn"),
+    )
+    st = s.select(
+        F.col("nn").alias("n_docs"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).alias("dof"),
+        "sum_e6",
+        "sat",
+        "sq",
+        "nn",
+        "k",
+    )
+    zz = st.withColumn("z_stat", F.expr(_FK_Z))
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        "n_docs",
+        "n_groups",
+        "dof",
+        F.expr(
+            f"CASE WHEN ({_FK_X2}) IS NULL THEN NULL"
+            f" ELSE round(({_FK_X2}), 6) + 0.0 END"
+        ).alias("x2_stat"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_value"),
+    )
