@@ -71,6 +71,7 @@ from flink_realtime_sessionize_sample_spark.plans.staging_r12 import (
     _fdiv_duck,
     _fdiv_spark,
     _LIN_MOM,
+    _pmod_duck,
 )
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 
@@ -1503,6 +1504,334 @@ def fligner_killeen_scale_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr(
             f"CASE WHEN z_stat IS NULL THEN NULL"
             f" WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+# --- Hodges-Lehmann shift estimate + CI --------------------------------------------
+
+# Hodges & Lehmann (1963): the median of all n0*n1 pairwise differences
+# (arm1 value - arm0 value) — THE standard effect-size companion of the
+# registered Mann-Whitney test (which reports significance but no
+# magnitude), with the Moses large-sample confidence bounds: the
+# interval endpoints are the k-th and (T+1-k)-th smallest pairwise
+# differences at k = floor(T/2 - z_{a/2} sqrt(n0 n1 (n0+n1+1)/12))
+# (Hollander & Wolfe ch. 4). Computed EXACTLY over the bounded
+# value-domain grid: per-arm (cent value, count) frames convolve into
+# the pairwise-difference DISTRIBUTION (weight of d = sum_v c1(v+d)
+# c0(v)), so the "n0*n1 pairs" never materialize — the grid is bounded
+# by |V|^2 (value DOMAIN squared, corpus-size-independent) and every
+# rank lookup is an integer cumulative over it. LOW-median/order
+# conventions: value at the smallest cumulative >= the target rank.
+_HL_K = (
+    "CASE WHEN n0 < 1 OR n1 < 1 THEN NULL"
+    " ELSE greatest(1, CAST(floor((1e0 * n0 * n1) / 2e0"
+    " - 1.959964e0 * sqrt((1e0 * n0 * n1) * (n0 + n1 + 1) / 12e0))"
+    " AS BIGINT)) END"
+)
+
+
+def _hl_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    return f"""
+WITH e AS (
+  SELECT {arm} % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+v0 AS (SELECT cents AS v, count(*)::BIGINT AS c FROM e WHERE arm = 0 GROUP BY cents),
+v1 AS (SELECT cents AS v, count(*)::BIGINT AS c FROM e WHERE arm = 1 GROUP BY cents),
+grid AS (
+  SELECT v1.v - v0.v AS d, sum(v1.c * v0.c)::BIGINT AS w
+  FROM v1 CROSS JOIN v0
+  GROUP BY v1.v - v0.v
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM v0)::BIGINT AS n0,
+         (SELECT sum(c) FROM v1)::BIGINT AS n1
+),
+cum AS (
+  SELECT d, w, CAST(sum(w) OVER (ORDER BY d) AS BIGINT) AS cw FROM grid
+),
+kk AS (SELECT n0, n1, n0 * n1 AS t, {_HL_K} AS k FROM tot),
+med AS (
+  SELECT min(c.d) AS hl
+  FROM cum c, kk
+  WHERE 2 * c.cw >= kk.t
+),
+lo AS (SELECT min(c.d) AS ci_lo FROM cum c, kk WHERE c.cw >= kk.k),
+hi AS (SELECT min(c.d) AS ci_hi FROM cum c, kk WHERE c.cw >= kk.t + 1 - kk.k)
+SELECT kk.n0, kk.n1, kk.t AS n_pairs,
+       med.hl AS hl_shift_cents,
+       CASE WHEN kk.k IS NULL THEN NULL ELSE lo.ci_lo END AS ci_lo_cents,
+       CASE WHEN kk.k IS NULL THEN NULL ELSE hi.ci_hi END AS ci_hi_cents
+FROM kk, med, lo, hi
+"""
+
+
+@staged("hodges_lehmann_shift_ab", oracle=_hl_oracle())
+def hodges_lehmann_shift_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimate with Moses 95% bounds between the
+    user-hash arms on the event-value metric — the EFFECT SIZE the rank
+    family was missing: the registered ``mann_whitney_en_tokens`` (and
+    the r12 ``brunner_munzel_en_vs_rest``) report whether distributions
+    differ, Hodges-Lehmann reports BY HOW MUCH (median of all n0*n1
+    pairwise differences — consistent, median-unbiased, 0.955
+    asymptotically efficient vs the mean under normality and robust far
+    beyond it), and the Moses bounds give the CI every readout quotes.
+
+    Exactness: all n0*n1 pairwise differences reduce to the bounded
+    difference-distribution grid (per-arm cent-value counts convolved:
+    weight(d) = sum_v c1(v) c0(v - d)) — exact integer weights, exact
+    integer cumulative ranks (n0*n1 <= 9e18 keeps every rank in int64
+    to ~3e9 events per arm); the HL point is the LOW weighted median
+    (smallest d with 2 cum >= n0*n1) and the CI endpoints are the
+    k-th / (T+1-k)-th order statistics with k from ONE shared double
+    expression over exact integers. Degenerate arms (n0 or n1 = 0) NULL
+    the estimate loud.
+
+    Scale shape: one corpus scan -> two bounded (value, count) frames
+    (the 2dp value DOMAIN, corpus-size-independent); the pair grid is a
+    broadcast nested-loop join of the two bounded frames (|V0| x |V1|,
+    never corpus-sized) aggregated straight onto the difference grid;
+    ranks ride one banded global-order pass over that grid. Nothing
+    downstream of the first aggregate scales with corpus rows."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # Bounded per-arm value-count frames off ONE scan (checkpoint the
+    # shared (arm, value) aggregate so the corpus scans once under
+    # every config).
+    av = e.groupBy("arm", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    av = av.localCheckpoint()
+    v0 = av.filter(F.col("arm") == 0).select(F.col("cents").alias("v"), "c")
+    v1 = av.filter(F.col("arm") == 1).select(
+        F.col("cents").alias("v1"), F.col("c").alias("c1")
+    )
+    grid = (
+        v1.crossJoin(F.broadcast(v0))
+        .groupBy((F.col("v1") - F.col("v")).alias("d"))
+        .agg(F.sum(F.col("c1") * F.col("c")).cast("long").alias("w"))
+    )
+    cum = with_global_rank(
+        grid, ["d"], rank_col="_rk", sum_col="w", cum_col="cw"
+    ).select("d", "w", "cw")
+    cum = cum.localCheckpoint()  # bounded diff grid; three rank lookups
+    tot = av.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    kk = tot.select(
+        "n0",
+        "n1",
+        (F.col("n0") * F.col("n1")).alias("t"),
+        F.expr(_HL_K).alias("k"),
+    )
+    joined = cum.crossJoin(F.broadcast(kk))
+    med = joined.filter(2 * F.col("cw") >= F.col("t")).agg(
+        F.min("d").alias("hl")
+    )
+    lo = joined.filter(F.col("cw") >= F.col("k")).agg(
+        F.min("d").alias("ci_lo")
+    )
+    hi = joined.filter(
+        F.col("cw") >= F.col("t") + 1 - F.col("k")
+    ).agg(F.min("d").alias("ci_hi"))
+    return (
+        kk.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n0",
+            "n1",
+            F.col("t").alias("n_pairs"),
+            F.col("hl").alias("hl_shift_cents"),
+            F.expr(
+                "CASE WHEN k IS NULL THEN NULL ELSE ci_lo END"
+            ).alias("ci_lo_cents"),
+            F.expr(
+                "CASE WHEN k IS NULL THEN NULL ELSE ci_hi END"
+            ).alias("ci_hi_cents"),
+        )
+    )
+
+
+# --- Page's trend test -------------------------------------------------------------
+
+# Page (1963): the ORDERED-alternative test for b blocks x k ordered
+# treatments — where the registered friedman_test_event_mix asks "do the
+# treatments differ at all within blocks" and jonckheere_terpstra
+# handles the UNblocked ordered design, Page's L answers the blocked
+# monotone question ("does the metric rise across the day inside every
+# event type"). L = sum_j j * R_j over within-block ranks; under H0
+# E[L] = b k (k+1)^2 / 4 and Var[L] = b k^2 (k+1) (k^2 - 1) / 144
+# (no-tie normal approximation — ties across cell MEANS are measure-zero
+# and broken deterministically by band index, the documented spec).
+_PG_Z = (
+    "CASE WHEN b < 1 OR kk < 2 THEN NULL"
+    " ELSE CAST(round(1000000 * ((1e0 * l - (1e0 * b * kk * (kk + 1) * (kk + 1)) / 4e0)"
+    " / sqrt((1e0 * b * kk * kk) * (kk + 1) * (1e0 * kk * kk - 1) / 144e0)))"
+    " AS BIGINT) END"
+)
+
+
+def _pg_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         {_pmod_duck(_fdiv_duck(_fdiv_duck("epoch_us(ts)", 1000000), 3600), 24)} // 6 AS band,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+cells AS (
+  SELECT event_type, band, sum(cents)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM e GROUP BY event_type, band
+),
+kb AS (SELECT count(DISTINCT band)::BIGINT AS kk FROM cells),
+blocks AS (
+  SELECT event_type FROM cells GROUP BY event_type
+  HAVING count(*) = (SELECT kk FROM kb)
+),
+ranked AS (
+  SELECT c.event_type, c.band,
+         row_number() OVER (PARTITION BY c.event_type
+                            ORDER BY (1e0 * c.s) / c.n, c.band) AS r
+  FROM cells c JOIN blocks USING (event_type)
+),
+l AS (
+  SELECT CAST(sum((band + 1) * r) AS BIGINT) AS l,
+         count(DISTINCT event_type)::BIGINT AS b
+  FROM ranked
+),
+st AS (SELECT l.l, l.b, kb.kk FROM l, kb),
+zz AS (
+  SELECT b AS n_blocks, kk AS k_bands, l AS l_stat,
+         CASE WHEN b < 1 OR kk < 2 THEN NULL
+              ELSE round((1e0 * b * kk * (kk + 1) * (kk + 1)) / 4e0, 6) + 0.0
+              END AS e_l,
+         ({_PG_Z}) / 1e6 AS z_stat_raw
+  FROM st
+),
+xt AS (
+  SELECT *, round(z_stat_raw, 6) + 0.0 AS z_stat,
+         abs(z_stat_raw) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat_raw) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_blocks, k_bands, l_stat, e_l,
+       CASE WHEN z_stat_raw IS NULL THEN NULL ELSE z_stat END AS z_stat,
+       CASE WHEN z_stat_raw IS NULL THEN NULL
+            WHEN z_stat_raw >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("page_trend_test_tod", oracle=_pg_oracle())
+def page_trend_test_tod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (Page 1963) for a monotone diurnal effect: do
+    mean event values RISE across the four ordered 6-hour time-of-day
+    bands consistently WITHIN each event type? The blocked
+    ordered-alternative member that completes the trend family — the
+    registered ``friedman_test_event_mix`` tests unordered within-block
+    differences, ``jonckheere_terpstra_daily_trend`` tests the ordered
+    k-sample design without blocks, and Page's L is the blocked ordered
+    design (strictly more powerful than Friedman against monotone
+    alternatives, the reason experimentation texts pair them).
+
+    Exactness: cell means are exact-operand doubles (integer cent sums /
+    integer counts — identical in both engines); within-block ranks are
+    row_number over (mean, band) — the deterministic tie-break is part
+    of the documented spec (mean ties across cells are measure-zero);
+    L is an exact int64; E[L], Var[L] and z are one shared text
+    (no-tie normal approximation, Hollander & Wolfe ch. 7), z
+    e6-quantized before the one-sided erfc p (the kruskal_wallis poly/2
+    convention). Incomplete blocks (an event type missing a band) are
+    DROPPED and the complete-block count is reported — Page's statistic
+    is defined over complete blocks only. The band bucketing reuses the
+    floor-consistent ``_fdiv``/``pmod`` forms (ADVICE r11 #2 discipline
+    from birth).
+
+    Scale shape: one corpus scan -> hash aggregate onto the bounded
+    (event_type x 4-band) cell grid; everything downstream (block
+    filter, partitioned rank window, scalar reduce) runs on that
+    bounded frame."""
+    arm_band = (
+        f"pmod({_fdiv_spark(_fdiv_spark('unix_micros(ts)', 1000000), 3600)}, 24)"
+        " div 6"
+    )
+    poly = _as_erfc_poly()
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(arm_band).alias("band"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = e.groupBy("event_type", "band").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cells = cells.localCheckpoint()  # bounded |types| x 4; 3 consumers
+    kb = cells.agg(F.countDistinct("band").cast("long").alias("kk"))
+    blocks = (
+        cells.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .crossJoin(F.broadcast(kb))
+        .filter(F.col("_nb") == F.col("kk"))
+        .select("event_type")
+    )
+    wblk = Window.partitionBy("event_type").orderBy(
+        (F.col("s") * 1e0) / F.col("n"), "band"
+    )
+    ranked = (
+        cells.join(F.broadcast(blocks), "event_type")
+        .select("event_type", "band", F.row_number().over(wblk).alias("r"))
+    )
+    l = ranked.agg(
+        F.sum((F.col("band") + 1) * F.col("r")).cast("long").alias("l"),
+        F.countDistinct("event_type").cast("long").alias("b"),
+    )
+    st = l.crossJoin(F.broadcast(kb))
+    zz = st.select(
+        F.col("b").alias("n_blocks"),
+        F.col("kk").alias("k_bands"),
+        F.col("l").alias("l_stat"),
+        F.expr(
+            "CASE WHEN b < 1 OR kk < 2 THEN NULL"
+            " ELSE round((1e0 * b * kk * (kk + 1) * (kk + 1)) / 4e0, 6) + 0.0"
+            " END"
+        ).alias("e_l"),
+        (F.expr(_PG_Z) / F.lit(1e6)).alias("z_stat_raw"),
+    )
+    xt = zz.select(
+        "*",
+        (F.round(F.col("z_stat_raw"), 6) + F.lit(0.0)).alias("z_stat"),
+        (F.abs(F.col("z_stat_raw")) / F.sqrt(F.lit(2.0))).alias("_x"),
+        (
+            1 / (1 + 0.3275911 * (F.abs(F.col("z_stat_raw")) / F.sqrt(F.lit(2.0))))
+        ).alias("_t"),
+    )
+    return xt.select(
+        "n_blocks",
+        "k_bands",
+        "l_stat",
+        "e_l",
+        F.expr(
+            "CASE WHEN z_stat_raw IS NULL THEN NULL ELSE z_stat END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN z_stat_raw IS NULL THEN NULL"
+            f" WHEN z_stat_raw >= 0 THEN round(({poly}) / 2, 6) + 0.0"
             f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
         ).alias("p_value"),
     )

@@ -791,3 +791,177 @@ def test_fligner_killeen_detects_scale_difference(spark, tmp_path):
     ).collect()[0]
     assert row["x2_stat"] is not None and row["x2_stat"] > 10
     assert row["p_value"] < 0.01
+
+
+# --- Hodges-Lehmann ----------------------------------------------------------
+
+
+def _hl_ref(events: pd.DataFrame) -> dict:
+    from collections import Counter
+
+    c0, c1 = Counter(), Counter()
+    for uid, v in zip(events["user_id"], events["value"]):
+        cents = _round_away(v * 100)
+        (c1 if _h48(str(uid)) % 2 == 1 else c0)[cents] += 1
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    out = {"n0": n0, "n1": n1, "n_pairs": n0 * n1}
+    if n0 < 1 or n1 < 1:
+        out.update({"hl_shift_cents": None, "ci_lo_cents": None,
+                    "ci_hi_cents": None})
+        return out
+    diffs = Counter()
+    for a, ca in c1.items():
+        for b, cb in c0.items():
+            diffs[a - b] += ca * cb
+    t = n0 * n1
+    k = max(1, int(math.floor(t / 2.0
+                              - 1.959964 * math.sqrt(t * (n0 + n1 + 1) / 12.0))))
+    cum, hl, lo, hi = 0, None, None, None
+    for d in sorted(diffs):
+        cum += diffs[d]
+        if hl is None and 2 * cum >= t:
+            hl = d
+        if lo is None and cum >= k:
+            lo = d
+        if hi is None and cum >= t + 1 - k:
+            hi = d
+    out.update({"hl_shift_cents": hl, "ci_lo_cents": lo, "ci_hi_cents": hi})
+    return out
+
+
+def test_hodges_lehmann_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    exp = _hl_ref(pdf)
+    row = S.STAGED_QUERIES["hodges_lehmann_shift_ab"](spark, sf_small).collect()[0]
+    for k, v in exp.items():
+        assert row[k] == v, (k, row[k], v)
+
+
+def test_hodges_lehmann_pure_shift_recovered(spark, tmp_path):
+    """Arm 1 is arm 0 shifted by exactly +7.50: every pairwise
+    difference distribution is symmetric around 750 cents and the HL
+    estimate must be EXACTLY 750, with the CI containing it."""
+    arm1 = [u for u in range(1, 2000) if _h48(str(u)) % 2 == 1][:20]
+    arm0 = [u for u in range(1, 2000) if _h48(str(u)) % 2 == 0][:20]
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for u1, u0 in zip(arm1, arm0):
+        for j in range(15):
+            v = float(10 + (j % 5))
+            rows.append((eid, base + pd.Timedelta(seconds=eid), u0, "view",
+                         v, "{}")); eid += 1
+            rows.append((eid, base + pd.Timedelta(seconds=eid), u1, "view",
+                         v + 7.5, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["hodges_lehmann_shift_ab"](spark, sf).collect()[0]
+    assert row["hl_shift_cents"] == 750
+    assert row["ci_lo_cents"] <= 750 <= row["ci_hi_cents"]
+
+
+def test_hodges_lehmann_identical_arms_zero(spark, tmp_path):
+    """Mirror-identical arms: the difference distribution is symmetric
+    around 0 and the LOW median must be <= 0 with 0 inside the CI (and
+    exactly 0 when the pair count at 0 crosses the midpoint)."""
+    arm1 = [u for u in range(1, 2000) if _h48(str(u)) % 2 == 1][:10]
+    arm0 = [u for u in range(1, 2000) if _h48(str(u)) % 2 == 0][:10]
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for u1, u0 in zip(arm1, arm0):
+        for j in range(20):
+            v = float(50)
+            rows.append((eid, base + pd.Timedelta(seconds=eid), u0, "view",
+                         v, "{}")); eid += 1
+            rows.append((eid, base + pd.Timedelta(seconds=eid), u1, "view",
+                         v, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["hodges_lehmann_shift_ab"](spark, sf).collect()[0]
+    assert row["hl_shift_cents"] == 0
+    assert row["ci_lo_cents"] == 0 and row["ci_hi_cents"] == 0
+
+
+# --- Page trend test ---------------------------------------------------------
+
+
+def _pg_ref(events: pd.DataFrame) -> dict:
+    from collections import defaultdict
+
+    us_all = events["ts"].astype("int64")
+    cells = defaultdict(lambda: [0, 0])  # (type, band) -> [s, n]
+    for et, us, v in zip(events["event_type"], us_all, events["value"]):
+        band = ((int(us) // 1000000 // 3600) % 24) // 6
+        c = cells[(et, band)]
+        c[0] += _round_away(v * 100)
+        c[1] += 1
+    kk = len({b for _, b in cells})
+    by_type = defaultdict(dict)
+    for (et, b), (s, n) in cells.items():
+        by_type[et][b] = (s, n)
+    blocks = {et: d for et, d in by_type.items() if len(d) == kk}
+    l_stat, nb = 0, len(blocks)
+    for et, d in blocks.items():
+        order = sorted(d.items(), key=lambda kv: (kv[1][0] / kv[1][1], kv[0]))
+        for r, (b, _) in enumerate(order, start=1):
+            l_stat += (b + 1) * r
+    out = {"n_blocks": nb, "k_bands": kk, "l_stat": l_stat}
+    if nb < 1 or kk < 2:
+        out.update({"e_l": None, "z_stat": None, "p_value": None})
+        return out
+    e_l = nb * kk * (kk + 1) ** 2 / 4.0
+    var = nb * kk * kk * (kk + 1) * (kk * kk - 1) / 144.0
+    z_micro = _round_away(1e6 * (l_stat - e_l) / math.sqrt(var))
+    z = z_micro / 1e6
+    p = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)) / 2) if z >= 0 \
+        else _rnd6(1 - _erfc_poly(abs(z) / math.sqrt(2.0)) / 2)
+    out.update({"e_l": _rnd6(e_l), "z_stat": _rnd6(z), "p_value": p})
+    return out
+
+
+def test_page_trend_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    exp = _pg_ref(pdf)
+    row = S.STAGED_QUERIES["page_trend_test_tod"](spark, sf_small).collect()[0]
+    for k, v in exp.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_page_trend_perfect_monotone(spark, tmp_path):
+    """Means strictly increasing across the four bands inside every
+    block: every block ranks 1..4 in band order, so L hits its exact
+    maximum b * sum(j^2) = 30b and the one-sided p is small."""
+    base = pd.Timestamp("2024-01-01")  # midnight UTC
+    rows, eid = [], 0
+    for et in ("view", "click", "purchase"):
+        for band in range(4):
+            for j in range(5):
+                ts = base + pd.Timedelta(hours=6 * band + 1, seconds=eid % 30)
+                rows.append((eid, ts, eid % 7, et, float(10 * (band + 1)), "{}"))
+                eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["page_trend_test_tod"](spark, sf).collect()[0]
+    assert row["n_blocks"] == 3 and row["k_bands"] == 4
+    assert row["l_stat"] == 90  # 3 blocks x sum j^2 = 3 x 30
+    assert row["p_value"] < 0.01
+
+
+def test_page_trend_anti_monotone(spark, tmp_path):
+    """Means strictly DECREASING across bands: L hits its exact minimum
+    b * sum(j (k+1-j)) = 20b and the one-sided (increasing) p is ~1."""
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for et in ("view", "click"):
+        for band in range(4):
+            for j in range(5):
+                ts = base + pd.Timedelta(hours=6 * band + 1, seconds=eid % 30)
+                rows.append((eid, ts, eid % 7, et, float(10 * (4 - band)), "{}"))
+                eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["page_trend_test_tod"](spark, sf).collect()[0]
+    assert row["l_stat"] == 40  # 2 blocks x 20
+    assert row["p_value"] > 0.95
