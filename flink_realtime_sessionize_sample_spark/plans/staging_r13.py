@@ -1090,14 +1090,14 @@ def _p_upper(z: str, xcol: str, tcol: str) -> str:
     )
 
 
-def _tost_oracle() -> str:
+def _tost_oracle(where: str = "") -> str:
     arm = T.h48_duck("user_id::VARCHAR")
     pl = _p_upper("zl", "_xl", "_tl")
     pu = _p_upper("zu", "_xh", "_th")
     return f"""
 WITH e AS (
   SELECT {arm} % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
+  FROM events {where}
 ),
 m AS (
   SELECT
@@ -1142,55 +1142,12 @@ FROM ps
 """
 
 
-@staged("tost_equivalence_ab", oracle=_tost_oracle())
-def tost_equivalence_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOST equivalence test (Schuirmann 1987, "two one-sided tests") on
-    the event-value metric between the user-hash arms — the inference the
-    registered significance tests CANNOT provide: a non-significant
-    Welch p never demonstrates the arms are the SAME, while TOST rejects
-    "they differ by more than the margin" only when BOTH one-sided tests
-    reject, which is the standard non-inferiority/parity readout for
-    launch reviews ("the new path is provably within 5% of control").
-    Margin: 5% of the pooled mean (relative equivalence, self-scaling).
-
-    Exactness: the four first moments are exact int64 cent sums; the two
-    squared-cent sums promote per-row to DECIMAL(38,0) and ride the
-    shared ``_dec_sum_bigint`` guard (loud symmetric NULL past int64 —
-    which NULLs both z's and the verdict); diff/margin/SE/z are shared
-    texts over the exact moments, both z's e6-quantized before the p
-    evaluation; one-sided p's use the erfc polynomial poly/2 convention
-    (the kruskal_wallis precedent); p_tost = max(p_lower, p_upper).
-
-    Scale shape: ONE conditional aggregate straight from the scan to a
-    single 6-moment row — no joins, no windows, nothing bounded by more
-    than one output row."""
-    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
-    e = load_table(spark, sf_dir, "events").select(
-        arm.alias("arm"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    m = e.agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("s0"),
-        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("s1"),
-        F.expr(
-            _dec_sum_bigint(
-                "CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) * cents"
-                " ELSE 0 END"
-            )
-        ).alias("q0"),
-        F.expr(
-            _dec_sum_bigint(
-                "CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) * cents"
-                " ELSE 0 END"
-            )
-        ).alias("q1"),
-    )
+def _tost_readout(m: DataFrame) -> DataFrame:
+    """The TOST scalar pipeline over the one-row six-moment frame
+    (n0, n1, s0, s1, q0, q1) — shared by the batch query and the
+    streaming twin so the two can never disagree (the _dmr_readout /
+    _dl_readout convention), and lintable over a static frame (the
+    ADVICE r10 #4 rule)."""
     zm = m.select(
         "*",
         F.expr(_TOST_ZL_MICRO).alias("zl_micro"),
@@ -1251,6 +1208,58 @@ def tost_equivalence_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE greatest(p_lower, p_upper) < 5e-2 END"
         ).alias("equivalent_at_95"),
     )
+
+
+@staged("tost_equivalence_ab", oracle=_tost_oracle())
+def tost_equivalence_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987, "two one-sided tests") on
+    the event-value metric between the user-hash arms — the inference the
+    registered significance tests CANNOT provide: a non-significant
+    Welch p never demonstrates the arms are the SAME, while TOST rejects
+    "they differ by more than the margin" only when BOTH one-sided tests
+    reject, which is the standard non-inferiority/parity readout for
+    launch reviews ("the new path is provably within 5% of control").
+    Margin: 5% of the pooled mean (relative equivalence, self-scaling).
+
+    Exactness: the four first moments are exact int64 cent sums; the two
+    squared-cent sums promote per-row to DECIMAL(38,0) and ride the
+    shared ``_dec_sum_bigint`` guard (loud symmetric NULL past int64 —
+    which NULLs both z's and the verdict); diff/margin/SE/z are shared
+    texts over the exact moments, both z's e6-quantized before the p
+    evaluation; one-sided p's use the erfc polynomial poly/2 convention
+    (the kruskal_wallis precedent); p_tost = max(p_lower, p_upper).
+
+    Scale shape: ONE conditional aggregate straight from the scan to a
+    single 6-moment row — no joins, no windows, nothing bounded by more
+    than one output row."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = e.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.expr(
+            _dec_sum_bigint(
+                "CASE WHEN arm = 0 THEN CAST(cents AS DECIMAL(38,0)) * cents"
+                " ELSE 0 END"
+            )
+        ).alias("q0"),
+        F.expr(
+            _dec_sum_bigint(
+                "CASE WHEN arm = 1 THEN CAST(cents AS DECIMAL(38,0)) * cents"
+                " ELSE 0 END"
+            )
+        ).alias("q1"),
+    )
+    return _tost_readout(m)
 
 
 # --- Fligner-Killeen k-group scale test -------------------------------------------
@@ -1835,3 +1844,456 @@ def page_trend_test_tod(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
         ).alias("p_value"),
     )
+
+
+# --- Wilcoxon signed-rank (paired pre/post) ----------------------------------------
+
+# Wilcoxon (1945) signed-rank on PAIRED per-user spend: pre-midpoint vs
+# post-midpoint cents — the paired member the rank family was missing
+# (mann_whitney/brunner_munzel compare independent groups; the paired
+# design removes between-user variance entirely). Zero differences drop
+# (the standard convention); |d| mid-ranks are kept DOUBLED (the KW
+# device) so ties stay integer; W2+ = sum of doubled ranks over positive
+# differences, E[W2+] = n(n+1)/2 and Var[W2+] = n(n+1)(2n+1)/6 -
+# sum_t(t^3 - t)/12 (tie-corrected normal approximation, Hollander &
+# Wolfe ch. 3 scaled by 4). Corpus sums ride the DECIMAL(38,0) guard
+# (W2+ ~ 2N^2 and t^3 leave int64 near 3e9 users — loud symmetric NULL).
+_WS_VAR = (
+    "((1e0 * n * (n + 1)) * (2e0 * n + 1) / 6e0 - tt / 12e0)"
+)
+_WS_Z = (
+    f"CASE WHEN n < 1 OR w2p IS NULL OR tt IS NULL"
+    f" OR ({_WS_VAR}) <= 0e0 THEN NULL"
+    f" ELSE CAST(round(1000000 * ((1e0 * w2p) - (1e0 * n * (n + 1)) / 2e0)"
+    f" / sqrt({_WS_VAR})) AS BIGINT) END"
+)
+
+
+def _ws_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT {_fdiv_duck("min(us) + max(us)", 2)} AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN us >= (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT
+           - sum(CASE WHEN us < (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT
+           AS d
+  FROM ev GROUP BY user_id
+),
+nz AS (SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+       FROM per_user WHERE d <> 0),
+g AS (
+  SELECT ad, count(*)::BIGINT AS c, sum(pos)::BIGINT AS cp
+  FROM nz GROUP BY ad
+),
+rk AS (
+  SELECT ad, c, cp,
+         CAST(sum(c) OVER (ORDER BY ad) AS BIGINT) AS cum
+  FROM g
+),
+a2 AS (SELECT ad, c, cp, 2 * (cum - c) + c + 1 AS r2 FROM rk),
+s AS (
+  SELECT (SELECT count(*) FROM per_user)::BIGINT AS n_users,
+         {_dec_sum_bigint("CAST(c AS DECIMAL(38,0))")} AS n,
+         {_dec_sum_bigint("CAST(cp AS DECIMAL(38,0)) * r2")} AS w2p,
+         {_dec_sum_bigint("CAST(c AS DECIMAL(38,0)) * c * c - c")} AS tt
+  FROM a2
+),
+zz AS (SELECT *, {_WS_Z} AS z_micro FROM s),
+xt AS (
+  SELECT *, abs(z_micro / 1e6) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_micro / 1e6) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_users, coalesce(n, 0) AS n_nonzero,
+       CASE WHEN w2p IS NULL THEN NULL ELSE w2p / 2e0 + 0.0 END AS w_plus,
+       CASE WHEN n IS NULL OR n < 1 THEN NULL
+            ELSE round((1e0 * n * (n + 1)) / 4e0, 6) + 0.0 END AS e_w,
+       CASE WHEN z_micro IS NULL THEN NULL
+            ELSE round(z_micro / 1e6, 6) + 0.0 END AS z_stat,
+       CASE WHEN z_micro IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_two_sided
+FROM xt
+"""
+
+
+@staged("wilcoxon_signed_rank_prepost", oracle=_ws_oracle())
+def wilcoxon_signed_rank_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user spend (post-midpoint
+    minus pre-midpoint cents) — the paired member completing the rank
+    family: ``mann_whitney_en_tokens``/``brunner_munzel_en_vs_rest``
+    compare independent groups, while the paired design differences out
+    each user's own level first, which is the correct test for
+    "did the same users spend more in the second half". Zero
+    differences drop per the standard convention and are accounted for
+    (n_users vs n_nonzero).
+
+    Exactness: per-user differences are exact integer cent sums with
+    the floor-consistent broadcast midpoint; |d| mid-ranks are DOUBLED
+    integers from one banded global-order cumulative; W2+ (doubled
+    W+), n, and the tie term sum_t(t^3 - t) all ride the shared
+    DECIMAL(38,0) guard (W2+ ~ 2N^2 and t^3 leave int64 near 3e9
+    nonzero users — both engines NULL together); the tie-corrected
+    variance, z (e6-quantized) and two-sided erfc p are single shared
+    texts. Degenerate corpora (no nonzero differences, or ties
+    exhausting the variance) yield NULL via the shared guard.
+
+    Scale shape: one corpus aggregate to the per-user frame (broadcast
+    1-row midpoint), one aggregate onto the |distinct |d|| grid, one
+    banded global-order pass over that grid, then a scalar reduce —
+    the KW shape on a per-user domain."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+
+    poly = _as_erfc_poly()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.expr(_fdiv_spark("min(us) + max(us)", 2)).alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0)
+                )
+                - F.sum(
+                    F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    per_user = per_user.localCheckpoint()  # two consumers: count + rank path
+    n_users = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    nz = per_user.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+    )
+    g = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("cp"),
+    )
+    rk = with_global_rank(g, ["ad"], rank_col="_rk", sum_col="c", cum_col="cum")
+    a2 = rk.select(
+        "ad", "c", "cp",
+        (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).alias("r2"),
+    )
+    s = a2.agg(
+        F.expr(_dec_sum_bigint("CAST(c AS DECIMAL(38,0))")).alias("n"),
+        F.expr(_dec_sum_bigint("CAST(cp AS DECIMAL(38,0)) * r2")).alias("w2p"),
+        F.expr(
+            _dec_sum_bigint("CAST(c AS DECIMAL(38,0)) * c * c - c")
+        ).alias("tt"),
+    ).crossJoin(F.broadcast(n_users))
+    zz = s.withColumn("z_micro", F.expr(_WS_Z))
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_micro") / 1e6) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t",
+        1 / (1 + 0.3275911 * (F.abs(F.col("z_micro") / 1e6) / F.sqrt(F.lit(2.0)))),
+    )
+    return xt.select(
+        "n_users",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_nonzero"),
+        F.expr(
+            "CASE WHEN w2p IS NULL THEN NULL ELSE w2p / 2e0 + 0.0 END"
+        ).alias("w_plus"),
+        F.expr(
+            "CASE WHEN n IS NULL OR n < 1 THEN NULL"
+            " ELSE round((1e0 * n * (n + 1)) / 4e0, 6) + 0.0 END"
+        ).alias("e_w"),
+        F.expr(
+            "CASE WHEN z_micro IS NULL THEN NULL"
+            " ELSE round(z_micro / 1e6, 6) + 0.0 END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN z_micro IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_two_sided"),
+    )
+
+
+# --- Bartlett's variance-homogeneity test ------------------------------------------
+
+# Bartlett (1937): the normal-theory k-group variance-homogeneity test,
+# completing the scale trio — brown_forsythe (moment-robust F),
+# fligner_killeen (rank-robust, this batch), Bartlett (most powerful
+# under normality, the textbook reference point the robust pair is
+# compared against). T = [(N-k) ln Sp^2 - sum_j (n_j-1) ln s_j^2] / C,
+# C = 1 + (sum_j 1/(n_j-1) - 1/(N-k)) / (3(k-1)), chi-square with k-1
+# dof via the house Fisher sqrt-2-chi2 z. Per-group ln terms and the
+# pooled-variance numerators e6-quantize BEFORE the k-row sums (the KW
+# device — a k-row double sum is order-dependent across engines);
+# second moments ride the DECIMAL(38,0) guard. Any group with n_j < 2
+# or zero variance NULLs the readout loud (ln undefined — the
+# documented degenerate).
+_BL_T6 = (
+    "CAST(round(1000000 * (n - 1)"
+    " * ln((1e0 * q - (1e0 * s) * s / n) / (n - 1))) AS BIGINT)"
+)
+_BL_V6 = (
+    "CAST(round(1000000 * (1e0 * q - (1e0 * s) * s / n)) AS BIGINT)"
+)
+_BL_I9 = "CAST(round(1000000000 / (1e0 * (n - 1))) AS BIGINT)"
+# greatest(0, .): T is nonnegative by theory (pooled-variance log-sum
+# inequality); the e6 quantization can land the equal-variance fixed
+# point at -1e-6, so both engines clamp to the theoretical floor.
+_BL_T = (
+    "CASE WHEN k < 2 OR nn - k < 1 OR any_bad > 0"
+    " OR t6 IS NULL OR v6 IS NULL OR i9 IS NULL OR v6 <= 0 THEN NULL"
+    " ELSE greatest(0e0, ((1e0 * nn - k) * ln((v6 / 1e6) / (nn - k)) - t6 / 1e6)"
+    " / (1e0 + (i9 / 1e9 - 1e0 / (nn - k)) / (3e0 * (k - 1)))) END"
+)
+_BL_Z = (
+    f"CASE WHEN ({_BL_T}) IS NULL OR ({_BL_T}) < 0 THEN NULL"
+    f" ELSE round(sqrt(2 * ({_BL_T})) - sqrt(2.0 * dof - 1), 6) + 0.0 END"
+)
+
+
+def _bl_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(n_chars)::BIGINT AS s,
+         {_dec_sum_bigint("CAST(n_chars AS DECIMAL(38,0)) * n_chars")} AS q
+  FROM documents GROUP BY source
+),
+terms AS (
+  SELECT n, s, q,
+         CASE WHEN n < 2 OR q IS NULL
+                   OR (1e0 * q - (1e0 * s) * s / n) <= 0 THEN 1 ELSE 0 END
+           AS bad,
+         CASE WHEN n < 2 OR q IS NULL
+                   OR (1e0 * q - (1e0 * s) * s / n) <= 0 THEN 0
+              ELSE {_BL_T6} END AS t6,
+         CASE WHEN n < 2 OR q IS NULL THEN 0 ELSE {_BL_V6} END AS v6,
+         CASE WHEN n < 2 THEN 0 ELSE {_BL_I9} END AS i9
+  FROM per
+),
+s AS (
+  SELECT count(*)::BIGINT AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(max(bad) AS BIGINT) AS any_bad,
+         {_dec_sum_bigint("CAST(t6 AS DECIMAL(38,0))")} AS t6,
+         {_dec_sum_bigint("CAST(v6 AS DECIMAL(38,0))")} AS v6,
+         {_dec_sum_bigint("CAST(i9 AS DECIMAL(38,0))")} AS i9
+  FROM terms
+),
+st AS (SELECT nn AS n_docs, k AS n_groups, k - 1 AS dof, * FROM s),
+zz AS (SELECT *, {_BL_Z} AS z_stat FROM st),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_docs, n_groups, dof,
+       CASE WHEN ({_BL_T}) IS NULL THEN NULL
+            ELSE round(({_BL_T}), 6) + 0.0 END AS t_stat,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("bartlett_variance_by_source", oracle=_bl_oracle())
+def bartlett_variance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test: are the k = |sources| document-length VARIANCES
+    equal, under the normal-theory sharpest test? Completes the
+    variance-homogeneity trio — the registered
+    ``brown_forsythe_length_variance`` (median-based F, robust to
+    non-normality), this batch's ``fligner_killeen_scale_by_source``
+    (rank-based, fully distribution-free), and Bartlett (uniformly most
+    powerful under normality but famously tail-sensitive — the
+    reference point both robust tests are calibrated against, so a
+    corpus where Bartlett fires and Fligner-Killeen does not is itself
+    the classic heavy-tail diagnostic).
+
+    Exactness: per-group second moments promote per-row to
+    DECIMAL(38,0) and ride ``_dec_sum_bigint``; the per-group
+    (n_j-1) ln s_j^2 terms, pooled-variance numerators, and 1/(n_j-1)
+    reciprocals e6/e9-quantize through shared texts BEFORE the k-row
+    guarded sums (a k-row double sum is order-dependent across
+    engines); the Bartlett correction C, the statistic, Fisher's z
+    (house chi-square tail device) and the one-sided erfc p are single
+    shared scalar texts. Any group with n_j < 2 or zero variance NULLs
+    the readout loud (ln undefined).
+
+    Scale shape: ONE corpus aggregate to the k-row per-source moment
+    frame, then scalar reduces — nothing else touches the corpus."""
+    poly = _as_erfc_poly()
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+            F.expr(
+                _dec_sum_bigint("CAST(n_chars AS DECIMAL(38,0)) * n_chars")
+            ).alias("q"),
+        )
+    )
+    terms = per.select(
+        "n",
+        "s",
+        "q",
+        F.expr(
+            "CASE WHEN n < 2 OR q IS NULL"
+            " OR (1e0 * q - (1e0 * s) * s / n) <= 0 THEN 1 ELSE 0 END"
+        ).alias("bad"),
+        F.expr(
+            f"CASE WHEN n < 2 OR q IS NULL"
+            f" OR (1e0 * q - (1e0 * s) * s / n) <= 0 THEN 0"
+            f" ELSE {_BL_T6} END"
+        ).alias("t6"),
+        F.expr(
+            f"CASE WHEN n < 2 OR q IS NULL THEN 0 ELSE {_BL_V6} END"
+        ).alias("v6"),
+        F.expr(f"CASE WHEN n < 2 THEN 0 ELSE {_BL_I9} END").alias("i9"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.max("bad").cast("long").alias("any_bad"),
+        F.expr(_dec_sum_bigint("CAST(t6 AS DECIMAL(38,0))")).alias("t6"),
+        F.expr(_dec_sum_bigint("CAST(v6 AS DECIMAL(38,0))")).alias("v6"),
+        F.expr(_dec_sum_bigint("CAST(i9 AS DECIMAL(38,0))")).alias("i9"),
+    )
+    st = s.select(
+        F.col("nn").alias("n_docs"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).alias("dof"),
+        "*",
+    )
+    zz = st.withColumn("z_stat", F.expr(_BL_Z))
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        "n_docs",
+        "n_groups",
+        "dof",
+        F.expr(
+            f"CASE WHEN ({_BL_T}) IS NULL THEN NULL"
+            f" ELSE round(({_BL_T}), 6) + 0.0 END"
+        ).alias("t_stat"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+# --- streaming TOST guardrail twin -------------------------------------------------
+
+
+@staged(
+    "stream_tost_guardrail",
+    oracle=_tost_oracle(where="WHERE event_id % 2 = 1"),
+)
+def stream_tost_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOST equivalence readout computed ON THE INGEST PATH — the
+    11th streaming twin (the ``stream_dersimonian_laird_monitor``
+    pattern): the odd-event_id half of the event stream replays as 2
+    micro-batches; each batch appends its PER-ARM integer partials
+    (count, cent sum, guarded squared-cent sum — bounded: 2 cells per
+    batch, not users) to a managed table; the readout merges partials
+    by plain summation and runs the IDENTICAL ``_tost_readout`` scalar
+    pipeline as the batch query. The arm hash is a pure function of
+    user_id, so a user whose events straddle micro-batches lands in the
+    same arm cell every time and the merge is exact. A per-batch
+    squared-cent overflow NULLs that batch's partial, and the guarded
+    merge NULLs the readout — loud end to end. This is the live
+    launch-parity dashboard shape: "is the new path still provably
+    within 5% of control" recomputed as events arrive.
+
+    Scale shape: per micro-batch one map-side-combined aggregate to 2
+    cells; the managed table holds batches x 2 rows; the merge and
+    readout are scalar."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    arm_expr = f"pmod({T.h48_spark('cast(user_id as string)')}, 2)"
+
+    def _cell_batch(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(F.expr(arm_expr).alias("arm")).agg(
+            F.count(F.lit(1)).cast("long").alias("dn"),
+            F.sum("cents").cast("long").alias("ds"),
+            F.expr(
+                _dec_sum_bigint("CAST(cents AS DECIMAL(38,0)) * cents")
+            ).alias("dq"),
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, user_id long, cents long",
+        _cell_batch,
+        "tost_arm_partials",
+        split_col="event_id",
+        src_prefix="tost_guard_src_",
+    )
+    m = partials.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("dn")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("dn")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("ds")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ds")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        # SUM skips NULLs, which would silently DROP an overflowed batch
+        # partial instead of propagating it — the explicit any-NULL
+        # tripwire keeps the loud contract end to end (and matches the
+        # oracle: a partial that left int64 implies the full-half sum
+        # did too, so both engines read NULL).
+        F.expr(
+            "CASE WHEN max(CASE WHEN arm = 0 AND dq IS NULL THEN 1 ELSE 0 END) = 1"
+            " THEN CAST(NULL AS BIGINT) ELSE "
+            + _dec_sum_bigint(
+                "CASE WHEN arm = 0 THEN CAST(dq AS DECIMAL(38,0)) ELSE 0 END"
+            )
+            + " END"
+        ).alias("q0"),
+        F.expr(
+            "CASE WHEN max(CASE WHEN arm = 1 AND dq IS NULL THEN 1 ELSE 0 END) = 1"
+            " THEN CAST(NULL AS BIGINT) ELSE "
+            + _dec_sum_bigint(
+                "CASE WHEN arm = 1 THEN CAST(dq AS DECIMAL(38,0)) ELSE 0 END"
+            )
+            + " END"
+        ).alias("q1"),
+    )
+    return _tost_readout(m)

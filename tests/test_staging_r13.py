@@ -113,11 +113,26 @@ def test_every_staged_query_is_oracle_paired():
 def test_staged_plan_lint(spark, sf_small):
     offenders = {}
     for name, fn in S.STAGED_QUERIES.items():
+        if name.startswith("stream_"):
+            continue  # executes a stream replay on construction
         p = _explain(fn(spark, sf_small))
         bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
         if bad:
             offenders[name] = bad
     assert not offenders, f"staged plan lint failed: {offenders}"
+
+
+def test_stream_twin_readout_plan_lint(spark):
+    """The ADVICE r10 #4 rule from birth: the stream twin's shared
+    readout is linted directly over a static one-row six-moment frame —
+    the exact post-merge shape the twin feeds it."""
+    m = spark.createDataFrame(
+        [(10, 12, 1000, 1100, 200000, 230000)],
+        "n0 long, n1 long, s0 long, s1 long, q0 long, q1 long",
+    )
+    p = _explain(S._tost_readout(m))
+    bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+    assert not bad, f"tost readout lint failed: {bad}"
 
 
 # --- probit machinery --------------------------------------------------------
@@ -965,3 +980,215 @@ def test_page_trend_anti_monotone(spark, tmp_path):
     row = S.STAGED_QUERIES["page_trend_test_tod"](spark, sf).collect()[0]
     assert row["l_stat"] == 40  # 2 blocks x 20
     assert row["p_value"] > 0.95
+
+
+# --- Wilcoxon signed-rank ----------------------------------------------------
+
+
+def _ws_ref(events: pd.DataFrame) -> dict:
+    from collections import Counter, defaultdict
+
+    us_all = events["ts"].astype("int64")
+    mn, mx = int(us_all.min()), int(us_all.max())
+    mid = (mn + mx) // 2
+    per = defaultdict(int)
+    for uid, us, v in zip(events["user_id"], us_all, events["value"]):
+        c = _round_away(v * 100)
+        per[uid] += c if us >= mid else -c
+    n_users = len(per)
+    nz = [(abs(d), 1 if d > 0 else 0) for d in per.values() if d != 0]
+    out = {"n_users": n_users, "n_nonzero": len(nz)}
+    if not nz:
+        out.update({"w_plus": None, "e_w": None, "z_stat": None,
+                    "p_two_sided": None})
+        return out
+    cnt, cp = Counter(), Counter()
+    for ad, pos in nz:
+        cnt[ad] += 1
+        cp[ad] += pos
+    cum, w2p, tt = 0, 0, 0
+    for ad in sorted(cnt):
+        c = cnt[ad]
+        r2 = 2 * cum + c + 1
+        w2p += cp[ad] * r2
+        tt += c ** 3 - c
+        cum += c
+    n = len(nz)
+    var = (1.0 * n * (n + 1)) * (2.0 * n + 1) / 6.0 - tt / 12.0
+    if var <= 0:
+        out.update({"w_plus": w2p / 2.0, "e_w": _rnd6(n * (n + 1) / 4.0),
+                    "z_stat": None, "p_two_sided": None})
+        return out
+    z_micro = _round_away(1e6 * (w2p - 1.0 * n * (n + 1) / 2.0) / math.sqrt(var))
+    z = z_micro / 1e6
+    out.update({
+        "w_plus": w2p / 2.0,
+        "e_w": _rnd6(n * (n + 1) / 4.0),
+        "z_stat": _rnd6(z),
+        "p_two_sided": _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    })
+    return out
+
+
+def test_wilcoxon_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    exp = _ws_ref(pdf)
+    row = S.STAGED_QUERIES["wilcoxon_signed_rank_prepost"](
+        spark, sf_small
+    ).collect()[0]
+    for k, v in exp.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_wilcoxon_all_positive_is_max(spark, tmp_path):
+    """Every user spends strictly more post-midpoint: W+ hits its exact
+    maximum n(n+1)/2 and the two-sided p is small."""
+    base = pd.Timestamp("2024-01-01")
+    late = pd.Timestamp("2024-06-01")
+    rows, eid = [], 0
+    for uid in range(1, 21):
+        rows.append((eid, base + pd.Timedelta(seconds=eid), uid, "view",
+                     10.0, "{}")); eid += 1
+        rows.append((eid, late + pd.Timedelta(seconds=eid), uid, "purchase",
+                     10.0 + uid, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["wilcoxon_signed_rank_prepost"](
+        spark, sf
+    ).collect()[0]
+    n = row["n_nonzero"]
+    assert n == 20
+    assert row["w_plus"] == n * (n + 1) / 2.0
+    assert row["p_two_sided"] < 0.01
+
+
+def test_wilcoxon_mirror_pairs_zero(spark, tmp_path):
+    """Half the users gain +d, a mirrored half loses -d at the same
+    magnitudes: W+ is exactly half the rank total, z = 0, p = 1."""
+    base = pd.Timestamp("2024-01-01")
+    late = pd.Timestamp("2024-06-01")
+    rows, eid = [], 0
+    for j in range(1, 11):
+        up, dn = 100 + 2 * j, 101 + 2 * j
+        rows.append((eid, base + pd.Timedelta(seconds=eid), up, "view",
+                     10.0, "{}")); eid += 1
+        rows.append((eid, late + pd.Timedelta(seconds=eid), up, "view",
+                     10.0 + j, "{}")); eid += 1
+        rows.append((eid, base + pd.Timedelta(seconds=eid), dn, "view",
+                     10.0 + j, "{}")); eid += 1
+        rows.append((eid, late + pd.Timedelta(seconds=eid), dn, "view",
+                     10.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["wilcoxon_signed_rank_prepost"](
+        spark, sf
+    ).collect()[0]
+    assert row["n_nonzero"] == 20
+    assert row["z_stat"] == 0.0
+    assert row["p_two_sided"] == 1.0
+
+
+# --- Bartlett ----------------------------------------------------------------
+
+
+def _bl_ref(docs: pd.DataFrame) -> dict:
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for src, n in zip(docs["source"], docs["n_chars"]):
+        groups[src].append(int(n))
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    t6 = v6 = i9 = 0
+    any_bad = 0
+    for vals in groups.values():
+        n = len(vals)
+        s = sum(vals)
+        q = sum(v * v for v in vals)
+        num = 1.0 * q - (1.0 * s) * s / n
+        if n < 2 or num <= 0:
+            any_bad = 1
+            continue
+        t6 += _round_away(1e6 * (n - 1) * math.log(num / (n - 1)))
+        v6 += _round_away(1e6 * num)
+        i9 += _round_away(1e9 / (1.0 * (n - 1)))
+    out = {"n_docs": nn, "n_groups": k, "dof": k - 1}
+    if k < 2 or nn - k < 1 or any_bad or v6 <= 0:
+        out.update({"t_stat": None, "z_stat": None, "p_value": None})
+        return out
+    t = max(0.0, ((1.0 * nn - k) * math.log((v6 / 1e6) / (nn - k)) - t6 / 1e6) / (
+        1.0 + (i9 / 1e9 - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    ))
+    z = _rnd6(math.sqrt(2 * t) - math.sqrt(2.0 * (k - 1) - 1))
+    p = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)) / 2) if z >= 0 \
+        else _rnd6(1 - _erfc_poly(abs(z) / math.sqrt(2.0)) / 2)
+    out.update({"t_stat": _rnd6(t), "z_stat": z, "p_value": p})
+    return out
+
+
+def test_bartlett_matches_python(spark, sf_small):
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    exp = _bl_ref(docs)
+    row = S.STAGED_QUERIES["bartlett_variance_by_source"](
+        spark, sf_small
+    ).collect()[0]
+    for k, v in exp.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_bartlett_equal_variances_zero(spark, tmp_path):
+    """Two sources with IDENTICAL length multisets (shifted location
+    does not enter a variance test through the centered moments): the
+    statistic is 0 to 6dp."""
+    rows, did = [], 0
+    for j in range(20):
+        ln = 100 + (j % 5) * 7
+        rows.append((did, "src_a", "en", "x" * ln)); did += 1
+        rows.append((did, "src_b", "en", "y" * (ln + 300))); did += 1
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    row = S.STAGED_QUERIES["bartlett_variance_by_source"](
+        spark, sf
+    ).collect()[0]
+    assert row["t_stat"] == 0.0
+
+
+def test_bartlett_constant_group_nulls_loud(spark, tmp_path):
+    """A zero-variance group makes ln s^2 undefined: the readout must
+    NULL the statistic rather than emit anything."""
+    rows, did = [], 0
+    for j in range(10):
+        rows.append((did, "const", "en", "x" * 100)); did += 1
+        rows.append((did, "varied", "en", "x" * (100 + j * 13))); did += 1
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    row = S.STAGED_QUERIES["bartlett_variance_by_source"](
+        spark, sf
+    ).collect()[0]
+    assert row["t_stat"] is None and row["z_stat"] is None
+    assert row["p_value"] is None
+
+
+def test_stream_tost_matches_batch_python_on_half(spark, sf_small):
+    """The streaming twin over the odd-event_id replay must equal the
+    batch TOST reference restricted to the same half — per-arm integer
+    partials merge exactly."""
+    pdf = pd.read_parquet(f"{sf_small}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = pdf[pdf["event_id"] % 2 == 1]
+    exp = _tost_ref(half)
+    row = S.STAGED_QUERIES["stream_tost_guardrail"](spark, sf_small).collect()[0]
+    for k, v in exp.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, (bool, int)):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
