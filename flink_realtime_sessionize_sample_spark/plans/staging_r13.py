@@ -2297,3 +2297,172 @@ def stream_tost_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q1"),
     )
     return _tost_readout(m)
+
+
+# --- Theil-Sen confidence bounds ----------------------------------------------------
+
+# Sen (1968) / Gilbert (1987): the distribution-free confidence interval
+# for the Theil-Sen slope — the order statistics of the pairwise-slope
+# total order at ranks (M -+ C)/2 with C = z_{a/2} sqrt(Var(S)),
+# Var(S) = n(n-1)(2n+5)/18 (the Kendall-S variance; the untied form —
+# epoch days are distinct by construction and count ties leave S's
+# variance formula as the documented spec). Completes the registered
+# ``theil_sen_daily_trend`` point estimate with the interval a trend
+# dashboard actually acts on ("does the CI exclude zero slope").
+_TS_C = (
+    "CASE WHEN nn < 3 THEN NULL"
+    " ELSE 1.959964e0"
+    " * sqrt((1e0 * nn * (nn - 1)) * (2e0 * nn + 5) / 18e0) END"
+)
+_TS_M1 = (
+    f"CASE WHEN ({_TS_C}) IS NULL OR t < 1 THEN NULL"
+    f" ELSE greatest(1, CAST(round((t - ({_TS_C})) / 2e0) AS BIGINT)) END"
+)
+_TS_M2 = (
+    f"CASE WHEN ({_TS_C}) IS NULL OR t < 1 THEN NULL"
+    f" ELSE least(t, CAST(round((t + ({_TS_C})) / 2e0) AS BIGINT) + 1) END"
+)
+
+
+def _tsc_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT a.d AS da, b.d AS db,
+         CAST(round((b.c - a.c) * 1000000.0 / (b.d - a.d)) AS BIGINT) AS slope_e6
+  FROM d a JOIN d b ON b.d > a.d
+),
+r AS (
+  SELECT slope_e6,
+         row_number() OVER (ORDER BY slope_e6, da, db) AS r,
+         count(*) OVER () AS t
+  FROM p
+),
+nn AS (SELECT count(*)::BIGINT AS nn FROM d),
+kk AS (
+  SELECT nn.nn, coalesce(max(r.t), 0)::BIGINT AS t FROM nn LEFT JOIN r ON TRUE
+  GROUP BY nn.nn
+),
+ms AS (SELECT nn, t, {_TS_M1} AS m1, {_TS_M2} AS m2 FROM kk),
+med AS (
+  SELECT avg(slope_e6) AS med_e6 FROM r
+  WHERE r = (t + 1) // 2 OR r = t // 2 + 1
+),
+sel AS (
+  SELECT max(CASE WHEN r.r = ms.m1 THEN r.slope_e6 END) AS lo_e6,
+         max(CASE WHEN r.r = ms.m2 THEN r.slope_e6 END) AS hi_e6
+  FROM r, ms
+)
+SELECT ms.nn AS n_days, ms.t AS n_pairs,
+       round(med.med_e6 / 1000000.0, 6) + 0.0 AS sen_slope,
+       CASE WHEN ms.m1 IS NULL THEN NULL
+            ELSE round(sel.lo_e6 / 1000000.0, 6) + 0.0 END AS ci_lo,
+       CASE WHEN ms.m2 IS NULL THEN NULL
+            ELSE round(sel.hi_e6 / 1000000.0, 6) + 0.0 END AS ci_hi,
+       CASE WHEN ms.m1 IS NULL OR ms.m2 IS NULL THEN NULL
+            ELSE sel.lo_e6 > 0 OR sel.hi_e6 < 0 END AS trend_significant
+FROM ms, med, sel
+"""
+
+
+@staged("theil_sen_ci_daily_trend", oracle=_tsc_oracle())
+def theil_sen_ci_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's distribution-free 95% confidence bounds for the Theil-Sen
+    daily-volume slope (Sen 1968; the Gilbert 1987 field form) — the
+    interval companion of the registered ``theil_sen_daily_trend``: the
+    point estimate says how fast volume trends, the order-statistic
+    bounds at ranks (M -+ z sqrt(Var S))/2 of the SAME pairwise-slope
+    total order say whether that trend is distinguishable from zero
+    without any normality assumption — the robust twin of the OLS
+    slope's t-interval, and the readout a capacity-planning dashboard
+    acts on (``trend_significant`` = the CI excludes zero).
+
+    Exactness: identical pair frame and (slope_e6, da, db) total order
+    as the registered point estimate (quantize-before-selection); M, n,
+    Var(S) and the two rank cutoffs are one shared text over exact
+    integers (rank arithmetic in int64 — days^2 pairs can't leave it);
+    the CI endpoints are exact rank lookups; epoch days are distinct so
+    the untied Var(S) form applies by construction (documented spec —
+    y-ties in daily counts are not corrected, matching the standard
+    field form).
+
+    Scale shape: the registered sibling's shape — corpus collapses to
+    the |days| frame, the O(days^2) pair frame is a broadcast self-join
+    bounded by the time horizon (not the corpus), the rank pass is
+    banded, and the CI lookups are broadcast filters on it."""
+    from flink_realtime_sessionize_sample_spark.operators.global_order import (
+        with_global_rank,
+    )
+    from flink_realtime_sessionize_sample_spark.plans.staging_r8 import _DAY_US
+
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr(f"unix_micros(ts) div {_DAY_US}").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d = d.localCheckpoint()  # day frame: pair join twice + the n_days count
+    a = d.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = d.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    # nullif: same ANSI divide-by-zero pushdown guard as the registered
+    # sibling (the filter can sink into the join condition).
+    p = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        "da",
+        "db",
+        F.expr(
+            "cast(round((cb - ca) * 1000000.0 / nullif(db - da, 0)) as bigint)"
+        ).alias("slope_e6"),
+    )
+    r = with_global_rank(
+        p,
+        [F.col("slope_e6").asc(), F.col("da").asc(), F.col("db").asc()],
+        rank_col="r",
+        total_col="t",
+    )
+    r = r.localCheckpoint()  # bounded pair frame; median + two rank lookups
+    nn = d.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    kk = nn.crossJoin(
+        F.broadcast(
+            r.agg(F.coalesce(F.max("t"), F.lit(0)).cast("long").alias("t"))
+        )
+    )
+    ms = kk.select(
+        "nn", "t", F.expr(_TS_M1).alias("m1"), F.expr(_TS_M2).alias("m2")
+    )
+    med = r.filter(
+        (F.col("r") == F.expr("(t + 1) div 2"))
+        | (F.col("r") == F.expr("t div 2 + 1"))
+    ).agg(F.avg("slope_e6").alias("med_e6"))
+    sel = r.crossJoin(F.broadcast(ms.select("m1", "m2"))).agg(
+        F.max(F.when(F.col("r") == F.col("m1"), F.col("slope_e6"))).alias(
+            "lo_e6"
+        ),
+        F.max(F.when(F.col("r") == F.col("m2"), F.col("slope_e6"))).alias(
+            "hi_e6"
+        ),
+    )
+    return (
+        ms.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(sel))
+        .select(
+            F.col("nn").alias("n_days"),
+            F.col("t").alias("n_pairs"),
+            (F.round(F.col("med_e6") / 1000000.0, 6) + F.lit(0.0)).alias(
+                "sen_slope"
+            ),
+            F.expr(
+                "CASE WHEN m1 IS NULL THEN NULL"
+                " ELSE round(lo_e6 / 1e6, 6) + 0.0 END"
+            ).alias("ci_lo"),
+            F.expr(
+                "CASE WHEN m2 IS NULL THEN NULL"
+                " ELSE round(hi_e6 / 1e6, 6) + 0.0 END"
+            ).alias("ci_hi"),
+            F.expr(
+                "CASE WHEN m1 IS NULL OR m2 IS NULL THEN NULL"
+                " ELSE lo_e6 > 0 OR hi_e6 < 0 END"
+            ).alias("trend_significant"),
+        )
+    )

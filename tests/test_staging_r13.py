@@ -1192,3 +1192,91 @@ def test_stream_tost_matches_batch_python_on_half(spark, sf_small):
             assert row[k] == v, (k, row[k], v)
         else:
             assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+# --- Theil-Sen CI ------------------------------------------------------------
+
+
+def _tsc_ref(events: pd.DataFrame) -> dict:
+    from collections import Counter
+
+    us_all = events["ts"].astype("int64")
+    days = Counter(int(us) // 86400000000 for us in us_all)
+    ds = sorted(days)
+    nn = len(ds)
+    slopes = []
+    for i in range(nn):
+        for j in range(i + 1, nn):
+            da, db = ds[i], ds[j]
+            s6 = _round_away((days[db] - days[da]) * 1e6 / (db - da))
+            slopes.append((s6, da, db))
+    slopes.sort()
+    t = len(slopes)
+    out = {"n_days": nn, "n_pairs": t}
+    if t < 1:
+        out.update({"sen_slope": None, "ci_lo": None, "ci_hi": None,
+                    "trend_significant": None})
+        return out
+    mids = {(t + 1) // 2, t // 2 + 1}
+    med = sum(slopes[r - 1][0] for r in mids) / len(mids)
+    out["sen_slope"] = _rnd6(med / 1e6)
+    if nn < 3:
+        out.update({"ci_lo": None, "ci_hi": None, "trend_significant": None})
+        return out
+    c = 1.959964 * math.sqrt(1.0 * nn * (nn - 1) * (2.0 * nn + 5) / 18.0)
+    m1 = max(1, _round_away((t - c) / 2.0))
+    m2 = min(t, _round_away((t + c) / 2.0) + 1)
+    lo, hi = slopes[m1 - 1][0], slopes[m2 - 1][0]
+    out.update({"ci_lo": _rnd6(lo / 1e6), "ci_hi": _rnd6(hi / 1e6),
+                "trend_significant": lo > 0 or hi < 0})
+    return out
+
+
+def test_theil_sen_ci_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    exp = _tsc_ref(pdf)
+    row = S.STAGED_QUERIES["theil_sen_ci_daily_trend"](
+        spark, sf_small
+    ).collect()[0]
+    for k, v in exp.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, (bool, int)):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_theil_sen_ci_exact_linear_trend(spark, tmp_path):
+    """Daily counts exactly linear in the day index: every pairwise
+    slope is the same constant, so the CI degenerates to the point —
+    and a positive slope must read significant."""
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for day in range(8):
+        for j in range(10 + 5 * day):  # c(d) = 10 + 5d
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=j), 1 + j,
+                         "view", 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["theil_sen_ci_daily_trend"](spark, sf).collect()[0]
+    assert row["n_days"] == 8 and row["n_pairs"] == 28
+    assert row["sen_slope"] == 5.0
+    assert row["ci_lo"] == 5.0 and row["ci_hi"] == 5.0
+    assert row["trend_significant"] is True
+
+
+def test_theil_sen_ci_flat_not_significant(spark, tmp_path):
+    """Identical counts every day: every slope is 0 and the CI is
+    exactly [0, 0] — not significant."""
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for day in range(6):
+        for j in range(12):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=j), 1 + j,
+                         "view", 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["theil_sen_ci_daily_trend"](spark, sf).collect()[0]
+    assert row["sen_slope"] == 0.0
+    assert row["ci_lo"] == 0.0 and row["ci_hi"] == 0.0
+    assert row["trend_significant"] is False
