@@ -2466,3 +2466,134 @@ def theil_sen_ci_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trend_significant"),
         )
     )
+
+
+# --- sign test (paired pre/post) ----------------------------------------------------
+
+# The classic sign test on the same paired per-user differences as the
+# Wilcoxon twin: only the SIGN of each nonzero difference enters, which
+# trades power for total assumption-freedom (no symmetry requirement —
+# the robustness baseline the signed-rank test is compared against; a
+# corpus where the two disagree is the textbook skewed-differences
+# diagnostic). Exact integer counts; continuity-corrected normal
+# approximation z = (2 pos - n -+ 1) / sqrt(n) (the standard large-n
+# form; the correction shrinks |2 pos - n| by 1 toward zero), two-sided
+# erfc p. n = 0 NULLs loud.
+_SG_Z = (
+    "CASE WHEN n < 1 THEN NULL"
+    " WHEN 2 * pos = n THEN CAST(0 AS BIGINT)"
+    " WHEN 2 * pos > n THEN"
+    "   CAST(round(1000000 * (2e0 * pos - n - 1) / sqrt(1e0 * n)) AS BIGINT)"
+    " ELSE"
+    "   CAST(round(1000000 * (2e0 * pos - n + 1) / sqrt(1e0 * n)) AS BIGINT)"
+    " END"
+)
+
+
+def _sg_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT {_fdiv_duck("min(us) + max(us)", 2)} AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN us >= (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT
+           - sum(CASE WHEN us < (SELECT mid FROM bounds) THEN cents ELSE 0 END)::BIGINT
+           AS d
+  FROM ev GROUP BY user_id
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_users,
+         sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END)::BIGINT AS n,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS pos
+  FROM per_user
+),
+zz AS (SELECT *, {_SG_Z} AS z_micro FROM s),
+xt AS (
+  SELECT *, abs(z_micro / 1e6) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_micro / 1e6) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n_users, n AS n_nonzero, pos AS n_positive,
+       CASE WHEN z_micro IS NULL THEN NULL
+            ELSE round(z_micro / 1e6, 6) + 0.0 END AS z_stat,
+       CASE WHEN z_micro IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_two_sided
+FROM xt
+"""
+
+
+@staged("sign_test_prepost", oracle=_sg_oracle())
+def sign_test_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign test on the paired per-user pre/post spend differences —
+    completing the paired-inference trio: the Welch-style mean tests
+    assume moments, ``wilcoxon_signed_rank_prepost`` (this batch)
+    assumes symmetry of the differences, and the sign test assumes
+    NOTHING beyond independent nonzero signs — it is the robustness
+    baseline the signed-rank test is calibrated against, and the pair
+    disagreeing is the classic skewed-differences diagnostic a spend
+    metric (heavy right tail) triggers in practice.
+
+    Exactness: the same exact integer per-user difference frame as the
+    Wilcoxon twin (floor-consistent broadcast midpoint); n, pos are
+    exact int64 counts; z is the continuity-corrected normal
+    approximation in ONE shared text (exactly balanced signs pin z = 0
+    — the mirror intent test), e6-quantized before the two-sided erfc
+    p. Zero differences drop and are accounted for (n_users vs
+    n_nonzero vs n_positive).
+
+    Scale shape: one corpus aggregate to the per-user frame (broadcast
+    1-row midpoint), then ONE count aggregate to a single row."""
+    poly = _as_erfc_poly()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.expr(_fdiv_spark("min(us) + max(us)", 2)).alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0)
+                )
+                - F.sum(
+                    F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("d") != 0, 1).otherwise(0)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    zz = s.withColumn("z_micro", F.expr(_SG_Z))
+    xt = zz.withColumn(
+        "_x", F.abs(F.col("z_micro") / 1e6) / F.sqrt(F.lit(2.0))
+    ).withColumn(
+        "_t",
+        1 / (1 + 0.3275911 * (F.abs(F.col("z_micro") / 1e6) / F.sqrt(F.lit(2.0)))),
+    )
+    return xt.select(
+        "n_users",
+        F.col("n").alias("n_nonzero"),
+        F.col("pos").alias("n_positive"),
+        F.expr(
+            "CASE WHEN z_micro IS NULL THEN NULL"
+            " ELSE round(z_micro / 1e6, 6) + 0.0 END"
+        ).alias("z_stat"),
+        F.expr(
+            f"CASE WHEN z_micro IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_two_sided"),
+    )

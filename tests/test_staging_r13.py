@@ -1280,3 +1280,74 @@ def test_theil_sen_ci_flat_not_significant(spark, tmp_path):
     assert row["sen_slope"] == 0.0
     assert row["ci_lo"] == 0.0 and row["ci_hi"] == 0.0
     assert row["trend_significant"] is False
+
+
+# --- sign test ---------------------------------------------------------------
+
+
+def _sg_ref(events: pd.DataFrame) -> dict:
+    from collections import defaultdict
+
+    us_all = events["ts"].astype("int64")
+    mn, mx = int(us_all.min()), int(us_all.max())
+    mid = (mn + mx) // 2
+    per = defaultdict(int)
+    for uid, us, v in zip(events["user_id"], us_all, events["value"]):
+        c = _round_away(v * 100)
+        per[uid] += c if us >= mid else -c
+    n_users = len(per)
+    nz = [d for d in per.values() if d != 0]
+    n, pos = len(nz), sum(1 for d in nz if d > 0)
+    out = {"n_users": n_users, "n_nonzero": n, "n_positive": pos}
+    if n < 1:
+        out.update({"z_stat": None, "p_two_sided": None})
+        return out
+    if 2 * pos == n:
+        z_micro = 0
+    elif 2 * pos > n:
+        z_micro = _round_away(1e6 * (2.0 * pos - n - 1) / math.sqrt(1.0 * n))
+    else:
+        z_micro = _round_away(1e6 * (2.0 * pos - n + 1) / math.sqrt(1.0 * n))
+    z = z_micro / 1e6
+    out.update({
+        "z_stat": _rnd6(z),
+        "p_two_sided": _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0))),
+    })
+    return out
+
+
+def test_sign_test_matches_python(spark, sf_small):
+    pdf = pd.read_parquet(f"{sf_small}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    exp = _sg_ref(pdf)
+    row = S.STAGED_QUERIES["sign_test_prepost"](spark, sf_small).collect()[0]
+    for k, v in exp.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_sign_test_balanced_signs_zero(spark, tmp_path):
+    """Exactly half the users gain and half lose: 2 pos = n pins
+    z = 0 exactly (the continuity correction must not push a balanced
+    count off zero) and p = 1."""
+    base = pd.Timestamp("2024-01-01")
+    late = pd.Timestamp("2024-06-01")
+    rows, eid = [], 0
+    for j in range(1, 9):
+        up, dn = 2 * j, 2 * j + 1
+        rows.append((eid, base + pd.Timedelta(seconds=eid), up, "view",
+                     10.0, "{}")); eid += 1
+        rows.append((eid, late + pd.Timedelta(seconds=eid), up, "view",
+                     20.0 + j, "{}")); eid += 1
+        rows.append((eid, base + pd.Timedelta(seconds=eid), dn, "view",
+                     20.0 + j, "{}")); eid += 1
+        rows.append((eid, late + pd.Timedelta(seconds=eid), dn, "view",
+                     10.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["sign_test_prepost"](spark, sf).collect()[0]
+    assert row["n_nonzero"] == 16 and row["n_positive"] == 8
+    assert row["z_stat"] == 0.0 and row["p_two_sided"] == 1.0
