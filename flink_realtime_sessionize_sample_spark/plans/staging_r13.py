@@ -819,6 +819,25 @@ _GS_F_POC = (
     " ELSE least(5e-2, 5e-2 * ln(1e0 + 1.718281828459045e0 * tf)) END"
 )
 _GS_PQ = "CASE WHEN {i} <= 0e0 THEN NULL ELSE 1e0 - ({i}) / 2e0 END"
+# Per-look squared-cent partials sum in DECIMAL(38,0) (exact — the
+# per-row product is promoted BEFORE the sum, the DeLong rule), and the
+# cumulative look total converts to int64 through the symmetric
+# overflow guard (ADVICE r12 #1: the raw BIGINT cast was asymmetric
+# past int64 — Spark wraps silently, DuckDB raises). Guarding at the
+# cumulative cast (not per look) keeps NULL propagation loud without a
+# window-SUM-skips-NULLs tripwire: the DECIMAL partials can't be NULL,
+# and a cumulative total past int64 reads NULL in BOTH engines.
+_GS_DQ = (
+    "sum(CASE WHEN arm = {a} THEN CAST(cents AS DECIMAL(38,0)) * cents"
+    " ELSE CAST(0 AS DECIMAL(38,0)) END)"
+)
+_GS_WSPEC = "ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_GS_WQ = (
+    f"CASE WHEN abs(sum(CAST(dq{{a}} AS DECIMAL(38,0))) OVER ({_GS_WSPEC}))"
+    " > 9223372036854775807 THEN CAST(NULL AS BIGINT)"
+    f" ELSE CAST(sum(CAST(dq{{a}} AS DECIMAL(38,0))) OVER ({_GS_WSPEC})"
+    " AS BIGINT) END"
+)
 _GS_CROSS = (
     "CASE WHEN {zb} IS NULL THEN NULL"
     " ELSE abs(z_micro) >= CAST(round(({zb}) * 1000000e0) AS BIGINT) END"
@@ -846,10 +865,8 @@ g AS (
          CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn1,
          CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS ds0,
          CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS ds1,
-         CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT)
-           AS dq0,
-         CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT)
-           AS dq1
+         {_GS_DQ.format(a=0)} AS dq0,
+         {_GS_DQ.format(a=1)} AS dq1
   FROM lk GROUP BY look
 ),
 c AS (
@@ -858,8 +875,8 @@ c AS (
          CAST(sum(dn1) OVER w AS BIGINT) AS n1,
          CAST(sum(ds0) OVER w AS BIGINT) AS s0,
          CAST(sum(ds1) OVER w AS BIGINT) AS s1,
-         CAST(sum(dq0) OVER w AS BIGINT) AS q0,
-         CAST(sum(dq1) OVER w AS BIGINT) AS q1
+         {_GS_WQ.format(a=0)} AS q0,
+         {_GS_WQ.format(a=1)} AS q1
   FROM g WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)
 ),
 tot AS (SELECT max(n0 + n1) AS ntot FROM c),
@@ -938,6 +955,13 @@ def alpha_spending_gst_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|z_micro| vs the e6-quantized boundary — the registered OBF
     pattern); a non-positive increment (impossible for strictly
     increasing t, the defensive guard) NULLs that look's boundary loud.
+    The squared-cent look partials sum in DECIMAL(38,0) (per-row product
+    promoted first, the DeLong rule) and the cumulative totals convert
+    to int64 through the symmetric overflow guard, so past int64 BOTH
+    engines read NULL z/crossing instead of Spark wrapping silently
+    while DuckDB raises (ADVICE r12 #1; the registered
+    ``obrien_fleming_ab_looks`` sibling keeps its raw cast — documented
+    int64 envelope — until its own rotation window).
 
     Scale shape: identical to the registered sibling — one scan + 1-row
     min/max broadcast to assign looks, one map-side-combined aggregate
@@ -963,12 +987,8 @@ def alpha_spending_gst_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
         .cast("long")
         .alias("ds1"),
-        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("dq0"),
-        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("dq1"),
+        F.expr(_GS_DQ.format(a=0)).alias("dq0"),
+        F.expr(_GS_DQ.format(a=1)).alias("dq1"),
     )
     w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
     c = g.select(
@@ -977,8 +997,8 @@ def alpha_spending_gst_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dn1").over(w).cast("long").alias("n1"),
         F.sum("ds0").over(w).cast("long").alias("s0"),
         F.sum("ds1").over(w).cast("long").alias("s1"),
-        F.sum("dq0").over(w).cast("long").alias("q0"),
-        F.sum("dq1").over(w).cast("long").alias("q1"),
+        F.expr(_GS_WQ.format(a=0)).alias("q0"),
+        F.expr(_GS_WQ.format(a=1)).alias("q1"),
     )
     # Bounded <=4-row frame with two consumers (the total row and the
     # per-look spending chain): checkpoint so the corpus scans once
@@ -1712,6 +1732,10 @@ blocks AS (
   SELECT event_type FROM cells GROUP BY event_type
   HAVING count(*) = (SELECT kk FROM kb)
 ),
+bmap AS (
+  SELECT band, row_number() OVER (ORDER BY band) AS jj
+  FROM (SELECT DISTINCT band FROM cells) db
+),
 ranked AS (
   SELECT c.event_type, c.band,
          row_number() OVER (PARTITION BY c.event_type
@@ -1719,9 +1743,9 @@ ranked AS (
   FROM cells c JOIN blocks USING (event_type)
 ),
 l AS (
-  SELECT CAST(sum((band + 1) * r) AS BIGINT) AS l,
+  SELECT CAST(sum(jj * r) AS BIGINT) AS l,
          count(DISTINCT event_type)::BIGINT AS b
-  FROM ranked
+  FROM ranked JOIN bmap USING (band)
 ),
 st AS (SELECT l.l, l.b, kb.kk FROM l, kb),
 zz AS (
@@ -1768,7 +1792,11 @@ def page_trend_test_tod(spark: SparkSession, sf_dir: str) -> DataFrame:
     e6-quantized before the one-sided erfc p (the kruskal_wallis poly/2
     convention). Incomplete blocks (an event type missing a band) are
     DROPPED and the complete-block count is reported — Page's statistic
-    is defined over complete blocks only. The band bucketing reuses the
+    is defined over complete blocks only. The Page coefficient is the
+    DENSE rank of the band among observed bands (1..k), so a band
+    absent corpus-wide keeps the coefficients contiguous and the
+    E[L]/Var[L] formulas valid (ADVICE r12 #2; with all four bands
+    present it equals band+1). The band bucketing reuses the
     floor-consistent ``_fdiv``/``pmod`` forms (ADVICE r11 #2 discipline
     from birth).
 
@@ -1799,6 +1827,19 @@ def page_trend_test_tod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nb") == F.col("kk"))
         .select("event_type")
     )
+    # Page coefficient = DENSE position of the band among the observed
+    # bands (1..kk), not the raw band index — with a band absent
+    # corpus-wide the raw coefficients {1,3,4} would no longer match the
+    # contiguous-1..k E[L]/Var[L] formulas (ADVICE r12 #2). Bounded
+    # (<=4-row) map; every band observed anywhere appears in every
+    # complete block, so the join is lossless.
+    bmap = (
+        cells.select("band")
+        .distinct()
+        .select(
+            "band", F.row_number().over(Window.orderBy("band")).alias("jj")
+        )
+    )
     wblk = Window.partitionBy("event_type").orderBy(
         (F.col("s") * 1e0) / F.col("n"), "band"
     )
@@ -1806,8 +1847,8 @@ def page_trend_test_tod(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(F.broadcast(blocks), "event_type")
         .select("event_type", "band", F.row_number().over(wblk).alias("r"))
     )
-    l = ranked.agg(
-        F.sum((F.col("band") + 1) * F.col("r")).cast("long").alias("l"),
+    l = ranked.join(F.broadcast(bmap), "band").agg(
+        F.sum(F.col("jj") * F.col("r")).cast("long").alias("l"),
         F.countDistinct("event_type").cast("long").alias("b"),
     )
     st = l.crossJoin(F.broadcast(kb))
@@ -2327,7 +2368,7 @@ _TS_M2 = (
 def _tsc_oracle() -> str:
     return f"""
 WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS d, count(*)::BIGINT AS c
+  SELECT {_fdiv_duck("epoch_us(ts)", 86400000000)} AS d, count(*)::BIGINT AS c
   FROM events GROUP BY 1
 ),
 p AS (
@@ -2387,7 +2428,11 @@ def theil_sen_ci_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CI endpoints are exact rank lookups; epoch days are distinct so
     the untied Var(S) form applies by construction (documented spec —
     y-ties in daily counts are not corrected, matching the standard
-    field form).
+    field form). Day bucketing uses the true-floor ``_fdiv`` pair
+    (ADVICE r12 #3), matching the Python reference's floor semantics on
+    every dividend sign; the registered point-estimate sibling keeps
+    its truncating form (identical on the ts >= epoch data envelope)
+    until its own rotation window.
 
     Scale shape: the registered sibling's shape — corpus collapses to
     the |days| frame, the O(days^2) pair frame is a broadcast self-join
@@ -2400,7 +2445,7 @@ def theil_sen_ci_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         load_table(spark, sf_dir, "events")
-        .groupBy(F.expr(f"unix_micros(ts) div {_DAY_US}").alias("d"))
+        .groupBy(F.expr(_fdiv_spark("unix_micros(ts)", _DAY_US)).alias("d"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     d = d.localCheckpoint()  # day frame: pair join twice + the n_days count

@@ -599,6 +599,53 @@ def test_alpha_spending_monotone_and_exhausted(spark, sf_small):
     assert all(a > b for a, b in zip(zb, zb[1:]))
 
 
+def test_gs_q_guard_symmetric_past_int64(spark):
+    """ADVICE r12 #1: the alpha-spending squared-cent look partials sum
+    in DECIMAL(38,0) (per-row product promoted first, the DeLong rule)
+    and the CUMULATIVE total converts to int64 through the symmetric
+    guard — past int64 BOTH engines read NULL (the raw BIGINT cast was
+    asymmetric: Spark wraps silently, DuckDB raises), in range both read
+    the exact integer."""
+    import duckdb
+
+    dq = S._GS_DQ.format(a=0)
+    wq = S._GS_WQ.format(a=0)
+    inner = "SELECT look, {dq} AS dq0 FROM {t} GROUP BY look"
+    outer = f"SELECT look, {wq} AS q0 FROM ({{g}}) g ORDER BY look"
+    # cents = 4e9 -> cents^2 = 1.6e19 > int64 max at look 1; the
+    # cumulative total at look 2 is still past int64 (propagates).
+    rows = [(1, 0, 4_000_000_000), (2, 0, 3)]
+    df = spark.createDataFrame(rows, "look long, arm long, cents long")
+    df.createOrReplaceTempView("_gsq_t")
+    s = spark.sql(
+        outer.format(g=inner.format(dq=dq, t="_gsq_t"))
+    ).collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1::BIGINT, 0::BIGINT,"
+        " 4000000000::BIGINT), (2::BIGINT, 0::BIGINT, 3::BIGINT))"
+        " v(look, arm, cents)"
+    )
+    d = con.execute(outer.format(g=inner.format(dq=dq, t="t"))).fetchall()
+    assert s[0]["q0"] is None and d[0][1] is None
+    assert s[1]["q0"] is None and d[1][1] is None
+    # in range: exact integers, identical in both engines
+    df2 = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, 3), (2, 1, 7)], "look long, arm long, cents long"
+    )
+    df2.createOrReplaceTempView("_gsq_t2")
+    s2 = spark.sql(
+        outer.format(g=inner.format(dq=dq, t="_gsq_t2"))
+    ).collect()
+    con.execute(
+        "CREATE TABLE t2 AS SELECT * FROM (VALUES (1::BIGINT, 0::BIGINT,"
+        " 5::BIGINT), (2::BIGINT, 0::BIGINT, 3::BIGINT),"
+        " (2::BIGINT, 1::BIGINT, 7::BIGINT)) v(look, arm, cents)"
+    )
+    d2 = con.execute(outer.format(g=inner.format(dq=dq, t="t2"))).fetchall()
+    assert [r["q0"] for r in s2] == [r[1] for r in d2] == [25, 34]
+
+
 # --- TOST equivalence --------------------------------------------------------
 
 
@@ -908,7 +955,11 @@ def _pg_ref(events: pd.DataFrame) -> dict:
         c = cells[(et, band)]
         c[0] += _round_away(v * 100)
         c[1] += 1
-    kk = len({b for _, b in cells})
+    bands_sorted = sorted({b for _, b in cells})
+    kk = len(bands_sorted)
+    # Dense coefficient: position of the band among observed bands
+    # (1..kk), matching the contiguous-1..k Page formulas (ADVICE r12 #2).
+    jmap = {b: j for j, b in enumerate(bands_sorted, start=1)}
     by_type = defaultdict(dict)
     for (et, b), (s, n) in cells.items():
         by_type[et][b] = (s, n)
@@ -917,7 +968,7 @@ def _pg_ref(events: pd.DataFrame) -> dict:
     for et, d in blocks.items():
         order = sorted(d.items(), key=lambda kv: (kv[1][0] / kv[1][1], kv[0]))
         for r, (b, _) in enumerate(order, start=1):
-            l_stat += (b + 1) * r
+            l_stat += jmap[b] * r
     out = {"n_blocks": nb, "k_bands": kk, "l_stat": l_stat}
     if nb < 1 or kk < 2:
         out.update({"e_l": None, "z_stat": None, "p_value": None})
@@ -980,6 +1031,31 @@ def test_page_trend_anti_monotone(spark, tmp_path):
     row = S.STAGED_QUERIES["page_trend_test_tod"](spark, sf).collect()[0]
     assert row["l_stat"] == 40  # 2 blocks x 20
     assert row["p_value"] > 0.95
+
+
+def test_page_trend_absent_band_dense_coefficients(spark, tmp_path):
+    """ADVICE r12 #2: with a 6h band absent corpus-wide (no events in
+    hours 6-11 -> bands {0,2,3}, k=3) the Page coefficients must be the
+    DENSE positions {1,2,3}, not the raw {1,3,4} — a perfect monotone
+    rise across the three observed bands hits L's exact maximum for
+    k=3: b * sum(j^2) = 14b. The Python reference shares the dense map,
+    so the parity test covers the grid too."""
+    base = pd.Timestamp("2024-01-01")  # midnight UTC
+    rows, eid = [], 0
+    for et in ("view", "click"):
+        for pos, band in enumerate((0, 2, 3)):  # band 1 absent everywhere
+            for j in range(5):
+                ts = base + pd.Timedelta(hours=6 * band + 1, seconds=eid % 30)
+                rows.append((eid, ts, eid % 7, et, float(10 * (pos + 1)), "{}"))
+                eid += 1
+    pdf = _events_pdf(rows)
+    sf = _write_tables(tmp_path, events=pdf)
+    row = S.STAGED_QUERIES["page_trend_test_tod"](spark, sf).collect()[0]
+    assert row["k_bands"] == 3 and row["n_blocks"] == 2
+    assert row["l_stat"] == 28  # 2 blocks x sum(j^2) = 2 x 14
+    assert row["p_value"] < 0.05
+    exp = _pg_ref(pdf.assign(ts=pdf["ts"].astype("datetime64[us]")))
+    assert exp["l_stat"] == 28 and exp["k_bands"] == 3
 
 
 # --- Wilcoxon signed-rank ----------------------------------------------------
@@ -1280,6 +1356,30 @@ def test_theil_sen_ci_flat_not_significant(spark, tmp_path):
     assert row["sen_slope"] == 0.0
     assert row["ci_lo"] == 0.0 and row["ci_hi"] == 0.0
     assert row["trend_significant"] is False
+
+
+def test_theil_sen_ci_pre_epoch_days_floor(spark, tmp_path):
+    """ADVICE r12 #3: the day bucket uses the true-floor ``_fdiv`` pair,
+    so pre-1970 timestamps land in the Python reference's floor day.
+    Discriminating corpus: events at 03:00 on days -2..1 relative to the
+    epoch — truncating division would merge days -2 and -1 into one
+    bucket (3 days), floor keeps all 4; counts are exactly linear
+    (slope 2/day), so the CI must degenerate to the point."""
+    rows, eid = [], 0
+    for day in (-2, -1, 0, 1):
+        base = pd.Timestamp("1970-01-01") + pd.Timedelta(days=day, hours=3)
+        for j in range(6 + 2 * (day + 2)):  # c(d) = 10 + 2d
+            rows.append((eid, base + pd.Timedelta(seconds=j), 1 + j,
+                         "view", 1.0, "{}")); eid += 1
+    pdf = _events_pdf(rows)
+    sf = _write_tables(tmp_path, events=pdf)
+    exp = _tsc_ref(pdf.assign(ts=pdf["ts"].astype("datetime64[us]")))
+    assert exp["n_days"] == 4  # the Python floor reference sees 4 days
+    row = S.STAGED_QUERIES["theil_sen_ci_daily_trend"](spark, sf).collect()[0]
+    assert row["n_days"] == 4 and row["n_pairs"] == 6
+    assert row["sen_slope"] == 2.0
+    assert row["ci_lo"] == 2.0 and row["ci_hi"] == 2.0
+    assert row["trend_significant"] is True
 
 
 # --- sign test ---------------------------------------------------------------
