@@ -794,6 +794,32 @@ def main() -> None:
     force(_gopher_agg(docs_10x_lin))
     t_gq_10x = time.perf_counter() - t0
 
+    # Hodges-Lehmann convolution-grid scale smoke (round 13, the
+    # promotion-time receipt the r12 close self-flagged): the pairwise-
+    # difference grid is bounded by the 2dp value DOMAIN, so replicating
+    # the event corpus 10x grows only the corpus-side scan + (arm, cents)
+    # aggregate — grid convolution, global rank, and the three rank
+    # lookups are corpus-size-independent and the ratio-vs-linear must
+    # read ~flat (<< 1; anything near 1 would mean the grid is secretly
+    # corpus-sized).
+    from flink_realtime_sessionize_sample_spark.functions import text as TXT
+    from flink_realtime_sessionize_sample_spark.plans.staging_r13 import _hl_frame
+
+    ev_hl = load_table(spark, sf_dir, "events").select(
+        F.expr(f"pmod({TXT.h48_spark('cast(user_id as string)')}, 2)").alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev_hl_10x = ev_hl.withColumn(
+        "_c", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    ).select("arm", "cents")
+    force(_hl_frame(ev_hl))  # warm
+    t0 = time.perf_counter()
+    force(_hl_frame(ev_hl))
+    t_hl_1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force(_hl_frame(ev_hl_10x))
+    t_hl_10x = time.perf_counter() - t0
+
     detail = (
             {
                 "metric": "headline query wall time (noop-sink forced), warm session",
@@ -888,6 +914,11 @@ def main() -> None:
                 "scale_smoke_gopher_10x_sec": round(t_gq_10x, 3),
                 "scale_smoke_gopher_10x_ratio_vs_linear": round(
                     t_gq_10x / (10 * t_gq_1x), 3
+                ),
+                "scale_smoke_hl_grid_1x_sec": round(t_hl_1x, 3),
+                "scale_smoke_hl_grid_10x_sec": round(t_hl_10x, 3),
+                "scale_smoke_hl_grid_10x_ratio_vs_linear": round(
+                    t_hl_10x / (10 * t_hl_1x), 3
                 ),
             }
     )

@@ -22,6 +22,7 @@ from flink_realtime_sessionize_sample_spark.plans import round9_queries  # noqa:
 from flink_realtime_sessionize_sample_spark.plans import staging_r10  # noqa: F401  (promoted round 10)
 from flink_realtime_sessionize_sample_spark.plans import staging_r11  # noqa: F401  (promoted round 11)
 from flink_realtime_sessionize_sample_spark.plans import staging_r12  # noqa: F401  (promoted round 12)
+from flink_realtime_sessionize_sample_spark.plans import staging_r13  # noqa: F401  (promoted round 13)
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
@@ -40,15 +41,16 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r12  # noqa: F4
 # asserts every name in it sits inside the first-50 window, alongside
 # every query not yet externally green (new registrations).
 #
-# ROUND-12 ROTATION (this edit): round 11 closed 50/50 green — every
-# one of the 318 registered queries carries a cumulative green external
-# row (judge-verified union over r01–r11). Round 12 is the staged-
-# promotion round (the 19 staging_r12 queries go live, registry
-# 318 → 337). The only non-staging query-code change this round is the
-# in-place ADVICE r11 fix set inside plans/staging_r12.py itself (lin
-# DECIMAL(38,0) moment guard, true-floor bucketing on both engines,
-# kuiper degenerate-split NULL guard) — its entire blast radius is the
-# 19 promotions, which are windowed as promotions.
+# ROUND-13 ROTATION (this edit): round 12 closed 50/50 green — every
+# one of the 337 registered queries carries a cumulative green external
+# row (judge-verified union over r01–r12). Round 13 is the staged-
+# promotion round (the 12 staging_r13 queries go live, registry
+# 337 → 349). Non-staging query-code changes this round: the ADVICE r12
+# fix trio lives inside plans/staging_r13.py itself (its blast radius is
+# the 12 promotions, windowed as promotions), and the Storey-staging CTE
+# factor rotates ``ab_segment_bh_fdr`` (analytics_queries) — listed in
+# _CHANGED_SINCE_EXTERNAL below, the one verdict-sanctioned swap against
+# an r5 fill-in slot.
 #
 # MECHANIZED (judge r7 item 3, completed r9): the list below is the
 # output of
@@ -63,14 +65,20 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r12  # noqa: F4
 # staging_r11 promotions also appear in the mechanized output — flipping
 # ``staged`` to delegate to ``registry.query`` touches their shared
 # decorator symbol — but they are windowed as promotions, not rotations.)
-_ROUND_OPEN_COMMIT = "031d20a"
+_ROUND_OPEN_COMMIT = "6dff84a"
 
 # Queries whose implementation changed after their latest green external
-# row (tools/rotation_map.py --since 031d20a; see the mechanization note
-# above). Round 12's only changed-code names are the 19 staging_r12
-# promotions themselves (the ADVICE r11 fixes live inside that module),
-# which are windowed below as promotions — so this list is empty.
-_CHANGED_SINCE_EXTERNAL: list[str] = []
+# row (tools/rotation_map.py --since 6dff84a; see the mechanization note
+# above). Round 13's changed-code names: the 12 staging_r13 promotions
+# (the ADVICE r12 fixes live inside that module) are windowed below as
+# promotions; ``ab_segment_bh_fdr`` rotates because its battery CTE was
+# factored into the shared ``_AB_SEG_CTES`` constant consumed by the
+# staged Storey pi0/q-value query (plans/staging_r14.py) — the verdict's
+# Option A (swap one r5 fill-in for the rotation and do the factor+stage
+# this round).
+_CHANGED_SINCE_EXTERNAL: list[str] = [
+    "ab_segment_bh_fdr",
+]
 
 # The 34 queries built + oracle-paired + locally swept during round 7 in
 # plans/staging_r8.py, registered live in round 8 — all 34 went green in
@@ -203,52 +211,82 @@ _ROUND12_PROMOTIONS: list[str] = [
     "combined_pvalue_daily_ab",
 ]
 
+# The 12 queries built + oracle-paired + three-scale swept (sf0.001 +
+# sf0.01 + sf0.1) + adversarial-config verified during round 12 in
+# plans/staging_r13.py, registered live in round 13 (promotion pattern
+# identical to _ROUND8/10/11/12_PROMOTIONS). The round-12 ADVICE fixes
+# (alpha-spending DECIMAL(38,0) q-guard, Page dense-rank coefficients,
+# theil-sen true-floor day bucketing) landed in the same module
+# immediately before this promotion and were re-swept at all
+# scales/configs.
+_ROUND13_PROMOTIONS: list[str] = [
+    "bca_bootstrap_mean_ci",
+    "lin_ancova_two_cov_ab",
+    "alpha_spending_gst_ab",
+    "tost_equivalence_ab",
+    "fligner_killeen_scale_by_source",
+    "hodges_lehmann_shift_ab",
+    "page_trend_test_tod",
+    "wilcoxon_signed_rank_prepost",
+    "bartlett_variance_by_source",
+    "stream_tost_guardrail",
+    "theil_sen_ci_daily_trend",
+    "sign_test_prepost",
+]
+
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Changed-code re-checks (standing rule above; mechanized list —
-    # empty this round, see the rotation note).
+    # Changed-code re-checks (standing rule above): ab_segment_bh_fdr,
+    # rotated by the Storey-staging CTE factor (see the rotation note).
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-12 promotions (plans/staging_r12.py; each verified at
+    # Round-13 promotions (plans/staging_r13.py; each verified at
     # sf0.001 + sf0.01 + sf0.1 plus five adversarial configs before
-    # promotion, re-swept after the ADVICE r11 fixes).
-    *_ROUND12_PROMOTIONS,
-    # Oldest-green fill-ins: the 12 remaining rows whose NEWEST external
-    # row dates to round 3 (the r11 spill — after these, no green row
-    # predates round 4), then the alphabetical first 16 of the 36 rows
-    # whose newest row dates to round 4 — freshness rotation, code
-    # unchanged since their rows. The remaining 20 r4-dated rows spill
-    # to round 13.
-    "rolling_30d_customer_spend",
-    "salted_skew_join",
-    "salted_user_event_totals",
-    "sample_k_per_group",
-    "sample_stratified_docs",
-    "scan_csv_lines",
-    "scan_json_lines",
-    "small_quantity_revenue",
-    "time_bucket_rollup",
-    "token_frequency_topk",
-    "train_val_test_split",
-    "unpivot_user_value_stats",
-    "ann_ivf_pq_topk",
-    "ann_pq_adc_topk",
-    "anomaly_rolling_zscore",
-    "basket_part_associations",
-    "bloom_pruned_join",
-    "cms_point_frequency",
-    "data_quality_report",
-    "dedup_stream_events",
-    "doc_bigram_logprob",
-    "doc_winnowing_fingerprint",
-    "domain_mixture_sample",
-    "embedding_covariance",
-    "embedding_quantize_int8",
-    "event_gap_percentiles",
-    "event_sequence_trigrams",
-    "funnel_stage_conversion",
+    # promotion, re-swept after the ADVICE r12 fixes).
+    *_ROUND13_PROMOTIONS,
+    # Oldest-green fill-ins: the 20 remaining rows whose NEWEST external
+    # row dates to round 4 (the r12 spill — after these, no green row
+    # predates round 5), then the alphabetical first 14 of the 36 rows
+    # whose newest row dates to round 5 — freshness rotation, code
+    # unchanged since their rows. (The 15th r5 slot went to the
+    # ab_segment_bh_fdr rotation above, the verdict's Option A.) The
+    # remaining 22 r5-dated rows spill to round 14.
+    "heavy_hitters_bigrams",
+    "heavy_hitters_stream_events",
+    "hll_mergeable_distinct",
+    "kll_mergeable_quantiles",
+    "order_value_histogram",
+    "orders_trend_decomposition",
+    "profit_by_nation_year",
+    "retention_cohorts",
+    "sample_weighted_docs",
+    "scd2_customer_orders",
+    "session_funnel_conversion",
+    "sessionize_dynamic_gap",
+    "setop_except_all",
+    "setop_intersect_all",
+    "snapshot_diff_cdc",
+    "table_fingerprint",
+    "theta_set_algebra_distinct",
+    "tokenizer_bpe_pair_counts",
+    "value_winsorized",
+    "waiting_suppliers_q21",
+    "ab_test_two_proportions",
+    "array_set_funcs",
+    "avg_account_balance_q22",
+    "benford_digit_audit",
+    "bootstrap_mean_ci",
+    "customer_order_distribution_q13",
+    "doc_chunk_overlap_rag",
+    "doc_ngram_novelty",
+    "doc_source_contingency_chi2",
+    "doc_sparse_cosine_pairs",
+    "embedding_pca_power_iteration",
+    "event_outliers_mad",
+    "events_sliding_windows",
+    "excess_stock_suppliers_q20",
 ]
 
 
@@ -575,6 +613,16 @@ _EXTERNALLY_GREEN_THROUGH_R10: frozenset[str] = (
 # over CORRECTNESS_r01–r11).
 _EXTERNALLY_GREEN_THROUGH_R11: frozenset[str] = (
     _EXTERNALLY_GREEN_THROUGH_R10 | frozenset(_ROUND11_PROMOTIONS)
+)
+
+
+# Round 12 window: 50/50 green at post-HEAD mtime (CORRECTNESS_r12) — 3
+# anchors, all 19 staging_r12 promotions, 28 fill-ins. Union = every
+# query with a green external row through round 12 — the whole 337-query
+# registry, with zero verification-stale rows at the round-12 close
+# (judge-verified union over CORRECTNESS_r01–r12).
+_EXTERNALLY_GREEN_THROUGH_R12: frozenset[str] = (
+    _EXTERNALLY_GREEN_THROUGH_R11 | frozenset(_ROUND12_PROMOTIONS)
 )
 
 

@@ -1,16 +1,15 @@
-"""Round-13 capability queries — STAGED during round 12, promoted when the
-round-13 window opens (the r7→r8→r10→r11→r12 staging pattern: the
-round-12 driver window is full, and the standing no-new-backlog rule in
-tests/test_registry_window.py forbids live registration the driver can't
-verify within the round).
+"""Round-13 capability queries — staged during round 12, REGISTERED LIVE
+at the round-13 open (the r7→r8→r10→r11→r12 staging pattern: built and
+verified one round ahead, promoted when the driver window has room).
 
-``STAGED_QUERIES``/``STAGED_ORACLES`` hold the pairs; nothing here touches
-``plans.QUERIES`` until the promotion round flips ``staged`` to delegate
-to ``registry.query`` (exactly how ``plans/staging_r12.py`` did it at the
-round-12 open). Each query is verified by tools/staged_verify.py
-(STAGED_MODULE=staging_r13) at sf0.001 + sf0.01 + sf0.1 (plus the five
-adversarial configs) before promotion, and pinned by independent Python
-references in tests/test_staging_r13.py.
+``staged`` now delegates to ``registry.query`` (the promotion flip);
+``STAGED_QUERIES``/``STAGED_ORACLES`` remain as the promoted-set record
+for the semantics tests. Each query was verified by
+tools/staged_verify.py (STAGED_MODULE=staging_r13) at sf0.001 + sf0.01 +
+sf0.1 (plus the five adversarial configs) before promotion — and
+re-swept after the three ADVICE r12 fixes landed in this module at the
+round-13 open — and is pinned by independent Python references in
+tests/test_staging_r13.py.
 
 The batch (the three round-11 verdict "next round #6" picks, each a
 measured-need family completion):
@@ -62,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.functions import text as T
-from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn, query
 from flink_realtime_sessionize_sample_spark.plans.round9_queries import (
     _OBF_Z_MICRO,
 )
@@ -80,12 +79,12 @@ STAGED_ORACLES: dict[str, str] = {}
 
 
 def staged(name: str, oracle: str | None = None):
-    """Round-13 staging: holds the pair OUT of the live registry until
-    the promotion round (see module docstring)."""
+    """Round-13 promotion: registers LIVE via ``registry.query`` and keeps
+    the staging dicts as the promoted-set record for the semantics tests
+    (the r8/r10/r11/r12 pattern)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged name {name!r}")
+        fn = query(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLES[name] = oracle
@@ -1598,42 +1597,15 @@ FROM kk, med, lo, hi
 """
 
 
-@staged("hodges_lehmann_shift_ab", oracle=_hl_oracle())
-def hodges_lehmann_shift_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hodges-Lehmann shift estimate with Moses 95% bounds between the
-    user-hash arms on the event-value metric — the EFFECT SIZE the rank
-    family was missing: the registered ``mann_whitney_en_tokens`` (and
-    the r12 ``brunner_munzel_en_vs_rest``) report whether distributions
-    differ, Hodges-Lehmann reports BY HOW MUCH (median of all n0*n1
-    pairwise differences — consistent, median-unbiased, 0.955
-    asymptotically efficient vs the mean under normality and robust far
-    beyond it), and the Moses bounds give the CI every readout quotes.
-
-    Exactness: all n0*n1 pairwise differences reduce to the bounded
-    difference-distribution grid (per-arm cent-value counts convolved:
-    weight(d) = sum_v c1(v) c0(v - d)) — exact integer weights, exact
-    integer cumulative ranks (n0*n1 <= 9e18 keeps every rank in int64
-    to ~3e9 events per arm); the HL point is the LOW weighted median
-    (smallest d with 2 cum >= n0*n1) and the CI endpoints are the
-    k-th / (T+1-k)-th order statistics with k from ONE shared double
-    expression over exact integers. Degenerate arms (n0 or n1 = 0) NULL
-    the estimate loud.
-
-    Scale shape: one corpus scan -> two bounded (value, count) frames
-    (the 2dp value DOMAIN, corpus-size-independent); the pair grid is a
-    broadcast nested-loop join of the two bounded frames (|V0| x |V1|,
-    never corpus-sized) aggregated straight onto the difference grid;
-    ranks ride one banded global-order pass over that grid. Nothing
-    downstream of the first aggregate scales with corpus rows."""
+def _hl_frame(e: DataFrame) -> DataFrame:
+    """Hodges-Lehmann convolution-grid pipeline over an ``(arm, cents)``
+    frame — factored out of the query so bench.py can run the 10x
+    corpus-scale smoke (the r13 promotion-time receipt: the grid is
+    value-domain-bounded, so the ratio-vs-linear must read ~flat)."""
     from flink_realtime_sessionize_sample_spark.operators.global_order import (
         with_global_rank,
     )
 
-    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
-    e = load_table(spark, sf_dir, "events").select(
-        arm.alias("arm"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
     # Bounded per-arm value-count frames off ONE scan (checkpoint the
     # shared (arm, value) aggregate so the corpus scans once under
     # every config).
@@ -1693,6 +1665,42 @@ def hodges_lehmann_shift_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi_cents"),
         )
     )
+
+
+@staged("hodges_lehmann_shift_ab", oracle=_hl_oracle())
+def hodges_lehmann_shift_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimate with Moses 95% bounds between the
+    user-hash arms on the event-value metric — the EFFECT SIZE the rank
+    family was missing: the registered ``mann_whitney_en_tokens`` (and
+    the r12 ``brunner_munzel_en_vs_rest``) report whether distributions
+    differ, Hodges-Lehmann reports BY HOW MUCH (median of all n0*n1
+    pairwise differences — consistent, median-unbiased, 0.955
+    asymptotically efficient vs the mean under normality and robust far
+    beyond it), and the Moses bounds give the CI every readout quotes.
+
+    Exactness: all n0*n1 pairwise differences reduce to the bounded
+    difference-distribution grid (per-arm cent-value counts convolved:
+    weight(d) = sum_v c1(v) c0(v - d)) — exact integer weights, exact
+    integer cumulative ranks (n0*n1 <= 9e18 keeps every rank in int64
+    to ~3e9 events per arm); the HL point is the LOW weighted median
+    (smallest d with 2 cum >= n0*n1) and the CI endpoints are the
+    k-th / (T+1-k)-th order statistics with k from ONE shared double
+    expression over exact integers. Degenerate arms (n0 or n1 = 0) NULL
+    the estimate loud.
+
+    Scale shape: one corpus scan -> two bounded (value, count) frames
+    (the 2dp value DOMAIN, corpus-size-independent); the pair grid is a
+    broadcast nested-loop join of the two bounded frames (|V0| x |V1|,
+    never corpus-sized) aggregated straight onto the difference grid;
+    ranks ride one banded global-order pass over that grid. Nothing
+    downstream of the first aggregate scales with corpus rows (pinned
+    by bench.py's ``scale_smoke_hl_grid`` 10x ratio)."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    e = load_table(spark, sf_dir, "events").select(
+        arm.alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return _hl_frame(e)
 
 
 # --- Page's trend test -------------------------------------------------------------

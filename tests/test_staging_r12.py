@@ -96,20 +96,22 @@ def _sessions_py(pdf: pd.DataFrame):
 
 
 def test_promoted_names_are_registered_live():
-    # Round-12 promotion invariant (the test_staging_r8/r10/r11 durable
-    # form — the original "must NOT leak while staged" assertion inverted
-    # at the round-12 open): every staged query registers into the live
-    # registry (same function object), every name sits inside the
-    # round-12 driver window (all 19 are this round's new registrations),
-    # and the promotion list in plans/__init__ matches the staged set
-    # exactly.
+    # Round-12 promotion invariant, durable form (the test_staging_r8/r10/
+    # r11 precedent): every staged query registers into the live registry
+    # (same function object) and — now that CORRECTNESS_r12 went 50/50
+    # green — carries a green external row. The original round-12
+    # assertion that the promotions sit INSIDE the first-50 window was
+    # window-rotation-specific and retired when the round-13 rotation
+    # reclaimed those slots.
     missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
     assert not missing, f"promoted queries missing from the live registry: {missing}"
     same = [n for n in S.STAGED_QUERIES if plans.QUERIES[n] is S.STAGED_QUERIES[n]]
     assert len(same) == len(S.STAGED_QUERIES)
-    window = set(list(plans.QUERIES)[:50])
-    out = [n for n in S.STAGED_QUERIES if n not in window]
-    assert not out, f"promoted queries outside the round-12 window: {out}"
+    ungreen = [
+        n for n in S.STAGED_QUERIES
+        if n not in plans._EXTERNALLY_GREEN_THROUGH_R12
+    ]
+    assert not ungreen, f"promoted queries without a green external row: {ungreen}"
     assert set(plans._ROUND12_PROMOTIONS) == set(S.STAGED_QUERIES)
 
 
