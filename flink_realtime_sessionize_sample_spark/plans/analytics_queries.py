@@ -2825,9 +2825,17 @@ _AS_ERFC_POLY = (
 )
 
 
-@query(
-    "ab_segment_bh_fdr",
-    oracle=f"""
+# The per-segment two-proportion p-value battery (seg -> per -> zs ->
+# xt -> pv), shared by ab_segment_bh_fdr and the staged FDR-family
+# siblings (Storey pi0/q-values, Benjamini-Yekutieli — plans/
+# staging_r14.py): 20 segments (event_type x user bucket), arm =
+# event_id % 2, a planted treatment effect in the arm-1 purchase
+# segments, z from the pooled two-proportion test, p = erfc(|z|/sqrt 2)
+# via the shared A&S polynomial on the ROUNDED z. Factored at round 13
+# (the verdict's Option A: the edit rotates this query into the
+# window). Ends at the ``pv`` CTE: (segment, n0, c0, n1, c1, z_stat,
+# p_value).
+_AB_SEG_P_CTES = f"""
 WITH seg AS (
   SELECT event_type || '_' || CAST(user_id % 4 AS VARCHAR) AS segment,
          event_id % 2 AS arm,
@@ -2860,7 +2868,13 @@ pv AS (
   SELECT segment, n0, c0, n1, c1, z_stat,
          round({_AS_ERFC_POLY}, 6) + 0.0 AS p_value
   FROM xt
-),
+)"""
+
+
+@query(
+    "ab_segment_bh_fdr",
+    oracle=_AB_SEG_P_CTES
+    + """,
 rk AS (
   SELECT *, row_number() OVER (ORDER BY p_value ASC, segment ASC) AS p_rank,
          count(*) OVER () AS m
@@ -2918,53 +2932,8 @@ def ab_segment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Wilson algebra, the rank and step-up windows — runs on the bounded
     ~20-row segment table (global windows over bounded post-aggregate
     frames are the documented exception to the no-global-window rule)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.concat(
-            F.col("event_type"), F.lit("_"), (F.col("user_id") % 4).cast("string")
-        ).alias("segment"),
-        (F.col("event_id") % 2).alias("arm"),
-        F.when(
-            (F.col("value") > 60)
-            | (
-                (F.col("event_id") % 2 == 1)
-                & (F.col("event_type") == "purchase")
-                & (F.col("value") > 30)
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("converted"),
-    )
-    per = ev.groupBy("segment").agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
-        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
-        .cast("long")
-        .alias("c0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-    )
+    pv = _ab_seg_pvalues(load_table(spark, sf_dir, "events"))
     p0, p1 = F.col("c0") / F.col("n0"), F.col("c1") / F.col("n1")
-    pall = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
-    zs = per.filter(
-        (F.col("c0") + F.col("c1") > 0)
-        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
-    ).withColumn(
-        "z_stat",
-        F.round(
-            (p1 - p0)
-            / F.sqrt(
-                pall * (1 - pall) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
-            ),
-            6,
-        )
-        + F.lit(0.0),
-    )
-    xt = zs.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
-        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
-    )
-    pv = xt.withColumn("p_value", F.round(F.expr(_AS_ERFC_POLY), 6) + F.lit(0.0))
 
     def _wilson(p: Column, n: Column, sign: int) -> Column:
         half = 1.96 * F.sqrt((p * (1 - p) + F.lit(0.9604) / n) / n)
@@ -3002,6 +2971,77 @@ def ab_segment_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bh_thresh"
         ),
         (F.col("p_rank") <= F.col("_k")).alias("rejected"),
+    )
+
+
+def _ab_seg_pvalues(events: DataFrame) -> DataFrame:
+    """The per-segment two-proportion p-value battery over an events
+    frame — the Spark twin of ``_AB_SEG_P_CTES`` (ends at the ``pv``
+    shape: segment, n0, c0, n1, c1, z_stat, p_value). Shared by
+    ``ab_segment_bh_fdr`` and the staged FDR-family siblings
+    (plans/staging_r14.py); factored at round 13."""
+    ev = events.select(
+        F.concat(
+            F.col("event_type"), F.lit("_"), (F.col("user_id") % 4).cast("string")
+        ).alias("segment"),
+        (F.col("event_id") % 2).alias("arm"),
+        F.when(
+            (F.col("value") > 60)
+            | (
+                (F.col("event_id") % 2 == 1)
+                & (F.col("event_type") == "purchase")
+                & (F.col("value") > 30)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    per = ev.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    return _ab_seg_pvalues_from_counts(per)
+
+
+def _ab_seg_pvalues_from_counts(per: DataFrame) -> DataFrame:
+    """z + p over a (segment, n0, c0, n1, c1) counts frame — the battery
+    tail shared with the streaming twin, whose micro-batch partials merge
+    into exactly this shape (the ADVICE r10 #4 readout-over-static-frame
+    rule)."""
+    p0, p1 = F.col("c0") / F.col("n0"), F.col("c1") / F.col("n1")
+    pall = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    zs = per.filter(
+        (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    ).withColumn(
+        "z_stat",
+        F.round(
+            (p1 - p0)
+            / F.sqrt(
+                pall * (1 - pall) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            ),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    xt = zs.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        "segment",
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        "z_stat",
+        (F.round(F.expr(_AS_ERFC_POLY), 6) + F.lit(0.0)).alias("p_value"),
     )
 
 
