@@ -890,6 +890,13 @@ def jarque_bera_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(CAST(c2 AS DECIMAL(38,0)) * c) AS DOUBLE)").alias("d3"),
         F.expr("CAST(sum(CAST(c2 AS DECIMAL(38,0)) * c2) AS DOUBLE)").alias("d4"),
     )
+    return _jb_readout(s)
+
+
+def _jb_readout(s: DataFrame) -> DataFrame:
+    """JB moment algebra over a 1-row (nn, s1, d2, d3, d4) frame —
+    shared by the batch query and the streaming twin (the ADVICE r10 #4
+    readout-over-static-frame rule)."""
     l1 = s.withColumn("m1", F.expr(_JB_M1))
     l2 = l1.select(
         "*",
@@ -1461,3 +1468,255 @@ def stream_storey_qvalue_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dc1").cast("long").alias("c1"),
     )
     return _storey_readout(_ab_seg_pvalues_from_counts(per))
+
+
+# --- streaming Jarque-Bera monitor ---------------------------------------------------
+
+
+def _stream_jb_oracle() -> str:
+    # The batch JB SQL restricted to the replayed odd-event half — a
+    # single-site source rewrite of the batch oracle (asserted).
+    restricted = _jb_oracle().replace(
+        "FROM events)", "FROM events WHERE event_id % 2 = 1)"
+    )
+    assert "WHERE event_id % 2 = 1" in restricted
+    return restricted
+
+
+@staged("stream_jarque_bera_monitor", oracle=_stream_jb_oracle())
+def stream_jarque_bera_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 13th streaming twin: the Jarque-Bera normality readout
+    recomputed as events arrive — per micro-batch ONE map-side-combined
+    aggregate reduces the batch to FIVE moment partials (count, cent
+    sum, and the three power sums held as exact DECIMAL(38,0) — the
+    partials stay exact integers, so the merge is plain summation with
+    nothing to quantize and nothing to guard); the merged moments feed
+    the IDENTICAL ``_jb_readout`` algebra as the batch query, with the
+    single exact-integer -> DOUBLE conversion happening once, at the
+    merge (so stream and batch round the same exact integer). The live
+    shape: "is this metric still normal enough for the Welch/t
+    machinery" refreshed per batch.
+
+    Replay contract: the odd-event_id half as a deterministic
+    2-micro-batch file stream (the tost twin's split); oracle = the
+    batch JB SQL with its single events reference restricted to the
+    same half.
+
+    Scale shape: per batch one scalar aggregate (5 numbers); the
+    managed table holds batches x 1 rows; the readout is 1-row
+    algebra."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def _moment_batch(batch_df: DataFrame) -> DataFrame:
+        e2 = batch_df.select(
+            F.col("cents").alias("c"),
+            (F.col("cents") * F.col("cents")).alias("c2"),
+        )
+        return e2.agg(
+            F.count(F.lit(1)).cast("long").alias("pn"),
+            F.sum("c").cast("long").alias("p1"),
+            F.expr("sum(CAST(c2 AS DECIMAL(38,0)))").alias("p2"),
+            F.expr("sum(CAST(c2 AS DECIMAL(38,0)) * c)").alias("p3"),
+            F.expr("sum(CAST(c2 AS DECIMAL(38,0)) * c2)").alias("p4"),
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, cents long",
+        _moment_batch,
+        "jb_moment_partials",
+        split_col="event_id",
+        src_prefix="jb_mon_src_",
+    )
+    s = partials.agg(
+        F.sum("pn").cast("long").alias("nn"),
+        F.sum("p1").cast("long").alias("s1"),
+        F.expr("CAST(sum(p2) AS DOUBLE)").alias("d2"),
+        F.expr("CAST(sum(p3) AS DOUBLE)").alias("d3"),
+        F.expr("CAST(sum(p4) AS DOUBLE)").alias("d4"),
+    )
+    return _jb_readout(s)
+
+
+# --- Fisher-z correlation difference ------------------------------------------------
+
+# Fisher (1921): z(r) = atanh(r) = 0.5 ln((1+r)/(1-r)) is ~N(atanh rho,
+# 1/(n-3)), so two independent arms' correlations compare via
+#   z = (z(r_b) - z(r_a)) / sqrt(1/(n_a - 3) + 1/(n_b - 3)).
+# r per arm from the exact five-moment frame (the lin/ancova _LIN_MOM
+# DECIMAL(38,0) guard on every second-order sum — loud symmetric NULL
+# past int64); ln is an established cross-engine-identical house
+# primitive (the Pocock spending / Good-Turing precedent).
+_FZ_R = (
+    "CASE WHEN n{a} < 4 OR sxx{a} IS NULL OR sxy{a} IS NULL"
+    " OR syy{a} IS NULL THEN NULL"
+    " WHEN (1e0 * n{a} * sxx{a} - 1e0 * sx{a} * sx{a}) <= 0e0"
+    " OR (1e0 * n{a} * syy{a} - 1e0 * sy{a} * sy{a}) <= 0e0 THEN NULL"
+    " ELSE (1e0 * n{a} * sxy{a} - 1e0 * sx{a} * sy{a})"
+    " / sqrt((1e0 * n{a} * sxx{a} - 1e0 * sx{a} * sx{a})"
+    "        * (1e0 * n{a} * syy{a} - 1e0 * sy{a} * sy{a})) END"
+)
+_FZ_ATANH = (
+    "CASE WHEN r{a} IS NULL OR abs(r{a}) >= 1e0 THEN NULL"
+    " ELSE 5e-1 * ln((1e0 + r{a}) / (1e0 - r{a})) END"
+)
+_FZ_Z = (
+    "CASE WHEN z0 IS NULL OR z1 IS NULL THEN NULL"
+    " ELSE round((z1 - z0) / sqrt(1e0 / (n0 - 3) + 1e0 / (n1 - 3)), 6)"
+    " + 0.0 END"
+)
+
+
+def _fz_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.staging_r12 import (
+        _LIN_MOM,
+    )
+
+    arm = T.h48_duck("doc_id::VARCHAR")
+    toks = T.tokens_duck("text")
+    poly = _as_erfc_poly()
+    mom = {
+        f"s{u}{v}{a}": _dec_sum_bigint(_LIN_MOM.format(a=a, u=u, v=v))
+        for a in (0, 1)
+        for (u, v) in (("x", "x"), ("x", "y"), ("y", "y"))
+    }
+    return f"""
+WITH d AS (
+  SELECT {arm} % 2 AS arm,
+         n_chars AS x,
+         CAST(length({toks}) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+    {mom["sxx0"]} AS sxx0, {mom["sxy0"]} AS sxy0, {mom["syy0"]} AS syy0,
+    {mom["sxx1"]} AS sxx1, {mom["sxy1"]} AS sxy1, {mom["syy1"]} AS syy1
+  FROM d
+),
+rr AS (
+  SELECT *, {_FZ_R.format(a=0)} AS r0, {_FZ_R.format(a=1)} AS r1 FROM s
+),
+zf AS (
+  SELECT *, {_FZ_ATANH.format(a=0)} AS z0, {_FZ_ATANH.format(a=1)} AS z1
+  FROM rr
+),
+zz AS (SELECT *, {_FZ_Z} AS z_stat FROM zf),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT n0 AS n_a, n1 AS n_b,
+       CASE WHEN r0 IS NULL THEN NULL ELSE round(r0, 6) + 0.0 END AS r_a,
+       CASE WHEN r1 IS NULL THEN NULL ELSE round(r1, 6) + 0.0 END AS r_b,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("fisher_z_corr_diff_ab", oracle=_fz_oracle())
+def fisher_z_corr_diff_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-z test for a DIFFERENCE in correlation between the two
+    doc-hash arms: is the chars-tokens correlation the same in both
+    halves of the corpus? The inference member the correlation family
+    was missing — ``spearman_chars_tokens`` / ``kendall_tau_chars_words``
+    / ``ols_chars_model`` report POINT estimates; Fisher's
+    variance-stabilizing atanh transform turns two arms' Pearson r into
+    a comparable z (the splitter audit for relationship STRUCTURE, the
+    way welch_t audits means and ansari_bradley audits spread).
+
+    Exactness: per-arm five-moment frames from ONE conditional
+    aggregate; every second-order sum rides the lin/ancova
+    DECIMAL(38,0) per-row-promoted guard (loud symmetric NULL past
+    int64); r, atanh, and the z difference are shared double texts over
+    exact integers (ln is an established cross-engine-identical house
+    primitive — Pocock spending, Good-Turing); degenerate arms (n < 4,
+    zero variance, |r| = 1) NULL loud through every layer.
+
+    Scale shape: one scan -> one map-side-combined scalar aggregate
+    (12 integers); 1-row algebra after."""
+    from flink_realtime_sessionize_sample_spark.plans.staging_r12 import (
+        _LIN_MOM,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(doc_id as string)')}, 2)")
+    toks = T.tokens_spark("text")
+    d = load_table(spark, sf_dir, "documents").select(
+        arm.alias("arm"),
+        F.col("n_chars").alias("x"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("y"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+    ]
+    for a in (0, 1):
+        for (u, v) in (("x", "x"), ("x", "y"), ("y", "y")):
+            aggs.append(
+                F.expr(_dec_sum_bigint(_LIN_MOM.format(a=a, u=u, v=v))).alias(
+                    f"s{u}{v}{a}"
+                )
+            )
+    s = d.agg(*aggs)
+    rr = s.select(
+        "*",
+        F.expr(_FZ_R.format(a=0)).alias("r0"),
+        F.expr(_FZ_R.format(a=1)).alias("r1"),
+    )
+    zf = rr.select(
+        "*",
+        F.expr(_FZ_ATANH.format(a=0)).alias("z0"),
+        F.expr(_FZ_ATANH.format(a=1)).alias("z1"),
+    )
+    zz = zf.withColumn("z_stat", F.expr(_FZ_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    poly = _as_erfc_poly()
+    return xt.select(
+        F.col("n0").alias("n_a"),
+        F.col("n1").alias("n_b"),
+        F.expr(
+            "CASE WHEN r0 IS NULL THEN NULL ELSE round(r0, 6) + 0.0 END"
+        ).alias("r_a"),
+        F.expr(
+            "CASE WHEN r1 IS NULL THEN NULL ELSE round(r1, 6) + 0.0 END"
+        ).alias("r_b"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )

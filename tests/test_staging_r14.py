@@ -819,3 +819,158 @@ def test_breslow_day_detects_heterogeneity(spark, tmp_path):
     assert row["n_strata"] == 2 and row["dof"] == 1
     assert row["x2_stat"] > 10.0
     assert row["p_value"] < 0.01
+
+
+# --- streaming Jarque-Bera twin ------------------------------------------------------
+
+
+def test_stream_jb_matches_batch_python_on_half(spark, sf_small):
+    pdf = _load_events(sf_small)
+    ref = _jb_ref(pdf[pdf["event_id"] % 2 == 1])
+    row = S.STAGED_QUERIES["stream_jarque_bera_monitor"](
+        spark, sf_small
+    ).collect()[0]
+    for k, v in ref.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+# --- Fisher-z correlation difference --------------------------------------------------
+
+
+def _docs_pdf(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "lang", "text"])
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    return df.astype({"doc_id": "int64"})
+
+
+def _fz_ref(docs: pd.DataFrame) -> dict:
+    mom = {a: [0] * 6 for a in (0, 1)}  # n, sx, sy, sxx, sxy, syy
+    for did, text, nch in zip(docs["doc_id"], docs["text"], docs["n_chars"]):
+        a = _h48(str(did)) % 2
+        x = int(nch)
+        y = len(text.strip().split(" "))
+        m = mom[a]
+        m[0] += 1
+        m[1] += x
+        m[2] += y
+        m[3] += x * x
+        m[4] += x * y
+        m[5] += y * y
+    out = {"n_a": mom[0][0], "n_b": mom[1][0]}
+    rs, zs = {}, {}
+    for a in (0, 1):
+        n, sx, sy, sxx, sxy, syy = mom[a]
+        vx = 1.0 * n * sxx - 1.0 * sx * sx
+        vy = 1.0 * n * syy - 1.0 * sy * sy
+        if n < 4 or vx <= 0 or vy <= 0:
+            rs[a] = None
+        else:
+            rs[a] = (1.0 * n * sxy - 1.0 * sx * sy) / math.sqrt(vx * vy)
+        zs[a] = (
+            None
+            if rs[a] is None or abs(rs[a]) >= 1.0
+            else 0.5 * math.log((1.0 + rs[a]) / (1.0 - rs[a]))
+        )
+    out["r_a"] = None if rs[0] is None else _rnd6(rs[0])
+    out["r_b"] = None if rs[1] is None else _rnd6(rs[1])
+    if zs[0] is None or zs[1] is None:
+        out.update({"z_stat": None, "p_value": None})
+        return out
+    z = _rnd6(
+        (zs[1] - zs[0])
+        / math.sqrt(1.0 / (mom[0][0] - 3) + 1.0 / (mom[1][0] - 3))
+    )
+    out["z_stat"] = z
+    out["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return out
+
+
+def test_fisher_z_matches_python(spark, sf_small):
+    docs = pd.read_parquet(f"{sf_small}/documents.parquet")
+    ref = _fz_ref(docs)
+    row = S.STAGED_QUERIES["fisher_z_corr_diff_ab"](spark, sf_small).collect()[0]
+    for k, v in ref.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def _fz_docs_by_arm(n_each: int):
+    """First n_each doc ids hashing to each arm."""
+    a0, a1, did = [], [], 0
+    while len(a0) < n_each or len(a1) < n_each:
+        (a0 if _h48(str(did)) % 2 == 0 else a1).append(did)
+        did += 1
+    return a0[:n_each], a1[:n_each]
+
+
+def _doc_of(words: int, chars_pad: int) -> str:
+    """A text with exactly `words` space-split tokens and a controllable
+    char count (padding widens the first token)."""
+    return "x" * chars_pad + " ".join("w" for _ in range(words))
+
+
+def test_fisher_z_identical_arms_zero(spark, tmp_path):
+    """Both arms hold the identical (chars, tokens) point set: r_a = r_b
+    exactly, so the z difference is exactly 0.0 and p = 1.0."""
+    a0, a1 = _fz_docs_by_arm(5)
+    rows = []
+    for pool in (a0, a1):
+        for i, did in enumerate(pool):
+            # pad 3i + i%2 keeps (chars, tokens) correlated but NOT
+            # collinear (|r| = 1 would NULL the atanh by design)
+            rows.append((did, "s", "en", _doc_of(2 + i, 3 * i + (i % 2) + 1)))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    row = S.STAGED_QUERIES["fisher_z_corr_diff_ab"](spark, sf).collect()[0]
+    assert row["n_a"] == 5 and row["n_b"] == 5
+    assert row["r_a"] == row["r_b"]
+    assert row["z_stat"] == 0.0
+    assert row["p_value"] == 1.0
+
+
+def test_fisher_z_perfect_correlation_nulls_loud(spark, tmp_path):
+    """|r| = 1 in one arm (chars an exact linear function of tokens):
+    atanh diverges, so the readout NULLs loud instead of fabricating an
+    infinite z."""
+    a0, a1 = _fz_docs_by_arm(5)
+    rows = []
+    for i, did in enumerate(a0):  # arm 0: chars = 3*tokens exactly
+        words = 2 + i
+        rows.append((did, "s", "en", _doc_of(words, words + 1)))
+    for i, did in enumerate(a1):  # arm 1: noisy
+        rows.append((did, "s", "en", _doc_of(2 + i, (7 * i) % 5 + 1)))
+    docs = _docs_pdf(rows)
+    # verify the arm-0 construction really is collinear:
+    # chars = pad + (2*words - 1) = (words + 1) + 2*words - 1 = 3*tokens
+    sub = docs[[(_h48(str(d)) % 2) == 0 for d in docs["doc_id"]]]
+    xs = sub["n_chars"].tolist()
+    ys = [len(t.strip().split(" ")) for t in sub["text"]]
+    assert all(x == 3 * y for x, y in zip(xs, ys))
+    sf = _write_tables(tmp_path, documents=docs)
+    row = S.STAGED_QUERIES["fisher_z_corr_diff_ab"](spark, sf).collect()[0]
+    assert row["r_a"] == 1.0
+    assert row["z_stat"] is None and row["p_value"] is None
+
+
+def test_fisher_z_detects_structure_difference(spark, tmp_path):
+    """Arm 0 strongly positive chars-tokens relationship, arm 1 strongly
+    negative: the Fisher z difference is large and significant."""
+    a0, a1 = _fz_docs_by_arm(12)
+    rows = []
+    for i, did in enumerate(a0):  # increasing chars with tokens (+noise)
+        rows.append((did, "s", "en", _doc_of(2 + i, 4 * i + (i % 2) + 1)))
+    for i, did in enumerate(a1):  # decreasing chars with tokens (+noise)
+        rows.append((did, "s", "en", _doc_of(2 + i, 60 - 4 * i + (i % 2))))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    row = S.STAGED_QUERIES["fisher_z_corr_diff_ab"](spark, sf).collect()[0]
+    assert row["r_a"] > 0.9 and row["r_b"] < -0.9
+    assert row["z_stat"] < -4.0
+    assert row["p_value"] < 0.001
