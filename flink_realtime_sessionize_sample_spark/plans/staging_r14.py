@@ -1720,3 +1720,351 @@ def fisher_z_corr_diff_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE round(({poly}), 6) + 0.0 END"
         ).alias("p_value"),
     )
+
+
+# --- Ljung-Box autocorrelation diagnostic --------------------------------------------
+
+# Ljung & Box (1978): Q = n (n+2) sum_{k=1..m} r_k^2 / (n - k) over the
+# first m = 7 daily-count autocorrelations, ~ chi-square(m) under white
+# noise — the portmanteau "is there ANY serial structure left" readout
+# completing the time-series diagnostics next to runs_test (sign
+# patterns), mann_kendall/theil_sen (monotone trend) and
+# orders_trend_decomposition (seasonal fit). Exactness trick: multiply
+# the autocovariances through by n^2 so every term is an exact integer
+# BEFORE division — (n c_d - s)(n c_{d+k} - s) with s = sum c — and the
+# per-row products promote to DECIMAL(38,0) (exact-wide -> DOUBLE once,
+# the JB convention). The 7 per-lag Q terms e12-quantize before the
+# final sum (a 7-term double sum is aggregation-order-sensitive in the
+# last ulp; the integer form is not).
+_LB_RK = "CASE WHEN den <= 0e0 THEN NULL ELSE numk / den END"
+_LB_TERM_E12 = (
+    "CASE WHEN den <= 0e0 OR nn <= k THEN NULL"
+    " ELSE CAST(round(1000000000000 * ((numk / den) * (numk / den))"
+    " / (nn - k)) AS BIGINT) END"
+)
+_LB_Q = (
+    "CASE WHEN nn <= 7 OR anynull = 1 THEN NULL"
+    " ELSE (1e0 * nn * (nn + 2)) * (t_e12 / 1e12) END"
+)
+_LB_Z = (
+    "CASE WHEN q IS NULL THEN NULL"
+    " ELSE round(sqrt(2 * q) - sqrt(2.0 * 7 - 1), 6) + 0.0 END"
+)
+
+
+def _lb_oracle() -> str:
+    poly = _as_erfc_poly()
+    day = _fdiv_duck("epoch_us(ts)", 86400000000)
+    return f"""
+WITH d AS (
+  SELECT {day} AS d, count(*)::BIGINT AS c FROM events GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS nn, sum(c)::BIGINT AS ss FROM d),
+den_t AS (
+  SELECT CAST(sum(CAST((nn * c - ss) AS DECIMAL(38,0)) * (nn * c - ss))
+           AS DOUBLE) AS den
+  FROM d CROSS JOIN tot
+),
+lags AS (SELECT k FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) v(k)),
+pairs AS (
+  SELECT l.k,
+         CAST(sum(CAST((t.nn * a.c - t.ss) AS DECIMAL(38,0))
+                  * (t.nn * b.c - t.ss)) AS DOUBLE) AS numk
+  FROM d a CROSS JOIN lags l JOIN d b ON b.d = a.d + l.k
+  CROSS JOIN tot t
+  GROUP BY l.k
+),
+lagf AS (
+  SELECT l.k, coalesce(p.numk, 0e0) AS numk
+  FROM lags l LEFT JOIN pairs p ON p.k = l.k
+),
+terms AS (
+  SELECT k, numk, tot.nn, den_t.den, {_LB_TERM_E12} AS t_e12,
+         {_LB_RK} AS rk
+  FROM lagf CROSS JOIN tot CROSS JOIN den_t
+),
+agg AS (
+  SELECT max(nn)::BIGINT AS nn,
+         max(CASE WHEN t_e12 IS NULL THEN 1 ELSE 0 END) AS anynull,
+         CAST(sum(t_e12) AS BIGINT) AS t_e12,
+         max(CASE WHEN k = 1 THEN rk END) AS r1,
+         max(CASE WHEN k = 7 THEN rk END) AS r7
+  FROM terms
+),
+qq AS (SELECT *, {_LB_Q} AS q FROM agg),
+zz AS (SELECT *, {_LB_Z} AS z_stat FROM qq),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT nn AS n_days,
+       CASE WHEN q IS NULL OR r1 IS NULL THEN NULL
+            ELSE round(r1, 6) + 0.0 END AS r_lag1,
+       CASE WHEN q IS NULL OR r7 IS NULL THEN NULL
+            ELSE round(r7, 6) + 0.0 END AS r_lag7,
+       CASE WHEN q IS NULL THEN NULL ELSE round(q, 6) + 0.0 END AS q_stat,
+       7 AS dof,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("ljung_box_daily_autocorr", oracle=_lb_oracle())
+def ljung_box_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series (the
+    first 7 lags — one week of serial structure): is there ANY
+    autocorrelation left after whatever model you fit? Completes the
+    time-series diagnostic family — runs_test_daily_revenue checks sign
+    patterns, mann_kendall/theil_sen check monotone trend, Ljung-Box is
+    the omnibus the others presuppose ("white noise or not"). A missing
+    day contributes no lag pair (the gap-robust form; the synthetic
+    corpus's day span is contiguous, so this matches the textbook
+    definition on the test data — documented envelope).
+
+    Exactness: daily counts are exact integers on the floor-consistent
+    day bucket; autocovariances multiply through by n^2 so every summand
+    is the exact integer product (n c_d - s)(n c_{d+k} - s), promoted
+    per-row to DECIMAL(38,0) and converted to DOUBLE once (the JB
+    convention — both engines round the same exact integer); the 7
+    per-lag Q terms e12-quantize before the final sum (7-term double
+    sums are aggregation-order-sensitive, integers are not); an
+    uncomputable term (constant series, n <= k) NULLs Q loud through an
+    any-NULL tripwire. p via the sqrt(2Q) chi-square device,
+    one-sided upper tail (the family convention).
+
+    Scale shape: one corpus scan -> the bounded day frame
+    (checkpointed); the lag pairs are a broadcast self-join of that
+    bounded frame against a 7-row lag table; everything downstream is
+    <= 7-row algebra."""
+    poly = _as_erfc_poly()
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr(_fdiv_spark("unix_micros(ts)", 86400000000)).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d = d.localCheckpoint()  # bounded day frame; den + 7 lag joins
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("ss"),
+    )
+    den_t = d.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(sum(CAST((nn * c - ss) AS DECIMAL(38,0)) * (nn * c - ss))"
+            " AS DOUBLE)"
+        ).alias("den")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    a = d.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = d.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST((nn * ca - ss) AS DECIMAL(38,0))"
+                " * (nn * cb - ss)) AS DOUBLE)"
+            ).alias("numk")
+        )
+    )
+    lagf = lags.join(pairs, "k", "left").select(
+        "k", F.coalesce(F.col("numk"), F.lit(0.0)).alias("numk")
+    )
+    terms = lagf.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(den_t)).select(
+        "*",
+        F.expr(_LB_TERM_E12).alias("t_e12"),
+        F.expr(_LB_RK).alias("rk"),
+    )
+    agg = terms.agg(
+        F.max("nn").cast("long").alias("nn"),
+        F.max(F.when(F.col("t_e12").isNull(), 1).otherwise(0)).alias("anynull"),
+        F.sum("t_e12").cast("long").alias("t_e12"),
+        F.max(F.when(F.col("k") == 1, F.col("rk"))).alias("r1"),
+        F.max(F.when(F.col("k") == 7, F.col("rk"))).alias("r7"),
+    )
+    qq = agg.withColumn("q", F.expr(_LB_Q))
+    zz = qq.withColumn("z_stat", F.expr(_LB_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("nn").alias("n_days"),
+        F.expr(
+            "CASE WHEN q IS NULL OR r1 IS NULL THEN NULL"
+            " ELSE round(r1, 6) + 0.0 END"
+        ).alias("r_lag1"),
+        F.expr(
+            "CASE WHEN q IS NULL OR r7 IS NULL THEN NULL"
+            " ELSE round(r7, 6) + 0.0 END"
+        ).alias("r_lag7"),
+        F.expr(
+            "CASE WHEN q IS NULL THEN NULL ELSE round(q, 6) + 0.0 END"
+        ).alias("q_stat"),
+        F.lit(7).cast("int").alias("dof"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+# --- Bowker symmetry of session transitions ------------------------------------------
+
+# Bowker (1948): the k x k generalization of McNemar — for the
+# within-session event-type transition matrix, X^2 =
+# sum_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji) ~ chi-square(#off-diagonal
+# pairs with traffic) under symmetry ("is A->B as common as B->A").
+# Same transition definition (pair frame, session boundaries) as the
+# registered session_markov_transitions, so the two readouts describe
+# the same chain.
+_BW_TERM_E9 = (
+    "CAST(round(1000000000 * ((1e0 * nij - nji) * (1e0 * nij - nji))"
+    " / (nij + nji)) AS BIGINT)"
+)
+_BW_Z = (
+    "CASE WHEN dof < 1 THEN NULL"
+    " ELSE round(sqrt(2 * (x2_e9 / 1e9)) - sqrt(2.0 * dof - 1), 6) + 0.0 END"
+)
+
+
+def _bw_oracle() -> str:
+    from flink_realtime_sessionize_sample_spark.plans.sessionize_queries import (
+        _SESSIONIZE_CTE,
+    )
+
+    poly = _as_erfc_poly()
+    return (
+        _SESSIONIZE_CTE
+        + f""",
+typed AS (
+  SELECT s.user_id, s.session_id, s.ts_us, s.event_id, e.event_type
+  FROM sessionized s JOIN events e USING (event_id)
+),
+pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts_us, event_id) AS nxt
+  FROM typed
+),
+cnt AS (
+  SELECT cur, nxt, count(*)::BIGINT AS n FROM pairs
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+sym AS (
+  SELECT least(cur, nxt) AS a, greatest(cur, nxt) AS b,
+         CAST(sum(CASE WHEN cur < nxt THEN n ELSE 0 END) AS BIGINT) AS nij,
+         CAST(sum(CASE WHEN cur > nxt THEN n ELSE 0 END) AS BIGINT) AS nji
+  FROM cnt WHERE cur <> nxt GROUP BY 1, 2
+),
+agg AS (
+  SELECT count(*)::BIGINT AS dof,
+         CAST(sum(n) AS BIGINT) AS n_offdiag,
+         CAST(sum(t) AS BIGINT) AS x2_e9
+  FROM (SELECT nij + nji AS n, {_BW_TERM_E9} AS t FROM sym) s
+),
+zz AS (SELECT dof, n_offdiag, x2_e9, {_BW_Z} AS z_stat FROM agg),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT coalesce(n_offdiag, 0) AS n_offdiag_transitions, dof,
+       CASE WHEN dof < 1 THEN NULL ELSE round(x2_e9 / 1e9, 6) + 0.0 END
+         AS x2_stat,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0
+            ELSE round(1 - ({poly}) / 2, 6) + 0.0 END AS p_value
+FROM xt
+"""
+    )
+
+
+@staged("bowker_symmetry_transitions", oracle=_bw_oracle())
+def bowker_symmetry_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test on the within-session event-type
+    transition matrix: is A->B as common as B->A for every off-diagonal
+    pair? The k x k generalization of the registered
+    ``mcnemar_nb_vs_heuristic`` (McNemar IS Bowker at k = 2) over the
+    SAME transition definition as ``session_markov_transitions`` (same
+    sessionize boundaries, same lead() pair frame), so "the chain is
+    asymmetric" (this readout) and "here is the chain" (that one) can
+    never disagree about what a transition is. Directional user flows
+    (browse -> buy but rarely buy -> browse) are exactly what this
+    detects.
+
+    Exactness: transition counts are exact integers; the off-diagonal
+    fold (least/greatest) pairs them without a self-join; per-pair X^2
+    terms e9-quantize through one shared text before the bounded sum
+    (<= 10 terms for 5 event types); pairs with zero traffic in both
+    directions simply do not exist in the fold (the standard dof =
+    observed-pairs convention, documented); dof < 1 NULLs loud. p via
+    the sqrt(2 X^2) device, one-sided upper tail.
+
+    Scale shape: the sessionizer's one-shuffle pass; the lead() window
+    shares the sessionizer's (user_id) partitioning; transitions
+    collapse to the bounded |types|^2 frame and everything downstream is
+    <= 10-row algebra."""
+    from flink_realtime_sessionize_sample_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    poly = _as_erfc_poly()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    sess = sessionize(ev, key="user_id", ts="ts", tiebreakers=("event_id",))
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sym = (
+        cnt.filter(F.col("cur") != F.col("nxt"))
+        .groupBy(
+            F.least("cur", "nxt").alias("a"),
+            F.greatest("cur", "nxt").alias("b"),
+        )
+        .agg(
+            F.sum(F.when(F.col("cur") < F.col("nxt"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("nij"),
+            F.sum(F.when(F.col("cur") > F.col("nxt"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("nji"),
+        )
+    )
+    agg = sym.select(
+        (F.col("nij") + F.col("nji")).alias("n"), F.expr(_BW_TERM_E9).alias("t")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("dof"),
+        F.sum("n").cast("long").alias("n_offdiag"),
+        F.sum("t").cast("long").alias("x2_e9"),
+    )
+    zz = agg.select("dof", "n_offdiag", "x2_e9", F.expr(_BW_Z).alias("z_stat"))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.coalesce(F.col("n_offdiag"), F.lit(0))
+        .cast("long")
+        .alias("n_offdiag_transitions"),
+        "dof",
+        F.expr(
+            "CASE WHEN dof < 1 THEN NULL ELSE round(x2_e9 / 1e9, 6) + 0.0 END"
+        ).alias("x2_stat"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" WHEN z_stat >= 0 THEN round(({poly}) / 2, 6) + 0.0"
+            f" ELSE round(1 - ({poly}) / 2, 6) + 0.0 END"
+        ).alias("p_value"),
+    )

@@ -974,3 +974,211 @@ def test_fisher_z_detects_structure_difference(spark, tmp_path):
     assert row["r_a"] > 0.9 and row["r_b"] < -0.9
     assert row["z_stat"] < -4.0
     assert row["p_value"] < 0.001
+
+
+# --- Ljung-Box ------------------------------------------------------------------------
+
+
+def _lb_ref(events: pd.DataFrame) -> dict:
+    from collections import Counter
+
+    us_all = events["ts"].astype("int64")
+    days = Counter(int(us) // 86400000000 for us in us_all)
+    nn = len(days)
+    ss = sum(days.values())
+    den = float(sum((nn * c - ss) ** 2 for c in days.values()))
+    out = {"n_days": nn, "dof": 7}
+    t_e12 = 0
+    anynull = False
+    rks = {}
+    for k in range(1, 8):
+        numk = float(
+            sum(
+                (nn * days[d] - ss) * (nn * days[d + k] - ss)
+                for d in days
+                if d + k in days
+            )
+        )
+        rks[k] = None if den <= 0 else numk / den
+        if den <= 0 or nn <= k:
+            anynull = True
+        else:
+            t_e12 += _round_away(1e12 * (numk / den) ** 2 / (nn - k))
+    if nn <= 7 or anynull:
+        out.update({k: None for k in
+                    ("r_lag1", "r_lag7", "q_stat", "z_stat", "p_value")})
+        return out
+    q = (1.0 * nn * (nn + 2)) * (t_e12 / 1e12)
+    out["r_lag1"] = _rnd6(rks[1])
+    out["r_lag7"] = _rnd6(rks[7])
+    out["q_stat"] = _rnd6(q)
+    z = _rnd6(math.sqrt(2 * q) - math.sqrt(2.0 * 7 - 1))
+    out["z_stat"] = z
+    half = _erfc_poly(abs(z) / math.sqrt(2.0)) / 2
+    out["p_value"] = _rnd6(half) if z >= 0 else _rnd6(1 - half)
+    return out
+
+
+def test_ljung_box_matches_python(spark, sf_small):
+    ref = _lb_ref(_load_events(sf_small))
+    row = S.STAGED_QUERIES["ljung_box_daily_autocorr"](
+        spark, sf_small
+    ).collect()[0]
+    for k, v in ref.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_ljung_box_constant_series_nulls_loud(spark, tmp_path):
+    base = pd.Timestamp("2024-04-01")
+    rows, eid = [], 0
+    for day in range(12):
+        for j in range(5):  # exactly 5 events every day
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=j), 1 + j,
+                         "view", 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["ljung_box_daily_autocorr"](spark, sf).collect()[0]
+    assert row["n_days"] == 12
+    for k in ("r_lag1", "r_lag7", "q_stat", "z_stat", "p_value"):
+        assert row[k] is None, k
+
+
+def test_ljung_box_weekly_seasonality_detected(spark, tmp_path):
+    """Counts spike every 7th day over 6 weeks: r_lag7 strongly
+    positive, Q far into the chi-square(7) tail."""
+    base = pd.Timestamp("2024-04-01")
+    rows, eid = [], 0
+    for day in range(42):
+        n = 30 if day % 7 == 0 else 5
+        for j in range(n):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=j), 1 + j,
+                         "view", 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["ljung_box_daily_autocorr"](spark, sf).collect()[0]
+    assert row["r_lag7"] > 0.5
+    assert row["q_stat"] > 30.0
+    assert row["p_value"] < 0.01
+
+
+def test_ljung_box_alternating_negative_lag1(spark, tmp_path):
+    base = pd.Timestamp("2024-04-01")
+    rows, eid = [], 0
+    for day in range(20):
+        n = 20 if day % 2 == 0 else 4
+        for j in range(n):
+            rows.append((eid, base + pd.Timedelta(days=day, seconds=j), 1 + j,
+                         "view", 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["ljung_box_daily_autocorr"](spark, sf).collect()[0]
+    assert row["r_lag1"] < -0.5
+    assert row["p_value"] < 0.01
+
+
+# --- Bowker symmetry ---------------------------------------------------------------
+
+
+def _transitions_py(pdf: pd.DataFrame):
+    """Within-session consecutive event-type pairs under the reference
+    session semantics (the session_markov_transitions definition)."""
+    from collections import Counter
+
+    pairs: Counter = Counter()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    secs_all = pdf["ts"].astype("int64") // 10**6
+    for uid, idx in pdf.groupby("user_id").groups.items():
+        start = prev = None
+        cnt = 0
+        prev_type = None
+        for s, et in zip(secs_all.loc[idx].tolist(),
+                         pdf.loc[idx, "event_type"].tolist()):
+            if start is None:
+                start, prev, cnt = s, s, 1
+            elif (s - prev > 1800) or (cnt + 1 >= 1500) or (s - start > 43200):
+                start, prev, cnt = s, s, 1  # cut: no pair across it
+            else:
+                pairs[(prev_type, et)] += 1
+                prev, cnt = s, cnt + 1
+            prev_type = et
+    return pairs
+
+
+def _bw_ref(events: pd.DataFrame) -> dict:
+    from collections import defaultdict
+
+    pairs = _transitions_py(events)
+    sym = defaultdict(lambda: [0, 0])
+    for (cur, nxt), n in pairs.items():
+        if cur == nxt:
+            continue
+        a, b = min(cur, nxt), max(cur, nxt)
+        if cur < nxt:
+            sym[(a, b)][0] += n
+        else:
+            sym[(a, b)][1] += n
+    dof = len(sym)
+    out = {"dof": dof,
+           "n_offdiag_transitions": sum(i + j for i, j in sym.values())}
+    if dof < 1:
+        out.update({"x2_stat": None, "z_stat": None, "p_value": None})
+        return out
+    x2_e9 = sum(
+        _round_away(1e9 * (1.0 * nij - nji) ** 2 / (nij + nji))
+        for nij, nji in sym.values()
+    )
+    x2 = x2_e9 / 1e9
+    out["x2_stat"] = _rnd6(x2)
+    z = _rnd6(math.sqrt(2 * x2) - math.sqrt(2.0 * dof - 1))
+    out["z_stat"] = z
+    half = _erfc_poly(abs(z) / math.sqrt(2.0)) / 2
+    out["p_value"] = _rnd6(half) if z >= 0 else _rnd6(1 - half)
+    return out
+
+
+def test_bowker_matches_python(spark, sf_small):
+    ref = _bw_ref(_load_events(sf_small))
+    row = S.STAGED_QUERIES["bowker_symmetry_transitions"](
+        spark, sf_small
+    ).collect()[0]
+    for k, v in ref.items():
+        if v is None:
+            assert row[k] is None, k
+        elif isinstance(v, int):
+            assert row[k] == v, (k, row[k], v)
+        else:
+            assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_bowker_symmetric_chain_zero(spark, tmp_path):
+    """Every session is view -> click -> view: each user contributes one
+    v->c and one c->v, the matrix is exactly symmetric, X^2 = 0.0."""
+    base = pd.Timestamp("2024-04-01 09:00:00")
+    rows, eid = [], 0
+    for u in range(6):
+        for j, et in enumerate(("view", "click", "view")):
+            rows.append((eid, base + pd.Timedelta(hours=u, seconds=60 * j),
+                         u, et, 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["bowker_symmetry_transitions"](spark, sf).collect()[0]
+    assert row["dof"] == 1 and row["n_offdiag_transitions"] == 12
+    assert row["x2_stat"] == 0.0
+
+
+def test_bowker_directional_chain_detected(spark, tmp_path):
+    """Every session is view -> click -> purchase (never the reverse):
+    both off-diagonal pairs are one-directional, X^2 = 2n exactly
+    (n = 8 users -> 16.0), p small."""
+    base = pd.Timestamp("2024-04-01 09:00:00")
+    rows, eid = [], 0
+    for u in range(8):
+        for j, et in enumerate(("view", "click", "purchase")):
+            rows.append((eid, base + pd.Timedelta(hours=u, seconds=60 * j),
+                         u, et, 1.0, "{}")); eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["bowker_symmetry_transitions"](spark, sf).collect()[0]
+    assert row["dof"] == 2
+    assert row["x2_stat"] == 16.0
+    assert row["p_value"] < 0.01
