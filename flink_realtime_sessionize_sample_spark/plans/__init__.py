@@ -23,6 +23,7 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r10  # noqa: F4
 from flink_realtime_sessionize_sample_spark.plans import staging_r11  # noqa: F401  (promoted round 11)
 from flink_realtime_sessionize_sample_spark.plans import staging_r12  # noqa: F401  (promoted round 12)
 from flink_realtime_sessionize_sample_spark.plans import staging_r13  # noqa: F401  (promoted round 13)
+from flink_realtime_sessionize_sample_spark.plans import staging_r14  # noqa: F401  (promoted round 14)
 
 # The external correctness harness snapshots exactly the first 50 entries of
 # this registry (``list(queries())[:50]``). Through round 2 the registry was
@@ -41,16 +42,15 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r13  # noqa: F4
 # asserts every name in it sits inside the first-50 window, alongside
 # every query not yet externally green (new registrations).
 #
-# ROUND-13 ROTATION (this edit): round 12 closed 50/50 green — every
-# one of the 337 registered queries carries a cumulative green external
-# row (judge-verified union over r01–r12). Round 13 is the staged-
-# promotion round (the 12 staging_r13 queries go live, registry
-# 337 → 349). Non-staging query-code changes this round: the ADVICE r12
-# fix trio lives inside plans/staging_r13.py itself (its blast radius is
-# the 12 promotions, windowed as promotions), and the Storey-staging CTE
-# factor rotates ``ab_segment_bh_fdr`` (analytics_queries) — listed in
-# _CHANGED_SINCE_EXTERNAL below, the one verdict-sanctioned swap against
-# an r5 fill-in slot.
+# ROUND-14 ROTATION (this edit): round 13 closed 50/50 green — every
+# one of the 349 registered queries carries a cumulative green external
+# row (judge-verified union over r01–r13, zero failing at latest check).
+# Round 14 is the staged-promotion round (the 12 staging_r14 queries go
+# live, registry 349 → 361). The only live-code changes this round are
+# inside plans/staging_r14.py itself (the promotion flip plus the
+# ADVICE r13 #2 single-site splice asserts) — blast radius is exactly
+# the 12 promotions, windowed as promotions. No other rotation is
+# pending, so _CHANGED_SINCE_EXTERNAL is empty this round.
 #
 # MECHANIZED (judge r7 item 3, completed r9): the list below is the
 # output of
@@ -65,20 +65,18 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r13  # noqa: F4
 # staging_r11 promotions also appear in the mechanized output — flipping
 # ``staged`` to delegate to ``registry.query`` touches their shared
 # decorator symbol — but they are windowed as promotions, not rotations.)
-_ROUND_OPEN_COMMIT = "6dff84a"
+_ROUND_OPEN_COMMIT = "c1cc229"
 
 # Queries whose implementation changed after their latest green external
-# row (tools/rotation_map.py --since 6dff84a; see the mechanization note
-# above). Round 13's changed-code names: the 12 staging_r13 promotions
-# (the ADVICE r12 fixes live inside that module) are windowed below as
-# promotions; ``ab_segment_bh_fdr`` rotates because its battery CTE was
-# factored into the shared ``_AB_SEG_CTES`` constant consumed by the
-# staged Storey pi0/q-value query (plans/staging_r14.py) — the verdict's
-# Option A (swap one r5 fill-in for the rotation and do the factor+stage
-# this round).
-_CHANGED_SINCE_EXTERNAL: list[str] = [
-    "ab_segment_bh_fdr",
-]
+# row (tools/rotation_map.py --since c1cc229; see the mechanization note
+# above). Round 14 has NO standalone rotations: the only changed code is
+# plans/staging_r14.py (promotion flip + the ADVICE r13 #2 splice
+# asserts), whose 12 consumers are windowed below as promotions. (For
+# the record: round 13's one rotation was ``ab_segment_bh_fdr``, forced
+# by factoring its battery CTE into the shared ``_AB_SEG_P_CTES``
+# constant in analytics_queries.py, consumed by the Storey/BY/stream-
+# Storey queries promoted this round — it went green in CORRECTNESS_r13.)
+_CHANGED_SINCE_EXTERNAL: list[str] = []
 
 # The 34 queries built + oracle-paired + locally swept during round 7 in
 # plans/staging_r8.py, registered live in round 8 — all 34 went green in
@@ -234,59 +232,81 @@ _ROUND13_PROMOTIONS: list[str] = [
     "sign_test_prepost",
 ]
 
+# The 12 queries built + oracle-paired + three-scale swept (sf0.001 +
+# sf0.01 + sf0.1) + adversarial-config verified during round 13 in
+# plans/staging_r14.py, registered live in round 14 (promotion pattern
+# identical to _ROUND8/10/11/12/13_PROMOTIONS). The round-13 ADVICE #2
+# fix (single-site splice asserts on the streaming-twin oracle rewrites)
+# landed in the same module immediately before this promotion and was
+# re-swept at all scales/configs.
+_ROUND14_PROMOTIONS: list[str] = [
+    "storey_qvalue_segments",
+    "benjamini_yekutieli_segments",
+    "stream_storey_qvalue_monitor",
+    "cox_ph_score_test",
+    "mantel_logrank_trend_tod",
+    "jarque_bera_event_values",
+    "ansari_bradley_scale_ab",
+    "breslow_day_or_homogeneity",
+    "stream_jarque_bera_monitor",
+    "fisher_z_corr_diff_ab",
+    "ljung_box_daily_autocorr",
+    "bowker_symmetry_transitions",
+]
+
 _DRIVER_WINDOW: list[str] = [
     # Anchors — kept in-window every round for continuity.
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Changed-code re-checks (standing rule above): ab_segment_bh_fdr,
-    # rotated by the Storey-staging CTE factor (see the rotation note).
+    # Changed-code re-checks (standing rule above): none this round.
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-13 promotions (plans/staging_r13.py; each verified at
+    # Round-14 promotions (plans/staging_r14.py; each verified at
     # sf0.001 + sf0.01 + sf0.1 plus five adversarial configs before
-    # promotion, re-swept after the ADVICE r12 fixes).
-    *_ROUND13_PROMOTIONS,
-    # Oldest-green fill-ins: the 20 remaining rows whose NEWEST external
-    # row dates to round 4 (the r12 spill — after these, no green row
-    # predates round 5), then the alphabetical first 14 of the 36 rows
-    # whose newest row dates to round 5 — freshness rotation, code
-    # unchanged since their rows. (The 15th r5 slot went to the
-    # ab_segment_bh_fdr rotation above, the verdict's Option A.) The
-    # remaining 22 r5-dated rows spill to round 14.
-    "heavy_hitters_bigrams",
-    "heavy_hitters_stream_events",
-    "hll_mergeable_distinct",
-    "kll_mergeable_quantiles",
-    "order_value_histogram",
-    "orders_trend_decomposition",
-    "profit_by_nation_year",
-    "retention_cohorts",
-    "sample_weighted_docs",
-    "scd2_customer_orders",
-    "session_funnel_conversion",
-    "sessionize_dynamic_gap",
-    "setop_except_all",
-    "setop_intersect_all",
-    "snapshot_diff_cdc",
-    "table_fingerprint",
-    "theta_set_algebra_distinct",
-    "tokenizer_bpe_pair_counts",
-    "value_winsorized",
-    "waiting_suppliers_q21",
-    "ab_test_two_proportions",
-    "array_set_funcs",
-    "avg_account_balance_q22",
-    "benford_digit_audit",
-    "bootstrap_mean_ci",
-    "customer_order_distribution_q13",
-    "doc_chunk_overlap_rag",
-    "doc_ngram_novelty",
-    "doc_source_contingency_chi2",
-    "doc_sparse_cosine_pairs",
-    "embedding_pca_power_iteration",
-    "event_outliers_mad",
-    "events_sliding_windows",
-    "excess_stock_suppliers_q20",
+    # promotion, re-swept after the ADVICE r13 #2 splice asserts).
+    *_ROUND14_PROMOTIONS,
+    # Oldest-green fill-ins: the 22 remaining rows whose NEWEST external
+    # row dates to round 5 (the r13 spill — after these, no green row
+    # predates round 6), then the alphabetical first 13 of the 28 rows
+    # whose newest row dates to round 6 — freshness rotation, code
+    # unchanged since their rows. The remaining 15 r6-dated rows spill
+    # to round 15 (the verdict r13 window arithmetic, verified against
+    # the recomputed CORRECTNESS_r01–r13 union).
+    "global_sales_channel_q7",
+    "label_centroid_similarity",
+    "last_touch_attribution",
+    "line_dedup_c4",
+    "local_supplier_volume_q5",
+    "min_cost_supplier_q2",
+    "national_market_share_q8",
+    "orders_yoy_growth",
+    "parts_supplier_relationship_q16",
+    "pipeline_json_sink_roundtrip",
+    "promo_revenue_share_q14",
+    "returned_item_customers_q10",
+    "robust_scaler_features",
+    "rolling_7d_distinct_users",
+    "session_markov_transitions",
+    "shipping_modes_q12",
+    "shipping_priority_q3",
+    "source_unigram_kl",
+    "stratified_sample_exact",
+    "stream_stream_interval_join",
+    "user_value_ewma",
+    "zorder_cluster_stats",
+    "ab_test_cuped",
+    "ann_ivf_exact_kmeans_topk",
+    "ann_jl_recall_audit",
+    "bm25_doc_search",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "cdc_chunk_dedup",
+    "cohens_kappa_agreement",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_survivor_corpus",
+    "doc_trigram_backoff_logprob",
 ]
 
 
@@ -623,6 +643,15 @@ _EXTERNALLY_GREEN_THROUGH_R11: frozenset[str] = (
 # (judge-verified union over CORRECTNESS_r01–r12).
 _EXTERNALLY_GREEN_THROUGH_R12: frozenset[str] = (
     _EXTERNALLY_GREEN_THROUGH_R11 | frozenset(_ROUND12_PROMOTIONS)
+)
+
+# CORRECTNESS_r13 window: 3 anchors, the ab_segment_bh_fdr rotation, all
+# 12 staging_r13 promotions, 34 fill-ins — 50/50 green. Union = every
+# query with a green external row through round 13 — the whole 349-query
+# registry, with zero verification-stale rows at the round-13 close
+# (judge-verified union over CORRECTNESS_r01–r13).
+_EXTERNALLY_GREEN_THROUGH_R13: frozenset[str] = (
+    _EXTERNALLY_GREEN_THROUGH_R12 | frozenset(_ROUND13_PROMOTIONS)
 )
 
 

@@ -1,16 +1,15 @@
-"""Round-14 capability queries — STAGED during round 13, promoted when the
-round-14 window opens (the r7→r8→r10→r11→r12→r13 staging pattern: the
-round-13 driver window is full, and the standing no-new-backlog rule in
-tests/test_registry_window.py forbids live registration the driver can't
-verify within the round).
+"""Round-14 capability queries — staged during round 13, REGISTERED LIVE
+at the round-14 open (the r7→r8→r10→r11→r12→r13 staging pattern: built
+and verified one round ahead, promoted when the driver window has room).
 
-``STAGED_QUERIES``/``STAGED_ORACLES`` hold the pairs; nothing here touches
-``plans.QUERIES`` until the promotion round flips ``staged`` to delegate
-to ``registry.query`` (exactly how ``plans/staging_r13.py`` did it at the
-round-13 open). Each query is verified by tools/staged_verify.py
-(STAGED_MODULE=staging_r14) at sf0.001 + sf0.01 + sf0.1 (plus the five
-adversarial configs) before promotion, and pinned by independent Python
-references in tests/test_staging_r14.py.
+``staged`` now delegates to ``registry.query`` (the promotion flip);
+``STAGED_QUERIES``/``STAGED_ORACLES`` remain as the promoted-set record
+for the semantics tests. Each query was verified by
+tools/staged_verify.py (STAGED_MODULE=staging_r14) at sf0.001 + sf0.01 +
+sf0.1 (plus the five adversarial configs) before promotion — and
+re-swept after the ADVICE r13 oracle-splice guard landed in this module
+at the round-14 open — and is pinned by independent Python references
+in tests/test_staging_r14.py.
 
 The batch (the three round-12 verdict "next round #4" picks, each a
 measured-need family completion, plus five further completions):
@@ -73,7 +72,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.functions import text as T
-from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn
+from flink_realtime_sessionize_sample_spark.plans.registry import QueryFn, query
 from flink_realtime_sessionize_sample_spark.plans.staging_r12 import (
     _dec_sum_bigint,
     _fdiv_duck,
@@ -87,12 +86,12 @@ STAGED_ORACLES: dict[str, str] = {}
 
 
 def staged(name: str, oracle: str | None = None):
-    """Round-14 staging: holds the pair OUT of the live registry until
-    the promotion round (see module docstring)."""
+    """Round-14 promotion: registers LIVE via ``registry.query`` and keeps
+    the staging dicts as the promoted-set record for the semantics tests
+    (the r8/r10/r11/r12/r13 pattern)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in STAGED_QUERIES:
-            raise ValueError(f"duplicate staged name {name!r}")
+        fn = query(name, oracle)(fn)
         STAGED_QUERIES[name] = fn
         if oracle is not None:
             STAGED_ORACLES[name] = oracle
@@ -1352,7 +1351,12 @@ def _stream_storey_oracle() -> str:
     # battery CTE references the events table exactly once (its ``seg``
     # CTE), so the restriction is a single-site source rewrite of the
     # SHARED text — the twin and the batch query can never drift apart.
-    restricted = _ab_seg_cte().replace(
+    # ADVICE r13 #2: assert the needle is unique BEFORE splicing — if the
+    # shared battery ever gains a second ``FROM events`` reference,
+    # replace() would silently rewrite all sites; this fails loud instead.
+    base = _ab_seg_cte()
+    assert base.count("FROM events\n") == 1, "battery events-ref no longer single-site"
+    restricted = base.replace(
         "FROM events\n", "FROM events WHERE user_id % 2 = 1\n"
     )
     assert "WHERE user_id % 2 = 1" in restricted
@@ -1475,8 +1479,12 @@ def stream_storey_qvalue_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_jb_oracle() -> str:
     # The batch JB SQL restricted to the replayed odd-event half — a
-    # single-site source rewrite of the batch oracle (asserted).
-    restricted = _jb_oracle().replace(
+    # single-site source rewrite of the batch oracle. ADVICE r13 #2:
+    # assert the needle is unique BEFORE splicing so a future second
+    # ``FROM events)`` site fails loud instead of being silently rewritten.
+    base = _jb_oracle()
+    assert base.count("FROM events)") == 1, "JB oracle events-ref no longer single-site"
+    restricted = base.replace(
         "FROM events)", "FROM events WHERE event_id % 2 = 1)"
     )
     assert "WHERE event_id % 2 = 1" in restricted

@@ -32,9 +32,9 @@ def test_changed_since_external_inside_driver_window():
 
 def test_unverified_registrations_inside_driver_window():
     # No new backlog: every query without a green external row through
-    # round 12 (i.e. anything registered in round 13 or later) must be
+    # round 13 (i.e. anything registered in round 14 or later) must be
     # inside the first-50 window.
-    green = set(plans._EXTERNALLY_GREEN_THROUGH_R12)
+    green = set(plans._EXTERNALLY_GREEN_THROUGH_R13)
     out = [n for n in plans.QUERIES if n not in green and n not in _window()]
     assert not out, f"unverified queries outside the first-50 window: {out}"
 

@@ -86,11 +86,22 @@ def _sessions_py(pdf: pd.DataFrame):
 # --- staging invariants ------------------------------------------------------
 
 
-def test_staged_names_not_registered_live():
-    # The round-13 window is full: staging must NOT leak into the live
-    # registry until the round-14 promotion.
-    leaked = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
-    assert not leaked, f"staged names registered live behind a full window: {leaked}"
+def test_promoted_names_are_registered_live():
+    # Round-14 promotion invariant (the test_staging_r8/r10/r11/r12/r13
+    # durable form — the original "must NOT leak while staged" assertion
+    # inverted at the round-14 open): every staged query registers into
+    # the live registry (same function object), every name sits inside
+    # the round-14 driver window (all 12 are this round's new
+    # registrations), and the promotion list in plans/__init__ matches
+    # the staged set exactly.
+    missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
+    assert not missing, f"promoted queries missing from the live registry: {missing}"
+    same = [n for n in S.STAGED_QUERIES if plans.QUERIES[n] is S.STAGED_QUERIES[n]]
+    assert len(same) == len(S.STAGED_QUERIES)
+    window = set(list(plans.QUERIES)[:50])
+    out = [n for n in S.STAGED_QUERIES if n not in window]
+    assert out == [], f"promoted queries outside the round-14 window: {out}"
+    assert set(plans._ROUND14_PROMOTIONS) == set(S.STAGED_QUERIES)
 
 
 def test_every_staged_query_is_oracle_paired():
