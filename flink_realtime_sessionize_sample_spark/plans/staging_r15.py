@@ -917,3 +917,566 @@ def dagostino_k2_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE round(exp(-k2 / 2e0), 6) + 0.0 END"
         ).alias("p_value"),
     )
+
+
+# --- KPSS level stationarity ----------------------------------------------------------
+
+# Kwiatkowski, Phillips, Schmidt & Shin (1992): with e_i the demeaned
+# series and S_t its partial sums, eta = n^-2 sum_t S_t^2 / s^2(l),
+# where s^2(l) is the Bartlett-kernel long-run variance at the
+# Newey-West automatic lag l = floor(4 (n/100)^(1/4)). Multiply-through
+# exactness: e'_i = n*y_i - s (exact int, the LB trick), so
+#   sum S_t^2 / den  and  gamma_k / den  (den = sum e'^2)
+# are engine-identical doubles; each normalized term e8-quantizes
+# before its sum, and the closed form eta = (P/den)(l+1) / (n W/den)
+# with W = (l+1) gamma_0 + 2 sum (l+1-k) gamma_k needs no further
+# division. The KPSS null has no closed-form CDF: the readout compares
+# eta to the PUBLISHED critical values 0.347 / 0.463 / 0.739 at
+# 10/5/1% (tabulated-critical spec, documented — no p_value column by
+# design). Day gaps index as consecutive observations (the trading-day
+# convention, documented).
+_KPSS_L = "CAST(floor(4e0 * sqrt(sqrt(nn / 1e2))) AS BIGINT)"
+_KPSS_RATIO_E8 = (
+    "CASE WHEN den <= 0e0 THEN NULL"
+    " ELSE CAST(round(100000000 * ((1e0 * sc * sc) / den)) AS BIGINT) END"
+)
+_KPSS_ETA = (
+    "CASE WHEN p8 IS NULL OR anynull = 1 OR wq8 IS NULL OR wq8 <= 0"
+    " OR nn < 2 THEN NULL"
+    " ELSE ((p8 / 1e8) * (l + 1)) / (1e0 * nn * (wq8 / 1e8)) END"
+)
+
+
+def _kpss_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+ix AS (SELECT row_number() OVER (ORDER BY day) AS i, y FROM d),
+tot AS (
+  SELECT count(*)::BIGINT AS nn, sum(y)::BIGINT AS ss,
+         {_KPSS_L.replace("nn", "count(*)")} AS l
+  FROM ix
+),
+e AS (
+  SELECT i, CAST(tot.nn * y - tot.ss AS BIGINT) AS ee, tot.nn, tot.ss, tot.l
+  FROM ix CROSS JOIN tot
+),
+den_t AS (
+  SELECT CAST(sum(CAST(ee AS DECIMAL(38,0)) * ee) AS DOUBLE) AS den FROM e
+),
+cum AS (
+  SELECT i, CAST(sum(ee) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS sc
+  FROM e
+),
+pp AS (
+  SELECT CAST(sum({_KPSS_RATIO_E8}) AS BIGINT) AS p8,
+         max(CASE WHEN {_KPSS_RATIO_E8} IS NULL THEN 1 ELSE 0 END) AS anynull
+  FROM cum CROSS JOIN den_t
+),
+lags AS (SELECT k FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),
+                        (11),(12)) v(k)),
+gk AS (
+  SELECT l.k,
+         CAST(sum(CAST(a.ee AS DECIMAL(38,0)) * b.ee) AS DOUBLE) AS gnum
+  FROM e a CROSS JOIN lags l JOIN e b ON b.i = a.i + l.k
+  GROUP BY l.k
+),
+gq AS (
+  SELECT lags.k,
+         CASE WHEN den_t.den <= 0e0 THEN NULL
+              ELSE CAST(round(100000000 * (coalesce(gk.gnum, 0e0)
+                   / den_t.den)) AS BIGINT) END AS grq
+  FROM lags LEFT JOIN gk ON gk.k = lags.k CROSS JOIN den_t
+),
+wsum AS (
+  SELECT CAST(sum(CASE WHEN gq.k <= tot.l THEN (tot.l + 1 - gq.k) * grq
+                       ELSE 0 END) AS BIGINT) AS w2q,
+         max(CASE WHEN gq.k <= tot.l AND grq IS NULL THEN 1 ELSE 0 END)
+           AS gnull
+  FROM gq CROSS JOIN tot
+),
+wq AS (
+  SELECT CASE WHEN gnull = 1 THEN NULL
+              ELSE (tot.l + 1) * 100000000 + 2 * w2q END AS wq8
+  FROM wsum CROSS JOIN tot
+),
+et AS (
+  SELECT tot.nn, tot.l, {_KPSS_ETA} AS eta
+  FROM pp CROSS JOIN wq CROSS JOIN tot
+)
+SELECT nn AS n_days, l AS lag_l,
+       CASE WHEN eta IS NULL THEN NULL ELSE round(eta, 6) + 0.0 END
+         AS kpss_eta,
+       CASE WHEN eta IS NULL THEN NULL ELSE eta < 347e-3 END
+         AS stationary_10pct,
+       CASE WHEN eta IS NULL THEN NULL ELSE eta < 463e-3 END
+         AS stationary_5pct,
+       CASE WHEN eta IS NULL THEN NULL ELSE eta < 739e-3 END
+         AS stationary_1pct
+FROM et
+"""
+
+
+@staged("kpss_level_stationarity", oracle=_kpss_oracle())
+def kpss_level_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on the daily-revenue series — the
+    null-reversed member of the time-series diagnostics family: the
+    portmanteau/runs/trend tests take "no structure" as the null, KPSS
+    takes STATIONARITY as the null and rejects when the series wanders
+    (the unit-root screen every forecasting pipeline runs before
+    differencing). Bartlett long-run variance at the Newey-West
+    automatic lag; eta is read against the PUBLISHED critical values
+    (0.347/0.463/0.739 at 10/5/1%) because the KPSS null distribution
+    has no closed-form CDF — the tabulated-critical spec, documented
+    (no p_value column by design).
+
+    Exactness: daily revenue cents are exact integers on the datediff
+    day key (the runs_test frame); the demeaned series multiplies
+    through by n (e' = n*y - s, the LB trick; n*y stays in int64 on the
+    documented envelope); partial sums of e' are exact integer window
+    sums; every normalized term (S~^2/den, gamma_k/den) e8-quantizes
+    before its sum so the bounded-frame sums are exact; the closed form
+    eta = (P/den)(l+1)/(n W/den) divides once. Zero-variance corpora
+    and W <= 0 (negative long-run variance estimate on a degenerate
+    series) NULL loud. Day gaps index as consecutive observations (the
+    trading-day convention, documented).
+
+    Scale shape: one fact scan -> bounded day frame (checkpointed);
+    cumulative and lag passes run over that bounded frame; the lag
+    table is a broadcast 12-row range; one scalar readout."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        ).alias("day")
+    ).agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("y"))
+    ix = d.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        "y",
+    )
+    ix = ix.localCheckpoint()  # bounded day frame; tot + den + cum + lag joins
+    tot = ix.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("ss"),
+    ).select("*", F.expr(_KPSS_L).alias("l"))
+    e = ix.crossJoin(F.broadcast(tot)).select(
+        "i",
+        F.expr("CAST(nn * y - ss AS BIGINT)").alias("ee"),
+        "nn",
+        "ss",
+        "l",
+    )
+    e = e.localCheckpoint()  # bounded demeaned frame; den + cum + 12 lag joins
+    den_t = e.agg(
+        F.expr("CAST(sum(CAST(ee AS DECIMAL(38,0)) * ee) AS DOUBLE)").alias("den")
+    )
+    wcum = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    cum = e.select("i", F.sum("ee").over(wcum).cast("long").alias("sc"))
+    pp = cum.crossJoin(F.broadcast(den_t)).agg(
+        F.sum(F.expr(_KPSS_RATIO_E8)).cast("long").alias("p8"),
+        F.max(
+            F.when(F.expr(_KPSS_RATIO_E8).isNull(), 1).otherwise(0)
+        ).alias("anynull"),
+    )
+    lags = spark.range(1, 13).select(F.col("id").cast("long").alias("k"))
+    a = e.select(F.col("i").alias("ia"), F.col("ee").alias("ea"))
+    b = e.select(F.col("i").alias("ib"), F.col("ee").alias("eb"))
+    gk = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("ib") == F.col("ia") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(ea AS DECIMAL(38,0)) * eb) AS DOUBLE)"
+            ).alias("gnum")
+        )
+    )
+    gq = (
+        lags.join(gk, "k", "left")
+        .crossJoin(F.broadcast(den_t))
+        .select(
+            "k",
+            F.expr(
+                "CASE WHEN den <= 0e0 THEN NULL"
+                " ELSE CAST(round(100000000 * (coalesce(gnum, 0e0) / den))"
+                " AS BIGINT) END"
+            ).alias("grq"),
+        )
+    )
+    wsum = gq.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr("CASE WHEN k <= l THEN (l + 1 - k) * grq ELSE 0 END")
+        )
+        .cast("long")
+        .alias("w2q"),
+        F.max(
+            F.expr("CASE WHEN k <= l AND grq IS NULL THEN 1 ELSE 0 END")
+        ).alias("gnull"),
+    )
+    wq = wsum.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN gnull = 1 THEN NULL"
+            " ELSE (l + 1) * 100000000 + 2 * w2q END"
+        ).alias("wq8")
+    )
+    et = (
+        pp.crossJoin(F.broadcast(wq))
+        .crossJoin(F.broadcast(tot))
+        .select("nn", "l", F.expr(_KPSS_ETA).alias("eta"))
+    )
+    return et.select(
+        F.col("nn").alias("n_days"),
+        F.col("l").alias("lag_l"),
+        F.expr(
+            "CASE WHEN eta IS NULL THEN NULL ELSE round(eta, 6) + 0.0 END"
+        ).alias("kpss_eta"),
+        F.expr(
+            "CASE WHEN eta IS NULL THEN NULL ELSE eta < 347e-3 END"
+        ).alias("stationary_10pct"),
+        F.expr(
+            "CASE WHEN eta IS NULL THEN NULL ELSE eta < 463e-3 END"
+        ).alias("stationary_5pct"),
+        F.expr(
+            "CASE WHEN eta IS NULL THEN NULL ELSE eta < 739e-3 END"
+        ).alias("stationary_1pct"),
+    )
+
+
+# --- PACF of the daily event counts ---------------------------------------------------
+
+# Durbin-Levinson closed forms at lags 1..3 over the promoted
+# ljung_box autocovariance frame (same exact integer trick, same
+# calendar-day lag pairing):
+#   phi_11 = r1
+#   phi_22 = (r2 - r1^2) / (1 - r1^2)      phi_21 = r1 (1 - phi_22)
+#   phi_33 = (r3 - phi_21 r2 - phi_22 r1) / (1 - phi_21 r1 - phi_22 r2)
+# r_k are engine-identical doubles (ratios of exact-DECIMAL-sourced
+# doubles), so the layered rational algebra is engine-identical too;
+# degenerate denominators NULL loud (ANSI divide guard).
+_PACF_P22 = (
+    "CASE WHEN r1 IS NULL OR r2 IS NULL"
+    " OR (1e0 - r1 * r1) = 0e0 THEN NULL"
+    " ELSE (r2 - r1 * r1) / (1e0 - r1 * r1) END"
+)
+_PACF_P21 = "CASE WHEN p22 IS NULL THEN NULL ELSE r1 * (1e0 - p22) END"
+_PACF_P33 = (
+    "CASE WHEN p21 IS NULL OR r3 IS NULL"
+    " OR (1e0 - p21 * r1 - p22 * r2) = 0e0 THEN NULL"
+    " ELSE (r3 - p21 * r2 - p22 * r1)"
+    " / (1e0 - p21 * r1 - p22 * r2) END"
+)
+
+
+def _pacf_oracle() -> str:
+    day = _fdiv_duck("epoch_us(ts)", 86400000000)
+    return f"""
+WITH d AS (
+  SELECT {day} AS d, count(*)::BIGINT AS c FROM events GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS nn, sum(c)::BIGINT AS ss FROM d),
+den_t AS (
+  SELECT CAST(sum(CAST((nn * c - ss) AS DECIMAL(38,0)) * (nn * c - ss))
+           AS DOUBLE) AS den
+  FROM d CROSS JOIN tot
+),
+lags AS (SELECT k FROM (VALUES (1),(2),(3)) v(k)),
+pairs AS (
+  SELECT l.k,
+         CAST(sum(CAST((t.nn * a.c - t.ss) AS DECIMAL(38,0))
+                  * (t.nn * b.c - t.ss)) AS DOUBLE) AS numk
+  FROM d a CROSS JOIN lags l JOIN d b ON b.d = a.d + l.k
+  CROSS JOIN tot t
+  GROUP BY l.k
+),
+lagf AS (
+  SELECT l.k, coalesce(p.numk, 0e0) AS numk
+  FROM lags l LEFT JOIN pairs p ON p.k = l.k
+),
+rk AS (
+  SELECT k, {_LB_RK} AS rk
+  FROM lagf CROSS JOIN tot CROSS JOIN den_t
+),
+rv AS (
+  SELECT tot.nn,
+         max(CASE WHEN k = 1 THEN rk.rk END) AS r1,
+         max(CASE WHEN k = 2 THEN rk.rk END) AS r2,
+         max(CASE WHEN k = 3 THEN rk.rk END) AS r3
+  FROM rk CROSS JOIN tot GROUP BY tot.nn
+),
+p2 AS (SELECT *, {_PACF_P22} AS p22 FROM rv),
+p2b AS (SELECT *, {_PACF_P21} AS p21 FROM p2),
+p3 AS (SELECT *, {_PACF_P33} AS p33 FROM p2b)
+SELECT nn AS n_days,
+       CASE WHEN r1 IS NULL THEN NULL ELSE round(r1, 6) + 0.0 END AS r_1,
+       CASE WHEN r2 IS NULL THEN NULL ELSE round(r2, 6) + 0.0 END AS r_2,
+       CASE WHEN r3 IS NULL THEN NULL ELSE round(r3, 6) + 0.0 END AS r_3,
+       CASE WHEN r1 IS NULL THEN NULL ELSE round(r1, 6) + 0.0 END AS pacf_1,
+       CASE WHEN p22 IS NULL THEN NULL ELSE round(p22, 6) + 0.0 END AS pacf_2,
+       CASE WHEN p33 IS NULL THEN NULL ELSE round(p33, 6) + 0.0 END AS pacf_3,
+       CASE WHEN nn < 1 THEN NULL
+            ELSE round(1.959964e0 / sqrt(1e0 * nn), 6) + 0.0 END AS ci_band
+FROM p3
+"""
+
+
+@staged("pacf_daily_events", oracle=_pacf_oracle())
+def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelations of the daily event-count series at lags
+    1..3 (Durbin-Levinson closed forms) — the AR-order companion of the
+    promoted ``ljung_box_daily_autocorr``: the ACF says "days k apart
+    correlate", the PACF says "after regressing out the shorter lags"
+    — with the +-1.96/sqrt(n) band a dashboard draws next to it. Lags
+    1..3 are the closed-form range (each further Durbin-Levinson level
+    doubles the expression tree; order > 3 daily AR fits are a modeling
+    job, not a diagnostic — documented spec).
+
+    Exactness: the autocovariance frame is the promoted LB query's
+    shared machinery verbatim (exact integer multiply-through,
+    DECIMAL(38,0) per-row products, calendar-day lag pairing, _LB_RK);
+    r_1..r_3 are engine-identical doubles, and the PACF algebra is
+    layered shared rational texts over them with ANSI divide guards
+    (constant series or a singular Toeplitz level NULL loud).
+
+    Scale shape: one corpus scan -> the bounded day frame
+    (checkpointed); 3-row broadcast lag join; 1-row algebra."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr(_fdiv_spark("unix_micros(ts)", 86400000000)).alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    d = d.localCheckpoint()  # bounded day frame; den + 3 lag joins
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("c").cast("long").alias("ss"),
+    )
+    den_t = d.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(sum(CAST((nn * c - ss) AS DECIMAL(38,0)) * (nn * c - ss))"
+            " AS DOUBLE)"
+        ).alias("den")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("long").alias("k"))
+    a = d.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = d.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST((nn * ca - ss) AS DECIMAL(38,0))"
+                " * (nn * cb - ss)) AS DOUBLE)"
+            ).alias("numk")
+        )
+    )
+    lagf = lags.join(pairs, "k", "left").select(
+        "k", F.coalesce(F.col("numk"), F.lit(0.0)).alias("numk")
+    )
+    rk = lagf.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(den_t)).select(
+        "k", F.expr(_LB_RK).alias("rk")
+    )
+    rv = rk.crossJoin(F.broadcast(tot)).groupBy("nn").agg(
+        F.max(F.when(F.col("k") == 1, F.col("rk"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("rk"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("rk"))).alias("r3"),
+    )
+    p2 = rv.withColumn("p22", F.expr(_PACF_P22))
+    p2b = p2.withColumn("p21", F.expr(_PACF_P21))
+    p3 = p2b.withColumn("p33", F.expr(_PACF_P33))
+    return p3.select(
+        F.col("nn").alias("n_days"),
+        F.expr(
+            "CASE WHEN r1 IS NULL THEN NULL ELSE round(r1, 6) + 0.0 END"
+        ).alias("r_1"),
+        F.expr(
+            "CASE WHEN r2 IS NULL THEN NULL ELSE round(r2, 6) + 0.0 END"
+        ).alias("r_2"),
+        F.expr(
+            "CASE WHEN r3 IS NULL THEN NULL ELSE round(r3, 6) + 0.0 END"
+        ).alias("r_3"),
+        F.expr(
+            "CASE WHEN r1 IS NULL THEN NULL ELSE round(r1, 6) + 0.0 END"
+        ).alias("pacf_1"),
+        F.expr(
+            "CASE WHEN p22 IS NULL THEN NULL ELSE round(p22, 6) + 0.0 END"
+        ).alias("pacf_2"),
+        F.expr(
+            "CASE WHEN p33 IS NULL THEN NULL ELSE round(p33, 6) + 0.0 END"
+        ).alias("pacf_3"),
+        F.expr(
+            "CASE WHEN nn < 1 THEN NULL"
+            " ELSE round(1.959964e0 / sqrt(1e0 * nn), 6) + 0.0 END"
+        ).alias("ci_band"),
+    )
+
+
+# --- Lo-MacKinlay variance ratio ------------------------------------------------------
+
+# Lo & MacKinlay (1988): for x_t the log daily revenue,
+#   mu = (x_n - x_1) / (n - 1)
+#   sa^2 = (1/(n-1)) sum (x_t - x_{t-1} - mu)^2
+#   sb^2 = (1/m) sum (x_t - x_{t-q} - q mu)^2,
+#          m = q (n - q + 1)(1 - q/n)
+#   VR = sb^2 / sa^2,  z = (VR - 1) / sqrt(2(2q-1)(q-1) / (3 q n))
+# at q = 5 (the weekly horizon). ln(exact integer cents) is the
+# established cross-engine-identical primitive; each squared-difference
+# term e12-quantizes before its sum (double sums are aggregation-order
+# sensitive); the endpoint-anchored mu uses max_by/arg_max on the
+# unique day index. For q = 5 the z denominator is sqrt(24/(5n)) =
+# sqrt(4.8/n).
+_VR_T1_E12 = (
+    "CAST(round(1000000000000 * ((xb - xa - mu) * (xb - xa - mu)))"
+    " AS BIGINT)"
+)
+_VR_TQ_E12 = (
+    "CAST(round(1000000000000 * ((xb - xa - 5e0 * mu)"
+    " * (xb - xa - 5e0 * mu))) AS BIGINT)"
+)
+_VR_STAT = (
+    "CASE WHEN nn <= 6 OR anyn = 1 OR s1q IS NULL OR s5q IS NULL THEN NULL"
+    " WHEN (s1q / 1e12) / (nn - 1) <= 0e0 THEN NULL"
+    " ELSE ((s5q / 1e12) / (5e0 * (nn - 4) * (1e0 - 5e0 / nn)))"
+    " / ((s1q / 1e12) / (nn - 1)) END"
+)
+_VR_Z = (
+    "CASE WHEN vr IS NULL THEN NULL"
+    " ELSE round((vr - 1e0) / sqrt(4.8e0 / nn), 6) + 0.0 END"
+)
+
+
+def _vr_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH d AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+ix AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         CASE WHEN y <= 0 THEN NULL ELSE ln(1e0 * y) END AS x
+  FROM d
+),
+tot AS (
+  SELECT count(*)::BIGINT AS nn,
+         max(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS anyn,
+         arg_max(x, i) AS xl, arg_min(x, i) AS xf
+  FROM ix
+),
+mu_t AS (
+  SELECT CASE WHEN nn < 2 THEN NULL ELSE (xl - xf) / (nn - 1) END AS mu
+  FROM tot
+),
+p1 AS (
+  SELECT CAST(sum({_VR_T1_E12}) AS BIGINT) AS s1q
+  FROM (SELECT a.x AS xa, b.x AS xb FROM ix a JOIN ix b ON b.i = a.i + 1) j
+  CROSS JOIN mu_t
+),
+p5 AS (
+  SELECT CAST(sum({_VR_TQ_E12}) AS BIGINT) AS s5q
+  FROM (SELECT a.x AS xa, b.x AS xb FROM ix a JOIN ix b ON b.i = a.i + 5) j
+  CROSS JOIN mu_t
+),
+vt AS (
+  SELECT tot.nn, {_VR_STAT} AS vr
+  FROM tot CROSS JOIN p1 CROSS JOIN p5
+),
+zz AS (SELECT nn, vr, {_VR_Z} AS z_stat FROM vt),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT nn AS n_days, 5 AS q,
+       CASE WHEN vr IS NULL THEN NULL ELSE round(vr, 6) + 0.0 END AS vr_stat,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("variance_ratio_random_walk", oracle=_vr_oracle())
+def variance_ratio_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (q = 5, homoskedastic z) of the
+    daily log-revenue series: under a random walk the variance of
+    5-day log changes is exactly 5x the 1-day variance, so VR != 1
+    diagnoses mean-reversion (VR < 1) or momentum (VR > 1) at the
+    weekly horizon — the random-walk screen next to KPSS's
+    stationarity null and Ljung-Box's white-noise null.
+
+    Exactness: daily revenue cents are exact integers on the datediff
+    day key; x = ln(cents) is the established cross-engine-identical
+    primitive over identical exact operands; the drift mu anchors on
+    the endpoint values via arg_min/arg_max on the UNIQUE day index
+    (max_by in Spark); every squared-difference term e12-quantizes
+    before its sum; the overlapping-q denominator m = q(n-q+1)(1-q/n)
+    and the z scale sqrt(4.8/n) are shared texts. Day gaps index as
+    consecutive trading days (documented, the finance convention);
+    n <= q+1, zero 1-day variance, or a non-positive daily revenue
+    NULL the readout loud.
+
+    Scale shape: one fact scan -> bounded day frame (checkpointed);
+    the 1-day and 5-day difference frames are self-joins of that
+    bounded frame; two scalar reduces."""
+    poly = _as_erfc_poly()
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        ).alias("day")
+    ).agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("y"))
+    ix = d.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.expr("CASE WHEN y <= 0 THEN NULL ELSE ln(1e0 * y) END").alias("x"),
+    )
+    ix = ix.localCheckpoint()  # bounded day frame; tot + 2 difference joins
+    tot = ix.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.max(F.when(F.col("x").isNull(), 1).otherwise(0)).alias("anyn"),
+        F.expr("max_by(x, i)").alias("xl"),
+        F.expr("min_by(x, i)").alias("xf"),
+    )
+    mu_t = tot.select(
+        F.expr(
+            "CASE WHEN nn < 2 THEN NULL ELSE (xl - xf) / (nn - 1) END"
+        ).alias("mu")
+    )
+    a = ix.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = ix.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    p1 = (
+        a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1)
+        .crossJoin(F.broadcast(mu_t))
+        .agg(F.sum(F.expr(_VR_T1_E12)).cast("long").alias("s1q"))
+    )
+    p5 = (
+        a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 5)
+        .crossJoin(F.broadcast(mu_t))
+        .agg(F.sum(F.expr(_VR_TQ_E12)).cast("long").alias("s5q"))
+    )
+    vt = (
+        tot.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p5))
+        .select("nn", F.expr(_VR_STAT).alias("vr"))
+    )
+    zz = vt.withColumn("z_stat", F.expr(_VR_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("nn").alias("n_days"),
+        F.lit(5).cast("int").alias("q"),
+        F.expr(
+            "CASE WHEN vr IS NULL THEN NULL ELSE round(vr, 6) + 0.0 END"
+        ).alias("vr_stat"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )
