@@ -1480,3 +1480,694 @@ def variance_ratio_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE round(({poly}), 6) + 0.0 END"
         ).alias("p_value"),
     )
+
+
+# --- two-arm Poisson rate-ratio test --------------------------------------------------
+
+# Events-per-user intensity between the user-hash arms: under a common
+# per-user rate, the arm-1 event count e1 given N = e0 + e1 is
+# Binomial(N, pi) with pi = nu1 / (nu0 + nu1) (user counts as
+# exposure), so the score z is (e1 - N pi) / sqrt(N pi (1 - pi)) — the
+# count-metric rate test next to the per-event two-proportion battery.
+# The rate ratio gets the standard Wald interval on the log scale,
+# exp(ln RR +- 1.959964 sqrt(1/e0 + 1/e1)).
+_PR_Z = (
+    "CASE WHEN (e0 + e1) < 1 OR nu0 < 1 OR nu1 < 1 THEN NULL"
+    " ELSE round(((1e0 * e1) - (1e0 * (e0 + e1) * nu1) / (nu0 + nu1))"
+    " / sqrt((1e0 * (e0 + e1) * nu1 * nu0)"
+    "        / ((1e0 * (nu0 + nu1)) * (nu0 + nu1))), 6) + 0.0 END"
+)
+_PR_RR = (
+    "CASE WHEN e0 < 1 OR e1 < 1 OR nu0 < 1 OR nu1 < 1 THEN NULL"
+    " ELSE ((1e0 * e1) / nu1) / ((1e0 * e0) / nu0) END"
+)
+_PR_LO = (
+    "CASE WHEN rr IS NULL THEN NULL"
+    " ELSE exp(ln(rr) - 1.959964e0 * sqrt(1e0 / e0 + 1e0 / e1)) END"
+)
+_PR_HI = (
+    "CASE WHEN rr IS NULL THEN NULL"
+    " ELSE exp(ln(rr) + 1.959964e0 * sqrt(1e0 / e0 + 1e0 / e1)) END"
+)
+_PR_TAIL = """,
+rt AS (SELECT *, {rr} AS rr FROM s),
+ci AS (SELECT *, {lo} AS rr_lo_raw, {hi} AS rr_hi_raw FROM rt),
+zz AS (SELECT *, {z} AS z_stat FROM ci),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT nu0 AS n_users_0, nu1 AS n_users_1, e0 AS events_0, e1 AS events_1,
+       CASE WHEN nu0 < 1 THEN NULL
+            ELSE round((1e0 * e0) / nu0, 6) + 0.0 END AS rate_0,
+       CASE WHEN nu1 < 1 THEN NULL
+            ELSE round((1e0 * e1) / nu1, 6) + 0.0 END AS rate_1,
+       CASE WHEN rr IS NULL THEN NULL ELSE round(rr, 6) + 0.0 END
+         AS rate_ratio,
+       CASE WHEN rr_lo_raw IS NULL THEN NULL
+            ELSE round(rr_lo_raw, 6) + 0.0 END AS rr_lo,
+       CASE WHEN rr_hi_raw IS NULL THEN NULL
+            ELSE round(rr_hi_raw, 6) + 0.0 END AS rr_hi,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+def _pr_tail() -> str:
+    return _PR_TAIL.format(
+        rr=_PR_RR, lo=_PR_LO, hi=_PR_HI, z=_PR_Z, poly=_as_erfc_poly()
+    )
+
+
+def _pr_readout(s: DataFrame) -> DataFrame:
+    """Rate-test algebra over a 1-row (nu0, nu1, e0, e1) frame — shared
+    by the batch query and the streaming twin (the ADVICE r10 #4
+    readout-over-static-frame rule)."""
+    poly = _as_erfc_poly()
+    rt = s.withColumn("rr", F.expr(_PR_RR))
+    ci = rt.select(
+        "*", F.expr(_PR_LO).alias("rr_lo_raw"), F.expr(_PR_HI).alias("rr_hi_raw")
+    )
+    zz = ci.withColumn("z_stat", F.expr(_PR_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("nu0").alias("n_users_0"),
+        F.col("nu1").alias("n_users_1"),
+        F.col("e0").alias("events_0"),
+        F.col("e1").alias("events_1"),
+        F.expr(
+            "CASE WHEN nu0 < 1 THEN NULL"
+            " ELSE round((1e0 * e0) / nu0, 6) + 0.0 END"
+        ).alias("rate_0"),
+        F.expr(
+            "CASE WHEN nu1 < 1 THEN NULL"
+            " ELSE round((1e0 * e1) / nu1, 6) + 0.0 END"
+        ).alias("rate_1"),
+        F.expr(
+            "CASE WHEN rr IS NULL THEN NULL ELSE round(rr, 6) + 0.0 END"
+        ).alias("rate_ratio"),
+        F.expr(
+            "CASE WHEN rr_lo_raw IS NULL THEN NULL"
+            " ELSE round(rr_lo_raw, 6) + 0.0 END"
+        ).alias("rr_lo"),
+        F.expr(
+            "CASE WHEN rr_hi_raw IS NULL THEN NULL"
+            " ELSE round(rr_hi_raw, 6) + 0.0 END"
+        ).alias("rr_hi"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+def _pr_oracle() -> str:
+    arm = T.h48_duck("user_id::VARCHAR")
+    return (
+        f"""
+WITH e AS (SELECT user_id, {arm} % 2 AS arm FROM events
+),
+s AS (
+  SELECT CAST(sum(1 - arm) AS BIGINT) AS e0,
+         CAST(sum(arm) AS BIGINT) AS e1,
+         count(DISTINCT CASE WHEN arm = 0 THEN user_id END)::BIGINT AS nu0,
+         count(DISTINCT CASE WHEN arm = 1 THEN user_id END)::BIGINT AS nu1
+  FROM e
+)"""
+        + _pr_tail()
+    )
+
+
+@staged("poisson_rate_ratio_ab", oracle=_pr_oracle())
+def poisson_rate_ratio_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm event-RATE score test with per-user exposure — the
+    count-metric member the experimentation family was missing: the
+    two-proportion battery tests per-event conversion, this tests
+    events-per-USER intensity (sessions per user, purchases per user —
+    the denominator a rate dashboard actually uses). Conditional on the
+    total count, the arm-1 count is Binomial(N, nu1/(nu0+nu1)) under a
+    common rate, giving the exact-variance score z; the rate ratio
+    carries the standard log-scale Wald interval.
+
+    Exactness: four exact integers from ONE conditional aggregate
+    (events and distinct users per arm); every downstream expression is
+    a shared text over them; ln/exp are the established cross-engine
+    primitives; zero counts NULL the ratio/CI loud (the score z only
+    needs N >= 1 and both exposures positive).
+
+    Scale shape: ONE corpus scan -> one map-side-combined aggregate
+    (two conditional counts + two conditional distinct counts);
+    everything downstream is 1-row algebra."""
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", arm.alias("arm")
+    )
+    s = e.agg(
+        F.sum(1 - F.col("arm")).cast("long").alias("e0"),
+        F.sum("arm").cast("long").alias("e1"),
+        F.countDistinct(
+            F.when(F.col("arm") == 0, F.col("user_id"))
+        ).cast("long").alias("nu0"),
+        F.countDistinct(
+            F.when(F.col("arm") == 1, F.col("user_id"))
+        ).cast("long").alias("nu1"),
+    )
+    return _pr_readout(s)
+
+
+# --- streaming Poisson rate monitor ---------------------------------------------------
+
+
+def _stream_pr_oracle() -> str:
+    # The batch rate SQL restricted to the replayed odd-USER half — a
+    # single-site source rewrite of the SHARED text (asserted unique
+    # needle, ADVICE r13 #2).
+    base = _pr_oracle()
+    assert base.count("FROM events\n") == 1, "rate oracle events-ref no longer single-site"
+    restricted = base.replace(
+        "FROM events\n", "FROM events WHERE user_id % 2 = 1\n"
+    )
+    assert "WHERE user_id % 2 = 1" in restricted
+    return restricted
+
+
+@staged("stream_poisson_rate_monitor", oracle=_stream_pr_oracle())
+def stream_poisson_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15th streaming twin: the rate readout recomputed as USERS
+    arrive — the stream splits by user_id, so each micro-batch's
+    distinct-user counts are over DISJOINT user sets and all four
+    partials (events and users per arm) merge by plain summation
+    (exact integers, nothing to quantize); the merged counts feed the
+    IDENTICAL ``_pr_readout`` algebra as the batch query. The live
+    shape: "is the treatment arm's per-user event intensity still
+    elevated" refreshed per cohort ingest.
+
+    Replay contract: the odd-user half as a deterministic 2-micro-batch
+    file stream split on user_id (the stream-Storey/Cox twins' split);
+    oracle = the batch rate SQL with its single events reference
+    restricted to the same half (single-site splice, asserted).
+
+    Scale shape: per batch ONE map-side-combined aggregate to four
+    integers; the managed table holds batches x 1 rows; the readout is
+    1-row algebra."""
+    from flink_realtime_sessionize_sample_spark.streaming.replay import (
+        replay_split_stream,
+    )
+
+    arm = F.expr(f"pmod({T.h48_spark('cast(user_id as string)')}, 2)")
+    held = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 2 == 1)
+        .select("event_id", "user_id")
+    )
+
+    def _rate_batch(batch_df: DataFrame) -> DataFrame:
+        e = batch_df.select("user_id", arm.alias("arm"))
+        return e.agg(
+            F.sum(1 - F.col("arm")).cast("long").alias("e0"),
+            F.sum("arm").cast("long").alias("e1"),
+            F.countDistinct(
+                F.when(F.col("arm") == 0, F.col("user_id"))
+            ).cast("long").alias("nu0"),
+            F.countDistinct(
+                F.when(F.col("arm") == 1, F.col("user_id"))
+            ).cast("long").alias("nu1"),
+        )
+
+    partials = replay_split_stream(
+        spark,
+        held,
+        "event_id long, user_id long",
+        _rate_batch,
+        "rate_monitor_partials",
+        split_col="user_id",
+        src_prefix="rate_mon_src_",
+    )
+    s = partials.agg(
+        F.sum("e0").cast("long").alias("e0"),
+        F.sum("e1").cast("long").alias("e1"),
+        F.sum("nu0").cast("long").alias("nu0"),
+        F.sum("nu1").cast("long").alias("nu1"),
+    )
+    return _pr_readout(s)
+
+
+# --- Cuzick trend across time-of-day bands --------------------------------------------
+
+# Cuzick (1985): for ordered group scores l (here the four 6-hour
+# time-of-day bands, 0..3) and pooled mid-ranks R of the event values,
+# T = sum l_i R_i with conditional moments under permutation
+#   E[T] = (N+1)/2 sum l_i
+#   Var[T] = [sum (l - lbar)^2][sum (R - Rbar)^2] / (N - 1)
+# (the standard linear-rank-statistic form — tie-EXACT because the
+# realized mid-rank multiset enters Var directly). Doubled-rank device
+# (r2 = 2 midrank) keeps everything integer: 2T = sum wl r2 per value,
+# E[2T] = (N+1) L1, sum(2R - (N+1))^2 = SR2 - N(N+1)^2 with
+# sum 2R = N(N+1) exact.
+_CZ_Z = (
+    "CASE WHEN t2 IS NULL OR nn < 2 THEN NULL"
+    " WHEN ((1e0 * nn * sl2 - 1e0 * l1 * l1) / nn)"
+    "      * ((sr2d - 1e0 * nn * (nn + 1) * (nn + 1)) / (nn - 1)) <= 0e0"
+    " THEN NULL"
+    " ELSE round((1e0 * t2 - 1e0 * (nn + 1) * l1)"
+    " / sqrt(((1e0 * nn * sl2 - 1e0 * l1 * l1) / nn)"
+    "        * ((sr2d - 1e0 * nn * (nn + 1) * (nn + 1)) / (nn - 1))), 6)"
+    " + 0.0 END"
+)
+
+
+def _cz_oracle() -> str:
+    poly = _as_erfc_poly()
+    band = f"{_fdiv_duck(_pmod_duck(_fdiv_duck(_fdiv_duck('epoch_us(ts)', 1000000), 3600), 24), 6)}"
+    return f"""
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST({band} AS BIGINT) AS l
+  FROM events
+),
+g AS (
+  SELECT cents AS v, count(*)::BIGINT AS c,
+         CAST(sum(l) AS BIGINT) AS wl,
+         CAST(sum(l * l) AS BIGINT) AS wl2
+  FROM e GROUP BY cents
+),
+rk AS (
+  SELECT v, c, wl, wl2,
+         CAST(2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1
+           AS BIGINT) AS r2
+  FROM g
+),
+s AS (
+  SELECT sum(c)::BIGINT AS nn,
+         sum(wl)::BIGINT AS l1,
+         sum(wl2)::BIGINT AS sl2,
+         {_dec_sum_bigint("CAST(wl AS DECIMAL(38,0)) * r2")} AS t2,
+         CAST(sum((CAST(c AS DECIMAL(38,0)) * r2) * r2) AS DOUBLE) AS sr2d
+  FROM rk
+),
+zz AS (SELECT *, {_CZ_Z} AS z_stat FROM s),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT nn AS n_events, t2 AS t_x2,
+       CASE WHEN nn < 1 THEN NULL
+            ELSE round(1e0 * (nn + 1) * l1, 6) + 0.0 END AS e_x2,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("cuzick_trend_by_tod", oracle=_cz_oracle())
+def cuzick_trend_by_tod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuzick's Wilcoxon-type trend test of event value across the four
+    ORDERED 6-hour time-of-day bands — the linear-rank dose-response
+    member of the trend family: Jonckheere-Terpstra counts pairwise
+    wins, Page needs repeated-measure blocks, Cuzick is the
+    rank-regression form (Stata's nptrend) an epidemiology or
+    engagement dashboard runs on "does the metric rise through the
+    day". Tie-exact: the conditional variance uses the realized
+    mid-rank multiset, not the no-ties formula.
+
+    Exactness: cents and band scores are exact integers; pooled
+    mid-ranks come from the grouped-value device (the Ansari-Bradley
+    r2 = 2*midrank integer); the statistic 2T = sum wl*r2 sums through
+    the DECIMAL(38,0) guard (per-value wl*r2 ~ N^2 leaves int64 at
+    corpus scale — loud symmetric NULL); SR2's per-row product promotes
+    to DECIMAL and converts to DOUBLE once; E and Var are one shared
+    text over the exact integer moments with every n-polynomial
+    1e0-promoted; zero rank variance (constant values) NULLs loud.
+
+    Scale shape: ONE corpus scan -> grouped-value frame (bounded by the
+    value domain, cents); one ordered prefix window over that bounded
+    frame; one scalar reduce."""
+    poly = _as_erfc_poly()
+    band = F.expr(
+        _fdiv_spark(
+            _pmod_duck(_fdiv_spark(_fdiv_spark("unix_micros(ts)", 1000000), 3600), 24),
+            6,
+        )
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        band.cast("long").alias("l"),
+    )
+    g = e.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("l").cast("long").alias("wl"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("wl2"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = g.select(
+        "v",
+        "c",
+        "wl",
+        "wl2",
+        (2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    s = rk.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum("wl").cast("long").alias("l1"),
+        F.sum("wl2").cast("long").alias("sl2"),
+        F.expr(_dec_sum_bigint("CAST(wl AS DECIMAL(38,0)) * r2")).alias("t2"),
+        F.expr(
+            "CAST(sum((CAST(c AS DECIMAL(38,0)) * r2) * r2) AS DOUBLE)"
+        ).alias("sr2d"),
+    )
+    zz = s.withColumn("z_stat", F.expr(_CZ_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("nn").alias("n_events"),
+        F.col("t2").alias("t_x2"),
+        F.expr(
+            "CASE WHEN nn < 1 THEN NULL"
+            " ELSE round(1e0 * (nn + 1) * l1, 6) + 0.0 END"
+        ).alias("e_x2"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+# --- first-order partial correlation --------------------------------------------------
+
+# r_xy.w = (r_xy - r_xw r_yw) / sqrt((1 - r_xw^2)(1 - r_yw^2)), with
+# the Fisher-z test z = atanh(r_xy.w) sqrt(n - 4) (one controlled
+# covariate burns one more df than the plain correlation's n - 3).
+# Pairwise correlations from exact integer moment sums through the
+# DECIMAL(38,0) guard; atanh as the explicit half-log (the fisher_z
+# convention).
+_PC_R = (
+    "CASE WHEN nn < 4 OR s{u}{u} IS NULL OR s{u}{v} IS NULL"
+    " OR s{v}{v} IS NULL THEN NULL"
+    " WHEN (1e0 * nn * s{u}{u} - 1e0 * s{u} * s{u}) <= 0e0"
+    " OR (1e0 * nn * s{v}{v} - 1e0 * s{v} * s{v}) <= 0e0 THEN NULL"
+    " ELSE (1e0 * nn * s{u}{v} - 1e0 * s{u} * s{v})"
+    " / sqrt((1e0 * nn * s{u}{u} - 1e0 * s{u} * s{u})"
+    "        * (1e0 * nn * s{v}{v} - 1e0 * s{v} * s{v})) END"
+)
+_PC_PR = (
+    "CASE WHEN rxy IS NULL OR rxw IS NULL OR ryw IS NULL THEN NULL"
+    " WHEN (1e0 - rxw * rxw) * (1e0 - ryw * ryw) <= 0e0 THEN NULL"
+    " ELSE (rxy - rxw * ryw)"
+    " / sqrt((1e0 - rxw * rxw) * (1e0 - ryw * ryw)) END"
+)
+_PC_Z = (
+    "CASE WHEN pr IS NULL OR abs(pr) >= 1e0 OR nn < 5 THEN NULL"
+    " ELSE round(5e-1 * ln((1e0 + pr) / (1e0 - pr))"
+    " * sqrt(1e0 * nn - 4), 6) + 0.0 END"
+)
+
+
+def _pc_oracle() -> str:
+    toks = T.tokens_duck("text")
+    poly = _as_erfc_poly()
+    mom = {
+        f"s{u}{v}": _dec_sum_bigint(f"CAST({u} AS DECIMAL(38,0)) * {v}")
+        for (u, v) in (
+            ("x", "x"), ("x", "y"), ("y", "y"), ("x", "w"), ("y", "w"),
+            ("w", "w"),
+        )
+    }
+    return f"""
+WITH d AS (
+  SELECT n_chars AS x,
+         CAST(length({toks}) AS BIGINT) AS y,
+         CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS w
+  FROM documents
+),
+s AS (
+  SELECT count(*)::BIGINT AS nn,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(w)::BIGINT AS sw,
+         {mom["sxx"]} AS sxx, {mom["sxy"]} AS sxy, {mom["syy"]} AS syy,
+         {mom["sxw"]} AS sxw, {mom["syw"]} AS syw, {mom["sww"]} AS sww
+  FROM d
+),
+rr AS (
+  SELECT *, {_PC_R.format(u="x", v="y")} AS rxy,
+         {_PC_R.format(u="x", v="w")} AS rxw,
+         {_PC_R.format(u="y", v="w")} AS ryw
+  FROM s
+),
+pr_t AS (SELECT *, {_PC_PR} AS pr FROM rr),
+zz AS (SELECT *, {_PC_Z} AS z_stat FROM pr_t),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT nn AS n_docs,
+       CASE WHEN rxy IS NULL THEN NULL ELSE round(rxy, 6) + 0.0 END AS r_xy,
+       CASE WHEN rxw IS NULL THEN NULL ELSE round(rxw, 6) + 0.0 END AS r_xw,
+       CASE WHEN ryw IS NULL THEN NULL ELSE round(ryw, 6) + 0.0 END AS r_yw,
+       CASE WHEN pr IS NULL THEN NULL ELSE round(pr, 6) + 0.0 END
+         AS partial_r,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("partial_corr_chars_tokens", oracle=_pc_oracle())
+def partial_corr_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of chars vs tokens CONTROLLING
+    for sentence count (the '.'-count proxy) — the confounder-adjusted
+    member of the correlation family: spearman/kendall measure the raw
+    association, ``fisher_z_corr_diff_ab`` compares it across arms,
+    this asks how much survives once document granularity (sentences)
+    is partialled out — the "is the correlation just length" screen a
+    feature-engineering pass runs. Fisher-z inference at se =
+    1/sqrt(n - 4) (one controlled covariate burns one more df).
+
+    Exactness: three exact integer columns from ONE scan (chars, token
+    count, '.'-count via the length-difference identity); all nine
+    second-order sums through the DECIMAL(38,0) guard (loud symmetric
+    NULL past int64); the three pairwise correlations, the partial, and
+    atanh are layered shared texts over those identical operands;
+    degenerate variance, |partial r| >= 1, or n < 5 NULL loud.
+
+    Scale shape: ONE corpus scan -> one map-side-combined 10-sum scalar
+    aggregate; everything downstream is 1-row algebra."""
+    toks = T.tokens_spark("text")
+    poly = _as_erfc_poly()
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("y"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)"
+        ).alias("w"),
+    )
+    mom = {
+        f"s{u}{v}": _dec_sum_bigint(f"CAST({u} AS DECIMAL(38,0)) * {v}")
+        for (u, v) in (
+            ("x", "x"), ("x", "y"), ("y", "y"), ("x", "w"), ("y", "w"),
+            ("w", "w"),
+        )
+    }
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("w").cast("long").alias("sw"),
+        *[F.expr(t).alias(k) for k, t in mom.items()],
+    )
+    rr = s.select(
+        "*",
+        F.expr(_PC_R.format(u="x", v="y")).alias("rxy"),
+        F.expr(_PC_R.format(u="x", v="w")).alias("rxw"),
+        F.expr(_PC_R.format(u="y", v="w")).alias("ryw"),
+    )
+    pr_t = rr.withColumn("pr", F.expr(_PC_PR))
+    zz = pr_t.withColumn("z_stat", F.expr(_PC_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("nn").alias("n_docs"),
+        F.expr(
+            "CASE WHEN rxy IS NULL THEN NULL ELSE round(rxy, 6) + 0.0 END"
+        ).alias("r_xy"),
+        F.expr(
+            "CASE WHEN rxw IS NULL THEN NULL ELSE round(rxw, 6) + 0.0 END"
+        ).alias("r_xw"),
+        F.expr(
+            "CASE WHEN ryw IS NULL THEN NULL ELSE round(ryw, 6) + 0.0 END"
+        ).alias("r_yw"),
+        F.expr(
+            "CASE WHEN pr IS NULL THEN NULL ELSE round(pr, 6) + 0.0 END"
+        ).alias("partial_r"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+# --- Bartels rank von Neumann randomness ----------------------------------------------
+
+# Bartels (1982): RVN = sum (R_t - R_{t+1})^2 / sum (R_t - Rbar)^2 over
+# the rank sequence of the daily-revenue series; E[RVN] = 2,
+# Var[RVN] = 4 (n-2)(5n^2 - 2n - 9) / (5 n (n+1)(n-1)^2), z normal.
+# Doubled-midrank device keeps both sums exact integers: the common
+# factor 4 cancels in the ratio, and sum 2R = n(n+1) exactly makes the
+# denominator SR2 - n(n+1)^2.
+_BR_RVN = (
+    "CASE WHEN nn < 4 OR den2 IS NULL OR den2 <= 0 THEN NULL"
+    " ELSE (1e0 * num2) / den2 END"
+)
+_BR_Z = (
+    "CASE WHEN rvn IS NULL THEN NULL"
+    " ELSE round((rvn - 2e0)"
+    " / sqrt((4e0 * (nn - 2) * (5e0 * nn * nn - 2e0 * nn - 9e0))"
+    "        / (5e0 * nn * (nn + 1e0) * (nn - 1e0) * (nn - 1e0))), 6)"
+    " + 0.0 END"
+)
+
+
+def _br_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH d AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+g AS (SELECT y AS v, count(*)::BIGINT AS c FROM d GROUP BY y),
+rk AS (
+  SELECT v, CAST(2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1
+           AS BIGINT) AS r2
+  FROM g
+),
+dr AS (
+  SELECT row_number() OVER (ORDER BY d.day) AS i, rk.r2
+  FROM d JOIN rk ON rk.v = d.y
+),
+tot AS (
+  SELECT count(*)::BIGINT AS nn,
+         CAST(sum(CAST(r2 AS DECIMAL(38,0)) * r2) AS DOUBLE) AS sr2d
+  FROM dr
+),
+nm AS (
+  SELECT CAST(sum(CAST((a.r2 - b.r2) AS DECIMAL(38,0)) * (a.r2 - b.r2))
+           AS DOUBLE) AS num2
+  FROM dr a JOIN dr b ON b.i = a.i + 1
+),
+st AS (
+  SELECT tot.nn, nm.num2,
+         sr2d - 1e0 * nn * (nn + 1) * (nn + 1) AS den2
+  FROM tot CROSS JOIN nm
+),
+rv AS (SELECT *, {_BR_RVN} AS rvn FROM st),
+zz AS (SELECT *, {_BR_Z} AS z_stat FROM rv),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT nn AS n_days,
+       CASE WHEN rvn IS NULL THEN NULL ELSE round(rvn, 6) + 0.0 END
+         AS rvn_stat,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("bartels_rank_randomness", oracle=_br_oracle())
+def bartels_rank_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels rank von Neumann ratio test of the daily-revenue series
+    — the rank-robust randomness check next to the registered
+    ``runs_test_daily_revenue``: the runs test throws away everything
+    but signs, the rank von Neumann ratio keeps ordinal magnitude
+    (Bartels 1982 shows ~30% higher ARE against AR(1) alternatives).
+    RVN < 2 flags positive serial correlation (trending), > 2 flags
+    oscillation; z is two-sided.
+
+    Exactness: daily revenue cents are exact integers on the datediff
+    day key; mid-ranks come from the grouped-value device (r2 = 2 *
+    midrank integer, tie-exact); both quadratic sums keep the doubled
+    factor (it cancels in the ratio) and promote per-row products to
+    DECIMAL before the exact-wide sum -> DOUBLE once; sum 2R = n(n+1)
+    exactly gives the denominator as SR2 - n(n+1)^2; the variance is
+    one shared 1e0-promoted text; constant series (zero rank variance)
+    or n < 4 NULL loud.
+
+    Scale shape: one fact scan -> bounded day frame; the rank join and
+    successive-difference join run over that bounded frame; one scalar
+    reduce."""
+    poly = _as_erfc_poly()
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        ).alias("day")
+    ).agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("y"))
+    d = d.localCheckpoint()  # bounded day frame; rank join + diff join
+    g = d.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = g.select(
+        "v",
+        (2 * (F.sum("c").over(wv) - F.col("c")) + F.col("c") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    dr = d.join(F.broadcast(rk), d.y == rk.v).select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        "r2",
+    )
+    dr = dr.localCheckpoint()  # bounded ranked-day frame; tot + diff join
+    tot = dr.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.expr(
+            "CAST(sum(CAST(r2 AS DECIMAL(38,0)) * r2) AS DOUBLE)"
+        ).alias("sr2d"),
+    )
+    a = dr.select(F.col("i").alias("ia"), F.col("r2").alias("ra"))
+    b = dr.select(F.col("i").alias("ib"), F.col("r2").alias("rb"))
+    nm = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).agg(
+        F.expr(
+            "CAST(sum(CAST((ra - rb) AS DECIMAL(38,0)) * (ra - rb))"
+            " AS DOUBLE)"
+        ).alias("num2")
+    )
+    st = tot.crossJoin(F.broadcast(nm)).select(
+        "nn",
+        "num2",
+        F.expr("sr2d - 1e0 * nn * (nn + 1) * (nn + 1)").alias("den2"),
+    )
+    rv = st.withColumn("rvn", F.expr(_BR_RVN))
+    zz = rv.withColumn("z_stat", F.expr(_BR_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("nn").alias("n_days"),
+        F.expr(
+            "CASE WHEN rvn IS NULL THEN NULL ELSE round(rvn, 6) + 0.0 END"
+        ).alias("rvn_stat"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )
