@@ -67,7 +67,7 @@ family completions the existing frames make cheap and real users hit):
   repeated measures, Cuzick is the linear-rank form epidemiology
   dashboards use), tie-exact via the doubled-midrank device;
 * ``partial_corr_chars_tokens`` — first-order partial correlation of
-  chars vs tokens CONTROLLING for whitespace count, with the Fisher-z
+  chars vs tokens CONTROLLING for distinct-token count, with the Fisher-z
   test at se = 1/sqrt(n - 4) — the confounder-adjusted member of the
   correlation family (fisher_z compares arms, this removes a covariate);
 * ``bartels_rank_randomness`` — the Bartels (1982) rank von Neumann
@@ -1908,7 +1908,7 @@ def _pc_oracle() -> str:
 WITH d AS (
   SELECT n_chars AS x,
          CAST(length({toks}) AS BIGINT) AS y,
-         CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS w
+         CAST(length(list_distinct({toks})) AS BIGINT) AS w
   FROM documents
 ),
 s AS (
@@ -1947,7 +1947,7 @@ FROM xt
 @staged("partial_corr_chars_tokens", oracle=_pc_oracle())
 def partial_corr_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order partial correlation of chars vs tokens CONTROLLING
-    for sentence count (the '.'-count proxy) — the confounder-adjusted
+    for DISTINCT-token count (vocabulary breadth) — the confounder-adjusted
     member of the correlation family: spearman/kendall measure the raw
     association, ``fisher_z_corr_diff_ab`` compares it across arms,
     this asks how much survives once document granularity (sentences)
@@ -1956,7 +1956,7 @@ def partial_corr_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/sqrt(n - 4) (one controlled covariate burns one more df).
 
     Exactness: three exact integer columns from ONE scan (chars, token
-    count, '.'-count via the length-difference identity); all nine
+    count, distinct-token count via the shared tokenizer); all nine
     second-order sums through the DECIMAL(38,0) guard (loud symmetric
     NULL past int64); the three pairwise correlations, the partial, and
     atanh are layered shared texts over those identical operands;
@@ -1969,9 +1969,7 @@ def partial_corr_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         F.col("n_chars").alias("x"),
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("y"),
-        F.expr(
-            "CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)"
-        ).alias("w"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS BIGINT)").alias("w"),
     )
     mom = {
         f"s{u}{v}": _dec_sum_bigint(f"CAST({u} AS DECIMAL(38,0)) * {v}")
