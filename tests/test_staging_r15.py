@@ -1,0 +1,573 @@
+"""Round-15 staged queries (plans/staging_r15.py): staging invariants,
+plan lint, and independent Python brute-force references (the
+staging_r8/r10/r11/r12/r13/r14 discipline — cross-engine parity proves
+the engines AGREE, these pin the statistics against INTENT)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+
+from flink_realtime_sessionize_sample_spark import plans
+from flink_realtime_sessionize_sample_spark.plans import staging_r15 as S
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _round_away(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _rnd6(x: float) -> float:
+    return _round_away(x * 1e6) / 1e6
+
+
+def _erfc_poly(x: float) -> float:
+    t = 1 / (1 + 0.3275911 * x)
+    return (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t - 0.284496736) * t
+        + 0.254829592
+    ) * t * math.exp(-x * x)
+
+
+def _events_pdf(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return df.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def _orders_pdf(rows):
+    df = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+    return df
+
+
+def _docs_pdf(rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "n_chars"])
+    return df.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def _write_tables(tmp_path, **tables) -> str:
+    for name, df in tables.items():
+        df.to_parquet(tmp_path / f"{name}.parquet", index=False)
+    return str(tmp_path)
+
+
+def _load_events(sf_dir: str) -> pd.DataFrame:
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return pdf
+
+
+def _load_orders(sf_dir: str) -> pd.DataFrame:
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    return pdf
+
+
+def _load_docs(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _explain(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jqe.explainString(mode.fromString("extended"))
+
+
+def _users_by_arm(n_each: int):
+    """First n_each user ids hashing to arm 0 / arm 1 (the h48 % 2 arm)."""
+    a0, a1 = [], []
+    u = 0
+    while len(a0) < n_each or len(a1) < n_each:
+        (a0 if _h48(str(u)) % 2 == 0 else a1).append(u)
+        u += 1
+    return a0[:n_each], a1[:n_each]
+
+
+def _sessions_py(pdf: pd.DataFrame):
+    """Independent replication of the reference session semantics
+    (30-min gap strict / 1499-event / 12-h strict): returns
+    (user_id, start_sec, last_sec) per session."""
+    out = []
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    secs_all = pdf["ts"].astype("int64") // 10**6
+    for uid, idx in pdf.groupby("user_id").groups.items():
+        start = prev = None
+        cnt = 0
+        for s in secs_all.loc[idx].tolist():
+            if start is None:
+                start, prev, cnt = s, s, 1
+            elif (s - prev > 1800) or (cnt + 1 >= 1500) or (s - start > 43200):
+                out.append((uid, start, prev))
+                start, prev, cnt = s, s, 1
+            else:
+                prev, cnt = s, cnt + 1
+        if start is not None:
+            out.append((uid, start, prev))
+    return out
+
+
+# --- staging invariants ------------------------------------------------------
+
+
+def test_staged_names_not_registered_live():
+    # The round-14 window is full: staging must NOT leak into the live
+    # registry until the round-15 promotion.
+    leaked = [n for n in S.STAGED_QUERIES if n in plans.QUERIES]
+    assert not leaked, f"staged names registered live behind a full window: {leaked}"
+
+
+def test_every_staged_query_is_oracle_paired():
+    missing = [n for n in S.STAGED_QUERIES if n not in S.STAGED_ORACLES]
+    assert not missing, f"staged queries without oracles: {missing}"
+
+
+def test_staged_plan_lint(spark, sf_small):
+    offenders = {}
+    for name, fn in S.STAGED_QUERIES.items():
+        if name.startswith("stream_"):
+            continue  # executes a stream replay on construction
+        p = _explain(fn(spark, sf_small))
+        bad = [pat for pat in ("CartesianProduct", "BatchEvalPython") if pat in p]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"staged plan lint failed: {offenders}"
+
+
+# --- Tarone-corrected Breslow-Day -----------------------------------------------
+
+
+def _tbd_ref(events: pd.DataFrame) -> dict:
+    """Replicates the quantized Tarone/BD pipeline: psi from e9 ad/bc
+    sums, att via the quadratic, per-stratum X^2 / deviation / variance
+    terms each e9-quantized separately, clamp-at-zero correction."""
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # stratum -> [a, b, c, d]
+    for uid, et, v in zip(events["user_id"], events["event_type"],
+                          events["value"]):
+        g = _h48(str(uid)) % 2
+        y = 1 if v > 60 else 0
+        cc = cells[et]
+        if g == 1 and y == 1:
+            cc[0] += 1
+        elif g == 1:
+            cc[1] += 1
+        elif y == 1:
+            cc[2] += 1
+        else:
+            cc[3] += 1
+    strata = []
+    for et, (a, b, c, d) in cells.items():
+        n1, n0, m1, m0 = a + b, c + d, a + c, b + d
+        if n1 > 0 and n0 > 0 and m1 > 0 and m0 > 0:
+            strata.append((a, n1, m1, a + b + c + d))
+    k = len(strata)
+    out = {"n_strata": k, "dof": k - 1}
+    ad_e9 = sum(_round_away(1e9 * (1.0 * a * (nt - n1 - m1 + a)) / nt)
+                for a, n1, m1, nt in strata)
+    bc_e9 = sum(_round_away(1e9 * (1.0 * (n1 - a) * (m1 - a)) / nt)
+                for a, n1, m1, nt in strata)
+    if bc_e9 == 0:
+        out.update({"or_mh": None, "x2_bd": None, "x2_tarone": None,
+                    "z_stat": None, "p_value": None})
+        return out
+    psi = (1.0 * ad_e9) / bc_e9
+    out["or_mh"] = _rnd6(psi)
+    x2_e9 = ds_e9 = vs_e9 = 0
+    any_null = False
+    for a, n1, m1, nt in strata:
+        glo = max(0.0, 1.0 * (n1 + m1 - nt))
+        ghi = min(1.0 * n1, 1.0 * m1)
+        if abs(psi - 1.0) < 1e-12:
+            att = (psi * n1 * m1) / (psi * (n1 + m1) + 1.0 * (nt - n1 - m1))
+        else:
+            aa = psi - 1.0
+            bb = -(psi * (n1 + m1) + 1.0 * (nt - n1 - m1))
+            cc2 = psi * n1 * m1
+            sq = math.sqrt(max(0.0, bb * bb - 4.0 * aa * cc2))
+            rt1 = (-bb + sq) / (2.0 * aa)
+            rt2 = (-bb - sq) / (2.0 * aa)
+            att = rt2 if glo <= rt2 <= ghi else rt1
+        if att <= glo or att >= ghi:
+            any_null = True
+            break
+        h = (1.0 / att + 1.0 / (n1 - att) + 1.0 / (m1 - att)
+             + 1.0 / (nt - n1 - m1 + att))
+        x2_e9 += _round_away(1e9 * ((1.0 * a - att) * (1.0 * a - att)) * h)
+        ds_e9 += _round_away(1e9 * (1.0 * a - att))
+        vs_e9 += _round_away(1e9 / h)
+    if any_null or k < 2:
+        out.update({"x2_bd": None, "x2_tarone": None, "z_stat": None,
+                    "p_value": None})
+        return out
+    x2 = x2_e9 / 1e9
+    out["x2_bd"] = _rnd6(x2)
+    if vs_e9 <= 0:
+        out.update({"x2_tarone": None, "z_stat": None, "p_value": None})
+        return out
+    x2t = max(0.0, x2 - ((ds_e9 / 1e9) * (ds_e9 / 1e9)) / (vs_e9 / 1e9))
+    out["x2_tarone"] = _rnd6(x2t)
+    dof = k - 1
+    z = _rnd6(math.sqrt(2 * x2t) - math.sqrt(2.0 * dof - 1))
+    out["z_stat"] = z
+    p = _erfc_poly(abs(z) / math.sqrt(2.0))
+    out["p_value"] = _rnd6(p / 2 if z >= 0 else 1 - p / 2)
+    return out
+
+
+def test_tarone_matches_python(spark, sf_small):
+    ref = _tbd_ref(_load_events(sf_small))
+    row = S.STAGED_QUERIES["tarone_bd_homogeneity"](spark, sf_small).collect()[0]
+    assert row["n_strata"] == ref["n_strata"]
+    assert row["dof"] == ref["dof"]
+    for k in ("or_mh", "x2_bd", "x2_tarone", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_tarone_identical_strata_zero(spark, tmp_path):
+    """Every stratum the same balanced OR = 1 table: psi = 1, the fitted
+    cell equals the observed cell exactly, so BOTH statistics are 0 and
+    the correction is 0 too."""
+    a0, a1 = _users_by_arm(1)
+    ts = pd.Timestamp("2024-04-01 10:00:00")
+    rows, eid = [], 0
+    for et in ("view", "click", "purchase"):
+        for arm_users, g in ((a0, 0), (a1, 1)):
+            for y in (0, 1):
+                for _ in range(5):
+                    rows.append(
+                        (eid, ts + pd.Timedelta(seconds=eid), arm_users[0],
+                         et, 100.0 if y else 1.0, "{}")
+                    )
+                    eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["tarone_bd_homogeneity"](spark, sf).collect()[0]
+    assert row["n_strata"] == 3 and row["dof"] == 2
+    assert row["or_mh"] == 1.0
+    assert row["x2_bd"] == 0.0 and row["x2_tarone"] == 0.0
+
+
+def test_tarone_heterogeneity_detected_and_bounded(spark, tmp_path):
+    """Two strata with OPPOSITE strong ORs (9 vs 1/9): the homogeneity
+    statistic is large and significant, and the Tarone correction can
+    only shrink it (0 <= X^2_T <= X^2_BD)."""
+    a0, a1 = _users_by_arm(1)
+    ts = pd.Timestamp("2024-04-01 10:00:00")
+    rows, eid = [], 0
+    # stratum 'view': arm1 (30 conv, 10 not), arm0 (10 conv, 30 not)
+    # stratum 'click': mirrored
+    plan = {
+        "view": {(1, 1): 30, (1, 0): 10, (0, 1): 10, (0, 0): 30},
+        "click": {(1, 1): 10, (1, 0): 30, (0, 1): 30, (0, 0): 10},
+    }
+    for et, cellmap in plan.items():
+        for (g, y), cnt in cellmap.items():
+            u = (a1 if g == 1 else a0)[0]
+            for _ in range(cnt):
+                rows.append(
+                    (eid, ts + pd.Timedelta(seconds=eid), u, et,
+                     100.0 if y else 1.0, "{}")
+                )
+                eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["tarone_bd_homogeneity"](spark, sf).collect()[0]
+    assert row["x2_bd"] is not None and row["x2_bd"] > 10
+    assert row["x2_tarone"] is not None
+    assert 0.0 <= row["x2_tarone"] <= row["x2_bd"] + 1e-9
+    assert row["p_value"] < 0.01
+
+
+# --- seasonal Ljung-Box on decomposition residuals --------------------------------
+
+
+def _weekly_counts(orders: pd.DataFrame) -> list[int]:
+    d = orders["o_orderdate"]
+    week = d.dt.normalize() - pd.to_timedelta(d.dt.weekday, unit="D")
+    return orders.groupby(week).size().sort_index().tolist()
+
+
+def _slb_ref(orders: pd.DataFrame) -> dict:
+    cs = _weekly_counts(orders)
+    res = []
+    for i in range(len(cs)):
+        if 2 <= i <= len(cs) - 3:
+            res.append(5 * cs[i] - sum(cs[i - 2:i + 3]))
+    n = len(res)
+    s = sum(res)
+    out = {"n_resid_weeks": n, "dof": 4}
+    den = float(sum((n * r - s) ** 2 for r in res))
+    t_e12 = 0
+    r1 = None
+    any_null = False
+    for k in range(1, 5):
+        num = float(
+            sum((n * res[i] - s) * (n * res[i + k] - s)
+                for i in range(n - k))
+        ) if n > k else 0.0
+        if den <= 0 or n <= k:
+            any_null = True
+            continue
+        rk = num / den
+        if k == 1:
+            r1 = rk
+        t_e12 += _round_away(1e12 * (rk * rk) / (n - k))
+    if n <= 4 or any_null:
+        out.update({"r_lag1": None, "q_stat": None, "z_stat": None,
+                    "p_value": None})
+        return out
+    q = (1.0 * n * (n + 2)) * (t_e12 / 1e12)
+    out["r_lag1"] = _rnd6(r1)
+    out["q_stat"] = _rnd6(q)
+    z = _rnd6(math.sqrt(2 * q) - math.sqrt(2.0 * 4 - 1))
+    out["z_stat"] = z
+    p = _erfc_poly(abs(z) / math.sqrt(2.0))
+    out["p_value"] = _rnd6(p / 2 if z >= 0 else 1 - p / 2)
+    return out
+
+
+def test_seasonal_lb_matches_python(spark, sf_small):
+    ref = _slb_ref(_load_orders(sf_small))
+    row = S.STAGED_QUERIES["seasonal_ljung_box_residuals"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_resid_weeks"] == ref["n_resid_weeks"]
+    for k in ("r_lag1", "q_stat", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def _orders_for_weeks(counts) -> pd.DataFrame:
+    """counts[i] orders placed inside ISO week i (Monday-anchored)."""
+    base = pd.Timestamp("2024-01-01")  # a Monday
+    rows = []
+    for i, c in enumerate(counts):
+        monday = base + pd.Timedelta(weeks=i)
+        for j in range(c):
+            rows.append((monday + pd.Timedelta(hours=j % 100), 100.0))
+    return _orders_pdf(rows)
+
+
+def test_seasonal_lb_alternating_residual_detected(spark, tmp_path):
+    """Weekly counts alternating +-50 around 100: the MA5 residual
+    alternates sign, so lag-1 autocorrelation is strongly negative and
+    the portmanteau rejects white noise."""
+    counts = [100 + (50 if i % 2 == 0 else -50) for i in range(20)]
+    sf = _write_tables(tmp_path, orders=_orders_for_weeks(counts))
+    row = S.STAGED_QUERIES["seasonal_ljung_box_residuals"](spark, sf).collect()[0]
+    assert row["n_resid_weeks"] == 16
+    assert row["r_lag1"] < -0.5
+    assert row["p_value"] < 0.01
+
+
+def test_seasonal_lb_exact_linear_trend_nulls_loud(spark, tmp_path):
+    """A perfectly linear weekly series: the centered MA5 reproduces
+    each center exactly, every residual is 0, the autocovariance
+    denominator is 0, and the readout NULLs loud."""
+    counts = [50 + 10 * i for i in range(12)]
+    sf = _write_tables(tmp_path, orders=_orders_for_weeks(counts))
+    row = S.STAGED_QUERIES["seasonal_ljung_box_residuals"](spark, sf).collect()[0]
+    assert row["n_resid_weeks"] == 8
+    assert row["q_stat"] is None and row["p_value"] is None
+
+
+# --- streaming Cox score monitor ---------------------------------------------------
+
+
+def _surv_obs_ref(events: pd.DataFrame):
+    """(t, censored, hr) per session — Python twin of the survival
+    observation frame."""
+    secs = events["ts"].astype("int64") // 10**6
+    mx = int(secs.max())
+    out = []
+    for _, start, last in _sessions_py(events):
+        out.append((last - start, (mx - last) <= 1800, (start // 3600) % 24))
+    return out
+
+
+def _cox_terms_ref(obs, score_fn):
+    """Replicates _cox_terms' e9-quantized reduction for covariate
+    x = score_fn(hr). Returns (n_death_times, o, e_e9, v_e9)."""
+    from collections import defaultdict
+
+    bytime = defaultdict(lambda: [0, 0, 0, 0, 0])  # t -> [rm, rx, rx2, d, dx]
+    for t, cens, hr in obs:
+        x = score_fn(hr)
+        b = bytime[t]
+        b[0] += 1
+        b[1] += x
+        b[2] += x * x
+        if not cens:
+            b[3] += 1
+            b[4] += x
+    n_all = sum(b[0] for b in bytime.values())
+    sx_all = sum(b[1] for b in bytime.values())
+    sx2_all = sum(b[2] for b in bytime.values())
+    cum = [0, 0, 0]
+    o = e_e9 = v_e9 = ndt = 0
+    for t in sorted(bytime):
+        rm, rx, rx2, d, dx = bytime[t]
+        nr = n_all - cum[0]
+        sxr = sx_all - cum[1]
+        sx2r = sx2_all - cum[2]
+        cum = [cum[0] + rm, cum[1] + rx, cum[2] + rx2]
+        if d > 0 and nr > 0:
+            ndt += 1
+            o += dx
+            e_e9 += _round_away(1e9 * (1.0 * d * sxr) / nr)
+            if nr > 1:
+                v_e9 += _round_away(
+                    1e9 * ((1.0 * d * (nr - d)) / (nr - 1))
+                    * ((1.0 * nr * sx2r - 1.0 * sxr * sxr) / (1.0 * nr * nr))
+                )
+    return ndt, o, e_e9, v_e9
+
+
+def _cox_z_p(o, e_e9, v_e9):
+    if v_e9 <= 0:
+        z = 0.0
+    else:
+        z = _rnd6((1.0 * o * 1e9 - e_e9) / math.sqrt(1.0 * v_e9 * 1e9))
+    return z, _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+
+
+def test_stream_cox_matches_python_on_odd_half(spark, sf_small):
+    """The twin must equal the batch Cox statistic computed over the
+    odd-user half — replicated independently in Python (sessionize +
+    censoring + e9-quantized score reduction)."""
+    ev = _load_events(sf_small)
+    odd = ev[ev["user_id"] % 2 == 1]
+    ndt, o, e_e9, v_e9 = _cox_terms_ref(_surv_obs_ref(odd), lambda hr: hr)
+    z, p = _cox_z_p(o, e_e9, v_e9)
+    row = S.STAGED_QUERIES["stream_cox_score_monitor"](spark, sf_small).collect()[0]
+    assert row["n_death_times"] == ndt
+    assert row["o_hours"] == o
+    assert abs(row["e_hours"] - _rnd6(e_e9 / 1e9)) < 2e-6
+    assert abs(row["z_stat"] - z) < 2e-6
+    assert abs(row["p_value"] - p) < 2e-6
+
+
+# --- D'Agostino-Pearson K^2 -----------------------------------------------------
+
+
+def _dk_ref(values) -> dict:
+    cents = [_round_away(v * 100) for v in values]
+    nn = len(cents)
+    s1 = sum(cents)
+    d2 = float(sum(c * c for c in cents))
+    d3 = float(sum(c ** 3 for c in cents))
+    d4 = float(sum(c ** 4 for c in cents))
+    out = {"n_events": nn}
+    if nn < 2:
+        out.update({k: None for k in ("skewness", "kurtosis_excess", "z_skew",
+                                      "z_kurt", "k2_stat", "p_value")})
+        return out
+    m1 = 1.0 * s1 / nn
+    m2 = d2 / nn - m1 * m1
+    m3 = d3 / nn - 3.0 * m1 * (d2 / nn) + 2.0 * m1 ** 3
+    m4 = d4 / nn - 4.0 * m1 * (d3 / nn) + 6.0 * m1 * m1 * (d2 / nn) - 3.0 * m1 ** 4
+    if m2 <= 0:
+        out.update({k: None for k in ("skewness", "kurtosis_excess", "z_skew",
+                                      "z_kurt", "k2_stat", "p_value")})
+        return out
+    skew = m3 / (m2 * math.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3.0
+    out["skewness"] = _rnd6(skew)
+    out["kurtosis_excess"] = _rnd6(kurt)
+    if nn < 20:
+        out.update({"z_skew": None, "z_kurt": None, "k2_stat": None,
+                    "p_value": None})
+        return out
+    y = skew * math.sqrt(((nn + 1.0) * (nn + 3.0)) / (6.0 * (nn - 2.0)))
+    b2t = (3.0 * (nn * nn + 27.0 * nn - 70.0) * (nn + 1.0) * (nn + 3.0)) / (
+        (nn - 2.0) * (nn + 5.0) * (nn + 7.0) * (nn + 9.0)
+    )
+    w2 = -1.0 + math.sqrt(2.0 * (b2t - 1.0))
+    delta = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2.0 / (w2 - 1.0))
+    z1 = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1.0))
+    x = ((kurt + 3.0) - (3.0 * (nn - 1.0)) / (nn + 1.0)) / math.sqrt(
+        (24.0 * nn * (nn - 2.0) * (nn - 3.0))
+        / ((nn + 1.0) ** 2 * (nn + 3.0) * (nn + 5.0))
+    )
+    sb1 = ((6.0 * (nn * nn - 5.0 * nn + 2.0)) / ((nn + 3.0) * (nn + 5.0))) * math.sqrt(
+        (6.0 * (nn + 3.0) * (nn + 5.0)) / (nn * (nn - 2.0) * (nn - 3.0))
+    )
+    av = 6.0 + (8.0 / sb1) * (2.0 / sb1 + math.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    den = 1.0 + x * math.sqrt(2.0 / (av - 4.0))
+    if den == 0:
+        out.update({"z_skew": _rnd6(z1), "z_kurt": None, "k2_stat": None,
+                    "p_value": None})
+        return out
+    u = (1.0 - 2.0 / av) / den
+    z2 = ((1.0 - 2.0 / (9.0 * av))
+          - math.copysign(abs(u) ** (1.0 / 3.0), u)) / math.sqrt(2.0 / (9.0 * av))
+    k2 = z1 * z1 + z2 * z2
+    out.update({
+        "z_skew": _rnd6(z1), "z_kurt": _rnd6(z2), "k2_stat": _rnd6(k2),
+        "p_value": _rnd6(math.exp(-k2 / 2.0)),
+    })
+    return out
+
+
+def test_dagostino_matches_python(spark, sf_small):
+    ref = _dk_ref(_load_events(sf_small)["value"].tolist())
+    row = S.STAGED_QUERIES["dagostino_k2_normality"](spark, sf_small).collect()[0]
+    assert row["n_events"] == ref["n_events"]
+    for k in ("skewness", "kurtosis_excess", "z_skew", "z_kurt", "k2_stat",
+              "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_dagostino_symmetric_two_point(spark, tmp_path):
+    """A symmetric two-point distribution: skewness is exactly 0 (so
+    z_skew = 0 exactly — Johnson SU maps 0 to 0), kurtosis is the
+    minimal -2, so the kurtosis arm drives all of K^2 and the omnibus
+    rejects decisively. (At b2 = 1 the Anscombe-Glynn denominator
+    crosses zero and the transform's SIGN flips — the same artifact
+    scipy's kurtosistest exhibits — so the pin is on |z_kurt| and on
+    the Python-reference value, not on the sign.)"""
+    ts = pd.Timestamp("2024-04-01 10:00:00")
+    rows = []
+    for i in range(30):
+        v = 50.0 if i % 2 == 0 else -50.0
+        rows.append((i, ts + pd.Timedelta(seconds=i), 1, "view", v, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["dagostino_k2_normality"](spark, sf).collect()[0]
+    ref = _dk_ref([50.0 if i % 2 == 0 else -50.0 for i in range(30)])
+    assert row["skewness"] == 0.0
+    assert row["z_skew"] == 0.0
+    assert row["kurtosis_excess"] == -2.0
+    assert abs(row["z_kurt"]) > 2
+    assert abs(row["z_kurt"] - ref["z_kurt"]) < 2e-6
+    assert abs(row["k2_stat"] - row["z_kurt"] ** 2) < 2e-5
+    assert row["p_value"] < 0.01
+
+
+def test_dagostino_small_n_nulls_loud(spark, tmp_path):
+    """n = 10 < 20 (the Anscombe-Glynn floor): moments report, the
+    transformed z's and K^2 NULL loud."""
+    ts = pd.Timestamp("2024-04-01 10:00:00")
+    rows = [(i, ts + pd.Timedelta(seconds=i), 1, "view", float(i * 7 % 13), "{}")
+            for i in range(10)]
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["dagostino_k2_normality"](spark, sf).collect()[0]
+    assert row["n_events"] == 10
+    assert row["skewness"] is not None
+    assert row["z_skew"] is None and row["z_kurt"] is None
+    assert row["k2_stat"] is None and row["p_value"] is None
