@@ -571,3 +571,580 @@ def test_dagostino_small_n_nulls_loud(spark, tmp_path):
     assert row["skewness"] is not None
     assert row["z_skew"] is None and row["z_kurt"] is None
     assert row["k2_stat"] is None and row["p_value"] is None
+
+
+# --- KPSS level stationarity -----------------------------------------------------
+
+
+def _daily_cents(orders: pd.DataFrame) -> list[int]:
+    days = (orders["o_orderdate"].astype("int64") // (86400 * 10**6)).astype(int)
+    cents = orders["o_totalprice"].map(lambda v: _round_away(v * 100))
+    g = pd.DataFrame({"d": days, "c": cents}).groupby("d")["c"].sum()
+    return [int(v) for _, v in sorted(g.items())]
+
+
+def _kpss_ref(ys: list[int]) -> dict:
+    nn = len(ys)
+    ss = sum(ys)
+    ll = int(math.floor(4.0 * math.sqrt(math.sqrt(nn / 100.0))))
+    out = {"n_days": nn, "lag_l": ll}
+    es = [nn * y - ss for y in ys]
+    den = float(sum(e * e for e in es))
+    if den <= 0 or nn < 2:
+        out.update({"kpss_eta": None, "stationary_10pct": None,
+                    "stationary_5pct": None, "stationary_1pct": None})
+        return out
+    p8 = 0
+    sc = 0
+    for e in es:
+        sc += e
+        p8 += _round_away(1e8 * ((1.0 * sc * sc) / den))
+    w2q = 0
+    for k in range(1, min(12, ll) + 1):
+        g = float(sum(es[i] * es[i + k] for i in range(nn - k)))
+        w2q += (ll + 1 - k) * _round_away(1e8 * (g / den))
+    wq8 = (ll + 1) * 100000000 + 2 * w2q
+    if wq8 <= 0:
+        out.update({"kpss_eta": None, "stationary_10pct": None,
+                    "stationary_5pct": None, "stationary_1pct": None})
+        return out
+    eta = ((p8 / 1e8) * (ll + 1)) / (1.0 * nn * (wq8 / 1e8))
+    out["kpss_eta"] = _rnd6(eta)
+    out["stationary_10pct"] = eta < 0.347
+    out["stationary_5pct"] = eta < 0.463
+    out["stationary_1pct"] = eta < 0.739
+    return out
+
+
+def test_kpss_matches_python(spark, sf_small):
+    ref = _kpss_ref(_daily_cents(_load_orders(sf_small)))
+    row = S.STAGED_QUERIES["kpss_level_stationarity"](spark, sf_small).collect()[0]
+    assert row["n_days"] == ref["n_days"]
+    assert row["lag_l"] == ref["lag_l"]
+    if ref["kpss_eta"] is None:
+        assert row["kpss_eta"] is None
+    else:
+        assert abs(row["kpss_eta"] - ref["kpss_eta"]) < 2e-6
+        for k in ("stationary_10pct", "stationary_5pct", "stationary_1pct"):
+            assert row[k] == ref[k], k
+
+
+def _orders_for_daily(ys) -> pd.DataFrame:
+    base = pd.Timestamp("2024-01-01")
+    rows = [(base + pd.Timedelta(days=i), y / 100.0) for i, y in enumerate(ys)]
+    return _orders_pdf(rows)
+
+
+def test_kpss_trending_series_rejects(spark, tmp_path):
+    """A strongly trending level (y_t = 1000 t): the partial sums of the
+    demeaned series grow like n^2 and eta lands far above every
+    critical value — level stationarity rejected at 1%."""
+    ys = [100000 + 1000 * i for i in range(200)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["kpss_level_stationarity"](spark, sf).collect()[0]
+    assert row["kpss_eta"] > 0.739
+    assert row["stationary_1pct"] is False
+    assert row["stationary_5pct"] is False
+
+
+def test_kpss_alternating_series_accepts(spark, tmp_path):
+    """A bounded alternating level: partial sums stay O(1), eta is far
+    below 0.347 — stationary at every published level."""
+    ys = [100000 + (500 if i % 2 == 0 else -500) for i in range(200)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["kpss_level_stationarity"](spark, sf).collect()[0]
+    assert row["kpss_eta"] < 0.347
+    assert row["stationary_10pct"] is True
+
+
+def test_kpss_constant_series_nulls_loud(spark, tmp_path):
+    ys = [100000] * 50
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["kpss_level_stationarity"](spark, sf).collect()[0]
+    assert row["kpss_eta"] is None and row["stationary_5pct"] is None
+
+
+# --- PACF of daily event counts --------------------------------------------------
+
+
+def _event_day_counts(events: pd.DataFrame) -> dict[int, int]:
+    days = (events["ts"].astype("int64") // (86400 * 10**6)).astype(int)
+    return {int(d): int(c) for d, c in days.value_counts().items()}
+
+
+def _pacf_ref(day_counts: dict[int, int]) -> dict:
+    nn = len(day_counts)
+    ss = sum(day_counts.values())
+    es = {d: nn * c - ss for d, c in day_counts.items()}
+    den = float(sum(e * e for e in es.values()))
+    out = {"n_days": nn}
+    rs = {}
+    for k in (1, 2, 3):
+        num = float(sum(es[d] * es[d + k] for d in es if d + k in es))
+        rs[k] = None if den <= 0 else num / den
+    r1, r2, r3 = rs[1], rs[2], rs[3]
+    out["r_1"], out["r_2"], out["r_3"] = (
+        None if r is None else _rnd6(r) for r in (r1, r2, r3)
+    )
+    out["pacf_1"] = out["r_1"]
+    p22 = p21 = p33 = None
+    if r1 is not None and r2 is not None and (1.0 - r1 * r1) != 0:
+        p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+        p21 = r1 * (1.0 - p22)
+    if (p21 is not None and r3 is not None
+            and (1.0 - p21 * r1 - p22 * r2) != 0):
+        p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    out["pacf_2"] = None if p22 is None else _rnd6(p22)
+    out["pacf_3"] = None if p33 is None else _rnd6(p33)
+    out["ci_band"] = None if nn < 1 else _rnd6(1.959964 / math.sqrt(nn))
+    return out
+
+
+def test_pacf_matches_python(spark, sf_small):
+    ref = _pacf_ref(_event_day_counts(_load_events(sf_small)))
+    row = S.STAGED_QUERIES["pacf_daily_events"](spark, sf_small).collect()[0]
+    assert row["n_days"] == ref["n_days"]
+    for k in ("r_1", "r_2", "r_3", "pacf_1", "pacf_2", "pacf_3", "ci_band"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def _events_for_daily_counts(counts) -> pd.DataFrame:
+    base = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for i, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, base + pd.Timedelta(days=i, seconds=j), 1,
+                         "view", 1.0, "{}"))
+            eid += 1
+    return _events_pdf(rows)
+
+
+def test_pacf_alternating_counts(spark, tmp_path):
+    """Daily counts alternating 150/50: lag-1 autocorrelation is near
+    -1, and after regressing lag 1 out, lag 2 carries nothing new —
+    the AR signature PACF exists to expose."""
+    counts = [150 if i % 2 == 0 else 50 for i in range(30)]
+    sf = _write_tables(tmp_path, events=_events_for_daily_counts(counts))
+    row = S.STAGED_QUERIES["pacf_daily_events"](spark, sf).collect()[0]
+    assert row["pacf_1"] < -0.9
+    assert abs(row["pacf_2"]) < abs(row["pacf_1"])
+    ref = _pacf_ref({i: c for i, c in enumerate(counts)})
+    for k in ("pacf_1", "pacf_2", "pacf_3"):
+        assert abs(row[k] - ref[k]) < 2e-6, k
+
+
+def test_pacf_constant_counts_null_loud(spark, tmp_path):
+    counts = [100] * 20
+    sf = _write_tables(tmp_path, events=_events_for_daily_counts(counts))
+    row = S.STAGED_QUERIES["pacf_daily_events"](spark, sf).collect()[0]
+    assert row["pacf_1"] is None and row["pacf_2"] is None
+    assert row["pacf_3"] is None
+
+
+# --- Lo-MacKinlay variance ratio --------------------------------------------------
+
+
+def _vr_ref(ys: list[int]) -> dict:
+    nn = len(ys)
+    out = {"n_days": nn, "q": 5}
+    if nn <= 6 or any(y <= 0 for y in ys):
+        out.update({"vr_stat": None, "z_stat": None, "p_value": None})
+        return out
+    xs = [math.log(1.0 * y) for y in ys]
+    mu = (xs[-1] - xs[0]) / (nn - 1)
+    s1q = sum(_round_away(1e12 * (xs[i + 1] - xs[i] - mu) ** 2)
+              for i in range(nn - 1))
+    s5q = sum(_round_away(1e12 * (xs[i + 5] - xs[i] - 5.0 * mu) ** 2)
+              for i in range(nn - 5))
+    s2a = (s1q / 1e12) / (nn - 1)
+    if s2a <= 0:
+        out.update({"vr_stat": None, "z_stat": None, "p_value": None})
+        return out
+    mm = 5.0 * (nn - 4) * (1.0 - 5.0 / nn)
+    vr = ((s5q / 1e12) / mm) / s2a
+    out["vr_stat"] = _rnd6(vr)
+    z = _rnd6((vr - 1.0) / math.sqrt(4.8 / nn))
+    out["z_stat"] = z
+    out["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return out
+
+
+def test_vr_matches_python(spark, sf_small):
+    ref = _vr_ref(_daily_cents(_load_orders(sf_small)))
+    row = S.STAGED_QUERIES["variance_ratio_random_walk"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_days"] == ref["n_days"]
+    for k in ("vr_stat", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_vr_mean_reverting_series(spark, tmp_path):
+    """A two-point oscillating level is maximally mean-reverting: the
+    5-day log change has the same magnitude as the 1-day change, so
+    VR sits near 1/5 and z is decisively negative."""
+    ys = [100000 if i % 2 == 0 else 200000 for i in range(120)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["variance_ratio_random_walk"](spark, sf).collect()[0]
+    assert row["vr_stat"] < 0.5
+    assert row["z_stat"] < -3
+    assert row["p_value"] < 0.01
+
+
+def test_vr_exact_geometric_growth_nulls_loud(spark, tmp_path):
+    """Exact doubling every day: every 1-day log change equals the
+    drift, the e12-quantized deviations vanish, and the zero 1-day
+    variance NULLs the ratio loud."""
+    ys = [100 * 2**i for i in range(30)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["variance_ratio_random_walk"](spark, sf).collect()[0]
+    assert row["vr_stat"] is None and row["z_stat"] is None
+
+
+# --- Poisson rate ratio ------------------------------------------------------------
+
+
+def _pr_ref(events: pd.DataFrame) -> dict:
+    arms = events["user_id"].map(lambda u: _h48(str(u)) % 2)
+    e1 = int(arms.sum())
+    e0 = int(len(arms) - e1)
+    users = events["user_id"].unique()
+    nu1 = sum(1 for u in users if _h48(str(u)) % 2 == 1)
+    nu0 = len(users) - nu1
+    out = {"n_users_0": nu0, "n_users_1": nu1, "events_0": e0, "events_1": e1}
+    out["rate_0"] = None if nu0 < 1 else _rnd6(1.0 * e0 / nu0)
+    out["rate_1"] = None if nu1 < 1 else _rnd6(1.0 * e1 / nu1)
+    nt = e0 + e1
+    if nt < 1 or nu0 < 1 or nu1 < 1:
+        out.update({"rate_ratio": None, "rr_lo": None, "rr_hi": None,
+                    "z_stat": None, "p_value": None})
+        return out
+    z = _rnd6(
+        (1.0 * e1 - (1.0 * nt * nu1) / (nu0 + nu1))
+        / math.sqrt((1.0 * nt * nu1 * nu0) / ((1.0 * (nu0 + nu1)) * (nu0 + nu1)))
+    )
+    out["z_stat"] = z
+    out["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    if e0 < 1 or e1 < 1:
+        out.update({"rate_ratio": None, "rr_lo": None, "rr_hi": None})
+        return out
+    rr = (1.0 * e1 / nu1) / (1.0 * e0 / nu0)
+    hw = 1.959964 * math.sqrt(1.0 / e0 + 1.0 / e1)
+    out["rate_ratio"] = _rnd6(rr)
+    out["rr_lo"] = _rnd6(math.exp(math.log(rr) - hw))
+    out["rr_hi"] = _rnd6(math.exp(math.log(rr) + hw))
+    return out
+
+
+def test_rate_ratio_matches_python(spark, sf_small):
+    ref = _pr_ref(_load_events(sf_small))
+    row = S.STAGED_QUERIES["poisson_rate_ratio_ab"](spark, sf_small).collect()[0]
+    for k in ("n_users_0", "n_users_1", "events_0", "events_1"):
+        assert row[k] == ref[k], k
+    for k in ("rate_0", "rate_1", "rate_ratio", "rr_lo", "rr_hi", "z_stat",
+              "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_rate_ratio_doubled_rate_detected(spark, tmp_path):
+    """5 users per arm, arm 1 firing 20 events/user vs arm 0's 10: the
+    ratio is exactly 2, the interval excludes 1, z is positive."""
+    a0, a1 = _users_by_arm(5)
+    ts = pd.Timestamp("2024-04-01 10:00:00")
+    rows, eid = [], 0
+    for users, per in ((a0, 10), (a1, 20)):
+        for u in users:
+            for _ in range(per):
+                rows.append((eid, ts + pd.Timedelta(seconds=eid), u, "view",
+                             1.0, "{}"))
+                eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["poisson_rate_ratio_ab"](spark, sf).collect()[0]
+    assert row["n_users_0"] == 5 and row["n_users_1"] == 5
+    assert row["rate_ratio"] == 2.0
+    assert row["rr_lo"] > 1.0
+    assert row["z_stat"] > 3
+    assert row["p_value"] < 0.01
+
+
+def test_rate_ratio_equal_rates_zero(spark, tmp_path):
+    """Identical per-user intensity in both arms: z is exactly 0 and
+    the ratio is exactly 1."""
+    a0, a1 = _users_by_arm(4)
+    ts = pd.Timestamp("2024-04-01 10:00:00")
+    rows, eid = [], 0
+    for users in (a0, a1):
+        for u in users:
+            for _ in range(12):
+                rows.append((eid, ts + pd.Timedelta(seconds=eid), u, "view",
+                             1.0, "{}"))
+                eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["poisson_rate_ratio_ab"](spark, sf).collect()[0]
+    assert row["rate_ratio"] == 1.0
+    assert row["z_stat"] == 0.0
+    assert row["p_value"] == 1.0
+    assert row["rr_lo"] < 1.0 < row["rr_hi"]
+
+
+def test_stream_rate_matches_python_on_odd_half(spark, sf_small):
+    ev = _load_events(sf_small)
+    ref = _pr_ref(ev[ev["user_id"] % 2 == 1])
+    row = S.STAGED_QUERIES["stream_poisson_rate_monitor"](
+        spark, sf_small
+    ).collect()[0]
+    for k in ("n_users_0", "n_users_1", "events_0", "events_1"):
+        assert row[k] == ref[k], k
+    for k in ("rate_ratio", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+# --- Cuzick trend ------------------------------------------------------------------
+
+
+def _cz_ref(events: pd.DataFrame) -> dict:
+    secs = events["ts"].astype("int64") // 10**6
+    bands = ((secs // 3600) % 24) // 6
+    cents = events["value"].map(lambda v: _round_away(v * 100))
+    n = len(cents)
+    # doubled midranks per value
+    from collections import Counter
+
+    cnt = Counter(cents.tolist())
+    r2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        r2[v] = 2 * cum + c + 1
+        cum += c
+    t2 = sum(int(l) * r2[v] for l, v in zip(bands, cents))
+    l1 = int(bands.sum())
+    sl2 = int((bands * bands).sum())
+    sr2 = sum(c * r2[v] ** 2 for v, c in cnt.items())
+    out = {"n_events": n, "t_x2": t2}
+    out["e_x2"] = None if n < 1 else _rnd6(1.0 * (n + 1) * l1)
+    var = ((1.0 * n * sl2 - 1.0 * l1 * l1) / n) * (
+        (1.0 * sr2 - 1.0 * n * (n + 1) * (n + 1)) / (n - 1)
+    ) if n >= 2 else 0.0
+    if n < 2 or var <= 0:
+        out.update({"z_stat": None, "p_value": None})
+        return out
+    z = _rnd6((1.0 * t2 - 1.0 * (n + 1) * l1) / math.sqrt(var))
+    out["z_stat"] = z
+    out["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return out
+
+
+def test_cuzick_matches_python(spark, sf_small):
+    ref = _cz_ref(_load_events(sf_small))
+    row = S.STAGED_QUERIES["cuzick_trend_by_tod"](spark, sf_small).collect()[0]
+    assert row["n_events"] == ref["n_events"]
+    assert row["t_x2"] == ref["t_x2"]
+    for k in ("e_x2", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_cuzick_monotone_band_shift_detected(spark, tmp_path):
+    """Values strictly increasing in the time-of-day band (10, 20, 30,
+    40): the rank trend is maximal, z is large positive."""
+    rows, eid = [], 0
+    for band, hour, val in ((0, 3, 10.0), (1, 9, 20.0), (2, 15, 30.0),
+                            (3, 21, 40.0)):
+        for i in range(25):
+            ts = pd.Timestamp("2024-04-01") + pd.Timedelta(
+                days=i, hours=hour, seconds=eid % 60
+            )
+            rows.append((eid, ts, 1, "view", val, "{}"))
+            eid += 1
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["cuzick_trend_by_tod"](spark, sf).collect()[0]
+    assert row["z_stat"] > 5
+    assert row["p_value"] < 0.001
+
+
+def test_cuzick_constant_values_null_loud(spark, tmp_path):
+    """All values identical: every mid-rank equals (N+1)/2, the rank
+    variance is 0, and the readout NULLs loud."""
+    rows = []
+    for i in range(40):
+        ts = pd.Timestamp("2024-04-01") + pd.Timedelta(hours=i % 24)
+        rows.append((i, ts, 1, "view", 7.0, "{}"))
+    sf = _write_tables(tmp_path, events=_events_pdf(rows))
+    row = S.STAGED_QUERIES["cuzick_trend_by_tod"](spark, sf).collect()[0]
+    assert row["z_stat"] is None and row["p_value"] is None
+
+
+# --- partial correlation -------------------------------------------------------------
+
+
+def _pc_ref(docs: pd.DataFrame) -> dict:
+    xs, ys, ws = [], [], []
+    for t, nc in zip(docs["text"], docs["n_chars"]):
+        toks = t.strip().lower().split(" ")
+        xs.append(int(nc))
+        ys.append(len(toks))
+        ws.append(len(set(toks)))
+    nn = len(xs)
+    sums = {
+        "sx": sum(xs), "sy": sum(ys), "sw": sum(ws),
+        "sxx": sum(x * x for x in xs), "sxy": sum(x * y for x, y in zip(xs, ys)),
+        "syy": sum(y * y for y in ys), "sxw": sum(x * w for x, w in zip(xs, ws)),
+        "syw": sum(y * w for y, w in zip(ys, ws)),
+        "sww": sum(w * w for w in ws),
+    }
+    def corr(u, v):
+        duu = 1.0 * nn * sums[f"s{u}{u}"] - 1.0 * sums[f"s{u}"] * sums[f"s{u}"]
+        dvv = 1.0 * nn * sums[f"s{v}{v}"] - 1.0 * sums[f"s{v}"] * sums[f"s{v}"]
+        if nn < 4 or duu <= 0 or dvv <= 0:
+            return None
+        duv = 1.0 * nn * sums[f"s{u}{v}"] - 1.0 * sums[f"s{u}"] * sums[f"s{v}"]
+        return duv / math.sqrt(duu * dvv)
+
+    rxy, rxw, ryw = corr("x", "y"), corr("x", "w"), corr("y", "w")
+    out = {"n_docs": nn}
+    out["r_xy"] = None if rxy is None else _rnd6(rxy)
+    out["r_xw"] = None if rxw is None else _rnd6(rxw)
+    out["r_yw"] = None if ryw is None else _rnd6(ryw)
+    pr = None
+    if (rxy is not None and rxw is not None and ryw is not None
+            and (1.0 - rxw * rxw) * (1.0 - ryw * ryw) > 0):
+        pr = (rxy - rxw * ryw) / math.sqrt(
+            (1.0 - rxw * rxw) * (1.0 - ryw * ryw)
+        )
+    out["partial_r"] = None if pr is None else _rnd6(pr)
+    if pr is None or abs(pr) >= 1.0 or nn < 5:
+        out.update({"z_stat": None, "p_value": None})
+        return out
+    z = _rnd6(0.5 * math.log((1.0 + pr) / (1.0 - pr)) * math.sqrt(1.0 * nn - 4))
+    out["z_stat"] = z
+    out["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return out
+
+
+def test_partial_corr_matches_python(spark, sf_small):
+    ref = _pc_ref(_load_docs(sf_small))
+    row = S.STAGED_QUERIES["partial_corr_chars_tokens"](
+        spark, sf_small
+    ).collect()[0]
+    assert row["n_docs"] == ref["n_docs"]
+    for k in ("r_xy", "r_xw", "r_yw", "partial_r", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_partial_corr_constant_control_nulls_loud(spark, tmp_path):
+    """Every document with identical vocabulary breadth: the control has
+    zero variance, r_xw is undefined, and the partial NULLs loud."""
+    rows = []
+    for i in range(20):
+        text = " ".join(["alpha", "beta", "gamma"] * (i + 1))
+        rows.append((i, text, len(text)))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    row = S.STAGED_QUERIES["partial_corr_chars_tokens"](spark, sf).collect()[0]
+    assert row["r_xw"] is None
+    assert row["partial_r"] is None and row["z_stat"] is None
+
+
+def test_partial_corr_collinear_control_nulls_loud(spark, tmp_path):
+    """Every token distinct: token count == distinct count exactly, so
+    r_yw = 1 and the partial's denominator is 0 — loud NULL, not a
+    manufactured statistic."""
+    rows = []
+    for i in range(20):
+        toks = [f"w{i}x{j}" for j in range(3 + (i * 5) % 11)]
+        text = " ".join(toks)
+        rows.append((i, text, len(text)))
+    sf = _write_tables(tmp_path, documents=_docs_pdf(rows))
+    row = S.STAGED_QUERIES["partial_corr_chars_tokens"](spark, sf).collect()[0]
+    assert row["r_yw"] == 1.0
+    assert row["partial_r"] is None and row["z_stat"] is None
+
+
+# --- Bartels rank von Neumann ---------------------------------------------------------
+
+
+def _br_ref(ys: list[int]) -> dict:
+    nn = len(ys)
+    out = {"n_days": nn}
+    from collections import Counter
+
+    cnt = Counter(ys)
+    r2m = {}
+    cum = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        r2m[v] = 2 * cum + c + 1
+        cum += c
+    r2s = [r2m[y] for y in ys]
+    num2 = float(sum((r2s[i] - r2s[i + 1]) ** 2 for i in range(nn - 1)))
+    sr2 = float(sum(r * r for r in r2s))
+    den2 = sr2 - 1.0 * nn * (nn + 1) * (nn + 1)
+    if nn < 4 or den2 <= 0:
+        out.update({"rvn_stat": None, "z_stat": None, "p_value": None})
+        return out
+    rvn = num2 / den2
+    out["rvn_stat"] = _rnd6(rvn)
+    var = (4.0 * (nn - 2) * (5.0 * nn * nn - 2.0 * nn - 9.0)) / (
+        5.0 * nn * (nn + 1.0) * (nn - 1.0) * (nn - 1.0)
+    )
+    z = _rnd6((rvn - 2.0) / math.sqrt(var))
+    out["z_stat"] = z
+    out["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return out
+
+
+def test_bartels_matches_python(spark, sf_small):
+    ref = _br_ref(_daily_cents(_load_orders(sf_small)))
+    row = S.STAGED_QUERIES["bartels_rank_randomness"](spark, sf_small).collect()[0]
+    assert row["n_days"] == ref["n_days"]
+    for k in ("rvn_stat", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_bartels_monotone_series(spark, tmp_path):
+    """Strictly increasing revenue: successive rank differences are
+    minimal, RVN sits far below 2, z is decisively negative (positive
+    serial correlation)."""
+    ys = [100000 + 1000 * i for i in range(40)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["bartels_rank_randomness"](spark, sf).collect()[0]
+    assert row["rvn_stat"] < 1.0
+    assert row["z_stat"] < -3
+    assert row["p_value"] < 0.01
+
+
+def test_bartels_alternating_series(spark, tmp_path):
+    """Oscillating revenue: successive rank differences are maximal,
+    RVN sits above 2 (negative serial correlation)."""
+    ys = [100000 + (i % 2) * 50000 + i for i in range(40)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["bartels_rank_randomness"](spark, sf).collect()[0]
+    assert row["rvn_stat"] > 2.5
+    assert row["z_stat"] > 2
+
+
+def test_bartels_constant_series_nulls_loud(spark, tmp_path):
+    ys = [100000] * 30
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["bartels_rank_randomness"](spark, sf).collect()[0]
+    assert row["rvn_stat"] is None and row["z_stat"] is None
