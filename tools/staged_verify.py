@@ -2,7 +2,7 @@
 DuckDB oracles — the staging-gate twin of tools/verify_drive.py (which
 covers only the LIVE registry exposed through __spark_entry__). The
 module is selected by the STAGED_MODULE env var (default: the CURRENT
-driver-invisible generation, plans/staging_r14.py).
+driver-invisible generation, plans/staging_r15.py).
 
 Usage: copy to /tmp and run `python /tmp/staged_verify.py [sf_dir] [name ...]`
 Defaults: sf_dir=/root/testdata/sf0.01, names = all staged queries.
@@ -64,7 +64,7 @@ def main():
     # Which staging module to sweep: STAGED_MODULE=staging_r10 etc.
     # Default = the CURRENT (driver-invisible) staging generation; promoted
     # generations are covered by verify_drive.py through the live registry.
-    mod = os.environ.get("STAGED_MODULE", "staging_r14")
+    mod = os.environ.get("STAGED_MODULE", "staging_r15")
     S = importlib.import_module(
         f"flink_realtime_sessionize_sample_spark.plans.{mod}"
     )
