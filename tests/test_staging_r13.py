@@ -99,20 +99,22 @@ def _explain(df) -> str:
 
 
 def test_promoted_names_are_registered_live():
-    # Round-13 promotion invariant (the test_staging_r8/r10/r11/r12
-    # durable form — the original "must NOT leak while staged" assertion
-    # inverted at the round-13 open): every staged query registers into
-    # the live registry (same function object), every name sits inside
-    # the round-13 driver window (all 12 are this round's new
-    # registrations), and the promotion list in plans/__init__ matches
-    # the staged set exactly.
+    # Round-13 promotion invariant, durable form (the test_staging_r8/r10/
+    # r11/r12 precedent): every staged query registers into the live
+    # registry (same function object) and — now that CORRECTNESS_r13 went
+    # 50/50 green — carries a green external row. The original round-13
+    # assertion that the promotions sit INSIDE the first-50 window was
+    # window-rotation-specific and retired when the round-14 rotation
+    # reclaimed those slots.
     missing = [n for n in S.STAGED_QUERIES if n not in plans.QUERIES]
     assert not missing, f"promoted queries missing from the live registry: {missing}"
     same = [n for n in S.STAGED_QUERIES if plans.QUERIES[n] is S.STAGED_QUERIES[n]]
     assert len(same) == len(S.STAGED_QUERIES)
-    window = set(list(plans.QUERIES)[:50])
-    out = [n for n in S.STAGED_QUERIES if n not in window]
-    assert out == [], f"promoted queries outside the round-13 window: {out}"
+    ungreen = [
+        n for n in S.STAGED_QUERIES
+        if n not in plans._EXTERNALLY_GREEN_THROUGH_R13
+    ]
+    assert not ungreen, f"promoted queries without a green external row: {ungreen}"
     assert set(plans._ROUND13_PROMOTIONS) == set(S.STAGED_QUERIES)
 
 
