@@ -73,7 +73,18 @@ family completions the existing frames make cheap and real users hit):
 * ``bartels_rank_randomness`` — the Bartels (1982) rank von Neumann
   ratio test of the daily-revenue series (the rank-robust randomness
   check next to runs_test's sign-only form; RVN < 2 = positive serial
-  correlation, > 2 = oscillation), tie-exact via doubled midranks.
+  correlation, > 2 = oscillation), tie-exact via doubled midranks;
+* ``durbin_watson_residuals`` — the Durbin-Watson (1950) lag-1
+  serial-correlation statistic of the seasonal-decomposition MA5
+  residuals (the direction-and-magnitude companion to the staged
+  portmanteau), read as von Neumann's ratio with Hart's exact null
+  moments for the two-sided z — the value-domain twin of the staged
+  Bartels rank form, exact-integer end to end;
+* ``dickey_fuller_unit_root`` — the Dickey-Fuller (1979) constant-only
+  tau test of the daily log-revenue series, the null-reversed twin of
+  the staged KPSS (KPSS null = stationary, DF null = unit root — the
+  textbook pre-differencing pair) against the published
+  -2.57/-2.86/-3.43 critical values (tabulated-critical spec).
 
 Exactness discipline unchanged (staging_r8 header, the dialect-trap
 register): integer or quantized-integer corpus sums through the shared
@@ -2168,4 +2179,373 @@ def bartels_rank_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN z_stat IS NULL THEN NULL"
             f" ELSE round(({poly}), 6) + 0.0 END"
         ).alias("p_value"),
+    )
+
+
+# --- Durbin-Watson / von Neumann serial-correlation test ------------------------------
+
+# Durbin & Watson (1950): DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2
+# over the (mean-zero) residual series; the classic first-order
+# serial-correlation diagnostic a forecaster reads NEXT to the
+# portmanteau (Ljung-Box asks "any structure at lags 1..m", DW asks
+# "how much at lag 1, and in which direction": DW < 2 = positive serial
+# correlation, > 2 = oscillation). Applied to the seasonal_ljung_box
+# residual frame, the residuals are exact integers and both quadratic
+# sums are exact; the mean-zero device is the same n*rw - S
+# multiplication (DW is scale-invariant, the n^2 cancels, and the
+# centered form makes sum(e) = 0 EXACTLY, the OLS-residual property the
+# statistic assumes). The null readout is von Neumann's (1941) ratio
+# eta = DW * n/(n-1) with Hart's (1942) exact null moments
+# E[eta] = 2n/(n-1), Var[eta] = 4 n^2 (n-2) / ((n+1)(n-1)^3), z normal
+# two-sided — the value-domain twin of the staged Bartels RANK form.
+_DW_STAT = (
+    "CASE WHEN nn < 4 OR den IS NULL OR den <= 0e0 OR num IS NULL THEN NULL"
+    " ELSE num / den END"
+)
+_DW_ETA = "CASE WHEN dw IS NULL THEN NULL ELSE (dw * nn) / (nn - 1e0) END"
+_DW_Z = (
+    "CASE WHEN eta IS NULL THEN NULL"
+    " ELSE round((eta - (2e0 * nn) / (nn - 1))"
+    " / sqrt((4e0 * nn * nn * (nn - 2))"
+    "        / ((nn + 1e0) * (nn - 1) * (nn - 1) * (nn - 1))), 6)"
+    " + 0.0 END"
+)
+
+
+def _dw_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH wk AS (
+  SELECT date_trunc('week', o_orderdate) AS w, count(*)::BIGINT AS c
+  FROM orders GROUP BY 1
+),
+ma AS (
+  SELECT w, c,
+         CAST(sum(c) OVER (ORDER BY w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+           AS BIGINT) AS s5,
+         count(*) OVER (ORDER BY w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+           AS win_n
+  FROM wk
+),
+res AS (
+  SELECT row_number() OVER (ORDER BY w) AS i,
+         CAST(5 * c - s5 AS BIGINT) AS rw
+  FROM ma WHERE win_n = 5
+),
+tot AS (SELECT count(*)::BIGINT AS nn, sum(rw)::BIGINT AS ss FROM res),
+e AS (
+  SELECT i, CAST(tot.nn * rw - tot.ss AS BIGINT) AS ee, tot.nn
+  FROM res CROSS JOIN tot
+),
+den_t AS (
+  SELECT CAST(sum(CAST(ee AS DECIMAL(38,0)) * ee) AS DOUBLE) AS den FROM e
+),
+nm AS (
+  SELECT CAST(sum(CAST((b.ee - a.ee) AS DECIMAL(38,0)) * (b.ee - a.ee))
+           AS DOUBLE) AS num
+  FROM e a JOIN e b ON b.i = a.i + 1
+),
+st AS (SELECT tot.nn, nm.num, den_t.den FROM tot CROSS JOIN nm CROSS JOIN den_t),
+dw_t AS (SELECT *, {_DW_STAT} AS dw FROM st),
+et AS (SELECT *, {_DW_ETA} AS eta FROM dw_t),
+zz AS (SELECT *, {_DW_Z} AS z_stat FROM et),
+xt AS (
+  SELECT *, abs(z_stat) / sqrt(2.0) AS _x,
+         1 / (1 + 0.3275911 * (abs(z_stat) / sqrt(2.0))) AS _t
+  FROM zz
+)
+SELECT nn AS n_resid_weeks,
+       CASE WHEN dw IS NULL THEN NULL ELSE round(dw, 6) + 0.0 END AS dw_stat,
+       CASE WHEN eta IS NULL THEN NULL ELSE round(eta, 6) + 0.0 END AS vn_eta,
+       z_stat,
+       CASE WHEN z_stat IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("durbin_watson_residuals", oracle=_dw_oracle())
+def durbin_watson_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order serial-correlation statistic of the
+    ``orders_trend_decomposition`` weekly MA5 residuals — the
+    direction-and-magnitude lag-1 readout next to the staged
+    ``seasonal_ljung_box_residuals`` omnibus (LB says "structure at
+    lags 1..4 exists", DW says "lag-1, positive or negative, this
+    much"), with von Neumann's ratio eta = DW n/(n-1) and Hart's exact
+    null moments giving the two-sided normal z the family convention
+    expects. DW < 2 flags positive serial correlation (the MA5 trend
+    underfits), > 2 flags oscillation (it overfits).
+
+    Exactness: the residual is the exact integer 5*c - s5 on the full
+    centered window (the seasonal-LB frame verbatim); centering
+    multiplies through by n (ee = n*rw - S, exact int64 on the
+    documented envelope, sum(ee) = 0 EXACTLY — the mean-zero property
+    DW assumes of OLS residuals); both quadratic sums promote the
+    per-row product to DECIMAL(38,0) and convert to DOUBLE once; DW,
+    eta, z are shared texts over those two doubles and nn. n < 4 or a
+    zero residual sum-of-squares (exact-linear trend) NULLs loud.
+
+    Scale shape: one fact scan -> bounded week frame -> bounded
+    residual frame (checkpointed); the successive-difference join runs
+    over that bounded frame; one scalar readout."""
+    poly = _as_erfc_poly()
+    wk = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    win = Window.orderBy("w").rowsBetween(-2, 2)
+    ma = wk.select(
+        "w",
+        "c",
+        F.sum("c").over(win).cast("long").alias("s5"),
+        F.count(F.lit(1)).over(win).alias("win_n"),
+    )
+    res = (
+        ma.filter(F.col("win_n") == 5)
+        .select(
+            F.row_number().over(Window.orderBy("w")).cast("long").alias("i"),
+            (F.lit(5) * F.col("c") - F.col("s5")).cast("long").alias("rw"),
+        )
+    )
+    res = res.localCheckpoint()  # bounded residual-week frame; tot + e
+    tot = res.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("rw").cast("long").alias("ss"),
+    )
+    e = res.crossJoin(F.broadcast(tot)).select(
+        "i",
+        F.expr("CAST(nn * rw - ss AS BIGINT)").alias("ee"),
+        "nn",
+    )
+    e = e.localCheckpoint()  # bounded centered frame; den + diff join
+    den_t = e.agg(
+        F.expr("CAST(sum(CAST(ee AS DECIMAL(38,0)) * ee) AS DOUBLE)").alias("den")
+    )
+    a = e.select(F.col("i").alias("ia"), F.col("ee").alias("ea"))
+    b = e.select(F.col("i").alias("ib"), F.col("ee").alias("eb"))
+    nm = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).agg(
+        F.expr(
+            "CAST(sum(CAST((eb - ea) AS DECIMAL(38,0)) * (eb - ea))"
+            " AS DOUBLE)"
+        ).alias("num")
+    )
+    st = (
+        tot.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(den_t))
+        .select("nn", "num", "den")
+    )
+    dw_t = st.withColumn("dw", F.expr(_DW_STAT))
+    et = dw_t.withColumn("eta", F.expr(_DW_ETA))
+    zz = et.withColumn("z_stat", F.expr(_DW_Z))
+    xt = zz.withColumn("_x", F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))).withColumn(
+        "_t", 1 / (1 + 0.3275911 * (F.abs(F.col("z_stat")) / F.sqrt(F.lit(2.0))))
+    )
+    return xt.select(
+        F.col("nn").alias("n_resid_weeks"),
+        F.expr(
+            "CASE WHEN dw IS NULL THEN NULL ELSE round(dw, 6) + 0.0 END"
+        ).alias("dw_stat"),
+        F.expr(
+            "CASE WHEN eta IS NULL THEN NULL ELSE round(eta, 6) + 0.0 END"
+        ).alias("vn_eta"),
+        "z_stat",
+        F.expr(
+            f"CASE WHEN z_stat IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )
+
+
+# --- Dickey-Fuller unit-root test -----------------------------------------------------
+
+# Dickey & Fuller (1979), constant-only case ("tau_mu"): regress the
+# 1-day log change d_t = x_t - x_{t-1} on the lagged level x_{t-1}
+# (intercept via centering); tau = rho_hat / se(rho_hat). Under the
+# unit-root null tau follows the (nonstandard) Dickey-Fuller
+# distribution — read against the published large-n critical values
+# -2.57 / -2.86 / -3.43 at 10/5/1% (Fuller 1976; MacKinnon 1991), the
+# tabulated-critical spec the staged KPSS query set the precedent for
+# (the two are the null-reversed pair: KPSS null = stationary, DF null
+# = unit root; a forecaster runs both before differencing).
+# Each of the five OLS sums quantizes its per-row term at e12 and sums
+# in DECIMAL(38,0) -> one DOUBLE conversion; the centered moments,
+# rho, and tau are shared texts over those exact-sourced doubles.
+_DF_L_E12 = "CAST(round(1000000000000 * xa) AS BIGINT)"
+_DF_D_E12 = "CAST(round(1000000000000 * (xb - xa)) AS BIGINT)"
+_DF_LD_E12 = "CAST(round(1000000000000 * (xa * (xb - xa))) AS BIGINT)"
+_DF_LL_E12 = "CAST(round(1000000000000 * (xa * xa)) AS BIGINT)"
+_DF_DD_E12 = "CAST(round(1000000000000 * ((xb - xa) * (xb - xa))) AS BIGINT)"
+_DF_SLL = "(llqd / 1e12 - (lqd / 1e12) * (lqd / 1e12) / mm)"
+_DF_SLD = "(ldqd / 1e12 - (lqd / 1e12) * (dqd / 1e12) / mm)"
+_DF_SDD = "(ddqd / 1e12 - (dqd / 1e12) * (dqd / 1e12) / mm)"
+_DF_RHO = (
+    f"CASE WHEN anyn = 1 OR mm < 3e0"
+    f" OR {_DF_SLL} <= 1e-9 * (llqd / 1e12) THEN NULL"
+    f" ELSE {_DF_SLD} / {_DF_SLL} END"
+)
+_DF_TAU = (
+    "CASE WHEN rho IS NULL OR sdd <= 0e0"
+    " OR (sdd - rho * sld) <= 1e-9 * sdd THEN NULL"
+    " ELSE round(rho / sqrt(((sdd - rho * sld) / (mm - 2)) / sll), 6)"
+    " + 0.0 END"
+)
+
+
+def _df_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+ix AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         CASE WHEN y <= 0 THEN NULL ELSE ln(1e0 * y) END AS x
+  FROM d
+),
+tot AS (
+  SELECT count(*)::BIGINT AS nn,
+         max(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS anyn
+  FROM ix
+),
+j AS (SELECT a.x AS xa, b.x AS xb FROM ix a JOIN ix b ON b.i = a.i + 1),
+sm AS (
+  SELECT CAST(sum(CAST({_DF_L_E12} AS DECIMAL(38,0))) AS DOUBLE) AS lqd,
+         CAST(sum(CAST({_DF_D_E12} AS DECIMAL(38,0))) AS DOUBLE) AS dqd,
+         CAST(sum(CAST({_DF_LD_E12} AS DECIMAL(38,0))) AS DOUBLE) AS ldqd,
+         CAST(sum(CAST({_DF_LL_E12} AS DECIMAL(38,0))) AS DOUBLE) AS llqd,
+         CAST(sum(CAST({_DF_DD_E12} AS DECIMAL(38,0))) AS DOUBLE) AS ddqd
+  FROM j
+),
+st AS (
+  SELECT tot.nn, tot.anyn, 1e0 * (tot.nn - 1) AS mm,
+         sm.lqd, sm.dqd, sm.ldqd, sm.llqd, sm.ddqd
+  FROM tot CROSS JOIN sm
+),
+ct AS (
+  SELECT nn, anyn, mm, {_DF_SLL} AS sll, {_DF_SLD} AS sld, {_DF_SDD} AS sdd,
+         {_DF_RHO} AS rho
+  FROM st
+),
+tt AS (SELECT *, {_DF_TAU} AS tau FROM ct)
+SELECT nn AS n_days, CAST(nn - 1 AS BIGINT) AS m_obs,
+       CASE WHEN rho IS NULL THEN NULL ELSE round(rho, 6) + 0.0 END
+         AS rho_hat,
+       tau AS tau_stat,
+       CASE WHEN tau IS NULL THEN NULL ELSE tau < -257e-2 END
+         AS unit_root_rejected_10pct,
+       CASE WHEN tau IS NULL THEN NULL ELSE tau < -286e-2 END
+         AS unit_root_rejected_5pct,
+       CASE WHEN tau IS NULL THEN NULL ELSE tau < -343e-2 END
+         AS unit_root_rejected_1pct
+FROM tt
+"""
+
+
+@staged("dickey_fuller_unit_root", oracle=_df_oracle())
+def dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (constant-only tau_mu, no
+    augmentation) of the daily log-revenue series — the null-reversed
+    twin of the staged ``kpss_level_stationarity`` (KPSS null =
+    stationary, DF null = unit root: agreement between the two is the
+    textbook pre-differencing protocol) on the SAME series the staged
+    variance-ratio test reads (VR asks "random walk at the weekly
+    horizon", DF asks "unit root at lag one"). tau is read against the
+    published critical values -2.57/-2.86/-3.43 at 10/5/1% because the
+    DF null distribution is nonstandard with no closed-form CDF — the
+    tabulated-critical spec, documented (no p_value column by design).
+
+    Exactness: daily revenue cents are exact integers on the datediff
+    day key; x = ln(cents) is the established cross-engine-identical
+    primitive; the five OLS sums (l, d, ld, l^2, d^2 over the
+    lag-1 pair frame) each e12-quantize their per-row term and sum in
+    DECIMAL(38,0) with ONE DOUBLE conversion; centered moments, rho =
+    Sld/Sll, RSS = Sdd - rho*Sld, and tau = rho / sqrt((RSS/(m-2))/Sll)
+    are shared texts over those exact-sourced doubles. Non-positive
+    daily revenue, m < 3, lagged-level variance within 1e-9 * (sum
+    l^2 / m-scale) of zero (a constant series — its mathematically-zero
+    Sll survives only as quantization residue), or RSS within
+    1e-9 * Sdd of zero NULL loud — the relative guards catch
+    exact-deterministic series (a constant level, pure geometric
+    growth, a two-point alternation) whose mathematically-zero moments
+    survive only as e12-quantization residue; a fit that perfect is
+    numerically degenerate at the quantization scale, and a statistic
+    on residue would be meaningless noise. Day gaps index as consecutive trading days (the
+    staged-VR convention, documented).
+
+    Scale shape: one fact scan -> bounded day frame (checkpointed);
+    the lag-1 pair frame is a self-join of that bounded frame; one
+    five-sum scalar reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        ).alias("day")
+    ).agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("y"))
+    ix = d.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.expr("CASE WHEN y <= 0 THEN NULL ELSE ln(1e0 * y) END").alias("x"),
+    )
+    ix = ix.localCheckpoint()  # bounded day frame; tot + lag-1 pair join
+    tot = ix.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.max(F.when(F.col("x").isNull(), 1).otherwise(0)).alias("anyn"),
+    )
+    a = ix.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = ix.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    j = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).select("xa", "xb")
+    sm = j.agg(
+        F.expr(
+            f"CAST(sum(CAST({_DF_L_E12} AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("lqd"),
+        F.expr(
+            f"CAST(sum(CAST({_DF_D_E12} AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("dqd"),
+        F.expr(
+            f"CAST(sum(CAST({_DF_LD_E12} AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("ldqd"),
+        F.expr(
+            f"CAST(sum(CAST({_DF_LL_E12} AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("llqd"),
+        F.expr(
+            f"CAST(sum(CAST({_DF_DD_E12} AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("ddqd"),
+    )
+    st = tot.crossJoin(F.broadcast(sm)).select(
+        "nn",
+        "anyn",
+        F.expr("1e0 * (nn - 1)").alias("mm"),
+        "lqd",
+        "dqd",
+        "ldqd",
+        "llqd",
+        "ddqd",
+    )
+    ct = st.select(
+        "nn",
+        "anyn",
+        "mm",
+        F.expr(_DF_SLL).alias("sll"),
+        F.expr(_DF_SLD).alias("sld"),
+        F.expr(_DF_SDD).alias("sdd"),
+        F.expr(_DF_RHO).alias("rho"),
+    )
+    tt = ct.withColumn("tau", F.expr(_DF_TAU))
+    return tt.select(
+        F.col("nn").alias("n_days"),
+        F.expr("CAST(nn - 1 AS BIGINT)").alias("m_obs"),
+        F.expr(
+            "CASE WHEN rho IS NULL THEN NULL ELSE round(rho, 6) + 0.0 END"
+        ).alias("rho_hat"),
+        F.col("tau").alias("tau_stat"),
+        F.expr(
+            "CASE WHEN tau IS NULL THEN NULL ELSE tau < -257e-2 END"
+        ).alias("unit_root_rejected_10pct"),
+        F.expr(
+            "CASE WHEN tau IS NULL THEN NULL ELSE tau < -286e-2 END"
+        ).alias("unit_root_rejected_5pct"),
+        F.expr(
+            "CASE WHEN tau IS NULL THEN NULL ELSE tau < -343e-2 END"
+        ).alias("unit_root_rejected_1pct"),
     )

@@ -1148,3 +1148,197 @@ def test_bartels_constant_series_nulls_loud(spark, tmp_path):
     sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
     row = S.STAGED_QUERIES["bartels_rank_randomness"](spark, sf).collect()[0]
     assert row["rvn_stat"] is None and row["z_stat"] is None
+
+
+# --- Durbin-Watson / von Neumann on decomposition residuals --------------------------
+
+
+def _dw_ref(orders: pd.DataFrame) -> dict:
+    cs = _weekly_counts(orders)
+    res = [5 * cs[i] - sum(cs[i - 2:i + 3]) for i in range(2, len(cs) - 2)]
+    n = len(res)
+    s = sum(res)
+    ec = [n * r - s for r in res]
+    out = {"n_resid_weeks": n}
+    den = float(sum(e * e for e in ec))
+    num = float(sum((ec[i + 1] - ec[i]) ** 2 for i in range(n - 1)))
+    if n < 4 or den <= 0:
+        out.update({"dw_stat": None, "vn_eta": None, "z_stat": None,
+                    "p_value": None})
+        return out
+    dw = num / den
+    eta = (dw * n) / (n - 1.0)
+    out["dw_stat"] = _rnd6(dw)
+    out["vn_eta"] = _rnd6(eta)
+    z = _rnd6(
+        (eta - (2.0 * n) / (n - 1))
+        / math.sqrt(
+            (4.0 * n * n * (n - 2)) / ((n + 1.0) * (n - 1) * (n - 1) * (n - 1))
+        )
+    )
+    out["z_stat"] = z
+    out["p_value"] = _rnd6(_erfc_poly(abs(z) / math.sqrt(2.0)))
+    return out
+
+
+def test_dw_matches_python(spark, sf_small):
+    ref = _dw_ref(_load_orders(sf_small))
+    row = S.STAGED_QUERIES["durbin_watson_residuals"](spark, sf_small).collect()[0]
+    assert row["n_resid_weeks"] == ref["n_resid_weeks"]
+    for k in ("dw_stat", "vn_eta", "z_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_dw_alternating_residual_oscillation(spark, tmp_path):
+    """Weekly counts alternating +-50: the MA5 residual alternates sign,
+    successive differences are maximal, and DW sits near its upper limit
+    4 (the reference values are exact: the alternating centered residual
+    gives eta = 4 exactly at even n)."""
+    counts = [100 + (50 if i % 2 == 0 else -50) for i in range(20)]
+    sf = _write_tables(tmp_path, orders=_orders_for_weeks(counts))
+    row = S.STAGED_QUERIES["durbin_watson_residuals"](spark, sf).collect()[0]
+    assert row["n_resid_weeks"] == 16
+    assert row["dw_stat"] > 3.0
+    assert abs(row["vn_eta"] - 4.0) < 1e-9
+    assert row["z_stat"] > 3
+    assert row["p_value"] < 0.01
+
+
+def test_dw_smooth_seasonal_positive_correlation(spark, tmp_path):
+    """A period-12 sine the MA5 underfits: the residual is itself a
+    smooth sine, successive values move together, and DW collapses
+    toward 0 (strong positive serial correlation, z decisively
+    negative)."""
+    counts = [100 + _round_away(50 * math.sin(2 * math.pi * i / 12))
+              for i in range(36)]
+    sf = _write_tables(tmp_path, orders=_orders_for_weeks(counts))
+    row = S.STAGED_QUERIES["durbin_watson_residuals"](spark, sf).collect()[0]
+    assert row["n_resid_weeks"] == 32
+    assert row["dw_stat"] < 1.0
+    assert row["z_stat"] < -3
+    assert row["p_value"] < 0.01
+
+
+def test_dw_exact_linear_trend_nulls_loud(spark, tmp_path):
+    """A perfectly linear weekly series: the MA5 reproduces every
+    center, all residuals are 0, and the zero sum-of-squares NULLs the
+    readout loud."""
+    counts = [50 + 10 * i for i in range(12)]
+    sf = _write_tables(tmp_path, orders=_orders_for_weeks(counts))
+    row = S.STAGED_QUERIES["durbin_watson_residuals"](spark, sf).collect()[0]
+    assert row["n_resid_weeks"] == 8
+    assert row["dw_stat"] is None and row["z_stat"] is None
+    assert row["p_value"] is None
+
+
+# --- Dickey-Fuller unit root -------------------------------------------------------
+
+
+def _df_ref(ys: list[int]) -> dict:
+    nn = len(ys)
+    out = {"n_days": nn, "m_obs": nn - 1}
+    none = {"rho_hat": None, "tau_stat": None,
+            "unit_root_rejected_10pct": None,
+            "unit_root_rejected_5pct": None,
+            "unit_root_rejected_1pct": None}
+    if nn < 4 or any(y <= 0 for y in ys):
+        out.update(none)
+        return out
+    xs = [math.log(1.0 * y) for y in ys]
+    lq = dq = ldq = llq = ddq = 0
+    for i in range(nn - 1):
+        lv = xs[i]
+        dv = xs[i + 1] - xs[i]
+        lq += _round_away(1e12 * lv)
+        dq += _round_away(1e12 * dv)
+        ldq += _round_away(1e12 * (lv * dv))
+        llq += _round_away(1e12 * (lv * lv))
+        ddq += _round_away(1e12 * (dv * dv))
+    mm = 1.0 * (nn - 1)
+    sll = llq / 1e12 - (lq / 1e12) * (lq / 1e12) / mm
+    sld = ldq / 1e12 - (lq / 1e12) * (dq / 1e12) / mm
+    sdd = ddq / 1e12 - (dq / 1e12) * (dq / 1e12) / mm
+    if mm < 3 or sll <= 1e-9 * (llq / 1e12):
+        out.update(none)
+        return out
+    rho = sld / sll
+    out.update(none)
+    out["rho_hat"] = _rnd6(rho)
+    rss = sdd - rho * sld
+    if sdd <= 0 or rss <= 1e-9 * sdd:
+        return out
+    tau = _rnd6(rho / math.sqrt((rss / (mm - 2)) / sll))
+    out["tau_stat"] = tau
+    out["unit_root_rejected_10pct"] = tau < -2.57
+    out["unit_root_rejected_5pct"] = tau < -2.86
+    out["unit_root_rejected_1pct"] = tau < -3.43
+    return out
+
+
+def test_df_matches_python(spark, sf_small):
+    ref = _df_ref(_daily_cents(_load_orders(sf_small)))
+    row = S.STAGED_QUERIES["dickey_fuller_unit_root"](spark, sf_small).collect()[0]
+    assert row["n_days"] == ref["n_days"]
+    assert row["m_obs"] == ref["m_obs"]
+    for k in ("rho_hat", "tau_stat"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+    for k in ("unit_root_rejected_10pct", "unit_root_rejected_5pct",
+              "unit_root_rejected_1pct"):
+        assert row[k] == ref[k], k
+
+
+def test_df_stationary_noise_rejects(spark, tmp_path):
+    """Deterministic scrambled noise around a fixed level is strongly
+    mean-reverting: rho is decisively negative and tau rejects the unit
+    root at every tabulated level."""
+    ys = [100000 + ((i * 37) % 101) * 100 for i in range(120)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["dickey_fuller_unit_root"](spark, sf).collect()[0]
+    assert row["n_days"] == 120
+    assert row["tau_stat"] < -10
+    assert row["unit_root_rejected_1pct"] is True
+
+
+def test_df_smooth_walk_fails_to_reject(spark, tmp_path):
+    """A smooth multiplicative walk (period-80 sinusoidal growth rate)
+    wanders like a unit-root process at the daily horizon: tau sits
+    near 0, far above every critical value, and no level rejects."""
+    ys = [100000]
+    for i in range(199):
+        eps = math.sin(2 * math.pi * i / 80) / 50.0
+        ys.append(max(1, _round_away(ys[-1] * (1 + eps))))
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["dickey_fuller_unit_root"](spark, sf).collect()[0]
+    assert row["tau_stat"] is not None
+    assert row["tau_stat"] > -2.57
+    assert row["unit_root_rejected_10pct"] is False
+    assert row["unit_root_rejected_5pct"] is False
+    assert row["unit_root_rejected_1pct"] is False
+
+
+def test_df_two_point_alternation_degenerate_fit_nulls_loud(spark, tmp_path):
+    """The two-point alternating series fits d = (a+b) - 2l EXACTLY:
+    rho = -2 survives (the slope is real) but the mathematically-zero
+    RSS is pure e12-quantization residue, so the relative guard NULLs
+    tau loud instead of reading noise as a -10^6 statistic."""
+    ys = [100000 if i % 2 == 0 else 200000 for i in range(120)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["dickey_fuller_unit_root"](spark, sf).collect()[0]
+    assert abs(row["rho_hat"] - (-2.0)) < 1e-9
+    assert row["tau_stat"] is None
+    assert row["unit_root_rejected_5pct"] is None
+
+
+def test_df_constant_series_nulls_loud(spark, tmp_path):
+    """A constant level has zero lagged-level variance: the whole
+    readout NULLs loud."""
+    ys = [100000] * 30
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["dickey_fuller_unit_root"](spark, sf).collect()[0]
+    assert row["rho_hat"] is None and row["tau_stat"] is None
