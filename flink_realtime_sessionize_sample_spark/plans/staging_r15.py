@@ -2549,3 +2549,254 @@ def dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN tau IS NULL THEN NULL ELSE tau < -343e-2 END"
         ).alias("unit_root_rejected_1pct"),
     )
+
+
+# --- Engle ARCH LM test ---------------------------------------------------------------
+
+# Engle (1982): regress the squared (demeaned) return on its lag-1
+# value; LM = m * R^2 ~ chi-square(1) under conditional homoskedasticity
+# — the volatility-clustering diagnostic that completes the staged
+# time-series family (VR asks "random walk in the MEAN", DF "unit root
+# in the LEVEL", this asks "does VARIANCE cluster"). The demeaned
+# return is u_t = d_t - mu with mu = (sum d)/m — identically the staged
+# VR drift (x_n - x_1)/(n-1) — sourced from the e12-quantized D sum.
+# The squared returns MAX-NORMALIZE before quantizing (the lesson-
+# register max-normalize-before-quantize rule, hit live here: a naive
+# e12 quantize of vx^2 overflowed BIGINT on a sparse corpus whose
+# day-gap log-returns reach ~4.6): R^2 is invariant under separate
+# rescaling of x and y, so vx/max(vx), vy/max(vy) are in [0,1], every
+# per-row term is bounded, and no corpus can overflow. p is the EXACT
+# chi-square(1) upper tail erfc(sqrt(LM/2)) via the shared
+# Abramowitz-Stegun polynomial — no new approximation.
+_ARCH_VX = "(((xb - xa) - mu) * ((xb - xa) - mu))"
+_ARCH_VY = "(((xc - xb) - mu) * ((xc - xb) - mu))"
+_ARCH_VXN = "CASE WHEN vmx <= 0e0 THEN 0e0 ELSE vx / vmx END"
+_ARCH_VYN = "CASE WHEN vmy <= 0e0 THEN 0e0 ELSE vy / vmy END"
+_ARCH_SXX = "(xxqd / 1e12 - (xqd / 1e12) * (xqd / 1e12) / mpf)"
+_ARCH_SYY = "(yyqd / 1e12 - (yqd / 1e12) * (yqd / 1e12) / mpf)"
+_ARCH_SXY = "(xyqd / 1e12 - (xqd / 1e12) * (yqd / 1e12) / mpf)"
+_ARCH_R2 = (
+    "CASE WHEN anyn = 1 OR nn < 5"
+    " OR sxx <= 1e-9 * (xxqd / 1e12)"
+    " OR syy <= 1e-9 * (yyqd / 1e12) THEN NULL"
+    " ELSE least(1e0, (sxy * sxy) / (sxx * syy)) END"
+)
+_ARCH_LM = (
+    "CASE WHEN r2 IS NULL"
+    " OR (syy - (sxy * sxy) / sxx) <= 1e-9 * syy THEN NULL"
+    " ELSE round(mpf * r2, 6) + 0.0 END"
+)
+
+
+def _arch_oracle() -> str:
+    poly = _as_erfc_poly()
+    return f"""
+WITH d AS (
+  SELECT datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+ix AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         CASE WHEN y <= 0 THEN NULL ELSE ln(1e0 * y) END AS x
+  FROM d
+),
+tot AS (
+  SELECT count(*)::BIGINT AS nn,
+         max(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS anyn
+  FROM ix
+),
+j1 AS (SELECT a.x AS xa, b.x AS xb FROM ix a JOIN ix b ON b.i = a.i + 1),
+mu_t AS (
+  SELECT CASE WHEN tot.nn < 2 THEN NULL
+              ELSE (CAST(sum(CAST(CAST(round(1000000000000 * (xb - xa))
+                     AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1e12)
+                   / (1e0 * (tot.nn - 1)) END AS mu
+  FROM j1 CROSS JOIN tot GROUP BY tot.nn
+),
+t3 AS (
+  SELECT a.x AS xa, b.x AS xb, c.x AS xc
+  FROM ix a JOIN ix b ON b.i = a.i + 1 JOIN ix c ON c.i = a.i + 2
+),
+vv AS (
+  SELECT {_ARCH_VX} AS vx, {_ARCH_VY} AS vy FROM t3 CROSS JOIN mu_t
+),
+vmax AS (SELECT max(vx) AS vmx, max(vy) AS vmy FROM vv),
+vvn AS (
+  SELECT {_ARCH_VXN} AS vx, {_ARCH_VYN} AS vy FROM vv CROSS JOIN vmax
+),
+sm AS (
+  SELECT CAST(sum(CAST(CAST(round(1000000000000 * vx) AS BIGINT)
+           AS DECIMAL(38,0))) AS DOUBLE) AS xqd,
+         CAST(sum(CAST(CAST(round(1000000000000 * vy) AS BIGINT)
+           AS DECIMAL(38,0))) AS DOUBLE) AS yqd,
+         CAST(sum(CAST(CAST(round(1000000000000 * (vx * vy)) AS BIGINT)
+           AS DECIMAL(38,0))) AS DOUBLE) AS xyqd,
+         CAST(sum(CAST(CAST(round(1000000000000 * (vx * vx)) AS BIGINT)
+           AS DECIMAL(38,0))) AS DOUBLE) AS xxqd,
+         CAST(sum(CAST(CAST(round(1000000000000 * (vy * vy)) AS BIGINT)
+           AS DECIMAL(38,0))) AS DOUBLE) AS yyqd
+  FROM vvn
+),
+st AS (
+  SELECT tot.nn, tot.anyn, 1e0 * (tot.nn - 2) AS mpf,
+         sm.xqd, sm.yqd, sm.xyqd, sm.xxqd, sm.yyqd
+  FROM tot CROSS JOIN sm
+),
+ct AS (
+  SELECT nn, anyn, mpf, xxqd, yyqd,
+         {_ARCH_SXX} AS sxx, {_ARCH_SYY} AS syy, {_ARCH_SXY} AS sxy
+  FROM st
+),
+rt AS (SELECT *, {_ARCH_R2} AS r2 FROM ct),
+lt AS (SELECT *, {_ARCH_LM} AS lm FROM rt),
+xt AS (
+  SELECT *, sqrt(lm / 2e0) AS _x,
+         1 / (1 + 0.3275911 * sqrt(lm / 2e0)) AS _t
+  FROM lt
+)
+SELECT nn AS n_days, CAST(nn - 2 AS BIGINT) AS m_pairs,
+       CASE WHEN r2 IS NULL THEN NULL ELSE round(r2, 6) + 0.0 END
+         AS arch_r2,
+       lm AS lm_stat,
+       CASE WHEN lm IS NULL THEN NULL
+            ELSE round(({poly}), 6) + 0.0 END AS p_value
+FROM xt
+"""
+
+
+@staged("arch_lm_test", oracle=_arch_oracle())
+def arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle ARCH LM test (q = 1) of the daily log-revenue returns —
+    the volatility-clustering member completing the staged time-series
+    diagnostics (VR: random walk in the mean; DF/KPSS: unit root /
+    stationarity of the level; this: does the VARIANCE of returns
+    cluster). LM = m * R^2 of squared demeaned returns on their lag-1
+    values, exact chi-square(1) upper tail.
+
+    Exactness: the drift mu is the e12-quantized mean return (equal to
+    the staged VR drift by telescoping); the squared returns
+    MAX-NORMALIZE before quantizing (vx/max(vx), vy/max(vy) — R^2 is
+    invariant under separate rescaling of x and y, so the regression
+    operands are in [0,1] and NO corpus can overflow the e12 per-row
+    quantize; the naive unnormalized form overflowed BIGINT live on a
+    sparse corpus whose day-gap returns reach ~4.6); sums promote to
+    DECIMAL(38,0) with one DOUBLE conversion; R^2 clamps at 1 (least);
+    p = erfc(sqrt(LM/2)) is the EXACT chi-square(1) tail via the
+    shared polynomial. Non-positive
+    revenue, n < 5, a constant squared-return series (relative Sxx/Syy
+    guards), or an auxiliary regression whose residual SS is within
+    1e-9 * Syy of zero (a deterministic pattern fitting perfectly —
+    e.g. the two-point alternation, whose R^2 = 1.0 survives in
+    arch_r2 while lm/p NULL loud: a perfect fit at the quantization
+    scale is not evidence of ARCH) NULL loud — the round-14
+    relative-guard lesson applied at every degenerate-zeroable site.
+
+    Scale shape: one fact scan -> bounded day frame (checkpointed);
+    the lag-1 pair and consecutive-triple frames are self-joins of
+    that bounded frame; two scalar reduces (drift, five-sum)."""
+    poly = _as_erfc_poly()
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.expr(
+            "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        ).alias("day")
+    ).agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("y"))
+    ix = d.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        F.expr("CASE WHEN y <= 0 THEN NULL ELSE ln(1e0 * y) END").alias("x"),
+    )
+    ix = ix.localCheckpoint()  # bounded day frame; tot + pair/triple joins
+    tot = ix.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.max(F.when(F.col("x").isNull(), 1).otherwise(0)).alias("anyn"),
+    )
+    a = ix.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = ix.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    c = ix.select(F.col("i").alias("ic"), F.col("x").alias("xc"))
+    j1 = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1).select("xa", "xb")
+    mu_t = (
+        j1.crossJoin(F.broadcast(tot))
+        .groupBy("nn")
+        .agg(
+            F.expr(
+                "CASE WHEN nn < 2 THEN NULL"
+                " ELSE (CAST(sum(CAST(CAST(round(1000000000000 * (xb - xa))"
+                " AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1e12)"
+                " / (1e0 * (nn - 1)) END"
+            ).alias("mu")
+        )
+        .select("mu")
+    )
+    t3 = (
+        a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 1)
+        .join(F.broadcast(c), F.col("ic") == F.col("ia") + 2)
+        .select("xa", "xb", "xc")
+    )
+    vv = t3.crossJoin(F.broadcast(mu_t)).select(
+        F.expr(_ARCH_VX).alias("vx"), F.expr(_ARCH_VY).alias("vy")
+    )
+    vv = vv.localCheckpoint()  # bounded triple frame; vmax + five-sum reduce
+    vmax = vv.agg(F.max("vx").alias("vmx"), F.max("vy").alias("vmy"))
+    vvn = vv.crossJoin(F.broadcast(vmax)).select(
+        F.expr(_ARCH_VXN).alias("vx"), F.expr(_ARCH_VYN).alias("vy")
+    )
+    sm = vvn.agg(
+        F.expr(
+            "CAST(sum(CAST(CAST(round(1000000000000 * vx) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("xqd"),
+        F.expr(
+            "CAST(sum(CAST(CAST(round(1000000000000 * vy) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("yqd"),
+        F.expr(
+            "CAST(sum(CAST(CAST(round(1000000000000 * (vx * vy)) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("xyqd"),
+        F.expr(
+            "CAST(sum(CAST(CAST(round(1000000000000 * (vx * vx)) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("xxqd"),
+        F.expr(
+            "CAST(sum(CAST(CAST(round(1000000000000 * (vy * vy)) AS BIGINT)"
+            " AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias("yyqd"),
+    )
+    st = tot.crossJoin(F.broadcast(sm)).select(
+        "nn",
+        "anyn",
+        F.expr("1e0 * (nn - 2)").alias("mpf"),
+        "xqd",
+        "yqd",
+        "xyqd",
+        "xxqd",
+        "yyqd",
+    )
+    ct = st.select(
+        "nn",
+        "anyn",
+        "mpf",
+        "xxqd",
+        "yyqd",
+        F.expr(_ARCH_SXX).alias("sxx"),
+        F.expr(_ARCH_SYY).alias("syy"),
+        F.expr(_ARCH_SXY).alias("sxy"),
+    )
+    rt = ct.withColumn("r2", F.expr(_ARCH_R2))
+    lt = rt.withColumn("lm", F.expr(_ARCH_LM))
+    xt = lt.withColumn("_x", F.expr("sqrt(lm / 2e0)")).withColumn(
+        "_t", F.expr("1 / (1 + 0.3275911 * sqrt(lm / 2e0))")
+    )
+    return xt.select(
+        F.col("nn").alias("n_days"),
+        F.expr("CAST(nn - 2 AS BIGINT)").alias("m_pairs"),
+        F.expr(
+            "CASE WHEN r2 IS NULL THEN NULL ELSE round(r2, 6) + 0.0 END"
+        ).alias("arch_r2"),
+        F.col("lm").alias("lm_stat"),
+        F.expr(
+            f"CASE WHEN lm IS NULL THEN NULL"
+            f" ELSE round(({poly}), 6) + 0.0 END"
+        ).alias("p_value"),
+    )

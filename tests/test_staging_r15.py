@@ -1342,3 +1342,104 @@ def test_df_constant_series_nulls_loud(spark, tmp_path):
     sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
     row = S.STAGED_QUERIES["dickey_fuller_unit_root"](spark, sf).collect()[0]
     assert row["rho_hat"] is None and row["tau_stat"] is None
+
+
+# --- Engle ARCH LM ------------------------------------------------------------------
+
+
+def _arch_ref(ys: list[int]) -> dict:
+    nn = len(ys)
+    out = {"n_days": nn, "m_pairs": nn - 2}
+    none = {"arch_r2": None, "lm_stat": None, "p_value": None}
+    if nn < 5 or any(y <= 0 for y in ys):
+        out.update(none)
+        return out
+    xs = [math.log(1.0 * y) for y in ys]
+    dsum = sum(_round_away(1e12 * (xs[i + 1] - xs[i])) for i in range(nn - 1))
+    mu = (dsum / 1e12) / (1.0 * (nn - 1))
+    vxs, vys = [], []
+    for i in range(nn - 2):
+        d1 = xs[i + 1] - xs[i]
+        d2 = xs[i + 2] - xs[i + 1]
+        vxs.append((d1 - mu) * (d1 - mu))
+        vys.append((d2 - mu) * (d2 - mu))
+    vmx, vmy = max(vxs), max(vys)
+    vxn = [0.0 if vmx <= 0 else v / vmx for v in vxs]
+    vyn = [0.0 if vmy <= 0 else v / vmy for v in vys]
+    xq = sum(_round_away(1e12 * v) for v in vxn)
+    yq = sum(_round_away(1e12 * v) for v in vyn)
+    xyq = sum(_round_away(1e12 * (a * b)) for a, b in zip(vxn, vyn))
+    xxq = sum(_round_away(1e12 * (a * a)) for a in vxn)
+    yyq = sum(_round_away(1e12 * (b * b)) for b in vyn)
+    mpf = 1.0 * (nn - 2)
+    sxx = xxq / 1e12 - (xq / 1e12) * (xq / 1e12) / mpf
+    syy = yyq / 1e12 - (yq / 1e12) * (yq / 1e12) / mpf
+    sxy = xyq / 1e12 - (xq / 1e12) * (yq / 1e12) / mpf
+    if sxx <= 1e-9 * (xxq / 1e12) or syy <= 1e-9 * (yyq / 1e12):
+        out.update(none)
+        return out
+    r2 = min(1.0, (sxy * sxy) / (sxx * syy))
+    out.update(none)
+    out["arch_r2"] = _rnd6(r2)
+    if (syy - (sxy * sxy) / sxx) <= 1e-9 * syy:
+        return out
+    lm = _rnd6(mpf * r2)
+    out["lm_stat"] = lm
+    out["p_value"] = _rnd6(_erfc_poly(math.sqrt(lm / 2.0)))
+    return out
+
+
+def test_arch_matches_python(spark, sf_small):
+    ref = _arch_ref(_daily_cents(_load_orders(sf_small)))
+    row = S.STAGED_QUERIES["arch_lm_test"](spark, sf_small).collect()[0]
+    assert row["n_days"] == ref["n_days"]
+    assert row["m_pairs"] == ref["m_pairs"]
+    for k in ("arch_r2", "lm_stat", "p_value"):
+        if ref[k] is None:
+            assert row[k] is None, k
+        else:
+            assert abs(row[k] - ref[k]) < 2e-6, (k, row[k], ref[k])
+
+
+def test_arch_volatility_clustering_detected(spark, tmp_path):
+    """Returns in 4-day blocks of alternating magnitude (quiet, quiet,
+    loud, loud, ...): squared returns correlate with their lag, so the
+    LM statistic rejects conditional homoskedasticity decisively."""
+    mags = [0.002, 0.02]
+    x = math.log(100000.0)
+    xs = [x]
+    for blk in range(30):
+        a = mags[blk % 2]
+        for j in range(4):
+            x += a if j % 2 == 0 else -a
+            xs.append(x)
+    ys = [max(1, _round_away(math.exp(v))) for v in xs]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["arch_lm_test"](spark, sf).collect()[0]
+    assert row["lm_stat"] is not None
+    assert row["lm_stat"] > 10
+    assert row["p_value"] < 0.01
+
+
+def test_arch_two_point_alternation_degenerate_fit(spark, tmp_path):
+    """The two-point alternating series: squared demeaned returns
+    alternate between exactly two values, the auxiliary regression fits
+    PERFECTLY (r2 = 1), and the relative residual-SS guard NULLs lm/p
+    loud — a deterministic perfect fit is not evidence of ARCH."""
+    ys = [100000 if i % 2 == 0 else 200000 for i in range(60)]
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["arch_lm_test"](spark, sf).collect()[0]
+    assert row["arch_r2"] is not None
+    assert abs(row["arch_r2"] - 1.0) < 1e-9
+    assert row["lm_stat"] is None and row["p_value"] is None
+
+
+def test_arch_constant_series_nulls_loud(spark, tmp_path):
+    """A constant level: every return equals the (zero) drift, the
+    squared-return series is identically zero, and the relative Sxx
+    guard NULLs the whole readout loud."""
+    ys = [100000] * 30
+    sf = _write_tables(tmp_path, orders=_orders_for_daily(ys))
+    row = S.STAGED_QUERIES["arch_lm_test"](spark, sf).collect()[0]
+    assert row["arch_r2"] is None
+    assert row["lm_stat"] is None and row["p_value"] is None
