@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.operators.mat import materialize
 
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 4 bands x 3 rows: P(candidate | j=0.8) ≈ 0.94
@@ -106,19 +107,49 @@ def exact_dedup_groups(
 
 
 def _jaccard_verify(cand: DataFrame, base: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Join candidate pairs back to shingle sets and keep exact-Jaccard hits."""
+    """Join candidate pairs back to shingle sets and keep exact-Jaccard hits.
+
+    The intersect is computed ONCE per pair: without the materialize()
+    barrier, Catalyst pushes the threshold filter into the join condition
+    and the executed plan evaluates ``array_intersect`` THREE times per
+    candidate (join condition twice via the jaccard expression + the
+    output projection — observed in the r15 plan audit; the intersect over
+    two ~200-element string arrays is the single most expensive expression
+    in the dedup family). Materializing the narrow (pair, common, sizes)
+    frame pins one evaluation; the threshold re-check then runs as exact
+    integer cross-multiplication (p/q = threshold):
+    common/(sa+sb-common) >= p/q  ⟺  (p+q)·common >= p·(sa+sb) —
+    identical accept set to the double comparison at these cardinalities
+    (the double quotient of ints this size is correctly rounded and can
+    only equal the threshold when the exact ratio does)."""
     a = base.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
+    tp, tq = _threshold_ratio(threshold)
+    scored = materialize(
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            F.size("sh_a").alias("_sa"),
+            F.size("sh_b").alias("_sb"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return (
+        scored.filter(
+            F.lit(tp + tq) * F.col("common")
+            >= F.lit(tp) * (F.col("_sa") + F.col("_sb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common")
+                / (F.col("_sa") + F.col("_sb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -147,7 +178,11 @@ def ngram_jaccard_pairs(
     # Filter on the cheap token count, not size(sh): a predicate over `sh`
     # is pushed below the projection and re-evaluates the whole (HOF,
     # interpreted) shingle expression per row — 7× slower, same rows.
-    base = (
+    # materialize(): the (id, sh) frame feeds THREE plan branches (the
+    # prefix pipeline and both verify sides) — without the checkpoint each
+    # branch re-runs scan + tokenize + shingle (the round-15 audit counted
+    # the recompute in every composed caller's plan; r15 opt).
+    base = materialize(
         with_shingles(fan_out(docs), text_col, k)
         .filter(F.size("toks") >= k)
         .select(id_col, "sh")
@@ -208,15 +243,56 @@ def ngram_jaccard_pairs(
     # ⟺ (p+q)·ubound ≥ p·(n_a+n_b) — integer cross-multiplication, so the
     # lossless claim holds for every rational threshold (float ceil could
     # overshoot by 1 when t·(n_a+n_b)/(1+t) lands on an integer).
-    ubound = 1 + F.least(
-        F.col("_n_a") - F.col("_pos_a"), F.col("_n_b") - F.col("_pos_b")
-    )
+    # r15 opt: AGGREGATED positional + suffix-count filtering. The former
+    # per-row positional filter + distinct kept every pair whose FIRST
+    # shared prefix element passed the bound — on a rare-shingle-free
+    # corpus that left ~125 k candidates of which only dozens verify, and
+    # the exact-intersect verify dominated the whole query (measured 5.8 s
+    # of a 6.2 s wall at sf0.1). Grouping the join output per pair exposes
+    # two LOSSLESS upper bounds on the full-set overlap, both required to
+    # clear α = ⌈t/(1+t)·(n_a+n_b)⌉ (integer cross-multiplied, as before):
+    #   * first-shared-element bound (Xiao et al. 2008 §3.2, as before):
+    #     1 + min(n_a − first_pos_a, n_b − first_pos_b);
+    #   * shared-prefix suffix bound: c + min(n_a − last_pos_a,
+    #     n_b − last_pos_b), where c = |P_a ∩ P_b| (the pair's join-row
+    #     count). Sound because both docs order shingles by the SAME
+    #     canonical (df, value) key: any intersection element ordered ≤ the
+    #     last shared prefix element e sits at position ≤ pos(e) in BOTH
+    #     docs, hence inside both prefixes, hence IS one of the c join
+    #     rows; elements ordered after e number ≤ min of the remaining
+    #     suffix lengths. No true pair is lost; measured 125 k → ~1 k
+    #     verify inputs on the sf0.1 corpus.
+    # The aggregate replaces the old distinct — same pair-keyed exchange,
+    # now carrying the bound columns.
     cand = (
         ea.join(eb, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.lit(tp + tq) * ubound >= F.lit(tp) * (F.col("_n_a") + F.col("_n_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_pos_a").alias("_fpa"),
+            F.min("_pos_b").alias("_fpb"),
+            F.max("_pos_a").alias("_lpa"),
+            F.max("_pos_b").alias("_lpb"),
+            F.first("_n_a").alias("_na"),
+            F.first("_n_b").alias("_nb"),
+        )
+        .filter(
+            (
+                F.lit(tp + tq)
+                * (1 + F.least(F.col("_na") - F.col("_fpa"), F.col("_nb") - F.col("_fpb")))
+                >= F.lit(tp) * (F.col("_na") + F.col("_nb"))
+            )
+            & (
+                F.lit(tp + tq)
+                * (
+                    F.col("_c")
+                    + F.least(F.col("_na") - F.col("_lpa"), F.col("_nb") - F.col("_lpb"))
+                )
+                >= F.lit(tp) * (F.col("_na") + F.col("_nb"))
+            )
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return _jaccard_verify(cand, base, id_col, threshold)
 
@@ -281,8 +357,10 @@ def minhash_lsh_pairs(
     oracle twin runs the identical pipeline, so the gate is deterministic.
     """
     # size(toks) >= k ⟺ sh non-empty, without re-evaluating `sh` in the
-    # pushed-down filter (see ngram_jaccard_pairs).
-    base = (
+    # pushed-down filter (see ngram_jaccard_pairs). materialize(): three
+    # consumer branches (band frame + both verify sides) share one
+    # scan+tokenize+shingle pass (r15 opt).
+    base = materialize(
         with_shingles(fan_out(docs), text_col, k)
         .filter(F.size("toks") >= k)
         .select(id_col, "sh")
@@ -483,9 +561,15 @@ def connected_components(
     re-produces the same set). Each round ``localCheckpoint``s to truncate
     lineage; the only driver transfer is the 2-scalar fingerprint.
     """
+    # Pin the RAW pair frame first: `edges` is consumed by THREE branches
+    # (the working edge set and both sides of the all-nodes union below).
+    # For every caller the pairs lineage is the expensive part (LSH
+    # candidates + exact verify), so without this checkpoint the whole
+    # near-dup pipeline re-ran twice more just to enumerate node ids
+    # (r15 opt; measured in corpus_selection_pipeline's plan).
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -510,8 +594,8 @@ def connected_components(
     # At convergence e is (node → component-min) for every non-root node;
     # add self-labeled roots and any node that contracted away early.
     all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
         .distinct()
     )
     star = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
@@ -569,7 +653,10 @@ def containment_pairs(
     from BOTH sides (documented approximation — pairs whose overlap is
     exclusively ultra-hot boilerplate are missed), or use MinHash-LSH.
     """
-    base = (
+    # materialize(): four consumer branches — the one-sided prefix, the
+    # FULL index side, and both verify sides — share one
+    # scan+tokenize+shingle pass (r15 opt).
+    base = materialize(
         with_shingles(fan_out(docs), text_col, k)
         .filter(F.size("toks") >= k)
         .select(id_col, "sh")
@@ -582,33 +669,85 @@ def containment_pairs(
         ex = ex.join(F.broadcast(hot), "s", "left_anti")
     # Same exact integer-arithmetic prefix bound as ngram_jaccard_pairs:
     # p·_n ≤ q·(_n − _pos + 1) ⟺ _pos ≤ _n − ⌈t·_n⌉ + 1, float-rounding-proof.
+    # r15 opt: positions are now computed for BOTH join sides (one
+    # materialized pass — the probe prefix and the full index read the same
+    # checkpointed frame) so the candidate aggregate can apply the same
+    # lossless positional + suffix-count overlap bounds as
+    # ngram_jaccard_pairs, one-sided: containment needs overlap ≥ ⌈t·n_a⌉,
+    # and overlap ≤ c + min(n_a − last_pos_a, n_b − last_pos_b) (c = the
+    # pair's shared-element join-row count; every intersection element
+    # ordered ≤ the last shared one sits inside A's prefix and is indexed
+    # on the B side, so it IS a join row — the same argument as the
+    # symmetric bound, with the full index standing in for B's prefix).
+    # This is exactly the pruning the docstring's SCALE CAVEAT wanted: on
+    # a rare-shingle-free corpus the probe⨝index fan-out still happens,
+    # but the exact-intersect verify now sees only pairs whose bound
+    # clears the threshold.
     tp, tq = _threshold_ratio(threshold)
     w_doc = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("s").asc())
-    prefix = (
+    pos_all = materialize(
         ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .withColumn("_pos", F.row_number().over(w_doc))
-        .filter(
+        .select(id_col, "s", "_pos", "_n")
+    )
+    prefix = (
+        pos_all.filter(
             F.lit(tp) * F.col("_n") <= F.lit(tq) * (F.col("_n") - F.col("_pos") + 1)
         )
-        .select(F.col(id_col).alias("doc_a"), "s")
+        .select(
+            F.col(id_col).alias("doc_a"), "s",
+            F.col("_pos").alias("_pos_a"), F.col("_n").alias("_n_a"),
+        )
         .repartition("s")
     )
-    full = ex.select(F.col(id_col).alias("doc_b"), "s").repartition("s")
+    full = pos_all.select(
+        F.col(id_col).alias("doc_b"), "s",
+        F.col("_pos").alias("_pos_b"), F.col("_n").alias("_n_b"),
+    ).repartition("s")
     cand = (
         prefix.join(full, "s")
         .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max("_pos_a").alias("_lpa"),
+            F.max("_pos_b").alias("_lpb"),
+            F.first("_n_a").alias("_na"),
+            F.first("_n_b").alias("_nb"),
+        )
+        .filter(
+            F.lit(tp) * F.col("_na")
+            <= F.lit(tq)
+            * (
+                F.col("_c")
+                + F.least(F.col("_na") - F.col("_lpa"), F.col("_nb") - F.col("_lpb"))
+            )
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    # Verify with ONE intersect evaluation per pair (the materialize
+    # barrier + integer-threshold re-check, same rationale as
+    # _jaccard_verify — the pushed-down filter otherwise re-evaluates
+    # array_intersect inside the join condition).
     a = base.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
+    scored = materialize(
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("containment", F.col("common") / F.size("sh_a"))
-        .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            F.size("sh_a").alias("_sa"),
+        )
+    )
+    return (
+        scored.filter(F.lit(tq) * F.col("common") >= F.lit(tp) * F.col("_sa"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("_sa"), 6).alias("containment"),
+        )
     )
 
 

@@ -1,0 +1,60 @@
+"""Mid-plan materialization for multi-consumer lineage (round-15 optimization).
+
+The round-15 plan audit found the dominant wall cost of every composed
+query was LINEAGE RECOMPUTE, not any single operator: a frame consumed by
+N plan branches re-runs its whole lineage up to N times unless AQE's
+ReusedExchange happens to deduplicate the branches (the same failure mode
+that motivated ``with_global_rank(checkpoint_banded=True)``, round 7).
+Measured static plans before the fix: ``dedup_survivor_corpus`` scanned
+documents 16x, ``customer_rfm_segments`` scanned orders 24x,
+``bpe_train_merges`` rendered a 2^rounds plan tree with 62 scans.
+
+:func:`materialize` is the one-line fix applied at every such fan-out
+point: a LAZY ``localCheckpoint`` —
+
+* **truncates the logical plan** to an RDD leaf, so every consumer branch
+  reads the persisted blocks instead of re-running scan + tokenize +
+  aggregate lineage (optimization-guide §2.4 "remove shuffles outright" /
+  §5 caching: reuse > recompute when lineage dominates);
+* **lazy** (``eager=False``): no job runs at plan-build time — the blocks
+  materialize inside the first action that needs them, once, and are
+  shared by all later stages of the same (or a later) action via the
+  persisted RDD. Nothing is precomputed outside the timed query and
+  nothing survives the query's lifetime, so bench/oracle runs still
+  compute everything from the parquet inputs;
+* **AQE-compatible**: downstream exchanges re-plan from runtime shuffle
+  statistics, so join-strategy selection (broadcast vs shuffled) is
+  unaffected even though an RDD leaf carries no static size estimate.
+  Where a broadcast is structurally required the call sites already hint
+  it explicitly.
+
+Scale discipline: ONLY materialize frames that are bounded or already
+reduced (per-key aggregates, shingle/token projections feeding >= 2
+consumers, vocabulary/state tables) — the same space-for-passes trade a
+shuffle makes, paid once instead of N times. The standing caveat from
+``connected_components``/``checkpoint_banded`` applies: localCheckpoint
+blocks do not survive executor loss; acceptable for ephemeral
+query-internal frames where recompute-on-failure restarts the query.
+
+``materialize_eager`` is the variant for ITERATIVE loops (BPE training)
+whose per-round state must not nest the previous round's plan tree —
+each round's 1-row/vocab-sized state is pinned by a micro-job, keeping
+the final plan tree constant-size instead of 2^rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Lazily localCheckpoint ``df`` so N consumer branches share ONE
+    computation of its lineage (see module docstring)."""
+    return df.localCheckpoint(eager=False)
+
+
+def materialize_eager(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint ``df`` (bounded frames in iterative loops
+    only — runs a micro-job now to pin the state and keep downstream plan
+    trees flat)."""
+    return df.localCheckpoint(eager=True)

@@ -37,6 +37,7 @@ from flink_realtime_sessionize_sample_spark.functions.text import (
     tokens_duck,
     tokens_spark,
 )
+from flink_realtime_sessionize_sample_spark.operators.mat import materialize
 from flink_realtime_sessionize_sample_spark.operators.global_order import (
     ntile_from_rank,
     with_global_prefix_max,
@@ -1010,13 +1011,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard SQL formulation.
     """
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
+    # materialize(): the per-customer aggregate is consumed by THREE
+    # independent global-rank passes, each of which fans out into three
+    # plan branches of its own (cut-point sample, local window, band
+    # totals) — one orders scan + aggregate instead of up to nine (r15
+    # opt; the before plan scanned orders 24x).
+    per_cust = materialize(o.groupBy("o_custkey").agg(
         F.max(
             F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
         ).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_cents("o_totalprice")).alias("monetary_cents"),
-    )
+    ))
 
     def scored(metric: str, out: str, keep: list[str]) -> DataFrame:
         return with_global_rank(
@@ -2032,10 +2038,13 @@ def ks_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "value", F.when(F.col("us") < F.col("mid"), 1).otherwise(0).alias("early")
     )
-    grouped = tagged.groupBy("value").agg(
+    # materialize(): the per-value count frame feeds the totals aggregate
+    # AND the global-rank pass's three branches — one events scan +
+    # aggregate instead of four (r15 opt).
+    grouped = materialize(tagged.groupBy("value").agg(
         F.sum("early").cast("long").alias("c1"),
         F.count(F.lit(1)).alias("c_all"),
-    )
+    ))
     tot = grouped.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c_all").cast("long").alias("n_all"),
@@ -2231,7 +2240,11 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking in both engines so the top-3 cut is deterministic under ties
     (tiebreak: neighbor id).
     """
-    bp = (
+    # materialize(): the distinct basket-part frame feeds THREE branches
+    # (the marginals and both self-join sides) — one lineitem scan +
+    # distinct instead of three (r15 opt; the before plan scanned lineitem
+    # 8x).
+    bp = materialize(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

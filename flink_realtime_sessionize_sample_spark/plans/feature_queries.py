@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.functions import text as T
+from flink_realtime_sessionize_sample_spark.operators.mat import materialize
 from flink_realtime_sessionize_sample_spark.plans.registry import query
 from flink_realtime_sessionize_sample_spark.sources.registry import load_table
 
@@ -936,13 +937,21 @@ cents{n} AS (
 def kmeans_exact_frames(emb: DataFrame):
     """The integer-exact Lloyd pipeline of ``kmeans_lloyd_2iter`` —
     returns (centroids (cent_id, pos, cq), final assignment
-    (vec_id, cent_id)); shared with the hash-checked SemDeDup query."""
-    exq = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-        ).alias("pos0", "xq"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    (vec_id, cent_id)); shared with the hash-checked SemDeDup query.
+
+    r15 opt: materialize() pins the quantized coordinate frame (consumed
+    by the init + two joins per Lloyd round) and each round's assignment
+    and centroid table, so round i+1's plan references round i's RESULT
+    instead of nesting (and re-executing) its whole subtree — the same
+    2^rounds plan-tree hazard as the BPE trainer and Weiszfeld loops."""
+    exq = materialize(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+            ).alias("pos0", "xq"),
+        ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    )
     cents = exq.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cent_id"), "pos", F.col("xq").alias("cq")
     )
@@ -954,7 +963,7 @@ def kmeans_exact_frames(emb: DataFrame):
             .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("dist"))
         )
         w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cent_id").asc())
-        assign = (
+        assign = materialize(
             d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cent_id")
@@ -968,7 +977,7 @@ def kmeans_exact_frames(emb: DataFrame):
                 .alias("cq_new")
             )
         )
-        cents = (
+        cents = materialize(
             cents.join(means, ["cent_id", "pos"], "left")
             .select("cent_id", "pos", F.coalesce("cq_new", "cq").alias("cq"))
         )
@@ -1274,19 +1283,30 @@ def geometric_median_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def geometric_median_frame(emb: DataFrame) -> DataFrame:
     """The Weiszfeld pipeline over an arbitrary (vec_id, embedding) frame —
-    shared by the registered query and the robustness unit test."""
-    exq = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
-            )
-        ).alias("pos0", "xq"),
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
-    mean = exq.groupBy("pos").agg(
-        F.round(F.sum("xq").cast("double") / F.count(F.lit(1)))
-        .cast("long")
-        .alias("gq")
+    shared by the registered query and the robustness unit test.
+
+    r15 opt: the quantized coordinate frame feeds the seed mean + two
+    consumers per Weiszfeld round — materialize() pins one scan+explode
+    instead of five; each round's distance frame and 64-row iterate are
+    pinned too, so round i+1's plan does not nest (and re-execute) round
+    i's whole subtree (the same 2^rounds plan-tree hazard as the BPE
+    trainer)."""
+    exq = materialize(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+                )
+            ).alias("pos0", "xq"),
+        ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "xq")
+    )
+    mean = materialize(
+        exq.groupBy("pos").agg(
+            F.round(F.sum("xq").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("gq")
+        )
     )
     g = mean
     den = None
@@ -1300,8 +1320,10 @@ def geometric_median_frame(emb: DataFrame) -> DataFrame:
                 )
             )
         )
-        d = ss.filter(F.col("ss") > 0).select(
-            "vec_id", F.sqrt(F.col("ss").cast("double")).alias("dist")
+        d = materialize(
+            ss.filter(F.col("ss") > 0).select(
+                "vec_id", F.sqrt(F.col("ss").cast("double")).alias("dist")
+            )
         )
         num = (
             exq.join(d, "vec_id")
@@ -1322,12 +1344,12 @@ def geometric_median_frame(emb: DataFrame) -> DataFrame:
             .alias("dq"),
             F.count(F.lit(1)).alias("n_used"),
         )
-        g = num.crossJoin(F.broadcast(den)).select(
+        g = materialize(num.crossJoin(F.broadcast(den)).select(
             "pos",
             F.round(F.col("nq") * F.lit(1000000.0) / F.col("dq"))
             .cast("long")
             .alias("gq"),
-        )
+        ))
     return (
         g.join(mean.select("pos", F.col("gq").alias("mean_e6")), "pos")
         .crossJoin(F.broadcast(den.select(F.col("n_used").cast("long").alias("n_points"))))

@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from flink_realtime_sessionize_sample_spark.functions import text as T
 from flink_realtime_sessionize_sample_spark.operators import dedup as D
+from flink_realtime_sessionize_sample_spark.operators.mat import (
+    materialize,
+    materialize_eager,
+)
 from flink_realtime_sessionize_sample_spark.operators.multimodal import (
     attach_binary_payload,
     attach_real_media,
@@ -1091,7 +1095,11 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition (the only shuffle), narrow per-row expressions for language
     ID, joined on doc_id; everything inherits AQE sizing."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.withColumn("t", F.expr(_TOKS_S))
+    # materialize(): `tok` feeds two branches (the repetition aggregate and
+    # the per-row language scorer) — one scan+tokenize instead of two; the
+    # fan_out spreads the tokenize off the single parquet split so the one
+    # materialized pass uses every core (r15 opt).
+    tok = materialize(D.fan_out(docs).withColumn("t", F.expr(_TOKS_S)))
     rep = (
         tok.filter(F.size("t") > 0)
         .select("doc_id", F.explode("t").alias("tk"))
@@ -1555,6 +1563,11 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.expr(_TOKS_S).alias("t")).filter(F.size("t") >= 2)
+    # NOT materialized (r15 opt audit): the bigram frame's two consumers —
+    # the model aggregate and the scoring join's bg side — hash-partition
+    # by the SAME (w1, w2) key, so AQE's exchange reuse already computes
+    # the tokenize+explode once at runtime; a checkpoint here only added
+    # persist overhead (interleaved A/B on the ccnet sibling: +0.3 s).
     bg = t.select(
         "doc_id",
         F.explode(
@@ -2764,7 +2777,15 @@ def bpe_merge_plan(
     ENCODER needs (``bpe_encode_frame`` broadcast-applies each top in
     round order). Shared by ``bpe_train_merges``, ``bpe_encode_corpus``,
     and the canonical-reference unit test."""
-    vocab = (
+    # materialize(): the bounded top-`top_words` word state is the root of
+    # every training round AND both encode branches — without the
+    # checkpoint the corpus explode+aggregate re-ran once per plan leaf
+    # (the r15 audit counted 62 parquet scans in bpe_train's static plan:
+    # each round's state references the previous round TWICE — once in the
+    # pair count, once in the merge apply — so the plan tree doubled per
+    # round). Lazy: the 200-row state materializes inside round 1's
+    # micro-job.
+    vocab = materialize(
         docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy(F.col("w").alias("word"))
@@ -2793,7 +2814,14 @@ def bpe_merge_plan(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").cast("long").alias("c"))
         )
-        top = pairs.orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc()).limit(1)
+        # materialize_eager(): pin each round's 1-row winner with a
+        # micro-job. Round i+1's state and the encoder both consume it, so
+        # without the pin the merge plan nests round i's whole subtree
+        # under every later round (2^rounds tree — the 62-scan plan above);
+        # with it each round is a flat vocab-sized frame ⨝ 1-row broadcast.
+        top = materialize_eager(
+            pairs.orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc()).limit(1)
+        )
         tops.append(top)
         merges.append(top.select(F.lit(i).alias("iteration"),
                                  F.col("a").alias("left_sym"),
@@ -2848,7 +2876,10 @@ def bpe_encode_frame(
     Output per doc: occurrence count, pre-merge character-symbol count,
     and post-merge BPE token count — all exact integer sums."""
     _, tops = bpe_merge_plan(docs, n_merges, top_words)
-    dw = (
+    # materialize(): the (doc, word) occurrence table feeds the distinct-
+    # word encode branch AND the final per-doc rollup join — one corpus
+    # explode+aggregate instead of two (r15 opt).
+    dw = materialize(
         docs.select("doc_id", F.explode(F.expr(_TOKS_S)).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("doc_id", F.col("w").alias("word"))
@@ -3431,6 +3462,10 @@ def ccnet_buckets_frame(docs: DataFrame) -> DataFrame:
     )
 
     t = docs.select("doc_id", F.expr(_TOKS_S).alias("t")).filter(F.size("t") >= 2)
+    # NOT materialized (r15 opt audit): both bg consumers hash-partition by
+    # the same (w1, w2) key, so AQE exchange reuse already computes the
+    # tokenize+explode once; a checkpoint only added persist overhead
+    # (interleaved A/B: 2.6 s vs 2.8 s — kept the original shape).
     bg = t.select(
         "doc_id",
         F.explode(

@@ -132,14 +132,23 @@ def _nb_bucketed_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def _nb_model_frames(docs: DataFrame):
+def _nb_model_frames(docs: DataFrame, bk: DataFrame | None = None):
     """Train on the even-doc_id half: returns ``(model (cls, b, llv),
     prior (cls, pv))`` — the quantized NB artifact, |classes| x 128 +
-    |classes| rows."""
+    |classes| rows. ``bk`` optionally supplies an already-bucketed
+    (doc_id, lang, b) token frame so train+score pipelines tokenize the
+    corpus once (r15 opt)."""
     spark = docs.sparkSession
-    train = _nb_bucketed_tokens(docs).filter(F.col("doc_id") % 2 == 0)
+    if bk is None:
+        bk = _nb_bucketed_tokens(docs)
+    train = bk.filter(F.col("doc_id") % 2 == 0)
     counts = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
-    totals = train.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    # Per-class totals are the second-level rollup of the (class, bucket)
+    # counts — |classes|x128 rows — instead of a second corpus-sized
+    # aggregate over the exploded token frame (r15 opt: the train explode
+    # formerly ran twice under two different aggregate keys, which AQE
+    # exchange reuse cannot deduplicate).
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("t"))
     grid = totals.crossJoin(
         spark.range(_NB_BUCKETS).select(F.col("id").alias("b"))
     )
@@ -198,10 +207,15 @@ def _nb_prediction_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train+score pipeline shared by the prediction and evaluation
     queries (mirrors ``_NB_PRED_CTES``)."""
     docs = load_table(spark, sf_dir, "documents")
-    model, prior = _nb_model_frames(docs)
+    # materialize(): the bucketed token frame feeds the train aggregates
+    # AND the test scorer — one corpus tokenize+explode instead of two
+    # (r15 opt).
+    from flink_realtime_sessionize_sample_spark.operators.mat import materialize
+
+    bk = materialize(_nb_bucketed_tokens(docs))
+    model, prior = _nb_model_frames(docs, bk=bk)
     test = (
-        _nb_bucketed_tokens(docs)
-        .filter(F.col("doc_id") % 2 == 1)
+        bk.filter(F.col("doc_id") % 2 == 1)
         .select("doc_id", F.col("lang").alias("true_lang"), "b")
     )
     return _nb_score(test, model, prior)

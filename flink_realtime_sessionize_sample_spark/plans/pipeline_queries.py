@@ -488,10 +488,18 @@ def _dsir_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection query and its ESS diagnostic so the diagnostic measures
     exactly the weights the selection verifies (round-7 review: the two
     previously duplicated this 40-line chain)."""
+    from flink_realtime_sessionize_sample_spark.operators.mat import materialize
+
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select("doc_id", "lang", F.explode(F.expr(_TOKS_S)).alias("w"))
-    bk = ex.select(
-        "doc_id", "lang", F.pmod(F.expr(T.h48_spark("w")), F.lit(64)).alias("b")
+    # materialize(): the bucketed token frame feeds three differently-keyed
+    # consumers (target counts, raw counts, per-doc scorer) that AQE
+    # exchange reuse cannot deduplicate — one corpus tokenize+explode+hash
+    # instead of three (r15 opt).
+    bk = materialize(
+        ex.select(
+            "doc_id", "lang", F.pmod(F.expr(T.h48_spark("w")), F.lit(64)).alias("b")
+        )
     )
     tgt = bk.filter(F.col("lang") == "en").groupBy("b").agg(
         F.count(F.lit(1)).alias("ct")
