@@ -567,11 +567,16 @@ def connected_components(
     # candidates + exact verify), so without this checkpoint the whole
     # near-dup pipeline re-ran twice more just to enumerate node ids
     # (r15 opt; measured in corpus_selection_pipeline's plan).
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    # Lazy checkpoints (r15 opt): the fingerprint action below materializes
+    # raw+e in ONE job — an eager checkpoint here would run a separate job
+    # per frame first (2 extra driver round trips per query for no work).
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(df: DataFrame) -> tuple:
@@ -585,7 +590,9 @@ def connected_components(
 
     prev = fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # eager=False: the fingerprint collect right below is the round's
+        # one job — it materializes the checkpoint blocks as it runs.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = fingerprint(e)
         if cur == prev:
             break

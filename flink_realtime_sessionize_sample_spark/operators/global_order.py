@@ -369,11 +369,21 @@ def with_global_rank(
     # deterministic band key (no sort). Even if the optimizer executes
     # this branch independently, its counts agree with branch 1 row for
     # row, because ``_pid`` is data, not a physical partition id.
-    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    # r15 opt: aggregate from the WINDOW OUTPUT, not from ``banded`` — the
+    # window's child exchange already hash-partitions by _pid, so the
+    # aggregate's distribution requirement is satisfied and Catalyst plans
+    # NO second exchange, and the branch reuses the window's exchange
+    # (ReusedExchange) instead of recomputing the banded frame. The band
+    # count is taken as max(row_number) — ≡ count(*) since _lrn numbers
+    # 1..n within the band — PRECISELY so the aggregate references a
+    # window column: an aggregate that ignores every window output lets
+    # Catalyst prune the Window node out of this branch and re-plan the
+    # old second exchange (observed while making this change).
+    aggs = [F.max("_lrn").cast("long").alias("_cnt")]
     for i, (sc, _) in enumerate(pairs):
         aggs.append(F.sum(sc).cast("long").alias(f"_psum{i}"))
     sum_fields = [f"_psum{i}" for i in range(len(pairs))]
-    per_pid = banded.groupBy("_pid").agg(*aggs)
+    per_pid = local.groupBy("_pid").agg(*aggs)
     parts = per_pid.agg(
         F.array_sort(
             F.collect_list(F.struct("_pid", "_cnt", *sum_fields))
@@ -464,7 +474,17 @@ def with_global_prefix_max(
     )
     local = banded.withColumn("_lpm", F.max(value_col).over(w_prev))
 
-    per_pid = banded.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
+    # r15 opt: aggregate from the window output (already partitioned by
+    # _pid) — no second exchange; the per-band max is written over the
+    # prefix-max column (greatest(prefix-max-before-row, own value) per
+    # row, maxed over the band — identical to max(value)) so the
+    # aggregate references a window output and Catalyst cannot prune the
+    # Window out of this branch (see with_global_rank's branch-2 note).
+    per_pid = local.groupBy("_pid").agg(
+        F.max(
+            F.greatest(F.coalesce(F.col("_lpm"), F.col(value_col)), F.col(value_col))
+        ).alias("_pmax")
+    )
     parts = per_pid.agg(
         F.array_sort(F.collect_list(F.struct("_pid", "_pmax"))).alias("_parts")
     )

@@ -44,12 +44,27 @@ the final plan tree constant-size instead of 2^rounds.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+# Plan-inspection escape hatch: a localCheckpoint truncates the visible
+# plan to an RDD leaf, which would blind the registry-wide plan lint
+# (tests/test_plan_lint.py: no CartesianProduct / BatchEvalPython
+# anywhere) and the per-family plan-shape tests to everything inside the
+# checkpointed lineage. With SPARK_GRAFT_NO_MAT=1 both helpers become
+# identity, so lint/shape tests assert over the FULL logical tree — the
+# results are identical either way (materialization is semantics-neutral
+# by contract; pinned by tests/test_mat.py), only the physical reuse
+# differs.
+_DISABLE_ENV = "SPARK_GRAFT_NO_MAT"
 
 
 def materialize(df: DataFrame) -> DataFrame:
     """Lazily localCheckpoint ``df`` so N consumer branches share ONE
     computation of its lineage (see module docstring)."""
+    if os.environ.get(_DISABLE_ENV):
+        return df
     return df.localCheckpoint(eager=False)
 
 
@@ -57,4 +72,6 @@ def materialize_eager(df: DataFrame) -> DataFrame:
     """Eagerly localCheckpoint ``df`` (bounded frames in iterative loops
     only — runs a micro-job now to pin the state and keep downstream plan
     trees flat)."""
+    if os.environ.get(_DISABLE_ENV):
+        return df
     return df.localCheckpoint(eager=True)

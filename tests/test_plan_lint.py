@@ -29,7 +29,14 @@ def _explain(df) -> str:
     return jqe.explainString(mode.fromString("extended"))
 
 
-def test_no_cartesian_or_rowwise_python_anywhere(spark, sf_small):
+def test_no_cartesian_or_rowwise_python_anywhere(spark, sf_small, monkeypatch):
+    # SPARK_GRAFT_NO_MAT: build every plan WITHOUT the r15 materialize()
+    # checkpoints — a localCheckpoint truncates the visible plan to an RDD
+    # leaf, which would blind this lint to everything inside the
+    # checkpointed lineage (the dedup candidate pipelines, the iterative
+    # BPE/kmeans/Weiszfeld states). The flag is plan-inspection-only:
+    # results are identical either way (operators/mat.py, test_mat.py).
+    monkeypatch.setenv("SPARK_GRAFT_NO_MAT", "1")
     offenders = {}
     for name, fn in plans.QUERIES.items():
         p = _explain(fn(spark, sf_small))
