@@ -270,10 +270,25 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        # JVM unified logging defaults to stdout; under memory pressure its
-        # [gc,alloc] warnings would interleave with the one-line JSON
-        # contract below. Keep the warnings, move them to stderr.
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr:uptime,level,tags"},
+        extra_conf={
+            # JVM unified logging defaults to stdout; under memory pressure
+            # its [gc,alloc] warnings would interleave with the one-line
+            # JSON contract below. Keep the warnings, move them to stderr.
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr:uptime,level,tags",
+            # Local mode puts broadcast builds, shuffle state, AND the r15
+            # materialize() checkpoint blocks of 120+ query executions in
+            # ONE driver JVM; at the default 1g heap a full bench run can
+            # OOM a late broadcast build ("Not enough memory to build and
+            # broadcast the table", observed once at the r15 close, in the
+            # 10x smoke section). 4g is stability headroom, not a timing
+            # knob — on a real cluster executors hold this state and the
+            # driver default is set by spark-submit. Applied with the
+            # 2-minute periodic ContextCleaner GC below so dead checkpoint
+            # blocks are reclaimed during the run instead of at the 30-min
+            # default.
+            "spark.driver.memory": "4g",
+            "spark.cleaner.periodicGC.interval": "2min",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
