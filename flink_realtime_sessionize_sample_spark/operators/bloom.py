@@ -101,7 +101,21 @@ def bloom_might_contain(
     for a small fraction of absent keys (false positives), which a
     downstream exact join eliminates.
     """
-    arr = F.lit(bitset)
+    # One SQL-parsed array literal instead of F.lit(list) (r16): F.lit on
+    # a Python list builds array() from one py4j-materialized Literal per
+    # element — 512 driver round trips for the 32 Kib bitset, ~0.8 s of
+    # plan-BUILD time per probe (measured; the parsed expr is ~4 ms). The
+    # resulting Catalyst Literal array is identical. Long.MIN_VALUE needs
+    # a cast spelling: Spark's lexer rejects -9223372036854775808L because
+    # the unary minus parses after the (out-of-range) magnitude.
+    arr = F.expr(
+        "array("
+        + ",".join(
+            "CAST('-9223372036854775808' AS BIGINT)" if w == -(1 << 63) else f"{w}L"
+            for w in bitset
+        )
+        + ")"
+    )
     tests = []
     for pos in _positions(col, num_bits, num_hashes):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)

@@ -379,6 +379,12 @@ def with_global_rank(
     # window column: an aggregate that ignores every window output lets
     # Catalyst prune the Window node out of this branch and re-plan the
     # old second exchange (observed while making this change).
+    # r16: re-A/B'd against the pre-r15 re-exchange shape after the r15
+    # driver run regressed both consumers — two interleaved runs
+    # contradicted each other inside the ambient noise floor while both
+    # variants sat at/below the r14 driver walls, so the r15 shape stays
+    # (it plans no second exchange and cannot re-run the input lineage
+    # when AQE exchange reuse breaks). plans/r16/ab_log_r16.md §1.
     aggs = [F.max("_lrn").cast("long").alias("_cnt")]
     for i, (sc, _) in enumerate(pairs):
         aggs.append(F.sum(sc).cast("long").alias(f"_psum{i}"))
@@ -480,6 +486,8 @@ def with_global_prefix_max(
     # row, maxed over the band — identical to max(value)) so the
     # aggregate references a window output and Catalyst cannot prune the
     # Window out of this branch (see with_global_rank's branch-2 note).
+    # r16: kept after the same interleaved re-A/B as with_global_rank's
+    # branch-2 (ab_log_r16.md §1).
     per_pid = local.groupBy("_pid").agg(
         F.max(
             F.greatest(F.coalesce(F.col("_lpm"), F.col(value_col)), F.col(value_col))

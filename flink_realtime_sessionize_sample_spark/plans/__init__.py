@@ -73,25 +73,92 @@ from flink_realtime_sessionize_sample_spark.plans import staging_r14  # noqa: F4
 # the round-open ref, and ``tests/test_registry_window.py::
 # test_mechanized_rotation_inside_window`` re-derives the rotation at
 # test time.
-_ROUND_OPEN_COMMIT = "7ce2606"
+_ROUND_OPEN_COMMIT = "3c5323a"
 
-# Queries whose implementation changed after their latest green external
-# row and are NOT covered by the round-15 wholesale re-verification pin:
-# none — the optimization diff is the only live-code change this round,
-# and it was full-registry swept (see the round-15 note above).
-_CHANGED_SINCE_EXTERNAL: list[str] = []
+# ROUND-16 ROTATION (optimization round 2 of 2): the r16 performance
+# diff (bloom literal build-time fix, BPE one-corpus-pass, fan_out
+# metadata-only probe, CC materialize() routing, mat.py storage level)
+# has a mechanized rotation closure of 63 registered names — still more
+# than the 50-name window holds alongside the judge-mandated re-checks.
+# Unlike round 15, the window now carries the closure DIRECTLY as far as
+# it fits: all 45 highest-risk rotated names are in `_CHANGED_SINCE_
+# EXTERNAL` below (every dedup/CC/BPE/bloom/NB/dsir/ks/rfm/item-cooc/
+# geometric-median consumer the r15 verdict listed, plus this round's
+# touched queries), and `customer_pareto_abc` + `doc_zipf_fit` enter per
+# verdict item 1 even though their operator is AST-unchanged. The 18
+# remaining rotated names (7 ANN-family fan_out consumers whose new
+# metadata-only split estimate is test-pinned to reproduce the old
+# probe's decisions, and 11 mat.py-only consumers whose sole change is
+# an explicit StorageLevel argument) are covered by the wholesale
+# re-verification pin below instead.
+_CHANGED_SINCE_EXTERNAL: list[str] = [
+    "ann_cosine_topk",
+    "ann_ivf_exact_kmeans_topk",
+    "bloom_pruned_join",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "capture_recapture_dedup_estimate",
+    "cdc_chunk_dedup",
+    "contamination_ngram_overlap",
+    "contamination_winnow_spans",
+    "corpus_selection_pipeline",
+    "customer_rfm_segments",
+    "dedup_aware_split",
+    "dedup_cluster_canonical",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_index",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_survivor_corpus",
+    "doc_dup_cluster_sizes",
+    "dsir_importance_sampling",
+    "geometric_median_embeddings",
+    "item_cooccurrence_topk",
+    "kmeans_lloyd_2iter",
+    "ks_drift_detection",
+    "label_prop_neardup_communities",
+    "mcc_nb_classifier",
+    "minhash_recall_audit",
+    "naive_bayes_eval_f1",
+    "naive_bayes_lang_classify",
+    "near_dup_triangles",
+    "negative_sampling_contrastive",
+    "pagerank_neardup_3iter",
+    "quality_filter_pipeline",
+    "reciprocal_nn_dedup",
+    "semantic_dedup_exact_kmeans",
+    "semantic_dedup_semdedup",
+    "source_contamination_matrix",
+    "split_leakage_neardup",
+    "stream_incremental_index_dedup",
+    "stream_index_update_roundtrip",
+    "substring_dedup_coverage",
+    "substring_dedup_spans",
+]
 
-# SHA-256 over "\n".join(sorted(mechanized rotation ∩ registered names))
-# for the round-15 optimization diff, pinned at the moment the
-# full-registry sweeps ran green (regenerate with
-# tools/rotation_map.py + hashlib if the diff legitimately grows, and
-# ONLY after re-sweeping). test_mechanized_rotation_inside_window
-# exempts the derived rotation from the 50-name window iff its hash
-# matches this pin exactly.
-_R15_OPT_REVERIFIED_COUNT = 216
-_R15_OPT_REVERIFIED_SHA256 = (
-    "f8fb4c09099b6467ea62f7deeb034a2c777c1b38fb9aba7988f4d9f5b36b5530"
-)
+# Wholesale re-verification pin for the 18 rotated names the window
+# cannot also hold (see the round-16 note above). Receipts: full-registry
+# driver-replica sweeps at sf0.01 (361/361) including adversarial configs
+# (spark.sql.adaptive.enabled=false, spark.sql.exchange.reuse=false) —
+# recorded in OPTIMIZATION_r16.md. CONTENT-INCLUSIVE (r15 ADVICE #1): the
+# r15 pin hashed only the sorted NAME list, so a later edit to the same
+# already-rotated symbols derived the identical name set and silently
+# inherited the exemption. _DIFF_SHA256 additionally hashes the worktree
+# CONTENT of every changed package file (tools/rotation_map.py::
+# content_digest — plans/__init__.py itself excluded: the pin lives here,
+# and this file only reorders the registry dict and records governance
+# state; its rotation effect, zero consumers, is already covered by the
+# name-set component). ANY code change to a touched file after the sweep
+# — same symbols or not — breaks the content digest, the exemption
+# lapses, and test_mechanized_rotation_inside_window fails until the new
+# diff is re-swept and re-pinned. Regenerate both digests with
+# tools/rotation_map.py + hashlib ONLY after re-sweeping.
+_R16_OPT_REVERIFIED_COUNT = 63
+_R16_OPT_REVERIFIED_SHA256 = "PENDING-R16-CLOSE"
+_R16_OPT_REVERIFIED_DIFF_SHA256 = "PENDING-R16-CLOSE"
 
 # The 34 queries built + oracle-paired + locally swept during round 7 in
 # plans/staging_r8.py, registered live in round 8 — all 34 went green in
@@ -274,54 +341,18 @@ _DRIVER_WINDOW: list[str] = [
     "sessionize_events",
     "user_total_durations",
     "parse_access_logs",
-    # Changed-code re-checks (standing rule above): none this round.
+    # Verdict r15 item 1: the global_order branch-2 consumers whose r15
+    # driver walls contradicted the builder A/Bs — AST-unchanged this
+    # round (the re-A/B kept the r15 shape, plans/r16/ab_log_r16.md §1)
+    # but both MUST get a fresh oracle row + driver wall this round.
+    "customer_pareto_abc",
+    "doc_zipf_fit",
+    # Changed-code re-checks (standing rule above): the 45 highest-risk
+    # names of the round-16 mechanized rotation closure — includes every
+    # name on the r15 verdict's item-2 list. The r14 promotions leave the
+    # window (green driver rows in BOTH CORRECTNESS_r14 and _r15, code
+    # untouched since — see _EXTERNALLY_GREEN_THROUGH_R15).
     *_CHANGED_SINCE_EXTERNAL,
-    # Round-14 promotions (plans/staging_r14.py; each verified at
-    # sf0.001 + sf0.01 + sf0.1 plus five adversarial configs before
-    # promotion, re-swept after the ADVICE r13 #2 splice asserts).
-    *_ROUND14_PROMOTIONS,
-    # Oldest-green fill-ins: the 22 remaining rows whose NEWEST external
-    # row dates to round 5 (the r13 spill — after these, no green row
-    # predates round 6), then the alphabetical first 13 of the 28 rows
-    # whose newest row dates to round 6 — freshness rotation, code
-    # unchanged since their rows. The remaining 15 r6-dated rows spill
-    # to round 15 (the verdict r13 window arithmetic, verified against
-    # the recomputed CORRECTNESS_r01–r13 union).
-    "global_sales_channel_q7",
-    "label_centroid_similarity",
-    "last_touch_attribution",
-    "line_dedup_c4",
-    "local_supplier_volume_q5",
-    "min_cost_supplier_q2",
-    "national_market_share_q8",
-    "orders_yoy_growth",
-    "parts_supplier_relationship_q16",
-    "pipeline_json_sink_roundtrip",
-    "promo_revenue_share_q14",
-    "returned_item_customers_q10",
-    "robust_scaler_features",
-    "rolling_7d_distinct_users",
-    "session_markov_transitions",
-    "shipping_modes_q12",
-    "shipping_priority_q3",
-    "source_unigram_kl",
-    "stratified_sample_exact",
-    "stream_stream_interval_join",
-    "user_value_ewma",
-    "zorder_cluster_stats",
-    "ab_test_cuped",
-    "ann_ivf_exact_kmeans_topk",
-    "ann_jl_recall_audit",
-    "bm25_doc_search",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "cdc_chunk_dedup",
-    "cohens_kappa_agreement",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_survivor_corpus",
-    "doc_trigram_backoff_logprob",
 ]
 
 
@@ -667,6 +698,17 @@ _EXTERNALLY_GREEN_THROUGH_R12: frozenset[str] = (
 # (judge-verified union over CORRECTNESS_r01–r13).
 _EXTERNALLY_GREEN_THROUGH_R13: frozenset[str] = (
     _EXTERNALLY_GREEN_THROUGH_R12 | frozenset(_ROUND13_PROMOTIONS)
+)
+
+# Rounds 14 and 15 ran the identical 50-name window and both closed
+# 50/50 green (CORRECTNESS_r14, CORRECTNESS_r15: rows+schema+hash
+# matched, err null on every row — the r15 verdict set-diffed the two
+# windows to zero). The only names not already green through r13 were
+# the 12 round-14 promotions, so they now carry TWO green driver rows
+# each and leave the window. Nothing was registered in round 15 or 16
+# (optimization rounds add no queries).
+_EXTERNALLY_GREEN_THROUGH_R15: frozenset[str] = (
+    _EXTERNALLY_GREEN_THROUGH_R13 | frozenset(_ROUND14_PROMOTIONS)
 )
 
 

@@ -2243,7 +2243,11 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize(): the distinct basket-part frame feeds THREE branches
     # (the marginals and both self-join sides) — one lineitem scan +
     # distinct instead of three (r15 opt; the before plan scanned lineitem
-    # 8x).
+    # 8x). A per-order basket-array rewrite (collect_set + in-row pair
+    # generation, one exchange fewer, no join) was tried in r16 and
+    # REJECTED on interleaved A/B: 5.84 s vs 2.76 s min at sf0.1 — the
+    # higher-order-function pair explode and the object-hash collect_set
+    # cost more than the join they removed (plans/r16/ab_log_r16.md §3).
     bp = materialize(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2287,6 +2291,11 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r16: a top-3-via-aggregate tail (collect_list + array_sort + slice —
+    # trades the window's per-partition sort for per-group in-expression
+    # sorts) was tried and REJECTED on interleaved A/B: 3.03 s vs 2.86 s
+    # min at sf0.1, pairwise consistently slower — the ObjectHashAggregate
+    # buffers cost more than the sort they avoid (ab_log_r16.md §3).
     w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -2767,7 +2767,10 @@ def _bpe_oracle(n_merges: int, top_words: int) -> str:
 
 
 def bpe_merge_plan(
-    docs: DataFrame, n_merges: int = 5, top_words: int = 200
+    docs: DataFrame,
+    n_merges: int = 5,
+    top_words: int = 200,
+    word_counts: DataFrame | None = None,
 ) -> tuple[list[DataFrame], list[DataFrame]]:
     """The BPE training loop over an arbitrary (doc_id, text) frame.
 
@@ -2776,7 +2779,15 @@ def bpe_merge_plan(
     top-pair frames (a, b, c) — the trained artifact in the form the
     ENCODER needs (``bpe_encode_frame`` broadcast-applies each top in
     round order). Shared by ``bpe_train_merges``, ``bpe_encode_corpus``,
-    and the canonical-reference unit test."""
+    and the canonical-reference unit test.
+
+    ``word_counts`` (r16 opt): a precomputed (word, cnt) corpus frequency
+    frame — when the CALLER already pays a corpus tokenize pass (the
+    encoder's (doc, word) table), its per-word rollup replaces the
+    trainer's own corpus explode+aggregate, cutting the composed query to
+    ONE corpus pass (guide §2.3 "aggregate before you shuffle" /
+    §5 reuse>recompute). Counts are identical integer sums, so the
+    trained merges are bit-identical."""
     # materialize(): the bounded top-`top_words` word state is the root of
     # every training round AND both encode branches — without the
     # checkpoint the corpus explode+aggregate re-ran once per plan leaf
@@ -2785,13 +2796,15 @@ def bpe_merge_plan(
     # pair count, once in the merge apply — so the plan tree doubled per
     # round). Lazy: the 200-row state materializes inside round 1's
     # micro-job.
+    if word_counts is None:
+        word_counts = (
+            docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy(F.col("w").alias("word"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     vocab = materialize(
-        docs.select(F.explode(F.expr(_TOKS_S)).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy(F.col("w").alias("word"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("word").asc())
-        .limit(top_words)
+        word_counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(top_words)
     )
     state = vocab.select(
         "word",
@@ -2875,7 +2888,6 @@ def bpe_encode_frame(
     the final per-doc sum — two hash aggregates, no window, no Python.
     Output per doc: occurrence count, pre-merge character-symbol count,
     and post-merge BPE token count — all exact integer sums."""
-    _, tops = bpe_merge_plan(docs, n_merges, top_words)
     # materialize(): the (doc, word) occurrence table feeds the distinct-
     # word encode branch AND the final per-doc rollup join — one corpus
     # explode+aggregate instead of two (r15 opt).
@@ -2885,6 +2897,17 @@ def bpe_encode_frame(
         .groupBy("doc_id", F.col("w").alias("word"))
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
+    # r16 opt: the trainer's corpus word-frequency table rolls up from the
+    # pinned (doc, word) frame (sum of per-doc counts ≡ the direct corpus
+    # count, exact integers) instead of re-running a second corpus-sized
+    # explode+aggregate — the whole train+encode query now reads the
+    # corpus ONCE (guide §2.3/§5). Interleaved A/B at sf0.1 (ab_log_r16.md
+    # §2): neutral-to-positive (mins 2.51 vs 2.75, then 2.28 vs 2.28) —
+    # the sf0.1 wall is dominated by the 5 sequential per-round training
+    # micro-jobs, but at the 100 TB design point the corpus pass IS the
+    # cost, and this halves it.
+    wc = dw.groupBy("word").agg(F.sum("n_occ").cast("long").alias("cnt"))
+    _, tops = bpe_merge_plan(docs, n_merges, top_words, word_counts=wc)
     words = dw.select("word").distinct().select(
         "word",
         F.concat(

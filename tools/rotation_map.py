@@ -429,6 +429,28 @@ def _old_source(since: str, relpath: str) -> str | None:
     return res.stdout if res.returncode == 0 else None
 
 
+def content_digest(since: str) -> str:
+    """SHA-256 over the worktree CONTENT of every package file changed
+    since ``since`` (r15 ADVICE #1): the wholesale-re-verification pin in
+    plans/__init__ hashes this ALONGSIDE the rotation name set, so a later
+    edit that touches the same already-rotated symbols (identical name
+    set — the hole in the r15 name-only pin) still breaks the pin and
+    forces a re-sweep. plans/__init__.py is excluded — the pin itself
+    lives there (self-reference), and that file only reorders the registry
+    dict / records governance state; its rotation effect (zero consumers)
+    is covered by the name-set component."""
+    import hashlib
+
+    parts = []
+    for relpath in _changed_package_files(since):
+        if relpath == f"{PKG}/plans/__init__.py":
+            continue
+        p = REPO / relpath
+        body = hashlib.sha256(p.read_bytes()).hexdigest() if p.exists() else "deleted"
+        parts.append(f"{relpath}:{body}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
 def rotation_list(since: str) -> tuple[list[str], dict[str, list[str]]]:
     """File-granular rotation (safe upper bound): every consumer of every
     changed package file."""
